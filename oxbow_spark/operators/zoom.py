@@ -1,0 +1,79 @@
+"""Zoom-level (multi-resolution binned) aggregation.
+
+The reference ships *pre-computed* zoom tables inside BBI files: fixed
+resolution genomic bins carrying ``bases_covered, min, max, sum,
+sum_squares`` selected by reduction level (reference
+`oxbow/src/bbi/model/zoom.rs:13-44`, `oxbow/src/bbi/scanner/bbizoom.rs`).
+Spark-first equivalent: a plain hash aggregate over ``floor(start / res)``
+— Catalyst executes it as partial (map-side) + final aggregation, so at
+100 TB the shuffle carries only one row per (chrom, bin) per task, not raw
+rows. Materialize one output table per resolution to mirror zoom levels.
+
+Determinism note: ``sum`` over doubles is order-dependent under parallel
+aggregation. For oracle-comparable output we sum exactly via a decimal
+accumulator and cast the final value back to double — order-independent,
+still a single JVM-side hash aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Exact (order-independent) sum of a double expression: quantize each value
+# to 6 decimal places (exact for our inputs), sum as decimal, return double.
+DECIMAL_ACC = "decimal(28,6)"
+
+
+def exact_sum(col: Column | str, alias: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DECIMAL_ACC)).cast("double").alias(alias)
+
+
+def zoom_aggregate(
+    df: DataFrame,
+    resolution: int,
+    chrom_col: str = "chrom",
+    start_col: str = "start",
+    value_col: str = "value",
+    end_col: str | None = None,
+) -> DataFrame:
+    """Aggregate an interval/point signal table into fixed-resolution bins.
+
+    Output schema mirrors the reference zoom record
+    (`oxbow/src/bbi/model/zoom.rs:13-37`): one row per (chrom, bin) with
+    ``start, end, bases_covered, min, max, sum, sum_squares``.
+    ``bases_covered`` counts covered bases when ``end_col`` is given
+    (intervals clipped to the bin are approximated by full interval length,
+    as BBI zoom builders do per-record), else the record count.
+    """
+    start = F.col(start_col).cast("bigint")
+    bin_col = F.floor(start / F.lit(resolution))
+    covered = (
+        (F.col(end_col).cast("bigint") - start)
+        if end_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.withColumn("_bin", bin_col)
+        .withColumn("_covered", covered)
+        .groupBy(F.col(chrom_col).alias("chrom"), F.col("_bin"))
+        .agg(
+            F.sum("_covered").alias("bases_covered"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            exact_sum(v, "sum"),
+            exact_sum(v * v, "sum_squares"),
+        )
+        .select(
+            "chrom",
+            (F.col("_bin") * resolution).cast("bigint").alias("start"),
+            ((F.col("_bin") + 1) * resolution).cast("bigint").alias("end"),
+            "bases_covered",
+            "min",
+            "max",
+            "sum",
+            "sum_squares",
+        )
+    )

@@ -1,0 +1,645 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 (plus
+the LLM-pipeline operators) expressed twice — as a Spark DataFrame program
+and as the equivalent ANSI SQL for the DuckDB oracle.
+
+Determinism rules applied throughout (both sides):
+- double sums quantized to decimal before aggregation (order-independent),
+  final values cast back to double;
+- every LIMIT is preceded by a total ORDER BY;
+- ties in rankings broken by a unique id;
+- identical md5-based hash constructions on both engines.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oxbow_spark import coords
+from oxbow_spark.operators import dedup, similarity, text
+from oxbow_spark.operators.interval_join import overlap_join
+from oxbow_spark.operators.zoom import exact_sum, zoom_aggregate
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects by default; read the ns value as a long (exact — no float
+    rounding; DuckDB's reader truncates the same values to µs, so both
+    engines agree on any epoch granularity ≥ 1 µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events")
+
+
+def _ns(dt: str) -> int:
+    """Epoch nanoseconds of a UTC date/time literal (for pushdown-friendly
+    long comparisons against the ns-typed ts column)."""
+    from datetime import datetime, timezone
+
+    return int(datetime.fromisoformat(dt).replace(tzinfo=timezone.utc).timestamp()) * 10**9
+
+
+# ts (ns long) → epoch seconds / microseconds, exact integer division
+def TS_SEC():
+    return F.expr("ts div 1000000000")
+
+
+def TS_US():
+    return F.expr("ts div 1000")
+
+
+# exact-sum SQL fragment (mirror of oxbow_spark.operators.zoom.exact_sum)
+def _xsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+EPOCH_SQL = "(epoch_us(ts) // 1000000)"
+TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → non-SQL-expressible; driver does rows-only check
+    bench: bool = False  # include in bench.py headline set
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY §2.3-§2.8 downstream layer over TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            exact_sum(disc_price, "sum_disc_price"),
+            exact_sum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+    return out
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_xsum('l_quantity')} AS sum_qty,
+       {_xsum('l_extendedprice')} AS sum_base_price,
+       {_xsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_xsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       COUNT(*) AS count_order,
+       {_xsum('l_quantity')} / COUNT(*) AS avg_qty,
+       {_xsum('l_extendedprice')} / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join chain with a broadcast dimension + top-k: customer ⨝ orders
+    ⨝ lineitem. customer is small → broadcast; top-k is a sort of an
+    already-aggregated (small) set."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue")
+    )
+
+
+Q3_SQL = f"""
+SELECT o_orderkey, {_xsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join through region→nation→(customer,supplier)→orders→lineitem;
+    all dimension sides broadcast, single shuffle for the final agg."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name AS nation, {_xsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def scan_project_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P1/P2/L1: projection + deterministic limit. The projection
+    reaches the parquet scan (ReadSchema shows 4 columns)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+SCAN_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def range_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F1 analog: (chrom, interval) predicate on the events table —
+    equality on a partition-key-like column + a range on an ordered one.
+    Both conjuncts push down to the parquet scan."""
+    ev = _events(spark, sf_dir)
+    return ev.where(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit(_ns("2024-01-10")))
+        & (F.col("ts") < F.lit(_ns("2024-01-13")))
+    ).select("event_id", TS_US().alias("ts_us"), "user_id", "value")
+
+
+RANGE_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events
+WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+"""
+
+
+def union_multi_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY D4/§2.8 union: one independent scan per query region,
+    unioned — mirrors multi-region fragment chaining
+    (`py-oxbow/oxbow/_pyarrow.py:574-576`)."""
+    ev = _events(spark, sf_dir)
+
+    def rng(lo: str, hi: str) -> DataFrame:
+        return ev.where(
+            (F.col("ts") >= F.lit(_ns(lo))) & (F.col("ts") < F.lit(_ns(hi)))
+        ).select("event_id", "event_type", "user_id")
+
+    return rng("2024-01-05", "2024-01-07").unionByName(rng("2024-01-20", "2024-01-22"))
+
+
+UNION_SQL = """
+SELECT event_id, event_type, user_id FROM events
+WHERE (ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-07')
+   OR (ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-22')
+"""
+
+
+def window_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 dedup/window (mark-duplicates shape): best record per
+    group via row_number over (partition, order) — single shuffle on the
+    group key."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+WINDOW_SQL = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def zoom_binned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S12/A1: BBI-zoom-equivalent binned aggregation at a fixed
+    resolution (1 h bins over event time per event_type)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        F.col("value"),
+    )
+    z = zoom_aggregate(ev, resolution=3600)
+    return z.select(
+        "chrom", "start", "end", "bases_covered",
+        F.col("min").alias("vmin"), F.col("max").alias("vmax"),
+        F.col("sum").alias("vsum"), F.col("sum_squares").alias("vsumsq"),
+    )
+
+
+ZOOM_SQL = f"""
+SELECT event_type AS chrom,
+       (({EPOCH_SQL} // 3600) * 3600) AS start,
+       (({EPOCH_SQL} // 3600) + 1) * 3600 AS "end",
+       COUNT(*) AS bases_covered,
+       MIN(value) AS vmin, MAX(value) AS vmax,
+       {_xsum('value')} AS vsum,
+       {_xsum('value * value')} AS vsumsq
+FROM events
+GROUP BY event_type, {EPOCH_SQL} // 3600
+"""
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 interval-overlap join via the binned equi-join operator
+    (oxbow_spark.operators.interval_join) — no O(n·m) nested loop."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"), "chrom", "start", "end"
+    )
+    b = ev.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("b_id"),
+        F.col("chrom"),
+        F.col("start").alias("b_start"),
+        F.col("end").alias("b_end"),
+    )
+    joined = overlap_join(
+        a, b, bin_size=512, on="chrom",
+        left_start="start", left_end="end",
+        right_start="b_start", right_end="b_end",
+    )
+    return joined.select("a_id", "b_id")
+
+
+INTERVAL_SQL = f"""
+WITH iv AS (
+  SELECT event_id, event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+)
+SELECT a.event_id AS a_id, b.event_id AS b_id
+FROM iv a JOIN iv b
+  ON a.chrom = b.chrom AND a.s < b.e AND b.s < a.e
+WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
+"""
+
+
+def coords_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY X10/§1.5: coordinate-system conversion — start shifts by
+    exactly −1 going '11'→'01', end never shifts."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        (TS_SEC() % 100000 + 1).alias("start_11"),
+        (TS_SEC() % 100000 + 150).alias("end"),
+    )
+    out = ev.withColumn(
+        "start_01", coords.convert_start_col("start_11", "11", "01")
+    )
+    return out.select("event_id", "start_11", "start_01", "end")
+
+
+COORDS_SQL = f"""
+SELECT event_id,
+       ({EPOCH_SQL} % 100000) + 1 AS start_11,
+       ({EPOCH_SQL} % 100000) AS start_01,
+       ({EPOCH_SQL} % 100000) + 150 AS "end"
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators over documents / embeddings
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+_MINHASH_H = 8
+_BAND_ROWS = 2
+_SHINGLE_K = 3
+_JACCARD_T = 0.35
+
+
+def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_H, band_rows=_BAND_ROWS,
+        shingle_k=_SHINGLE_K, threshold=_JACCARD_T,
+    )
+
+
+def _minhash_sql() -> str:
+    k = _SHINGLE_K
+    shingle = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(k)) + ")"
+    sigs = ",\n       ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig_{j}"
+        for j in range(_MINHASH_H)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(sig_{b*2} || '|' || sig_{b*2+1}) AS key FROM sigs"
+        for b in range(_MINHASH_H // _BAND_ROWS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k}
+              THEN list_transform(generate_series(1, len(t) - {k - 1}), i -> {shingle})
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+),
+sigs AS (SELECT doc_id, {sigs} FROM sh),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+dsh AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
+SELECT id_a, id_b,
+       (len(list_distinct(a.s)) + len(list_distinct(b.s))
+        - len(list_distinct(list_concat(a.s, b.s))))::DOUBLE
+       / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+FROM cand JOIN dsh a ON cand.id_a = a.doc_id JOIN dsh b ON cand.id_b = b.doc_id
+WHERE (len(list_distinct(a.s)) + len(list_distinct(b.s))
+        - len(list_distinct(list_concat(a.s, b.s))))::DOUBLE
+       / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= {_JACCARD_T}
+"""
+
+
+def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="source",
+        shingle_k=_SHINGLE_K, threshold=0.2,
+    )
+
+
+def _ngram_sql() -> str:
+    k = _SHINGLE_K
+    shingle = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(k)) + ")"
+    return f"""
+WITH toks AS (SELECT doc_id, source, {TOKS_SQL} AS t FROM documents),
+sh AS (
+  SELECT doc_id, source AS blk,
+         list_distinct(CASE WHEN len(t) >= {k}
+              THEN list_transform(generate_series(1, len(t) - {k - 1}), i -> {shingle})
+              ELSE [array_to_string(t, ' ')] END) AS s
+  FROM toks
+)
+SELECT a.blk AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+       (len(a.s) + len(b.s) - len(list_distinct(list_concat(a.s, b.s))))::DOUBLE
+       / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE (len(a.s) + len(b.s) - len(list_distinct(list_concat(a.s, b.s))))::DOUBLE
+       / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.2
+"""
+
+
+_SIMHASH_BITS = 16
+
+
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN ascii(substr(h, {i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    compose = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(unnest({TOKS_SQL})) AS h FROM documents),
+v AS (SELECT doc_id, {votes} FROM t GROUP BY doc_id)
+SELECT doc_id, CAST({compose} AS BIGINT) AS simhash FROM v
+"""
+
+
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+TEXT_STATS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text, {TOKS_SQL} AS t,
+         CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       len(text) AS n_chars,
+       n_tokens,
+       len(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+         / GREATEST(n_tokens, 1)::DOUBLE AS mean_token_len,
+       (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+         / GREATEST(len(text), 1)::DOUBLE AS punct_ratio,
+       len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','for','on')))::DOUBLE
+         / GREATEST(n_tokens, 1)::DOUBLE AS stopword_ratio
+FROM base
+"""
+
+
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+TEXT_QUALITY_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END AS n_tokens,
+         len(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+           / GREATEST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END, 1)::DOUBLE AS mtl,
+         (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+           / GREATEST(len(text), 1)::DOUBLE AS pr,
+         len(list_filter({TOKS_SQL}, x -> x IN ('the','a','of','and','to','in','is','it','for','on')))::DOUBLE
+           / GREATEST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END, 1)::DOUBLE AS sr
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (n_tokens >= 5 AND n_tokens <= 100000) AS ok_length,
+       (mtl >= 2.0 AND mtl <= 12.0) AS ok_token_len,
+       (sr >= 0.01) AS ok_stopwords,
+       (pr <= 0.3) AS ok_punct,
+       ((n_tokens >= 5 AND n_tokens <= 100000) AND (mtl >= 2.0 AND mtl <= 12.0)
+        AND (sr >= 0.01) AND (pr <= 0.3)) AS passes
+FROM s
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    counts = {
+        lg: "len(list_filter(t, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in ws)
+        + ")))"
+        for lg, ws in text.LANG_MARKERS.items()
+    }
+    best = "GREATEST(" + ", ".join(counts[lg] for lg in text.LANG_ORDER) + ")"
+    case = "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+    case += f"WHEN {best} <= 0 THEN 'und' "
+    for lg in text.LANG_ORDER:
+        case += f"WHEN {counts[lg]} = {best} THEN '{lg}' "
+    case += "END"
+    cols = ", ".join(f"{counts[lg]} AS n_{lg}" for lg in text.LANG_ORDER)
+    return f"""
+WITH base AS (SELECT doc_id, text, {TOKS_SQL} AS t FROM documents)
+SELECT doc_id, {case} AS pred_lang, {cols} FROM base
+"""
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({TOKS_SQL})), ' ')) AS fingerprint,
+       len(list_distinct({TOKS_SQL})) AS n_distinct_tokens
+FROM documents
+"""
+
+
+def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_ws_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+BPE_SQL = rf"""
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+_TOPK_K = 5
+_N_QUERIES = 5
+
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.cosine_topk(emb, q, k=_TOPK_K)
+
+
+def _topk_sql() -> str:
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+        "CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         {dot.format(a='embedding', b='embedding')} AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         {dot.format(a='qv', b='embedding')} / SQRT(qn * nrm) AS cos
+  FROM n CROSS JOIN q
+  WHERE n.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+QUERIES: list[Query] = [
+    Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL, bench=True),
+    Query("q3_top_revenue_orders", q3_top_revenue_orders, Q3_SQL, bench=True),
+    Query("q5_nation_revenue", q5_nation_revenue, Q5_SQL, bench=True),
+    Query("scan_project_limit", scan_project_limit, SCAN_SQL),
+    Query("range_filter_events", range_filter_events, RANGE_SQL, bench=True),
+    Query("union_multi_region", union_multi_region, UNION_SQL),
+    Query("window_dedup_best", window_dedup_best, WINDOW_SQL, bench=True),
+    Query("zoom_binned_agg", zoom_binned_agg, ZOOM_SQL, bench=True),
+    Query("interval_overlap_join", interval_overlap_join, INTERVAL_SQL, bench=True),
+    Query("coords_normalize", coords_normalize, COORDS_SQL),
+    Query("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_SQL),
+    Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql(), bench=True),
+    Query("dedup_ngram_jaccard_docs", dedup_ngram_jaccard_docs, _ngram_sql()),
+    Query("dedup_simhash_docs", dedup_simhash_docs, _simhash_sql(), bench=True),
+    Query("text_stats_docs", text_stats_docs, TEXT_STATS_SQL, bench=True),
+    Query("text_quality_docs", text_quality_docs, TEXT_QUALITY_SQL),
+    Query("lang_id_docs", lang_id_docs, _langid_sql()),
+    Query("fingerprint_docs", fingerprint_docs, FINGERPRINT_SQL),
+    Query("bpe_token_count_docs", bpe_token_count_docs, BPE_SQL),
+    Query("sim_topk_cosine", sim_topk_cosine, _topk_sql(), bench=True),
+]
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.fn for q in QUERIES}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {q.name: q.sql for q in QUERIES if q.sql is not None}
