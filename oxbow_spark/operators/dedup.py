@@ -31,13 +31,46 @@ def tokens(col):
     return F.split(F.trim(col), TOKEN_SPLIT)
 
 
-def word_shingles(col, k: int = 3):
-    """Array of k-word shingles (contiguous token windows) of a text column."""
-    t = tokens(col)
+def shingles_of(t, k: int = 3):
+    """Array of k-word shingles from a *token array column*.
+
+    IMPORTANT: pass a materialized column reference, not the `tokens(...)`
+    expression itself — Catalyst's CollapseProject re-inlines a split()
+    expression into the transform lambda, making this O(tokens × shingles)
+    per row. See `shingle_stage` for the staged form.
+    """
     idx = F.sequence(F.lit(0), F.size(t) - k)
-    return F.when(F.size(t) >= k,
-                  F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]))
-                  ).otherwise(F.array(F.concat_ws(" ", t)))
+    return F.when(
+        F.size(t) >= k,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)])),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def word_shingles(col, k: int = 3):
+    """Array of k-word shingles (contiguous token windows) of a text column.
+    Convenience form; for hot paths use `shingle_stage` (see `shingles_of`)."""
+    return shingles_of(tokens(col), k)
+
+
+def shingle_stage(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_k: int = 3, persist: bool = True,
+) -> DataFrame:
+    """(id, sh): distinct shingle set per doc, built in two persisted stages
+    (tokens, then shingles) so the split/shingle expressions evaluate once
+    per row. On a cluster the same barrier is persist(DISK_ONLY) or a
+    checkpoint — the plan shape is what matters, not the storage level."""
+    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    if persist:
+        tok = tok.persist()
+    out = tok.select(
+        F.col(id_col),
+        F.array_distinct(shingles_of(F.col("_t"), shingle_k)).alias("sh"),
+    )
+    if persist:
+        out = out.persist()
+    return out
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -55,20 +88,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 8, shingle_k: int = 3,
+    num_hashes: int = 8, shingle_k: int = 3, _sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig_0..sig_{H-1}): per-doc MinHash signature.
 
     hash_j(shingle) = md5(j || ':' || shingle); sig_j = lexicographic min
     over the doc's shingle set. Entirely JVM-side (higher-order functions),
     no shuffle until the caller groups/joins.
+
+    Signature mins are invariant under shingle duplication, so the staged
+    distinct shingle set is used (shared with the Jaccard verify stage).
     """
-    sh = word_shingles(F.col(text_col), shingle_k)
+    staged = (
+        _sh if _sh is not None
+        else shingle_stage(df, text_col, id_col, shingle_k)
+    )
     cols = [F.col(id_col)]
     for j in range(num_hashes):
-        hashed = F.transform(sh, lambda s, j=j: F.md5(F.concat_ws(":", F.lit(str(j)), s)))
+        hashed = F.transform("sh", lambda s, j=j: F.md5(F.concat_ws(":", F.lit(str(j)), s)))
         cols.append(F.array_min(hashed).alias(f"sig_{j}"))
-    return df.select(*cols)
+    return staged.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -98,17 +137,14 @@ def lsh_candidate_pairs(
 
 def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_k: int = 3,
+    shingle_k: int = 3, _sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given candidate pairs.
 
     Joins shingle arrays to the (small) candidate pair set, then computes
     |A ∩ B| / |A ∪ B| with array intrinsics — no UDF, no explode.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
+    sh = _sh if _sh is not None else shingle_stage(df, text_col, id_col, shingle_k)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -124,10 +160,21 @@ def minhash_dedup_pairs(
     num_hashes: int = 8, band_rows: int = 2, shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidate pairs verified >= threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    """Full MinHash-LSH near-dup pipeline: candidate pairs verified >= threshold.
+
+    One persisted distinct-shingle stage feeds both the signature build and
+    the Jaccard verify; the signature frame is persisted too since it feeds
+    both sides of the band-key self-join. Without these barriers Catalyst
+    re-inlines the shingle+md5 expressions into every branch. The persists
+    are materialized eagerly — a lazy persist lets the self-join branches
+    race and compute the subtree twice on a cold cache.
+    """
+    sh = shingle_stage(df, text_col, id_col, shingle_k)
+    sh.count()
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, _sh=sh).persist()
+    sigs.count()
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows)
-    return jaccard_pairs(df, cand, text_col, id_col, shingle_k).where(
+    return jaccard_pairs(df, cand, text_col, id_col, shingle_k, _sh=sh).where(
         F.col("jaccard") >= threshold
     )
 
@@ -168,10 +215,14 @@ def ngram_jaccard_pairs(
     cost is sum(|block|^2), not |corpus|^2. For unblocked near-dup at scale
     use ``minhash_dedup_pairs``.
     """
-    sh = df.select(
+    tok = df.select(
         F.col(block_col).alias("blk"), F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
+        tokens(F.col(text_col)).alias("_t"),
+    ).persist()
+    sh = tok.select(
+        "blk", F.col(id_col),
+        F.array_distinct(shingles_of(F.col("_t"), shingle_k)).alias("sh"),
+    ).persist()
     a = sh.select("blk", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select("blk", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

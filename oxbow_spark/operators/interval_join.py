@@ -24,6 +24,8 @@ median interval length. Skewed chroms are handled by AQE skew-join.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,15 +62,22 @@ def overlap_join(
     caller (alias/prefix) except the ``on`` keys, which are coalesced.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    l = _explode_bins(left, left_start, left_end, bin_size, "l")
-    r = _explode_bins(right, right_start, right_end, bin_size, "r")
-    cond = [l[k] == r[k] for k in keys] + [l["_l_bin"] == r["_r_bin"]]
-    ls, le = l[left_start].cast("bigint"), l[left_end].cast("bigint")
-    rs, re_ = r[right_start].cast("bigint"), r[right_end].cast("bigint")
-    overlap = (ls < re_) & (rs < le)
+    # explicit aliases: both sides often derive from the same source
+    # DataFrame, and unaliased self-join refs resolve ambiguously
+    l = _explode_bins(left, left_start, left_end, bin_size, "l").alias("__l")
+    r = _explode_bins(right, right_start, right_end, bin_size, "r").alias("__r")
+    lc = lambda c: F.col(f"__l.{c}")  # noqa: E731
+    rc = lambda c: F.col(f"__r.{c}")  # noqa: E731
+    cond = [lc(k) == rc(k) for k in keys]
+    cond.append(lc("_l_bin") == rc("_r_bin"))
+    ls, le = lc(left_start).cast("bigint"), lc(left_end).cast("bigint")
+    rs, re_ = rc(right_start).cast("bigint"), rc(right_end).cast("bigint")
+    cond.append((ls < re_) & (rs < le))
     # dedup-without-shuffle: emit the pair only from the bin that contains
     # the larger of the two starts (that bin always exists and is unique).
-    anchor = F.floor(F.greatest(ls, rs) / F.lit(bin_size))
-    joined = l.join(r, cond + [overlap, l["_l_bin"] == anchor], how)
-    drop = [l["_l_bin"], r["_r_bin"]] + [r[k] for k in keys]
-    return joined.drop(*drop)
+    cond.append(lc("_l_bin") == F.floor(F.greatest(ls, rs) / F.lit(bin_size)))
+    joined = l.join(r, functools.reduce(lambda a, b: a & b, cond), how)
+    out = [lc(c) for c in left.columns] + [
+        rc(c) for c in right.columns if c not in keys
+    ]
+    return joined.select(*out)
