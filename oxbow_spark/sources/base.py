@@ -1,0 +1,266 @@
+"""Generic text-format Python DataSource framework.
+
+Mirrors the reference scan architecture (SURVEY §2.1/§2.6) in Spark's
+Python DataSource API (Spark 4.x):
+
+- schema is declared at construction (driver-side header read / sampling);
+- projection is validated at construction (``fields`` option ≙ the
+  reference's ``Select``; unknown column → error, `Model::project`);
+- partitions are pure descriptions ``(path, byte_start, byte_end)`` — a
+  partition read is a replayable pure function of (path, options, range),
+  matching the reference's fragment discipline (D5/D6);
+- uncompressed files split at arbitrary byte offsets and realign to the
+  next newline (Hadoop LineRecordReader discipline; ≙ scan_byte_ranges,
+  `oxbow/src/util/query.rs:137-214`); gzip files are one partition each
+  (BGZF-chunked splitting arrives with the binary/index layer);
+- genomic-range predicates (``regions`` option) are applied as residual
+  per-record overlap re-checks (`batch_iterator/query.rs:142-159`);
+- rows are emitted as Arrow RecordBatches (columnar, ``batch_size`` rows).
+
+Each concrete format supplies a picklable ``Codec`` with the per-line
+parse, the record's genomic interval accessor, and coordinate-offset
+columns; everything else is shared.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import os
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.pandas.types import to_arrow_schema
+from pyspark.sql import types as T
+
+from oxbow_spark import coords as _coords
+
+DEFAULT_BATCH_SIZE = 65536
+DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def resolve_paths(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path) if not f.startswith(("_", "."))
+        )
+    hits = sorted(_glob.glob(path))
+    if not hits:
+        raise FileNotFoundError(f"no files match {path!r}")
+    return hits
+
+
+def is_gzip_path(path: str) -> bool:
+    return path.endswith((".gz", ".bgz", ".bgzf"))
+
+
+def open_text(path: str) -> io.TextIOBase:
+    if is_gzip_path(path):
+        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8", newline="\n")
+    return open(path, "rt", encoding="utf-8", newline="\n")
+
+
+@dataclass
+class Codec:
+    """Picklable per-format parsing state shipped to executors.
+
+    Subclasses define:
+    - ``schema``: full StructType (all selected columns, post-projection)
+    - ``parse_line(line) -> list | None`` (None → skip the line)
+    - ``interval(row) -> (chrom, start0, end0) | None`` — 0-based
+      half-open interval for region filtering (None → record passes)
+    - ``start_field_indexes`` — columns shifted by the coords offset
+    """
+
+    schema: T.StructType = field(default=None)  # type: ignore[assignment]
+    coord_offset: int = 0
+    start_field_indexes: tuple[int, ...] = ()  # indexes into the FULL row
+    project_indexes: tuple[int, ...] | None = None  # None → identity
+    meta_anywhere: bool = False  # comment lines legal anywhere (BED/GXF)
+    meta_prefixes: tuple[str, ...] = ("#",)
+
+    def is_meta(self, line: str) -> bool:
+        return line.startswith(self.meta_prefixes)
+
+    def parse_line(self, line: str) -> list | None:  # pragma: no cover
+        raise NotImplementedError
+
+    def interval(self, row: list):
+        return None
+
+
+class LinePartition(InputPartition):
+    def __init__(self, path: str, start: int = -1, end: int = -1):
+        self.path = path
+        self.start = start  # -1 → whole file
+        self.end = end
+
+
+def _iter_lines(path: str, start: int, end: int) -> Iterator[str]:
+    """Yield complete lines for a byte-range partition.
+
+    Rules (Hadoop line-split discipline): a partition owns every line that
+    *starts* strictly inside (start, end], except the partition at offset 0
+    which also owns the first line. Readers realign by discarding the
+    (possibly partial) line in progress at ``start`` and read one line past
+    ``end`` to finish the last owned line.
+    """
+    if start < 0 or not isinstance(start, int):
+        with open_text(path) as f:
+            yield from f
+        return
+    with open(path, "rb") as f:
+        f.seek(start)
+        if start > 0:
+            f.readline()  # discard partial line owned by previous split
+        pos = f.tell()
+        while pos <= end:
+            raw = f.readline()
+            if not raw:
+                return
+            pos = f.tell()
+            yield raw.decode("utf-8")
+
+
+class TextFormatReader(DataSourceReader):
+    def __init__(self, codec: Codec, paths: list[str], options: dict):
+        self.codec = codec
+        self.paths = paths
+        self.batch_size = int(options.get("batch_size", DEFAULT_BATCH_SIZE))
+        self.limit = int(options.get("limit", -1))
+        self.partition_bytes = int(options.get("partition_bytes", DEFAULT_PARTITION_BYTES))
+        native = options.get("native_cs", "11")
+        self.regions = _coords.parse_regions(
+            options.get("regions"), options.get("region_cs", native)
+        )
+        self._arrow_schema = to_arrow_schema(codec.schema)
+
+    def partitions(self):
+        parts: list[LinePartition] = []
+        for p in self.paths:
+            size = os.path.getsize(p)
+            if is_gzip_path(p) or size <= self.partition_bytes:
+                parts.append(LinePartition(p))
+            else:
+                off = 0
+                while off < size:
+                    parts.append(LinePartition(p, off, min(off + self.partition_bytes, size) - 1))
+                    off += self.partition_bytes
+        return parts
+
+    # NOTE: no pushFilters() here — defining it requires
+    # spark.sql.python.filterPushdown.enabled on every session that touches
+    # the source, and the plain text scan gains nothing from filter hints
+    # (Catalyst re-applies all predicates post-scan). The index-backed
+    # sources (BAM/tabix) do their own region pushdown via options.
+
+    def _row_passes(self, row: list) -> bool:
+        if not self.regions:
+            return True
+        iv = self.codec.interval(row)
+        if iv is None:
+            return True
+        chrom, s0, e0 = iv
+        for r in self.regions:
+            if r.is_unmapped:
+                if chrom is None:
+                    return True
+                continue
+            if chrom == r.name and r.overlaps(s0, e0 if e0 is not None else s0 + 1):
+                return True
+        return False
+
+    def _emit(self, rows: list[list]) -> pa.RecordBatch:
+        cols = list(zip(*rows)) if rows else [[] for _ in self.codec.schema]
+        arrays = [
+            pa.array(list(c), type=f.type)
+            for c, f in zip(cols, self._arrow_schema)
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=self._arrow_schema)
+
+    def read(self, partition: LinePartition):
+        codec = self.codec
+        off = codec.coord_offset
+        starts = codec.start_field_indexes
+        rows: list[list] = []
+        n = 0
+        at_top = partition.start <= 0
+        for line in _iter_lines(partition.path, partition.start, partition.end):
+            if line.endswith("\n"):
+                line = line[:-1]
+            if not line:
+                continue
+            if codec.meta_anywhere or at_top:
+                if codec.is_meta(line):
+                    continue
+                at_top = False
+            row = codec.parse_line(line)
+            if row is None or not self._row_passes(row):
+                continue
+            if off:
+                for i in starts:
+                    if row[i] is not None:
+                        row[i] = row[i] + off
+            if codec.project_indexes is not None:
+                row = [row[i] for i in codec.project_indexes]
+            rows.append(row)
+            n += 1
+            if len(rows) >= self.batch_size:
+                yield self._emit(rows)
+                rows = []
+            if 0 <= self.limit <= n:
+                break
+        if rows:
+            yield self._emit(rows)
+
+
+class TextFormatSource(DataSource):
+    """Base DataSource; subclasses implement ``_codec()`` and ``name()``."""
+
+    def __init__(self, options: dict):
+        super().__init__(options)
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(f"{self.name()} source requires a path")
+        self.paths = resolve_paths(self.path)
+        self._codec_cache: Codec | None = None
+
+    # -- subclass hooks ----------------------------------------------------
+    NATIVE_CS = "11"
+
+    def _codec(self) -> Codec:  # pragma: no cover
+        raise NotImplementedError
+
+    # ---------------------------------------------------------------------
+    def codec(self) -> Codec:
+        if self._codec_cache is None:
+            c = self._codec()
+            requested = self.options.get("coords", self.NATIVE_CS)
+            c.coord_offset = _coords.start_offset(self.NATIVE_CS, requested)
+            self._codec_cache = c
+        return self._codec_cache
+
+    def schema(self) -> T.StructType:
+        return self.codec().schema
+
+    def reader(self, schema: T.StructType) -> TextFormatReader:
+        opts = dict(self.options)
+        opts["native_cs"] = self.NATIVE_CS
+        return TextFormatReader(self.codec(), self.paths, opts)
+
+
+def select_fields(all_names: list[str], fields_opt: str | None) -> list[str]:
+    """``fields`` option → projected column list (reference Select::Some;
+    unknown name → error, `alignment/model.rs:169-206`)."""
+    if not fields_opt or fields_opt.strip() in ("*", ""):
+        return list(all_names)
+    out = []
+    for f in fields_opt.split(","):
+        f = f.strip()
+        if f not in all_names:
+            raise ValueError(f"unknown field {f!r}; available: {all_names}")
+        out.append(f)
+    return out

@@ -1,0 +1,135 @@
+"""GTF / GFF3 DataSources: ``spark.read.format("gtf" | "gff")``.
+
+Parity: reference GXF scanners (`oxbow/src/gxf/scanner/gtf.rs:155-166`,
+`gff.rs`, SURVEY S9) with opt-in attribute struct discovery
+(`gxf/scanner/gtf.rs:117-151`; opt-in policy
+`docs/getting-started/quickstart.md:186-189`). Options:
+
+- ``fields``: projection over the 8 standard fields
+- ``attributes``: 'scan' | 'scan:N' → driver-side sampling of attribute
+  defs from the first N (default 1024) records; omitted → no
+  ``attributes`` column (matches the reference default)
+- ``attribute_defs``: explicit ``name`` or ``name:array`` comma list
+- ``coords``: '11' (native) | '01' — shifts ``start`` by −1
+- ``regions``, ``batch_size``, ``limit``, ``partition_bytes``
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+from pyspark.sql import types as T
+
+from oxbow_spark.models.gxf import (
+    STANDARD_FIELD_NAMES,
+    STANDARD_FIELDS,
+    AttributeDef,
+    attributes_struct,
+    parse_attributes,
+    scan_attribute_defs,
+)
+from oxbow_spark.sources.base import Codec, TextFormatSource, open_text, select_fields
+
+
+def _parse_std(cols: list[str]) -> list:
+    return [
+        None if cols[0] == "." else cols[0],
+        None if cols[1] == "." else cols[1],
+        None if cols[2] == "." else cols[2],
+        int(cols[3]),
+        int(cols[4]),
+        None if cols[5] == "." else float(cols[5]),
+        None if cols[6] == "" else cols[6],
+        None if cols[7] == "." else int(cols[7]),
+    ]
+
+
+@dataclass
+class GxfCodec(Codec):
+    flavor: str = "gtf"
+    attr_defs: tuple[AttributeDef, ...] = ()
+    with_attrs: bool = False
+
+    def parse_line(self, line: str) -> list | None:
+        cols = line.split("\t")
+        if len(cols) < 8:
+            raise ValueError(f"malformed {self.flavor.upper()} line: {line[:80]!r}")
+        row = _parse_std(cols)
+        if self.with_attrs:
+            raw = cols[8] if len(cols) > 8 else ""
+            attrs = parse_attributes(raw, self.flavor)
+            row.append({
+                d.name: (
+                    attrs.get(d.name) if d.is_array
+                    else (attrs[d.name][0] if d.name in attrs else None)
+                )
+                for d in self.attr_defs
+            })
+        return row
+
+    def interval(self, row: list):
+        return (row[0], row[3] - 1, row[4])
+
+
+class _GxfSource(TextFormatSource):
+    NATIVE_CS = "11"
+    FLAVOR = "gtf"
+
+    def _attr_defs(self) -> list[AttributeDef] | None:
+        explicit = self.options.get("attribute_defs")
+        if explicit:
+            out = []
+            for spec in explicit.split(","):
+                nm, _, kind = spec.strip().partition(":")
+                out.append(AttributeDef(nm, kind == "array"))
+            return out
+        scan = self.options.get("attributes")
+        if not scan:
+            return None
+        n = int(scan.split(":")[1]) if ":" in scan else 1024
+        lines: list[str] = []
+        with open_text(self.paths[0]) as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                lines.append(line)
+                if len(lines) >= n:
+                    break
+        return scan_attribute_defs(lines, self.FLAVOR, n)
+
+    def _codec(self) -> GxfCodec:
+        names = select_fields(STANDARD_FIELD_NAMES, self.options.get("fields"))
+        fields = [T.StructField(nm, dict(STANDARD_FIELDS)[nm], True) for nm in names]
+        defs = self._attr_defs()
+        layout = list(STANDARD_FIELD_NAMES)
+        if defs is not None:
+            fields.append(T.StructField("attributes", attributes_struct(defs), True))
+            layout.append("attributes")
+            names = names + ["attributes"]
+        proj = tuple(layout.index(n) for n in names)
+        return GxfCodec(
+            schema=T.StructType(fields),
+            flavor=self.FLAVOR,
+            attr_defs=tuple(defs or ()),
+            with_attrs=defs is not None,
+            project_indexes=None if list(proj) == list(range(len(layout))) else proj,
+            start_field_indexes=(3,),
+            meta_anywhere=True,
+            meta_prefixes=("#",),
+        )
+
+
+class GtfDataSource(_GxfSource):
+    FLAVOR = "gtf"
+
+    @classmethod
+    def name(cls) -> str:
+        return "gtf"
+
+
+class GffDataSource(_GxfSource):
+    FLAVOR = "gff"
+
+    @classmethod
+    def name(cls) -> str:
+        return "gff"

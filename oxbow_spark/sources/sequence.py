@@ -1,0 +1,244 @@
+"""FASTA / FASTQ DataSources: ``spark.read.format("fasta" | "fastq")``.
+
+Parity: reference sequence scanners (`oxbow/src/sequence/scanner/fasta.rs`,
+`fastq.rs`, SURVEY S6/S7; schemas `sequence/model/field.rs:7-36`).
+
+- FASTA rows: (name, description, sequence); with a ``regions`` option the
+  scan yields **one row per region** carrying the sliced subsequence
+  (`sequence/scanner/batch_iterator/query.rs:57-85`), honoring a ``.fai``
+  index for seeks when present.
+- FASTQ rows: (name, description, sequence, quality); region queries are
+  unsupported (reference raises, `py-oxbow/oxbow/_core/sequence.py:130-131`).
+
+Multi-record text framing (records span lines) means these readers manage
+their own record assembly rather than the line framework; FASTQ files are
+partitioned by 4-line record counting only for plain (non-gz) files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.pandas.types import to_arrow_schema
+
+from oxbow_spark import coords as _coords
+from oxbow_spark.sources.base import (
+    DEFAULT_BATCH_SIZE,
+    open_text,
+    resolve_paths,
+    select_fields,
+)
+
+FASTA_FIELDS = ["name", "description", "sequence"]
+FASTQ_FIELDS = ["name", "description", "sequence", "quality"]
+
+
+def _struct(names: list[str]) -> T.StructType:
+    return T.StructType([T.StructField(n, T.StringType(), n != "name") for n in names])
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def iter_fasta(path: str):
+    """Yield (name, description, sequence) per FASTA record."""
+    name, desc, chunks = None, None, []
+    with open_text(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                if name is not None:
+                    yield name, desc, "".join(chunks)
+                head = line[1:]
+                name, _, desc = head.partition(" ")
+                desc = desc or None
+                chunks = []
+            elif line:
+                chunks.append(line)
+    if name is not None:
+        yield name, desc, "".join(chunks)
+
+
+def read_fai(path: str) -> dict[str, tuple[int, int, int, int]]:
+    """.fai index: name → (length, offset, linebases, linewidth)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            c = line.rstrip("\n").split("\t")
+            out[c[0]] = (int(c[1]), int(c[2]), int(c[3]), int(c[4]))
+    return out
+
+
+def faidx_fetch(path: str, fai: dict, name: str, start0: int, end0: int | None) -> str:
+    """Indexed subsequence fetch (0-based half-open), seek-based like the
+    reference's indexed query path."""
+    length, offset, linebases, linewidth = fai[name]
+    end0 = length if end0 is None else min(end0, length)
+    start0 = min(start0, end0)
+
+    def fpos(p: int) -> int:
+        return offset + (p // linebases) * linewidth + (p % linebases)
+
+    with open(path, "rb") as f:
+        f.seek(fpos(start0))
+        raw = f.read(fpos(end0) - fpos(start0) + 1)
+    return raw.decode("ascii").replace("\n", "").replace("\r", "")[: end0 - start0]
+
+
+class FastaReader(DataSourceReader):
+    def __init__(self, paths, schema, names, regions, region_cs, batch_size, limit):
+        self.paths = paths
+        self.spark_schema = schema
+        self.names = names
+        self.regions = regions
+        self.region_cs = region_cs
+        self.batch_size = batch_size
+        self.limit = limit
+        self._arrow_schema = to_arrow_schema(schema)
+
+    def partitions(self):
+        return [_FilePartition(p) for p in self.paths]
+
+    def _emit(self, rows):
+        cols = list(zip(*rows)) if rows else [[] for _ in self.names]
+        arrays = [pa.array(list(c), type=f.type) for c, f in zip(cols, self._arrow_schema)]
+        return pa.RecordBatch.from_arrays(arrays, schema=self._arrow_schema)
+
+    def _project(self, name, desc, seq):
+        full = {"name": name, "description": desc, "sequence": seq}
+        return [full[n] for n in self.names]
+
+    def read(self, partition: _FilePartition):
+        path = partition.path
+        rows, n = [], 0
+        if self.regions:
+            regions = _coords.parse_regions(self.regions, self.region_cs)
+            fai_path = path + ".fai"
+            if os.path.exists(fai_path) and not path.endswith((".gz", ".bgz")):
+                fai = read_fai(fai_path)
+                for r in regions:
+                    if r.name not in fai:
+                        raise ValueError(f"unknown sequence {r.name!r} in FASTA index")
+                    seq = faidx_fetch(path, fai, r.name, r.start, r.end)
+                    rows.append(self._project(r.name, None, seq))
+            else:
+                seqs = {nm: (d, s) for nm, d, s in iter_fasta(path)}
+                for r in regions:
+                    if r.name not in seqs:
+                        raise ValueError(f"unknown sequence {r.name!r} in FASTA file")
+                    d, s = seqs[r.name]
+                    end = len(s) if r.end is None else min(r.end, len(s))
+                    rows.append(self._project(r.name, d, s[r.start:end]))
+            yield self._emit(rows)
+            return
+        for name, desc, seq in iter_fasta(path):
+            rows.append(self._project(name, desc, seq))
+            n += 1
+            if len(rows) >= self.batch_size:
+                yield self._emit(rows)
+                rows = []
+            if 0 <= self.limit <= n:
+                break
+        if rows:
+            yield self._emit(rows)
+
+
+class FastaDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fasta"
+
+    def __init__(self, options):
+        super().__init__(options)
+        self.paths = resolve_paths(options.get("path"))
+        self.names = select_fields(FASTA_FIELDS, options.get("fields"))
+
+    def schema(self):
+        return _struct(self.names)
+
+    def reader(self, schema):
+        return FastaReader(
+            self.paths,
+            self.schema(),
+            self.names,
+            self.options.get("regions"),
+            self.options.get("region_cs", "11"),
+            int(self.options.get("batch_size", 1)),  # reference default: 1/row
+            int(self.options.get("limit", -1)),
+        )
+
+
+class FastqReader(DataSourceReader):
+    def __init__(self, paths, schema, names, batch_size, limit):
+        self.paths = paths
+        self.names = names
+        self.batch_size = batch_size
+        self.limit = limit
+        self._arrow_schema = to_arrow_schema(schema)
+
+    def partitions(self):
+        return [_FilePartition(p) for p in self.paths]
+
+    def read(self, partition: _FilePartition):
+        rows, n = [], 0
+        with open_text(partition.path) as f:
+            while True:
+                head = f.readline()
+                if not head:
+                    break
+                seq = f.readline().rstrip("\n")
+                plus = f.readline()
+                qual = f.readline().rstrip("\n")
+                if not head.startswith("@") or not plus.startswith("+"):
+                    raise ValueError(f"malformed FASTQ record at {head[:40]!r}")
+                name, _, desc = head[1:].rstrip("\n").partition(" ")
+                full = {
+                    "name": name,
+                    "description": desc or None,
+                    "sequence": seq,
+                    "quality": qual,
+                }
+                rows.append([full[nm] for nm in self.names])
+                n += 1
+                if len(rows) >= self.batch_size:
+                    yield self._emit(rows)
+                    rows = []
+                if 0 <= self.limit <= n:
+                    break
+        if rows:
+            yield self._emit(rows)
+
+    def _emit(self, rows):
+        cols = list(zip(*rows)) if rows else [[] for _ in self.names]
+        arrays = [pa.array(list(c), type=f.type) for c, f in zip(cols, self._arrow_schema)]
+        return pa.RecordBatch.from_arrays(arrays, schema=self._arrow_schema)
+
+
+class FastqDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fastq"
+
+    def __init__(self, options):
+        super().__init__(options)
+        if options.get("regions"):
+            raise ValueError("FASTQ does not support region queries")
+        self.paths = resolve_paths(options.get("path"))
+        self.names = select_fields(FASTQ_FIELDS, options.get("fields"))
+
+    def schema(self):
+        return _struct(self.names)
+
+    def reader(self, schema):
+        return FastqReader(
+            self.paths,
+            self.schema(),
+            self.names,
+            int(self.options.get("batch_size", DEFAULT_BATCH_SIZE)),
+            int(self.options.get("limit", -1)),
+        )

@@ -1,0 +1,190 @@
+"""VCF DataSource: ``spark.read.format("vcf")``.
+
+Parity: reference VCF scanner (`oxbow/src/variant/scanner/vcf.rs:200-211`,
+SURVEY S4) with header-derived nested schemas
+(`variant/model.rs:119-271`). Options:
+
+- ``fields``: projection over chrom pos id ref alt qual filter
+- ``info_fields``: '*' (default, all header INFO defs) | comma list | ''
+  (drop the info column)
+- ``genotype_fields``: '*' (default) | comma list | '' (drop genotypes)
+- ``samples``: comma list restricting sample columns (default all)
+- ``genotype_by``: 'sample' (default; one struct column per sample) |
+  'field' (one struct column per FORMAT field keyed by sample)
+  (`variant/model/batch.rs:28-31`)
+- ``samples_nested``: 'true' → genotype columns under one ``samples``
+  struct (`variant/model.rs:262-270`)
+- ``coords``: '11' (native) | '01'; ``regions``; ``batch_size``; ``limit``
+
+Value semantics per `variant/model/field.rs:180-259`: id '.' → [], alt
+'.' → [], qual '.' → null, filter PASS → [] / '.' → null / else names;
+GT → struct<allele array<int>, phased array<boolean>>.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+
+from oxbow_spark.models.vcf_header import (
+    STANDARD_FIELD_NAMES,
+    STANDARD_FIELDS,
+    VcfFieldDef,
+    VcfHeader,
+    parse_alt,
+    parse_filter,
+    parse_gt,
+    parse_id,
+)
+from oxbow_spark.sources.base import Codec, TextFormatSource, open_text, select_fields
+
+
+@dataclass
+class VcfCodec(Codec):
+    header: VcfHeader = None  # type: ignore[assignment]
+    info_names: tuple[str, ...] | None = None   # None → no info column
+    gt_names: tuple[str, ...] | None = None     # None → no genotype columns
+    samples: tuple[str, ...] = ()
+    genotype_by: str = "sample"
+    samples_nested: bool = False
+
+    def parse_line(self, line: str) -> list | None:
+        c = line.split("\t")
+        if len(c) < 8:
+            raise ValueError(f"malformed VCF line: {line[:80]!r}")
+        row = [
+            c[0],
+            int(c[1]),
+            parse_id(c[2]),
+            c[3],
+            parse_alt(c[4]),
+            None if c[5] == "." else float(c[5]),
+            parse_filter(c[6]),
+        ]
+        if self.info_names is not None:
+            row.append(self.header.parse_info(c[7], list(self.info_names)))
+        if self.gt_names is not None:
+            fmt_keys = c[8].split(":") if len(c) > 8 else []
+            per_sample = {}
+            for i, s in enumerate(self.header.samples):
+                if s not in self.samples:
+                    continue
+                raw = c[9 + i] if len(c) > 9 + i else ""
+                per_sample[s] = self.header.parse_sample(
+                    fmt_keys, raw, list(self.gt_names)
+                )
+            if self.genotype_by == "sample":
+                cols = [per_sample[s] for s in self.samples]
+            else:  # by field: one struct per FORMAT field, keyed by sample
+                cols = [
+                    {s: per_sample[s][g] for s in self.samples}
+                    for g in self.gt_names
+                ]
+            if self.samples_nested:
+                names = self.samples if self.genotype_by == "sample" else self.gt_names
+                row.append(dict(zip(names, cols)))
+            else:
+                row.extend(cols)
+        return row
+
+    def interval(self, row: list):
+        return (row[0], row[1] - 1, row[1] - 1 + len(row[3]))
+
+
+class VcfDataSource(TextFormatSource):
+    NATIVE_CS = "11"
+
+    @classmethod
+    def name(cls) -> str:
+        return "vcf"
+
+    def header(self) -> VcfHeader:
+        lines = []
+        with open_text(self.paths[0]) as f:
+            for line in f:
+                if not line.startswith("#"):
+                    break
+                lines.append(line)
+        return VcfHeader.parse(lines)
+
+    @staticmethod
+    def _subset(defs: list[VcfFieldDef], opt: str | None) -> list[str] | None:
+        """None result → column family dropped entirely."""
+        if opt is None or opt.strip() == "*":
+            return [d.name for d in defs]
+        if opt.strip() == "":
+            return None
+        known = {d.name for d in defs}
+        out = []
+        for nm in opt.split(","):
+            nm = nm.strip()
+            if nm not in known:
+                raise ValueError(f"unknown VCF field {nm!r}; available: {sorted(known)}")
+            out.append(nm)
+        return out
+
+    def _codec(self) -> VcfCodec:
+        hdr = self.header()
+        names = select_fields(STANDARD_FIELD_NAMES, self.options.get("fields"))
+        fields = [T.StructField(nm, dict(STANDARD_FIELDS)[nm], True) for nm in names]
+        layout = list(STANDARD_FIELD_NAMES)
+
+        info_names = self._subset(hdr.infos, self.options.get("info_fields"))
+        if info_names is not None:
+            fields.append(T.StructField("info", hdr.info_struct(info_names), True))
+            layout.append("info")
+            names = names + ["info"]
+
+        gt_names = self._subset(hdr.formats, self.options.get("genotype_fields"))
+        samples = tuple(
+            s.strip() for s in self.options.get("samples", "").split(",") if s.strip()
+        ) or tuple(hdr.samples)
+        unknown = set(samples) - set(hdr.samples)
+        if unknown:
+            raise ValueError(f"unknown samples {sorted(unknown)}; header has {hdr.samples}")
+        genotype_by = self.options.get("genotype_by", "sample")
+        nested = self.options.get("samples_nested", "false").lower() == "true"
+        if gt_names is not None and (samples or genotype_by == "field"):
+            if genotype_by == "sample":
+                gcols = [
+                    T.StructField(s, hdr.genotype_struct(gt_names), True) for s in samples
+                ]
+            else:
+                gdefs = [d for d in hdr.formats if d.name in set(gt_names)]
+                gcols = [
+                    T.StructField(
+                        d.name,
+                        T.StructType([
+                            T.StructField(s, d.spark_type(gt_special=True), True)
+                            for s in samples
+                        ]),
+                        True,
+                    )
+                    for d in gdefs
+                ]
+            if nested:
+                fields.append(T.StructField("samples", T.StructType(gcols), True))
+                layout.append("samples")
+                names = names + ["samples"]
+            else:
+                fields.extend(gcols)
+                layout.extend(f.name for f in gcols)
+                names = names + [f.name for f in gcols]
+        else:
+            gt_names = None
+
+        proj = tuple(layout.index(n) for n in names)
+        return VcfCodec(
+            schema=T.StructType(fields),
+            header=hdr,
+            info_names=tuple(info_names) if info_names is not None else None,
+            gt_names=tuple(gt_names) if gt_names is not None else None,
+            samples=samples,
+            genotype_by=genotype_by,
+            samples_nested=nested,
+            project_indexes=None if list(proj) == list(range(len(layout))) else proj,
+            start_field_indexes=(1,),
+            meta_anywhere=False,
+            meta_prefixes=("#",),
+        )
