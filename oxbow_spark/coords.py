@@ -145,11 +145,13 @@ class Region:
 
 
 def parse_regions(regions: str | list[str] | None, coord_system: str = ONE_BASED_CLOSED) -> list[Region]:
+    """Parse a region list; a plain string splits on ';' (the reader-option
+    encoding for multiple query regions)."""
     if regions is None:
         return []
     if isinstance(regions, str):
-        regions = [regions]
-    return [Region.parse(r, coord_system) for r in regions]
+        regions = [r for r in regions.split(";") if r.strip()]
+    return [Region.parse(r.strip(), coord_system) for r in regions]
 
 
 # ----------------------------------------------------------------- Spark side

@@ -1,0 +1,236 @@
+"""BGZF block-compressed I/O + BAI/CSI-style binning index structures.
+
+Implemented from the public SAM/BAM/tabix specifications
+(https://samtools.github.io/hts-specs/SAMv1.pdf §4). Parity targets:
+
+- virtual positions ``(coffset << 16) | uoffset`` and record-aligned
+  range scans (reference ``BgzfChunkReader``, `oxbow/src/util/query.rs:46-114`);
+- ``partition_from_index(index, chunksize)``: linear-index offsets →
+  deduped, sorted, pruned-to-chunksize virtual-position cut points — the
+  shuffle-less partition planner (reference `oxbow/src/util/index.rs:119-178`,
+  SURVEY D1);
+- BAI bin query with linear-index lower bound and chunk merging
+  (reference `alignment/scanner/bam.rs:186-199`).
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+from dataclasses import dataclass
+
+
+class BgzfReader:
+    """Seekable reader over a BGZF file using virtual positions.
+
+    Each BGZF block is an independent gzip member whose compressed size is
+    stored in the 'BC' extra subfield. A virtual position addresses
+    (block compressed offset, offset within decompressed block).
+    """
+
+    def __init__(self, path: str):
+        self.f = open(path, "rb")
+        self._block_coffset = -1
+        self._block_data = b""
+        self._next_coffset = 0
+        self._uoffset = 0
+
+    def close(self):
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _load_block(self, coffset: int) -> None:
+        """Read + inflate the BGZF block starting at coffset."""
+        self.f.seek(coffset)
+        header = self.f.read(18)
+        if len(header) < 18:
+            self._block_coffset = coffset
+            self._block_data = b""
+            self._next_coffset = coffset
+            return
+        if header[:4] != b"\x1f\x8b\x08\x04":
+            raise ValueError(f"not a BGZF block at offset {coffset}")
+        xlen = struct.unpack_from("<H", header, 10)[0]
+        extra = header[12:18] + self.f.read(xlen - 6) if xlen > 6 else header[12:12 + xlen]
+        # find BC subfield
+        bsize = None
+        i = 0
+        while i + 4 <= len(extra):
+            si1, si2, slen = extra[i], extra[i + 1], struct.unpack_from("<H", extra, i + 2)[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, i + 4)[0] + 1
+                break
+            i += 4 + slen
+        if bsize is None:
+            raise ValueError(f"BGZF block at {coffset} lacks BC subfield")
+        self.f.seek(coffset + 12 + xlen)
+        cdata = self.f.read(bsize - 12 - xlen - 8)
+        self.f.read(8)  # crc32 + isize
+        self._block_data = zlib.decompress(cdata, -15) if cdata else b""
+        self._block_coffset = coffset
+        self._next_coffset = coffset + bsize
+
+    def seek_virtual(self, vpos: int) -> None:
+        coffset, uoffset = vpos >> 16, vpos & 0xFFFF
+        if coffset != self._block_coffset:
+            self._load_block(coffset)
+        self._uoffset = uoffset
+
+    def tell_virtual(self) -> int:
+        if self._uoffset >= len(self._block_data) and self._block_data:
+            # normalized position: start of the next block
+            return self._next_coffset << 16
+        return (self._block_coffset << 16) | self._uoffset
+
+    def read(self, n: int) -> bytes:
+        out = []
+        while n > 0:
+            if self._block_coffset < 0:
+                self._load_block(0)
+            avail = len(self._block_data) - self._uoffset
+            if avail <= 0:
+                nxt = self._next_coffset
+                self._load_block(nxt)
+                self._uoffset = 0
+                if not self._block_data:
+                    break  # EOF
+                continue
+            take = min(avail, n)
+            out.append(self._block_data[self._uoffset:self._uoffset + take])
+            self._uoffset += take
+            n -= take
+        return b"".join(out)
+
+
+def is_bgzf(path: str) -> bool:
+    with open(path, "rb") as f:
+        h = f.read(18)
+    if len(h) < 18 or h[:4] != b"\x1f\x8b\x08\x04":
+        return False
+    xlen = struct.unpack_from("<H", h, 10)[0]
+    with open(path, "rb") as f:
+        f.seek(12)
+        extra = f.read(xlen)
+    i = 0
+    while i + 4 <= len(extra):
+        if extra[i] == 0x42 and extra[i + 1] == 0x43:
+            return True
+        i += 4 + struct.unpack_from("<H", extra, i + 2)[0]
+    return False
+
+
+# --------------------------------------------------------------------- BAI
+
+@dataclass
+class RefIndex:
+    bins: dict[int, list[tuple[int, int]]]  # bin → [(chunk_beg, chunk_end)]
+    intervals: list[int]                    # 16kb linear index ioffsets
+
+
+@dataclass
+class BaiIndex:
+    refs: list[RefIndex]
+    n_no_coor: int | None = None
+
+    @classmethod
+    def read(cls, path: str) -> "BaiIndex":
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
+            data = f.read()
+        if data[:4] != b"BAI\x01":
+            raise ValueError(f"{path} is not a BAI index")
+        off = 4
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        refs = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bins: dict[int, list[tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    beg, end = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((beg, end))
+                bins[bin_id] = chunks
+            (n_intv,) = struct.unpack_from("<i", data, off)
+            off += 4
+            ioffs = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+            off += 8 * n_intv
+            refs.append(RefIndex(bins, ioffs))
+        n_no_coor = None
+        if off + 8 <= len(data):
+            (n_no_coor,) = struct.unpack_from("<Q", data, off)
+        return cls(refs, n_no_coor)
+
+
+def reg2bins(beg: int, end: int) -> list[int]:
+    """BAI 5-level binning: bins overlapping [beg, end) (spec §5.3)."""
+    bins = [0]
+    end -= 1
+    for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+    return bins
+
+
+def query_chunks(index: BaiIndex, ref_id: int, beg: int, end: int) -> list[tuple[int, int]]:
+    """Merged (vpos_beg, vpos_end) chunks possibly containing records
+    overlapping [beg, end) on ref_id — the index-pushdown seek list."""
+    if ref_id < 0 or ref_id >= len(index.refs):
+        return []
+    ref = index.refs[ref_id]
+    # linear-index lower bound: records before this vpos cannot overlap
+    min_ioff = 0
+    if ref.intervals:
+        win = min(beg >> 14, len(ref.intervals) - 1)
+        min_ioff = ref.intervals[win]
+    chunks = []
+    for b in reg2bins(beg, end):
+        for cb, ce in ref.bins.get(b, ()):
+            if ce > min_ioff:
+                chunks.append((max(cb, min_ioff), ce))
+    chunks.sort()
+    merged: list[tuple[int, int]] = []
+    for cb, ce in chunks:
+        if merged and cb <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+        else:
+            merged.append((cb, ce))
+    return merged
+
+
+def partition_from_index(
+    index: BaiIndex, chunksize: int, start_vpos: int, file_size: int
+) -> list[tuple[int, int]]:
+    """Split a coordinate-sorted BGZF file into ~chunksize-compressed-byte
+    virtual-position ranges using linear-index offsets as record-aligned
+    cut points (reference `oxbow/src/util/index.rs:119-178`).
+
+    Returns half-open vpos ranges covering [start_vpos, file_size<<16).
+    """
+    cuts: set[int] = set()
+    for ref in index.refs:
+        cuts.update(v for v in ref.intervals if v)
+    kept: list[int] = []
+    last_coffset = start_vpos >> 16
+    for v in sorted(cuts):
+        if v <= start_vpos:
+            continue
+        if (v >> 16) - last_coffset >= chunksize:
+            kept.append(v)
+            last_coffset = v >> 16
+    bounds = [start_vpos] + kept + [file_size << 16]
+    return [
+        (bounds[i], bounds[i + 1])
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]

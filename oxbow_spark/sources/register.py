@@ -6,6 +6,7 @@ from pyspark.sql import SparkSession
 
 
 def register_all(spark: SparkSession) -> None:
+    from oxbow_spark.sources.bam import BamDataSource
     from oxbow_spark.sources.bed import BedDataSource
     from oxbow_spark.sources.gxf import GffDataSource, GtfDataSource
     from oxbow_spark.sources.sam import SamDataSource
@@ -15,5 +16,6 @@ def register_all(spark: SparkSession) -> None:
     for src in (
         BedDataSource, GtfDataSource, GffDataSource,
         SamDataSource, VcfDataSource, FastaDataSource, FastqDataSource,
+        BamDataSource,
     ):
         spark.dataSource.register(src)

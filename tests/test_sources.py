@@ -307,3 +307,12 @@ def test_malformed_errors(gspark):
         gspark.read.format("gtf").load(f"{FIX}/malformed.gtf").collect()
     with pytest.raises(Exception):
         gspark.read.format("fastq").load(f"{FIX}/malformed.fastq").collect()
+
+
+def test_multi_region_semicolon(gspark):
+    df = (
+        gspark.read.format("bed").option("bed_schema", "bed9")
+        .option("regions", "chr1:[1100000,1200000);chr10:[50000,250000)")
+        .load(f"{FIX}/sample.bed")
+    )
+    assert sorted({r.chrom for r in df.collect()}) == ["chr1", "chr10"]
