@@ -93,10 +93,25 @@ class Codec:
 
 
 class LinePartition(InputPartition):
-    def __init__(self, path: str, start: int = -1, end: int = -1):
+    def __init__(self, path: str, start: int = -1, end: int = -1, vpos: bool = False):
         self.path = path
-        self.start = start  # -1 → whole file
+        self.start = start  # -1 → whole file; else byte offset (or vpos)
         self.end = end
+        self.vpos = vpos    # True → start/end are BGZF virtual positions
+
+
+def _iter_vpos_lines(path: str, vstart: int, vend: int) -> Iterator[str]:
+    """Yield lines whose record starts at vpos ∈ [vstart, vend) from a
+    BGZF file (record-aligned chunks from a tabix/linear index)."""
+    from oxbow_spark.sources.bgzf import BgzfReader
+
+    with BgzfReader(path) as r:
+        r.seek_virtual(vstart)
+        while r.tell_virtual() < vend:
+            raw = r.readline()
+            if not raw:
+                return
+            yield raw.decode("utf-8")
 
 
 def _iter_lines(path: str, start: int, end: int) -> Iterator[str]:
@@ -139,17 +154,44 @@ class TextFormatReader(DataSourceReader):
         self._arrow_schema = to_arrow_schema(codec.schema)
 
     def partitions(self):
+        from oxbow_spark.sources.bgzf import (
+            TabixIndex,
+            is_bgzf,
+            partition_from_index,
+            query_chunks,
+        )
+
         parts: list[LinePartition] = []
         for p in self.paths:
             size = os.path.getsize(p)
-            if is_gzip_path(p) or size <= self.partition_bytes:
+            tbi_path = p + ".tbi"
+            if is_gzip_path(p) and os.path.exists(tbi_path) and is_bgzf(p):
+                # tabix-indexed BGZF: index-pushed region chunks, or
+                # linear-index partitioning for full scans (SURVEY D1/F1)
+                tbi = TabixIndex.read(tbi_path)
+                if self.regions:
+                    bai = tbi.as_bai()
+                    for reg in self.regions:
+                        if reg.is_unmapped or reg.name not in tbi.names:
+                            continue
+                        rid = tbi.names.index(reg.name)
+                        end = reg.end if reg.end is not None else 1 << 29
+                        for cb, ce in query_chunks(bai, rid, reg.start, end):
+                            parts.append(LinePartition(p, cb, ce, vpos=True))
+                else:
+                    for vs, ve in partition_from_index(
+                        tbi.as_bai(), self.partition_bytes, 0, size
+                    ):
+                        parts.append(LinePartition(p, vs, ve, vpos=True))
+            elif is_gzip_path(p) or size <= self.partition_bytes:
                 parts.append(LinePartition(p))
             else:
                 off = 0
                 while off < size:
                     parts.append(LinePartition(p, off, min(off + self.partition_bytes, size) - 1))
                     off += self.partition_bytes
-        return parts
+        # Spark requires ≥1 partition (a region with no index hits is valid)
+        return parts or [LinePartition(self.paths[0], 0, 0, vpos=True)]
 
     # NOTE: no pushFilters() here — defining it requires
     # spark.sql.python.filterPushdown.enabled on every session that touches
@@ -188,7 +230,11 @@ class TextFormatReader(DataSourceReader):
         rows: list[list] = []
         n = 0
         at_top = partition.start <= 0
-        for line in _iter_lines(partition.path, partition.start, partition.end):
+        if getattr(partition, "vpos", False):
+            lines = _iter_vpos_lines(partition.path, partition.start, partition.end)
+        else:
+            lines = _iter_lines(partition.path, partition.start, partition.end)
+        for line in lines:
             if line.endswith("\n"):
                 line = line[:-1]
             if not line:

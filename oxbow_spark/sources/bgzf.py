@@ -88,6 +88,28 @@ class BgzfReader:
             return self._next_coffset << 16
         return (self._block_coffset << 16) | self._uoffset
 
+    def readline(self) -> bytes:
+        """Read one \\n-terminated line (crossing block boundaries);
+        b'' at EOF. ``tell_virtual()`` before the call gives the line's
+        virtual position."""
+        out = []
+        while True:
+            if self._block_coffset < 0:
+                self._load_block(0)
+            if self._uoffset >= len(self._block_data):
+                nxt = self._next_coffset
+                self._load_block(nxt)
+                self._uoffset = 0
+                if not self._block_data:
+                    return b"".join(out)
+            nl = self._block_data.find(b"\n", self._uoffset)
+            if nl >= 0:
+                out.append(self._block_data[self._uoffset:nl + 1])
+                self._uoffset = nl + 1
+                return b"".join(out)
+            out.append(self._block_data[self._uoffset:])
+            self._uoffset = len(self._block_data)
+
     def read(self, n: int) -> bytes:
         out = []
         while n > 0:
@@ -123,6 +145,62 @@ def is_bgzf(path: str) -> bool:
             return True
         i += 4 + struct.unpack_from("<H", extra, i + 2)[0]
     return False
+
+
+# --------------------------------------------------------------------- TBI
+
+@dataclass
+class TabixIndex:
+    """Tabix (.tbi) index: BAI-style binning over bgzipped text files
+    (spec: https://samtools.github.io/hts-specs/tabix.pdf). ``names``
+    maps sequence names to the per-ref bin/interval structures."""
+
+    refs: list["RefIndex"]
+    names: list[str]
+    col_seq: int
+    col_beg: int
+    col_end: int
+    meta_char: str
+    zero_based: bool  # format flag bit 0x10000 (BED-style coordinates)
+
+    @classmethod
+    def read(cls, path: str) -> "TabixIndex":
+        with gzip.open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != b"TBI\x01":
+            raise ValueError(f"{path} is not a tabix index")
+        n_ref, fmt, col_seq, col_beg, col_end, meta, _skip, l_nm = struct.unpack_from(
+            "<8i", data, 4
+        )
+        off = 36
+        names = [s.decode() for s in data[off:off + l_nm].split(b"\x00") if s]
+        off += l_nm
+        refs = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bins: dict[int, list[tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    beg, end = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((beg, end))
+                bins[bin_id] = chunks
+            (n_intv,) = struct.unpack_from("<i", data, off)
+            off += 4
+            ioffs = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+            off += 8 * n_intv
+            refs.append(RefIndex(bins, ioffs))
+        return cls(
+            refs, names, col_seq, col_beg, col_end, chr(meta),
+            bool(fmt & 0x10000),
+        )
+
+    def as_bai(self) -> "BaiIndex":
+        return BaiIndex(self.refs)
 
 
 # --------------------------------------------------------------------- BAI

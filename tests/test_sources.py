@@ -316,3 +316,40 @@ def test_multi_region_semicolon(gspark):
         .load(f"{FIX}/sample.bed")
     )
     assert sorted({r.chrom for r in df.collect()}) == ["chr1", "chr10"]
+
+
+# ------------------------------------------------------------------ tabix
+
+def test_tabix_region_pushdown_vcf(gspark):
+    kw = dict(info_fields="", genotype_fields="")
+    plain = (
+        gspark.read.format("vcf").options(**kw)
+        .option("regions", "1:60000-1000000").load(f"{FIX}/sample.vcf")
+    )
+    gz = (
+        gspark.read.format("vcf").options(**kw)
+        .option("regions", "1:60000-1000000").load(f"{FIX}/sample.vcf.gz")
+    )
+    a = sorted((r.chrom, r.pos) for r in plain.collect())
+    b = sorted((r.chrom, r.pos) for r in gz.collect())
+    assert a == b and a  # index-pushed scan ≡ residual-filtered full scan
+
+
+def test_tabix_region_pushdown_bed(gspark):
+    p = (
+        gspark.read.format("bed").option("bed_schema", "bed9")
+        .option("regions", "chr10:[50000,650000)").load(f"{FIX}/sample.bed")
+    )
+    g = (
+        gspark.read.format("bed").option("bed_schema", "bed9")
+        .option("regions", "chr10:[50000,650000)").load(f"{FIX}/sample.bed.gz")
+    )
+    assert sorted(map(tuple, p.collect())) == sorted(map(tuple, g.collect()))
+    assert p.count() == 2
+
+
+def test_tabix_full_scan_complete(gspark):
+    kw = dict(info_fields="", genotype_fields="")
+    gz = gspark.read.format("vcf").options(**kw).load(f"{FIX}/sample.vcf.gz")
+    pl = gspark.read.format("vcf").options(**kw).load(f"{FIX}/sample.vcf")
+    assert gz.count() == pl.count() == 25
