@@ -7,6 +7,7 @@ from pyspark.sql import SparkSession
 
 def register_all(spark: SparkSession) -> None:
     from oxbow_spark.sources.bam import BamDataSource
+    from oxbow_spark.sources.bcf import BcfDataSource
     from oxbow_spark.sources.bed import BedDataSource
     from oxbow_spark.sources.gxf import GffDataSource, GtfDataSource
     from oxbow_spark.sources.sam import SamDataSource
@@ -16,6 +17,6 @@ def register_all(spark: SparkSession) -> None:
     for src in (
         BedDataSource, GtfDataSource, GffDataSource,
         SamDataSource, VcfDataSource, FastaDataSource, FastqDataSource,
-        BamDataSource,
+        BamDataSource, BcfDataSource,
     ):
         spark.dataSource.register(src)

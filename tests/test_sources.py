@@ -353,3 +353,40 @@ def test_tabix_full_scan_complete(gspark):
     gz = gspark.read.format("vcf").options(**kw).load(f"{FIX}/sample.vcf.gz")
     pl = gspark.read.format("vcf").options(**kw).load(f"{FIX}/sample.vcf")
     assert gz.count() == pl.count() == 25
+
+
+# -------------------------------------------------------------------- BCF
+
+def test_bcf_matches_ubcf(gspark):
+    kw = dict(genotype_fields="GT", samples="HG00096,HG00101", info_fields="AC,AF,AN,DP")
+    b = gspark.read.format("bcf").options(**kw).load(f"{FIX}/sample.bcf")
+    u = gspark.read.format("bcf").options(**kw).load(f"{FIX}/sample.ubcf")
+    rb = [tuple(map(str, r)) for r in b.collect()]
+    ru = [tuple(map(str, r)) for r in u.collect()]
+    assert rb == ru and len(rb) == 100
+
+
+def test_bcf_values(gspark):
+    kw = dict(genotype_fields="GT", samples="HG00096", info_fields="AC,AN")
+    df = gspark.read.format("bcf").options(**kw).load(f"{FIX}/sample.bcf")
+    r0 = df.first()
+    assert r0.chrom == "Y" and r0.pos == 2761189
+    assert r0.ref == "C" and r0.alt == ["CA"]
+    assert r0["filter"] == [] and r0.info.AN == 1233
+    assert r0.HG00096.GT.allele == [0]
+
+
+def test_bcf_region(gspark):
+    kw = dict(genotype_fields="", info_fields="")
+    allrows = gspark.read.format("bcf").options(**kw).load(f"{FIX}/sample.bcf").collect()
+    pos = sorted(r.pos for r in allrows)
+    lo = pos[len(pos) // 2]
+    reg = (
+        gspark.read.format("bcf").options(**kw)
+        .option("regions", f"Y:{lo}-{lo + 1000000}").load(f"{FIX}/sample.bcf")
+    )
+    manual = sum(
+        1 for r in allrows
+        if r.chrom == "Y" and (r.pos - 1) < lo + 1000000 and (r.pos - 1 + len(r.ref)) > lo - 1
+    )
+    assert reg.count() == manual > 0
