@@ -43,9 +43,12 @@ def zoom_aggregate(
     Output schema mirrors the reference zoom record
     (`oxbow/src/bbi/model/zoom.rs:13-37`): one row per (chrom, bin) with
     ``start, end, bases_covered, min, max, sum, sum_squares``.
-    ``bases_covered`` counts covered bases when ``end_col`` is given
-    (intervals clipped to the bin are approximated by full interval length,
-    as BBI zoom builders do per-record), else the record count.
+
+    BBI zoom semantics (verified against reference fixture zoom levels):
+    with ``end_col`` given, ``bases_covered`` counts covered bases and
+    ``sum``/``sum_squares`` are coverage-weighted (Σ v·(end−start),
+    Σ v²·(end−start)); for point data (no ``end_col``) each record has
+    weight 1, so these reduce to plain count/Σv/Σv².
     """
     start = F.col(start_col).cast("bigint")
     bin_col = F.floor(start / F.lit(resolution))
@@ -55,6 +58,7 @@ def zoom_aggregate(
         else F.lit(1).cast("bigint")
     )
     v = F.col(value_col).cast("double")
+    w = covered.cast("double")
     return (
         df.withColumn("_bin", bin_col)
         .withColumn("_covered", covered)
@@ -63,8 +67,8 @@ def zoom_aggregate(
             F.sum("_covered").alias("bases_covered"),
             F.min(v).alias("min"),
             F.max(v).alias("max"),
-            exact_sum(v, "sum"),
-            exact_sum(v * v, "sum_squares"),
+            exact_sum(v * w, "sum"),
+            exact_sum(v * v * w, "sum_squares"),
         )
         .select(
             "chrom",

@@ -1,0 +1,376 @@
+"""BigWig / BigBed (BBI) DataSources: ``spark.read.format("bigwig"|"bigbed")``.
+
+Parity: reference BBI scanners (`oxbow/src/bbi/scanner/bigwig.rs:119-131`,
+`bigbed.rs`, zoom `bbizoom.rs:96-127`; SURVEY S10-S12). Implemented from
+the public BBI specification (Kent et al. 2010, UCSC bigWig/bigBed format;
+https://genome.ucsc.edu/goldenPath/help/bigWig.html).
+
+- ``spark.read.format("bigwig")`` → (chrom, start, end, value) intervals
+  (bedGraph-equivalent schema, `bbi/scanner/bigwig.rs:46`)
+- ``spark.read.format("bigbed")`` → bed3 + ``rest`` (the block's tail
+  columns as one string; AutoSql-typed parsing arrives with
+  ``bed_schema``-style options)
+- option ``zoom=<level>`` on either → the pre-aggregated zoom records
+  (chrom, start, end, bases_covered, min, max, sum, sum_squares —
+  `bbi/model/zoom.rs:13-44`)
+- option ``regions`` → R-tree-pushed block reads + residual overlap check
+- partitions: one per group of R-tree leaf blocks (shuffle-less splits)
+
+Coordinates are native 0-based half-open ('01'); ``coords='11'`` shifts
+starts by +1 (ends never shift).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import pyarrow as pa
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.pandas.types import to_arrow_schema
+
+from oxbow_spark import coords as _coords
+from oxbow_spark.sources.base import resolve_paths, select_fields
+
+BIGWIG_MAGIC = 0x888FFC26
+BIGBED_MAGIC = 0x8789F2EB
+CHROM_TREE_MAGIC = 0x78CA8C91
+RTREE_MAGIC = 0x2468ACE0
+
+
+@dataclass
+class ZoomLevel:
+    reduction: int
+    data_offset: int
+    index_offset: int
+
+
+class BbiFile:
+    """Driver-side BBI header/chrom-tree/R-tree access (picklable state is
+    extracted into partitions; executors reopen the file)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.f = open(path, "rb")
+        magic_raw = self.f.read(4)
+        for fmt in ("<I", ">I"):
+            (m,) = struct.unpack(fmt, magic_raw)
+            if m in (BIGWIG_MAGIC, BIGBED_MAGIC):
+                self.endian = fmt[0]
+                self.magic = m
+                break
+        else:
+            raise ValueError(f"{path} is not a BigWig/BigBed file")
+        e = self.endian
+        (self.version, self.zoom_levels_n, self.chrom_tree_off, self.full_data_off,
+         self.full_index_off, self.field_count, self.defined_field_count,
+         self.autosql_off, self.total_summary_off, self.uncompress_buf_size,
+         _reserved) = struct.unpack(e + "HHQQQHHQQIQ", self.f.read(60))
+        self.zooms: list[ZoomLevel] = []
+        for _ in range(self.zoom_levels_n):
+            red, _r, doff, ioff = struct.unpack(e + "IIQQ", self.f.read(24))
+            self.zooms.append(ZoomLevel(red, doff, ioff))
+        self.chroms = self._read_chrom_tree()          # id → (name, size)
+        self.chrom_ids = {v[0]: k for k, v in self.chroms.items()}
+
+    def close(self):
+        self.f.close()
+
+    @property
+    def is_bigwig(self) -> bool:
+        return self.magic == BIGWIG_MAGIC
+
+    def _read_chrom_tree(self) -> dict[int, tuple[str, int]]:
+        e = self.endian
+        self.f.seek(self.chrom_tree_off)
+        magic, _bs, key_size, _vs, _n, _r = struct.unpack(e + "IIIIQQ", self.f.read(32))
+        if magic != CHROM_TREE_MAGIC:
+            raise ValueError("bad chromosome B+ tree magic")
+        out: dict[int, tuple[str, int]] = {}
+
+        def node(off: int):
+            self.f.seek(off)
+            is_leaf, _r, count = struct.unpack(e + "BBH", self.f.read(4))
+            if is_leaf:
+                for _ in range(count):
+                    raw = self.f.read(key_size + 8)
+                    key = raw[:key_size].rstrip(b"\x00").decode()
+                    cid, csize = struct.unpack_from(e + "II", raw, key_size)
+                    out[cid] = (key, csize)
+            else:
+                kids = []
+                for _ in range(count):
+                    raw = self.f.read(key_size + 8)
+                    (child,) = struct.unpack_from(e + "Q", raw, key_size)
+                    kids.append(child)
+                for child in kids:
+                    node(child)
+
+        node(self.chrom_tree_off + 32)
+        return out
+
+    def rtree_leaves(
+        self, index_off: int,
+        query: tuple[int, int, int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """(data_offset, data_size) of R-tree leaf blocks; with ``query``
+        (chrom_id, start, end) only overlapping blocks are returned."""
+        e = self.endian
+        self.f.seek(index_off)
+        magic = struct.unpack(e + "I", self.f.read(4))[0]
+        if magic != RTREE_MAGIC:
+            raise ValueError("bad R-tree magic")
+        self.f.read(44)  # blockSize, itemCount, start/end bounds, endFileOffset, itemsPerSlot, reserved
+        leaves: list[tuple[int, int]] = []
+
+        def overlaps(scix, sb, ecix, eb) -> bool:
+            if query is None:
+                return True
+            cid, qs, qe = query
+            if (ecix, eb) <= (cid, qs):
+                return False
+            if (scix, sb) >= (cid, qe):
+                return False
+            return True
+
+        def node(off: int):
+            self.f.seek(off)
+            is_leaf, _r, count = struct.unpack(e + "BBH", self.f.read(4))
+            items = self.f.read(count * (32 if is_leaf else 24))
+            if is_leaf:
+                for i in range(count):
+                    scix, sb, ecix, eb, doff, dsize = struct.unpack_from(e + "IIIIQQ", items, i * 32)
+                    if overlaps(scix, sb, ecix, eb):
+                        leaves.append((doff, dsize))
+            else:
+                kids = []
+                for i in range(count):
+                    scix, sb, ecix, eb, child = struct.unpack_from(e + "IIIIQ", items, i * 24)
+                    if overlaps(scix, sb, ecix, eb):
+                        kids.append(child)
+                for child in kids:
+                    node(child)
+
+        node(index_off + 48)
+        return leaves
+
+    def decompress(self, raw: bytes) -> bytes:
+        if self.uncompress_buf_size > 0:
+            return zlib.decompress(raw)
+        return raw
+
+
+def decode_bigwig_block(data: bytes, endian: str, chroms) -> list[tuple]:
+    cid, cstart, cend, step, span, btype, _r, n = struct.unpack_from(endian + "IIIIIBBH", data, 0)
+    name = chroms[cid][0]
+    out = []
+    off = 24
+    if btype == 1:  # bedGraph
+        for _ in range(n):
+            s, e_, v = struct.unpack_from(endian + "IIf", data, off)
+            off += 12
+            out.append((name, s, e_, v))
+    elif btype == 2:  # varStep
+        for _ in range(n):
+            s, v = struct.unpack_from(endian + "If", data, off)
+            off += 8
+            out.append((name, s, s + span, v))
+    elif btype == 3:  # fixedStep
+        s = cstart
+        for _ in range(n):
+            (v,) = struct.unpack_from(endian + "f", data, off)
+            off += 4
+            out.append((name, s, s + span, v))
+            s += step
+    return out
+
+
+def decode_bigbed_block(data: bytes, endian: str, chroms) -> list[tuple]:
+    out = []
+    off = 0
+    while off + 12 <= len(data):
+        cid, s, e_ = struct.unpack_from(endian + "III", data, off)
+        off += 12
+        z = data.index(b"\x00", off)
+        rest = data[off:z].decode("utf-8", "replace")
+        off = z + 1
+        out.append((chroms[cid][0], s, e_, rest or None))
+    return out
+
+
+def decode_zoom_block(data: bytes, endian: str, chroms) -> list[tuple]:
+    out = []
+    for off in range(0, len(data) - 31, 32):
+        cid, s, e_, valid, mn, mx, sm, ssq = struct.unpack_from(endian + "IIIIffff", data, off)
+        out.append((chroms[cid][0], s, e_, valid, mn, mx, sm, ssq))
+    return out
+
+
+WIG_SCHEMA = T.StructType([
+    T.StructField("chrom", T.StringType(), False),
+    T.StructField("start", T.LongType(), True),
+    T.StructField("end", T.LongType(), True),
+    T.StructField("value", T.FloatType(), True),
+])
+BED_SCHEMA = T.StructType([
+    T.StructField("chrom", T.StringType(), False),
+    T.StructField("start", T.LongType(), True),
+    T.StructField("end", T.LongType(), True),
+    T.StructField("rest", T.StringType(), True),
+])
+ZOOM_SCHEMA = T.StructType([
+    T.StructField("chrom", T.StringType(), False),
+    T.StructField("start", T.LongType(), True),
+    T.StructField("end", T.LongType(), True),
+    T.StructField("bases_covered", T.LongType(), True),
+    T.StructField("min", T.DoubleType(), True),
+    T.StructField("max", T.DoubleType(), True),
+    T.StructField("sum", T.DoubleType(), True),
+    T.StructField("sum_squares", T.DoubleType(), True),
+])
+
+_LEAVES_PER_PARTITION = 256
+
+
+class BbiPartition(InputPartition):
+    def __init__(self, path: str, blocks: list[tuple[int, int]],
+                 region: tuple[str, int, int | None] | None):
+        self.path = path
+        self.blocks = blocks
+        self.region = region
+
+
+class BbiReader(DataSourceReader):
+    def __init__(self, src: "_BbiSource"):
+        self.paths = src.paths
+        self.kind = src.kind          # 'wig' | 'bed' | 'zoom'
+        self.zoom = src.zoom
+        self.spark_schema = src.spark_schema
+        self.names = src.names
+        self.coord_offset = src.coord_offset
+        self.regions = src.regions
+        self._arrow_schema = to_arrow_schema(self.spark_schema)
+        self._full_names = [f.name for f in (ZOOM_SCHEMA if src.kind == "zoom" else (WIG_SCHEMA if src.kind == "wig" else BED_SCHEMA))]
+
+    def partitions(self):
+        parts: list[BbiPartition] = []
+        for p in self.paths:
+            bbi = BbiFile(p)
+            try:
+                if self.kind == "zoom":
+                    levels = sorted(bbi.zooms, key=lambda z: z.reduction)
+                    if not levels:
+                        raise ValueError(f"{p} has no zoom levels")
+                    if self.zoom < 0 or self.zoom >= len(levels):
+                        raise ValueError(
+                            f"zoom level {self.zoom} out of range (0..{len(levels) - 1})"
+                        )
+                    index_off = levels[self.zoom].index_offset
+                else:
+                    index_off = bbi.full_index_off
+                if self.regions:
+                    for reg in self.regions:
+                        if reg.name not in bbi.chrom_ids:
+                            continue
+                        cid = bbi.chrom_ids[reg.name]
+                        qe = reg.end if reg.end is not None else bbi.chroms[cid][1]
+                        leaves = bbi.rtree_leaves(index_off, (cid, reg.start, qe))
+                        for i in range(0, len(leaves), _LEAVES_PER_PARTITION):
+                            parts.append(BbiPartition(
+                                p, leaves[i:i + _LEAVES_PER_PARTITION],
+                                (reg.name, reg.start, qe),
+                            ))
+                else:
+                    leaves = bbi.rtree_leaves(index_off)
+                    for i in range(0, len(leaves), _LEAVES_PER_PARTITION):
+                        parts.append(BbiPartition(p, leaves[i:i + _LEAVES_PER_PARTITION], None))
+            finally:
+                bbi.close()
+        return parts or [BbiPartition(self.paths[0], [], None)]
+
+    def read(self, part: BbiPartition):
+        bbi = BbiFile(part.path)
+        try:
+            if self.kind == "zoom":
+                decode = decode_zoom_block
+            elif bbi.is_bigwig:
+                decode = decode_bigwig_block
+            else:
+                decode = decode_bigbed_block
+            rows = []
+            proj = [self._full_names.index(n) for n in self.names]
+            identity = proj == list(range(len(self._full_names)))
+            for doff, dsize in part.blocks:
+                bbi.f.seek(doff)
+                data = bbi.decompress(bbi.f.read(dsize))
+                for rec in decode(data, bbi.endian, bbi.chroms):
+                    if part.region is not None:
+                        nm, qs, qe = part.region
+                        if rec[0] != nm or rec[1] >= qe or rec[2] <= qs:
+                            continue
+                    row = list(rec)
+                    if self.coord_offset:
+                        row[1] += self.coord_offset
+                    rows.append(row if identity else [row[i] for i in proj])
+            cols = list(zip(*rows)) if rows else [[] for _ in self._arrow_schema]
+            arrays = [pa.array(list(c), type=f.type) for c, f in zip(cols, self._arrow_schema)]
+            yield pa.RecordBatch.from_arrays(arrays, schema=self._arrow_schema)
+        finally:
+            bbi.close()
+
+
+class _BbiSource(DataSource):
+    NATIVE_CS = "01"
+    KIND = "wig"
+
+    def __init__(self, options: dict):
+        super().__init__(options)
+        self.paths = resolve_paths(options.get("path"))
+        self.zoom = int(options["zoom"]) if options.get("zoom") not in (None, "") else -1
+        self.kind = "zoom" if self.zoom >= 0 else self.KIND
+        base = ZOOM_SCHEMA if self.kind == "zoom" else (WIG_SCHEMA if self.kind == "wig" else BED_SCHEMA)
+        self.names = select_fields([f.name for f in base], options.get("fields"))
+        self.spark_schema = T.StructType([base[n] for n in self.names])
+        self.coord_offset = _coords.start_offset(self.NATIVE_CS, options.get("coords", self.NATIVE_CS))
+        self.regions = _coords.parse_regions(
+            options.get("regions"), options.get("region_cs", self.NATIVE_CS)
+        )
+
+    def schema(self):
+        return self.spark_schema
+
+    def reader(self, schema):
+        return BbiReader(self)
+
+    # metadata introspection (SURVEY M1/M4)
+    def chrom_sizes(self) -> dict[str, int]:
+        bbi = BbiFile(self.paths[0])
+        try:
+            return {nm: sz for nm, sz in bbi.chroms.values()}
+        finally:
+            bbi.close()
+
+    def zoom_levels(self) -> list[int]:
+        bbi = BbiFile(self.paths[0])
+        try:
+            return sorted(z.reduction for z in bbi.zooms)
+        finally:
+            bbi.close()
+
+
+class BigWigDataSource(_BbiSource):
+    KIND = "wig"
+
+    @classmethod
+    def name(cls) -> str:
+        return "bigwig"
+
+
+class BigBedDataSource(_BbiSource):
+    KIND = "bed"
+
+    @classmethod
+    def name(cls) -> str:
+        return "bigbed"

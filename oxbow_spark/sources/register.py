@@ -7,6 +7,7 @@ from pyspark.sql import SparkSession
 
 def register_all(spark: SparkSession) -> None:
     from oxbow_spark.sources.bam import BamDataSource
+    from oxbow_spark.sources.bbi import BigBedDataSource, BigWigDataSource
     from oxbow_spark.sources.bcf import BcfDataSource
     from oxbow_spark.sources.bed import BedDataSource
     from oxbow_spark.sources.gxf import GffDataSource, GtfDataSource
@@ -17,6 +18,6 @@ def register_all(spark: SparkSession) -> None:
     for src in (
         BedDataSource, GtfDataSource, GffDataSource,
         SamDataSource, VcfDataSource, FastaDataSource, FastqDataSource,
-        BamDataSource, BcfDataSource,
+        BamDataSource, BcfDataSource, BigWigDataSource, BigBedDataSource,
     ):
         spark.dataSource.register(src)
