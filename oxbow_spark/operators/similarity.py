@@ -20,10 +20,20 @@ double sums (same plan, marginally faster).
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ACC = "decimal(38,12)"
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH. The same literal
+    plane values are inlined on both the Spark and oracle side, so bucket
+    assignments agree bit-for-bit across engines."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
 def _exact_dot(a, b):
@@ -92,6 +102,38 @@ def hyperplane_bucket(df: DataFrame, planes: list[list[float]],
         )
         bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(0)
     return df.withColumn("bucket", bucket.cast("int"))
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold)
+    with hyperplane-bucket blocking: pairs are only formed inside a bucket,
+    so cost is sum(|bucket|^2) instead of |corpus|^2. Approximate by
+    construction (cross-bucket near-dups are missed); more planes → smaller
+    buckets → cheaper and lower recall. The bucket equi-join is the only
+    shuffle."""
+    c = hyperplane_bucket(corpus, planes, vec_col)
+    a = c.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av"),
+        _exact_norm2(F.col(vec_col)).alias("_an"),
+    )
+    b = c.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv"),
+        _exact_norm2(F.col(vec_col)).alias("_bn"),
+    )
+    cos = _exact_dot(F.col("_av"), F.col("_bv")) / F.sqrt(F.col("_an") * F.col("_bn"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("_cos"))
+        .where(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cos"))
+    )
 
 
 def cosine_topk_lsh(

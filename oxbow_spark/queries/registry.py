@@ -613,6 +613,91 @@ FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
+_N_PLANES = 4
+_EMB_DIM = 64  # embeddings.parquet vectors are 64-d at every SF
+_PLANES = similarity.random_hyperplanes(_N_PLANES, _EMB_DIM)
+_EMB_NEARDUP_T = 0.35
+
+# DuckDB dot of a vector against literal hyperplane coefficients. Plain
+# double chain-sum, left-associated — bit-identical to the Spark side's
+# sequential fold in `similarity.hyperplane_bucket` (0.0 + t1 == t1).
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    return " + ".join(f"(CAST({vec}[{i + 1}] AS DOUBLE) * {p!r})" for i, p in enumerate(plane))
+
+
+def _bucket_sql(vec: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_plane_dot_sql(vec, p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES)
+    )
+
+
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.cosine_topk_lsh(emb, q, _PLANES, k=_TOPK_K)
+
+
+def _topk_lsh_sql() -> str:
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+        "CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         {dot.format(a='embedding', b='embedding')} AS nrm,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket AS qbucket
+      FROM n WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         {dot.format(a='qv', b='embedding')} / SQRT(qn * nrm) AS cos
+  FROM n JOIN q ON n.bucket = q.qbucket
+  WHERE n.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), _PLANES, threshold=_EMB_NEARDUP_T
+    )
+
+
+def _embcos_sql() -> str:
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+        "CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         {dot.format(a='embedding', b='embedding')} AS nrm,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {dot.format(a='a.embedding', b='b.embedding')} / SQRT(a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cos
+FROM scored WHERE cos >= {_EMB_NEARDUP_T}
+"""
+
+
 QUERIES: list[Query] = [
     Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL, bench=True),
     Query("q3_top_revenue_orders", q3_top_revenue_orders, Q3_SQL, bench=True),
@@ -634,6 +719,8 @@ QUERIES: list[Query] = [
     Query("fingerprint_docs", fingerprint_docs, FINGERPRINT_SQL),
     Query("bpe_token_count_docs", bpe_token_count_docs, BPE_SQL),
     Query("sim_topk_cosine", sim_topk_cosine, _topk_sql(), bench=True),
+    Query("sim_topk_lsh", sim_topk_lsh, _topk_lsh_sql(), bench=True),
+    Query("dedup_embedding_cosine", dedup_embedding_cosine, _embcos_sql()),
 ]
 
 
