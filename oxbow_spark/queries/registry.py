@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oxbow_spark import coords
-from oxbow_spark.operators import dedup, similarity, text
+from oxbow_spark.operators import dedup, multimodal, similarity, text
 from oxbow_spark.operators.interval_join import overlap_join
 from oxbow_spark.operators.zoom import exact_sum, zoom_aggregate
 
@@ -698,6 +698,90 @@ FROM scored WHERE cos >= {_EMB_NEARDUP_T}
 """
 
 
+# --------------------------------------------------------------------------
+# Multimodal columns: binary payloads + mapInPandas decode/feature plumbing
+# --------------------------------------------------------------------------
+
+# same synthetic payload on both engines: magic header (by doc_id % 4) ++ UTF-8 text
+_PAYLOAD_SQL = """CASE
+  WHEN doc_id % 4 = 0 THEN unhex('89504E470D0A1A0A') || encode(text)
+  WHEN doc_id % 4 = 1 THEN unhex('FFD8FF') || encode(text)
+  WHEN doc_id % 4 = 2 THEN encode('RIFF') || encode(text)
+  ELSE encode(text) END"""
+
+_SNIFF_SQL_CASE = """CASE
+  WHEN substr(hex(payload), 1, 16) = '89504E470D0A1A0A' THEN 'png'
+  WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+  WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'riff'
+  ELSE 'raw' END"""
+
+
+def _mm_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.attach_fake_payload(_t(spark, sf_dir, "documents"))
+
+
+def mm_sniff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sniff_media(_mm_payload(spark, sf_dir))
+
+
+MM_SNIFF_SQL = f"""
+WITH p AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents)
+SELECT doc_id, {_SNIFF_SQL_CASE} AS kind,
+       octet_length(payload) AS n_bytes,
+       md5(hex(payload)) AS digest
+FROM p
+"""
+
+
+def mm_decode_image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_image_stub(_mm_payload(spark, sf_dir))
+
+
+MM_DECODE_SQL = f"""
+WITH p AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents),
+d AS (
+  SELECT doc_id, {_SNIFF_SQL_CASE} AS kind,
+         16 + (octet_length(payload) * 7919) % 1008 AS width,
+         16 + (octet_length(payload) * 104729) % 1008 AS height
+  FROM p
+)
+SELECT doc_id, kind, width, height,
+       CASE WHEN kind = 'png' THEN 4 ELSE 3 END AS channels,
+       width * height AS n_pixels
+FROM d
+"""
+
+_FRAME_BYTES = 64
+_FRAME_K = 2
+
+
+def mm_frame_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample(
+        _mm_payload(spark, sf_dir), frame_bytes=_FRAME_BYTES, every_k=_FRAME_K
+    )
+
+
+MM_FRAME_SQL = f"""
+WITH p AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents),
+f AS (
+  SELECT doc_id, payload,
+         unnest(generate_series(0, CAST(octet_length(payload) // {_FRAME_BYTES} AS BIGINT) - 1,
+                                {_FRAME_K})) AS frame_idx
+  FROM p
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       md5(substr(hex(payload), CAST(frame_idx * {_FRAME_BYTES * 2} + 1 AS BIGINT),
+                  {_FRAME_BYTES * 2})) AS frame_digest
+FROM f
+"""
+
+
+def mm_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media → embedding featurizer plumbing (stub kernel); float vectors
+    are not oracle-hashable, so this entry takes the rows-only check."""
+    return multimodal.embed_media(_mm_payload(spark, sf_dir))
+
+
 QUERIES: list[Query] = [
     Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL, bench=True),
     Query("q3_top_revenue_orders", q3_top_revenue_orders, Q3_SQL, bench=True),
@@ -721,6 +805,10 @@ QUERIES: list[Query] = [
     Query("sim_topk_cosine", sim_topk_cosine, _topk_sql(), bench=True),
     Query("sim_topk_lsh", sim_topk_lsh, _topk_lsh_sql(), bench=True),
     Query("dedup_embedding_cosine", dedup_embedding_cosine, _embcos_sql()),
+    Query("mm_sniff_docs", mm_sniff_docs, MM_SNIFF_SQL),
+    Query("mm_decode_image_docs", mm_decode_image_docs, MM_DECODE_SQL, bench=True),
+    Query("mm_frame_sample_docs", mm_frame_sample_docs, MM_FRAME_SQL),
+    Query("mm_embed_docs", mm_embed_docs, None),
 ]
 
 
