@@ -698,6 +698,54 @@ FROM scored WHERE cos >= {_EMB_NEARDUP_T}
 """
 
 
+_SESSION_GAP_S = 1800
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via the built-in
+    session_window — the batch twin of streaming.sessionize_state. One
+    shuffle on user_id; window merging is state-local."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.timestamp_micros(TS_US()).alias("etime"),
+        TS_US().alias("us"),
+    )
+    return (
+        ev.groupBy(F.session_window("etime", f"{_SESSION_GAP_S} seconds"), "user_id")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+
+
+# Gaps-and-islands twin. Boundary rule matches Spark session_window
+# half-open [start, last+gap): an event exactly `gap` after the previous
+# one starts a NEW session, hence `>=` in the break condition.
+SESSIONIZE_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= {_SESSION_GAP_S} * 1000000
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal columns: binary payloads + mapInPandas decode/feature plumbing
 # --------------------------------------------------------------------------
@@ -805,6 +853,7 @@ QUERIES: list[Query] = [
     Query("sim_topk_cosine", sim_topk_cosine, _topk_sql(), bench=True),
     Query("sim_topk_lsh", sim_topk_lsh, _topk_lsh_sql(), bench=True),
     Query("dedup_embedding_cosine", dedup_embedding_cosine, _embcos_sql()),
+    Query("sessionize_events", sessionize_events, SESSIONIZE_SQL, bench=True),
     Query("mm_sniff_docs", mm_sniff_docs, MM_SNIFF_SQL),
     Query("mm_decode_image_docs", mm_decode_image_docs, MM_DECODE_SQL, bench=True),
     Query("mm_frame_sample_docs", mm_frame_sample_docs, MM_FRAME_SQL),

@@ -1,0 +1,173 @@
+"""Structured Streaming layer.
+
+The reference (abdenlab/oxbow) has no event-time streaming — its "streams"
+are pull-based batch iterators (SURVEY §1.3). This module exposes the
+engine's long-scan operators through Spark Structured Streaming so the
+same logical plans run incrementally: file-source ingestion, watermarked
+windowed aggregation (the streaming form of the BBI-zoom binned agg), and
+a custom stateful operator via ``applyInPandasWithState``.
+
+Scale notes: the file source lists + splits new files per micro-batch, so
+ingestion parallelism matches the batch reader. Watermarks bound state:
+the zoom agg keeps only windows newer than (max event time − delay);
+sessionization state is per-key and dropped on timeout. At 100 TB/day the
+shuffle is the same single exchange per agg as the batch plan — the
+streaming engine adds state-store I/O, tuned with
+``spark.sql.shuffle.partitions`` (state partitions) as usual.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_GAP_S = 1800
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table (file source, explicit schema —
+    streaming sources cannot infer). ts is TIMESTAMP(NANOS) parquet, read
+    as a long via the same legacy flag as the batch path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file stream source requires a directory; stage a symlink dir
+    # (production tables are directories of parquet files already)
+    stage = os.path.join(
+        "/tmp", "oxbow_spark_stream",
+        os.path.basename(os.path.normpath(sf_dir)), "events",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def _event_time(df: DataFrame) -> DataFrame:
+    """ns long → µs-precision event-time timestamp column ``etime``."""
+    return df.withColumn("etime", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_zoom(events: DataFrame, resolution: str = "1 hour",
+                watermark: str = "10 minutes") -> DataFrame:
+    """Streaming BBI-zoom equivalent: watermarked fixed-window aggregate
+    per event_type carrying (bases_covered, min, max, sum, sum_squares).
+    Mirrors operators.zoom.zoom_aggregate; the watermark lets the state
+    store evict closed windows."""
+    e = _event_time(events).withWatermark("etime", watermark)
+    return (
+        e.groupBy(F.window("etime", resolution).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("bases_covered"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum("value").alias("vsum"),
+            F.sum(F.col("value") * F.col("value")).alias("vsumsq"),
+        )
+        .select(
+            F.col("event_type").alias("chrom"),
+            F.col("win.start").alias("start"),
+            F.col("win.end").alias("end"),
+            "bases_covered", "vmin", "vmax", "vsum", "vsumsq",
+        )
+    )
+
+
+_SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start_us", LongType()),
+    StructField("session_end_us", LongType()),
+    StructField("n_events", LongType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n", LongType()),
+])
+
+
+def _sessionize_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session assembly. State carries the open session; closed
+    sessions are emitted as soon as a gap > SESSION_GAP_S µs is seen. A
+    processing-time timeout flushes the open session when the key goes
+    quiet (new event time beyond the gap ⇒ new session anyway, so the
+    flush cannot split a real session)."""
+    gap_us = SESSION_GAP_S * 1_000_000
+    if state.hasTimedOut:
+        (start, end, n) = state.get
+        state.remove()
+        yield pd.DataFrame([(key[0], start, end, n)],
+                           columns=[f.name for f in _SESSION_SCHEMA.fields])
+        return
+
+    times: list[int] = []
+    for pdf in pdfs:
+        times.extend(int(t) for t in pdf["us"])
+    times.sort()
+    cur = list(state.get) if state.exists else None
+    out = []
+    for t in times:
+        if cur is None:
+            cur = [t, t, 0]
+        elif t - cur[1] >= gap_us:
+            out.append((key[0], cur[0], cur[1], cur[2]))
+            cur = [t, t, 0]
+        cur[1] = t
+        cur[2] += 1
+    if cur is not None:
+        state.update(tuple(cur))
+        state.setTimeoutDuration(SESSION_GAP_S * 1000)
+    if out:
+        yield pd.DataFrame(out, columns=[f.name for f in _SESSION_SCHEMA.fields])
+
+
+def sessionize_state(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with a
+    30-minute inactivity gap via ``applyInPandasWithState``. Equivalent
+    batch semantics: ``session_window(etime, '1800 seconds')`` (see
+    registry.sessionize_events)."""
+    keyed = events.select(
+        "user_id", F.expr("ts div 1000").alias("us")
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, name: str, output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain the whole stream with an availableNow trigger into an
+    in-memory table and return it as a (batch) DataFrame."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return sdf.sparkSession.table(name)

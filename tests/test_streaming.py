@@ -1,0 +1,68 @@
+"""Structured Streaming layer: streaming results must equal their batch
+twins when the whole input is drained with an availableNow trigger."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oxbow_spark import streaming
+from oxbow_spark.queries.registry import sessionize_events
+
+
+@pytest.fixture(scope="module")
+def small_sf(sf_dir):
+    # streaming tests run at the smallest SF — state-store overhead, not
+    # data volume, is what's under test
+    return sf_dir.replace("sf0.01", "sf0.001")
+
+
+def test_stream_zoom_equals_batch(spark, small_sf):
+    ev = streaming.events_stream(spark, small_sf)
+    out = streaming.run_available_now(
+        streaming.stream_zoom(ev), "t_stream_zoom", output_mode="complete"
+    )
+    got = {(r.chrom, r.start): r for r in out.collect()}
+
+    batch = (
+        spark.read.parquet(f"{small_sf}/events.parquet")
+        .withColumn("etime", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("etime", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("bases_covered"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .select(F.col("event_type").alias("chrom"), F.col("win.start").alias("start"),
+                "bases_covered", "vmin", "vmax")
+    ).collect()
+    assert batch and len(batch) == len(got)
+    for r in batch:
+        s = got[(r.chrom, r.start)]
+        assert s.bases_covered == r.bases_covered
+        assert s.vmin == r.vmin and s.vmax == r.vmax
+
+
+def test_sessionize_state_equals_session_window(spark, small_sf):
+    ev = streaming.events_stream(spark, small_sf)
+    out = streaming.run_available_now(
+        streaming.sessionize_state(ev), "t_sessions", output_mode="append"
+    )
+    # append mode emits only *closed* sessions within the drained batches;
+    # every emitted session must match the batch session_window twin, and
+    # open sessions (still in state when the trigger drains) account for
+    # the remainder.
+    got = {(r.user_id, r.session_start_us): r for r in out.collect()}
+    batch = {
+        (r.user_id, r.session_start_us): r
+        for r in sessionize_events(spark, small_sf).collect()
+    }
+    assert set(got) <= set(batch)
+    for k, s in got.items():
+        b = batch[k]
+        assert (s.session_end_us, s.n_events) == (b.session_end_us, b.n_events), k
+    # at most one open (unemitted) session per user
+    users_open = {}
+    for k in set(batch) - set(got):
+        users_open[k[0]] = users_open.get(k[0], 0) + 1
+    assert all(v == 1 for v in users_open.values())
