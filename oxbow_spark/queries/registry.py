@@ -181,6 +181,41 @@ GROUP BY n_name
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem ⨝ part (broadcast dim) + conditional
+    aggregation. The part side is small at any SF relative to lineitem,
+    so the join is shuffle-free; the only exchange is the final
+    single-group agg (tiny)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            exact_sum(promo, "promo_revenue"),
+            exact_sum(rev, "total_revenue"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.round(100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6),
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT {_xsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+       {_xsum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+       ROUND(100.0 * {_xsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {_xsum('l_extendedprice * (1 - l_discount)')}, 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND l_shipdate < TIMESTAMP '1998-09-01'
+"""
+
+
 def scan_project_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY P1/P2/L1: projection + deterministic limit. The projection
     reaches the parquet scan (ReadSchema shows 4 columns)."""
@@ -834,6 +869,7 @@ QUERIES: list[Query] = [
     Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL, bench=True),
     Query("q3_top_revenue_orders", q3_top_revenue_orders, Q3_SQL, bench=True),
     Query("q5_nation_revenue", q5_nation_revenue, Q5_SQL, bench=True),
+    Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL, bench=True),
     Query("scan_project_limit", scan_project_limit, SCAN_SQL),
     Query("range_filter_events", range_filter_events, RANGE_SQL, bench=True),
     Query("union_multi_region", union_multi_region, UNION_SQL),
