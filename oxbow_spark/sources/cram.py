@@ -1,0 +1,931 @@
+"""CRAM DataSource: ``spark.read.format("cram")``.
+
+Parity: reference CRAM scanner (`oxbow/src/alignment/scanner/cram.rs:182-200,
+568-611`, SURVEY S3) — same alignment schema as SAM/BAM (SURVEY §1.2). The
+decoder is a from-scratch pure-Python implementation of the public CRAM 3.0
+specification (hts-specs): ITF8/LTF8 varints, container/slice structure,
+EXTERNAL / HUFFMAN / BYTE_ARRAY_LEN / BYTE_ARRAY_STOP / BETA codecs with a
+core-block bit reader, gzip/bzip2/lzma block compression plus a pure-Python
+rANS 4x8 (order 0 and 1) decoder, CIGAR+sequence reconstruction from read
+features via the substitution matrix, and embedded or external (FASTA+fai)
+reference bases.
+
+Scale design: the unit of parallelism is the **container** — CRAM's own
+independently-decodable chunk (analogous to the reference's
+`partition_from_index` contract, SURVEY D1). ``partitions()`` walks container
+headers only (cheap driver-side scan: read 4-byte length + header varints,
+seek past the body) and emits one InputPartition per data container; each
+executor re-opens the file and decodes only its containers. Region queries
+prune partitions by the container header's (ref, start, span) before any
+block is read, with the residual overlap re-check applied per record
+(SURVEY F1).
+
+Options: ``fields``, ``coords``, ``regions``, ``tags`` ('scan' reads the tag
+dictionary from container compression headers), ``reference`` (FASTA path
+with .fai, required when slices neither embed reference bases nor set RR=0),
+``batch_size``, ``limit``.
+"""
+
+from __future__ import annotations
+
+import bz2
+import lzma
+import os
+import struct
+import zlib
+
+import pyarrow as pa
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.pandas.types import to_arrow_schema
+
+from oxbow_spark import coords as _coords
+from oxbow_spark.models.sam_header import (
+    STANDARD_FIELD_NAMES,
+    STANDARD_FIELDS,
+    SamHeader,
+    TagDef,
+    tags_struct,
+)
+from oxbow_spark.sources.base import DEFAULT_BATCH_SIZE, resolve_paths, select_fields
+from oxbow_spark.sources.sequence import faidx_fetch, read_fai
+
+CRAM_MAGIC = b"CRAM"
+BASES = "ACGTN"
+# container headers (incl. multi-slice landmark arrays) comfortably fit here
+_HDR_BUF = 8192
+
+
+# --------------------------------------------------------------- primitives
+
+class Cursor:
+    """Byte cursor with CRAM varint readers (ITF8 = int32, LTF8 = int64)."""
+
+    __slots__ = ("b", "p")
+
+    def __init__(self, b: bytes, p: int = 0):
+        self.b = b
+        self.p = p
+
+    def read(self, n: int) -> bytes:
+        v = self.b[self.p:self.p + n]
+        self.p += n
+        return v
+
+    def u8(self) -> int:
+        v = self.b[self.p]
+        self.p += 1
+        return v
+
+    def itf8(self) -> int:
+        v = self.u8()
+        if v < 0x80:
+            r = v
+        elif v < 0xC0:
+            r = ((v & 0x7F) << 8) | self.u8()
+        elif v < 0xE0:
+            r = ((v & 0x3F) << 16) | (self.u8() << 8)
+            r |= self.u8()
+        elif v < 0xF0:
+            r = ((v & 0x1F) << 24) | (self.u8() << 16)
+            r |= self.u8() << 8
+            r |= self.u8()
+        else:
+            r = ((v & 0x0F) << 28) | (self.u8() << 20)
+            r |= self.u8() << 12
+            r |= self.u8() << 4
+            r |= self.u8() & 0x0F
+        return r - (1 << 32) if r >= 1 << 31 else r
+
+    def ltf8(self) -> int:
+        v = self.u8()
+        n = 0
+        while n < 8 and (v << n) & 0x80:
+            n += 1
+        r = v & (0xFF >> (n + 1)) if n < 7 else 0
+        for _ in range(n):
+            r = (r << 8) | self.u8()
+        return r - (1 << 64) if r >= 1 << 63 else r
+
+    def arr(self) -> list[int]:
+        n = self.itf8()
+        return [self.itf8() for _ in range(n)]
+
+
+class BitReader:
+    """MSB-first bit reader over the slice core block."""
+
+    __slots__ = ("b", "pos")
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.pos = 0
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.b[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+# ------------------------------------------------------------------ rANS 4x8
+
+def _rans_read_freqs0(c: Cursor) -> tuple[list[int], list[int]]:
+    """Order-0 frequency table (normalized to 4096): RLE'd ascending
+    symbols, 1- or 2-byte frequencies (top bit of first byte selects)."""
+    freq = [0] * 256
+    sym = c.u8()
+    last = -2
+    rle = 0
+    while True:
+        if (f0 := c.u8()) & 0x80:
+            freq[sym] = ((f0 & 0x7F) << 8) | c.u8()
+        else:
+            freq[sym] = f0
+        if rle:
+            rle -= 1
+            sym += 1
+        else:
+            last = sym
+            sym = c.u8()
+            if sym == last + 1:
+                rle = c.u8()
+            if sym == 0 and rle == 0:
+                break
+    cum = [0] * 257
+    for i in range(256):
+        cum[i + 1] = cum[i] + freq[i]
+    return freq, cum
+
+
+def _rans_lookup(freq: list[int], cum: list[int]) -> bytes:
+    lut = bytearray(4096)
+    for s in range(256):
+        if freq[s]:
+            lut[cum[s]:cum[s + 1]] = bytes([s]) * freq[s]
+    return bytes(lut)
+
+
+def rans4x8_decode(data: bytes) -> bytes:
+    """Pure-Python rANS 4x8 decoder (CRAM 3.0 spec §13), orders 0 and 1."""
+    c = Cursor(data)
+    order = c.u8()
+    c.read(4)  # compressed size (redundant with block header)
+    (n_out,) = struct.unpack("<I", c.read(4))
+    out = bytearray(n_out)
+    if order == 0:
+        freq, cum = _rans_read_freqs0(c)
+        lut = _rans_lookup(freq, cum)
+        R = list(struct.unpack("<4I", c.read(16)))
+        for i in range(n_out):
+            j = i & 3
+            m = R[j] & 0xFFF
+            s = lut[m]
+            out[i] = s
+            R[j] = freq[s] * (R[j] >> 12) + m - cum[s]
+            while R[j] < (1 << 23) and c.p < len(data):
+                R[j] = (R[j] << 8) | c.u8()
+        return bytes(out)
+    if order != 1:
+        raise ValueError(f"unknown rANS order {order}")
+    # order-1: context tables for each preceding symbol, RLE'd like order-0
+    tables: dict[int, tuple[list[int], list[int], bytes]] = {}
+    sym = c.u8()
+    last = -2
+    rle = 0
+    while True:
+        f, cm = _rans_read_freqs0(c)
+        tables[sym] = (f, cm, _rans_lookup(f, cm))
+        if rle:
+            rle -= 1
+            sym += 1
+        else:
+            last = sym
+            sym = c.u8()
+            if sym == last + 1:
+                rle = c.u8()
+            if sym == 0 and rle == 0:
+                break
+    R = list(struct.unpack("<4I", c.read(16)))
+    q = n_out >> 2
+    ctx = [0, 0, 0, 0]
+    pos = [0, q, 2 * q, 3 * q]
+    for _ in range(q):
+        for j in range(4):
+            f, cm, lut = tables[ctx[j]]
+            m = R[j] & 0xFFF
+            s = lut[m]
+            out[pos[j]] = s
+            pos[j] += 1
+            R[j] = f[s] * (R[j] >> 12) + m - cm[s]
+            while R[j] < (1 << 23) and c.p < len(data):
+                R[j] = (R[j] << 8) | c.u8()
+            ctx[j] = s
+    # remainder handled by state 3
+    j = 3
+    while pos[j] < n_out:
+        f, cm, lut = tables[ctx[j]]
+        m = R[j] & 0xFFF
+        s = lut[m]
+        out[pos[j]] = s
+        pos[j] += 1
+        R[j] = f[s] * (R[j] >> 12) + m - cm[s]
+        while R[j] < (1 << 23) and c.p < len(data):
+            R[j] = (R[j] << 8) | c.u8()
+        ctx[j] = s
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- blocks
+
+def read_block(c: Cursor) -> tuple[int, int, bytes]:
+    """(content_type, content_id, uncompressed bytes); verifies the CRC32
+    (CRAM 3.0 blocks checksum everything up to the CRC field — this is
+    what rejects the reference's ``malformed.cram`` twin)."""
+    blk_start = c.p
+    method = c.u8()
+    ctype = c.u8()
+    cid = c.itf8()
+    csize = c.itf8()
+    rsize = c.itf8()
+    raw = c.read(csize)
+    (crc,) = struct.unpack("<I", c.read(4))
+    if zlib.crc32(c.b[blk_start:c.p - 4]) != crc:
+        raise ValueError("CRAM block CRC32 mismatch (corrupt file)")
+    if method == 0:
+        pass
+    elif method == 1:
+        raw = zlib.decompress(raw, 31)
+    elif method == 2:
+        raw = bz2.decompress(raw)
+    elif method == 3:
+        raw = lzma.decompress(raw)
+    elif method == 4:
+        raw = rans4x8_decode(raw)
+    else:
+        raise ValueError(f"unsupported CRAM block compression method {method}")
+    if len(raw) != rsize:
+        raise ValueError(f"CRAM block size mismatch: {len(raw)} != {rsize}")
+    return ctype, cid, raw
+
+
+# ----------------------------------------------------------------- codecs
+
+class Encoding:
+    """One CRAM data-series encoding (spec §12). Reads ints, single bytes,
+    or byte arrays against the slice's external streams + core bit
+    stream."""
+
+    def __init__(self, codec: int, params: bytes):
+        self.codec = codec
+        p = Cursor(params)
+        if codec == 0:  # NULL
+            pass
+        elif codec == 1:  # EXTERNAL
+            self.cid = p.itf8()
+        elif codec == 3:  # HUFFMAN (canonical)
+            self.alphabet = p.arr()
+            self.lens = p.arr()
+            if len(self.alphabet) == 1 and self.lens[0] == 0:
+                self.const: int | None = self.alphabet[0]
+            else:
+                self.const = None
+                pairs = sorted(zip(self.lens, self.alphabet))
+                self.codes: dict[tuple[int, int], int] = {}
+                code = 0
+                prev_len = pairs[0][0]
+                for ln, sym in pairs:
+                    code <<= ln - prev_len
+                    prev_len = ln
+                    self.codes[(ln, code)] = sym
+                    code += 1
+        elif codec == 4:  # BYTE_ARRAY_LEN
+            lc, lp = p.itf8(), p.itf8()
+            self.len_enc = Encoding(lc, p.read(lp))
+            vc, vp = p.itf8(), p.itf8()
+            self.val_enc = Encoding(vc, p.read(vp))
+        elif codec == 5:  # BYTE_ARRAY_STOP
+            self.stop = p.u8()
+            self.cid = p.itf8()
+        elif codec == 6:  # BETA
+            self.offset = p.itf8()
+            self.nbits = p.itf8()
+        elif codec == 9:  # GAMMA
+            self.offset = p.itf8()
+        else:
+            raise ValueError(f"unsupported CRAM codec {codec}")
+
+    def get_int(self, streams, core) -> int:
+        if self.codec == 1:
+            return streams[self.cid].itf8()
+        if self.codec == 3:
+            if self.const is not None:
+                return self.const
+            ln, code = 0, 0
+            while True:
+                code = (code << 1) | core.bits(1)
+                ln += 1
+                if (ln, code) in self.codes:
+                    return self.codes[(ln, code)]
+                if ln > 31:
+                    raise ValueError("bad huffman stream")
+        if self.codec == 6:
+            return core.bits(self.nbits) - self.offset
+        if self.codec == 9:
+            n = 0
+            while core.bits(1) == 0:
+                n += 1
+            return ((1 << n) | core.bits(n)) - self.offset
+        raise ValueError(f"codec {self.codec} cannot read ints")
+
+    def get_byte(self, streams, core) -> int:
+        if self.codec == 1:
+            return streams[self.cid].u8()
+        return self.get_int(streams, core)
+
+    def get_bytes(self, streams, core, n: int | None = None) -> bytes:
+        if self.codec == 5:
+            s = streams[self.cid]
+            out = bytearray()
+            while True:
+                b = s.u8()
+                if b == self.stop:
+                    return bytes(out)
+                out.append(b)
+        if self.codec == 4:
+            n = self.len_enc.get_int(streams, core)
+            if self.val_enc.codec == 1:
+                return streams[self.val_enc.cid].read(n)
+            return bytes(self.val_enc.get_byte(streams, core) for _ in range(n))
+        if self.codec == 1:
+            return streams[self.cid].read(n)
+        raise ValueError(f"codec {self.codec} cannot read byte arrays")
+
+
+# ------------------------------------------------------- container parsing
+
+class ContainerHeader:
+    __slots__ = ("length", "ref_id", "start", "span", "n_records",
+                 "n_blocks", "landmarks", "body_offset")
+
+    def __init__(self, c: Cursor):
+        (self.length,) = struct.unpack("<i", c.read(4))
+        self.ref_id = c.itf8()
+        self.start = c.itf8()
+        self.span = c.itf8()
+        self.n_records = c.itf8()
+        c.ltf8()  # record counter
+        c.ltf8()  # bases
+        self.n_blocks = c.itf8()
+        self.landmarks = c.arr()
+        c.read(4)  # CRC
+        self.body_offset = c.p
+
+    @property
+    def is_eof(self) -> bool:
+        return self.ref_id == -1 and self.n_records == 0 and self.n_blocks == 1
+
+
+def parse_comp_header(raw: bytes):
+    """Compression header → (preservation map, data-series encodings,
+    tag encodings, tag dictionary lines)."""
+    c = Cursor(raw)
+    c.itf8()
+    pres: dict[str, object] = {}
+    for _ in range(c.itf8()):
+        k = c.read(2).decode()
+        if k in ("RN", "AP", "RR"):
+            pres[k] = c.u8()
+        elif k == "SM":
+            pres[k] = c.read(5)
+        elif k == "TD":
+            pres[k] = c.read(c.itf8())
+    c.itf8()
+    series: dict[str, Encoding] = {}
+    for _ in range(c.itf8()):
+        k = c.read(2).decode()
+        codec = c.itf8()
+        series[k] = Encoding(codec, c.read(c.itf8()))
+    c.itf8()
+    tag_encs: dict[tuple[str, str], Encoding] = {}
+    for _ in range(c.itf8()):
+        key = c.itf8()
+        tag = chr((key >> 16) & 0xFF) + chr((key >> 8) & 0xFF)
+        typ = chr(key & 0xFF)
+        codec = c.itf8()
+        tag_encs[(tag, typ)] = Encoding(codec, c.read(c.itf8()))
+    td: list[list[tuple[str, str]]] = []
+    raw_td = pres.get("TD", b"")
+    for line in raw_td.split(b"\x00")[:-1] if raw_td else []:
+        td.append([(line[i:i + 2].decode(), chr(line[i + 2]))
+                   for i in range(0, len(line), 3)])
+    return pres, series, tag_encs, td
+
+
+def sub_matrix(sm: bytes) -> dict[str, dict[int, str]]:
+    """SM preservation bytes → {ref_base: {2-bit code: substituted base}}."""
+    mat: dict[str, dict[int, str]] = {}
+    for i, r in enumerate(BASES):
+        alts = [b for b in BASES if b != r]
+        mat[r] = {(sm[i] >> (6 - 2 * j)) & 3: a for j, a in enumerate(alts)}
+    return mat
+
+
+def decode_tag_value(typ: str, raw: bytes) -> tuple[str, object]:
+    """BAM-aux-encoded tag bytes → (sam_type_code, python value)."""
+    if typ == "A":
+        return "A", chr(raw[0])
+    if typ in "cCsSiI":
+        fmt = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I"}[typ]
+        return "i", struct.unpack(fmt, raw[:struct.calcsize(fmt)])[0]
+    if typ == "f":
+        return "f", struct.unpack("<f", raw[:4])[0]
+    if typ in "ZH":
+        return typ, raw.rstrip(b"\x00").decode("ascii", "replace")
+    if typ == "B":
+        sub = chr(raw[0])
+        (n,) = struct.unpack("<i", raw[1:5])
+        fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+        return "B" + sub, list(struct.unpack(f"<{n}{fmt}", raw[5:5 + n * struct.calcsize(fmt)]))
+    return "Z", raw.decode("ascii", "replace")
+
+
+# ----------------------------------------------------------- slice decode
+
+class SliceDecoder:
+    """Decodes every record of one slice into BAM-convention rows
+    [qname flag rname pos mapq cigar rnext pnext tlen seq qual end]."""
+
+    def __init__(self, comp, body: Cursor, ref_names: list[str],
+                 reference: "ExternalRef | None"):
+        self.pres, self.series, self.tag_encs, self.td = comp
+        sc_type, _cid, raw = read_block(body)
+        if sc_type not in (2, 3):
+            raise ValueError(f"expected slice header block, got type {sc_type}")
+        sc = Cursor(raw)
+        self.ref_id = sc.itf8()
+        self.start = sc.itf8()
+        self.span = sc.itf8()
+        self.n_records = sc.itf8()
+        sc.ltf8()  # record counter
+        n_blocks = sc.itf8()
+        sc.arr()  # content ids
+        self.embedded_ref_id = sc.itf8()
+        self.streams: dict[int, Cursor] = {}
+        self.core = BitReader(b"")
+        for _ in range(n_blocks):
+            btype, bcid, braw = read_block(body)
+            if btype == 5:
+                self.core = BitReader(braw)
+            else:
+                self.streams[bcid] = Cursor(braw)
+        self.embed = (
+            bytes(self.streams[self.embedded_ref_id].b)
+            if self.embedded_ref_id >= 0 else None
+        )
+        self.ref_names = ref_names
+        self.reference = reference
+        self.smat = sub_matrix(self.pres["SM"]) if "SM" in self.pres else {}
+
+    # reference base at 1-based position p on the slice's current ref
+    def _ref_bases(self, ref_id: int, lo: int, hi: int) -> str:
+        if self.embed is not None:
+            # lo/hi are 1-based inclusive; embed covers [self.start, ...]
+            return self.embed[lo - self.start: hi - self.start + 1].decode("ascii", "replace")
+        if self.reference is not None:
+            return self.reference.fetch(self.ref_names[ref_id], lo - 1, hi - 1 + 1)
+        if self.pres.get("RR", 1):
+            raise ValueError(
+                "CRAM slice requires reference bases: pass .option('reference', "
+                "'<fasta path>') (a .fai index must exist alongside)"
+            )
+        return "N" * (hi - lo + 1)
+
+    def _get_i(self, key: str) -> int:
+        return self.series[key].get_int(self.streams, self.core)
+
+    def _get_b(self, key: str) -> int:
+        return self.series[key].get_byte(self.streams, self.core)
+
+    def _get_a(self, key: str, n: int | None = None) -> bytes:
+        return self.series[key].get_bytes(self.streams, self.core, n)
+
+    def records(self, want_tags: bool):
+        pres = self.pres
+        last_pos = self.start
+        out = []
+        for _ in range(self.n_records):
+            bf = self._get_i("BF")
+            cf = self._get_i("CF")
+            ri = self._get_i("RI") if self.ref_id == -2 else self.ref_id
+            rl = self._get_i("RL")
+            if pres.get("AP"):
+                last_pos += self._get_i("AP")
+                pos = last_pos
+            else:
+                pos = self._get_i("AP")
+            self._get_i("RG")
+            qname = self._get_a("RN").decode("ascii", "replace") if pres.get("RN") else None
+            mf = ns = np_ = ts = nf = None
+            if cf & 0x2:  # detached mate
+                mf = self._get_i("MF")
+                if not pres.get("RN"):
+                    qname = self._get_a("RN").decode("ascii", "replace")
+                ns = self._get_i("NS")
+                np_ = self._get_i("NP")
+                ts = self._get_i("TS")
+            elif cf & 0x4:  # mate downstream in this slice
+                nf = self._get_i("NF")
+            tl = self._get_i("TL")
+            tags: dict[str, tuple[str, object]] = {}
+            if tl >= 0 and tl < len(self.td):
+                for tag, typ in self.td[tl]:
+                    raw = self.tag_encs[(tag, typ)].get_bytes(self.streams, self.core)
+                    val = decode_tag_value(typ, raw)
+                    if want_tags:
+                        tags[tag] = val
+            # features → cigar + seq
+            cigar = seq = qual = end = mapq = None
+            if not bf & 0x4:
+                feats = []
+                fpos = 0
+                for _ in range(self._get_i("FN")):
+                    fc = chr(self._get_b("FC"))
+                    fpos += self._get_i("FP")
+                    if fc == "X":
+                        payload: object = self._get_i("BS")
+                    elif fc == "i":
+                        payload = chr(self._get_b("BA"))
+                    elif fc == "I":
+                        payload = self._get_a("IN").decode("ascii", "replace")
+                    elif fc == "S":
+                        payload = self._get_a("SC").decode("ascii", "replace")
+                    elif fc in "DNHP":
+                        payload = self._get_i({"D": "DL", "N": "RS", "H": "HC", "P": "PD"}[fc])
+                    elif fc == "B":
+                        payload = (chr(self._get_b("BA")), self._get_b("QS"))
+                    elif fc == "Q":
+                        payload = self._get_b("QS")
+                    elif fc == "b":
+                        payload = self._get_a("BB").decode("ascii", "replace")
+                    else:
+                        raise ValueError(f"unsupported CRAM read feature {fc!r}")
+                    feats.append((fc, fpos, payload))
+                mapq = self._get_i("MQ")
+                cigar, seq, end = self._build(ri, pos, rl, feats)
+            else:
+                if not cf & 0x8:
+                    seq = bytes(self._get_b("BA") for _ in range(rl)).decode("ascii", "replace")
+            if cf & 0x1:
+                qs = self._get_a("QS", rl)
+                if not all(q == 0xFF for q in qs):
+                    qual = "".join(chr(q + 33) for q in qs)
+            if cf & 0x8:
+                seq = None
+            # mate fields
+            rname = self.ref_names[ri] if ri >= 0 else None
+            if cf & 0x2:
+                # restore mate flag bits carried in MF
+                if mf is not None:
+                    bf |= (0x20 if mf & 1 else 0) | (0x8 if mf & 2 else 0)
+                rnext = self.ref_names[ns] if ns is not None and ns >= 0 else None
+                pnext = np_ if rnext is not None else None
+                tlen = ts if ts is not None else 0
+            else:
+                rnext = pnext = None
+                tlen = 0
+            row = [
+                qname if qname != "*" else None,
+                bf, rname, pos if ri >= 0 else None,
+                None if mapq in (None, 255) else mapq,
+                cigar, rnext, pnext, tlen, seq, qual, end,
+            ]
+            out.append((row, tags, nf, rl))
+        # intra-slice mate linking (NF chains): set rnext/pnext/tlen from
+        # the mate record; leftmost gets +tlen, rightmost −tlen
+        for i, (row, _t, nf, _rl) in enumerate(out):
+            if nf is None:
+                continue
+            mate = out[i + nf + 1][0]
+            row[6] = mate[2]
+            row[7] = mate[3]
+            self_end = row[11] or row[3] or 0
+            mate_end = mate[11] or mate[3] or 0
+            lo = min(row[3] or 0, mate[3] or 0)
+            hi = max(self_end, mate_end)
+            span = hi - lo + 1
+            row[8] = span if (row[3] or 0) <= (mate[3] or 0) else -span
+            mate[6] = row[2]
+            mate[7] = row[3]
+            mate[8] = -row[8]
+        return [(row, tags) for row, tags, _nf, _rl in out]
+
+    def _build(self, ri: int, pos: int, rl: int, feats):
+        """Features → (cigar string, sequence, 1-based inclusive end)."""
+        cig: list[list] = []
+        seq: list[str] = []
+        rpos = 0  # read bases emitted
+        refpos = pos  # next reference position (1-based)
+
+        def addc(op: str, n: int):
+            if n <= 0:
+                return
+            if cig and cig[-1][0] == op:
+                cig[-1][1] += n
+            else:
+                cig.append([op, n])
+
+        def copy_ref(n: int):
+            nonlocal refpos, rpos
+            if n <= 0:
+                return
+            seq.extend(self._ref_bases(ri, refpos, refpos + n - 1))
+            addc("M", n)
+            refpos += n
+            rpos += n
+
+        for fc, fp, payload in feats:
+            copy_ref(fp - 1 - rpos)
+            if fc == "X":
+                rb = self._ref_bases(ri, refpos, refpos)
+                seq.append(self.smat.get(rb, {}).get(payload, "N"))
+                addc("M", 1)
+                refpos += 1
+                rpos += 1
+            elif fc == "i":
+                seq.append(payload)
+                addc("I", 1)
+                rpos += 1
+            elif fc == "I":
+                seq.extend(payload)
+                addc("I", len(payload))
+                rpos += len(payload)
+            elif fc == "S":
+                seq.extend(payload)
+                addc("S", len(payload))
+                rpos += len(payload)
+            elif fc == "D":
+                addc("D", payload)
+                refpos += payload
+            elif fc == "N":
+                addc("N", payload)
+                refpos += payload
+            elif fc == "H":
+                addc("H", payload)
+            elif fc == "P":
+                addc("P", payload)
+            elif fc == "B":
+                seq.append(payload[0])
+                addc("M", 1)
+                refpos += 1
+                rpos += 1
+            # 'Q' affects qualities only
+        copy_ref(rl - rpos)
+        cigar = "".join(f"{n}{op}" for op, n in cig) or None
+        return cigar, "".join(seq) or None, refpos - 1 if refpos > pos else None
+
+
+class ExternalRef:
+    """Reference FASTA access via the .fai index (shared faidx helpers)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        fai = path + ".fai"
+        if not os.path.exists(fai):
+            raise ValueError(f"reference FASTA needs a .fai index: {fai}")
+        self.fai = read_fai(fai)
+
+    def fetch(self, name: str, start0: int, end0: int) -> str:
+        return faidx_fetch(self.path, self.fai, name, start0, end0)
+
+
+# ------------------------------------------------------------- DataSource
+
+def read_file_header(path: str) -> tuple[SamHeader, list[str], int]:
+    """Parse the CRAM file definition + first (SAM header) container;
+    returns (header, ref names, offset of the first data container)."""
+    with open(path, "rb") as f:
+        head = f.read(26)
+        if head[:4] != CRAM_MAGIC:
+            raise ValueError("not a CRAM file (bad magic)")
+        major = head[4]
+        if major not in (2, 3):
+            raise ValueError(f"unsupported CRAM major version {major}")
+        c = Cursor(f.read(_HDR_BUF))
+        h = ContainerHeader(c)
+        f.seek(26 + h.body_offset)
+        body = Cursor(f.read(h.length))
+    _t, _cid, raw = read_block(body)
+    (l_text,) = struct.unpack("<i", raw[:4])
+    text = raw[4:4 + l_text].rstrip(b"\x00").decode("utf-8", "replace")
+    hdr = SamHeader.parse([ln for ln in text.splitlines() if ln.startswith("@")])
+    return hdr, list(hdr.chrom_names), 26 + h.body_offset + h.length
+
+
+def scan_containers(path: str, first: int):
+    """Driver-side partition planning: walk container headers without
+    decoding bodies; yields (offset, ref_id, start, span, n_records)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        off = first
+        while off < size:
+            f.seek(off)
+            head = f.read(_HDR_BUF)
+            if len(head) < 8:
+                break
+            c = Cursor(head)
+            h = ContainerHeader(c)
+            if h.is_eof:
+                break
+            yield off, h.ref_id, h.start, h.span, h.n_records
+            off += h.body_offset + h.length
+
+
+class CramPartition(InputPartition):
+    def __init__(self, path: str, offset: int, region: tuple | None = None):
+        self.path = path
+        self.offset = offset
+        self.region = region
+
+
+class CramReader(DataSourceReader):
+    def __init__(self, src: "CramDataSource"):
+        self.paths = src.paths
+        self.names = src.names
+        self.ref_names = src.ref_names
+        self.tag_defs = src.tag_defs
+        self.with_tags = src.tag_defs is not None
+        self.coord_offset = src.coord_offset
+        self.regions = src.regions
+        self.reference_path = src.options.get("reference")
+        self.batch_size = int(src.options.get("batch_size", DEFAULT_BATCH_SIZE))
+        self.limit = int(src.options.get("limit", -1))
+        self.spark_schema = src.spark_schema
+        self._arrow_schema = to_arrow_schema(src.spark_schema)
+        self.first_offsets = src.first_offsets
+
+    def partitions(self):
+        parts: list[CramPartition] = []
+        for path in self.paths:
+            first = self.first_offsets[path]
+            for off, ref_id, start, span, _n in scan_containers(path, first):
+                if self.regions:
+                    for reg in self.regions:
+                        if reg.is_unmapped:
+                            if ref_id == -1:
+                                parts.append(CramPartition(path, off, ("*",)))
+                            continue
+                        if reg.name not in self.ref_names:
+                            continue
+                        rid = self.ref_names.index(reg.name)
+                        # container-level pruning on (ref, start, span)
+                        if ref_id >= 0 and ref_id != rid:
+                            continue
+                        c_lo, c_hi = start - 1, start - 1 + span  # 0-based half-open
+                        if span > 0 and reg.end is not None and c_lo >= reg.end:
+                            continue
+                        if span > 0 and c_hi <= reg.start:
+                            continue
+                        parts.append(
+                            CramPartition(path, off, (reg.name, reg.start, reg.end))
+                        )
+                else:
+                    parts.append(CramPartition(path, off))
+        return parts or [CramPartition(self.paths[0], -1)]
+
+    def _emit(self, rows):
+        cols = list(zip(*rows)) if rows else [[] for _ in self._arrow_schema]
+        arrays = [pa.array(list(c), type=f.type) for c, f in zip(cols, self._arrow_schema)]
+        return pa.RecordBatch.from_arrays(arrays, schema=self._arrow_schema)
+
+    def read(self, part: CramPartition):
+        if part.offset < 0:
+            yield self._emit([])
+            return
+        reference = ExternalRef(self.reference_path) if self.reference_path else None
+        with open(part.path, "rb") as f:
+            f.seek(part.offset)
+            head = f.read(_HDR_BUF)
+            c = Cursor(head)
+            h = ContainerHeader(c)
+            f.seek(part.offset + h.body_offset)
+            body = Cursor(f.read(h.length))
+        ctype, _cid, raw = read_block(body)
+        if ctype != 1:
+            raise ValueError("expected compression header block")
+        comp = parse_comp_header(raw)
+        std_idx = [STANDARD_FIELD_NAMES.index(n) for n in self.names]
+        project = self.names != STANDARD_FIELD_NAMES or self.with_tags
+        rows, n = [], 0
+        while body.p < len(body.b):
+            dec = SliceDecoder(comp, body, self.ref_names, reference)
+            for row, tags in dec.records(self.with_tags):
+                if part.region is not None:
+                    if part.region[0] == "*":
+                        if row[2] is not None:
+                            continue
+                    else:
+                        nm, s0, e0 = part.region
+                        if row[2] != nm or row[3] is None:
+                            continue
+                        rec_end = row[11] if row[11] is not None else row[3]
+                        if e0 is not None and row[3] - 1 >= e0:
+                            continue
+                        if rec_end <= s0:
+                            continue
+                if self.coord_offset:
+                    for i in (3, 7):
+                        if row[i] is not None:
+                            row[i] += self.coord_offset
+                out = [row[i] for i in std_idx] if project else row
+                if self.with_tags:
+                    out = list(out) + [{
+                        d.name: (d.parse(*tags[d.name]) if d.name in tags else None)
+                        for d in self.tag_defs
+                    }]
+                rows.append(out)
+                n += 1
+                if len(rows) >= self.batch_size:
+                    yield self._emit(rows)
+                    rows = []
+                if 0 <= self.limit <= n:
+                    break
+            if 0 <= self.limit <= n:
+                break
+        yield self._emit(rows)
+
+
+_TAG_CODE = {"c": "i", "C": "i", "s": "i", "S": "i", "i": "i", "I": "i",
+             "f": "f", "A": "A", "Z": "Z", "H": "H"}
+
+
+class CramDataSource(DataSource):
+    NATIVE_CS = "11"
+
+    @classmethod
+    def name(cls) -> str:
+        return "cram"
+
+    def __init__(self, options: dict):
+        super().__init__(options)
+        self.paths = resolve_paths(options.get("path"))
+        self.names = select_fields(STANDARD_FIELD_NAMES, options.get("fields"))
+        requested = options.get("coords", self.NATIVE_CS)
+        self.coord_offset = _coords.start_offset(self.NATIVE_CS, requested)
+        self.regions = _coords.parse_regions(
+            options.get("regions"), options.get("region_cs", self.NATIVE_CS)
+        )
+        self.first_offsets: dict[str, int] = {}
+        hdr = None
+        names: list[str] = []
+        for p in self.paths:
+            hdr, names, first = read_file_header(p)
+            self.first_offsets[p] = first
+        self.sam_header = hdr
+        self.ref_names = names
+        self.tag_defs = self._tag_defs()
+        fields = [T.StructField(nm, dict(STANDARD_FIELDS)[nm], True) for nm in self.names]
+        if self.tag_defs is not None:
+            fields.append(T.StructField("tags", tags_struct(self.tag_defs)))
+        self.spark_schema = T.StructType(fields)
+
+    def header(self) -> SamHeader:
+        return self.sam_header
+
+    def _tag_defs(self) -> list[TagDef] | None:
+        explicit = self.options.get("tag_defs")
+        if explicit:
+            return [TagDef(*spec.strip().split(":", 1)) for spec in explicit.split(",")]
+        if not self.options.get("tags"):
+            return None
+        # tag discovery = the TD dictionaries in container compression
+        # headers (driver-side header walk; no record decode)
+        order: list[str] = []
+        codes: dict[str, str] = {}
+        for p in self.paths:
+            with open(p, "rb") as f:
+                for off, *_ in scan_containers(p, self.first_offsets[p]):
+                    f.seek(off)
+                    head = f.read(_HDR_BUF)
+                    c = Cursor(head)
+                    h = ContainerHeader(c)
+                    f.seek(off + h.body_offset)
+                    body = Cursor(f.read(h.length))
+                    ctype, _cid, raw = read_block(body)
+                    if ctype != 1:
+                        continue
+                    _pres, _series, _tag_encs, td = parse_comp_header(raw)
+                    for line in td:
+                        for tag, typ in line:
+                            if tag not in codes:
+                                order.append(tag)
+                                codes[tag] = _TAG_CODE.get(typ, "Z")
+        return [TagDef(nm, codes[nm]) for nm in order]
+
+    def schema(self) -> T.StructType:
+        return self.spark_schema
+
+    def reader(self, schema: T.StructType) -> CramReader:
+        return CramReader(self)

@@ -9,6 +9,7 @@ def register_all(spark: SparkSession) -> None:
     from oxbow_spark.sources.bam import BamDataSource
     from oxbow_spark.sources.bbi import BigBedDataSource, BigWigDataSource
     from oxbow_spark.sources.bcf import BcfDataSource
+    from oxbow_spark.sources.cram import CramDataSource
     from oxbow_spark.sources.bed import BedDataSource
     from oxbow_spark.sources.gxf import GffDataSource, GtfDataSource
     from oxbow_spark.sources.sam import SamDataSource
@@ -18,6 +19,7 @@ def register_all(spark: SparkSession) -> None:
     for src in (
         BedDataSource, GtfDataSource, GffDataSource,
         SamDataSource, VcfDataSource, FastaDataSource, FastqDataSource,
-        BamDataSource, BcfDataSource, BigWigDataSource, BigBedDataSource,
+        BamDataSource, BcfDataSource, CramDataSource,
+        BigWigDataSource, BigBedDataSource,
     ):
         spark.dataSource.register(src)

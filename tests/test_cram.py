@@ -1,0 +1,135 @@
+"""CRAM DataSource: decode parity vs the SAM source on the reference
+fixture (same records: `fixtures/sample.sam` ↔ `fixtures/sample.cram`),
+region/projection/coords options, and the rANS 4x8 codec."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from oxbow_spark.sources.cram import rans4x8_decode
+
+FIX = "/root/reference/fixtures"
+
+
+@pytest.fixture(scope="module")
+def gspark(spark):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    return spark
+
+
+def test_cram_matches_sam(gspark):
+    cram = sorted(tuple(r) for r in
+                  gspark.read.format("cram").load(f"{FIX}/sample.cram").collect())
+    sam = sorted(tuple(r) for r in
+                 gspark.read.format("sam").load(f"{FIX}/sample.sam").collect())
+    assert cram == sam
+    assert len(cram) == 3
+
+
+def test_cram_region_pushdown(gspark):
+    df = gspark.read.format("cram").option("regions", "chr1:25-40").load(
+        f"{FIX}/sample.cram")
+    names = sorted(r.qname for r in df.collect())
+    # r004 spans 16-40, r003 spans 29-33; r001 is on chr2
+    assert names == ["r003", "r004"]
+    # container-level pruning: chr2-only region must not read the chr1 container
+    df2 = gspark.read.format("cram").option("regions", "chr2:1-50").load(
+        f"{FIX}/sample.cram")
+    assert [r.qname for r in df2.collect()] == ["r001"]
+
+
+def test_cram_projection_and_coords(gspark):
+    df = (
+        gspark.read.format("cram")
+        .option("fields", "qname,rname,pos,end")
+        .option("coords", "01")
+        .load(f"{FIX}/sample.cram")
+    )
+    assert df.columns == ["qname", "rname", "pos", "end"]
+    got = {r.qname: (r.pos, r.end) for r in df.collect()}
+    # starts shift by exactly -1 under "01"; ends never shift
+    assert got["r004"] == (15, 40)
+    assert got["r003"] == (28, 33)
+    assert got["r001"] == (36, 45)
+
+
+def test_cram_tags_scan(gspark):
+    df = gspark.read.format("cram").option("tags", "scan").load(
+        f"{FIX}/sample.cram")
+    assert "tags" in df.columns
+    rows = df.select("tags").collect()
+    # samtools records its cram flags in a cF:C aux tag on every record
+    assert all(r.tags.cF == 3 for r in rows)
+
+
+def test_cram_limit(gspark):
+    df = gspark.read.format("cram").option("limit", "1").load(f"{FIX}/sample.cram")
+    # limit applies per partition (container); 2 containers → ≤ 2 rows
+    assert df.count() <= 2
+
+
+def _rans0_encode(data: bytes) -> bytes:
+    """Minimal rANS 4x8 order-0 encoder (test-side oracle for the decoder):
+    frequencies normalized to 4096, 4 interleaved states, bytes encoded in
+    reverse, renormalizing 8 bits at a time below 1<<23."""
+    n = len(data)
+    counts = [0] * 256
+    for b in data:
+        counts[b] += 1
+    # normalize to 4096 keeping every present symbol >= 1
+    total = sum(counts)
+    freq = [0] * 256
+    acc = 0
+    present = [s for s in range(256) if counts[s]]
+    for s in present:
+        freq[s] = max(1, (counts[s] * 4096) // total)
+        acc += freq[s]
+    freq[present[0]] += 4096 - acc  # dump remainder on first symbol
+    cum = [0] * 257
+    for i in range(256):
+        cum[i + 1] = cum[i] + freq[i]
+
+    # frequency table serialization: every symbol explicit (rle byte is
+    # mandatory whenever sym == last+1 — emitted as 0), 1-2 byte freqs
+    tbl = bytearray()
+    last = None
+    for s in present:
+        tbl.append(s)
+        if last is not None and s == last + 1:
+            tbl.append(0)
+        f = freq[s]
+        if f >= 0x80:
+            tbl += bytes([0x80 | (f >> 8), f & 0xFF])
+        else:
+            tbl.append(f)
+        last = s
+    tbl.append(0)
+
+    R = [1 << 23] * 4
+    out = bytearray()
+    for i in range(n - 1, -1, -1):
+        j = i & 3
+        s = data[i]
+        f, cm = freq[s], cum[s]
+        x = R[j]
+        x_max = ((1 << 31) >> 12) * f  # renorm bound: keep x < f * 2^(31-12)
+        while x >= x_max:
+            out.append(x & 0xFF)
+            x >>= 8
+        R[j] = ((x // f) << 12) + (x % f) + cm
+    states = b"".join(struct.pack("<I", R[j]) for j in range(4))
+    payload = states + bytes(reversed(out))
+    return bytes([0]) + struct.pack("<I", len(payload)) + struct.pack("<I", n) + bytes(tbl) + payload
+
+
+@pytest.mark.parametrize("data", [
+    b"hello hello hello rANS rANS rANS" * 20,
+    bytes(range(97, 105)) * 513,
+    b"A" * 4096,
+])
+def test_rans4x8_order0_roundtrip(data):
+    assert rans4x8_decode(_rans0_encode(data)) == data
