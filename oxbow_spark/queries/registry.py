@@ -733,6 +733,68 @@ FROM scored WHERE cos >= {_EMB_NEARDUP_T}
 """
 
 
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate via ROLLUP (flag → flag+status → grand
+    total) — single shuffle; Catalyst expands grouping sets map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n", "sum_qty",
+        )
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       COALESCE(l_linestatus, '(all)') AS linestatus,
+       COUNT(*) AS n, {_xsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: suppliers with at least one line shipped in the
+    window. Semi joins never duplicate the left side, so the output stays
+    supplier-sized regardless of lineitem fan-in."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(
+        li, supp.s_suppkey == li.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+SEMI_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey
+    AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-02-01'
+)
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never placed an order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
 _SESSION_GAP_S = 1800
 
 
@@ -889,6 +951,9 @@ QUERIES: list[Query] = [
     Query("sim_topk_cosine", sim_topk_cosine, _topk_sql(), bench=True),
     Query("sim_topk_lsh", sim_topk_lsh, _topk_lsh_sql(), bench=True),
     Query("dedup_embedding_cosine", dedup_embedding_cosine, _embcos_sql()),
+    Query("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
+    Query("semi_join_suppliers", semi_join_suppliers, SEMI_SQL),
+    Query("anti_join_customers", anti_join_customers, ANTI_SQL),
     Query("sessionize_events", sessionize_events, SESSIONIZE_SQL, bench=True),
     Query("mm_sniff_docs", mm_sniff_docs, MM_SNIFF_SQL),
     Query("mm_decode_image_docs", mm_decode_image_docs, MM_DECODE_SQL, bench=True),
