@@ -31,6 +31,8 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.pandas.types import to_arrow_schema
 
+from oxbow_spark.sources.pushdown import region_from_filters
+
 from oxbow_spark import coords as _coords
 from oxbow_spark.models.sam_header import (
     STANDARD_FIELD_NAMES,
@@ -190,6 +192,16 @@ class BamReader(DataSourceReader):
         self._arrow_schema = to_arrow_schema(self.codec_schema)
 
     # -- planning ---------------------------------------------------------
+    def pushFilters(self, filters):
+        """Translate (rname =, pos range) conjuncts into an index-pruning
+        region; every filter is returned unsupported so Spark re-applies
+        the exact predicate after the (over-approximate) pruned scan."""
+        if not self.regions:
+            reg = region_from_filters(filters, "rname", "pos", self.coord_offset)
+            if reg is not None:
+                self.regions = [reg]
+        return filters
+
     def partitions(self):
         parts: list[BamPartition] = []
         for path in self.paths:

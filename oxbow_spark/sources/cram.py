@@ -48,6 +48,7 @@ from oxbow_spark.models.sam_header import (
     tags_struct,
 )
 from oxbow_spark.sources.base import DEFAULT_BATCH_SIZE, resolve_paths, select_fields
+from oxbow_spark.sources.pushdown import region_from_filters
 from oxbow_spark.sources.sequence import faidx_fetch, read_fai
 
 CRAM_MAGIC = b"CRAM"
@@ -765,6 +766,15 @@ class CramReader(DataSourceReader):
         self.spark_schema = src.spark_schema
         self._arrow_schema = to_arrow_schema(src.spark_schema)
         self.first_offsets = src.first_offsets
+
+    def pushFilters(self, filters):
+        """(rname =, pos range) conjuncts → container-pruning region; all
+        filters stay residual (Spark re-applies them post-scan)."""
+        if not self.regions:
+            reg = region_from_filters(filters, "rname", "pos", self.coord_offset)
+            if reg is not None:
+                self.regions = [reg]
+        return filters
 
     def partitions(self):
         parts: list[CramPartition] = []

@@ -1,0 +1,72 @@
+"""Filter → genomic-region pushdown for Python DataSources.
+
+Spark 4's Python DataSource API hands the reader the query's filter
+conjuncts (`DataSourceReader.pushFilters`). We translate the
+(chrom-equality, start-range) conjuncts into a query `Region` used for
+index-chunk / container pruning in `partitions()` — the automatic
+counterpart of the explicit ``regions`` option, mirroring how the
+reference's range queries drive its index (`SURVEY` F1). Every filter is
+returned to Spark as *unsupported* so the full predicate is re-applied
+post-scan: pruning stays an over-approximation + residual re-check, so
+correctness never depends on pushdown precision (reference analog:
+`batch_iterator/query.rs:142-159`).
+
+A filter on the start column alone (e.g. ``pos < N``) selects records
+*starting* in the range — a subset of records *overlapping* it — so
+index pruning with the derived region is a superset read, which the
+residual filter then narrows. Filters over other columns are ignored
+(they prune nothing but still re-check)."""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from oxbow_spark.coords import Region
+
+
+def region_from_filters(
+    filters,
+    chrom_col: str,
+    start_col: str,
+    coord_offset: int,
+) -> Region | None:
+    """Derive a pruning Region from filter conjuncts, or None.
+
+    ``coord_offset`` is the shift the source applies to emitted starts
+    (requested − native); filter values arrive in the requested rendering
+    and convert back to native (1-based) before building the 0-based
+    Region."""
+    chrom = None
+    lo = None  # native 1-based inclusive lower bound on start
+    hi = None  # native 1-based exclusive upper bound on start
+    _RANGE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+    for f in filters:
+        if not isinstance(f, _RANGE):
+            continue  # IsNotNull etc: no value; prunes nothing
+        attr = f.attribute[-1] if isinstance(f.attribute, tuple) else f.attribute
+        if isinstance(f, EqualTo) and attr == chrom_col and isinstance(f.value, str):
+            chrom = f.value
+        elif attr == start_col and isinstance(f.value, int):
+            native = f.value - coord_offset
+            if isinstance(f, GreaterThan):
+                lo = max(lo or 0, native + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                lo = max(lo or 0, native)
+            elif isinstance(f, LessThan):
+                hi = min(hi, native) if hi is not None else native
+            elif isinstance(f, LessThanOrEqual):
+                hi = min(hi, native + 1) if hi is not None else native + 1
+            elif isinstance(f, EqualTo):
+                lo = max(lo or 0, native)
+                hi = min(hi, native + 1) if hi is not None else native + 1
+    if chrom is None:
+        return None
+    start0 = max((lo or 1) - 1, 0)
+    end0 = hi - 1 if hi is not None else None
+    return Region(chrom, start0, end0)
