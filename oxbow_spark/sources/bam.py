@@ -192,16 +192,6 @@ class BamReader(DataSourceReader):
         self._arrow_schema = to_arrow_schema(self.codec_schema)
 
     # -- planning ---------------------------------------------------------
-    def pushFilters(self, filters):
-        """Translate (rname =, pos range) conjuncts into an index-pruning
-        region; every filter is returned unsupported so Spark re-applies
-        the exact predicate after the (over-approximate) pruned scan."""
-        if not self.regions:
-            reg = region_from_filters(filters, "rname", "pos", self.coord_offset)
-            if reg is not None:
-                self.regions = [reg]
-        return filters
-
     def partitions(self):
         parts: list[BamPartition] = []
         for path in self.paths:
@@ -300,6 +290,22 @@ class BamReader(DataSourceReader):
                 yield self._emit(rows)
 
 
+class PushdownBamReader(BamReader):
+    """BamReader + automatic filter→region pushdown; only planned on
+    sessions with spark.sql.python.filterPushdown.enabled (see
+    sources/pushdown.py)."""
+
+    def pushFilters(self, filters):
+        """Translate (rname =, pos range) conjuncts into an index-pruning
+        region; every filter is returned unsupported so Spark re-applies
+        the exact predicate after the (over-approximate) pruned scan."""
+        if not self.regions:
+            reg = region_from_filters(filters, "rname", "pos", self.coord_offset)
+            if reg is not None:
+                self.regions = [reg]
+        return filters
+
+
 class BamDataSource(DataSource):
     NATIVE_CS = "11"
 
@@ -358,4 +364,6 @@ class BamDataSource(DataSource):
         return self.spark_schema
 
     def reader(self, schema: T.StructType) -> BamReader:
-        return BamReader(self)
+        from oxbow_spark.sources.pushdown import pushdown_enabled
+
+        return PushdownBamReader(self) if pushdown_enabled() else BamReader(self)

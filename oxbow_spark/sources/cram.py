@@ -767,15 +767,6 @@ class CramReader(DataSourceReader):
         self._arrow_schema = to_arrow_schema(src.spark_schema)
         self.first_offsets = src.first_offsets
 
-    def pushFilters(self, filters):
-        """(rname =, pos range) conjuncts → container-pruning region; all
-        filters stay residual (Spark re-applies them post-scan)."""
-        if not self.regions:
-            reg = region_from_filters(filters, "rname", "pos", self.coord_offset)
-            if reg is not None:
-                self.regions = [reg]
-        return filters
-
     def partitions(self):
         parts: list[CramPartition] = []
         for path in self.paths:
@@ -867,6 +858,21 @@ class CramReader(DataSourceReader):
         yield self._emit(rows)
 
 
+class PushdownCramReader(CramReader):
+    """CramReader + automatic filter→region pushdown; only planned on
+    sessions with spark.sql.python.filterPushdown.enabled (see
+    sources/pushdown.py)."""
+
+    def pushFilters(self, filters):
+        """(rname =, pos range) conjuncts → container-pruning region; all
+        filters stay residual (Spark re-applies them post-scan)."""
+        if not self.regions:
+            reg = region_from_filters(filters, "rname", "pos", self.coord_offset)
+            if reg is not None:
+                self.regions = [reg]
+        return filters
+
+
 _TAG_CODE = {"c": "i", "C": "i", "s": "i", "S": "i", "i": "i", "I": "i",
              "f": "f", "A": "A", "Z": "Z", "H": "H"}
 
@@ -938,4 +944,6 @@ class CramDataSource(DataSource):
         return self.spark_schema
 
     def reader(self, schema: T.StructType) -> CramReader:
-        return CramReader(self)
+        from oxbow_spark.sources.pushdown import pushdown_enabled
+
+        return PushdownCramReader(self) if pushdown_enabled() else CramReader(self)

@@ -19,6 +19,7 @@ residual filter then narrows. Filters over other columns are ignored
 
 from __future__ import annotations
 
+from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
@@ -28,6 +29,27 @@ from pyspark.sql.datasource import (
 )
 
 from oxbow_spark.coords import Region
+
+
+def pushdown_enabled() -> bool:
+    """True when the session allows Python DataSource filter pushdown.
+
+    Spark REFUSES to plan a reader that defines ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false
+    (DATA_SOURCE_PUSHDOWN_DISABLED), so sources must pick a reader class
+    at plan time: the pushdown subclass only under an enabled session
+    (our session factory enables it), the plain reader otherwise —
+    vanilla sessions keep working, with ``regions`` options as the
+    explicit pushdown path."""
+    try:
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return False
+        return s.conf.get(
+            "spark.sql.python.filterPushdown.enabled", "false"
+        ).lower() == "true"
+    except Exception:
+        return False
 
 
 def region_from_filters(

@@ -75,10 +75,10 @@ def test_cram_filter_pushdown_matches_plain_filter(gspark):
 def test_bam_reader_prunes_partitions():
     """Unit-level: pushFilters derives a region, and partitions() switch
     from whole-file ranges to index-chunk ranges carrying the residual."""
-    from oxbow_spark.sources.bam import BamDataSource
+    from oxbow_spark.sources.bam import BamDataSource, PushdownBamReader
 
     src = BamDataSource({"path": f"{FIX}/sample.bam"})
-    rdr = src.reader(src.spark_schema)
+    rdr = PushdownBamReader(src)
     residual = rdr.pushFilters(
         [EqualTo(("rname",), "chr3"), GreaterThanOrEqual(("pos",), 196950),
          LessThan(("pos",), 196975)]
@@ -88,5 +88,21 @@ def test_bam_reader_prunes_partitions():
     parts = rdr.partitions()
     assert all(p.region is not None and p.region[0] == "chr3" for p in parts)
     # index chunks are tighter than the whole file
-    whole = src.reader(src.spark_schema).partitions()
+    whole = PushdownBamReader(src).partitions()
     assert max(p.vend for p in parts) <= max(w.vend for w in whole)
+
+
+def test_vanilla_session_still_reads(gspark):
+    """A session without spark.sql.python.filterPushdown.enabled must get
+    the plain reader (Spark refuses pushFilters readers otherwise)."""
+    from oxbow_spark.sources.bam import BamDataSource, PushdownBamReader
+
+    src = BamDataSource({"path": f"{FIX}/sample.bam"})
+    gspark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        plain = src.reader(src.spark_schema)
+        assert not isinstance(plain, PushdownBamReader)
+        assert not hasattr(type(plain), "pushFilters") or "pushFilters" not in type(plain).__dict__
+    finally:
+        gspark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    assert isinstance(src.reader(src.spark_schema), PushdownBamReader)
