@@ -78,6 +78,7 @@ class Codec:
     schema: T.StructType = field(default=None)  # type: ignore[assignment]
     coord_offset: int = 0
     start_field_indexes: tuple[int, ...] = ()  # indexes into the FULL row
+    coord_col_names: tuple[str, str] | None = None  # (chrom col, start col)
     project_indexes: tuple[int, ...] | None = None  # None → identity
     meta_anywhere: bool = False  # comment lines legal anywhere (BED/GXF)
     meta_prefixes: tuple[str, ...] = ("#",)
@@ -148,6 +149,7 @@ class TextFormatReader(DataSourceReader):
         self.limit = int(options.get("limit", -1))
         self.partition_bytes = int(options.get("partition_bytes", DEFAULT_PARTITION_BYTES))
         native = options.get("native_cs", "11")
+        self.native_cs = native
         self.regions = _coords.parse_regions(
             options.get("regions"), options.get("region_cs", native)
         )
@@ -193,11 +195,10 @@ class TextFormatReader(DataSourceReader):
         # Spark requires ≥1 partition (a region with no index hits is valid)
         return parts or [LinePartition(self.paths[0], 0, 0, vpos=True)]
 
-    # NOTE: no pushFilters() here — defining it requires
-    # spark.sql.python.filterPushdown.enabled on every session that touches
-    # the source, and the plain text scan gains nothing from filter hints
-    # (Catalyst re-applies all predicates post-scan). The index-backed
-    # sources (BAM/tabix) do their own region pushdown via options.
+    # NOTE: this base class must NOT define pushFilters() — Spark refuses
+    # to plan readers that do when spark.sql.python.filterPushdown.enabled
+    # is off. PushdownTextFormatReader adds it, and the source factory
+    # only instantiates that subclass under an enabled session.
 
     def _row_passes(self, row: list) -> bool:
         if not self.regions:
@@ -263,6 +264,27 @@ class TextFormatReader(DataSourceReader):
             yield self._emit(rows)
 
 
+class PushdownTextFormatReader(TextFormatReader):
+    """TextFormatReader + automatic filter→region pushdown for codecs
+    that declare their (chrom, start) output columns. Tabix-indexed
+    BGZF inputs prune to index chunks; plain text still short-circuits
+    the residual row check. Only planned on sessions with
+    spark.sql.python.filterPushdown.enabled (see sources/pushdown.py)."""
+
+    def pushFilters(self, filters):
+        from oxbow_spark.sources.pushdown import region_from_filters
+
+        cols = self.codec.coord_col_names
+        if cols and not self.regions:
+            reg = region_from_filters(
+                filters, cols[0], cols[1],
+                self.codec.coord_offset, self.native_cs,
+            )
+            if reg is not None:
+                self.regions = [reg]
+        return filters
+
+
 class TextFormatSource(DataSource):
     """Base DataSource; subclasses implement ``_codec()`` and ``name()``."""
 
@@ -293,9 +315,12 @@ class TextFormatSource(DataSource):
         return self.codec().schema
 
     def reader(self, schema: T.StructType) -> TextFormatReader:
+        from oxbow_spark.sources.pushdown import pushdown_enabled
+
         opts = dict(self.options)
         opts["native_cs"] = self.NATIVE_CS
-        return TextFormatReader(self.codec(), self.paths, opts)
+        cls = PushdownTextFormatReader if pushdown_enabled() else TextFormatReader
+        return cls(self.codec(), self.paths, opts)
 
 
 def select_fields(all_names: list[str], fields_opt: str | None) -> list[str]:

@@ -321,6 +321,24 @@ class BbiReader(DataSourceReader):
             bbi.close()
 
 
+class PushdownBbiReader(BbiReader):
+    """BbiReader + automatic filter→region pushdown (R-tree block
+    pruning); only planned on sessions with
+    spark.sql.python.filterPushdown.enabled (see sources/pushdown.py).
+    BBI starts are natively 0-based."""
+
+    def pushFilters(self, filters):
+        from oxbow_spark.sources.pushdown import region_from_filters
+
+        if not self.regions:
+            reg = region_from_filters(
+                filters, "chrom", "start", self.coord_offset, native_cs="01"
+            )
+            if reg is not None:
+                self.regions = [reg]
+        return filters
+
+
 class _BbiSource(DataSource):
     NATIVE_CS = "01"
     KIND = "wig"
@@ -342,7 +360,9 @@ class _BbiSource(DataSource):
         return self.spark_schema
 
     def reader(self, schema):
-        return BbiReader(self)
+        from oxbow_spark.sources.pushdown import pushdown_enabled
+
+        return PushdownBbiReader(self) if pushdown_enabled() else BbiReader(self)
 
     # metadata introspection (SURVEY M1/M4)
     def chrom_sizes(self) -> dict[str, int]:

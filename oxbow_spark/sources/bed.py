@@ -57,6 +57,7 @@ class BedDataSource(TextFormatSource):
             bed_schema=bs,
             project_indexes=None if list(proj) == list(range(len(bs.field_names))) else proj,
             start_field_indexes=start_idx,
+            coord_col_names=("chrom", "start"),
             meta_anywhere=True,
             meta_prefixes=_META,
         )

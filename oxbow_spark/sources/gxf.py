@@ -114,6 +114,7 @@ class _GxfSource(TextFormatSource):
             with_attrs=defs is not None,
             project_indexes=None if list(proj) == list(range(len(layout))) else proj,
             start_field_indexes=(3,),
+            coord_col_names=("seqid", "start"),
             meta_anywhere=True,
             meta_prefixes=("#",),
         )

@@ -57,16 +57,18 @@ def region_from_filters(
     chrom_col: str,
     start_col: str,
     coord_offset: int,
+    native_cs: str = "11",
 ) -> Region | None:
     """Derive a pruning Region from filter conjuncts, or None.
 
     ``coord_offset`` is the shift the source applies to emitted starts
     (requested − native); filter values arrive in the requested rendering
-    and convert back to native (1-based) before building the 0-based
-    Region."""
+    and convert back to native before building the 0-based Region.
+    ``native_cs`` says whether native starts are 1-based ("11",
+    SAM/VCF/GFF) or 0-based ("01", BED/BBI)."""
     chrom = None
-    lo = None  # native 1-based inclusive lower bound on start
-    hi = None  # native 1-based exclusive upper bound on start
+    lo = None  # native inclusive lower bound on start
+    hi = None  # native exclusive upper bound on start
     _RANGE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
     for f in filters:
         if not isinstance(f, _RANGE):
@@ -89,6 +91,7 @@ def region_from_filters(
                 hi = min(hi, native + 1) if hi is not None else native + 1
     if chrom is None:
         return None
-    start0 = max((lo or 1) - 1, 0)
-    end0 = hi - 1 if hi is not None else None
+    base = 1 if native_cs == "11" else 0
+    start0 = max((lo if lo is not None else base) - base, 0)
+    end0 = hi - base if hi is not None else None
     return Region(chrom, start0, end0)

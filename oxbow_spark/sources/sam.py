@@ -138,6 +138,7 @@ class SamDataSource(TextFormatSource):
             with_tags=defs is not None,
             project_indexes=None if list(proj) == list(range(len(layout))) else proj,
             start_field_indexes=(3, 7),  # pos, pnext
+            coord_col_names=("rname", "pos"),
             meta_anywhere=False,
             meta_prefixes=("@",),
         )

@@ -185,6 +185,7 @@ class VcfDataSource(TextFormatSource):
             samples_nested=nested,
             project_indexes=None if list(proj) == list(range(len(layout))) else proj,
             start_field_indexes=(1,),
+            coord_col_names=("chrom", "pos"),
             meta_anywhere=False,
             meta_prefixes=("#",),
         )

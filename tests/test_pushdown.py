@@ -92,6 +92,54 @@ def test_bam_reader_prunes_partitions():
     assert max(p.vend for p in parts) <= max(w.vend for w in whole)
 
 
+def test_bed_filter_pushdown_native01(gspark):
+    """BED starts are natively 0-based: the derived region must not apply
+    the 1-based −1 shift."""
+    bed = f"{FIX}/sample.bed"
+    base = gspark.read.format("bed").option("bed_schema", "bed6").load(bed)
+    allr = base.collect()
+    from collections import Counter
+
+    chrom = Counter(r.chrom for r in allr).most_common(1)[0][0]
+    starts = sorted(r.start for r in allr if r.chrom == chrom)
+    lo, hi = starts[0], starts[len(starts) // 2] + 1
+    pushed = base.filter(
+        (F.col("chrom") == chrom) & (F.col("start") >= lo) & (F.col("start") < hi)
+    ).collect()
+    expect = [r for r in allr if r.chrom == chrom and lo <= r.start < hi]
+    assert sorted((r.chrom, r.start, r.end) for r in pushed) == sorted(
+        (r.chrom, r.start, r.end) for r in expect
+    )
+    assert pushed
+
+
+def test_vcf_filter_pushdown(gspark):
+    vcf = f"{FIX}/sample.vcf"
+    base = gspark.read.format("vcf").load(vcf)
+    allr = base.select("chrom", "pos").collect()
+    chrom = allr[0].chrom
+    mx = max(r.pos for r in allr if r.chrom == chrom)
+    pushed = base.filter((F.col("chrom") == chrom) & (F.col("pos") <= mx)).count()
+    expect = sum(1 for r in allr if r.chrom == chrom and r.pos <= mx)
+    assert pushed == expect > 0
+
+
+def test_text_reader_derives_region_unit():
+    from oxbow_spark.sources.base import PushdownTextFormatReader
+    from oxbow_spark.sources.bed import BedDataSource
+
+    src = BedDataSource({"path": f"{FIX}/sample.bed", "bed_schema": "bed6"})
+    opts = dict(src.options)
+    opts["native_cs"] = src.NATIVE_CS
+    rdr = PushdownTextFormatReader(src.codec(), src.paths, opts)
+    rdr.pushFilters([EqualTo(("chrom",), "chr1"),
+                     GreaterThanOrEqual(("start",), 100),
+                     LessThan(("start",), 200)])
+    assert rdr.regions and rdr.regions[0].name == "chr1"
+    # native "01": no ±1 shift
+    assert (rdr.regions[0].start, rdr.regions[0].end) == (100, 200)
+
+
 def test_vanilla_session_still_reads(gspark):
     """A session without spark.sql.python.filterPushdown.enabled must get
     the plain reader (Spark refuses pushFilters readers otherwise)."""
