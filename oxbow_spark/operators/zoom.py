@@ -81,3 +81,68 @@ def zoom_aggregate(
             "sum_squares",
         )
     )
+
+
+# --------------------------------------------------------- materialized levels
+
+def materialize_zoom_levels(
+    df: DataFrame,
+    path: str,
+    resolutions: list[int],
+    mode: str = "overwrite",
+    **agg_kwargs,
+) -> None:
+    """Write one parquet zoom table per resolution under ``path/zoom=<r>``
+    — the Spark mirror of the BBI file's embedded zoom-level hierarchy
+    (each level computed from the raw signal, not re-reduced, so exact-sum
+    determinism holds at every level). Typical ladder: each level 4× the
+    previous, mirroring BigWig writer defaults."""
+    for r in resolutions:
+        zoom_aggregate(df, r, **agg_kwargs).write.mode(mode).parquet(
+            f"{path}/zoom={r}"
+        )
+
+
+def best_zoom_level(available: list[int], requested: int) -> int | None:
+    """The level the reference's zoom selection would pick: the coarsest
+    resolution ≤ requested (i.e. at least as fine as asked), or None when
+    every level is coarser (caller falls back to the raw signal) —
+    matching BBI reduction-level selection
+    (`py-oxbow/oxbow/_core/bbi.py:42-66`)."""
+    fits = [r for r in available if r <= requested]
+    return max(fits) if fits else None
+
+
+def read_zoom(
+    spark, path: str, resolution: int, available: list[int]
+) -> DataFrame | None:
+    """Load the best materialized zoom table for ``resolution``, rebinned
+    to exactly ``resolution`` when a finer level was chosen. Returns None
+    when no level fits (caller aggregates the raw table instead).
+
+    Re-binning sums ``sum``/``sum_squares``/``bases_covered`` and
+    min/maxes the extrema — exact because bins nest when resolutions
+    divide evenly (the 4× ladder guarantees it)."""
+    lvl = best_zoom_level(available, resolution)
+    if lvl is None:
+        return None
+    z = spark.read.parquet(f"{path}/zoom={lvl}")
+    if lvl == resolution:
+        return z
+    b = F.floor(F.col("start") / F.lit(resolution))
+    return (
+        z.groupBy("chrom", b.alias("_bin"))
+        .agg(
+            F.sum("bases_covered").alias("bases_covered"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            exact_sum(F.col("sum"), "sum"),
+            exact_sum(F.col("sum_squares"), "sum_squares"),
+        )
+        .select(
+            "chrom",
+            (F.col("_bin") * resolution).cast("bigint").alias("start"),
+            ((F.col("_bin") + 1) * resolution).cast("bigint").alias("end"),
+            "bases_covered", "min", "max", "sum", "sum_squares",
+        )
+    )

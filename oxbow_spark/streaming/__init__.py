@@ -2,5 +2,6 @@ from oxbow_spark.streaming.ops import (  # noqa: F401
     events_stream,
     run_available_now,
     sessionize_state,
+    stream_dedup,
     stream_zoom,
 )

@@ -85,6 +85,18 @@ def stream_zoom(events: DataFrame, resolution: str = "1 hour",
     )
 
 
+def stream_dedup(events: DataFrame, watermark: str = "1 hour",
+                 keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key, with
+    state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — duplicates arriving within the
+    watermark window are dropped, state older than it is evicted). The
+    streaming twin of ``operators.dedup.exact_dedup`` for ingestion-time
+    dedup of training-data feeds."""
+    e = _event_time(events).withWatermark("etime", watermark)
+    return e.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
 _SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("session_start_us", LongType()),
