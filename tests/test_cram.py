@@ -133,3 +133,104 @@ def _rans0_encode(data: bytes) -> bytes:
 ])
 def test_rans4x8_order0_roundtrip(data):
     assert rans4x8_decode(_rans0_encode(data)) == data
+
+
+def _norm_freqs(counts: dict[int, int]) -> list[int]:
+    freq = [0] * 256
+    total = sum(counts.values())
+    present = sorted(counts)
+    acc = 0
+    for s in present:
+        freq[s] = max(1, (counts[s] * 4096) // total)
+        acc += freq[s]
+    freq[present[0]] += 4096 - acc
+    return freq
+
+
+def _emit_freq_table(tbl: bytearray, freq: list[int], inner_emit) -> None:
+    """Shared symbol/RLE serialization: for each present symbol, emit the
+    symbol byte (rle byte 0 when consecutive), then `inner_emit(sym)`."""
+    present = [s for s in range(256) if freq[s]]
+    last = None
+    for s in present:
+        tbl.append(s)
+        if last is not None and s == last + 1:
+            tbl.append(0)
+        inner_emit(s)
+        last = s
+    tbl.append(0)
+
+
+def _rans1_encode(data: bytes) -> bytes:
+    """Test-side rANS 4x8 order-1 encoder mirroring the spec's decode
+    order: 4 states own the 4 quarters (state 3 takes the remainder);
+    context = previous byte within the quarter (0 at quarter start);
+    encoding walks the decode sequence in exact reverse so interleaved
+    renormalization bytes land where the decoder reads them."""
+    import struct as _struct
+
+    n = len(data)
+    q = n >> 2
+    starts = [0, q, 2 * q, 3 * q]
+    ends = [q, 2 * q, 3 * q, n]  # state 3 owns the remainder
+
+    def ctx(p: int, j: int) -> int:
+        return 0 if p == starts[j] else data[p - 1]
+
+    # per-context transition counts
+    counts: dict[int, dict[int, int]] = {}
+    for j in range(4):
+        for p in range(starts[j], ends[j]):
+            counts.setdefault(ctx(p, j), {}).setdefault(data[p], 0)
+            counts[ctx(p, j)][data[p]] += 1
+    freqs = {c: _norm_freqs(cs) for c, cs in counts.items()}
+    cums = {}
+    for c, f in freqs.items():
+        cum = [0] * 257
+        for i in range(256):
+            cum[i + 1] = cum[i] + f[i]
+        cums[c] = cum
+
+    # serialize: outer context RLE, inner order-0 table per context
+    tbl = bytearray()
+    ctx_freq = [1 if c in freqs else 0 for c in range(256)]
+
+    def emit_inner(c: int) -> None:
+        def emit_f(s: int) -> None:
+            f = freqs[c][s]
+            if f >= 0x80:
+                tbl.extend([0x80 | (f >> 8), f & 0xFF])
+            else:
+                tbl.append(f)
+        _emit_freq_table(tbl, freqs[c], emit_f)
+
+    _emit_freq_table(tbl, ctx_freq, emit_inner)
+
+    # decode op order: rounds i=0..q-1 with j=0..3, then remainder (state 3)
+    ops = [(j, starts[j] + i) for i in range(q) for j in range(4)]
+    ops += [(3, p) for p in range(4 * q, n)]
+
+    R = [1 << 23] * 4
+    out = bytearray()
+    for j, p in reversed(ops):
+        s = data[p]
+        c = ctx(p, j)
+        f, cm = freqs[c][s], cums[c][s]
+        x = R[j]
+        x_max = ((1 << 31) >> 12) * f
+        while x >= x_max:
+            out.append(x & 0xFF)
+            x >>= 8
+        R[j] = ((x // f) << 12) + (x % f) + cm
+    states = b"".join(_struct.pack("<I", R[j]) for j in range(4))
+    payload = states + bytes(reversed(out))
+    return bytes([1]) + _struct.pack("<I", len(payload)) + _struct.pack("<I", n) + bytes(tbl) + payload
+
+
+@pytest.mark.parametrize("data", [
+    b"the quick brown fox jumps over the lazy dog " * 40,
+    b"AAAABBBBCCCCDDDD" * 300 + b"xyz",   # remainder exercises state 3
+    bytes([65, 67, 71, 84]) * 1000 + b"N",  # DNA-ish with order-1 structure
+])
+def test_rans4x8_order1_roundtrip(data):
+    assert rans4x8_decode(_rans1_encode(data)) == data
