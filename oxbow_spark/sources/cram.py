@@ -239,6 +239,129 @@ def rans4x8_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# ------------------------------------------------------------- rANS Nx16
+
+def _uint7(c: Cursor) -> int:
+    """CRAM 3.1 variable-size uint: 7 bits per byte MSB-first, top bit =
+    continuation."""
+    v = 0
+    while True:
+        b = c.u8()
+        v = (v << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return v
+
+
+def _nx16_read_alphabet(c: Cursor) -> list[int]:
+    syms = []
+    rle = 0
+    sym = c.u8()
+    last = -2
+    while True:
+        syms.append(sym)
+        if rle > 0:
+            rle -= 1
+            sym += 1
+        else:
+            last = sym
+            sym = c.u8()
+            if sym == last + 1:
+                rle = c.u8()
+        if sym == 0 and rle == 0:
+            break
+    return syms
+
+
+def _nx16_unpack(packed: bytes, syms: list[int], n_out: int) -> bytes:
+    """PACK transform inverse: 1/2/4-bit codes → symbol bytes, LSB-first."""
+    nsym = len(syms)
+    out = bytearray(n_out)
+    if nsym <= 1:
+        return bytes([syms[0] if syms else 0]) * n_out
+    if nsym <= 2:
+        bits, per = 1, 8
+    elif nsym <= 4:
+        bits, per = 2, 4
+    else:
+        bits, per = 4, 2
+    mask = (1 << bits) - 1
+    i = 0
+    for b in packed:
+        for _ in range(per):
+            if i >= n_out:
+                break
+            out[i] = syms[b & mask]
+            b >>= bits
+            i += 1
+    return bytes(out)
+
+
+def rans_nx16_decode(data: bytes) -> bytes:
+    """rANS Nx16 (CRAM 3.1) decoder: NOSZ/CAT/PACK transforms + order-0
+    entropy with 4 interleaved 16-bit-renorm states. STRIPE, N32, RLE and
+    order-1 are not implemented (not produced for the data shapes we
+    ingest); they raise with a clear message."""
+    c = Cursor(data)
+    flags = c.u8()
+    order = flags & 1
+    if flags & 0x08:
+        raise NotImplementedError("rANS Nx16 STRIPE transform not implemented")
+    if flags & 0x04:
+        raise NotImplementedError("rANS Nx16 N=32 interleaving not implemented")
+    if flags & 0x40:
+        raise NotImplementedError("rANS Nx16 RLE transform not implemented")
+    if order:
+        raise NotImplementedError("rANS Nx16 order-1 not implemented")
+    n_out = _uint7(c) if not flags & 0x10 else None
+    pack_syms = None
+    n_entropy = n_out
+    if flags & 0x80:  # PACK
+        nsym = c.u8()
+        pack_syms = [c.u8() for _ in range(nsym)]
+        n_entropy = _uint7(c)
+    if flags & 0x20:  # CAT: payload stored raw
+        payload = bytes(c.b[c.p:c.p + (n_entropy if n_entropy is not None else len(c.b) - c.p)])
+    else:
+        # order-0 rANS, 12-bit frequencies normalized to 4096
+        syms = _nx16_read_alphabet(c)
+        raw_f = {s: _uint7(c) for s in syms}
+        tot = sum(raw_f.values()) or 1
+        freq = [0] * 256
+        # proportional renormalization to 4096 (stored tables are already
+        # normalized in practice; rescale defensively, keeping syms >= 1)
+        if tot != 4096:
+            acc = 0
+            for s in syms:
+                freq[s] = max(1, (raw_f[s] * 4096) // tot)
+                acc += freq[s]
+            freq[syms[0]] += 4096 - acc
+        else:
+            for s in syms:
+                freq[s] = raw_f[s]
+        cum = [0] * 257
+        for i in range(256):
+            cum[i + 1] = cum[i] + freq[i]
+        lut = _rans_lookup(freq, cum)
+        R = list(struct.unpack("<4I", c.read(16)))
+        out = bytearray(n_entropy)
+        for i in range(n_entropy):
+            j = i & 3
+            m = R[j] & 0xFFF
+            s = lut[m]
+            out[i] = s
+            R[j] = freq[s] * (R[j] >> 12) + m - cum[s]
+            if R[j] < (1 << 15) and c.p + 1 < len(c.b):
+                (lo,) = struct.unpack_from("<H", c.b, c.p)
+                c.p += 2
+                R[j] = (R[j] << 16) | lo
+        payload = bytes(out)
+    if pack_syms is not None:
+        payload = _nx16_unpack(payload, pack_syms, n_out)
+    if n_out is not None and len(payload) != n_out:
+        raise ValueError(f"rANS Nx16 length mismatch: {len(payload)} != {n_out}")
+    return payload
+
+
 # ----------------------------------------------------------------- blocks
 
 def read_block(c: Cursor) -> tuple[int, int, bytes]:
@@ -265,6 +388,8 @@ def read_block(c: Cursor) -> tuple[int, int, bytes]:
         raw = lzma.decompress(raw)
     elif method == 4:
         raw = rans4x8_decode(raw)
+    elif method == 5:
+        raw = rans_nx16_decode(raw)
     else:
         raise ValueError(f"unsupported CRAM block compression method {method}")
     if len(raw) != rsize:

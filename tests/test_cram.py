@@ -66,6 +66,36 @@ def test_cram_tags_scan(gspark):
     assert all(r.tags.cF == 3 for r in rows)
 
 
+def test_cram31_external_reference(gspark):
+    """sample-ref.cram is CRAM 3.1 (rANS Nx16 blocks, no embedded
+    reference): decoding against sample-ref.fa must equal the SAM twin."""
+    cram = sorted(tuple(r) for r in
+                  gspark.read.format("cram")
+                  .option("reference", f"{FIX}/sample-ref.fa")
+                  .load(f"{FIX}/sample-ref.cram").collect())
+    sam = sorted(tuple(r) for r in
+                 gspark.read.format("sam").load(f"{FIX}/sample-ref.sam").collect())
+    assert cram == sam
+    assert len(cram) == 5
+
+
+def test_cram31_without_reference_raises(gspark):
+    with pytest.raises(Exception, match="reference"):
+        gspark.read.format("cram").load(f"{FIX}/sample-ref.cram").collect()
+
+
+def test_rans_nx16_pack_cat():
+    from oxbow_spark.sources.cram import rans_nx16_decode
+
+    # flags 0xa0 = PACK|CAT; 2 symbols → 1 bit each, LSB-first
+    # output "ABABABAB" (8 bytes) → packed byte 0b01010101 with syms [A,B]
+    blob = bytes([0xA0, 8, 2, ord("A"), ord("B"), 1, 0b10101010])
+    assert rans_nx16_decode(blob) == b"ABABABAB"
+    # constant run: nsym=1 → no payload at all
+    blob = bytes([0xA0, 5, 1, ord("Q"), 0])
+    assert rans_nx16_decode(blob) == b"QQQQQ"
+
+
 def test_cram_limit(gspark):
     df = gspark.read.format("cram").option("limit", "1").load(f"{FIX}/sample.cram")
     # limit applies per partition (container); 2 containers → ≤ 2 rows
