@@ -843,6 +843,40 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def stream_zoom_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming zoom: the events table ingested through the
+    file stream source, watermarked 1-hour tumbling windows, drained with
+    an availableNow trigger — the result must hash-match the same
+    aggregation run as SQL over the static table (complete mode emits
+    every window)."""
+    import re as _re
+
+    from oxbow_spark import streaming as _streaming
+
+    ev = _streaming.events_stream(spark, sf_dir)
+    name = "reg_stream_zoom_" + _re.sub(r"\W", "_", sf_dir)
+    out = _streaming.run_available_now(
+        _streaming.stream_zoom(ev), name, output_mode="complete"
+    )
+    return out.select(
+        "chrom",
+        F.col("start").cast("long").alias("start_s"),
+        "bases_covered", "vmin", "vmax", "vsum", "vsumsq",
+    )
+
+
+STREAM_ZOOM_SQL = f"""
+SELECT event_type AS chrom,
+       ((epoch_us(ts) // 3600000000) * 3600) AS start_s,
+       COUNT(*) AS bases_covered,
+       MIN(value) AS vmin, MAX(value) AS vmax,
+       {_xsum('value')} AS vsum,
+       {_xsum('value * value')} AS vsumsq
+FROM events
+GROUP BY event_type, (epoch_us(ts) // 3600000000) * 3600
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal columns: binary payloads + mapInPandas decode/feature plumbing
 # --------------------------------------------------------------------------
@@ -955,6 +989,7 @@ QUERIES: list[Query] = [
     Query("semi_join_suppliers", semi_join_suppliers, SEMI_SQL),
     Query("anti_join_customers", anti_join_customers, ANTI_SQL),
     Query("sessionize_events", sessionize_events, SESSIONIZE_SQL, bench=True),
+    Query("stream_zoom_events", stream_zoom_events, STREAM_ZOOM_SQL),
     Query("mm_sniff_docs", mm_sniff_docs, MM_SNIFF_SQL),
     Query("mm_decode_image_docs", mm_decode_image_docs, MM_DECODE_SQL, bench=True),
     Query("mm_frame_sample_docs", mm_frame_sample_docs, MM_FRAME_SQL),

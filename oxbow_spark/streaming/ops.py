@@ -66,6 +66,8 @@ def stream_zoom(events: DataFrame, resolution: str = "1 hour",
     per event_type carrying (bases_covered, min, max, sum, sum_squares).
     Mirrors operators.zoom.zoom_aggregate; the watermark lets the state
     store evict closed windows."""
+    from oxbow_spark.operators.zoom import exact_sum
+
     e = _event_time(events).withWatermark("etime", watermark)
     return (
         e.groupBy(F.window("etime", resolution).alias("win"), "event_type")
@@ -73,8 +75,10 @@ def stream_zoom(events: DataFrame, resolution: str = "1 hour",
             F.count(F.lit(1)).alias("bases_covered"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
-            F.sum("value").alias("vsum"),
-            F.sum(F.col("value") * F.col("value")).alias("vsumsq"),
+            # decimal-quantized sums: order-independent across micro-batch
+            # and state-merge orders (oracle-comparable, SURVEY determinism)
+            exact_sum(F.col("value"), "vsum"),
+            exact_sum(F.col("value") * F.col("value"), "vsumsq"),
         )
         .select(
             F.col("event_type").alias("chrom"),
