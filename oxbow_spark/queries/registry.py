@@ -843,6 +843,33 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: JSON path extraction from the
+    events props column (get_json_object stays in codegen) + integer-exact
+    aggregation per event_type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def stream_zoom_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming zoom: the events table ingested through the
     file stream source, watermarked 1-hour tumbling windows, drained with
@@ -990,6 +1017,7 @@ QUERIES: list[Query] = [
     Query("anti_join_customers", anti_join_customers, ANTI_SQL),
     Query("sessionize_events", sessionize_events, SESSIONIZE_SQL, bench=True),
     Query("stream_zoom_events", stream_zoom_events, STREAM_ZOOM_SQL),
+    Query("json_props_events", json_props_events, JSON_PROPS_SQL),
     Query("mm_sniff_docs", mm_sniff_docs, MM_SNIFF_SQL),
     Query("mm_decode_image_docs", mm_decode_image_docs, MM_DECODE_SQL, bench=True),
     Query("mm_frame_sample_docs", mm_frame_sample_docs, MM_FRAME_SQL),

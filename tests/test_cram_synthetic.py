@@ -1,0 +1,178 @@
+"""Synthetic CRAM container built byte-by-byte in the test: covers decode
+paths the reference fixtures never hit — multiref slices (RI series),
+intra-slice mate linking (NF chains), unmapped placed records (BA bases),
+absolute (non-delta) alignment positions, and soft-clip-only CIGARs."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+
+def itf8(v: int) -> bytes:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 0x10000000:
+        return bytes([0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF])
+    return bytes([0xF0 | (v >> 28), (v >> 20) & 0xFF, (v >> 12) & 0xFF,
+                  (v >> 4) & 0xFF, v & 0x0F])
+
+
+def ltf8(v: int) -> bytes:
+    assert 0 <= v < 0x80
+    return bytes([v])
+
+
+def block(ctype: int, cid: int, data: bytes, method: int = 0) -> bytes:
+    body = bytes([method, ctype]) + itf8(cid) + itf8(len(data)) + itf8(len(data)) + data
+    return body + struct.pack("<I", zlib.crc32(body))
+
+
+def external(cid: int) -> bytes:
+    """Series encoding entry value: codec EXTERNAL + params."""
+    params = itf8(cid)
+    return itf8(1) + itf8(len(params)) + params
+
+
+def stop_enc(cid: int, stop: int = 0) -> bytes:
+    params = bytes([stop]) + itf8(cid)
+    return itf8(5) + itf8(len(params)) + params
+
+
+CIDS = {"BF": 1, "CF": 2, "RI": 3, "RL": 4, "AP": 5, "RG": 6, "RN": 7,
+        "NF": 8, "TL": 9, "FN": 10, "FC": 11, "FP": 12, "SC": 13,
+        "MQ": 14, "QS": 15, "BA": 16}
+
+
+def build_cram() -> bytes:
+    sam_text = "@SQ\tSN:chr1\tLN:1000\n@SQ\tSN:chr2\tLN:1000\n"
+
+    def container(ref_id, start, span, nrec, blocks: list[bytes]) -> bytes:
+        body = b"".join(blocks)
+        hdr = (itf8(ref_id) + itf8(start) + itf8(span) + itf8(nrec)
+               + ltf8(0) + ltf8(0) + itf8(len(blocks)) + itf8(1) + itf8(0))
+        hdr += struct.pack("<I", zlib.crc32(hdr))
+        return struct.pack("<i", len(body)) + hdr + body
+
+    # ---- file header container
+    raw = struct.pack("<i", len(sam_text)) + sam_text.encode()
+    fh = container(0, 0, 0, 0, [block(0, 0, raw)])
+
+    # ---- compression header
+    pres = (b"RN" + b"\x01" + b"AP" + b"\x00" + b"RR" + b"\x00"
+            + b"SM" + bytes(5) + b"TD" + itf8(1) + b"\x00")
+    pres_body = itf8(5) + pres  # 5 entries
+    pres_map = itf8(len(pres_body)) + pres_body
+    entries = []
+    for key in ("BF", "CF", "RI", "RL", "AP", "RG", "NF", "TL", "FN",
+                "FC", "FP", "MQ", "QS", "BA"):
+        entries.append(key.encode() + external(CIDS[key]))
+    entries.append(b"RN" + stop_enc(CIDS["RN"]))
+    entries.append(b"SC" + stop_enc(CIDS["SC"]))
+    ser_body = itf8(len(entries)) + b"".join(entries)
+    ser_map = itf8(len(ser_body)) + ser_body
+    tag_body = itf8(0)
+    tag_map = itf8(len(tag_body)) + tag_body
+    comp = block(1, 0, pres_map + ser_map + tag_map)
+
+    # ---- per-series streams (values in decode order across 3 records)
+    # r1: chr1:100 4S read "ACGT", paired, mate downstream (NF=0)
+    # r2: chr2:200 4S read "ACGT", mate of r1 (linked, CF has no mate bits)
+    # r3: unmapped, bases GGGG via BA
+    streams = {
+        "BF": itf8(65) + itf8(145) + itf8(4),
+        "CF": itf8(5) + itf8(1) + itf8(1),
+        "RI": itf8(0) + itf8(1) + itf8(-1),
+        "RL": itf8(4) * 3,
+        "AP": itf8(100) + itf8(200) + itf8(0),
+        "RG": itf8(-1) * 3,
+        "RN": b"p1\x00p1\x00u1\x00",
+        "NF": itf8(0),
+        "TL": itf8(0) * 3,
+        "FN": itf8(1) + itf8(1),
+        "FC": b"SS",
+        "FP": itf8(1) + itf8(1),
+        "SC": b"ACGT\x00TTAA\x00",
+        "MQ": itf8(30) + itf8(30),
+        "QS": bytes([30] * 12),
+        "BA": b"GGGG",
+    }
+    ext_blocks = [block(4, CIDS[k], v) for k, v in streams.items()]
+
+    # ---- slice header (multiref: ref_id = -2)
+    ids = [CIDS[k] for k in streams]
+    sl = (itf8(-2) + itf8(0) + itf8(0) + itf8(3) + ltf8(0)
+          + itf8(len(ext_blocks)) + itf8(len(ids)) + b"".join(itf8(i) for i in ids)
+          + itf8(-1) + bytes(16))
+    slice_hdr = block(2, 0, sl)
+
+    data_ct = container(-2, 0, 0, 3, [comp, slice_hdr] + ext_blocks)
+
+    # ---- EOF container (ref -1, 1 block, nrec 0)
+    eof_blk = block(1, 0, itf8(0) * 3)
+    eof = container(-1, 4542278, 0, 0, [eof_blk])
+
+    return b"CRAM\x03\x00" + bytes(20) + fh + data_ct + eof
+
+
+@pytest.fixture(scope="module")
+def cram_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("syncram") / "synthetic.cram"
+    p.write_bytes(build_cram())
+    return str(p)
+
+
+def test_synthetic_cram_decodes(spark, cram_path):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    rows = {r.qname: r for r in
+            spark.read.format("cram").load(cram_path).collect()}
+    assert set(rows) == {"p1", "u1"}
+
+
+def test_multiref_and_softclip(spark, cram_path):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    got = sorted(
+        (r.rname, r.pos, r.cigar, r.seq)
+        for r in spark.read.format("cram").load(cram_path).collect()
+        if r.qname == "p1"
+    )
+    assert got == [
+        ("chr1", 100, "4S", "ACGT"),
+        ("chr2", 200, "4S", "TTAA"),
+    ]
+
+
+def test_nf_mate_linking(spark, cram_path):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    recs = {(r.rname): r for r in
+            spark.read.format("cram").load(cram_path).collect()
+            if r.qname == "p1"}
+    r1, r2 = recs["chr1"], recs["chr2"]
+    assert (r1.rnext, r1.pnext) == ("chr2", 200)
+    assert (r2.rnext, r2.pnext) == ("chr1", 100)
+    assert r1.tlen == -r2.tlen != 0
+
+
+def test_unmapped_ba_record(spark, cram_path):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    u = [r for r in spark.read.format("cram").load(cram_path).collect()
+         if r.qname == "u1"][0]
+    assert u.rname is None and u.pos is None and u.cigar is None
+    assert u.seq == "GGGG"
+    assert u.flag == 4
+    assert u.qual == "".join(chr(30 + 33) for _ in range(4))
