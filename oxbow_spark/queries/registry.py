@@ -843,6 +843,25 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: exact per-type distinct user counts (Catalyst
+    expands to a two-phase partial-distinct aggregate). The approximate
+    path at 100 TB is the same query with approx_count_distinct (HLL,
+    single pass, no distinct shuffle) — not oracle-comparable, so the
+    exact form is the checked one."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: JSON path extraction from the
     events props column (get_json_object stays in codegen) + integer-exact
@@ -1018,6 +1037,7 @@ QUERIES: list[Query] = [
     Query("sessionize_events", sessionize_events, SESSIONIZE_SQL, bench=True),
     Query("stream_zoom_events", stream_zoom_events, STREAM_ZOOM_SQL),
     Query("json_props_events", json_props_events, JSON_PROPS_SQL),
+    Query("distinct_users_events", distinct_users_events, DISTINCT_SQL),
     Query("mm_sniff_docs", mm_sniff_docs, MM_SNIFF_SQL),
     Query("mm_decode_image_docs", mm_decode_image_docs, MM_DECODE_SQL, bench=True),
     Query("mm_frame_sample_docs", mm_frame_sample_docs, MM_FRAME_SQL),
