@@ -324,13 +324,26 @@ class TextFormatSource(DataSource):
 
 
 def select_fields(all_names: list[str], fields_opt: str | None) -> list[str]:
-    """``fields`` option → projected column list (reference Select::Some;
-    unknown name → error, `alignment/model.rs:169-206`)."""
+    """``fields`` option → projected column list (reference
+    Select::{All,Some,Omit}, `oxbow/src/lib.rs:76-84`): ``*``/empty → All;
+    names → Some; ``-``-prefixed names → Omit (keep everything else).
+    Mixing omit and keep forms is an error; unknown name → error
+    (`alignment/model.rs:169-206`)."""
     if not fields_opt or fields_opt.strip() in ("*", ""):
         return list(all_names)
+    parts = [f.strip() for f in fields_opt.split(",") if f.strip()]
+    omits = [p[1:].strip() for p in parts if p.startswith("-")]
+    if omits:
+        if len(omits) != len(parts):
+            raise ValueError(
+                f"fields must be all kept names or all '-'-prefixed omissions: {fields_opt!r}"
+            )
+        for f in omits:
+            if f not in all_names:
+                raise ValueError(f"unknown field {f!r}; available: {all_names}")
+        return [n for n in all_names if n not in omits]
     out = []
-    for f in fields_opt.split(","):
-        f = f.strip()
+    for f in parts:
         if f not in all_names:
             raise ValueError(f"unknown field {f!r}; available: {all_names}")
         out.append(f)

@@ -390,3 +390,23 @@ def test_bcf_region(gspark):
         if r.chrom == "Y" and (r.pos - 1) < lo + 1000000 and (r.pos - 1 + len(r.ref)) > lo - 1
     )
     assert reg.count() == manual > 0
+
+
+def test_fields_omit_select(gspark):
+    """Select::Omit parity (`oxbow/src/lib.rs:76-84`): '-'-prefixed names
+    drop columns, keeping the rest in declaration order."""
+    df = (
+        gspark.read.format("bam")
+        .option("fields", "-seq,-qual,-tlen")
+        .load(f"{FIX}/sample.bam")
+    )
+    assert df.columns == [
+        "qname", "flag", "rname", "pos", "mapq", "cigar", "rnext", "pnext", "end"
+    ]
+    assert df.count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="kept names or all"):
+        gspark.read.format("bam").option("fields", "-seq,pos").load(
+            f"{FIX}/sample.bam"
+        ).schema
