@@ -617,7 +617,10 @@ class SliceDecoder:
 
     # reference base at 1-based position p on the slice's current ref
     def _ref_bases(self, ref_id: int, lo: int, hi: int) -> str:
-        if self.embed is not None:
+        # an embedded reference block covers one ref's window; in a
+        # multiref slice (ref_id == -2) it cannot serve per-record refs,
+        # so fall through to the external FASTA
+        if self.embed is not None and self.ref_id != -2:
             # lo/hi are 1-based inclusive; embed covers [self.start, ...]
             return self.embed[lo - self.start: hi - self.start + 1].decode("ascii", "replace")
         if self.reference is not None:
