@@ -177,7 +177,9 @@ def embed_media(df: DataFrame, dim: int = 8, payload_col: str = "payload",
     """(id, embedding array<float>): media → embedding-vector plumbing.
     STUB featurizer: the first ``dim`` md5 digest bytes scaled to [0,1] —
     deterministic, so downstream similarity/dedup stages are testable; a
-    real encoder (CLIP etc.) drops into the same batch signature."""
+    real encoder (CLIP etc.) drops into the same batch signature. The
+    digest is taken over the uppercase-hex rendering of the payload so an
+    ANSI-SQL oracle (md5 is VARCHAR-only in DuckDB) can recompute it."""
     schema = StructType([
         StructField(id_col, LongType()),
         StructField("embedding", ArrayType(FloatType())),
@@ -187,7 +189,7 @@ def embed_media(df: DataFrame, dim: int = 8, payload_col: str = "payload",
         for pdf in batches:
             vecs = []
             for b in pdf[payload_col]:
-                d = hashlib.md5(bytes(b)).digest()
+                d = hashlib.md5(bytes(b).hex().upper().encode()).digest()
                 vecs.append([d[j % 16] / 255.0 for j in range(dim)])
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
 

@@ -882,7 +882,7 @@ def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -1001,10 +1001,36 @@ FROM f
 """
 
 
+_EMBED_DIM = 8
+
+
 def mm_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media → embedding featurizer plumbing (stub kernel); float vectors
-    are not oracle-hashable, so this entry takes the rows-only check."""
-    return multimodal.embed_media(_mm_payload(spark, sf_dir))
+    """Media → embedding featurizer plumbing (stub kernel). Raw
+    array<float> vectors are neither sortable nor hashable by the oracle
+    harness, so the vector is rendered as its exact integer byte values
+    (v*255 round-trips the stub's d/255.0 exactly) and digested — the
+    mapInPandas featurizer still runs for real."""
+    emb = multimodal.embed_media(_mm_payload(spark, sf_dir), dim=_EMBED_DIM)
+    ints = F.transform("embedding", lambda x: F.round(x * 255).cast("int"))
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.md5(F.concat_ws(",", ints)).alias("embedding_digest"),
+    )
+
+
+def _mm_embed_sql() -> str:
+    hx = "md5(hex(payload))"
+    bytes_ = ", ".join(
+        f"CAST(('0x' || substr({hx}, {2 * (j % 16) + 1}, 2)) AS INT)"
+        for j in range(_EMBED_DIM)
+    )
+    return f"""
+WITH p AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents)
+SELECT doc_id, {_EMBED_DIM} AS dim,
+       md5(concat_ws(',', {bytes_})) AS embedding_digest
+FROM p
+"""
 
 
 QUERIES: list[Query] = [
@@ -1041,7 +1067,7 @@ QUERIES: list[Query] = [
     Query("mm_sniff_docs", mm_sniff_docs, MM_SNIFF_SQL),
     Query("mm_decode_image_docs", mm_decode_image_docs, MM_DECODE_SQL, bench=True),
     Query("mm_frame_sample_docs", mm_frame_sample_docs, MM_FRAME_SQL),
-    Query("mm_embed_docs", mm_embed_docs, None),
+    Query("mm_embed_docs", mm_embed_docs, _mm_embed_sql()),
 ]
 
 
