@@ -154,6 +154,70 @@ def parse_regions(regions: str | list[str] | None, coord_system: str = ONE_BASED
     return [Region.parse(r.strip(), coord_system) for r in regions]
 
 
+def merge_regions(regions: list[Region]) -> list[Region]:
+    """Normalize a multi-region query for scan planning: dedupe unmapped
+    selectors and coalesce overlapping/adjacent same-name intervals.
+
+    Multi-region scans plan partitions per region (the reference's
+    scan_query is single-region, `oxbow/src/alignment/scanner/mod.rs`), so
+    without this a record overlapping two requested regions — or two
+    regions sharing an index chunk — would be emitted once per match.
+    Union semantics are preserved: a record overlaps some input region iff
+    it overlaps some merged region.
+    """
+    unmapped = any(r.is_unmapped for r in regions)
+    by_name: dict[str, list[Region]] = {}
+    for r in regions:
+        if not r.is_unmapped:
+            by_name.setdefault(r.name, []).append(r)
+    out: list[Region] = []
+    for name, rs in by_name.items():  # preserves first-seen name order
+        rs = sorted(rs, key=lambda r: r.start)
+        cs, ce = rs[0].start, rs[0].end
+        for r in rs[1:]:
+            if ce is None or r.start <= ce:
+                ce = None if (ce is None or r.end is None) else max(ce, r.end)
+            else:
+                out.append(Region(name, cs, ce))
+                cs, ce = r.start, r.end
+        out.append(Region(name, cs, ce))
+    if unmapped:
+        out.append(Region(UNMAPPED))
+    return out
+
+
+def residual_entries(regions: list[Region]) -> tuple:
+    """Regions → picklable residual-check entries shipped in partitions:
+    ``("*",)`` for the unmapped selector, else ``(name, start0, end0)``."""
+    return tuple(
+        ("*",) if r.is_unmapped else (r.name, r.start, r.end) for r in regions
+    )
+
+
+def alignment_record_passes(
+    entries: tuple, rname: str | None, pos1: int | None, end1: int | None
+) -> bool:
+    """Union residual re-check for an alignment record against merged
+    region entries (1-based inclusive record coords, as SAM emits them).
+    Each record is checked against the whole union exactly once, so
+    multi-region scans cannot double-count."""
+    for e in entries:
+        if e[0] == "*":
+            if rname is None:
+                return True
+            continue
+        nm, s0, e0 = e
+        if rname != nm or pos1 is None:
+            continue
+        rec_end = end1 if end1 is not None else pos1
+        if e0 is not None and pos1 - 1 >= e0:
+            continue
+        if rec_end <= s0:
+            continue
+        return True
+    return False
+
+
 # ----------------------------------------------------------------- Spark side
 
 def convert_start_col(col: Column | str, source_cs: str, target_cs: str) -> Column:

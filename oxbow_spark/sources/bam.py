@@ -45,6 +45,7 @@ from oxbow_spark.sources.base import DEFAULT_BATCH_SIZE, resolve_paths, select_f
 from oxbow_spark.sources.bgzf import (
     BaiIndex,
     BgzfReader,
+    coalesce_chunks,
     partition_from_index,
     query_chunks,
 )
@@ -169,12 +170,13 @@ def parse_record(buf: bytes, ref_names: list[str], want_tags: bool):
 
 
 class BamPartition(InputPartition):
-    def __init__(self, path: str, vstart: int, vend: int, region: tuple | None = None):
+    def __init__(self, path: str, vstart: int, vend: int, regions: tuple | None = None):
         self.path = path
         self.vstart = vstart
         self.vend = vend
-        # (name, start0, end0) residual filter, or ("*",) for unmapped-only
-        self.region = region
+        # union residual filter: tuple of (name, start0, end0) / ("*",)
+        # entries (coords.residual_entries), or None for no filter
+        self.regions = regions
 
 
 class BamReader(DataSourceReader):
@@ -204,27 +206,36 @@ class BamReader(DataSourceReader):
             )
             index = BaiIndex.read(bai_path) if bai_path else None
             if self.regions:
-                for reg in self.regions:
-                    if reg.is_unmapped:
-                        # unmapped section: after the last indexed chunk
-                        start = first_vpos
-                        if index:
-                            ends = [
-                                ce for ref in index.refs
-                                for cs in ref.bins.values() for _, ce in cs
-                            ]
-                            if ends:
-                                start = max(ends)
-                        parts.append(BamPartition(path, start, size << 16, ("*",)))
-                        continue
-                    resid = (reg.name, reg.start, reg.end)
-                    if index is not None and reg.name in ref_names:
+                # regions are pre-merged (coords.merge_regions); chunks are
+                # pooled across regions and coalesced, and every partition
+                # residual-checks the whole union, so a record overlapping
+                # two regions — or two regions sharing an index chunk — is
+                # emitted exactly once.
+                mapped = [r for r in self.regions if not r.is_unmapped]
+                resid = _coords.residual_entries(mapped)
+                if index is None and mapped:
+                    parts.append(BamPartition(path, first_vpos, size << 16, resid))
+                elif mapped:
+                    chunks: list[tuple[int, int]] = []
+                    for reg in mapped:
+                        if reg.name not in ref_names:
+                            continue  # unknown chrom: zero hits by definition
                         rid = ref_names.index(reg.name)
                         end = reg.end if reg.end is not None else 1 << 29
-                        for cb, ce in query_chunks(index, rid, reg.start, end):
-                            parts.append(BamPartition(path, cb, ce, resid))
-                    else:
-                        parts.append(BamPartition(path, first_vpos, size << 16, resid))
+                        chunks.extend(query_chunks(index, rid, reg.start, end))
+                    for cb, ce in coalesce_chunks(chunks):
+                        parts.append(BamPartition(path, cb, ce, resid))
+                if any(r.is_unmapped for r in self.regions):
+                    # unmapped section: after the last indexed chunk
+                    start = first_vpos
+                    if index:
+                        ends = [
+                            ce for ref in index.refs
+                            for cs in ref.bins.values() for _, ce in cs
+                        ]
+                        if ends:
+                            start = max(ends)
+                    parts.append(BamPartition(path, start, size << 16, (("*",),)))
             elif index is not None:
                 for vs, ve in partition_from_index(index, self.chunksize, first_vpos, size):
                     parts.append(BamPartition(path, vs, ve))
@@ -256,19 +267,10 @@ class BamReader(DataSourceReader):
                 if len(buf) < block_size:
                     break
                 row, tags = parse_record(buf, ref_names, self.with_tags)
-                if part.region is not None:
-                    if part.region[0] == "*":
-                        if row[2] is not None:
-                            continue
-                    else:
-                        nm, s0, e0 = part.region
-                        if row[2] != nm or row[3] is None:
-                            continue
-                        rec_end = row[11] if row[11] is not None else row[3]
-                        if e0 is not None and row[3] - 1 >= e0:
-                            continue
-                        if rec_end <= s0:
-                            continue
+                if part.regions is not None and not _coords.alignment_record_passes(
+                    part.regions, row[2], row[3], row[11]
+                ):
+                    continue
                 if self.coord_offset:
                     for i in (3, 7):
                         if row[i] is not None:
@@ -319,9 +321,9 @@ class BamDataSource(DataSource):
         self.names = select_fields(STANDARD_FIELD_NAMES, options.get("fields"))
         requested = options.get("coords", self.NATIVE_CS)
         self.coord_offset = _coords.start_offset(self.NATIVE_CS, requested)
-        self.regions = _coords.parse_regions(
+        self.regions = _coords.merge_regions(_coords.parse_regions(
             options.get("regions"), options.get("region_cs", self.NATIVE_CS)
-        )
+        ))
         self.tag_defs = self._tag_defs()
         fields = [T.StructField(nm, dict(STANDARD_FIELDS)[nm], True) for nm in self.names]
         if self.tag_defs is not None:

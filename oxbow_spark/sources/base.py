@@ -150,14 +150,15 @@ class TextFormatReader(DataSourceReader):
         self.partition_bytes = int(options.get("partition_bytes", DEFAULT_PARTITION_BYTES))
         native = options.get("native_cs", "11")
         self.native_cs = native
-        self.regions = _coords.parse_regions(
+        self.regions = _coords.merge_regions(_coords.parse_regions(
             options.get("regions"), options.get("region_cs", native)
-        )
+        ))
         self._arrow_schema = to_arrow_schema(codec.schema)
 
     def partitions(self):
         from oxbow_spark.sources.bgzf import (
             TabixIndex,
+            coalesce_chunks,
             is_bgzf,
             partition_from_index,
             query_chunks,
@@ -173,13 +174,18 @@ class TextFormatReader(DataSourceReader):
                 tbi = TabixIndex.read(tbi_path)
                 if self.regions:
                     bai = tbi.as_bai()
+                    # pool chunks across (pre-merged) regions and coalesce:
+                    # nearby regions sharing a linear-index chunk must not
+                    # double-read records (_row_passes is a union check)
+                    chunks: list[tuple[int, int]] = []
                     for reg in self.regions:
                         if reg.is_unmapped or reg.name not in tbi.names:
                             continue
                         rid = tbi.names.index(reg.name)
                         end = reg.end if reg.end is not None else 1 << 29
-                        for cb, ce in query_chunks(bai, rid, reg.start, end):
-                            parts.append(LinePartition(p, cb, ce, vpos=True))
+                        chunks.extend(query_chunks(bai, rid, reg.start, end))
+                    for cb, ce in coalesce_chunks(chunks):
+                        parts.append(LinePartition(p, cb, ce, vpos=True))
                 else:
                     for vs, ve in partition_from_index(
                         tbi.as_bai(), self.partition_bytes, 0, size
@@ -188,9 +194,14 @@ class TextFormatReader(DataSourceReader):
             elif is_gzip_path(p) or size <= self.partition_bytes:
                 parts.append(LinePartition(p))
             else:
+                # Ranges are (start, end] with end = next split's start so a
+                # line beginning exactly on a boundary is owned by the
+                # earlier split (pos <= end) and correctly discarded by the
+                # later split's realign — an exclusive end-1 here silently
+                # drops boundary-start lines.
                 off = 0
                 while off < size:
-                    parts.append(LinePartition(p, off, min(off + self.partition_bytes, size) - 1))
+                    parts.append(LinePartition(p, off, min(off + self.partition_bytes, size)))
                     off += self.partition_bytes
         # Spark requires ≥1 partition (a region with no index hits is valid)
         return parts or [LinePartition(self.paths[0], 0, 0, vpos=True)]

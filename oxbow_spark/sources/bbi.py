@@ -236,10 +236,11 @@ _LEAVES_PER_PARTITION = 256
 
 class BbiPartition(InputPartition):
     def __init__(self, path: str, blocks: list[tuple[int, int]],
-                 region: tuple[str, int, int | None] | None):
+                 regions: tuple[tuple[str, int, int], ...] | None):
         self.path = path
         self.blocks = blocks
-        self.region = region
+        # union residual: tuple of (name, qstart, qend) triples, or None
+        self.regions = regions
 
 
 class BbiReader(DataSourceReader):
@@ -271,17 +272,27 @@ class BbiReader(DataSourceReader):
                 else:
                     index_off = bbi.full_index_off
                 if self.regions:
+                    # pool R-tree leaves across (pre-merged) regions and
+                    # dedupe blocks; each partition residual-checks the
+                    # whole union so a record overlapping two regions — or
+                    # two regions sharing a leaf block — is emitted once
+                    resid = []
+                    seen: set[tuple[int, int]] = set()
+                    leaves = []
                     for reg in self.regions:
                         if reg.name not in bbi.chrom_ids:
                             continue
                         cid = bbi.chrom_ids[reg.name]
                         qe = reg.end if reg.end is not None else bbi.chroms[cid][1]
-                        leaves = bbi.rtree_leaves(index_off, (cid, reg.start, qe))
-                        for i in range(0, len(leaves), _LEAVES_PER_PARTITION):
-                            parts.append(BbiPartition(
-                                p, leaves[i:i + _LEAVES_PER_PARTITION],
-                                (reg.name, reg.start, qe),
-                            ))
+                        resid.append((reg.name, reg.start, qe))
+                        for leaf in bbi.rtree_leaves(index_off, (cid, reg.start, qe)):
+                            if leaf not in seen:
+                                seen.add(leaf)
+                                leaves.append(leaf)
+                    for i in range(0, len(leaves), _LEAVES_PER_PARTITION):
+                        parts.append(BbiPartition(
+                            p, leaves[i:i + _LEAVES_PER_PARTITION], tuple(resid),
+                        ))
                 else:
                     leaves = bbi.rtree_leaves(index_off)
                     for i in range(0, len(leaves), _LEAVES_PER_PARTITION):
@@ -306,10 +317,11 @@ class BbiReader(DataSourceReader):
                 bbi.f.seek(doff)
                 data = bbi.decompress(bbi.f.read(dsize))
                 for rec in decode(data, bbi.endian, bbi.chroms):
-                    if part.region is not None:
-                        nm, qs, qe = part.region
-                        if rec[0] != nm or rec[1] >= qe or rec[2] <= qs:
-                            continue
+                    if part.regions is not None and not any(
+                        rec[0] == nm and rec[1] < qe and rec[2] > qs
+                        for nm, qs, qe in part.regions
+                    ):
+                        continue
                     row = list(rec)
                     if self.coord_offset:
                         row[1] += self.coord_offset
@@ -352,9 +364,9 @@ class _BbiSource(DataSource):
         self.names = select_fields([f.name for f in base], options.get("fields"))
         self.spark_schema = T.StructType([base[n] for n in self.names])
         self.coord_offset = _coords.start_offset(self.NATIVE_CS, options.get("coords", self.NATIVE_CS))
-        self.regions = _coords.parse_regions(
+        self.regions = _coords.merge_regions(_coords.parse_regions(
             options.get("regions"), options.get("region_cs", self.NATIVE_CS)
-        )
+        ))
 
     def schema(self):
         return self.spark_schema

@@ -221,9 +221,9 @@ class BcfReader(DataSourceReader):
         self.codec: VcfCodec = src.codec()
         self.batch_size = int(src.options.get("batch_size", DEFAULT_BATCH_SIZE))
         self.limit = int(src.options.get("limit", -1))
-        self.regions = _coords.parse_regions(
+        self.regions = _coords.merge_regions(_coords.parse_regions(
             src.options.get("regions"), src.options.get("region_cs", "11")
-        )
+        ))
         self._arrow_schema = to_arrow_schema(self.codec.schema)
 
     def partitions(self):

@@ -276,9 +276,16 @@ def query_chunks(index: BaiIndex, ref_id: int, beg: int, end: int) -> list[tuple
         for cb, ce in ref.bins.get(b, ()):
             if ce > min_ioff:
                 chunks.append((max(cb, min_ioff), ce))
-    chunks.sort()
+    return coalesce_chunks(chunks)
+
+
+def coalesce_chunks(chunks: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Merge overlapping/adjacent half-open (vstart, vend) ranges so each
+    record offset lands in exactly one range — required when pooling index
+    chunks across multiple query regions (nearby regions often share a
+    16 kb linear-index chunk, which would otherwise double-read records)."""
     merged: list[tuple[int, int]] = []
-    for cb, ce in chunks:
+    for cb, ce in sorted(chunks):
         if merged and cb <= merged[-1][1]:
             merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
         else:

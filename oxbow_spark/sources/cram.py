@@ -650,17 +650,19 @@ class SliceDecoder:
             cf = self._get_i("CF")
             ri = self._get_i("RI") if self.ref_id == -2 else self.ref_id
             rl = self._get_i("RL")
-            if pres.get("AP"):
+            # CRAM 3.0 spec §8.4: AP-delta and RN-included default to
+            # true when absent from the preservation map (like RR below)
+            if pres.get("AP", 1):
                 last_pos += self._get_i("AP")
                 pos = last_pos
             else:
                 pos = self._get_i("AP")
             self._get_i("RG")
-            qname = self._get_a("RN").decode("ascii", "replace") if pres.get("RN") else None
+            qname = self._get_a("RN").decode("ascii", "replace") if pres.get("RN", 1) else None
             mf = ns = np_ = ts = nf = None
             if cf & 0x2:  # detached mate
                 mf = self._get_i("MF")
-                if not pres.get("RN"):
+                if not pres.get("RN", 1):
                     qname = self._get_a("RN").decode("ascii", "replace")
                 ns = self._get_i("NS")
                 np_ = self._get_i("NP")
@@ -873,17 +875,19 @@ def scan_containers(path: str, first: int):
 
 
 class CramPartition(InputPartition):
-    def __init__(self, path: str, offset: int, region: tuple | None = None):
+    def __init__(self, path: str, offset: int, regions: tuple | None = None):
         self.path = path
         self.offset = offset
-        self.region = region
+        # union residual filter: tuple of (name, start0, end0) / ("*",)
+        # entries (coords.residual_entries), or None for no filter
+        self.regions = regions
 
 
 class CramReader(DataSourceReader):
     def __init__(self, src: "CramDataSource"):
         self.paths = src.paths
         self.names = src.names
-        self.ref_names = src.ref_names
+        self.ref_names_by_path = src.ref_names_by_path
         self.tag_defs = src.tag_defs
         self.with_tags = src.tag_defs is not None
         self.coord_offset = src.coord_offset
@@ -899,29 +903,40 @@ class CramReader(DataSourceReader):
         parts: list[CramPartition] = []
         for path in self.paths:
             first = self.first_offsets[path]
+            ref_names = self.ref_names_by_path[path]
+            want_unmapped = any(r.is_unmapped for r in self.regions)
+            mapped = [
+                r for r in self.regions
+                if not r.is_unmapped and r.name in ref_names
+            ]
+            resid = _coords.residual_entries(mapped)
             for off, ref_id, start, span, _n in scan_containers(path, first):
-                if self.regions:
-                    for reg in self.regions:
-                        if reg.is_unmapped:
-                            if ref_id == -1:
-                                parts.append(CramPartition(path, off, ("*",)))
-                            continue
-                        if reg.name not in self.ref_names:
-                            continue
-                        rid = self.ref_names.index(reg.name)
-                        # container-level pruning on (ref, start, span)
-                        if ref_id >= 0 and ref_id != rid:
+                if not self.regions:
+                    parts.append(CramPartition(path, off))
+                    continue
+                # container-level pruning on (ref, start, span); at most ONE
+                # partition per container, residual-checked against the
+                # union of merged regions, so a record overlapping two
+                # regions is emitted exactly once
+                if ref_id == -1:
+                    if want_unmapped:
+                        parts.append(CramPartition(path, off, (("*",),)))
+                    continue
+                entries = list(resid) if ref_id == -2 else []
+                if ref_id >= 0:
+                    for reg in mapped:
+                        if ref_id != ref_names.index(reg.name):
                             continue
                         c_lo, c_hi = start - 1, start - 1 + span  # 0-based half-open
                         if span > 0 and reg.end is not None and c_lo >= reg.end:
                             continue
                         if span > 0 and c_hi <= reg.start:
                             continue
-                        parts.append(
-                            CramPartition(path, off, (reg.name, reg.start, reg.end))
-                        )
-                else:
-                    parts.append(CramPartition(path, off))
+                        entries.append((reg.name, reg.start, reg.end))
+                if want_unmapped and ref_id == -2:
+                    entries.append(("*",))  # multiref slices may hold unmapped
+                if entries:
+                    parts.append(CramPartition(path, off, tuple(entries)))
         return parts or [CramPartition(self.paths[0], -1)]
 
     def _emit(self, rows):
@@ -947,23 +962,15 @@ class CramReader(DataSourceReader):
         comp = parse_comp_header(raw)
         std_idx = [STANDARD_FIELD_NAMES.index(n) for n in self.names]
         project = self.names != STANDARD_FIELD_NAMES or self.with_tags
+        ref_names = self.ref_names_by_path[part.path]
         rows, n = [], 0
         while body.p < len(body.b):
-            dec = SliceDecoder(comp, body, self.ref_names, reference)
+            dec = SliceDecoder(comp, body, ref_names, reference)
             for row, tags in dec.records(self.with_tags):
-                if part.region is not None:
-                    if part.region[0] == "*":
-                        if row[2] is not None:
-                            continue
-                    else:
-                        nm, s0, e0 = part.region
-                        if row[2] != nm or row[3] is None:
-                            continue
-                        rec_end = row[11] if row[11] is not None else row[3]
-                        if e0 is not None and row[3] - 1 >= e0:
-                            continue
-                        if rec_end <= s0:
-                            continue
+                if part.regions is not None and not _coords.alignment_record_passes(
+                    part.regions, row[2], row[3], row[11]
+                ):
+                    continue
                 if self.coord_offset:
                     for i in (3, 7):
                         if row[i] is not None:
@@ -1018,17 +1025,23 @@ class CramDataSource(DataSource):
         self.names = select_fields(STANDARD_FIELD_NAMES, options.get("fields"))
         requested = options.get("coords", self.NATIVE_CS)
         self.coord_offset = _coords.start_offset(self.NATIVE_CS, requested)
-        self.regions = _coords.parse_regions(
+        self.regions = _coords.merge_regions(_coords.parse_regions(
             options.get("regions"), options.get("region_cs", self.NATIVE_CS)
-        )
+        ))
         self.first_offsets: dict[str, int] = {}
+        # per-path @SQ dictionaries: a multi-file glob may mix CRAMs with
+        # different reference dictionaries, and rname/rnext decode must use
+        # the owning file's list
+        self.ref_names_by_path: dict[str, list[str]] = {}
         hdr = None
-        names: list[str] = []
         for p in self.paths:
-            hdr, names, first = read_file_header(p)
+            hdr_p, names, first = read_file_header(p)
+            if hdr is None:
+                hdr = hdr_p
             self.first_offsets[p] = first
+            self.ref_names_by_path[p] = names
         self.sam_header = hdr
-        self.ref_names = names
+        self.ref_names = self.ref_names_by_path[self.paths[0]]
         self.tag_defs = self._tag_defs()
         fields = [T.StructField(nm, dict(STANDARD_FIELDS)[nm], True) for nm in self.names]
         if self.tag_defs is not None:

@@ -120,3 +120,20 @@ def test_bam_multi_region_and_empty(gspark):
     )
     assert sorted({r.rname for r in mr.collect()}) == ["chr1", "chr3"]
     assert gspark.read.format("bam").option("regions", "chr22:1-100").load(BAM).count() == 0
+
+
+def test_bam_multi_region_no_duplicates(gspark):
+    # a record overlapping two requested regions — or two regions sharing
+    # one index chunk — must be returned exactly once (union semantics)
+    def rows(regions):
+        df = gspark.read.format("bam").option("regions", regions).load(BAM)
+        return sorted((r.qname, r.flag, r.rname, r.pos) for r in df.collect())
+
+    merged = rows("chr1:10,000-11,000")
+    overlapping = rows("chr1:10,000-10,600;chr1:10,400-11,000")
+    assert overlapping == merged  # no dups, same union
+    # disjoint-but-nearby regions: every record at most once
+    near = rows("chr1:10,540-10,545;chr1:10,550-10,560")
+    assert len(near) == len(set(near))
+    single = rows("chr1:10,540-10,560")
+    assert set(near) <= set(single)

@@ -100,3 +100,29 @@ def test_display_roundtrip():
     assert str(r) == "chr1:[10000,20000)"
     assert Region.parse(str(r), ONE_BASED_CLOSED) == r
     assert str(Region("chr1")) == "chr1"
+
+
+def test_merge_regions():
+    from oxbow_spark.coords import merge_regions
+
+    # overlapping + adjacent same-name intervals coalesce
+    rs = parse_regions("chr1:[100,200);chr1:[150,300);chr1:[300,400)", "01")
+    assert merge_regions(rs) == [Region("chr1", 100, 400)]
+    # disjoint intervals stay apart; cross-chrom untouched; order preserved
+    rs = parse_regions("chr2:[0,10);chr1:[100,200);chr1:[500,600)", "01")
+    assert merge_regions(rs) == [
+        Region("chr2", 0, 10), Region("chr1", 100, 200), Region("chr1", 500, 600)
+    ]
+    # open end swallows overlapping intervals; '*' dedupes to one
+    rs = parse_regions("chr1:150;chr1:[100,200);*;*", "11")
+    m = merge_regions(rs)
+    assert m == [Region("chr1", 100, None), Region("*")]
+    assert merge_regions([]) == []
+
+
+def test_coalesce_chunks():
+    from oxbow_spark.sources.bgzf import coalesce_chunks
+
+    assert coalesce_chunks([(10, 20), (15, 30), (40, 50)]) == [(10, 30), (40, 50)]
+    assert coalesce_chunks([(40, 50), (10, 20), (20, 30)]) == [(10, 30), (40, 50)]
+    assert coalesce_chunks([]) == []

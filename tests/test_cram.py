@@ -42,6 +42,19 @@ def test_cram_region_pushdown(gspark):
     assert [r.qname for r in df2.collect()] == ["r001"]
 
 
+def test_cram_multi_region_no_duplicates(gspark):
+    # overlapping regions must behave as their union: one partition per
+    # container, union residual — never one row per matching region
+    def rows(regions):
+        df = gspark.read.format("cram").option("regions", regions).load(
+            f"{FIX}/sample.cram")
+        return sorted((r.qname, r.flag, r.rname, r.pos) for r in df.collect())
+
+    assert rows("chr1:25-40;chr1:30-45") == rows("chr1:25-45")
+    both = rows("chr1:1-100;chr2:1-100")
+    assert len(both) == len(set(both)) == 3
+
+
 def test_cram_projection_and_coords(gspark):
     df = (
         gspark.read.format("cram")

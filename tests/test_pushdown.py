@@ -86,7 +86,9 @@ def test_bam_reader_prunes_partitions():
     assert len(list(residual)) == 3  # everything stays residual
     assert rdr.regions and rdr.regions[0].name == "chr3"
     parts = rdr.partitions()
-    assert all(p.region is not None and p.region[0] == "chr3" for p in parts)
+    assert all(
+        p.regions is not None and p.regions[0][0] == "chr3" for p in parts
+    )
     # index chunks are tighter than the whole file
     whole = PushdownBamReader(src).partitions()
     assert max(p.vend for p in parts) <= max(w.vend for w in whole)

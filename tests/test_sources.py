@@ -104,6 +104,21 @@ def test_bed_partitioned_split(gspark, tmp_path):
     assert df.rdd.getNumPartitions() > 1
 
 
+def test_bed_split_boundary_at_line_start(gspark, tmp_path):
+    # a line starting exactly on a partition boundary must be owned by
+    # exactly one split (regression: it was silently dropped)
+    line = "chr1\t1000000\t2000000\tX\n"  # fixed width
+    n = 64
+    f = tmp_path / "aligned.bed"
+    f.write_text(line * n)
+    df = (
+        gspark.read.format("bed").option("bed_schema", "bed4")
+        .option("partition_bytes", str(len(line) * 4)).load(str(f))
+    )
+    assert df.rdd.getNumPartitions() == n // 4
+    assert df.count() == n
+
+
 # ------------------------------------------------------------------- GXF
 
 def test_gtf_attributes_scan(gspark):
