@@ -45,6 +45,7 @@ from oxbow_spark.sources.base import DEFAULT_BATCH_SIZE, resolve_paths, select_f
 from oxbow_spark.sources.bgzf import (
     BaiIndex,
     BgzfReader,
+    CsiIndex,
     coalesce_chunks,
     partition_from_index,
     query_chunks,
@@ -204,7 +205,15 @@ class BamReader(DataSourceReader):
                 (p for p in (path + ".bai", path[:-4] + ".bai") if os.path.exists(p)),
                 None,
             )
-            index = BaiIndex.read(bai_path) if bai_path else None
+            if bai_path:
+                index = BaiIndex.read(bai_path)
+            elif os.path.exists(path + ".csi"):
+                index = CsiIndex.read(path + ".csi")  # >512 Mb chromosomes
+            else:
+                index = None
+            max_pos = 1 << (
+                getattr(index, "min_shift", 14) + getattr(index, "depth", 5) * 3
+            )
             if self.regions:
                 # regions are pre-merged (coords.merge_regions); chunks are
                 # pooled across regions and coalesced, and every partition
@@ -221,7 +230,7 @@ class BamReader(DataSourceReader):
                         if reg.name not in ref_names:
                             continue  # unknown chrom: zero hits by definition
                         rid = ref_names.index(reg.name)
-                        end = reg.end if reg.end is not None else 1 << 29
+                        end = reg.end if reg.end is not None else max_pos
                         chunks.extend(query_chunks(index, rid, reg.start, end))
                     for cb, ce in coalesce_chunks(chunks):
                         parts.append(BamPartition(path, cb, ce, resid))

@@ -157,6 +157,7 @@ class TextFormatReader(DataSourceReader):
 
     def partitions(self):
         from oxbow_spark.sources.bgzf import (
+            CsiIndex,
             TabixIndex,
             coalesce_chunks,
             is_bgzf,
@@ -167,28 +168,38 @@ class TextFormatReader(DataSourceReader):
         parts: list[LinePartition] = []
         for p in self.paths:
             size = os.path.getsize(p)
-            tbi_path = p + ".tbi"
-            if is_gzip_path(p) and os.path.exists(tbi_path) and is_bgzf(p):
-                # tabix-indexed BGZF: index-pushed region chunks, or
-                # linear-index partitioning for full scans (SURVEY D1/F1)
-                tbi = TabixIndex.read(tbi_path)
+            index = names = None
+            if is_gzip_path(p) and is_bgzf(p):
+                # tabix-indexed BGZF (.tbi, or .csi with tabix aux names):
+                # index-pushed region chunks, or linear-index partitioning
+                # for full scans (SURVEY D1/F1)
+                if os.path.exists(p + ".tbi"):
+                    tbi = TabixIndex.read(p + ".tbi")
+                    index, names = tbi.as_bai(), tbi.names
+                elif os.path.exists(p + ".csi"):
+                    csi = CsiIndex.read(p + ".csi")
+                    if csi.names:  # tabix-format aux carries the name list
+                        index, names = csi, csi.names
+            if index is not None:
                 if self.regions:
-                    bai = tbi.as_bai()
                     # pool chunks across (pre-merged) regions and coalesce:
                     # nearby regions sharing a linear-index chunk must not
                     # double-read records (_row_passes is a union check)
+                    max_pos = 1 << (
+                        getattr(index, "min_shift", 14) + getattr(index, "depth", 5) * 3
+                    )
                     chunks: list[tuple[int, int]] = []
                     for reg in self.regions:
-                        if reg.is_unmapped or reg.name not in tbi.names:
+                        if reg.is_unmapped or reg.name not in names:
                             continue
-                        rid = tbi.names.index(reg.name)
-                        end = reg.end if reg.end is not None else 1 << 29
-                        chunks.extend(query_chunks(bai, rid, reg.start, end))
+                        rid = names.index(reg.name)
+                        end = reg.end if reg.end is not None else max_pos
+                        chunks.extend(query_chunks(index, rid, reg.start, end))
                     for cb, ce in coalesce_chunks(chunks):
                         parts.append(LinePartition(p, cb, ce, vpos=True))
                 else:
                     for vs, ve in partition_from_index(
-                        tbi.as_bai(), self.partition_bytes, 0, size
+                        index, self.partition_bytes, 0, size
                     ):
                         parts.append(LinePartition(p, vs, ve, vpos=True))
             elif is_gzip_path(p) or size <= self.partition_bytes:

@@ -209,8 +209,15 @@ def open_bcf(path: str):
 
 
 class BcfPartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, vstart: int = -1, vend: int = -1):
         self.path = path
+        # -1 → whole file; else a half-open BGZF virtual-position range of
+        # record starts (CSI chunks / partition_from_index cuts)
+        self.vstart = vstart
+        self.vend = vend
+
+
+DEFAULT_BCF_CHUNKSIZE = 16 * 1024 * 1024
 
 
 class BcfReader(DataSourceReader):
@@ -221,13 +228,52 @@ class BcfReader(DataSourceReader):
         self.codec: VcfCodec = src.codec()
         self.batch_size = int(src.options.get("batch_size", DEFAULT_BATCH_SIZE))
         self.limit = int(src.options.get("limit", -1))
+        self.chunksize = int(src.options.get("chunksize", DEFAULT_BCF_CHUNKSIZE))
         self.regions = _coords.merge_regions(_coords.parse_regions(
             src.options.get("regions"), src.options.get("region_cs", "11")
         ))
         self._arrow_schema = to_arrow_schema(self.codec.schema)
 
     def partitions(self):
-        return [BcfPartition(p) for p in self.paths]
+        """CSI-pushed planning (SURVEY F1/D1 for BCF): with a .csi index,
+        region queries prune to index chunks and full scans split into
+        ~chunksize vpos ranges; without one, one partition per file with
+        residual-only filtering (the pre-CSI behavior)."""
+        from oxbow_spark.sources.bgzf import (
+            CsiIndex,
+            coalesce_chunks,
+            partition_from_index,
+            query_chunks,
+        )
+
+        parts: list[BcfPartition] = []
+        for p in self.paths:
+            csi_path = p + ".csi"
+            with open(p, "rb") as f:
+                raw = f.read(3) == b"BCF"  # uncompressed BCF: not splittable
+            if raw or not os.path.exists(csi_path):
+                parts.append(BcfPartition(p))
+                continue
+            idx = CsiIndex.read(csi_path)
+            with open_bcf(p) as r:
+                _hdr, _strings, contigs = read_bcf_header(r)
+                first_vpos = r.tell_virtual()
+            if self.regions:
+                max_pos = 1 << (idx.min_shift + idx.depth * 3)
+                chunks: list[tuple[int, int]] = []
+                for reg in self.regions:
+                    if reg.is_unmapped or reg.name not in contigs:
+                        continue
+                    rid = contigs.index(reg.name)
+                    end = reg.end if reg.end is not None else max_pos
+                    chunks.extend(query_chunks(idx, rid, reg.start, end))
+                for cb, ce in coalesce_chunks(chunks):
+                    parts.append(BcfPartition(p, cb, ce))
+            else:
+                size = os.path.getsize(p)
+                for vs, ve in partition_from_index(idx, self.chunksize, first_vpos, size):
+                    parts.append(BcfPartition(p, vs, ve))
+        return parts or [BcfPartition(self.paths[0], 0, 0)]
 
     def _emit(self, rows):
         cols = list(zip(*rows)) if rows else [[] for _ in self._arrow_schema]
@@ -341,11 +387,19 @@ class BcfReader(DataSourceReader):
         return row
 
     def read(self, part: BcfPartition):
+        ranged = getattr(part, "vstart", -1) >= 0
+        if ranged and part.vstart >= part.vend:
+            yield self._emit([])
+            return
         with open_bcf(part.path) as r:
             hdr, strings, contigs = read_bcf_header(r)
+            if ranged:
+                r.seek_virtual(max(part.vstart, r.tell_virtual()))
             c = self.codec
             rows, n = [], 0
             while True:
+                if ranged and r.tell_virtual() >= part.vend:
+                    break
                 head = r.read(8)
                 if len(head) < 8:
                     break

@@ -251,28 +251,124 @@ class BaiIndex:
         return cls(refs, n_no_coor)
 
 
-def reg2bins(beg: int, end: int) -> list[int]:
-    """BAI 5-level binning: bins overlapping [beg, end) (spec §5.3)."""
-    bins = [0]
+def reg2bins(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> list[int]:
+    """Bins overlapping [beg, end): the CSI generalized binning scheme
+    (CSIv1 spec reg2bins pseudocode); BAI/TBI 5-level binning (SAM spec
+    §5.3) is the min_shift=14, depth=5 instance."""
+    bins = []
     end -= 1
-    for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
-        bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+    s = min_shift + depth * 3
+    t = 0
+    for level in range(depth + 1):
+        bins.extend(range(t + (beg >> s), t + (end >> s) + 1))
+        t += 1 << (level * 3)
+        s -= 3
     return bins
 
 
-def query_chunks(index: BaiIndex, ref_id: int, beg: int, end: int) -> list[tuple[int, int]]:
+# --------------------------------------------------------------------- CSI
+
+@dataclass
+class CsiRef:
+    bins: dict[int, list[tuple[int, int]]]  # bin → [(chunk_beg, chunk_end)]
+    loffsets: dict[int, int]                # bin → vpos of first overlapping record
+    intervals: list[int]                    # sorted loffsets: record-aligned cuts
+
+    @classmethod
+    def build(cls, bins, loffsets):
+        return cls(bins, loffsets, sorted(set(loffsets.values())))
+
+
+@dataclass
+class CsiIndex:
+    """CSI (.csi) index (CSIv1 spec): generalized-depth binning with
+    per-bin loffset virtual-position lower bounds in place of BAI's 16 kb
+    linear index. Reference parity: `oxbow/src/util/index.rs` (noodles
+    csi); fixtures `sample.bcf.csi`, `sample.vcf.gz.csi`."""
+
+    refs: list[CsiRef]
+    min_shift: int
+    depth: int
+    names: list[str] | None  # present when the aux blob is tabix-format
+    n_no_coor: int | None = None
+
+    @classmethod
+    def read(cls, path: str) -> "CsiIndex":
+        with gzip.open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != b"CSI\x01":
+            raise ValueError(f"{path} is not a CSI index")
+        min_shift, depth, l_aux = struct.unpack_from("<3i", data, 4)
+        off = 16
+        aux = data[off:off + l_aux]
+        off += l_aux
+        names = None
+        if l_aux >= 28:  # tabix-style aux: format/cols/meta/skip + names
+            (l_nm,) = struct.unpack_from("<i", aux, 24)
+            names = [s.decode() for s in aux[28:28 + l_nm].split(b"\x00") if s]
+        # bins >= this are metadata pseudo-bins, not interval bins
+        bin_limit = ((1 << (3 * (depth + 1))) - 1) // 7
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        refs = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bins: dict[int, list[tuple[int, int]]] = {}
+            loffsets: dict[int, int] = {}
+            for _ in range(n_bin):
+                bin_id, loffset, n_chunk = struct.unpack_from("<IQi", data, off)
+                off += 16
+                chunks = []
+                for _ in range(n_chunk):
+                    beg, end = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((beg, end))
+                if bin_id < bin_limit:
+                    bins[bin_id] = chunks
+                    loffsets[bin_id] = loffset
+            refs.append(CsiRef.build(bins, loffsets))
+        n_no_coor = None
+        if off + 8 <= len(data):
+            (n_no_coor,) = struct.unpack_from("<Q", data, off)
+        return cls(refs, min_shift, depth, names, n_no_coor)
+
+
+def _min_vpos(ref, beg: int, min_shift: int, depth: int) -> int:
+    """Virtual-position lower bound for records overlapping positions
+    >= beg: BAI linear-index window, or the CSI loffset of the deepest
+    indexed bin containing beg (walking up levels when absent)."""
+    loff = getattr(ref, "loffsets", None)
+    if loff is not None:
+        s = min_shift
+        for level in range(depth, -1, -1):
+            t = ((1 << (3 * level)) - 1) // 7
+            b = t + (beg >> s)
+            if b in loff:
+                return loff[b]
+            s += 3
+        return 0
+    if ref.intervals:
+        win = min(beg >> min_shift, len(ref.intervals) - 1)
+        return ref.intervals[win]
+    return 0
+
+
+def query_chunks(
+    index: "BaiIndex | CsiIndex", ref_id: int, beg: int, end: int
+) -> list[tuple[int, int]]:
     """Merged (vpos_beg, vpos_end) chunks possibly containing records
-    overlapping [beg, end) on ref_id — the index-pushdown seek list."""
+    overlapping [beg, end) on ref_id — the index-pushdown seek list.
+    Works for BAI/TBI (fixed 14/5 binning + linear index) and CSI
+    (declared binning + per-bin loffsets)."""
     if ref_id < 0 or ref_id >= len(index.refs):
         return []
     ref = index.refs[ref_id]
-    # linear-index lower bound: records before this vpos cannot overlap
-    min_ioff = 0
-    if ref.intervals:
-        win = min(beg >> 14, len(ref.intervals) - 1)
-        min_ioff = ref.intervals[win]
+    min_shift = getattr(index, "min_shift", 14)
+    depth = getattr(index, "depth", 5)
+    min_ioff = _min_vpos(ref, beg, min_shift, depth)
     chunks = []
-    for b in reg2bins(beg, end):
+    for b in reg2bins(beg, end, min_shift, depth):
         for cb, ce in ref.bins.get(b, ()):
             if ce > min_ioff:
                 chunks.append((max(cb, min_ioff), ce))
