@@ -29,6 +29,7 @@ with .fai, required when slices neither embed reference bases nor set RR=0),
 from __future__ import annotations
 
 import bz2
+import gzip
 import lzma
 import os
 import struct
@@ -855,6 +856,36 @@ def read_file_header(path: str) -> tuple[SamHeader, list[str], int]:
     return hdr, list(hdr.chrom_names), 26 + h.body_offset + h.length
 
 
+def read_crai(path: str) -> list[tuple[int, int, int, int, int, int]]:
+    """Parse a .crai index (CRAM spec appendix: gzip text, one line per
+    slice): ``seq_id  start(1-based)  span  container_offset  slice_offset
+    slice_size``. Reference parity: `oxbow/src/alignment/scanner/cram.rs:182-200`
+    (noodles crai); fixtures `sample.cram.crai`, `sample-ref.cram.crai`."""
+    entries = []
+    with gzip.open(path, "rb") as f:
+        for ln in f.read().decode("ascii", "replace").splitlines():
+            ln = ln.strip()
+            if not ln:
+                continue
+            parts = ln.split("\t")
+            if len(parts) < 6:
+                raise ValueError(f"malformed .crai line: {ln!r}")
+            entries.append(tuple(int(x) for x in parts[:6]))
+    return entries
+
+
+def crai_container_slices(
+    entries: list[tuple[int, int, int, int, int, int]],
+) -> dict[int, list[tuple[int, int, int]]]:
+    """Group .crai entries by container offset → [(seq_id, start, span)],
+    ordered by file offset — the planner's container list without any
+    header walk (one small index read vs O(#containers) seeks)."""
+    by_container: dict[int, list[tuple[int, int, int]]] = {}
+    for seq_id, start, span, c_off, _s_off, _s_len in entries:
+        by_container.setdefault(c_off, []).append((seq_id, start, span))
+    return dict(sorted(by_container.items()))
+
+
 def scan_containers(path: str, first: int):
     """Driver-side partition planning: walk container headers without
     decoding bodies; yields (offset, ref_id, start, span, n_records)."""
@@ -910,6 +941,42 @@ class CramReader(DataSourceReader):
                 if not r.is_unmapped and r.name in ref_names
             ]
             resid = _coords.residual_entries(mapped)
+            # planner input: the .crai index when present (one small gzip
+            # read) — else a container-header walk, O(#containers) driver
+            # seeks (tens of thousands on a 100 GB CRAM)
+            crai_path = path + ".crai"
+            if os.path.exists(crai_path):
+                by_container = crai_container_slices(read_crai(crai_path))
+                for off, slices in by_container.items():
+                    if not self.regions:
+                        parts.append(CramPartition(path, off))
+                        continue
+                    entries: list[tuple] = []
+                    for seq_id, s_start, s_span in slices:
+                        if seq_id == -1:
+                            if want_unmapped and ("*",) not in entries:
+                                entries.append(("*",))
+                            continue
+                        if seq_id < -1:
+                            # defensive: unknown negative id → no pruning
+                            entries = list(resid) + (
+                                [("*",)] if want_unmapped else []
+                            )
+                            break
+                        s_lo, s_hi = s_start - 1, s_start - 1 + s_span
+                        for reg in mapped:
+                            if seq_id != ref_names.index(reg.name):
+                                continue
+                            if s_span > 0 and reg.end is not None and s_lo >= reg.end:
+                                continue
+                            if s_span > 0 and s_hi <= reg.start:
+                                continue
+                            e = (reg.name, reg.start, reg.end)
+                            if e not in entries:
+                                entries.append(e)
+                    if entries:
+                        parts.append(CramPartition(path, off, tuple(entries)))
+                continue
             for off, ref_id, start, span, _n in scan_containers(path, first):
                 if not self.regions:
                     parts.append(CramPartition(path, off))

@@ -42,6 +42,32 @@ def test_cram_region_pushdown(gspark):
     assert [r.qname for r in df2.collect()] == ["r001"]
 
 
+def test_crai_planning_matches_header_walk(gspark, tmp_path):
+    """With a .crai the planner reads one small index instead of walking
+    every container header; results must be identical either way."""
+    import shutil
+
+    from oxbow_spark.sources.cram import crai_container_slices, read_crai
+
+    entries = read_crai(f"{FIX}/sample.cram.crai")
+    assert entries and all(len(e) == 6 for e in entries)
+    by_c = crai_container_slices(entries)
+    assert all(off > 0 for off in by_c)
+
+    bare = tmp_path / "noidx.cram"
+    shutil.copy(f"{FIX}/sample.cram", bare)  # no .crai → header walk
+
+    for regions in (None, "chr1:25-40", "chr1:25-40;chr2:1-50", "chr2:1-50"):
+        a = gspark.read.format("cram")
+        b = gspark.read.format("cram")
+        if regions:
+            a = a.option("regions", regions)
+            b = b.option("regions", regions)
+        ra = sorted(tuple(r) for r in a.load(f"{FIX}/sample.cram").collect())
+        rb = sorted(tuple(r) for r in b.load(str(bare)).collect())
+        assert ra == rb
+
+
 def test_cram_multi_region_no_duplicates(gspark):
     # overlapping regions must behave as their union: one partition per
     # container, union residual — never one row per matching region
