@@ -162,8 +162,8 @@ def _rans_read_freqs0(c: Cursor) -> tuple[list[int], list[int]]:
     return freq, cum
 
 
-def _rans_lookup(freq: list[int], cum: list[int]) -> bytes:
-    lut = bytearray(4096)
+def _rans_lookup(freq: list[int], cum: list[int], bits: int = 12) -> bytes:
+    lut = bytearray(1 << bits)
     for s in range(256):
         if freq[s]:
             lut[cum[s]:cum[s + 1]] = bytes([s]) * freq[s]
@@ -297,65 +297,195 @@ def _nx16_unpack(packed: bytes, syms: list[int], n_out: int) -> bytes:
     return bytes(out)
 
 
-def rans_nx16_decode(data: bytes) -> bytes:
-    """rANS Nx16 (CRAM 3.1) decoder: NOSZ/CAT/PACK transforms + order-0
-    entropy with 4 interleaved 16-bit-renorm states. STRIPE, N32, RLE and
-    order-1 are not implemented (not produced for the data shapes we
-    ingest); they raise with a clear message."""
-    c = Cursor(data)
-    flags = c.u8()
-    order = flags & 1
-    if flags & 0x08:
-        raise NotImplementedError("rANS Nx16 STRIPE transform not implemented")
-    if flags & 0x04:
-        raise NotImplementedError("rANS Nx16 N=32 interleaving not implemented")
-    if flags & 0x40:
-        raise NotImplementedError("rANS Nx16 RLE transform not implemented")
-    if order:
-        raise NotImplementedError("rANS Nx16 order-1 not implemented")
-    n_out = _uint7(c) if not flags & 0x10 else None
-    pack_syms = None
-    n_entropy = n_out
-    if flags & 0x80:  # PACK
-        nsym = c.u8()
-        pack_syms = [c.u8() for _ in range(nsym)]
-        n_entropy = _uint7(c)
-    if flags & 0x20:  # CAT: payload stored raw
-        payload = bytes(c.b[c.p:c.p + (n_entropy if n_entropy is not None else len(c.b) - c.p)])
+def _nx16_norm_freqs(raw_f: dict[int, int], bits: int) -> tuple[list[int], list[int]]:
+    """(freq, cum) arrays normalized to sum 1<<bits. Stored tables are
+    already normalized in practice; rescale defensively, keeping present
+    symbols >= 1."""
+    M = 1 << bits
+    syms = list(raw_f)
+    tot = sum(raw_f.values()) or 1
+    freq = [0] * 256
+    if tot != M:
+        acc = 0
+        for s in syms:
+            freq[s] = max(1, (raw_f[s] * M) // tot)
+            acc += freq[s]
+        freq[syms[0]] += M - acc
     else:
-        # order-0 rANS, 12-bit frequencies normalized to 4096
-        syms = _nx16_read_alphabet(c)
-        raw_f = {s: _uint7(c) for s in syms}
-        tot = sum(raw_f.values()) or 1
-        freq = [0] * 256
-        # proportional renormalization to 4096 (stored tables are already
-        # normalized in practice; rescale defensively, keeping syms >= 1)
-        if tot != 4096:
-            acc = 0
-            for s in syms:
-                freq[s] = max(1, (raw_f[s] * 4096) // tot)
-                acc += freq[s]
-            freq[syms[0]] += 4096 - acc
-        else:
-            for s in syms:
-                freq[s] = raw_f[s]
-        cum = [0] * 257
-        for i in range(256):
-            cum[i + 1] = cum[i] + freq[i]
-        lut = _rans_lookup(freq, cum)
-        R = list(struct.unpack("<4I", c.read(16)))
-        out = bytearray(n_entropy)
-        for i in range(n_entropy):
-            j = i & 3
-            m = R[j] & 0xFFF
+        for s in syms:
+            freq[s] = raw_f[s]
+    cum = [0] * 257
+    for i in range(256):
+        cum[i + 1] = cum[i] + freq[i]
+    return freq, cum
+
+
+def _nx16_entropy0(c: Cursor, n_out: int, n_states: int) -> bytes:
+    """Order-0 entropy stage: 12-bit frequencies normalized to 4096,
+    n_states interleaved rANS states with 16-bit renormalization;
+    state j decodes output positions ≡ j (mod N)."""
+    syms = _nx16_read_alphabet(c)
+    freq, cum = _nx16_norm_freqs({s: _uint7(c) for s in syms}, 12)
+    lut = _rans_lookup(freq, cum)
+    R = list(struct.unpack(f"<{n_states}I", c.read(4 * n_states)))
+    out = bytearray(n_out)
+    mask = n_states - 1  # N is always a power of two (4 or 32)
+    for i in range(n_out):
+        j = i & mask
+        m = R[j] & 0xFFF
+        s = lut[m]
+        out[i] = s
+        R[j] = freq[s] * (R[j] >> 12) + m - cum[s]
+        if R[j] < (1 << 15) and c.p + 1 < len(c.b):
+            (lo,) = struct.unpack_from("<H", c.b, c.p)
+            c.p += 2
+            R[j] = (R[j] << 16) | lo
+    return bytes(out)
+
+
+def _nx16_entropy1(c: Cursor, n_out: int, n_states: int) -> bytes:
+    """Order-1 entropy stage: per-context frequency rows over a shared
+    alphabet, normalized to 1<<shift (shift in the table header's high
+    nibble; low bit = the table itself is order-0-rANS compressed). The
+    output splits into n_states consecutive fragments, each decoded by one
+    state with the previous byte as context (0 at fragment start); the
+    last state finishes the remainder."""
+    comp = c.u8()
+    shift = comp >> 4
+    if comp & 1:
+        u_sz = _uint7(c)
+        c_sz = _uint7(c)
+        tc = Cursor(_nx16_entropy0(Cursor(c.read(c_sz)), u_sz, 4))
+    else:
+        tc = c
+    syms = _nx16_read_alphabet(tc)
+    tables: dict[int, tuple[list[int], list[int], bytes]] = {}
+    for i in syms:
+        raw = {j: _uint7(tc) for j in syms}
+        if sum(raw.values()) == 0:
+            continue  # context never observed
+        f, cm = _nx16_norm_freqs(raw, shift)
+        tables[i] = (f, cm, _rans_lookup(f, cm, bits=shift))
+    R = list(struct.unpack(f"<{n_states}I", c.read(4 * n_states)))
+    out = bytearray(n_out)
+    q = n_out // n_states
+    pos = [j * q for j in range(n_states)]
+    ctx = [0] * n_states
+    mask = (1 << shift) - 1
+    for _ in range(q):
+        for j in range(n_states):
+            f, cm, lut = tables[ctx[j]]
+            m = R[j] & mask
             s = lut[m]
-            out[i] = s
-            R[j] = freq[s] * (R[j] >> 12) + m - cum[s]
+            out[pos[j]] = s
+            pos[j] += 1
+            R[j] = f[s] * (R[j] >> shift) + m - cm[s]
             if R[j] < (1 << 15) and c.p + 1 < len(c.b):
                 (lo,) = struct.unpack_from("<H", c.b, c.p)
                 c.p += 2
                 R[j] = (R[j] << 16) | lo
-        payload = bytes(out)
+            ctx[j] = s
+    j = n_states - 1  # remainder positions belong to the last state
+    while pos[j] < n_out:
+        f, cm, lut = tables[ctx[j]]
+        m = R[j] & mask
+        s = lut[m]
+        out[pos[j]] = s
+        pos[j] += 1
+        R[j] = f[s] * (R[j] >> shift) + m - cm[s]
+        if R[j] < (1 << 15) and c.p + 1 < len(c.b):
+            (lo,) = struct.unpack_from("<H", c.b, c.p)
+            c.p += 2
+            R[j] = (R[j] << 16) | lo
+        ctx[j] = s
+    return bytes(out)
+
+
+def _nx16_read_rle_meta(c: Cursor) -> tuple[bytes, int]:
+    """(rle metadata blob, entropy-stage output length). The metadata is
+    stored raw (low bit of its length set) or order-0-rANS compressed."""
+    m = _uint7(c)
+    rle_len = _uint7(c)
+    if m & 1:
+        meta = bytes(c.read(m >> 1))
+    else:
+        c_meta_len = _uint7(c)
+        meta = _nx16_entropy0(Cursor(c.read(c_meta_len)), m >> 1, 4)
+    return meta, rle_len
+
+
+def _nx16_rle_expand(data: bytes, meta: bytes, n_out: int) -> bytes:
+    """RLE inverse: run-lengthed symbols are listed in the metadata (count
+    byte, 0 → all 256); each occurrence of one in the data stream is
+    followed by an extra-repeat count read from the metadata stream."""
+    mc = Cursor(meta)
+    n = mc.u8() or 256
+    rle_syms = frozenset(mc.read(n))
+    out = bytearray()
+    i = 0
+    while len(out) < n_out and i < len(data):
+        b = data[i]
+        i += 1
+        out.append(b)
+        if b in rle_syms:
+            run = _uint7(mc)
+            out.extend(bytes([b]) * run)
+    if len(out) != n_out:
+        raise ValueError(f"rANS Nx16 RLE expansion: {len(out)} != {n_out}")
+    return bytes(out)
+
+
+def _nx16_stripe(c: Cursor, n_out: int) -> bytes:
+    """STRIPE inverse: output byte i comes from substream i mod N; each
+    substream is a complete (usually NOSZ) Nx16 stream of its own."""
+    n_streams = c.u8()
+    clens = [_uint7(c) for _ in range(n_streams)]
+    subs = []
+    for j in range(n_streams):
+        ulen = n_out // n_streams + (1 if j < n_out % n_streams else 0)
+        subs.append(rans_nx16_decode(bytes(c.read(clens[j])), n_out=ulen))
+    out = bytearray(n_out)
+    for j, s in enumerate(subs):
+        out[j::n_streams] = s
+    return bytes(out)
+
+
+def rans_nx16_decode(data: bytes, n_out: int | None = None) -> bytes:
+    """rANS Nx16 (CRAM 3.1 spec §3; htscodecs wire format) decoder: all
+    flag combinations — ORDER (0/1), X32 state count, STRIPE, NOSZ, CAT,
+    RLE and PACK. Decode pipeline: entropy (or CAT) → RLE expand → bit
+    unpack, with STRIPE recursing into per-lane substreams."""
+    c = Cursor(data)
+    flags = c.u8()
+    order = flags & 1
+    if not flags & 0x10:  # NOSZ unset: explicit size
+        n_out = _uint7(c)
+    if flags & 0x08:  # STRIPE
+        if n_out is None:
+            raise ValueError("rANS Nx16 NOSZ STRIPE stream needs an expected size")
+        return _nx16_stripe(c, n_out)
+    n_states = 32 if flags & 0x04 else 4
+    pack_syms = None
+    n_unpack = None
+    if flags & 0x80:  # PACK: bit-unpack stage input length + symbol map
+        nsym = c.u8()
+        pack_syms = [c.u8() for _ in range(nsym)]
+        n_unpack = _uint7(c)
+    rle_meta = None
+    n_entropy = n_unpack if pack_syms is not None else n_out
+    if flags & 0x40:  # RLE: expansion stage metadata + entropy length
+        rle_meta, n_entropy = _nx16_read_rle_meta(c)
+    if flags & 0x20:  # CAT: payload stored raw
+        take = n_entropy if n_entropy is not None else len(c.b) - c.p
+        payload = bytes(c.b[c.p:c.p + take])
+    elif order:
+        payload = _nx16_entropy1(c, n_entropy, n_states)
+    else:
+        payload = _nx16_entropy0(c, n_entropy, n_states)
+    if rle_meta is not None:
+        payload = _nx16_rle_expand(
+            payload, rle_meta, n_unpack if pack_syms is not None else n_out
+        )
     if pack_syms is not None:
         payload = _nx16_unpack(payload, pack_syms, n_out)
     if n_out is not None and len(payload) != n_out:
