@@ -7,9 +7,10 @@ https://genome.ucsc.edu/goldenPath/help/bigWig.html).
 
 - ``spark.read.format("bigwig")`` → (chrom, start, end, value) intervals
   (bedGraph-equivalent schema, `bbi/scanner/bigwig.rs:46`)
-- ``spark.read.format("bigbed")`` → bed3 + ``rest`` (the block's tail
-  columns as one string; AutoSql-typed parsing arrives with
-  ``bed_schema``-style options)
+- ``spark.read.format("bigbed")`` → bed3 + custom columns typed by the
+  file's embedded AutoSql declaration (`models/autosql.py`; reference
+  `py-oxbow/src/bbi.rs:258-279`); ``bed_schema=rest`` forces the tail
+  into one opaque ``rest`` string instead
 - option ``zoom=<level>`` on either → the pre-aggregated zoom records
   (chrom, start, end, bases_covered, min, max, sum, sum_squares —
   `bbi/model/zoom.rs:13-44`)
@@ -81,6 +82,24 @@ class BbiFile:
     @property
     def is_bigwig(self) -> bool:
         return self.magic == BIGWIG_MAGIC
+
+    def autosql(self) -> str | None:
+        """The embedded AutoSql declaration (zero-terminated text), or
+        None when the file carries none."""
+        if not self.autosql_off:
+            return None
+        self.f.seek(self.autosql_off)
+        buf = bytearray()
+        while True:
+            chunk = self.f.read(4096)
+            if not chunk:
+                break
+            z = chunk.find(b"\x00")
+            if z >= 0:
+                buf += chunk[:z]
+                break
+            buf += chunk
+        return buf.decode("utf-8", "replace") or None
 
     def _read_chrom_tree(self) -> dict[int, tuple[str, int]]:
         e = self.endian
@@ -187,7 +206,14 @@ def decode_bigwig_block(data: bytes, endian: str, chroms) -> list[tuple]:
     return out
 
 
-def decode_bigbed_block(data: bytes, endian: str, chroms) -> list[tuple]:
+def decode_bigbed_block(
+    data: bytes, endian: str, chroms, asql_tags: tuple[str, ...] | None = None
+) -> list[tuple]:
+    """BigBed records: bed3 + the tail payload — one opaque ``rest``
+    string, or typed per the embedded AutoSql declaration when
+    ``asql_tags`` (parser-tag names from models.autosql) is given."""
+    from oxbow_spark.models.autosql import PARSERS
+
     out = []
     off = 0
     while off + 12 <= len(data):
@@ -196,7 +222,14 @@ def decode_bigbed_block(data: bytes, endian: str, chroms) -> list[tuple]:
         z = data.index(b"\x00", off)
         rest = data[off:z].decode("utf-8", "replace")
         off = z + 1
-        out.append((chroms[cid][0], s, e_, rest or None))
+        if asql_tags is None:
+            out.append((chroms[cid][0], s, e_, rest or None))
+        else:
+            vals = rest.split("\t") if rest else []
+            row = [chroms[cid][0], s, e_]
+            for i, tag in enumerate(asql_tags):
+                row.append(PARSERS[tag](vals[i]) if i < len(vals) else None)
+            out.append(tuple(row))
     return out
 
 
@@ -252,8 +285,9 @@ class BbiReader(DataSourceReader):
         self.names = src.names
         self.coord_offset = src.coord_offset
         self.regions = src.regions
+        self.asql_tags = src.asql_tags
         self._arrow_schema = to_arrow_schema(self.spark_schema)
-        self._full_names = [f.name for f in (ZOOM_SCHEMA if src.kind == "zoom" else (WIG_SCHEMA if src.kind == "wig" else BED_SCHEMA))]
+        self._full_names = src.full_names
 
     def partitions(self):
         parts: list[BbiPartition] = []
@@ -309,7 +343,10 @@ class BbiReader(DataSourceReader):
             elif bbi.is_bigwig:
                 decode = decode_bigwig_block
             else:
-                decode = decode_bigbed_block
+                tags = self.asql_tags
+
+                def decode(data, endian, chroms):
+                    return decode_bigbed_block(data, endian, chroms, tags)
             rows = []
             proj = [self._full_names.index(n) for n in self.names]
             identity = proj == list(range(len(self._full_names)))
@@ -360,13 +397,50 @@ class _BbiSource(DataSource):
         self.paths = resolve_paths(options.get("path"))
         self.zoom = int(options["zoom"]) if options.get("zoom") not in (None, "") else -1
         self.kind = "zoom" if self.zoom >= 0 else self.KIND
-        base = ZOOM_SCHEMA if self.kind == "zoom" else (WIG_SCHEMA if self.kind == "wig" else BED_SCHEMA)
-        self.names = select_fields([f.name for f in base], options.get("fields"))
+        self.asql_tags: tuple[str, ...] | None = None
+        if self.kind == "zoom":
+            base = ZOOM_SCHEMA
+        elif self.kind == "wig":
+            base = WIG_SCHEMA
+        else:
+            base = self._bigbed_schema(options)
+        self.full_names = [f.name for f in base]
+        self.names = select_fields(self.full_names, options.get("fields"))
         self.spark_schema = T.StructType([base[n] for n in self.names])
         self.coord_offset = _coords.start_offset(self.NATIVE_CS, options.get("coords", self.NATIVE_CS))
         self.regions = _coords.merge_regions(_coords.parse_regions(
             options.get("regions"), options.get("region_cs", self.NATIVE_CS)
         ))
+
+    def _bigbed_schema(self, options: dict) -> T.StructType:
+        """BigBed column typing: the embedded AutoSql declaration types
+        the custom (post-bed3) columns (reference `py-oxbow/src/bbi.rs:
+        258-279`); ``bed_schema=rest`` forces the opaque tail string."""
+        if options.get("bed_schema", "autosql") != "autosql":
+            return BED_SCHEMA
+        from oxbow_spark.models.autosql import parse_autosql
+
+        bbi = BbiFile(self.paths[0])
+        try:
+            decl = bbi.autosql()
+            n_fields = bbi.field_count
+        finally:
+            bbi.close()
+        if not decl:
+            return BED_SCHEMA
+        _name, fields = parse_autosql(decl)
+        if n_fields and len(fields) < n_fields:
+            return BED_SCHEMA  # declaration doesn't cover the row: opaque tail
+        custom = fields[3:n_fields] if n_fields else fields[3:]
+        self.asql_tags = tuple(f.tag for f in custom)
+        return T.StructType(
+            [
+                T.StructField("chrom", T.StringType(), False),
+                T.StructField("start", T.LongType(), True),
+                T.StructField("end", T.LongType(), True),
+            ]
+            + [T.StructField(f.name, f.dtype, True) for f in custom]
+        )
 
     def schema(self):
         return self.spark_schema

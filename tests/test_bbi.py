@@ -93,3 +93,122 @@ def test_zoom_aggregate_parity(gspark):
     assert o.bases == t.bases
     assert o.mn == t.mn and o.mx == t.mx
     assert abs(o.s - t.s) < 1e-3 and abs(o.ss - t.ss) < 1e-1
+
+
+# ---------------------------------------------------------------- AutoSql
+
+NARROWPEAK_AS = """table narrowPeak
+"BED6+4 Peaks of signal enrichment based on pooled, normalized (interpreted) data."
+(
+    string chrom;        "Reference sequence chromosome or scaffold"
+    uint   chromStart;   "Start position in chromosome"
+    uint   chromEnd;     "End position in chromosome"
+    string name;         "Name given to a region (preferably unique)"
+    uint   score;        "Indicates how dark the peak will be displayed (0-1000)"
+    char[1]  strand;     "+ or - or . for unknown"
+    float  signalValue;  "Measurement of overall enrichment for the region"
+    float  pValue;       "Statistical significance of signal value (-log10)"
+    float  qValue;       "Statistical significance with multiple-test correction"
+    uint   peak;         "Point-source called for this peak"
+)
+"""
+
+
+def _write_bigbed(path, autosql: str, rows):
+    """Minimal little-endian BigBed: header, AutoSql, chrom tree (one
+    leaf), one uncompressed data block, one R-tree leaf."""
+    import struct
+
+    chroms = sorted({r[0] for r in rows})
+    cid = {c: i for i, c in enumerate(chroms)}
+    asql = autosql.encode() + b"\x00"
+    data = b"".join(
+        struct.pack("<III", cid[r[0]], r[1], r[2])
+        + "\t".join(str(x) for x in r[3:]).encode() + b"\x00"
+        for r in rows
+    )
+    key_size = max(len(c) for c in chroms)
+    header_sz = 64
+    autosql_off = header_sz
+    chrom_tree_off = autosql_off + len(asql)
+    tree = struct.pack("<IIIIQQ", 0x78CA8C91, 256, key_size, 8, len(chroms), 0)
+    tree += struct.pack("<BBH", 1, 0, len(chroms))
+    for c in chroms:
+        tree += c.encode().ljust(key_size, b"\x00") + struct.pack("<II", cid[c], 10**9)
+    full_data_off = chrom_tree_off + len(tree)
+    data_block_off = full_data_off + 8  # u64 item count precedes data
+    full_index_off = data_block_off + len(data)
+    scix = min(cid[r[0]] for r in rows)
+    ecix = max(cid[r[0]] for r in rows)
+    sb = min(r[1] for r in rows)
+    eb = max(r[2] for r in rows)
+    rtree = struct.pack("<IIQIIIIQII", 0x2468ACE0, 256, len(rows),
+                        scix, sb, ecix, eb, full_index_off, 512, 0)
+    rtree += struct.pack("<BBH", 1, 0, 1)
+    rtree += struct.pack("<IIIIQQ", scix, sb, ecix, eb, data_block_off, len(data))
+    n_fields = 3 + len(rows[0]) - 3
+    header = struct.pack("<IHHQQQHHQQIQ", 0x8789F2EB, 4, 0, chrom_tree_off,
+                         full_data_off, full_index_off, n_fields, 6,
+                         autosql_off, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(header + asql + tree + struct.pack("<Q", len(rows)) + data + rtree)
+
+
+NP_ROWS = [
+    ("chr1", 100, 500, "peak1", 680, "+", 5.5, 3.25, 2.5, 120),
+    ("chr1", 900, 1400, "peak2", 1000, "-", 8.75, 6.5, 5.125, 300),
+    ("chr2", 50, 300, ".", 0, ".", 1.5, -1.0, -1.0, 60),
+]
+
+
+def test_bigbed_autosql_typed_fields(gspark, tmp_path):
+    """narrowPeak BigBed: the embedded AutoSql declaration types the
+    custom columns (reference `py-oxbow/src/bbi.rs:258-279`)."""
+    bb = tmp_path / "np.bb"
+    _write_bigbed(bb, NARROWPEAK_AS, NP_ROWS)
+    df = gspark.read.format("bigbed").load(str(bb))
+    assert df.columns == [
+        "chrom", "start", "end", "name", "score", "strand",
+        "signalValue", "pValue", "qValue", "peak",
+    ]
+    rows = {(r.chrom, r.start): r for r in df.collect()}
+    assert len(rows) == 3
+    r = rows[("chr1", 100)]
+    assert r.name == "peak1" and r.score == 680 and r.strand == "+"
+    assert abs(r.signalValue - 5.5) < 1e-6 and r.peak == 120
+    import pyspark.sql.types as T
+    sch = dict((f.name, f.dataType) for f in df.schema)
+    assert isinstance(sch["score"], T.LongType)  # uint -> bigint
+    assert isinstance(sch["signalValue"], T.FloatType)
+    # '.' stays verbatim in strings, numerics parse exactly
+    r2 = rows[("chr2", 50)]
+    assert r2.name == "." and r2.pValue == -1.0
+
+
+def test_bigbed_autosql_region_and_fields(gspark, tmp_path):
+    bb = tmp_path / "np.bb"
+    _write_bigbed(bb, NARROWPEAK_AS, NP_ROWS)
+    df = (
+        gspark.read.format("bigbed")
+        .option("fields", "chrom,start,end,signalValue")
+        .option("regions", "chr1:[0,600)")
+        .load(str(bb))
+    )
+    rows = df.collect()
+    assert df.columns == ["chrom", "start", "end", "signalValue"]
+    assert [(r.chrom, r.start) for r in rows] == [("chr1", 100)]
+
+
+def test_bigbed_rest_override(gspark, tmp_path):
+    bb = tmp_path / "np.bb"
+    _write_bigbed(bb, NARROWPEAK_AS, NP_ROWS)
+    df = gspark.read.format("bigbed").option("bed_schema", "rest").load(str(bb))
+    assert df.columns == ["chrom", "start", "end", "rest"]
+    assert df.first().rest.startswith("peak1\t")
+
+
+def test_bigbed_fixture_bed3_autosql(gspark):
+    # sample.bb declares plain bed3: no custom columns, no rest
+    df = gspark.read.format("bigbed").load(BB)
+    assert df.columns == ["chrom", "start", "end"]
+    assert df.count() == 100
