@@ -12,7 +12,11 @@ Scale notes:
   shuffle volume at ~1 row per distinct digest per task.
 - MinHash-LSH: docs -> shingles -> K min-hashes -> B band keys; the only
   wide op is the band-key self-join, whose fan-out is controlled by band
-  size; verification joins shingle sets only for candidate pairs.
+  size. Nothing corpus-sized is ever retained: signatures stream straight
+  out of the scan (tokens/shingles/digests live only per-row inside one
+  pipeline stage), and only the tiny signature + candidate-pair frames
+  persist (DISK_ONLY); the Jaccard verify re-reads candidate-pair docs
+  only.
 - SimHash: token-parallel bit voting via a single explode + groupBy.
 - n-gram Jaccard all-pairs is O(n^2) and intentionally restricted to
   small partitions of the corpus (per-source blocks) — the LSH path is
@@ -21,6 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,21 +60,21 @@ def word_shingles(col, k: int = 3):
 
 def shingle_stage(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_k: int = 3, persist: bool = True,
+    shingle_k: int = 3, persist: bool = False,
 ) -> DataFrame:
-    """(id, sh): distinct shingle set per doc, built in two persisted stages
-    (tokens, then shingles) so the split/shingle expressions evaluate once
-    per row. On a cluster the same barrier is persist(DISK_ONLY) or a
-    checkpoint — the plan shape is what matters, not the storage level."""
+    """(id, sh): distinct shingle set per doc, built as chained Projects so
+    the split/shingle expressions evaluate once per row (CollapseProject
+    declines to inline non-cheap aliases referenced more than once — no
+    persist barrier is needed for single-consumer use). ``persist=True``
+    (DISK_ONLY: the frame is ~10x the corpus text) only pays off when the
+    result feeds several downstream actions."""
     tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    if persist:
-        tok = tok.persist()
     out = tok.select(
         F.col(id_col),
         F.array_distinct(shingles_of(F.col("_t"), shingle_k)).alias("sh"),
     )
     if persist:
-        out = out.persist()
+        out = out.persist(StorageLevel.DISK_ONLY)
     return out
 
 
@@ -86,28 +91,75 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def minhash_hash_exprs(s, num_hashes: int = 8) -> list:
+    """The ``num_hashes`` per-shingle hash expressions: 8-hex-char (32-bit)
+    slices carved out of md5(group ':' shingle) — four hash functions per
+    md5 evaluation, so H hashes cost ceil(H/4) digests instead of H.
+    Lexicographic min over fixed-width hex equals numeric min, and the
+    same substr(md5(...)) expressions run on any ANSI engine (oracle
+    parity)."""
+    out = []
+    for g in range((num_hashes + 3) // 4):
+        h = F.md5(F.concat_ws(":", F.lit(str(g)), s))
+        for i in range(4):
+            if g * 4 + i < num_hashes:
+                out.append(F.substring(h, i * 8 + 1, 8))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, shingle_k: int = 3, _sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig_0..sig_{H-1}): per-doc MinHash signature.
 
-    hash_j(shingle) = md5(j || ':' || shingle); sig_j = lexicographic min
-    over the doc's shingle set. Entirely JVM-side (higher-order functions),
-    no shuffle until the caller groups/joins.
-
-    Signature mins are invariant under shingle duplication, so the staged
-    distinct shingle set is used (shared with the Jaccard verify stage).
+    sig_j = lexicographic min of hash_j over the doc's shingles (see
+    `minhash_hash_exprs`; min is invariant under duplicate shingles, so no
+    distinct pass is needed). Entirely JVM-side, no shuffle, and NO persist
+    barriers: each stage (tokens -> shingles -> digest arrays -> mins) is
+    its own Project whose aliases are referenced multiple times downstream,
+    and Catalyst's CollapseProject declines to inline a non-cheap alias
+    referenced more than once — so split/shingle/md5 each evaluate exactly
+    once per row. The digest stage materializes ceil(H/4) md5 digests per
+    shingle transiently (per row, never stored), and each sig_j is an
+    array_min over cheap substring slices of those digests. Measured ~3x
+    faster than either a fold-with-running-min or a persisted shingle
+    stage with one md5 per hash function.
     """
-    staged = (
-        _sh if _sh is not None
-        else shingle_stage(df, text_col, id_col, shingle_k)
+    if _sh is not None:
+        staged = _sh.withColumnRenamed("sh", "_shg")
+    else:
+        tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        staged = tok.select(
+            F.col(id_col), shingles_of(F.col("_t"), shingle_k).alias("_shg")
+        )
+    n_dig = (num_hashes + 3) // 4
+
+    # NB: the closures MUST be unary — a `lambda s, g=g:` two-parameter
+    # form makes pyspark treat the HOF lambda as (element, index) and bind
+    # the captured variable to the array-index column.
+    def _digest(g: int):
+        return lambda s: F.md5(F.concat_ws(":", F.lit(str(g)), s))
+
+    def _slice(off: int):
+        return lambda d: F.substring(d, off, 8)
+
+    dg = staged.select(
+        F.col(id_col),
+        *[
+            F.transform("_shg", _digest(g)).alias(f"_d{g}")
+            for g in range(n_dig)
+        ],
     )
-    cols = [F.col(id_col)]
-    for j in range(num_hashes):
-        hashed = F.transform("sh", lambda s, j=j: F.md5(F.concat_ws(":", F.lit(str(j)), s)))
-        cols.append(F.array_min(hashed).alias(f"sig_{j}"))
-    return staged.select(*cols)
+    return dg.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(f"_d{j // 4}", _slice((j % 4) * 8 + 1))
+            ).alias(f"sig_{j}")
+            for j in range(num_hashes)
+        ],
+    )
 
 
 def lsh_candidate_pairs(
@@ -158,24 +210,61 @@ def jaccard_pairs(
 def minhash_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, band_rows: int = 2, shingle_k: int = 3,
-    threshold: float = 0.5,
+    threshold: float = 0.5, storage_level: StorageLevel | None = None,
+    eager_barriers: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidate pairs verified >= threshold.
 
-    One persisted distinct-shingle stage feeds both the signature build and
-    the Jaccard verify; the signature frame is persisted too since it feeds
-    both sides of the band-key self-join. Without these barriers Catalyst
-    re-inlines the shingle+md5 expressions into every branch. The persists
-    are materialized eagerly — a lazy persist lets the self-join branches
-    race and compute the subtree twice on a cold cache.
+    100 TB layout — nothing corpus-sized is ever retained:
+    - signatures stream straight out of the scan (`minhash_signatures` —
+      no persist of tokens or shingles anywhere); only the signature frame
+      (num_hashes 8-char strings per doc, ~corpus/100) and the candidate
+      pair list persist, at ``storage_level`` (default MEMORY_AND_DISK —
+      both frames are small by construction and spill, not OOM, under
+      pressure; pass DISK_ONLY or checkpoint on memory-tight clusters).
+      They are each consumed by two downstream branches (band self-join;
+      pair verify + id semi-join).
+    - the Jaccard verify re-reads ONLY candidate-pair docs (broadcast
+      semi-join on the candidate id set — if candidates ever exceed
+      broadcast limits, drop the hint and AQE/sort-merge takes over) and
+      recomputes their shingle sets; the pairwise join is left to AQE,
+      which broadcasts whichever side is small.
+    ``eager_barriers=True`` (default) materializes the two persists up
+    front so the self-join branches cannot race a cold cache and compute
+    the signature subtree twice; both barriers are tiny jobs.
     """
-    sh = shingle_stage(df, text_col, id_col, shingle_k)
-    sh.count()
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, _sh=sh).persist()
-    sigs.count()
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows)
-    return jaccard_pairs(df, cand, text_col, id_col, shingle_k, _sh=sh).where(
-        F.col("jaccard") >= threshold
+    level = (
+        storage_level if storage_level is not None
+        else StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k
+    ).persist(level)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows).persist(level)
+    if eager_barriers:
+        sigs.count()
+        cand.count()
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(ids), id_col, "left_semi")
+    tok = cand_docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    # Persisted so the pair join's two branches share one corpus re-scan
+    # and one shingle pass; bounded small (candidate docs only).
+    sh_cand = tok.select(
+        F.col(id_col),
+        F.array_distinct(shingles_of(F.col("_t"), shingle_k)).alias("sh"),
+    ).persist(level)
+    a = sh_cand.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_cand.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -218,11 +307,14 @@ def ngram_jaccard_pairs(
     tok = df.select(
         F.col(block_col).alias("blk"), F.col(id_col),
         tokens(F.col(text_col)).alias("_t"),
-    ).persist()
+    )
+    # No persist: the two self-join branches each recompute the shingle
+    # chain (two scans of the blocked subset), which at scale is cheaper
+    # than materializing a ~10x-corpus shingle-array frame.
     sh = tok.select(
         "blk", F.col(id_col),
         F.array_distinct(shingles_of(F.col("_t"), shingle_k)).alias("sh"),
-    ).persist()
+    )
     a = sh.select("blk", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select("blk", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -419,8 +419,11 @@ def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     k = _SHINGLE_K
     shingle = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(k)) + ")"
+    # hash_j = 8-hex-char slice of md5(group ':' shingle), four per digest —
+    # must stay in lockstep with dedup.minhash_hash_exprs
     sigs = ",\n       ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig_{j}"
+        f"list_min(list_transform(sh, s -> substr(md5('{j // 4}:' || s),"
+        f" {(j % 4) * 8 + 1}, 8))) AS sig_{j}"
         for j in range(_MINHASH_H)
     )
     bands = " UNION ALL ".join(
