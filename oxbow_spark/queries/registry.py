@@ -708,6 +708,117 @@ FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
+# Scale-path ANN params: multiple tables + margin-ordered multi-probe.
+# 8 planes/table keeps sf0.01 buckets populated; at 1e9+ corpora use
+# 16-24 planes (same code path — see tests/test_ann.py for the recall
+# gates at both planted and unplanted query sets).
+_MP_TABLES = similarity.plane_tables(4, 8, _EMB_DIM)
+_MP_PROBES = 8
+
+
+def sim_topk_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe multi-table LSH ANN (the scale configuration of
+    `sim_topk_lsh`): 4 hyperplane tables, 8 margin-ordered probes each."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.cosine_topk_lsh(
+        emb, q, _MP_TABLES, k=_TOPK_K, n_probes=_MP_PROBES
+    )
+
+
+def _topk_lsh_mp_sql() -> str:
+    """DuckDB twin of `sim_topk_lsh_mp`: the same margin-ordered probe
+    generation (sorted (|margin|, bit) structs, single-bit XOR flips) in
+    SQL, so the multi-probe path is hash-checked, not just rows-only.
+    Per-plane dots are factored into columns of a CTE so each of the
+    4 tables x 8 planes dot products appears exactly once."""
+    n_planes = len(_MP_TABLES[0])
+    n_flips = min(_MP_PROBES - 1, n_planes)
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+        "CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+    )
+    dcols = ",\n         ".join(
+        f"({_plane_dot_sql('embedding', p)}) AS d_{t}_{i}"
+        for t, planes in enumerate(_MP_TABLES) for i, p in enumerate(planes)
+    )
+    bcols = ",\n         ".join(
+        " + ".join(
+            f"(CASE WHEN d_{t}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        ) + f" AS b_{t}"
+        for t in range(len(_MP_TABLES))
+    )
+    def probes(t: int) -> str:
+        items = ", ".join(
+            f"{{'m': abs(d_{t}_{i}), 'i': {i}}}" for i in range(n_planes)
+        )
+        return (
+            f"list_prepend(b_{t}, list_transform("
+            f"list_slice(list_sort([{items}]), 1, {n_flips}), "
+            f"s -> xor(b_{t}, (1 << s.i))))"
+        )
+    pcols = ",\n       ".join(f"{probes(t)} AS p_{t}" for t in range(len(_MP_TABLES)))
+    on = " OR ".join(f"list_contains(q.p_{t}, n.b_{t})" for t in range(len(_MP_TABLES)))
+    return f"""
+WITH dots AS (
+  SELECT vec_id, embedding,
+         {dot.format(a='embedding', b='embedding')} AS nrm,
+         {dcols}
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, embedding, nrm,
+         {bcols}
+  FROM dots
+),
+q AS (
+  -- lateral alias references: b_t defined then used by p_t in-select
+  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+         {bcols},
+       {pcols}
+  FROM dots WHERE vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, n.vec_id AS neighbor_id, q.qv, q.qn,
+                  n.embedding AS cv, n.nrm AS cn
+  FROM n JOIN q ON ({on})
+  WHERE n.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {dot.format(a='qv', b='cv')} / SQRT(qn * cn) AS cos
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+_IVF_NLIST = 8
+_IVF_NPROBE = 2
+
+
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: spherical k-means coarse quantizer (pyspark.ml),
+    nprobe/nlist = 25% scanned fraction. The quantizer is iterative
+    (k-means) so there is no SQL oracle — the recall gates live in
+    tests/test_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    cents = similarity.ivf_fit(emb, nlist=_IVF_NLIST, max_iter=10)
+    return similarity.ivf_topk(emb, q, cents, k=_TOPK_K, nprobe=_IVF_NPROBE)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), _PLANES, threshold=_EMB_NEARDUP_T
@@ -1059,6 +1170,8 @@ QUERIES: list[Query] = [
     Query("bpe_token_count_docs", bpe_token_count_docs, BPE_SQL),
     Query("sim_topk_cosine", sim_topk_cosine, _topk_sql(), bench=True),
     Query("sim_topk_lsh", sim_topk_lsh, _topk_lsh_sql(), bench=True),
+    Query("sim_topk_lsh_mp", sim_topk_lsh_mp, _topk_lsh_mp_sql()),
+    Query("sim_topk_ivf", sim_topk_ivf, None),
     Query("dedup_embedding_cosine", dedup_embedding_cosine, _embcos_sql()),
     Query("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
     Query("semi_join_suppliers", semi_join_suppliers, SEMI_SQL),
