@@ -338,35 +338,54 @@ def cosine_topk_lsh(
     if dedup_candidates is None:
         dedup_candidates = multi
 
-    c_buckets = [F.struct(F.lit(t).alias("tbl"), _bucket_of(_plane_dots(vec_col, tp)).alias("bucket"))
-                 for t, tp in enumerate(tables)]
-    cc = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        _exact_norm2(F.col(vec_col)).alias("_cn"),
-        F.explode(F.array(*c_buckets)).alias("_cb"),
-    ).select("neighbor_id", "_cv", "_cn", F.col("_cb.tbl").alias("tbl"),
-             F.col("_cb.bucket").alias("bucket"))
+    if not multi:
+        # Straight-line fast path: one table, one probe — no Generate
+        # (explode) nodes, a single-int join key, no dedup.
+        cc = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+            _exact_norm2(F.col(vec_col)).alias("_cn"),
+            _bucket_of(_plane_dots(vec_col, tables[0])).alias("bucket"),
+        )
+        qq = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv"),
+            _exact_norm2(F.col(vec_col)).alias("_qn"),
+            _bucket_of(_plane_dots(vec_col, tables[0])).alias("qbucket"),
+        )
+        cand = (
+            cc.join(F.broadcast(qq), cc["bucket"] == qq["qbucket"])
+            .where(F.col("neighbor_id") != F.col(query_id_col))
+            .select(query_id_col, "neighbor_id", "_qv", "_qn", "_cv", "_cn")
+        )
+    else:
+        c_buckets = [F.struct(F.lit(t).alias("tbl"), _bucket_of(_plane_dots(vec_col, tp)).alias("bucket"))
+                     for t, tp in enumerate(tables)]
+        cc = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+            _exact_norm2(F.col(vec_col)).alias("_cn"),
+            F.explode(F.array(*c_buckets)).alias("_cb"),
+        ).select("neighbor_id", "_cv", "_cn", F.col("_cb.tbl").alias("tbl"),
+                 F.col("_cb.bucket").alias("bucket"))
 
-    q_probes = [
-        F.struct(F.lit(t).alias("tbl"),
-                 _probe_array(_plane_dots(vec_col, tp), n_probes).alias("pb"))
-        for t, tp in enumerate(tables)
-    ]
-    qq = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv"),
-        _exact_norm2(F.col(vec_col)).alias("_qn"),
-        F.explode(F.array(*q_probes)).alias("_qp"),
-    ).select(
-        query_id_col, "_qv", "_qn", F.col("_qp.tbl").alias("qtbl"),
-        F.explode(F.col("_qp.pb")).alias("qbucket"),
-    )
+        q_probes = [
+            F.struct(F.lit(t).alias("tbl"),
+                     _probe_array(_plane_dots(vec_col, tp), n_probes).alias("pb"))
+            for t, tp in enumerate(tables)
+        ]
+        qq = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qv"),
+            _exact_norm2(F.col(vec_col)).alias("_qn"),
+            F.explode(F.array(*q_probes)).alias("_qp"),
+        ).select(
+            query_id_col, "_qv", "_qn", F.col("_qp.tbl").alias("qtbl"),
+            F.explode(F.col("_qp.pb")).alias("qbucket"),
+        )
 
-    cand = (
-        cc.join(F.broadcast(qq),
-                (cc["bucket"] == qq["qbucket"]) & (cc["tbl"] == qq["qtbl"]))
-        .where(F.col("neighbor_id") != F.col(query_id_col))
-        .select(query_id_col, "neighbor_id", "_qv", "_qn", "_cv", "_cn")
-    )
+        cand = (
+            cc.join(F.broadcast(qq),
+                    (cc["bucket"] == qq["qbucket"]) & (cc["tbl"] == qq["qtbl"]))
+            .where(F.col("neighbor_id") != F.col(query_id_col))
+            .select(query_id_col, "neighbor_id", "_qv", "_qn", "_cv", "_cn")
+        )
     if dedup_candidates:
         # A corpus vector lives in exactly one bucket per table, so dups
         # only arise across tables/probes — bounded by n_tables*n_probes.
