@@ -43,6 +43,7 @@ from oxbow_spark.models.sam_header import (
 )
 from oxbow_spark.sources.base import DEFAULT_BATCH_SIZE, resolve_paths, select_fields
 from oxbow_spark.sources.bgzf import (
+
     BaiIndex,
     BgzfReader,
     CsiIndex,
@@ -50,6 +51,7 @@ from oxbow_spark.sources.bgzf import (
     partition_from_index,
     query_chunks,
 )
+from oxbow_spark.sources import fsio
 
 SEQ_CODES = "=ACMGRSVTWYHKDBN"
 CIGAR_OPS = "MIDNSHP=X"
@@ -200,14 +202,14 @@ class BamReader(DataSourceReader):
         for path in self.paths:
             with BgzfReader(path) as r:
                 hdr, ref_names, first_vpos = read_bam_header(r)
-            size = os.path.getsize(path)
+            size = fsio.getsize(path)
             bai_path = next(
-                (p for p in (path + ".bai", path[:-4] + ".bai") if os.path.exists(p)),
+                (p for p in (path + ".bai", path[:-4] + ".bai") if fsio.exists(p)),
                 None,
             )
             if bai_path:
                 index = BaiIndex.read(bai_path)
-            elif os.path.exists(path + ".csi"):
+            elif fsio.exists(path + ".csi"):
                 index = CsiIndex.read(path + ".csi")  # >512 Mb chromosomes
             else:
                 index = None

@@ -24,7 +24,6 @@ columns; everything else is shared.
 
 from __future__ import annotations
 
-import glob as _glob
 import gzip
 import io
 import os
@@ -38,19 +37,16 @@ from pyspark.sql import types as T
 
 from oxbow_spark import coords as _coords
 
+from oxbow_spark.sources import fsio
+
 DEFAULT_BATCH_SIZE = 65536
 DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
 
 
 def resolve_paths(path: str) -> list[str]:
-    if os.path.isdir(path):
-        return sorted(
-            os.path.join(path, f) for f in os.listdir(path) if not f.startswith(("_", "."))
-        )
-    hits = sorted(_glob.glob(path))
-    if not hits:
-        raise FileNotFoundError(f"no files match {path!r}")
-    return hits
+    """Directory / glob / URL expansion (remote via fsio when fsspec is
+    installed)."""
+    return fsio.expand(path)
 
 
 def is_gzip_path(path: str) -> bool:
@@ -59,8 +55,11 @@ def is_gzip_path(path: str) -> bool:
 
 def open_text(path: str) -> io.TextIOBase:
     if is_gzip_path(path):
-        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8", newline="\n")
-    return open(path, "rt", encoding="utf-8", newline="\n")
+        return io.TextIOWrapper(
+            gzip.GzipFile(fileobj=fsio.open_binary(path)),
+            encoding="utf-8", newline="\n",
+        )
+    return io.TextIOWrapper(fsio.open_binary(path), encoding="utf-8", newline="\n")
 
 
 @dataclass
@@ -128,7 +127,7 @@ def _iter_lines(path: str, start: int, end: int) -> Iterator[str]:
         with open_text(path) as f:
             yield from f
         return
-    with open(path, "rb") as f:
+    with fsio.open_binary(path) as f:
         f.seek(start)
         if start > 0:
             f.readline()  # discard partial line owned by previous split
@@ -167,16 +166,16 @@ class TextFormatReader(DataSourceReader):
 
         parts: list[LinePartition] = []
         for p in self.paths:
-            size = os.path.getsize(p)
+            size = fsio.getsize(p)
             index = names = None
             if is_gzip_path(p) and is_bgzf(p):
                 # tabix-indexed BGZF (.tbi, or .csi with tabix aux names):
                 # index-pushed region chunks, or linear-index partitioning
                 # for full scans (SURVEY D1/F1)
-                if os.path.exists(p + ".tbi"):
+                if fsio.exists(p + ".tbi"):
                     tbi = TabixIndex.read(p + ".tbi")
                     index, names = tbi.as_bai(), tbi.names
-                elif os.path.exists(p + ".csi"):
+                elif fsio.exists(p + ".csi"):
                     csi = CsiIndex.read(p + ".csi")
                     if csi.names:  # tabix-format aux carries the name list
                         index, names = csi, csi.names

@@ -35,6 +35,8 @@ from pyspark.sql.pandas.types import to_arrow_schema
 from oxbow_spark import coords as _coords
 from oxbow_spark.sources.base import resolve_paths, select_fields
 
+from oxbow_spark.sources import fsio
+
 BIGWIG_MAGIC = 0x888FFC26
 BIGBED_MAGIC = 0x8789F2EB
 CHROM_TREE_MAGIC = 0x78CA8C91
@@ -54,7 +56,7 @@ class BbiFile:
 
     def __init__(self, path: str):
         self.path = path
-        self.f = open(path, "rb")
+        self.f = fsio.open_binary(path)
         magic_raw = self.f.read(4)
         for fmt in ("<I", ">I"):
             (m,) = struct.unpack(fmt, magic_raw)

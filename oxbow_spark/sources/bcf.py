@@ -29,6 +29,8 @@ from oxbow_spark.sources.base import DEFAULT_BATCH_SIZE
 from oxbow_spark.sources.bgzf import BgzfReader
 from oxbow_spark.sources.vcf import VcfCodec, VcfDataSource
 
+from oxbow_spark.sources import fsio
+
 _MISSING = {1: -128, 2: -32768, 3: -2147483648}
 _EOV = {1: -127, 2: -32767, 3: -2147483647}
 _FMT = {1: "<b", 2: "<h", 3: "<i", 5: "<f"}
@@ -190,7 +192,7 @@ class _RawReader:
     """Plain-file stand-in for BgzfReader (uncompressed BCF)."""
 
     def __init__(self, path: str):
-        self.f = open(path, "rb")
+        self.f = fsio.open_binary(path)
 
     def read(self, n: int) -> bytes:
         return self.f.read(n)
@@ -203,7 +205,7 @@ class _RawReader:
 
 
 def open_bcf(path: str):
-    with open(path, "rb") as f:
+    with fsio.open_binary(path) as f:
         magic = f.read(3)
     return _RawReader(path) if magic == b"BCF" else BgzfReader(path)
 
@@ -249,9 +251,9 @@ class BcfReader(DataSourceReader):
         parts: list[BcfPartition] = []
         for p in self.paths:
             csi_path = p + ".csi"
-            with open(p, "rb") as f:
+            with fsio.open_binary(p) as f:
                 raw = f.read(3) == b"BCF"  # uncompressed BCF: not splittable
-            if raw or not os.path.exists(csi_path):
+            if raw or not fsio.exists(csi_path):
                 parts.append(BcfPartition(p))
                 continue
             idx = CsiIndex.read(csi_path)
@@ -270,7 +272,7 @@ class BcfReader(DataSourceReader):
                 for cb, ce in coalesce_chunks(chunks):
                     parts.append(BcfPartition(p, cb, ce))
             else:
-                size = os.path.getsize(p)
+                size = fsio.getsize(p)
                 for vs, ve in partition_from_index(idx, self.chunksize, first_vpos, size):
                     parts.append(BcfPartition(p, vs, ve))
         return parts or [BcfPartition(self.paths[0], 0, 0)]

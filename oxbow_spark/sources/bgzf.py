@@ -20,6 +20,8 @@ import struct
 import zlib
 from dataclasses import dataclass
 
+from oxbow_spark.sources import fsio
+
 
 class BgzfReader:
     """Seekable reader over a BGZF file using virtual positions.
@@ -30,7 +32,7 @@ class BgzfReader:
     """
 
     def __init__(self, path: str):
-        self.f = open(path, "rb")
+        self.f = fsio.open_binary(path)
         self._block_coffset = -1
         self._block_data = b""
         self._next_coffset = 0
@@ -131,12 +133,12 @@ class BgzfReader:
 
 
 def is_bgzf(path: str) -> bool:
-    with open(path, "rb") as f:
+    with fsio.open_binary(path) as f:
         h = f.read(18)
     if len(h) < 18 or h[:4] != b"\x1f\x8b\x08\x04":
         return False
     xlen = struct.unpack_from("<H", h, 10)[0]
-    with open(path, "rb") as f:
+    with fsio.open_binary(path) as f:
         f.seek(12)
         extra = f.read(xlen)
     i = 0
@@ -165,7 +167,7 @@ class TabixIndex:
 
     @classmethod
     def read(cls, path: str) -> "TabixIndex":
-        with gzip.open(path, "rb") as f:
+        with gzip.GzipFile(fileobj=fsio.open_binary(path)) as f:
             data = f.read()
         if data[:4] != b"TBI\x01":
             raise ValueError(f"{path} is not a tabix index")
@@ -218,8 +220,8 @@ class BaiIndex:
 
     @classmethod
     def read(cls, path: str) -> "BaiIndex":
-        opener = gzip.open if path.endswith(".gz") else open
-        with opener(path, "rb") as f:
+        raw = fsio.open_binary(path)
+        with (gzip.GzipFile(fileobj=raw) if path.endswith(".gz") else raw) as f:
             data = f.read()
         if data[:4] != b"BAI\x01":
             raise ValueError(f"{path} is not a BAI index")
@@ -294,7 +296,7 @@ class CsiIndex:
 
     @classmethod
     def read(cls, path: str) -> "CsiIndex":
-        with gzip.open(path, "rb") as f:
+        with gzip.GzipFile(fileobj=fsio.open_binary(path)) as f:
             data = f.read()
         if data[:4] != b"CSI\x01":
             raise ValueError(f"{path} is not a CSI index")

@@ -52,6 +52,8 @@ from oxbow_spark.sources.base import DEFAULT_BATCH_SIZE, resolve_paths, select_f
 from oxbow_spark.sources.pushdown import region_from_filters
 from oxbow_spark.sources.sequence import faidx_fetch, read_fai
 
+from oxbow_spark.sources import fsio
+
 CRAM_MAGIC = b"CRAM"
 BASES = "ACGTN"
 # container headers (incl. multi-slice landmark arrays) comfortably fit here
@@ -955,7 +957,7 @@ class ExternalRef:
     def __init__(self, path: str):
         self.path = path
         fai = path + ".fai"
-        if not os.path.exists(fai):
+        if not fsio.exists(fai):
             raise ValueError(f"reference FASTA needs a .fai index: {fai}")
         self.fai = read_fai(fai)
 
@@ -968,7 +970,7 @@ class ExternalRef:
 def read_file_header(path: str) -> tuple[SamHeader, list[str], int]:
     """Parse the CRAM file definition + first (SAM header) container;
     returns (header, ref names, offset of the first data container)."""
-    with open(path, "rb") as f:
+    with fsio.open_binary(path) as f:
         head = f.read(26)
         if head[:4] != CRAM_MAGIC:
             raise ValueError("not a CRAM file (bad magic)")
@@ -992,7 +994,7 @@ def read_crai(path: str) -> list[tuple[int, int, int, int, int, int]]:
     slice_size``. Reference parity: `oxbow/src/alignment/scanner/cram.rs:182-200`
     (noodles crai); fixtures `sample.cram.crai`, `sample-ref.cram.crai`."""
     entries = []
-    with gzip.open(path, "rb") as f:
+    with gzip.GzipFile(fileobj=fsio.open_binary(path)) as f:
         for ln in f.read().decode("ascii", "replace").splitlines():
             ln = ln.strip()
             if not ln:
@@ -1019,8 +1021,8 @@ def crai_container_slices(
 def scan_containers(path: str, first: int):
     """Driver-side partition planning: walk container headers without
     decoding bodies; yields (offset, ref_id, start, span, n_records)."""
-    size = os.path.getsize(path)
-    with open(path, "rb") as f:
+    size = fsio.getsize(path)
+    with fsio.open_binary(path) as f:
         off = first
         while off < size:
             f.seek(off)
@@ -1075,7 +1077,7 @@ class CramReader(DataSourceReader):
             # read) — else a container-header walk, O(#containers) driver
             # seeks (tens of thousands on a 100 GB CRAM)
             crai_path = path + ".crai"
-            if os.path.exists(crai_path):
+            if fsio.exists(crai_path):
                 by_container = crai_container_slices(read_crai(crai_path))
                 for off, slices in by_container.items():
                     if not self.regions:
@@ -1146,7 +1148,7 @@ class CramReader(DataSourceReader):
             yield self._emit([])
             return
         reference = ExternalRef(self.reference_path) if self.reference_path else None
-        with open(part.path, "rb") as f:
+        with fsio.open_binary(part.path) as f:
             f.seek(part.offset)
             head = f.read(_HDR_BUF)
             c = Cursor(head)
@@ -1259,7 +1261,7 @@ class CramDataSource(DataSource):
         order: list[str] = []
         codes: dict[str, str] = {}
         for p in self.paths:
-            with open(p, "rb") as f:
+            with fsio.open_binary(p) as f:
                 for off, *_ in scan_containers(p, self.first_offsets[p]):
                     f.seek(off)
                     head = f.read(_HDR_BUF)

@@ -17,6 +17,7 @@ partitioned by 4-line record counting only for plain (non-gz) files.
 
 from __future__ import annotations
 
+import io
 import os
 
 import pyarrow as pa
@@ -31,6 +32,7 @@ from oxbow_spark.sources.base import (
     resolve_paths,
     select_fields,
 )
+from oxbow_spark.sources import fsio
 
 FASTA_FIELDS = ["name", "description", "sequence"]
 FASTQ_FIELDS = ["name", "description", "sequence", "quality"]
@@ -67,7 +69,7 @@ def iter_fasta(path: str):
 def read_fai(path: str) -> dict[str, tuple[int, int, int, int]]:
     """.fai index: name → (length, offset, linebases, linewidth)."""
     out = {}
-    with open(path) as f:
+    with io.TextIOWrapper(fsio.open_binary(path), encoding="utf-8") as f:
         for line in f:
             c = line.rstrip("\n").split("\t")
             out[c[0]] = (int(c[1]), int(c[2]), int(c[3]), int(c[4]))
@@ -84,7 +86,7 @@ def faidx_fetch(path: str, fai: dict, name: str, start0: int, end0: int | None) 
     def fpos(p: int) -> int:
         return offset + (p // linebases) * linewidth + (p % linebases)
 
-    with open(path, "rb") as f:
+    with fsio.open_binary(path) as f:
         f.seek(fpos(start0))
         raw = f.read(fpos(end0) - fpos(start0) + 1)
     return raw.decode("ascii").replace("\n", "").replace("\r", "")[: end0 - start0]
@@ -119,7 +121,7 @@ class FastaReader(DataSourceReader):
         if self.regions:
             regions = _coords.parse_regions(self.regions, self.region_cs)
             fai_path = path + ".fai"
-            if os.path.exists(fai_path) and not path.endswith((".gz", ".bgz")):
+            if fsio.exists(fai_path) and not path.endswith((".gz", ".bgz")):
                 fai = read_fai(fai_path)
                 for r in regions:
                     if r.name not in fai:
