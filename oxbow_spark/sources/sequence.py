@@ -76,20 +76,75 @@ def read_fai(path: str) -> dict[str, tuple[int, int, int, int]]:
     return out
 
 
-def faidx_fetch(path: str, fai: dict, name: str, start0: int, end0: int | None) -> str:
-    """Indexed subsequence fetch (0-based half-open), seek-based like the
-    reference's indexed query path."""
-    length, offset, linebases, linewidth = fai[name]
+def _fai_byte_range(
+    fai_entry: tuple[int, int, int, int], start0: int, end0: int | None
+) -> tuple[int, int, int]:
+    """(uncompressed byte lo, byte hi, sequence length) for a 0-based
+    half-open slice of a .fai-indexed record."""
+    length, offset, linebases, linewidth = fai_entry
     end0 = length if end0 is None else min(end0, length)
     start0 = min(start0, end0)
 
     def fpos(p: int) -> int:
         return offset + (p // linebases) * linewidth + (p % linebases)
 
+    return fpos(start0), fpos(end0) + 1, end0 - start0
+
+
+def faidx_fetch(path: str, fai: dict, name: str, start0: int, end0: int | None) -> str:
+    """Indexed subsequence fetch (0-based half-open), seek-based like the
+    reference's indexed query path."""
+    lo, hi, n = _fai_byte_range(fai[name], start0, end0)
     with fsio.open_binary(path) as f:
-        f.seek(fpos(start0))
-        raw = f.read(fpos(end0) - fpos(start0) + 1)
-    return raw.decode("ascii").replace("\n", "").replace("\r", "")[: end0 - start0]
+        f.seek(lo)
+        raw = f.read(hi - lo)
+    return raw.decode("ascii").replace("\n", "").replace("\r", "")[:n]
+
+
+def read_gzi(path: str) -> list[tuple[int, int]]:
+    """bgzip .gzi index: (compressed offset, uncompressed offset) pairs,
+    sorted, with the implicit (0, 0) entry prepended (format: u64 count
+    then count x 2 u64, little-endian — bgzip(1) documentation)."""
+    import struct
+
+    with fsio.open_binary(path) as f:
+        data = f.read()
+    (n,) = struct.unpack_from("<Q", data, 0)
+    return [(0, 0)] + [
+        struct.unpack_from("<QQ", data, 8 + 16 * i) for i in range(n)
+    ]
+
+
+def bgzf_fetch_uncompressed(path: str, gzi: list[tuple[int, int]],
+                            lo: int, hi: int) -> bytes:
+    """Bytes [lo, hi) of the uncompressed stream of a BGZF file, seeking
+    through the .gzi entries instead of inflating from the start — the
+    random-access path the reference gets from noodles/bgzf for
+    bgzip-compressed FASTA (fixture sample.fasta.gz.gzi)."""
+    import bisect
+
+    from oxbow_spark.sources.bgzf import BgzfReader
+
+    i = bisect.bisect_right([u for _, u in gzi], lo) - 1
+    coff, uoff = gzi[max(i, 0)]
+    with BgzfReader(path) as r:
+        r.seek_virtual(coff << 16)
+        skip = lo - uoff
+        while skip > 0:
+            got = r.read(min(skip, 1 << 20))
+            if not got:
+                return b""
+            skip -= len(got)
+        return r.read(hi - lo)
+
+
+def faidx_fetch_bgzf(path: str, gzi: list[tuple[int, int]], fai: dict,
+                     name: str, start0: int, end0: int | None) -> str:
+    """`faidx_fetch` over a bgzip-compressed FASTA: .fai gives the
+    uncompressed byte range, .gzi gives random access to it."""
+    lo, hi, n = _fai_byte_range(fai[name], start0, end0)
+    raw = bgzf_fetch_uncompressed(path, gzi, lo, hi)
+    return raw.decode("ascii").replace("\n", "").replace("\r", "")[:n]
 
 
 class FastaReader(DataSourceReader):
@@ -121,12 +176,24 @@ class FastaReader(DataSourceReader):
         if self.regions:
             regions = _coords.parse_regions(self.regions, self.region_cs)
             fai_path = path + ".fai"
-            if fsio.exists(fai_path) and not path.endswith((".gz", ".bgz")):
+            gzi_path = path + ".gzi"
+            compressed = path.endswith((".gz", ".bgz"))
+            if fsio.exists(fai_path) and not compressed:
                 fai = read_fai(fai_path)
                 for r in regions:
                     if r.name not in fai:
                         raise ValueError(f"unknown sequence {r.name!r} in FASTA index")
                     seq = faidx_fetch(path, fai, r.name, r.start, r.end)
+                    rows.append(self._project(r.name, None, seq))
+            elif compressed and fsio.exists(fai_path) and fsio.exists(gzi_path):
+                # bgzip-compressed with .fai + .gzi: random access without
+                # inflating the file (reference S6/X12 over bgzf)
+                fai = read_fai(fai_path)
+                gzi = read_gzi(gzi_path)
+                for r in regions:
+                    if r.name not in fai:
+                        raise ValueError(f"unknown sequence {r.name!r} in FASTA index")
+                    seq = faidx_fetch_bgzf(path, gzi, fai, r.name, r.start, r.end)
                     rows.append(self._project(r.name, None, seq))
             else:
                 seqs = {nm: (d, s) for nm, d, s in iter_fasta(path)}
