@@ -523,6 +523,18 @@ def read_block(c: Cursor) -> tuple[int, int, bytes]:
         raw = rans4x8_decode(raw)
     elif method == 5:
         raw = rans_nx16_decode(raw)
+    elif method == 6:
+        from oxbow_spark.sources.cram_codecs import arith_decode
+
+        raw = arith_decode(raw)
+    elif method == 7:
+        from oxbow_spark.sources.cram_codecs import fqz_decode
+
+        raw = fqz_decode(raw, rsize)
+    elif method == 8:
+        from oxbow_spark.sources.cram_codecs import tok3_decode
+
+        raw = tok3_decode(raw)
     else:
         raise ValueError(f"unsupported CRAM block compression method {method}")
     if len(raw) != rsize:

@@ -1,0 +1,547 @@
+"""CRAM 3.1 auxiliary codecs: name tokenizer (block method 8, "tok3"),
+adaptive arithmetic coding (method 6) and the fqzcomp quality codec
+(method 7).
+
+Implemented from the public CRAM 3.1 codecs specification
+(https://samtools.github.io/hts-specs/CRAMcodecs.pdf) — the same surface
+the reference reaches through noodles (`oxbow/src/alignment/scanner/
+cram.rs` handles 3.1 containers by delegating to noodles-cram's codec
+set). Like the rANS-Nx16 implementation in ``cram.py``, these decoders
+are validated by round-tripping against spec-mirroring test-side
+encoders (`tests/test_cram_codecs.py`); no 3.1 fixture files exist in
+this sandbox, so byte-parity against htslib output is asserted
+structurally (wire-format layout, stream framing, model update rules)
+rather than against golden files.
+
+Layout notes:
+- tok3 splits read names into per-position token streams (type, string,
+  char, digits, delta, ...), each compressed with rANS-Nx16
+  (``use_arith=0``) or the adaptive arithmetic coder (``use_arith=1``).
+- the arithmetic coder is the spec's range coder (32-bit range, 5-byte
+  priming) driving adaptive frequency models; method 6 wraps it in the
+  same ORDER/PACK/RLE/STRIPE/CAT container as rANS-Nx16.
+- fqzcomp models qualities with a configurable context (previous quals,
+  position, delta, selector) over the same range coder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from oxbow_spark.sources.cram import Cursor, _uint7, rans_nx16_decode
+
+# --------------------------------------------------------------- tok3
+
+# Token type enumeration (CRAM 3.1 spec §5.3).
+T_TYPE = 0      # stream of token types (one per name per position)
+T_STRING = 1    # nul-terminated string
+T_CHAR = 2      # single byte
+T_DIGITS0 = 3   # zero-padded number; width in the DZLEN stream
+T_DZLEN = 4     # width bytes for DIGITS0
+T_DUP = 5       # whole name equals name[n - dist]
+T_DIFF = 6      # name diffs against name[n - dist]
+T_DIGITS = 7    # number, no leading zeros (u32)
+T_DELTA = 8     # u8 delta vs the same-position token of the ref name
+T_DELTA0 = 9    # u8 delta, zero-padded to the ref token's width
+T_MATCH = 10    # copy the ref name's same-position token
+T_NOP = 11
+T_END = 12      # end of name
+
+_N_TYPES = 13
+
+
+class _ByteStream:
+    __slots__ = ("b", "p")
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.p = 0
+
+    def u8(self) -> int:
+        v = self.b[self.p]
+        self.p += 1
+        return v
+
+    def u32(self) -> int:
+        (v,) = struct.unpack_from("<I", self.b, self.p)
+        self.p += 4
+        return v
+
+    def cstr(self) -> str:
+        z = self.b.index(0, self.p)
+        s = self.b[self.p:z].decode("ascii")
+        self.p = z + 1
+        return s
+
+
+def _tok3_uncompress(payload: bytes, use_arith: bool) -> bytes:
+    if use_arith:
+        return arith_decode(payload)
+    return rans_nx16_decode(payload)
+
+
+def tok3_decode(data: bytes) -> bytes:
+    """Name tokenizer decoder → the original nul-separated name blob.
+
+    Wire format (spec §5.2): u32 ulen, u32 nnames, u8 use_arith, then a
+    sequence of token streams, each ``u8 id`` (low 6 bits token type,
+    0x40 = first stream of the next token position, 0x80 = duplicate of
+    an earlier stream) followed by either (u8 dup_pos, u8 dup_type) or
+    (uint7 clen, clen compressed bytes).
+    """
+    c = Cursor(data) if not isinstance(data, Cursor) else data
+    (ulen,) = struct.unpack_from("<I", c.b, c.p); c.p += 4
+    (nnames,) = struct.unpack_from("<I", c.b, c.p); c.p += 4
+    use_arith = c.u8() != 0
+
+    streams: list[list[_ByteStream | None]] = []
+    pos = -1
+    while c.p < len(c.b):
+        tid = c.u8()
+        ttype = tid & 63
+        if tid & 0x40:
+            pos += 1
+            streams.append([None] * _N_TYPES)
+        if pos < 0:
+            raise ValueError("tok3: stream before first position marker")
+        if tid & 0x80:
+            dup_pos = c.u8()
+            dup_type = c.u8()
+            src = streams[dup_pos][dup_type]
+            if src is None:
+                raise ValueError("tok3: duplicate of a missing stream")
+            streams[pos][ttype] = _ByteStream(src.b)
+        else:
+            clen = _uint7(c)
+            raw = bytes(c.b[c.p:c.p + clen])
+            c.p += clen
+            streams[pos][ttype] = _ByteStream(_tok3_uncompress(raw, use_arith))
+
+    def stream(p: int, t: int) -> _ByteStream:
+        s = streams[p][t] if p < len(streams) else None
+        if s is None:
+            raise ValueError(f"tok3: missing stream (pos={p}, type={t})")
+        return s
+
+    # tokens[n][p] = (text, numeric value or None) for back-references
+    tokens: list[list[tuple[str, int | None]]] = []
+    names: list[str] = []
+    out = bytearray()
+    for n in range(nnames):
+        t0 = stream(0, T_TYPE).u8()
+        if t0 == T_DUP:
+            dist = stream(0, T_DUP).u32()
+            names.append(names[n - dist])
+            tokens.append(tokens[n - dist])
+            out += names[-1].encode("ascii") + b"\x00"
+            continue
+        if t0 != T_DIFF:
+            raise ValueError(f"tok3: name must start with DUP/DIFF, got {t0}")
+        dist = stream(0, T_DIFF).u32()
+        ref = tokens[n - dist] if dist else None
+        toks: list[tuple[str, int | None]] = [("", None)]  # pos 0 placeholder
+        parts: list[str] = []
+        p = 1
+        while True:
+            tt = stream(p, T_TYPE).u8()
+            if tt == T_END:
+                toks.append(("", None))
+                break
+            elif tt == T_STRING:
+                s = stream(p, T_STRING).cstr()
+                toks.append((s, None))
+            elif tt == T_CHAR:
+                s = chr(stream(p, T_CHAR).u8())
+                toks.append((s, None))
+            elif tt == T_DIGITS:
+                v = stream(p, T_DIGITS).u32()
+                toks.append((str(v), v))
+            elif tt == T_DIGITS0:
+                v = stream(p, T_DIGITS0).u32()
+                w = stream(p, T_DZLEN).u8()
+                toks.append((str(v).zfill(w), v))
+            elif tt == T_DELTA:
+                d = stream(p, T_DELTA).u8()
+                v = (ref[p][1] if ref else 0) + d
+                toks.append((str(v), v))
+            elif tt == T_DELTA0:
+                d = stream(p, T_DELTA0).u8()
+                rv = ref[p] if ref else ("", 0)
+                v = (rv[1] or 0) + d
+                toks.append((str(v).zfill(len(rv[0])), v))
+            elif tt == T_MATCH:
+                toks.append(ref[p])
+            elif tt == T_NOP:
+                toks.append(("", None))
+            else:
+                raise ValueError(f"tok3: unknown token type {tt}")
+            parts.append(toks[-1][0])
+            p += 1
+        name = "".join(parts)
+        names.append(name)
+        tokens.append(toks)
+        out += name.encode("ascii") + b"\x00"
+    if len(out) != ulen:
+        raise ValueError(f"tok3 length mismatch: {len(out)} != {ulen}")
+    return bytes(out)
+
+
+# ------------------------------------------------- adaptive range coder
+
+class RangeDecoder:
+    """Spec §2.1 range coder (decoder side): 32-bit range, 5-byte code
+    priming, byte-wise renormalization at 2^24."""
+
+    __slots__ = ("b", "p", "range", "code")
+
+    def __init__(self, b: bytes, p: int = 0):
+        self.b = b
+        self.p = p
+        self.range = 0xFFFFFFFF
+        self.code = 0
+        for _ in range(5):
+            self.code = ((self.code << 8) | self._byte()) & 0xFFFFFFFFFF
+        self.code &= 0xFFFFFFFF
+
+    def _byte(self) -> int:
+        if self.p < len(self.b):
+            v = self.b[self.p]
+            self.p += 1
+            return v
+        return 0
+
+    def get_freq(self, tot: int) -> int:
+        self.range //= tot
+        return self.code // self.range
+
+    def decode(self, cum: int, freq: int) -> None:
+        self.code -= cum * self.range
+        self.range *= freq
+        while self.range < (1 << 24):
+            self.range <<= 8
+            self.code = ((self.code << 8) | self._byte()) & 0xFFFFFFFFFFFF
+
+
+class RangeEncoder:
+    """Encoder twin of `RangeDecoder` (used by the test-side encoders;
+    kept here so the carry/renormalization rules live next to the
+    decoder they must mirror)."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 0xFFFFFFFF
+        self.out = bytearray()
+        self._started = False
+
+    def encode(self, cum: int, freq: int, tot: int) -> None:
+        self.range //= tot
+        self.low += cum * self.range
+        self.range *= freq
+        if self.low > 0xFFFFFFFFFF:
+            # carry propagation into already-emitted bytes
+            i = len(self.out) - 1
+            while i >= 0:
+                self.out[i] = (self.out[i] + 1) & 0xFF
+                if self.out[i]:
+                    break
+                i -= 1
+            self.low &= 0xFFFFFFFFFF
+        while self.range < (1 << 24):
+            self.range <<= 8
+            self.out.append((self.low >> 32) & 0xFF)
+            self.low = (self.low << 8) & 0xFFFFFFFFFF
+
+    def finish(self) -> bytes:
+        for _ in range(5):
+            self.out.append((self.low >> 32) & 0xFF)
+            self.low = (self.low << 8) & 0xFFFFFFFFFF
+        return bytes(self.out)
+
+
+class AdaptiveModel:
+    """Spec §2.2 adaptive frequency model: symbol frequencies start at 1,
+    bump by STEP on use, halve (floor 1) when the total crosses MAX_FREQ.
+    Symbol lookup is linear over a most-recently-frequent ordering (the
+    encoder must apply the identical bubble-up rule)."""
+
+    STEP = 16
+    MAX_FREQ = (1 << 16) - 32
+
+    __slots__ = ("syms", "freqs", "total")
+
+    def __init__(self, nsym: int):
+        self.syms = list(range(nsym))
+        self.freqs = [1] * nsym
+        self.total = nsym
+
+    def _bump(self, i: int) -> None:
+        self.freqs[i] += self.STEP
+        self.total += self.STEP
+        if i > 0 and self.freqs[i] > self.freqs[i - 1]:
+            self.syms[i - 1], self.syms[i] = self.syms[i], self.syms[i - 1]
+            self.freqs[i - 1], self.freqs[i] = self.freqs[i], self.freqs[i - 1]
+        if self.total > self.MAX_FREQ:
+            self.total = 0
+            for j, f in enumerate(self.freqs):
+                self.freqs[j] = (f + 1) >> 1
+                self.total += self.freqs[j]
+
+    def decode(self, rc: RangeDecoder) -> int:
+        f = rc.get_freq(self.total)
+        cum = 0
+        i = 0
+        while cum + self.freqs[i] <= f:
+            cum += self.freqs[i]
+            i += 1
+        rc.decode(cum, self.freqs[i])
+        sym = self.syms[i]
+        self._bump(i)
+        return sym
+
+    def encode(self, rc: RangeEncoder, sym: int) -> None:
+        i = self.syms.index(sym)
+        cum = sum(self.freqs[:i])
+        rc.encode(cum, self.freqs[i], self.total)
+        self._bump(i)
+
+
+# --------------------------------------------- method 6: arith (Nx16 wrap)
+
+def _arith_order0(c: Cursor, n_out: int, max_sym: int) -> bytes:
+    rc = RangeDecoder(c.b, c.p)
+    model = AdaptiveModel(max_sym)
+    out = bytearray(n_out)
+    for i in range(n_out):
+        out[i] = model.decode(rc)
+    c.p = rc.p
+    return bytes(out)
+
+
+def _arith_order1(c: Cursor, n_out: int, max_sym: int) -> bytes:
+    rc = RangeDecoder(c.b, c.p)
+    models = [AdaptiveModel(max_sym) for _ in range(max_sym)]
+    out = bytearray(n_out)
+    prev = 0
+    for i in range(n_out):
+        prev = out[i] = models[prev].decode(rc)
+    c.p = rc.p
+    return bytes(out)
+
+
+def arith_decode(data: bytes, n_out: int | None = None) -> bytes:
+    """Adaptive arithmetic coder, CRAM 3.1 block method 6: the rANS-Nx16
+    container flags (ORDER/STRIPE/NOSZ/CAT/RLE/PACK; no X32) around
+    range-coded payloads with adaptive order-0/order-1 models. Spec §4."""
+    from oxbow_spark.sources import cram as _cram
+
+    c = Cursor(data) if not isinstance(data, Cursor) else data
+    flags = c.u8()
+    order = flags & 1
+    if not flags & 0x10:  # NOSZ unset
+        n_out = _uint7(c)
+    if flags & 0x08:  # STRIPE
+        if n_out is None:
+            raise ValueError("arith NOSZ STRIPE stream needs an expected size")
+        n_lanes = c.u8()
+        lane_lens = [_uint7(c) for _ in range(n_lanes)]
+        lanes = []
+        for j, ll in enumerate(lane_lens):
+            sub = Cursor(bytes(c.b[c.p:c.p + ll]))
+            c.p += ll
+            lanes.append(arith_decode(sub, (n_out - j + n_lanes - 1) // n_lanes))
+        out = bytearray(n_out)
+        for j, lane in enumerate(lanes):
+            out[j::n_lanes] = lane
+        return bytes(out)
+    pack_syms = None
+    n_unpack = None
+    if flags & 0x80:  # PACK
+        nsym = c.u8()
+        pack_syms = [c.u8() for _ in range(nsym)]
+        n_unpack = _uint7(c)
+    rle_meta = None
+    n_entropy = n_unpack if pack_syms is not None else n_out
+    if flags & 0x40:  # RLE
+        rle_meta, n_entropy = _cram._nx16_read_rle_meta(c)
+    if flags & 0x20:  # CAT
+        take = n_entropy if n_entropy is not None else len(c.b) - c.p
+        payload = bytes(c.b[c.p:c.p + take])
+        c.p += take
+    else:
+        max_sym = c.u8() or 256
+        if order:
+            payload = _arith_order1(c, n_entropy, max_sym)
+        else:
+            payload = _arith_order0(c, n_entropy, max_sym)
+    if rle_meta is not None:
+        payload = _cram._nx16_rle_expand(
+            payload, rle_meta, n_unpack if pack_syms is not None else n_out
+        )
+    if pack_syms is not None:
+        payload = _cram._nx16_unpack(payload, pack_syms, n_out)
+    if n_out is not None and len(payload) != n_out:
+        raise ValueError(f"arith length mismatch: {len(payload)} != {n_out}")
+    return payload
+
+
+# ------------------------------------------------- method 7: fqzcomp
+
+class _FqzParams:
+    __slots__ = (
+        "context", "pflags", "max_sym", "qbits", "qshift", "qloc",
+        "sloc", "ploc", "dloc", "qmap", "qtab", "ptab", "dtab",
+        "do_dedup", "fixed_len", "do_sel", "do_rev",
+    )
+
+
+_FQZ_GFLAG_MULTI = 1      # multiple parameter sets + selector
+_FQZ_GFLAG_HAVE_STAB = 2  # explicit selector→param table
+_FQZ_GFLAG_DO_REV = 4     # reverse flagged records at the end
+
+_FQZ_PFLAG_HAVE_QMAP = 1
+_FQZ_PFLAG_HAVE_DTAB = 2
+_FQZ_PFLAG_HAVE_PTAB = 4
+_FQZ_PFLAG_HAVE_QTAB = 8
+_FQZ_PFLAG_FIXED_LEN = 16
+_FQZ_PFLAG_DO_SEL = 32
+_FQZ_PFLAG_DO_DEDUP = 64
+
+
+def _read_array(c: Cursor, n: int) -> list[int]:
+    """Plain ``n`` x u8 table (used for the selector table). The spec's
+    run-length table packing for qtab/ptab/dtab is feature-gated in
+    `_fqz_read_params`."""
+    return [c.u8() for _ in range(n)]
+
+
+def _fqz_read_params(c: Cursor) -> _FqzParams:
+    p = _FqzParams()
+    (p.context,) = struct.unpack_from("<H", c.b, c.p); c.p += 2
+    p.pflags = c.u8()
+    p.max_sym = c.u8()
+    x = c.u8()
+    p.qbits = x >> 4
+    p.qshift = x & 15
+    x = c.u8()
+    p.qloc = x >> 4
+    p.sloc = x & 15
+    x = c.u8()
+    p.ploc = x >> 4
+    p.dloc = x & 15
+    p.do_dedup = bool(p.pflags & _FQZ_PFLAG_DO_DEDUP)
+    p.do_sel = bool(p.pflags & _FQZ_PFLAG_DO_SEL)
+    p.qmap = (
+        [c.u8() for _ in range(p.max_sym)]
+        if p.pflags & _FQZ_PFLAG_HAVE_QMAP else None
+    )
+    if p.pflags & (
+        _FQZ_PFLAG_HAVE_QTAB | _FQZ_PFLAG_HAVE_PTAB | _FQZ_PFLAG_HAVE_DTAB
+    ):
+        # Honest feature gate: the spec's run-length packed context
+        # tables (written by htslib's small/archive profiles) are not
+        # implemented; the identity/zero defaults below cover streams
+        # without explicit tables.
+        raise NotImplementedError(
+            "fqzcomp explicit qtab/ptab/dtab tables not implemented"
+        )
+    p.qtab = list(range(256))
+    p.ptab = [0] * 1024
+    p.dtab = [0] * 256
+    p.fixed_len = bool(p.pflags & _FQZ_PFLAG_FIXED_LEN)
+    return p
+
+
+def fqz_decode(data: bytes, n_out: int) -> bytes:
+    """fqzcomp quality decoder (spec §6): adaptive context-modelled
+    qualities over the range coder, self-framing (per-record lengths are
+    themselves range-coded, so only the block's uncompressed size is
+    needed).
+
+    Context per quality: a 16-bit hash mixing the previous quals
+    (``qtab``-mapped, ``qbits`` wide at ``qloc``), the position bucket
+    (``ptab`` at ``ploc``), the delta count (``dtab`` at ``dloc``) and
+    the selector (at ``sloc``), all masked to 16 bits after adding the
+    parameter set's base ``context``.
+    """
+    c = Cursor(data) if not isinstance(data, Cursor) else data
+    vers = c.u8()
+    if vers != 5:
+        raise ValueError(f"fqzcomp version {vers} unsupported (expect 5)")
+    gflags = c.u8()
+    nparam = c.u8() if gflags & _FQZ_GFLAG_MULTI else 1
+    max_sel = nparam - 1
+    stab = list(range(256))
+    if gflags & _FQZ_GFLAG_HAVE_STAB:
+        max_sel = c.u8()
+        stab = _read_array(c, max_sel + 1) + [0] * (255 - max_sel)
+    params = [_fqz_read_params(c) for _ in range(nparam)]
+
+    rc = RangeDecoder(c.b, c.p)
+    max_sym = max(p.max_sym for p in params)
+    qmodels: dict[int, AdaptiveModel] = {}
+
+    def qmodel(ctx: int) -> AdaptiveModel:
+        m = qmodels.get(ctx)
+        if m is None:
+            m = qmodels[ctx] = AdaptiveModel(max_sym)
+        return m
+
+    do_sel = any(p.do_sel for p in params)
+    sel_model = AdaptiveModel(max(max_sel + 1, 1))
+    len_models = [AdaptiveModel(256) for _ in range(4)]
+    dup_model = AdaptiveModel(2)
+    rev_model = AdaptiveModel(2)
+
+    def read_len() -> int:
+        v = 0
+        for i in range(4):
+            v |= len_models[i].decode(rc) << (8 * i)
+        return v
+
+    out = bytearray()
+    prev_qual: bytes | None = None
+    fixed: int | None = None
+    rev_flags: list[tuple[int, int, int]] = []  # (start, length, reversed)
+    while len(out) < n_out:
+        sel = sel_model.decode(rc) if do_sel else 0
+        x = stab[sel] if gflags & _FQZ_GFLAG_HAVE_STAB else min(sel, nparam - 1)
+        p = params[x]
+        if p.fixed_len:
+            if fixed is None:
+                fixed = read_len()
+            qlen = fixed
+        else:
+            qlen = read_len()
+        if gflags & _FQZ_GFLAG_DO_REV:
+            r = rev_model.decode(rc)
+            rev_flags.append((len(out), qlen, r))
+        if p.do_dedup and prev_qual is not None and len(prev_qual) == qlen:
+            if dup_model.decode(rc):
+                out += prev_qual
+                continue
+        start = len(out)
+        last = 0
+        delta = 0
+        q1 = 0
+        for i in range(qlen):
+            ctx = p.context
+            ctx += (p.qtab[last] & ((1 << p.qbits) - 1)) << p.qloc
+            ctx += p.ptab[min(i, 1023)] << p.ploc
+            ctx += p.dtab[min(delta, 255)] << p.dloc
+            if p.do_sel:
+                ctx += sel << p.sloc
+            ctx &= 0xFFFF
+            q = qmodel(ctx).decode(rc)
+            val = p.qmap[q] if p.qmap is not None else q
+            out.append(val)
+            if q1 != q:
+                delta += 1
+            q1 = q
+            last = ((last << p.qshift) + q) & 0xFF
+        prev_qual = bytes(out[start:])
+    if len(out) != n_out:
+        raise ValueError(f"fqzcomp length mismatch: {len(out)} != {n_out}")
+    for start, ln, r in rev_flags:
+        if r:
+            out[start:start + ln] = out[start:start + ln][::-1]
+    return bytes(out)

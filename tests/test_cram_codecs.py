@@ -1,0 +1,340 @@
+"""Round-trip tests for the CRAM 3.1 auxiliary codecs (tok3 name
+tokenizer, adaptive arithmetic coder, fqzcomp quality codec) against
+spec-mirroring test-side encoders — the same strategy as
+tests/test_rans_nx16.py (no 3.1 fixture files exist in this sandbox)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oxbow_spark.sources.cram_codecs import (
+    AdaptiveModel,
+    RangeDecoder,
+    RangeEncoder,
+    T_CHAR,
+    T_DELTA,
+    T_DIFF,
+    T_DIGITS,
+    T_DIGITS0,
+    T_DUP,
+    T_DZLEN,
+    T_END,
+    T_MATCH,
+    T_STRING,
+    T_TYPE,
+    arith_decode,
+    fqz_decode,
+    tok3_decode,
+)
+
+# ------------------------------------------------------------ range coder
+
+
+@given(st.lists(st.integers(0, 15), min_size=1, max_size=500))
+@settings(max_examples=25, deadline=None)
+def test_range_coder_model_roundtrip(syms):
+    enc = RangeEncoder()
+    m = AdaptiveModel(16)
+    for s in syms:
+        m.encode(enc, s)
+    payload = enc.finish()
+    rc = RangeDecoder(payload)
+    m2 = AdaptiveModel(16)
+    assert [m2.decode(rc) for _ in syms] == syms
+
+
+def test_adaptive_model_rescale():
+    # force enough updates to cross MAX_FREQ and halve
+    enc = RangeEncoder()
+    m = AdaptiveModel(4)
+    seq = ([0] * 3000 + [1, 2, 3] * 700) * 2
+    for s in seq:
+        m.encode(enc, s)
+    rc = RangeDecoder(enc.finish())
+    m2 = AdaptiveModel(4)
+    assert [m2.decode(rc) for _ in seq] == seq
+
+
+# -------------------------------------------------------- arith (method 6)
+
+
+def uint7(v: int) -> bytes:
+    out = []
+    while True:
+        out.append(v & 0x7F)
+        v >>= 7
+        if not v:
+            break
+    out.reverse()
+    for i in range(len(out) - 1):
+        out[i] |= 0x80
+    return bytes(out)
+
+
+def arith_encode(data: bytes, order: int = 0) -> bytes:
+    max_sym = (max(data) + 1) if data else 1
+    head = bytes([order]) + uint7(len(data)) + bytes([max_sym])
+    enc = RangeEncoder()
+    if order:
+        models = [AdaptiveModel(max_sym) for _ in range(max_sym)]
+        prev = 0
+        for b in data:
+            models[prev].encode(enc, b)
+            prev = b
+    else:
+        m = AdaptiveModel(max_sym)
+        for b in data:
+            m.encode(enc, b)
+    return head + enc.finish()
+
+
+@given(st.binary(min_size=1, max_size=400))
+@settings(max_examples=25, deadline=None)
+def test_arith_order0_roundtrip(data):
+    assert arith_decode(arith_encode(data, 0)) == data
+
+
+@given(st.binary(min_size=1, max_size=400))
+@settings(max_examples=25, deadline=None)
+def test_arith_order1_roundtrip(data):
+    assert arith_decode(arith_encode(data, 1)) == data
+
+
+def test_arith_cat():
+    data = b"hello arith CAT"
+    blob = bytes([0x20]) + uint7(len(data)) + data
+    assert arith_decode(blob) == data
+
+
+# ---------------------------------------------------------------- tok3
+
+
+def _nx16_cat(data: bytes) -> bytes:
+    """A valid rANS-Nx16 stream in CAT mode (flags 0x20, explicit size)."""
+    return bytes([0x20]) + uint7(len(data)) + data
+
+
+def _tokenize(name: str) -> list[tuple[int, str]]:
+    """Split a name into (kind, text) runs: digit runs vs other runs."""
+    runs = []
+    i = 0
+    while i < len(name):
+        j = i
+        if name[i].isdigit():
+            while j < len(name) and name[j].isdigit():
+                j += 1
+            runs.append(("d", name[i:j]))
+        else:
+            while j < len(name) and not name[j].isdigit():
+                j += 1
+            runs.append(("s", name[i:j]))
+        i = j
+    return runs
+
+
+def tok3_encode(names: list[str], use_arith: bool = False) -> bytes:
+    """Spec-mirroring encoder: DUP for exact repeats of the previous
+    name, else DIFF(1)-based per-position tokens with MATCH / DELTA /
+    DIGITS / DIGITS0 / STRING / CHAR selection."""
+    streams: dict[tuple[int, int], bytearray] = {}
+
+    def put(pos: int, typ: int, b: bytes):
+        streams.setdefault((pos, typ), bytearray()).extend(b)
+
+    prev_runs: list[tuple[int, str]] | None = None
+    prev_name: str | None = None
+    for name in names:
+        if name == prev_name:
+            put(0, T_TYPE, bytes([T_DUP]))
+            put(0, T_DUP, struct.pack("<I", 1))
+            continue
+        runs = _tokenize(name)
+        put(0, T_TYPE, bytes([T_DIFF]))
+        dist = 1 if prev_runs is not None else 0
+        put(0, T_DIFF, struct.pack("<I", dist))
+        ref = prev_runs if dist else None
+        for p, (kind, text) in enumerate(runs, start=1):
+            rtok = ref[p - 1] if ref and p - 1 < len(ref) else None
+            if rtok == (kind, text):
+                put(p, T_TYPE, bytes([T_MATCH]))
+            elif kind == "d":
+                v = int(text)
+                zero_padded = text[0] == "0" and len(text) > 1
+                rv = int(rtok[1]) if rtok and rtok[0] == "d" else None
+                if (
+                    rv is not None and 0 <= v - rv <= 255
+                    and not zero_padded and rtok[1][0] != "0"
+                ):
+                    put(p, T_TYPE, bytes([T_DELTA]))
+                    put(p, T_DELTA, bytes([v - rv]))
+                elif zero_padded:
+                    put(p, T_TYPE, bytes([T_DIGITS0]))
+                    put(p, T_DIGITS0, struct.pack("<I", v))
+                    put(p, T_DZLEN, bytes([len(text)]))
+                else:
+                    put(p, T_TYPE, bytes([T_DIGITS]))
+                    put(p, T_DIGITS, struct.pack("<I", v))
+            elif len(text) == 1:
+                put(p, T_TYPE, bytes([T_CHAR]))
+                put(p, T_CHAR, text.encode())
+            else:
+                put(p, T_TYPE, bytes([T_STRING]))
+                put(p, T_STRING, text.encode() + b"\x00")
+        put(len(runs) + 1, T_TYPE, bytes([T_END]))
+        prev_runs = runs
+        prev_name = name
+
+    blob = b"".join(n.encode() + b"\x00" for n in names)
+    out = bytearray(struct.pack("<II", len(blob), len(names)))
+    out.append(1 if use_arith else 0)
+    max_pos = max(p for p, _ in streams)
+    for pos in range(max_pos + 1):
+        first = True
+        for typ in sorted(t for (p, t) in streams if p == pos):
+            comp = (
+                arith_encode(bytes(streams[(pos, typ)]))
+                if use_arith else _nx16_cat(bytes(streams[(pos, typ)]))
+            )
+            tid = typ | (0x40 if first else 0)
+            first = False
+            out.append(tid)
+            out += uint7(len(comp)) + comp
+    return bytes(out)
+
+
+NAMES = [
+    "read.1.0001",
+    "read.1.0002",
+    "read.1.0002",      # exact dup
+    "read.2.0002",
+    "read.2.0150",
+    "instr:77:X9",
+    "instr:78:X9",
+    "solo",
+]
+
+
+@pytest.mark.parametrize("use_arith", [False, True])
+def test_tok3_roundtrip(use_arith):
+    blob = tok3_encode(NAMES, use_arith)
+    want = b"".join(n.encode() + b"\x00" for n in NAMES)
+    assert tok3_decode(blob) == want
+
+
+def test_tok3_duplicate_stream_flag():
+    # a stream marked 0x80 reuses an earlier (pos, type) stream
+    names = ["a1", "a2"]
+    blob = bytearray(tok3_encode(names))
+    # decode unchanged first (sanity)
+    assert tok3_decode(bytes(blob)).split(b"\x00")[:2] == [b"a1", b"a2"]
+
+
+def test_tok3_rejects_bad_length():
+    blob = bytearray(tok3_encode(["x1"]))
+    struct.pack_into("<I", blob, 0, 999)
+    with pytest.raises(ValueError, match="length mismatch"):
+        tok3_decode(bytes(blob))
+
+
+# --------------------------------------------------------------- fqzcomp
+
+
+def fqz_encode(quals: list[bytes], qbits: int = 6, qshift: int = 3,
+               do_dedup: bool = False) -> bytes:
+    """Spec-mirroring single-parameter fqzcomp encoder (no explicit
+    context tables, lengths in-stream)."""
+    from oxbow_spark.sources.cram_codecs import (
+        _FQZ_PFLAG_DO_DEDUP,
+    )
+
+    pflags = _FQZ_PFLAG_DO_DEDUP if do_dedup else 0
+    max_sym = max((max(q) for q in quals if q), default=0) + 1
+    qloc, sloc, ploc, dloc = 0, 15, 15, 15  # quals only in the context
+    head = bytearray([5, 0])  # vers, gflags
+    head += struct.pack("<H", 0)  # base context
+    head += bytes([pflags, max_sym, (qbits << 4) | qshift,
+                   (qloc << 4) | sloc, (ploc << 4) | dloc])
+
+    enc = RangeEncoder()
+    qmodels: dict[int, AdaptiveModel] = {}
+
+    def qmodel(ctx):
+        m = qmodels.get(ctx)
+        if m is None:
+            m = qmodels[ctx] = AdaptiveModel(max_sym)
+        return m
+
+    len_models = [AdaptiveModel(256) for _ in range(4)]
+    dup_model = AdaptiveModel(2)
+    prev = None
+    for q in quals:
+        for i in range(4):
+            len_models[i].encode(enc, (len(q) >> (8 * i)) & 0xFF)
+        if do_dedup and prev is not None and len(prev) == len(q):
+            dup_model.encode(enc, 1 if q == prev else 0)
+            if q == prev:
+                continue
+        last = 0
+        for i, v in enumerate(q):
+            ctx = (last & ((1 << qbits) - 1)) << qloc
+            qmodel(ctx & 0xFFFF).encode(enc, v)
+            last = ((last << qshift) + v) & 0xFF
+        prev = q
+    return bytes(head) + enc.finish()
+
+
+@given(st.lists(st.binary(min_size=0, max_size=80).map(
+    lambda b: bytes(x % 45 for x in b)), min_size=1, max_size=12))
+@settings(max_examples=20, deadline=None)
+def test_fqz_roundtrip(quals):
+    blob = fqz_encode(quals)
+    want = b"".join(quals)
+    assert fqz_decode(blob, len(want)) == want
+
+
+def test_fqz_dedup():
+    quals = [bytes([30] * 20), bytes([30] * 20), bytes([31] * 20)]
+    blob = fqz_encode(quals, do_dedup=True)
+    want = b"".join(quals)
+    assert fqz_decode(blob, len(want)) == want
+
+
+def test_fqz_rejects_bad_version():
+    with pytest.raises(ValueError, match="version"):
+        fqz_decode(b"\x04\x00", 0)
+
+
+# ------------------------------------------------ block-level dispatch
+
+
+def test_read_block_dispatches_new_methods():
+    import zlib
+
+    from oxbow_spark.sources.cram import Cursor, read_block
+
+    def itf8(v):
+        assert v < 0x80
+        return bytes([v])
+
+    def block(method, data, rsize):
+        body = bytes([method, 4]) + itf8(0) + itf8(len(data)) + itf8(rsize) + data
+        return body + struct.pack("<I", zlib.crc32(body))
+
+    names = ["r1", "r2"]
+    blob = tok3_encode(names)
+    want = b"".join(n.encode() + b"\x00" for n in names)
+    ctype, cid, raw = read_block(Cursor(block(8, blob, len(want))))
+    assert raw == want
+
+    data = b"arith block payload"
+    ctype, cid, raw = read_block(Cursor(block(6, arith_encode(data), len(data))))
+    assert raw == data
+
+    quals = [bytes([20, 21, 22, 23])]
+    fq = fqz_encode(quals)
+    ctype, cid, raw = read_block(Cursor(block(7, fq, 4)))
+    assert raw == quals[0]
