@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from oxbow_spark import coords
 from oxbow_spark.operators import dedup, multimodal, similarity, text
+from oxbow_spark.operators.asof import asof_join
 from oxbow_spark.operators.interval_join import overlap_join
 from oxbow_spark.operators.zoom import exact_sum, zoom_aggregate
 
@@ -912,6 +913,47 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 _SESSION_GAP_S = 1800
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each click joined to the latest view by
+    the same user at-or-before its timestamp (`operators/asof.py` — one
+    shuffle on user_id, no range join). Views are pre-deduped to one row
+    per (user, ts) so ties are deterministic on both engines."""
+    ev = _events(spark, sf_dir).withColumn("us", TS_US())
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "us", "event_id", F.col("value").alias("click_value")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("view_event_id"),
+             F.max("value").alias("view_value"))
+        .select("user_id", "us", F.col("us").alias("view_us"),
+                "view_event_id", "view_value")
+    )
+    return asof_join(
+        clicks, views, on="us", by="user_id",
+        right_cols=["view_us", "view_event_id", "view_value"],
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, value AS click_value
+  FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, epoch_us(ts) AS us, epoch_us(ts) AS view_us,
+         MAX(event_id) AS view_event_id, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT c.user_id, c.us, c.event_id, c.click_value,
+       v.view_us, v.view_event_id, v.view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.us >= v.us
+"""
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user via the built-in
     session_window — the batch twin of streaming.sessionize_state. One
@@ -972,6 +1014,49 @@ def distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DISTINCT_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def salted_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe shuffle join (`operators/skew.py:salted_join`):
+    lineitem x supplier on the salted key, aggregated per nation. Result
+    is identical to the plain join (the oracle checks that); the salt
+    spreads any hot supplier over 8 reducers."""
+    from oxbow_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        salted_join(li, supp, "s_suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(exact_sum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT s_nationkey, {_xsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+def distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators/skew.py:two_phase_distinct_count`: exact distinct user
+    count per event type with the first shuffle keyed on (type,
+    hash(user) % 32) so no hot event type funnels through one reducer."""
+    from oxbow_spark.operators.skew import two_phase_distinct_count
+
+    ev = _events(spark, sf_dir)
+    return two_phase_distinct_count(
+        ev, "event_type", "user_id", n_salts=32, out_col="n_users"
+    )
+
+
+DISTINCT_SALTED_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
 
@@ -1176,10 +1261,13 @@ QUERIES: list[Query] = [
     Query("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
     Query("semi_join_suppliers", semi_join_suppliers, SEMI_SQL),
     Query("anti_join_customers", anti_join_customers, ANTI_SQL),
+    Query("asof_join_events", asof_join_events, ASOF_SQL),
     Query("sessionize_events", sessionize_events, SESSIONIZE_SQL, bench=True),
     Query("stream_zoom_events", stream_zoom_events, STREAM_ZOOM_SQL),
     Query("json_props_events", json_props_events, JSON_PROPS_SQL),
     Query("distinct_users_events", distinct_users_events, DISTINCT_SQL),
+    Query("salted_join_lineitem", salted_join_lineitem, SALTED_JOIN_SQL),
+    Query("distinct_users_salted", distinct_users_salted, DISTINCT_SALTED_SQL),
     Query("mm_sniff_docs", mm_sniff_docs, MM_SNIFF_SQL),
     Query("mm_decode_image_docs", mm_decode_image_docs, MM_DECODE_SQL, bench=True),
     Query("mm_frame_sample_docs", mm_frame_sample_docs, MM_FRAME_SQL),
