@@ -77,7 +77,8 @@ def uint7(v: int) -> bytes:
 
 def arith_encode(data: bytes, order: int = 0) -> bytes:
     max_sym = (max(data) + 1) if data else 1
-    head = bytes([order]) + uint7(len(data)) + bytes([max_sym])
+    # wire format: 0 means 256 (the decoder reads `u8() or 256`)
+    head = bytes([order]) + uint7(len(data)) + bytes([max_sym & 0xFF])
     enc = RangeEncoder()
     if order:
         models = [AdaptiveModel(max_sym) for _ in range(max_sym)]

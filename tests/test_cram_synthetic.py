@@ -176,3 +176,90 @@ def test_unmapped_ba_record(spark, cram_path):
     assert u.seq == "GGGG"
     assert u.flag == 4
     assert u.qual == "".join(chr(30 + 33) for _ in range(4))
+
+
+# ------------------------------------------------- multi-slice container
+
+
+def build_multislice_cram() -> bytes:
+    """A data container holding TWO slices (single-ref: chr1 then chr2),
+    correct landmarks, shared compression header — exercises the
+    slice loop in `CramReader.read` (`while body.p < len(body.b)`)."""
+    sam_text = "@SQ\tSN:chr1\tLN:1000\n@SQ\tSN:chr2\tLN:1000\n"
+
+    def container(ref_id, start, span, nrec, blocks, landmarks=(0,)):
+        body = b"".join(blocks)
+        hdr = (itf8(ref_id) + itf8(start) + itf8(span) + itf8(nrec)
+               + ltf8(0) + ltf8(0) + itf8(len(blocks))
+               + itf8(len(landmarks)) + b"".join(itf8(x) for x in landmarks))
+        hdr += struct.pack("<I", zlib.crc32(hdr))
+        return struct.pack("<i", len(body)) + hdr + body
+
+    raw = struct.pack("<i", len(sam_text)) + sam_text.encode()
+    fh = container(0, 0, 0, 0, [block(0, 0, raw)])
+
+    pres = (b"RN" + b"\x01" + b"AP" + b"\x00" + b"RR" + b"\x00"
+            + b"SM" + bytes(5) + b"TD" + itf8(1) + b"\x00")
+    pres_body = itf8(5) + pres
+    pres_map = itf8(len(pres_body)) + pres_body
+    entries = []
+    for key in ("BF", "CF", "RL", "AP", "RG", "TL", "FN", "FC", "FP",
+                "MQ", "QS"):
+        entries.append(key.encode() + external(CIDS[key]))
+    entries.append(b"RN" + stop_enc(CIDS["RN"]))
+    entries.append(b"SC" + stop_enc(CIDS["SC"]))
+    ser_body = itf8(len(entries)) + b"".join(entries)
+    ser_map = itf8(len(ser_body)) + ser_body
+    tag_map = itf8(len(itf8(0))) + itf8(0)
+    comp = block(1, 0, pres_map + ser_map + tag_map)
+
+    def slice_blocks(ref_id, start, span, recs):
+        n = len(recs)
+        streams = {
+            "BF": itf8(0) * n,
+            "CF": itf8(1) * n,
+            "RL": itf8(4) * n,
+            "AP": b"".join(itf8(p) for _, p, _ in recs),
+            "RG": itf8(-1) * n,
+            "RN": b"".join(nm.encode() + b"\x00" for nm, _, _ in recs),
+            "TL": itf8(0) * n,
+            "FN": itf8(1) * n,
+            "FC": b"S" * n,
+            "FP": itf8(1) * n,
+            "SC": b"".join(sq.encode() + b"\x00" for _, _, sq in recs),
+            "MQ": itf8(30) * n,
+            "QS": bytes([30] * (4 * n)),
+        }
+        ext = [block(4, CIDS[k], v) for k, v in streams.items()]
+        ids = [CIDS[k] for k in streams]
+        sl = (itf8(ref_id) + itf8(start) + itf8(span) + itf8(n) + ltf8(0)
+              + itf8(len(ext)) + itf8(len(ids))
+              + b"".join(itf8(i) for i in ids) + itf8(-1) + bytes(16))
+        return [block(2, 0, sl)] + ext
+
+    s1 = slice_blocks(0, 100, 100, [("a1", 100, "AAAA"), ("a2", 150, "CCCC")])
+    s2 = slice_blocks(1, 200, 50, [("b1", 200, "GGGG")])
+    lm1 = len(comp)
+    lm2 = lm1 + sum(len(b) for b in s1)
+    data_ct = container(-2, 0, 0, 3, [comp] + s1 + s2, landmarks=(lm1, lm2))
+
+    eof_blk = block(1, 0, itf8(0) * 3)
+    eof = container(-1, 4542278, 0, 0, [eof_blk])
+    return b"CRAM\x03\x00" + bytes(20) + fh + data_ct + eof
+
+
+def test_multislice_container(spark, tmp_path):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    p = tmp_path / "multislice.cram"
+    p.write_bytes(build_multislice_cram())
+    rows = sorted(
+        (r.qname, r.rname, r.pos, r.cigar, r.seq)
+        for r in spark.read.format("cram").load(str(p)).collect()
+    )
+    assert rows == [
+        ("a1", "chr1", 100, "4S", "AAAA"),
+        ("a2", "chr1", 150, "4S", "CCCC"),
+        ("b1", "chr2", 200, "4S", "GGGG"),
+    ]
