@@ -245,8 +245,90 @@ class TextFormatReader(DataSourceReader):
         ]
         return pa.RecordBatch.from_arrays(arrays, schema=self._arrow_schema)
 
+    # ---- vectorized fast path (codecs may implement parse_table) -------
+
+    def _partition_bytes(self, partition: LinePartition) -> bytes:
+        """Raw bytes of the lines owned by this partition (same ownership
+        rules as `_iter_lines`/`_iter_vpos_lines`)."""
+        if getattr(partition, "vpos", False):
+            return "".join(
+                _iter_vpos_lines(partition.path, partition.start, partition.end)
+            ).encode("utf-8")
+        if partition.start < 0:
+            raw = fsio.open_binary(partition.path)
+            if is_gzip_path(partition.path):
+                with gzip.GzipFile(fileobj=raw) as f:
+                    return f.read()
+            with raw:
+                return raw.read()
+        with fsio.open_binary(partition.path) as f:
+            f.seek(partition.start)
+            if partition.start > 0:
+                f.readline()
+            pos = f.tell()
+            if pos > partition.end:
+                return b""
+            data = f.read(partition.end - pos + 1)
+            if data and not data.endswith(b"\n"):
+                data += f.readline()
+            return data
+
+    def _emit_fast(self, table: "pa.Table"):
+        """Apply regions / coord offset / projection / limit to a
+        full-column arrow table and emit RecordBatches — the vectorized
+        twin of the per-line loop below (same ordering: residual region
+        check in native coords BEFORE the offset shift)."""
+        import pyarrow.compute as pc
+
+        codec = self.codec
+        names = table.column_names
+        if self.regions:
+            cn, sn, en = names[0], names[1], names[2]
+            e_eff = pc.coalesce(table[en], pc.add(table[sn], 1))
+            mask = None
+            for r in self.regions:
+                if r.is_unmapped:
+                    m = pc.is_null(table[cn])
+                else:
+                    m = pc.and_kleene(
+                        pc.equal(table[cn], r.name),
+                        pc.greater(e_eff, r.start),
+                    )
+                    if r.end is not None:
+                        m = pc.and_kleene(m, pc.less(table[sn], r.end))
+                mask = m if mask is None else pc.or_kleene(mask, m)
+            table = table.filter(pc.fill_null(mask, False))
+        if codec.coord_offset:
+            for i in codec.start_field_indexes:
+                nm = names[i]
+                table = table.set_column(
+                    i, nm, pc.add(table[nm], codec.coord_offset)
+                )
+        if codec.project_indexes is not None:
+            table = table.select([names[i] for i in codec.project_indexes])
+        if self.limit >= 0:
+            table = table.slice(0, self.limit)
+        schema = self._arrow_schema
+        total = len(table)
+        if total == 0:
+            return
+        cols = [
+            table[f.name].combine_chunks().cast(f.type) for f in schema
+        ]
+        for lo in range(0, total, self.batch_size):
+            take = min(self.batch_size, total - lo)
+            yield pa.RecordBatch.from_arrays(
+                [c.slice(lo, take) for c in cols], schema=schema
+            )
+
     def read(self, partition: LinePartition):
         codec = self.codec
+        parse_table = getattr(codec, "parse_table", None)
+        if parse_table is not None:
+            table = parse_table(self._partition_bytes(partition))
+            if table is not None:
+                yield from self._emit_fast(table)
+                return
         off = codec.coord_offset
         starts = codec.start_field_indexes
         rows: list[list] = []
