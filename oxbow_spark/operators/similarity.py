@@ -125,33 +125,57 @@ def ivf_fit(
     seed: int = 42,
     max_iter: int = 20,
     sample_fraction: float | None = None,
+    max_points: int = 200_000,
 ) -> list[list[float]]:
-    """Train an IVF coarse quantizer: spherical k-means (KMeans on
-    L2-normalized vectors, so Euclidean assignment == cosine assignment).
+    """Train an IVF coarse quantizer: spherical k-means over a BOUNDED
+    sample, fit driver-side with numpy (the standard IVF design — faiss
+    trains its quantizers single-node on a sample too; quantizer quality
+    comes from nlist and sample coverage, not from training on the full
+    corpus). Only the sample (≤ ``max_points`` rows, ``limit``-pruned at
+    the scan) crosses to the driver; corpus/query ASSIGNMENT stays fully
+    distributed (`_ivf_assign_udfs`). Deterministic: seeded init,
+    fixed-order Lloyd's iterations, empty clusters reseeded to the point
+    farthest from its centroid.
 
     Returns the nlist unit-norm centroids as a plain Python list — small
-    (nlist x dim floats) and meant to ride along in UDF closures. At 100 TB
-    fit on a sample (``sample_fraction``): k-means converges on a few
-    million points; the index quality comes from nlist, not the fit size.
+    (nlist x dim floats) and meant to ride along in UDF closures. At
+    100 TB pass ``sample_fraction`` so the pre-limit scan samples
+    uniformly instead of taking the first partitions.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     df = corpus.select(F.col(vec_col).alias("_v"))
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    unit = F.transform(
-        "_v", lambda x: x.cast("double") / F.sqrt(F.col("_n2"))
-    )
-    feats = (
-        df.withColumn("_n2", _exact_norm2(F.col("_v")))
-        .where(F.col("_n2") > 0)
-        .select(array_to_vector(unit).alias("features"))
-    )
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
-    cents = np.array([np.asarray(c) for c in model.clusterCenters()])
-    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    return [[float(x) for x in c] for c in cents]
+    rows = df.limit(max_points).collect()
+    X = np.asarray([np.asarray(r._v, dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = (X / np.maximum(norms, 1e-12))[norms[:, 0] > 0]
+    n = len(X)
+    if n == 0:
+        raise ValueError("ivf_fit: no non-zero vectors to train on")
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    if len(C) < nlist:  # tiny corpus: pad with jittered repeats
+        extra = X[rng.integers(0, n, nlist - len(C))]
+        C = np.vstack([C, extra + 1e-6])
+    for _ in range(max_iter):
+        sim = X @ C.T
+        assign = np.argmax(sim, axis=1)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, X)
+        counts = np.bincount(assign, minlength=nlist)
+        empty = counts == 0
+        if empty.any():
+            # reseed empties to the points worst-served by their centroid
+            worst = np.argsort(sim[np.arange(n), assign])[: int(empty.sum())]
+            newC[empty] = X[worst]
+            counts[empty] = 1
+        newC /= counts[:, None]
+        newC /= np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
+        if np.allclose(newC, C, atol=1e-9):
+            C = newC
+            break
+        C = newC
+    return [[float(x) for x in c] for c in C]
 
 
 def _ivf_assign_udfs(centroids: list[list[float]], nprobe: int):
