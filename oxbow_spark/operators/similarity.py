@@ -118,35 +118,17 @@ def hyperplane_bucket(df: DataFrame, planes: list[list[float]],
     return df.withColumn("bucket", bucket.cast("int"))
 
 
-def ivf_fit(
-    corpus: DataFrame,
-    nlist: int,
-    vec_col: str = "embedding",
-    seed: int = 42,
-    max_iter: int = 20,
-    sample_fraction: float | None = None,
-    max_points: int = 200_000,
+def ivf_fit_core(
+    X: np.ndarray, nlist: int, seed: int = 42, max_iter: int = 20
 ) -> list[list[float]]:
-    """Train an IVF coarse quantizer: spherical k-means over a BOUNDED
-    sample, fit driver-side with numpy (the standard IVF design — faiss
-    trains its quantizers single-node on a sample too; quantizer quality
-    comes from nlist and sample coverage, not from training on the full
-    corpus). Only the sample (≤ ``max_points`` rows, ``limit``-pruned at
-    the scan) crosses to the driver; corpus/query ASSIGNMENT stays fully
-    distributed (`_ivf_assign_udfs`). Deterministic: seeded init,
-    fixed-order Lloyd's iterations, empty clusters reseeded to the point
-    farthest from its centroid.
-
-    Returns the nlist unit-norm centroids as a plain Python list — small
-    (nlist x dim floats) and meant to ride along in UDF closures. At
-    100 TB pass ``sample_fraction`` so the pre-limit scan samples
-    uniformly instead of taking the first partitions.
-    """
-    df = corpus.select(F.col(vec_col).alias("_v"))
-    if sample_fraction is not None:
-        df = df.sample(fraction=sample_fraction, seed=seed)
-    rows = df.limit(max_points).collect()
-    X = np.asarray([np.asarray(r._v, dtype=np.float64) for r in rows])
+    """Deterministic spherical k-means over a plain float64 ndarray —
+    the engine-independent core of `ivf_fit`. Seeded init, fixed-order
+    Lloyd's iterations, empty clusters reseeded to the points worst-served
+    by their centroid. Given the same (row-ordered) X it produces
+    bit-identical centroids whether X came from a Spark collect or a
+    pyarrow parquet read, which is what lets the DuckDB oracle inline the
+    very same centroid literals (`queries/registry.py` sim_topk_ivf)."""
+    X = np.asarray(X, dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = (X / np.maximum(norms, 1e-12))[norms[:, 0] > 0]
     n = len(X)
@@ -178,6 +160,80 @@ def ivf_fit(
     return [[float(x) for x in c] for c in C]
 
 
+def ivf_fit(
+    corpus: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+    max_points: int = 200_000,
+    order_col: str | None = None,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: spherical k-means over a BOUNDED
+    sample, fit driver-side with numpy (the standard IVF design — faiss
+    trains its quantizers single-node on a sample too; quantizer quality
+    comes from nlist and sample coverage, not from training on the full
+    corpus). Only the sample (≤ ``max_points`` rows) crosses to the
+    driver; corpus/query ASSIGNMENT stays fully distributed
+    (`_ivf_assign_udfs` / `ivf_topk(expr_assign=True)`).
+
+    Sampling is default-safe for huge corpora: when ``sample_fraction``
+    is not given, the corpus is counted and, if it exceeds
+    ``max_points``, a seeded UNIFORM sample (fraction ≈
+    1.2·max_points/count, then limit) is taken — never a
+    first-partitions `limit`, which at 100 TB would train the quantizer
+    on whatever source/date slice happens to sort first and skew list
+    balance corpus-wide. Pass ``sample_fraction`` explicitly to skip the
+    count job.
+
+    ``order_col``: optional unique id column; when given, the collected
+    sample is sorted by it driver-side before training, making the
+    centroids a pure function of the sample SET (row order from a Spark
+    collect is otherwise partition-dependent). Required for
+    oracle-reproducible fits — see `ivf_fit_parquet`.
+    """
+    cols = [F.col(vec_col).alias("_v")]
+    if order_col is not None:
+        cols.insert(0, F.col(order_col).alias("_k"))
+    df = corpus.select(*cols)
+    if sample_fraction is None:
+        n_total = df.count()
+        if n_total > max_points:
+            sample_fraction = min(1.0, 1.2 * max_points / n_total)
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    rows = df.limit(max_points).collect()
+    if order_col is not None:
+        rows = sorted(rows, key=lambda r: r._k)
+    X = np.asarray([np.asarray(r._v, dtype=np.float64) for r in rows])
+    return ivf_fit_core(X, nlist, seed=seed, max_iter=max_iter)
+
+
+def ivf_fit_parquet(
+    path: str,
+    nlist: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 20,
+    max_points: int = 200_000,
+) -> list[list[float]]:
+    """Spark-free twin of `ivf_fit` for oracle-SQL construction: read the
+    parquet with pyarrow, sort by ``id_col``, train with the same
+    `ivf_fit_core`. When the corpus fits in ``max_points`` (always true
+    for the sf0.01 oracle tables) this yields centroids bit-identical to
+    ``ivf_fit(corpus, ..., order_col=id_col)`` on the same file, so the
+    DuckDB twin can inline them as literals."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=[id_col, vec_col])
+    tbl = tbl.sort_by(id_col).slice(0, max_points)
+    vecs = tbl.column(vec_col).to_pylist()
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+    return ivf_fit_core(X, nlist, seed=seed, max_iter=max_iter)
+
+
 def _ivf_assign_udfs(centroids: list[list[float]], nprobe: int):
     """(single-assign, nprobe-assign) pandas UDFs. Vectorized: one numpy
     matmul per Arrow batch against the broadcast centroid matrix."""
@@ -203,6 +259,23 @@ def _ivf_assign_udfs(centroids: list[list[float]], nprobe: int):
     return assign_one, assign_probes
 
 
+def ivf_list_order(vec_col, centroids: list[list[float]]):
+    """Centroid ids ordered by descending affinity to ``vec_col``, as a
+    sorted array of (negated-dot, id) structs. Dots are plain
+    left-to-right double chain-sums (`_plane_dots`), so an oracle engine
+    evaluating the same centroid literals with a left-associated `+`
+    chain produces bit-identical dots and therefore the identical
+    ordering (ties broken by centroid id). Normalization is skipped on
+    purpose: argmax/argsort of (x/‖x‖)·c equals that of x·c, and
+    skipping the division removes a float-precision divergence surface.
+    """
+    dots = _plane_dots(vec_col, centroids)
+    return F.array_sort(F.array(*[
+        F.struct((-d).alias("nd"), F.lit(j).alias("j"))
+        for j, d in enumerate(dots)
+    ]))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -212,6 +285,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    expr_assign: bool = False,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` inverted lists whose centroids
     are closest to the query, exact-cosine only within them.
@@ -224,17 +298,32 @@ def ivf_topk(
     geometry, which is what makes moderate-similarity neighbors (cos
     0.3-0.6) reachable at bounded fan-in. No dedup is needed: a corpus
     vector lives in exactly one list and probe lists are distinct.
+
+    ``expr_assign=True`` computes assignments as Catalyst expressions
+    (`ivf_list_order`: chain-sum dots + struct array_sort) instead of
+    the Arrow-batched numpy UDFs — engine-reproducible (the DuckDB
+    oracle mirrors it term-for-term) and UDF-free; the numpy path
+    (default) is the production fast path for large nlist.
     """
-    assign_one, assign_probes = _ivf_assign_udfs(centroids, nprobe)
+    if expr_assign:
+        c_assign = F.element_at(ivf_list_order(vec_col, centroids), 1)["j"]
+        q_probes = F.transform(
+            F.slice(ivf_list_order(vec_col, centroids), 1, nprobe),
+            lambda s: s["j"],
+        )
+    else:
+        assign_one, assign_probes = _ivf_assign_udfs(centroids, nprobe)
+        c_assign = assign_one(F.col(vec_col))
+        q_probes = assign_probes(F.col(vec_col))
     cc = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         _exact_norm2(F.col(vec_col)).alias("_cn"),
-        assign_one(F.col(vec_col)).alias("list_id"),
+        c_assign.alias("list_id"),
     )
     qq = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv"),
         _exact_norm2(F.col(vec_col)).alias("_qn"),
-        F.explode(assign_probes(F.col(vec_col))).alias("list_id"),
+        F.explode(q_probes).alias("list_id"),
     )
     scored = (
         cc.join(F.broadcast(qq), "list_id")

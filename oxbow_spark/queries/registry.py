@@ -31,12 +31,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects by default; read the ns value as a long (exact — no float
-    rounding; DuckDB's reader truncates the same values to µs, so both
-    engines agree on any epoch granularity ≥ 1 µs)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _t(spark, sf_dir, "events")
+    """events table with ``ts`` normalized to the BIGINT epoch-ns
+    contract (see session.normalize_event_ts — Spark-build-proof)."""
+    from oxbow_spark.session import read_events
+
+    return read_events(spark, sf_dir)
 
 
 def _ns(dt: str) -> int:
@@ -69,7 +68,10 @@ TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
 class Query:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # None → non-SQL-expressible; driver does rows-only check
+    # None → non-SQL-expressible; driver does rows-only check.
+    # A callable is evaluated lazily at oracle_sql_map() time (used when
+    # the SQL needs oracle-data-derived literals, e.g. IVF centroids).
+    sql: str | None | Callable[[], str | None]
     bench: bool = False  # include in bench.py headline set
 
 
@@ -805,19 +807,85 @@ FROM ranked WHERE rank <= {_TOPK_K}
 
 _IVF_NLIST = 8
 _IVF_NPROBE = 2
+_IVF_MAXITER = 10
+# The sf_dir the DuckDB oracle runs against (the driver's correctness
+# gate is sf0.01). The Spark query fits its quantizer on whatever sf_dir
+# it is handed; the oracle fits on this one with the identical numpy
+# core (`ivf_fit_core`), so at correctness time both sides inline the
+# same centroids bit-for-bit.
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k: spherical k-means coarse quantizer (pyspark.ml),
-    nprobe/nlist = 25% scanned fraction. The quantizer is iterative
-    (k-means) so there is no SQL oracle — the recall gates live in
-    tests/test_ann.py."""
+    """IVF ANN top-k: driver-side spherical k-means coarse quantizer,
+    nprobe/nlist = 25% scanned fraction. The fit is deterministic
+    (seeded numpy Lloyd's over the id-sorted sample) and assignment is
+    expression-level (chain-sum dots + argsort), so a DuckDB twin with
+    the same centroid literals reproduces it exactly; recall gates live
+    in tests/test_ann.py."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    cents = similarity.ivf_fit(emb, nlist=_IVF_NLIST, max_iter=10)
-    return similarity.ivf_topk(emb, q, cents, k=_TOPK_K, nprobe=_IVF_NPROBE)
+    cents = similarity.ivf_fit(
+        emb, nlist=_IVF_NLIST, max_iter=_IVF_MAXITER, order_col="vec_id"
+    )
+    return similarity.ivf_topk(
+        emb, q, cents, k=_TOPK_K, nprobe=_IVF_NPROBE, expr_assign=True
+    )
+
+
+def _topk_ivf_sql(sf_dir: str | None = None) -> str | None:
+    """DuckDB twin of `sim_topk_ivf`. The centroids are re-fit at SQL
+    build time with the Spark-free `ivf_fit_parquet` (same numpy core,
+    same id-sorted sample → bit-identical values) and inlined as
+    literals; assignment mirrors `ivf_list_order` term-for-term
+    (left-associated dot chains, struct list_sort, id tiebreak)."""
+    path = os.path.join(sf_dir or _ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None  # no oracle data → driver falls back to rows-only
+    cents = similarity.ivf_fit_parquet(
+        path, nlist=_IVF_NLIST, max_iter=_IVF_MAXITER
+    )
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+        "CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+    )
+    dcols = ",\n         ".join(
+        f"({_plane_dot_sql('embedding', c)}) AS d_{j}" for j, c in enumerate(cents)
+    )
+    order = "list_sort([" + ", ".join(
+        f"{{'nd': -d_{j}, 'j': {j}}}" for j in range(len(cents))
+    ) + "])"
+    return f"""
+WITH dots AS (
+  SELECT vec_id, embedding,
+         {dot.format(a='embedding', b='embedding')} AS nrm,
+         {dcols}
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, embedding, nrm, {order}[1].j AS list_id FROM dots
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+         list_transform(list_slice({order}, 1, {_IVF_NPROBE}), s -> s.j) AS probes
+  FROM dots WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         {dot.format(a='qv', b='n.embedding')} / SQRT(qn * n.nrm) AS cos
+  FROM n JOIN q ON list_contains(q.probes, n.list_id)
+  WHERE n.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1256,7 +1324,7 @@ QUERIES: list[Query] = [
     Query("sim_topk_cosine", sim_topk_cosine, _topk_sql(), bench=True),
     Query("sim_topk_lsh", sim_topk_lsh, _topk_lsh_sql(), bench=True),
     Query("sim_topk_lsh_mp", sim_topk_lsh_mp, _topk_lsh_mp_sql()),
-    Query("sim_topk_ivf", sim_topk_ivf, None),
+    Query("sim_topk_ivf", sim_topk_ivf, _topk_ivf_sql),
     Query("dedup_embedding_cosine", dedup_embedding_cosine, _embcos_sql()),
     Query("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
     Query("semi_join_suppliers", semi_join_suppliers, SEMI_SQL),
@@ -1280,4 +1348,9 @@ def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {q.name: q.sql for q in QUERIES if q.sql is not None}
+    out: dict[str, str] = {}
+    for q in QUERIES:
+        sql = q.sql() if callable(q.sql) else q.sql
+        if sql is not None:
+            out[q.name] = sql
+    return out

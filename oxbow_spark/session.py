@@ -45,6 +45,35 @@ def get_spark(
     return spark
 
 
+def normalize_event_ts(df):
+    """Normalize the events table's ``ts`` to the BIGINT epoch-ns contract
+    every downstream query assumes. events.parquet stores
+    TIMESTAMP(NANOS); depending on Spark build the reader either honors
+    ``spark.sql.legacy.parquet.nanosAsLong`` (ts arrives as long ns) or
+    maps nanos to TIMESTAMP_NTZ truncated to µs. The NTZ→ns conversion is
+    wall-clock arithmetic against the NTZ epoch (timestampdiff), so it is
+    session-timezone independent; it is lossless because the generator's
+    timestamps are µs-granular (asserted against DuckDB, which reads the
+    same column as µs TIMESTAMP)."""
+    from pyspark.sql import functions as F
+
+    if df.schema["ts"].dataType.simpleString() != "bigint":
+        df = df.withColumn(
+            "ts",
+            (F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                    "cast(ts as timestamp_ntz))") * F.lit(1000)).cast("long"),
+        )
+    return df
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """events.parquet with ``ts`` normalized to epoch-ns BIGINT."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the driver's parquet tables as DataFrames and register temp views."""
     names = names or [
@@ -56,6 +85,8 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         path = os.path.join(sf_dir, f"{n}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            if n == "events":
+                df = normalize_event_ts(df)
             df.createOrReplaceTempView(n)
             out[n] = df
     return out

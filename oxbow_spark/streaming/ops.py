@@ -37,8 +37,11 @@ SESSION_GAP_S = 1800
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table (file source, explicit schema —
-    streaming sources cannot infer). ts is TIMESTAMP(NANOS) parquet, read
-    as a long via the same legacy flag as the batch path."""
+    streaming sources cannot infer). ts is TIMESTAMP(NANOS) parquet,
+    normalized to the batch path's epoch-ns BIGINT contract (the
+    normalization is a projection, so it composes with streaming)."""
+    from oxbow_spark.session import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -52,7 +55,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
-    return spark.readStream.schema(schema).parquet(stage)
+    return normalize_event_ts(spark.readStream.schema(schema).parquet(stage))
 
 
 def _event_time(df: DataFrame) -> DataFrame:

@@ -107,6 +107,54 @@ def test_single_table_single_probe_unchanged(corpus):
     assert len(pairs) == len(set(pairs))
 
 
+def test_ivf_fit_parquet_matches_spark_fit(corpus):
+    """The Spark-free oracle-side fit must produce bit-identical centroids
+    to the Spark fit over the same file when both are id-sorted — this is
+    the invariant the sim_topk_ivf DuckDB oracle rests on."""
+    a = S.ivf_fit(corpus, nlist=8, max_iter=10, order_col="vec_id")
+    b = S.ivf_fit_parquet(EMB, nlist=8, max_iter=10)
+    assert a == b
+
+
+def test_ivf_expr_assign_matches_udf(corpus, planted):
+    """Expression-level assignment (chain-sum dots + struct sort) and the
+    numpy-UDF path pick the same lists, so results are identical."""
+    q = planted.select("query_id", "embedding")
+    cents = S.ivf_fit(corpus, nlist=8, max_iter=10, order_col="vec_id")
+    ex = sorted(map(tuple, S.ivf_topk(
+        corpus, q, cents, k=K, nprobe=2, expr_assign=True).collect()))
+    ud = sorted(map(tuple, S.ivf_topk(
+        corpus, q, cents, k=K, nprobe=2, expr_assign=False).collect()))
+    assert ex == ud
+
+
+def test_ivf_fit_uniform_sample_on_large_corpus(spark):
+    """When the corpus exceeds max_points and no sample_fraction is given,
+    ivf_fit must take a seeded UNIFORM sample across partitions — not the
+    first-partitions limit. With a corpus whose partitions are
+    value-segregated (partition 0 = cluster A only, partition 1 = cluster
+    B only, ...), a limit-based sample would see one cluster and collapse
+    the quantizer; a uniform sample sees all of them."""
+    rng = np.random.default_rng(7)
+    centers = np.eye(4, 64) * 10.0
+    parts = []
+    for ci in range(4):
+        pts = centers[ci] + rng.normal(0, 0.05, size=(500, 64))
+        parts.append(spark.createDataFrame(
+            [(int(ci * 500 + i), [float(x) for x in p]) for i, p in enumerate(pts)],
+            "vec_id long, embedding array<float>",
+        ).repartition(1))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)  # union keeps per-cluster partitions intact
+    cents = np.array(S.ivf_fit(df, nlist=4, max_points=400, seed=1))
+    # every planted cluster direction must be represented by some centroid
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    for ci in range(4):
+        unit = centers[ci] / np.linalg.norm(centers[ci])
+        assert (cn @ unit).max() > 0.9, f"cluster {ci} unrepresented"
+
+
 def test_multiprobe_supersets_single_probe(corpus):
     """More probes can only add candidates: single-probe hits stay ranked."""
     planes = S.random_hyperplanes(8, 64)

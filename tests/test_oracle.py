@@ -47,14 +47,20 @@ def _canon(rows, cols):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("q", [q for q in QUERIES if q.sql], ids=lambda q: q.name)
+@pytest.mark.parametrize(
+    "q", [q for q in QUERIES if q.sql is not None], ids=lambda q: q.name
+)
 def test_query_matches_oracle(q, spark, sf_dir):
+    # callable SQL builders take oracle-data-derived literals from sf_dir
+    sql = q.sql(sf_dir) if callable(q.sql) else q.sql
+    if sql is None:
+        pytest.skip(f"{q.name}: no oracle data at {sf_dir}")
     sdf = q.fn(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
     con = _duck(sf_dir)
-    res = con.execute(q.sql)
+    res = con.execute(sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
     con.close()

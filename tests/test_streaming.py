@@ -24,8 +24,10 @@ def test_stream_zoom_equals_batch(spark, small_sf):
     )
     got = {(r.chrom, r.start): r for r in out.collect()}
 
+    from oxbow_spark.session import read_events
+
     batch = (
-        spark.read.parquet(f"{small_sf}/events.parquet")
+        read_events(spark, small_sf)
         .withColumn("etime", F.timestamp_micros(F.expr("ts div 1000")))
         .groupBy(F.window("etime", "1 hour").alias("win"), "event_type")
         .agg(

@@ -15,10 +15,11 @@ from oxbow_spark.operators import zoom
 
 @pytest.fixture(scope="module")
 def signal(spark, sf_dir):
+    from oxbow_spark.session import read_events
+
     small = sf_dir.replace("sf0.01", "sf0.001")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
-        spark.read.parquet(f"{small}/events.parquet")
+        read_events(spark, small)
         .select(
             F.col("event_type").alias("chrom"),
             F.expr("ts div 1000000000").alias("start"),
@@ -69,10 +70,12 @@ def test_stream_dedup_drops_duplicate_files(spark, sf_dir, tmp_path_factory):
     stage = str(tmp_path_factory.mktemp("dup_stream"))
     os.symlink(src, os.path.join(stage, "a.parquet"))
     os.symlink(src, os.path.join(stage, "b.parquet"))
+    from oxbow_spark.session import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).option(
-        "maxFilesPerTrigger", "1").parquet(stage)
+    stream = normalize_event_ts(spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1").parquet(stage))
     out = streaming.run_available_now(
         streaming.stream_dedup(stream), "t_dedup", output_mode="append"
     )
