@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import struct
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql.datasource import DataSourceReader, InputPartition
 from pyspark.sql.pandas.types import to_arrow_schema
@@ -86,28 +87,400 @@ def _clean_ints(vals: list[int], t: int) -> list[int | None]:
     return out
 
 
-def _clean_floats(vals: list[float]) -> list[float | None]:
+def _clean_floats_bits(bits, vals) -> list[float | None]:
+    """Float vector cleanup from the RAW wire bits. The MISSING/EOV
+    sentinels (0x7F800001/2) are signaling NaNs: unpacking them as float
+    and re-packing quiets them to 0x7FC0...., so sentinel checks must run
+    on bits read straight from the buffer, never on round-tripped
+    floats."""
     out = []
-    for v in vals:
-        bits = struct.unpack("<I", struct.pack("<f", v))[0]
-        if bits == _EOV_FLOAT_BITS:
+    for bt, v in zip(bits, vals):
+        if bt == _EOV_FLOAT_BITS:
             break
-        out.append(None if bits == _MISSING_FLOAT_BITS else v)
+        out.append(None if bt == _MISSING_FLOAT_BITS else v)
     return out
 
 
 def read_typed(buf: _Buf):
     """One typed value → (kind, values) where kind ∈ {'int','float','str'}."""
     t, n = _typed_meta(buf)
+    o = buf.o
     raw = _typed_values_raw(buf, t, n)
     if t == 7:
         s = raw[0] if raw else ""
         return "str", s
     if t == 5:
-        return "float", _clean_floats(raw)
+        bits = struct.unpack_from(f"<{n}I", buf.b, o)
+        return "float", _clean_floats_bits(bits, raw)
     if t in _MISSING:
         return "int", _clean_ints(raw, t)
     return "int", []
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch decode (the BAM `decode_record_batch` treatment applied
+# to BCF, cf. `bam.py:238-399`; reference throughput contract:
+# `oxbow/src/variant/scanner/bcf.rs`). The 24-byte fixed prefix of every
+# record in a batch is gathered into one numpy structured view; the
+# variable typed-value chains (ID/alleles/FILTER/INFO) are walked with a
+# minimal inline parser that SKIPS values that the projection drops (an
+# unprojected INFO block is never parsed — scan-time projection, SURVEY
+# P2); FORMAT slabs (n_sample × length, fixed-width) decode via a single
+# np.frombuffer per field once they are wide enough to pay for it.
+# ---------------------------------------------------------------------------
+
+_PREFIX_DTYPE = np.dtype([
+    ("chrom", "<i4"), ("pos", "<i4"), ("rlen", "<i4"), ("qual", "<u4"),
+    ("nai", "<u4"), ("nfs", "<u4"),
+])
+_TSIZE = {0: 0, 1: 1, 2: 2, 3: 4, 5: 4, 7: 1}
+_NP_DT = {1: "<i1", 2: "<i2", 3: "<i4", 5: "<f4"}
+
+
+def _tv_head(b, o: int) -> tuple[int, int, int]:
+    """Typed-value descriptor at offset ``o`` → (type, length, new_offset)."""
+    d = b[o]
+    o += 1
+    t, ln = d & 0xF, d >> 4
+    if ln == 15:
+        d2 = b[o]
+        o += 1
+        t2 = d2 & 0xF
+        if t2 == 1:
+            ln = b[o] - 256 if b[o] > 127 else b[o]
+            o += 1
+        elif t2 == 2:
+            ln = struct.unpack_from("<h", b, o)[0]
+            o += 2
+        else:
+            ln = struct.unpack_from("<i", b, o)[0]
+            o += 4
+    return t, ln, o
+
+
+def _tv_int_scalar(b, o: int) -> tuple[int, int]:
+    """Typed int scalar (dictionary keys) → (value, new_offset)."""
+    t, ln, o = _tv_head(b, o)
+    if ln == 0 or t not in _FMT:
+        return 0, o + _TSIZE.get(t, 0) * ln
+    v = struct.unpack_from(_FMT[t], b, o)[0]
+    return v, o + _TSIZE[t] * ln
+
+
+def _tv_value(b, o: int, t: int, ln: int):
+    """(kind, vals) with the same cleaning semantics as `read_typed`."""
+    if t == 7:
+        return "str", b[o:o + ln].decode("ascii", "replace") if ln else ""
+    if t == 5:
+        bits = struct.unpack_from(f"<{ln}I", b, o)
+        return "float", _clean_floats_bits(bits, struct.unpack_from(f"<{ln}f", b, o))
+    if t in _MISSING:
+        return "int", _clean_ints(list(struct.unpack_from(f"<{ln}{_FMT[t][-1]}", b, o)), t)
+    return "int", []
+
+
+def _decode_indiv_record(ib: bytes, o: int, nf: int, ns: int,
+                         strings: list[str], want: set) -> dict[str, list]:
+    """One record's FORMAT block (at offset ``o`` of ``ib``) →
+    {field: [per-sample (kind, vals)]}. Unwanted fields are skipped by
+    width without decoding; wide slabs (ns·ln ≥ 64 fixed-width cells)
+    decode via one frombuffer + vectorized sentinel cleanup instead of
+    per-sample struct calls."""
+    per_field: dict[str, list] = {}
+    for _ in range(nf):
+        key, o = _tv_int_scalar(ib, o)
+        name = strings[key] if key < len(strings) else None
+        t, ln, o = _tv_head(ib, o)
+        width = _TSIZE[t] * ln
+        if not name or name not in want:
+            o += width * ns
+            continue
+        if t == 7:
+            per_field[name] = [
+                ("str", ib[o + s * ln:o + (s + 1) * ln].decode("ascii", "replace"))
+                for s in range(ns)
+            ]
+            o += width * ns
+            continue
+        if t in _NP_DT and ns * ln >= 64:
+            m = np.frombuffer(ib, _NP_DT[t], ns * ln, o).reshape(ns, ln)
+            o += width * ns
+            if t == 5:
+                bits = m.view("<u4")
+                eov = bits == _EOV_FLOAT_BITS
+                miss = bits == _MISSING_FLOAT_BITS
+                kind = "float"
+                vals = m.astype(object)
+            else:
+                eov = m == _EOV[t]
+                miss = m == _MISSING[t]
+                kind = "int"
+                vals = m.astype(object)
+            lens = np.where(eov.any(axis=1), eov.argmax(axis=1), ln)
+            vals[miss] = None
+            per_field[name] = [
+                (kind, list(vals[s, :lens[s]])) for s in range(ns)
+            ]
+            continue
+        cells = []
+        for _s in range(ns):
+            cells.append(_tv_value(ib, o, t, ln))
+            o += width
+        per_field[name] = cells
+    return per_field
+
+
+_TSZ_ARR = np.zeros(16, dtype=np.int64)
+for _t, _s in _TSIZE.items():
+    _TSZ_ARR[_t] = _s
+
+
+def decode_bcf_batch(
+    big: bytes,
+    starts: np.ndarray,
+    s_lens: np.ndarray,
+    codec: VcfCodec,
+    strings: list[str],
+    contigs: list[str],
+    arrow_schema: pa.Schema,
+    regions,
+    max_rows: int,
+    info_defs: dict,
+    fmt_defs: dict,
+) -> tuple[pa.RecordBatch | None, int]:
+    """Vectorized decode of a batch of BCF record bodies (shared+indiv
+    concatenated; ``starts`` = body offsets, ``s_lens`` = shared-block
+    lengths) into one Arrow RecordBatch.
+
+    All records advance through the typed-value chain in numpy lockstep:
+    one descriptor-byte gather per step (ID, allele_j, FILTER) yields the
+    (type, length, value-offset) arrays for every record at once, with
+    per-record fallback only for the rare 15+ extended lengths. String
+    columns (ref/alt) build straight from gathered byte spans via the BAM
+    `_utf8_array` path — no intermediate Python strings. INFO parsing
+    runs only when the info column is projected, and only projected INFO
+    keys are decoded. ``max_rows`` < 0 means no limit. Returns
+    (batch | None, rows_kept)."""
+    from oxbow_spark.sources.bam import _gather_ranges, _utf8_array
+
+    n = len(starts)
+    if n == 0:
+        return None, 0
+    c = codec
+    arr = np.frombuffer(big, dtype=np.uint8)
+    fx = arr[starts[:, None] + np.arange(24)].view(_PREFIX_DTYPE)[:, 0]
+    chrom_id = fx["chrom"].astype(np.int64)
+    pos1 = fx["pos"].astype(np.int64) + 1
+    qbits = np.ascontiguousarray(fx["qual"])
+    with np.errstate(invalid="ignore"):  # sentinel bits are signaling NaNs
+        qual = qbits.view(np.float32).astype(np.float64)
+    qual_missing = qbits == _MISSING_FLOAT_BITS
+    n_allele = (fx["nai"] >> 16).astype(np.int64)
+    n_info = (fx["nai"] & 0xFFFF).astype(np.int64)
+    n_sample = (fx["nfs"] & 0xFFFFFF).astype(np.int64)
+    n_fmt = (fx["nfs"] >> 24).astype(np.int64)
+    indiv_off = starts + s_lens
+
+    o = starts + 24  # running per-record offset, advanced by each step
+
+    def heads(act: np.ndarray):
+        """Lockstep typed-value descriptor read for the records in
+        ``act``: one byte gather; (type, length, value-offset) arrays.
+        Extended (15+) lengths fall back per record. Advances ``o``."""
+        oo = o[act]
+        d = arr[oo].astype(np.int64)
+        t = d & 15
+        ln = d >> 4
+        voff = oo + 1
+        ext = ln == 15
+        if ext.any():
+            for ii in np.flatnonzero(ext):
+                tt, ll, vo = _tv_head(big, int(oo[ii]))
+                t[ii], ln[ii], voff[ii] = tt, ll, vo
+        o[act] = voff + ln * _TSZ_ARR[t]
+        return t, ln, voff
+
+    all_mask = np.ones(n, dtype=bool)
+    t_id, ln_id, off_id = heads(all_mask)
+    ln_id = np.where(t_id == 7, ln_id, 0)
+
+    max_a = int(n_allele.max()) if n else 0
+    a_len = np.zeros((max_a, n), dtype=np.int64)
+    a_off = np.zeros((max_a, n), dtype=np.int64)
+    for j in range(max_a):
+        act = n_allele > j
+        t, ln, voff = heads(act)
+        a_len[j, act] = np.where(t == 7, ln, 0)
+        a_off[j, act] = voff
+
+    t_f, ln_f, off_f = heads(all_mask)
+
+    # FILTER lists: common case is an int8 vector of 0-2 in-range ids;
+    # sentinel-bearing or wide-typed vectors fall back to the generic
+    # cleaner. PASS-only → [], empty → None, else names.
+    filts: list = [None] * n
+    nstr = len(strings)
+    for i in range(n):
+        lf = int(ln_f[i])
+        if lf == 0:
+            continue
+        tf = int(t_f[i])
+        if tf == 1:
+            vs = [big[off_f[i] + j] for j in range(lf)]
+            if all(v < 128 for v in vs):
+                names = [strings[v] for v in vs if v < nstr]
+                filts[i] = [] if names == ["PASS"] else (names or None)
+                continue
+        kind, vals = _tv_value(big, int(off_f[i]), tf, lf)
+        if kind == "int":
+            names = [strings[v] for v in vals if v is not None and v < nstr]
+            filts[i] = [] if names == ["PASS"] else (names or None)
+
+    want_info = c.info_names is not None
+    infos: list = [None] * n if want_info else []
+    if want_info:
+        info_want = set(c.info_names)
+        tsize = _TSIZE
+        b = big
+        for i in range(n):
+            oi = int(o[i])
+            iv: dict = {}
+            for _ in range(int(n_info[i])):
+                key, oi = _tv_int_scalar(b, oi)
+                t, ln, oi = _tv_head(b, oi)
+                name = strings[key] if key < nstr else None
+                if name and name in info_want:
+                    iv[name] = _tv_value(b, oi, t, ln)
+                oi += tsize[t] * ln
+            infos[i] = iv
+
+    ref_len = a_len[0] if max_a else np.zeros(n, dtype=np.int64)
+    if regions:
+        keep_list = []
+        for i in range(n):
+            cid = int(chrom_id[i])
+            nm = contigs[cid] if cid < len(contigs) else str(cid)
+            p0 = int(pos1[i]) - 1
+            e0 = p0 + int(ref_len[i])
+            if any(
+                (not reg.is_unmapped) and reg.name == nm and reg.overlaps(p0, e0)
+                for reg in regions
+            ):
+                keep_list.append(i)
+        keep = np.array(keep_list, dtype=np.int64)
+    else:
+        keep = np.arange(n)
+    if max_rows >= 0:
+        keep = keep[:max_rows]
+    k = len(keep)
+    if k == 0:
+        return None, 0
+
+    contigs_obj = np.array(contigs + [None], dtype=object)
+    cid_safe = np.where(chrom_id < len(contigs), chrom_id, len(contigs))
+    chrom_col = contigs_obj[cid_safe]
+    oob = chrom_id >= len(contigs)
+    if oob.any():
+        for i in np.flatnonzero(oob):
+            chrom_col[i] = str(int(chrom_id[i]))
+
+    gt_cells: list | None = None
+    if c.gt_names is not None:
+        want_fmt = set(c.gt_names)
+        sample_idx = {s: i for i, s in enumerate(c.header.samples)}
+        gt_cells = []
+        for i in keep:
+            pf = _decode_indiv_record(
+                big, int(indiv_off[i]), int(n_fmt[i]), int(n_sample[i]),
+                strings, want_fmt,
+            )
+            per_sample_out = {}
+            for s in c.samples:
+                si = sample_idx[s]
+                rec = {}
+                for nm in c.gt_names:
+                    cell = pf.get(nm)
+                    v = cell[si] if cell and si < len(cell) else None
+                    if nm == "GT":
+                        rec[nm] = decode_gt(v[1]) if v and v[0] == "int" else None
+                    else:
+                        rec[nm] = _coerce_fmt(fmt_defs.get(nm), v)
+                per_sample_out[s] = rec
+            if c.genotype_by == "sample":
+                gcols = [per_sample_out[s] for s in c.samples]
+            else:
+                gcols = [
+                    {s: per_sample_out[s][g] for s in c.samples}
+                    for g in c.gt_names
+                ]
+            gt_cells.append(gcols)
+
+    gt_layout = (
+        list(c.samples) if c.genotype_by == "sample" else list(c.gt_names or ())
+    )
+    std = {"chrom", "pos", "id", "ref", "alt", "qual", "filter", "info", "samples"}
+    cols = []
+    for fld in arrow_schema:
+        nm = fld.name
+        if nm == "chrom":
+            cols.append(pa.array(chrom_col[keep], type=fld.type))
+        elif nm == "pos":
+            cols.append(pa.array((pos1 + c.coord_offset)[keep], type=fld.type))
+        elif nm == "id":
+            out = []
+            for i in keep:
+                li = int(ln_id[i])
+                if li == 0:
+                    out.append([])
+                    continue
+                s = big[int(off_id[i]):int(off_id[i]) + li].decode("ascii", "replace")
+                out.append([] if s == "." else s.split(";"))
+            cols.append(pa.array(out, type=fld.type))
+        elif nm == "ref":
+            lens_k = ref_len[keep]
+            offs_k = (a_off[0] if max_a else np.zeros(n, dtype=np.int64))[keep]
+            data, _ = _gather_ranges(arr, offs_k, lens_k)
+            cols.append(_utf8_array(lens_k, data))
+        elif nm == "alt":
+            if max_a > 1:
+                offs_T = a_off[1:].T[keep]  # (k, max_a-1), record-major
+                lens_T = a_len[1:].T[keep]
+                m = np.arange(1, max_a)[None, :] < n_allele[keep][:, None]
+                flat_off = offs_T[m]
+                flat_len = lens_T[m]
+                counts = np.maximum(n_allele[keep] - 1, 0)
+            else:
+                flat_off = np.zeros(0, dtype=np.int64)
+                flat_len = np.zeros(0, dtype=np.int64)
+                counts = np.zeros(k, dtype=np.int64)
+            data, _ = _gather_ranges(arr, flat_off, flat_len)
+            values = _utf8_array(flat_len, data)
+            offsets = pa.array(
+                np.concatenate(([0], np.cumsum(counts))).astype(np.int32),
+                type=pa.int32(),
+            )
+            cols.append(pa.ListArray.from_arrays(offsets, values).cast(fld.type))
+        elif nm == "qual":
+            cols.append(pa.array(qual[keep], type=fld.type, mask=qual_missing[keep]))
+        elif nm == "filter":
+            cols.append(pa.array([filts[i] for i in keep], type=fld.type))
+        elif nm == "info":
+            data = [
+                {w: _coerce_info(info_defs.get(w), infos[i].get(w))
+                 for w in c.info_names}
+                for i in keep
+            ]
+            cols.append(pa.array(data, type=fld.type))
+        elif nm == "samples" and c.samples_nested:
+            names = gt_layout
+            data = [dict(zip(names, gc)) for gc in gt_cells]
+            cols.append(pa.array(data, type=fld.type))
+        elif nm not in std and gt_cells is not None and nm in gt_layout:
+            gi = gt_layout.index(nm)
+            cols.append(pa.array([gc[gi] for gc in gt_cells], type=fld.type))
+        else:  # pragma: no cover - schema is constructed from these names
+            raise ValueError(f"unknown BCF column {nm!r}")
+    return pa.RecordBatch.from_arrays(cols, schema=arrow_schema), k
 
 
 def string_dictionary(header_lines: list[str]) -> list[str]:
@@ -234,6 +607,7 @@ class BcfReader(DataSourceReader):
         self.regions = _coords.merge_regions(_coords.parse_regions(
             src.options.get("regions"), src.options.get("region_cs", "11")
         ))
+        self.slow_decode = src.options.get("slow_decode", "false").lower() == "true"
         self._arrow_schema = to_arrow_schema(self.codec.schema)
 
     def partitions(self):
@@ -304,7 +678,9 @@ class BcfReader(DataSourceReader):
             _, a = read_typed(b)
             alleles.append(a if isinstance(a, str) else "")
         kind, filt = read_typed(b)      # FILTER int vector
-        qbits = struct.unpack("<I", struct.pack("<f", qual))[0]
+        # raw wire bits: the MISSING sentinel is a signaling NaN that a
+        # float pack round-trip would quiet (see _clean_floats_bits)
+        (qbits,) = struct.unpack_from("<I", shared, 12)
         qual_v = None if qbits == _MISSING_FLOAT_BITS else qual
 
         filt_names = [strings[i] for i in filt if i is not None] if kind == "int" else []
@@ -389,6 +765,79 @@ class BcfReader(DataSourceReader):
         return row
 
     def read(self, part: BcfPartition):
+        if self.slow_decode:
+            yield from self._read_slow(part)
+            return
+        ranged = getattr(part, "vstart", -1) >= 0
+        if ranged and part.vstart >= part.vend:
+            yield self._emit([])
+            return
+        with open_bcf(part.path) as r:
+            hdr, strings, contigs = read_bcf_header(r)
+            if ranged:
+                r.seek_virtual(max(part.vstart, r.tell_virtual()))
+            c = self.codec
+            info_defs = {d.name: d for d in hdr.infos}
+            fmt_defs = {d.name: d for d in hdr.formats}
+            bodies: list[bytes] = []
+            slens: list[int] = []
+            emitted = 0
+
+            def flush():
+                nonlocal bodies, slens, emitted
+                if not bodies:
+                    return None
+                big = b"".join(bodies)
+                lens = np.fromiter(
+                    (len(s) for s in bodies), dtype=np.int64, count=len(bodies)
+                )
+                starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                s_lens = np.asarray(slens, dtype=np.int64)
+                remaining = self.limit - emitted if self.limit >= 0 else -1
+                batch, got = decode_bcf_batch(
+                    big, starts, s_lens, c, strings, contigs,
+                    self._arrow_schema, self.regions, remaining,
+                    info_defs, fmt_defs,
+                )
+                bodies, slens = [], []
+                emitted += got
+                return batch
+
+            def frame_cap() -> int:
+                # without a region filter every framed record is kept, so
+                # a limit can stop framing early
+                if self.limit < 0 or self.regions:
+                    return self.batch_size
+                return max(1, min(self.batch_size, self.limit - emitted))
+
+            while True:
+                if ranged and r.tell_virtual() >= part.vend:
+                    break
+                head = r.read(8)
+                if len(head) < 8:
+                    break
+                l_shared, l_indiv = struct.unpack("<II", head)
+                body = r.read(l_shared + l_indiv)
+                if len(body) < l_shared + l_indiv:
+                    break
+                bodies.append(body)
+                slens.append(l_shared)
+                if len(bodies) >= frame_cap():
+                    batch = flush()
+                    if batch is not None:
+                        yield batch
+                    if 0 <= self.limit <= emitted:
+                        return
+            batch = flush()
+            if batch is not None:
+                yield batch
+            if emitted == 0:
+                yield self._emit([])
+
+    def _read_slow(self, part: BcfPartition):
+        """Per-record reference decode (the pre-vectorization path; kept as
+        a verification twin — tests assert fast ≡ slow — and an escape
+        hatch via ``slow_decode=true``)."""
         ranged = getattr(part, "vstart", -1) >= 0
         if ranged and part.vstart >= part.vend:
             yield self._emit([])
