@@ -367,6 +367,15 @@ def arith_decode(data: bytes, n_out: int | None = None) -> bytes:
         take = n_entropy if n_entropy is not None else len(c.b) - c.p
         payload = bytes(c.b[c.p:c.p + take])
         c.p += take
+    elif flags & 0x04:  # EXT: external general-purpose codec (bzip2)
+        import bz2
+
+        payload = bz2.decompress(bytes(c.b[c.p:]))
+        c.p = len(c.b)
+        if n_entropy is not None and len(payload) != n_entropy:
+            raise ValueError(
+                f"arith EXT length mismatch: {len(payload)} != {n_entropy}"
+            )
     else:
         max_sym = c.u8() or 256
         if order:
@@ -408,10 +417,54 @@ _FQZ_PFLAG_DO_DEDUP = 64
 
 
 def _read_array(c: Cursor, n: int) -> list[int]:
-    """Plain ``n`` x u8 table (used for the selector table). The spec's
-    run-length table packing for qtab/ptab/dtab is feature-gated in
-    `_fqz_read_params`."""
+    """Plain ``n`` x u8 table (used for the selector table)."""
     return [c.u8() for _ in range(n)]
+
+
+def _fqz_read_rl_array(c: Cursor, size: int) -> list[int]:
+    """Run-length packed context table (qtab/ptab/dtab).
+
+    Layout (CRAM 3.1 codecs spec, fqzcomp parameter arrays): the table is
+    stored as the run length of each successive VALUE (0, 1, 2, ...); a
+    zero run skips a value, and a run byte of 255 saturates — the next
+    byte extends the SAME value (a run of exactly 255 is written
+    ``255, 0``). On top, the run-length byte stream is itself
+    replication-escaped: a byte equal to the immediately preceding
+    literal is followed by a count of additional copies. Round-trip
+    verified against the mirrored writer in tests/test_cram_codecs.py
+    (no htslib in this container to cross-check byte framing against
+    real "small"/"archive"-profile output)."""
+    # stage 1: undo the replication escape → per-value run-length list
+    runs: list[int] = []
+    total = 0
+    last = -1
+    while total < size:
+        b = c.u8()
+        if b == last:
+            rep = c.u8()
+            runs.extend([b] * rep)
+            total += b * rep
+            last = -1
+        else:
+            runs.append(b)
+            total += b
+            last = b
+        if len(runs) > 2 * size + 16:
+            raise ValueError("fqzcomp table: runaway run-length stream")
+    # stage 2: expand runs of consecutive values; a 255 run saturates
+    # (the value does not advance), so longer runs chain 255s and a run
+    # of exactly 255 is written "255, 0"
+    arr: list[int] = []
+    v = 0
+    for run in runs:
+        arr.extend([v] * run)
+        if run != 255:
+            v += 1
+        if len(arr) >= size:
+            break
+    if len(arr) < size:
+        arr.extend([v] * (size - len(arr)))
+    return arr[:size]
 
 
 def _fqz_read_params(c: Cursor) -> _FqzParams:
@@ -434,19 +487,20 @@ def _fqz_read_params(c: Cursor) -> _FqzParams:
         [c.u8() for _ in range(p.max_sym)]
         if p.pflags & _FQZ_PFLAG_HAVE_QMAP else None
     )
-    if p.pflags & (
-        _FQZ_PFLAG_HAVE_QTAB | _FQZ_PFLAG_HAVE_PTAB | _FQZ_PFLAG_HAVE_DTAB
-    ):
-        # Honest feature gate: the spec's run-length packed context
-        # tables (written by htslib's small/archive profiles) are not
-        # implemented; the identity/zero defaults below cover streams
-        # without explicit tables.
-        raise NotImplementedError(
-            "fqzcomp explicit qtab/ptab/dtab tables not implemented"
-        )
-    p.qtab = list(range(256))
-    p.ptab = [0] * 1024
-    p.dtab = [0] * 256
+    # explicit run-length packed context tables (htslib "small"/"archive"
+    # profiles); identity/zero defaults otherwise
+    p.qtab = (
+        _fqz_read_rl_array(c, 256)
+        if p.pflags & _FQZ_PFLAG_HAVE_QTAB else list(range(256))
+    )
+    p.ptab = (
+        _fqz_read_rl_array(c, 1024)
+        if p.pflags & _FQZ_PFLAG_HAVE_PTAB else [0] * 1024
+    )
+    p.dtab = (
+        _fqz_read_rl_array(c, 256)
+        if p.pflags & _FQZ_PFLAG_HAVE_DTAB else [0] * 256
+    )
     p.fixed_len = bool(p.pflags & _FQZ_PFLAG_FIXED_LEN)
     return p
 
@@ -457,11 +511,16 @@ def fqz_decode(data: bytes, n_out: int) -> bytes:
     themselves range-coded, so only the block's uncompressed size is
     needed).
 
-    Context per quality: a 16-bit hash mixing the previous quals
-    (``qtab``-mapped, ``qbits`` wide at ``qloc``), the position bucket
-    (``ptab`` at ``ploc``), the delta count (``dtab`` at ``dloc``) and
-    the selector (at ``sloc``), all masked to 16 bits after adding the
-    parameter set's base ``context``.
+    Context per quality (htscodecs fqz_update_ctx order): the first
+    symbol of each record codes under the parameter set's base
+    ``context``; afterwards the accumulator updates as
+    ``qctx = (qctx << qshift) + qtab[q]`` (q = the coded SYMBOL, table
+    applied before accumulation, accumulator unmasked) and the next
+    context is ``context + ((qctx & ((1<<qbits)-1)) << qloc) +
+    (ptab[min(pos,1023)] << ploc) + (dtab[min(delta,255)] << dloc) +
+    (sel << sloc)`` masked to 16 bits, where ``pos`` counts DOWN from
+    the record length (read, then decremented) and ``delta`` counts
+    symbol changes.
     """
     c = Cursor(data) if not isinstance(data, Cursor) else data
     vers = c.u8()
@@ -502,6 +561,7 @@ def fqz_decode(data: bytes, n_out: int) -> bytes:
     prev_qual: bytes | None = None
     fixed: int | None = None
     rev_flags: list[tuple[int, int, int]] = []  # (start, length, reversed)
+    empty_streak = 0  # zero-progress guard state (see below)
     while len(out) < n_out:
         sel = sel_model.decode(rc) if do_sel else 0
         x = stab[sel] if gflags & _FQZ_GFLAG_HAVE_STAB else min(sel, nparam - 1)
@@ -519,25 +579,46 @@ def fqz_decode(data: bytes, n_out: int) -> bytes:
             if dup_model.decode(rc):
                 out += prev_qual
                 continue
+        if qlen == 0:
+            # Legitimate empty records advance the range-coder stream but
+            # not the output; a truncated/corrupt stream decodes qlen=0
+            # forever off the decoder's trailing-zero padding. Fail once
+            # the input is exhausted (or after an absurd streak) instead
+            # of spinning on an executor.
+            empty_streak += 1
+            if (rc.p >= len(rc.b) and empty_streak > 8) or empty_streak > 65536:
+                raise ValueError(
+                    "fqzcomp: no progress decoding zero-length records "
+                    f"({len(out)}/{n_out} bytes; truncated stream?)"
+                )
+            prev_qual = b""  # mirror of the encoder's unconditional prev = q
+            continue
+        empty_streak = 0
         start = len(out)
-        last = 0
+        qctx = 0
+        prevq = 0
         delta = 0
-        q1 = 0
-        for i in range(qlen):
+        pos = qlen
+        qmask = (1 << p.qbits) - 1
+        ctx = p.context & 0xFFFF  # first symbol: base context only
+        for _i in range(qlen):
+            q = qmodel(ctx).decode(rc)
+            out.append(p.qmap[q] if p.qmap is not None else q)
+            # htscodecs fqz_update_ctx: qtab applied to the new symbol
+            # before accumulation, accumulator unmasked; ptab read at the
+            # current countdown position, then decremented
+            qctx = ((qctx << p.qshift) + p.qtab[q]) & 0xFFFFFFFF
             ctx = p.context
-            ctx += (p.qtab[last] & ((1 << p.qbits) - 1)) << p.qloc
-            ctx += p.ptab[min(i, 1023)] << p.ploc
+            ctx += (qctx & qmask) << p.qloc
+            ctx += p.ptab[min(pos, 1023)] << p.ploc
+            pos -= 1
             ctx += p.dtab[min(delta, 255)] << p.dloc
+            if prevq != q:
+                delta += 1
+            prevq = q
             if p.do_sel:
                 ctx += sel << p.sloc
             ctx &= 0xFFFF
-            q = qmodel(ctx).decode(rc)
-            val = p.qmap[q] if p.qmap is not None else q
-            out.append(val)
-            if q1 != q:
-                delta += 1
-            q1 = q
-            last = ((last << p.qshift) + q) & 0xFF
         prev_qual = bytes(out[start:])
     if len(out) != n_out:
         raise ValueError(f"fqzcomp length mismatch: {len(out)} != {n_out}")
