@@ -39,8 +39,21 @@ def salted_join(
     the small side is replicated n_salts times via an explode (rows x
     n_salts, acceptable for a mid-sized build side). The join key becomes
     (key..., salt), so a hot key's rows land on n_salts reducers instead
-    of one. Result == plain ``big.join(small, key, how)``.
+    of one. Result == plain ``big.join(small, key, how)`` for the
+    supported join types.
+
+    ``how`` is restricted to inner/left/left_semi/left_anti: for
+    right/full outer joins an unmatched small-side row would surface once
+    per salt replica, which is NOT equivalent to the plain join.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the exploded small side "
+            "replicates unmatched rows n_salts times under right/full outer "
+            f"joins; use one of {sorted(allowed)}"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     salt_src = F.xxhash64(*[F.col(c) for c in big.columns])
     b = big.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))

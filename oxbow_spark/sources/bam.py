@@ -59,6 +59,10 @@ CIGAR_OPS = "MIDNSHP=X"
 _REF_CONSUMING = {0, 2, 3, 7, 8}  # M D N = X
 
 DEFAULT_CHUNKSIZE = 16 * 1024 * 1024
+# byte-based flush cap: seq expands ~2x from packed nibbles, so 256 MiB of
+# framed record bodies keeps every utf8 column comfortably inside the
+# int32 Arrow offset range (2 GiB) even for ultra-long reads
+MAX_BATCH_BYTES = 256 * 1024 * 1024
 
 # ---- vectorized decode tables (see _decode_columns) ----------------------
 # 4-bit seq codes expand through byte-indexed lookup: one table per nibble.
@@ -219,6 +223,16 @@ def _utf8_array(lengths: np.ndarray, data: np.ndarray, null_mask=None) -> pa.Arr
     offset span (bytes are ignored at null slots). BAM text fields are
     ASCII by spec, so the bytes are valid UTF-8 as-is."""
     n = len(lengths)
+    total = int(lengths.sum()) if n else 0
+    if total >= 2**31:
+        # int32 Arrow offsets would wrap silently → corrupt column. The
+        # reader's byte-based flush (MAX_BATCH_BYTES) keeps batches far
+        # below this; hitting it means a single batch of ultra-long reads
+        # slipped through — fail loudly rather than emit garbage.
+        raise ValueError(
+            f"utf8 column of {total} bytes exceeds int32 offset range; "
+            "reduce batch_size for ultra-long-read data"
+        )
     offs = np.empty(n + 1, dtype=np.int32)
     offs[0] = 0
     offs[1:] = np.cumsum(lengths)
@@ -522,6 +536,7 @@ class BamReader(DataSourceReader):
                     return self.batch_size
                 return max(1, min(self.batch_size, self.limit - emitted))
 
+            bytes_acc = 0
             while r.tell_virtual() < part.vend:
                 szb = r.read(4)
                 if len(szb) < 4:
@@ -531,10 +546,16 @@ class BamReader(DataSourceReader):
                 if len(buf) < block_size:
                     break
                 bufs.append(buf)
-                if len(bufs) >= frame_cap():
+                bytes_acc += block_size
+                # flush on bytes as well as record count: a batch_size
+                # batch of long reads (nanopore) could otherwise push a
+                # utf8 column past the int32 Arrow offset range (seq
+                # expands ~2x from packed nibbles)
+                if len(bufs) >= frame_cap() or bytes_acc >= MAX_BATCH_BYTES:
                     batch = flush()
                     if batch is not None:
                         yield batch
+                    bytes_acc = 0
                     if 0 <= self.limit <= emitted:
                         return
             batch = flush()

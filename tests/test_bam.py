@@ -137,3 +137,38 @@ def test_bam_multi_region_no_duplicates(gspark):
     assert len(near) == len(set(near))
     single = rows("chr1:10,540-10,560")
     assert set(near) <= set(single)
+
+
+def test_utf8_array_offset_overflow_guard():
+    """Column bytes past the int32 Arrow offset range must raise, not
+    silently wrap into a corrupt column."""
+    import numpy as np
+    import pytest as _pytest
+
+    from oxbow_spark.sources.bam import _utf8_array
+
+    lengths = np.full(70000, 40000, dtype=np.int64)  # 2.8e9 > 2^31
+    with _pytest.raises(ValueError, match="int32 offset range"):
+        _utf8_array(lengths, np.zeros(1, dtype=np.uint8))
+
+
+def test_bam_byte_based_flush(monkeypatch):
+    """With a tiny byte cap the reader must emit many small batches whose
+    concatenation equals the single-batch scan."""
+    import pyarrow as pa
+
+    from oxbow_spark.sources import bam as bam_mod
+
+    def scan():
+        src = bam_mod.BamDataSource({"path": BAM})
+        rd = src.reader(None)
+        batches = []
+        for part in rd.partitions():
+            batches.extend(rd.read(part))
+        return batches
+
+    whole = pa.Table.from_batches(scan())
+    monkeypatch.setattr(bam_mod, "MAX_BATCH_BYTES", 2048)
+    chunked = scan()
+    assert len(chunked) > len(whole.to_batches())
+    assert pa.Table.from_batches(chunked).equals(whole)

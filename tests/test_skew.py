@@ -63,3 +63,14 @@ def test_two_phase_distinct_count(spark):
         for r in two_phase_distinct_count(df, "g", "v", n_salts=8).collect()
     }
     assert got == {("g1", 50), ("g2", 30)}
+
+
+def test_salted_join_rejects_outer_how(skewed):
+    import pytest as _pytest
+
+    from oxbow_spark.operators.skew import salted_join
+
+    big, small = skewed
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="unsupported"):
+            salted_join(big, small, "k", how=how)
