@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -104,18 +105,117 @@ def sniff_media(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(fn, schema)
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}  # color type → reported channels
+
+
+def decode_png(b: bytes) -> tuple[int, int, int, float]:
+    """Pure-stdlib PNG decode → (width, height, channels, px_mean).
+
+    Full decode: chunk walk, zlib-inflated IDAT, per-row defiltering
+    (None/Sub/Up/Average/Paeth; Sub vectorized as a per-lane modular
+    cumsum, Up as one row add, Average/Paeth pixel-stepped with numpy
+    lanes), palette expansion for color type 3. ``px_mean`` is the mean
+    of all channel samples / 255. Supported: 8-bit depth, color types
+    0/2/3/4/6, non-interlaced — the shapes PIL-free pipelines actually
+    emit; 1/2/4/16-bit depths and Adam7 raise ValueError (honest gate,
+    not silent garbage). Public format: PNG spec (RFC 2083 / ISO 15948).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not b.startswith(MAGICS[0][1]):
+        raise ValueError("not a PNG (bad magic)")
+    pos = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (ln,), typ = struct.unpack_from(">I", b, pos), b[pos + 4:pos + 8]
+        pos += 8
+        data = b[pos:pos + ln]
+        pos += ln + 4  # payload + CRC
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"PNG bit depth {bit_depth} unsupported (8 only)")
+    if interlace:
+        raise ValueError("Adam7 interlaced PNG unsupported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color_type} unsupported")
+    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        cur = raw[r, 1:].astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else zero_prev.astype(np.int32)
+        ft = ftypes[r]
+        if ft == 0:
+            row = cur
+        elif ft == 1:  # Sub: per-lane modular prefix sum
+            row = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(-1) & 0xFF
+        elif ft == 2:  # Up
+            row = (cur + prev) & 0xFF
+        elif ft == 3:  # Average: pixel-stepped, channel lanes vectorized
+            row = np.empty(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(0, stride, bpp):
+                left = (cur[x:x + bpp] + ((left + prev[x:x + bpp]) >> 1)) & 0xFF
+                row[x:x + bpp] = left
+        elif ft == 4:  # Paeth
+            row = np.empty(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for x in range(0, stride, bpp):
+                up = prev[x:x + bpp]
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, up, ul))
+                left = (cur[x:x + bpp] + pred) & 0xFF
+                row[x:x + bpp] = left
+                ul = up
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out[r] = row.astype(np.uint8)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        out = palette[out.reshape(-1)]
+    mean = float(out.mean()) / 255.0 if out.size else 0.0
+    return int(w), int(h), _PNG_CHANNELS[color_type], mean
+
+
 def decode_image_stub(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "doc_id", real: bool = False) -> DataFrame:
-    """(id, kind, width, height, channels, n_pixels): image-decode UDF
-    plumbing. ``real=True`` requires PIL (NotImplementedError here); the
-    default STUB derives deterministic dimensions from the byte length so
-    the full pipeline — schema, batching, downstream joins — is testable
-    without codecs."""
-    if real and not HAVE_PIL:
-        raise NotImplementedError(
-            "real image decode requires PIL, which is not installed; "
-            "use the deterministic stub (real=False)"
-        )
+    """(id, kind, width, height, channels, n_pixels, px_mean): image
+    decode over Arrow-batched mapInPandas.
+
+    ``real=False`` (default): deterministic STUB — dimensions and px_mean
+    are pure functions of the byte length, so the full pipeline (schema,
+    batching, downstream joins, the DuckDB oracle) is testable without
+    codecs. ``real=True``: PNG payloads decode for REAL via the
+    pure-stdlib `decode_png` (actual dimensions, channels and pixel
+    mean); JPEG/other kinds use PIL when available, else yield null
+    dimensions (same schema — swapping decoders never changes the plan)."""
     schema = StructType([
         StructField(id_col, LongType()),
         StructField("kind", StringType()),
@@ -123,6 +223,7 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload",
         StructField("height", LongType()),
         StructField("channels", LongType()),
         StructField("n_pixels", LongType()),
+        StructField("px_mean", DoubleType()),
     ])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -132,13 +233,41 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload",
                 b = bytes(b)
                 kind = sniff_kind(b)
                 n = len(b)
-                # STUB decode: dimensions are a pure function of payload size
-                w = 16 + (n * 7919) % 1008
-                h = 16 + (n * 104729) % 1008
-                c = 4 if kind == "png" else 3
-                rows.append((i, kind, w, h, c, w * h))
+                if not real:
+                    # STUB: everything is a pure function of payload size
+                    w = 16 + (n * 7919) % 1008
+                    h = 16 + (n * 104729) % 1008
+                    c = 4 if kind == "png" else 3
+                    rows.append((i, kind, w, h, c, w * h,
+                                 ((n * 131) % 256) / 256.0))
+                    continue
+                decoded = None
+                if kind == "png":
+                    try:
+                        decoded = decode_png(b)
+                    except ValueError:
+                        decoded = None  # sniffed PNG but not decodable
+                if decoded is None and HAVE_PIL:
+                    import io
+
+                    try:
+                        img = Image.open(io.BytesIO(b))
+                        import numpy as _np
+
+                        px = _np.asarray(img)
+                        decoded = (img.width, img.height,
+                                   px.shape[2] if px.ndim == 3 else 1,
+                                   float(px.mean()) / 255.0)
+                    except Exception:
+                        decoded = None
+                if decoded is None:
+                    rows.append((i, kind, None, None, None, None, None))
+                else:
+                    w, h, c, m = decoded
+                    rows.append((i, kind, w, h, c, w * h, m))
             yield pd.DataFrame(rows, columns=[
-                id_col, "kind", "width", "height", "channels", "n_pixels"])
+                id_col, "kind", "width", "height", "channels", "n_pixels",
+                "px_mean"])
 
     return df.mapInPandas(fn, schema)
 

@@ -1234,12 +1234,14 @@ WITH p AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents),
 d AS (
   SELECT doc_id, {_SNIFF_SQL_CASE} AS kind,
          16 + (octet_length(payload) * 7919) % 1008 AS width,
-         16 + (octet_length(payload) * 104729) % 1008 AS height
+         16 + (octet_length(payload) * 104729) % 1008 AS height,
+         octet_length(payload) AS n_bytes
   FROM p
 )
 SELECT doc_id, kind, width, height,
        CASE WHEN kind = 'png' THEN 4 ELSE 3 END AS channels,
-       width * height AS n_pixels
+       width * height AS n_pixels,
+       ((n_bytes * 131) % 256) / 256.0 AS px_mean
 FROM d
 """
 

@@ -45,11 +45,131 @@ def test_decode_stub_dimensions_deterministic(payload_df):
         assert r.channels == (4 if r.kind == "png" else 3)
 
 
-def test_decode_real_requires_pil(payload_df):
-    if multimodal.HAVE_PIL:
-        pytest.skip("PIL unexpectedly available")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_stub(payload_df, real=True)
+# --------------------------------------------------------- real PNG decode
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def write_png(px, color_type: int, filters=None, palette=None) -> bytes:
+    """Minimal PNG writer for decoder tests: ``px`` is an (h, w, bpp) or
+    (h, w) uint8 array (indices for color type 3); per-row filter types
+    exercise the decoder's defiltering (inverse filters applied here)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, bpp = px.shape
+    filters = filters or [0] * h
+    flat = px.reshape(h, w * bpp).astype(np.int32)
+    raw = bytearray()
+    for r in range(h):
+        ft = filters[r]
+        cur = flat[r]
+        prev = flat[r - 1] if r else np.zeros(w * bpp, dtype=np.int32)
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - left) & 0xFF
+        elif ft == 2:
+            enc = (cur - prev) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif ft == 4:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = (cur - pred) & 0xFF
+        raw.append(ft)
+        raw += enc.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = bytearray(bytes.fromhex("89504E470D0A1A0A"))
+    out += _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", bytes(palette))
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("color_type,bpp", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("filters", [
+    None, [1, 2, 3, 4, 0, 1, 2, 3, 4, 1, 2, 3],
+])
+def test_decode_png_matches_ground_truth(color_type, bpp, filters):
+    import numpy as np
+
+    rng = np.random.default_rng(color_type * 10 + (0 if filters is None else 1))
+    h, w = 12, 9
+    px = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+    blob = write_png(px, color_type, filters)
+    gw, gh, gc, gmean = multimodal.decode_png(blob)
+    assert (gw, gh, gc) == (w, h, bpp)
+    assert abs(gmean - float(px.mean()) / 255.0) < 1e-12
+
+
+def test_decode_png_palette():
+    import numpy as np
+
+    palette = bytes(range(48))  # 16 RGB entries
+    idx = np.arange(60, dtype=np.uint8).reshape(6, 10) % 16
+    blob = write_png(idx, 3, palette=palette)
+    w, h, c, mean = multimodal.decode_png(blob)
+    assert (w, h, c) == (10, 6, 3)
+    rgb = np.frombuffer(palette, np.uint8).reshape(16, 3)[idx.reshape(-1)]
+    assert abs(mean - float(rgb.mean()) / 255.0) < 1e-12
+
+
+def test_decode_png_honest_gates():
+    import struct
+    import zlib
+
+    with pytest.raises(ValueError, match="magic"):
+        multimodal.decode_png(b"not a png")
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    blob = (bytes.fromhex("89504E470D0A1A0A") + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bit depth"):
+        multimodal.decode_png(blob)
+
+
+def test_decode_real_png_through_spark(spark):
+    """real=True must decode synthetic PNGs without PIL: true dims,
+    channels, pixel mean; non-PNG payloads yield null dimensions."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    truth = {}
+    for i in range(6):
+        w, h = 5 + i, 8 + i
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        truth[i] = (w, h, 3, float(px.mean()) / 255.0)
+        rows.append((i, bytearray(write_png(px, 2))))
+    rows.append((99, bytearray(b"\xFF\xD8\xFFjpegish")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in
+           multimodal.decode_image_stub(df, real=True).collect()}
+    for i, (w, h, c, m) in truth.items():
+        r = got[i]
+        assert (r.width, r.height, r.channels, r.n_pixels) == (w, h, c, w * h)
+        assert abs(r.px_mean - m) < 1e-9
+    assert got[99].width is None and got[99].kind == "jpeg"
 
 
 def test_frame_sample_expansion(payload_df):
