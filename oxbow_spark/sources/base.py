@@ -283,19 +283,27 @@ class TextFormatReader(DataSourceReader):
         codec = self.codec
         names = table.column_names
         if self.regions:
-            cn, sn, en = names[0], names[1], names[2]
-            e_eff = pc.coalesce(table[en], pc.add(table[sn], 1))
+            # (chrom, start0, end0) columns in NATIVE 0-based half-open
+            # coords; codecs whose interval is derived (SAM/VCF) supply
+            # `table_interval`, the default is the BED-style layout of
+            # columns 0..2 with end defaulting to start+1
+            ti = getattr(codec, "table_interval", None)
+            if ti is not None:
+                chrom_c, s0, e0 = ti(table)
+            else:
+                chrom_c, s0 = table[names[0]], table[names[1]]
+                e0 = pc.coalesce(table[names[2]], pc.add(s0, 1))
             mask = None
             for r in self.regions:
                 if r.is_unmapped:
-                    m = pc.is_null(table[cn])
+                    m = pc.is_null(chrom_c)
                 else:
                     m = pc.and_kleene(
-                        pc.equal(table[cn], r.name),
-                        pc.greater(e_eff, r.start),
+                        pc.equal(chrom_c, r.name),
+                        pc.greater(e0, r.start),
                     )
                     if r.end is not None:
-                        m = pc.and_kleene(m, pc.less(table[sn], r.end))
+                        m = pc.and_kleene(m, pc.less(s0, r.end))
                 mask = m if mask is None else pc.or_kleene(mask, m)
             table = table.filter(pc.fill_null(mask, False))
         if codec.coord_offset:

@@ -1,0 +1,144 @@
+"""SAM/VCF vectorized fast paths (pyarrow.csv + arrow kernels):
+byte-for-byte equality with the per-line parsers across projections,
+coords, regions and partitioning — plus proof the fast path engages and
+that struct-bearing scans (tags / INFO / genotypes) fall back."""
+
+from __future__ import annotations
+
+import pytest
+
+from oxbow_spark.sources.sam import SamDataSource
+from oxbow_spark.sources.vcf import VcfDataSource
+
+FIX = "/root/reference/fixtures"
+SAM = f"{FIX}/sample.sam"
+VCF = f"{FIX}/sample.vcf"
+
+
+def _collect(ds, slow: bool = False):
+    reader = ds.reader(ds.schema())
+    if slow:
+        reader.codec.parse_table = lambda data: None  # force line loop
+    rows = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows.extend(tuple(d.values()) for d in batch.to_pylist())
+    return rows
+
+
+SAM_CONFIGS = [
+    {},
+    {"coords": "01"},
+    {"fields": "qname,rname,pos,end"},
+    {"regions": "chr1:10-40"},
+    {"limit": "3"},
+]
+
+
+@pytest.mark.parametrize("opts", SAM_CONFIGS,
+                         ids=lambda o: ",".join(f"{k}={v}" for k, v in o.items()) or "default")
+def test_sam_fast_equals_slow(opts):
+    fast = _collect(SamDataSource({"path": SAM, **opts}))
+    slow = _collect(SamDataSource({"path": SAM, **opts}), slow=True)
+    assert fast == slow, opts
+    assert len(fast) > 0
+
+
+VCF_CONFIGS = [
+    {"info_fields": "", "genotype_fields": ""},
+    {"info_fields": "", "genotype_fields": "", "coords": "01"},
+    {"info_fields": "", "genotype_fields": "", "fields": "chrom,pos,alt,filter"},
+    {"info_fields": "", "genotype_fields": "", "limit": "5"},
+]
+
+
+@pytest.mark.parametrize("opts", VCF_CONFIGS,
+                         ids=lambda o: ",".join(f"{k}={v}" for k, v in o.items()) or "default")
+def test_vcf_fast_equals_slow(opts):
+    fast = _collect(VcfDataSource({"path": VCF, **opts}))
+    slow = _collect(VcfDataSource({"path": VCF, **opts}), slow=True)
+    assert fast == slow, opts
+    assert len(fast) > 0
+
+
+def test_vcf_region_fast_equals_slow():
+    # region over the fixture's actual contig span
+    base = {"info_fields": "", "genotype_fields": ""}
+    slow_all = _collect(VcfDataSource({"path": VCF, **base}), slow=True)
+    chrom, pos = slow_all[0][0], slow_all[0][1]
+    opts = {**base, "regions": f"{chrom}:{max(1, pos - 1)}-{pos + 100000}"}
+    fast = _collect(VcfDataSource({"path": VCF, **opts}))
+    slow = _collect(VcfDataSource({"path": VCF, **opts}), slow=True)
+    assert fast == slow
+    assert len(fast) > 0
+
+
+def test_sam_fast_path_engages():
+    ds = SamDataSource({"path": SAM})
+    reader = ds.reader(ds.schema())
+
+    def boom(line):
+        raise AssertionError("line parser must not run on the fast path")
+
+    reader.codec.parse_line = boom
+    rows = []
+    for part in reader.partitions():
+        rows.extend(b.num_rows for b in reader.read(part))
+    assert sum(rows) > 0
+
+
+def test_vcf_fast_path_engages():
+    ds = VcfDataSource({"path": VCF, "info_fields": "", "genotype_fields": ""})
+    reader = ds.reader(ds.schema())
+
+    def boom(line):
+        raise AssertionError("line parser must not run on the fast path")
+
+    reader.codec.parse_line = boom
+    rows = []
+    for part in reader.partitions():
+        rows.extend(b.num_rows for b in reader.read(part))
+    assert sum(rows) > 0
+
+
+def test_struct_scans_fall_back():
+    # tags / INFO / genotypes need per-record typed parsing: parse_table
+    # must hand over (None), not mis-parse
+    sam = SamDataSource({"path": SAM, "tags": "scan"})
+    assert sam.reader(sam.schema()).codec.parse_table(b"") is None
+    vcf = VcfDataSource({"path": VCF})  # default: INFO + genotypes on
+    assert vcf.reader(vcf.schema()).codec.parse_table(b"") is None
+
+
+def test_sam_split_partitions_fast_equals_whole(tmp_path):
+    # big synthetic SAM split into byte-range partitions
+    import random
+
+    rng = random.Random(5)
+    p = tmp_path / "big.sam"
+    lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:100000", "@SQ\tSN:chr2\tLN:100000"]
+    for i in range(4000):
+        chrom = f"chr{1 + i % 2}"
+        pos = 1 + (i * 17) % 90000
+        cig = rng.choice(["50M", "10M2D38M", "5S45M", "*", "20M1000N20M"])
+        mapped = cig != "*"
+        lines.append("\t".join([
+            f"r{i}", str(16 if i % 3 else 0),
+            chrom if mapped else "*", str(pos if mapped else 0),
+            str(255 if i % 7 == 0 else i % 60), cig,
+            "=" if i % 5 == 0 else "*", str(pos + 100 if i % 5 == 0 else 0),
+            "0", "ACGT" * 5, "IIII" * 5,
+        ]))
+    p.write_text("\n".join(lines) + "\n")
+    whole = _collect(SamDataSource({"path": str(p)}))
+    split = _collect(SamDataSource({"path": str(p), "partition_bytes": "16384"}))
+    slow = _collect(SamDataSource({"path": str(p)}), slow=True)
+    assert sorted(split) == sorted(whole)
+    assert whole == slow
+    assert len(whole) == 4000
+    # unmapped selector + mapped region over the synthetic file
+    for regions in ("*", "chr2:1-30000", "chr1:100-5000;*"):
+        f = _collect(SamDataSource({"path": str(p), "regions": regions}))
+        s = _collect(SamDataSource({"path": str(p), "regions": regions}), slow=True)
+        assert f == s, regions
+        assert len(f) > 0, regions
