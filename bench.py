@@ -42,20 +42,27 @@ def main() -> None:
 
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
     times: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     for q in QUERIES:
         if not q.bench:
             continue
-        best = None
+        samples: list[float] = []
         for _ in range(max(trials, 1)):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.perf_counter() - t0)
             # internal persists (minhash etc.) must not carry into the
             # next trial's timing
             spark.catalog.clearCache()
-        times[q.name] = round(best, 3)
+        times[q.name] = round(min(samples), 3)
+        # per-query trial spread so round-over-round deltas can be
+        # separated from host noise (the VM fluctuates 1.5-2x)
+        spreads[q.name] = {
+            "min": round(min(samples), 3),
+            "max": round(max(samples), 3),
+            "trials": [round(s, 3) for s in samples],
+        }
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -63,6 +70,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spreads,
         "sf": sf,
         "trials": max(trials, 1),
     }))
