@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dfield
 
+import pyarrow as pa
 from pyspark.sql import types as T
 
 from oxbow_spark.models.gxf import (
@@ -69,6 +70,69 @@ class GxfCodec(Codec):
 
     def interval(self, row: list):
         return (row[0], row[3] - 1, row[4])
+
+    def table_interval(self, table: "pa.Table"):
+        import pyarrow.compute as pc
+
+        return table["seqid"], pc.subtract(table["start"], 1), table["end"]
+
+    def parse_table(self, data: bytes) -> "pa.Table | None":
+        """Vectorized partition parse (pyarrow.csv fast path, as BED/SAM/
+        VCF): engaged for standard-8-column scans; attribute-struct scans
+        fall back to the line loop (per-record typed parsing)."""
+        import pyarrow.compute as pc
+        import pyarrow.csv as pacsv
+
+        from oxbow_spark.sources.vcf import _null_if
+
+        if self.with_attrs:
+            return None
+        if data.startswith(b"#") or b"\n#" in data:
+            data = b"\n".join(
+                ln for ln in data.split(b"\n") if ln and not ln.startswith(b"#")
+            )
+        if not data.strip():
+            types = [pa.string()] * 3 + [pa.int64()] * 2 + [
+                pa.float64(), pa.string(), pa.int64()]
+            return pa.table({
+                nm: pa.array([], tp)
+                for nm, tp in zip(STANDARD_FIELD_NAMES, types)
+            })
+        names = [f"c{i}" for i in range(9)]
+        try:
+            raw = pacsv.read_csv(
+                pa.BufferReader(data),
+                read_options=pacsv.ReadOptions(
+                    column_names=names, block_size=1 << 24
+                ),
+                parse_options=pacsv.ParseOptions(
+                    delimiter="\t", quote_char=False, escape_char=False,
+                ),
+                convert_options=pacsv.ConvertOptions(
+                    column_types={nm: pa.string() for nm in names},
+                ),
+            )
+        except pa.ArrowInvalid:
+            return None  # 8-column rows etc.: the line loop handles them
+        try:
+            c = {nm: raw[f"c{i}"].combine_chunks()
+                 for i, nm in enumerate(STANDARD_FIELD_NAMES)}
+            return pa.table({
+                "seqid": _null_if(c["seqid"], "."),
+                "source": _null_if(c["source"], "."),
+                "type": _null_if(c["type"], "."),
+                "start": c["start"].cast(pa.int64()),
+                "end": c["end"].cast(pa.int64()),
+                "score": _null_if(c["score"], ".").cast(pa.float64()),
+                # the line parser nulls only EMPTY strand; '.' is kept
+                "strand": pc.if_else(
+                    pc.equal(c["strand"], ""),
+                    pa.scalar(None, pa.string()), c["strand"],
+                ),
+                "frame": _null_if(c["frame"], ".").cast(pa.int64()),
+            })
+        except pa.ArrowInvalid:
+            return None
 
 
 class _GxfSource(TextFormatSource):

@@ -142,3 +142,49 @@ def test_sam_split_partitions_fast_equals_whole(tmp_path):
         s = _collect(SamDataSource({"path": str(p), "regions": regions}), slow=True)
         assert f == s, regions
         assert len(f) > 0, regions
+
+
+# ------------------------------------------------------------- GTF / GFF
+
+GXF_CONFIGS = [
+    {},
+    {"coords": "01"},
+    {"fields": "seqid,start,end,type"},
+    {"limit": "4"},
+]
+
+
+@pytest.mark.parametrize("opts", GXF_CONFIGS,
+                         ids=lambda o: ",".join(f"{k}={v}" for k, v in o.items()) or "default")
+def test_gxf_fast_equals_slow(opts):
+    from oxbow_spark.sources.gxf import GffDataSource, GtfDataSource
+
+    for cls, path in [(GtfDataSource, f"{FIX}/sample.gtf"),
+                      (GffDataSource, f"{FIX}/sample.gff")]:
+        fast = _collect(cls({"path": path, **opts}))
+        slow = _collect(cls({"path": path, **opts}), slow=True)
+        assert fast == slow, (cls.name(), opts)
+        assert len(fast) > 0
+
+
+def test_gxf_region_fast_equals_slow():
+    from oxbow_spark.sources.gxf import GtfDataSource
+
+    base = {"path": f"{FIX}/sample.gtf"}
+    all_rows = _collect(GtfDataSource(base), slow=True)
+    seqid, start = all_rows[0][0], all_rows[0][3]
+    opts = {**base, "regions": f"{seqid}:{start}-{start + 10000}"}
+    fast = _collect(GtfDataSource(opts))
+    slow = _collect(GtfDataSource(opts), slow=True)
+    assert fast == slow and len(fast) > 0
+
+
+def test_gxf_attribute_scan_falls_back():
+    from oxbow_spark.sources.gxf import GtfDataSource
+
+    ds = GtfDataSource({"path": f"{FIX}/sample.gtf", "attributes": "scan"})
+    rd = ds.reader(ds.schema())
+    assert rd.codec.parse_table(b"") is None
+    # and the attribute scan itself still works end-to-end
+    rows = _collect(ds)
+    assert rows and isinstance(rows[0][-1], dict)
