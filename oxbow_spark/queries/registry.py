@@ -30,12 +30,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events(spark: SparkSession, sf_dir: str,
+            ts_range: tuple[int, int] | None = None) -> DataFrame:
     """events table with ``ts`` normalized to the BIGINT epoch-ns
-    contract (see session.normalize_event_ts — Spark-build-proof)."""
+    contract (see session.normalize_event_ts — Spark-build-proof).
+    ``ts_range`` pushes a half-open ns range onto the RAW stored column
+    so it reaches the parquet scan."""
     from oxbow_spark.session import read_events
 
-    return read_events(spark, sf_dir)
+    return read_events(spark, sf_dir, ts_range_ns=ts_range)
 
 
 def _ns(dt: str) -> int:
@@ -240,12 +243,10 @@ def range_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY F1 analog: (chrom, interval) predicate on the events table —
     equality on a partition-key-like column + a range on an ordered one.
     Both conjuncts push down to the parquet scan."""
-    ev = _events(spark, sf_dir)
-    return ev.where(
-        (F.col("event_type") == "click")
-        & (F.col("ts") >= F.lit(_ns("2024-01-10")))
-        & (F.col("ts") < F.lit(_ns("2024-01-13")))
-    ).select("event_id", TS_US().alias("ts_us"), "user_id", "value")
+    ev = _events(spark, sf_dir, ts_range=(_ns("2024-01-10"), _ns("2024-01-13")))
+    return ev.where(F.col("event_type") == "click").select(
+        "event_id", TS_US().alias("ts_us"), "user_id", "value"
+    )
 
 
 RANGE_SQL = """
@@ -259,12 +260,12 @@ def union_multi_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY D4/§2.8 union: one independent scan per query region,
     unioned — mirrors multi-region fragment chaining
     (`py-oxbow/oxbow/_pyarrow.py:574-576`)."""
-    ev = _events(spark, sf_dir)
-
     def rng(lo: str, hi: str) -> DataFrame:
-        return ev.where(
-            (F.col("ts") >= F.lit(_ns(lo))) & (F.col("ts") < F.lit(_ns(hi)))
-        ).select("event_id", "event_type", "user_id")
+        # one independent index-pruned scan per region (pushed to the
+        # raw stored column, see read_events)
+        return _events(spark, sf_dir, ts_range=(_ns(lo), _ns(hi))).select(
+            "event_id", "event_type", "user_id"
+        )
 
     return rng("2024-01-05", "2024-01-07").unionByName(rng("2024-01-20", "2024-01-22"))
 

@@ -66,12 +66,36 @@ def normalize_event_ts(df):
     return df
 
 
-def read_events(spark: SparkSession, sf_dir: str):
-    """events.parquet with ``ts`` normalized to epoch-ns BIGINT."""
+def read_events(spark: SparkSession, sf_dir: str,
+                ts_range_ns: tuple[int, int] | None = None):
+    """events.parquet with ``ts`` normalized to epoch-ns BIGINT.
+
+    ``ts_range_ns``: optional half-open [lo, hi) epoch-ns bounds applied
+    to the RAW column BEFORE normalization — as a bigint comparison on
+    builds that read nanos as long, or as TIMESTAMP_NTZ literals on
+    builds that read nanos as timestamp_ntz. Either way the predicate is
+    on a stored column, so it reaches the parquet scan (PushedFilters →
+    row-group pruning); a filter on the normalized ts would sit above a
+    computed projection and scan everything at 100 TB. Bounds must be
+    µs-aligned (the data is µs-granular, so this loses nothing)."""
+    from pyspark.sql import functions as F
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_event_ts(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    )
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if ts_range_ns is not None:
+        lo, hi = ts_range_ns
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            df = df.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        else:
+            from datetime import datetime, timedelta
+
+            def ntz(ns: int):
+                assert ns % 1000 == 0, "ts bounds must be µs-aligned"
+                wall = datetime(1970, 1, 1) + timedelta(microseconds=ns // 1000)
+                return F.expr(f"TIMESTAMP_NTZ '{wall:%Y-%m-%d %H:%M:%S.%f}'")
+
+            df = df.where((F.col("ts") >= ntz(lo)) & (F.col("ts") < ntz(hi)))
+    return normalize_event_ts(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
