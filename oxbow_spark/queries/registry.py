@@ -895,25 +895,140 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embcos_sql() -> str:
+def _embcos_ctes() -> str:
+    """Shared CTE block producing bucketed embedding near-dup candidate
+    scores (used by `dedup_embedding_cosine` and the clustering oracle)."""
     dot = (
         "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
         "CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
     )
-    return f"""
-WITH n AS (
+    return f"""n AS (
   SELECT vec_id, embedding,
          {dot.format(a='embedding', b='embedding')} AS nrm,
          {_bucket_sql('embedding')} AS bucket
   FROM embeddings
 ),
-scored AS (
+escored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {dot.format(a='a.embedding', b='b.embedding')} / SQRT(a.nrm * b.nrm) AS cos
   FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
+)"""
+
+
+def _embcos_sql() -> str:
+    return f"""
+WITH {_embcos_ctes()}
 SELECT id_a, id_b, ROUND(cos, 6) AS cos
-FROM scored WHERE cos >= {_EMB_NEARDUP_T}
+FROM escored WHERE cos >= {_EMB_NEARDUP_T}
+"""
+
+
+def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: embedding-cosine pairs → connected components
+    → canonical representative per cluster (min id). This is the actual
+    keep/drop decision of a dedup pass; transitive chains (a~b, b~c)
+    collapse into one cluster even when a~c was never scored."""
+    from oxbow_spark.operators import pipeline
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs(
+        emb, _PLANES, threshold=_EMB_NEARDUP_T
+    )
+    return pipeline.cluster_canonical(pairs).select(
+        F.col("v").alias("vec_id"), "cluster", "is_canonical"
+    )
+
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE
+{_embcos_ctes()},
+pairs AS (SELECT id_a, id_b FROM escored WHERE cos >= {_EMB_NEARDUP_T}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.b AS v, reach.r AS r FROM reach JOIN edges e ON e.a = reach.v
+)
+SELECT v AS vec_id, MIN(r) AS cluster, (MIN(r) = v) AS is_canonical
+FROM reach GROUP BY v
+"""
+
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment: md5-bucketed unit value
+    per doc_id (stable across runs/engines/partitionings/appends — a
+    re-crawled doc keeps its split, no test-set leakage)."""
+    from oxbow_spark.operators import pipeline
+
+    return pipeline.hash_split(
+        _t(spark, sf_dir, "documents"), _SPLIT_FRACTIONS
+    )
+
+
+def _hash_split_sql() -> str:
+    # identical cumulative boundary floats as the Spark side builds
+    items = list(_SPLIT_FRACTIONS.items())
+    acc = 0.0
+    arms = []
+    for name, frac in items[:-1]:
+        acc += frac
+        arms.append(f"WHEN u < {acc!r} THEN '{name}'")
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / {float(1 << 32)!r} AS u
+  FROM documents
+)
+SELECT doc_id, CASE {' '.join(arms)} ELSE '{items[-1][0]}' END AS split
+FROM u
+"""
+
+
+_QUALITY_BINS = 8
+
+
+def quality_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-style quality tiers: NTILE over a total order on a
+    composite quality score (stopword density minus punctuation noise),
+    doc_id tiebreak for determinism."""
+    from oxbow_spark.operators import pipeline
+
+    s = text.text_stats(_t(spark, sf_dir, "documents"))
+    scored = s.select(
+        "doc_id",
+        (F.col("stopword_ratio") - F.col("punct_ratio")).alias("score"),
+    )
+    return pipeline.quality_ntile(scored, n_bins=_QUALITY_BINS).select(
+        "doc_id", F.round("score", 9).alias("score"), "bin"
+    )
+
+
+QUALITY_BINS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text, {TOKS_SQL} AS t,
+         CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END AS n_tokens
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','for','on')))::DOUBLE
+           / GREATEST(n_tokens, 1)::DOUBLE
+         - (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+           / GREATEST(len(text), 1)::DOUBLE AS score
+  FROM base
+)
+SELECT doc_id, ROUND(score, 9) AS score,
+       NTILE({_QUALITY_BINS}) OVER (ORDER BY score DESC, doc_id ASC) AS bin
+FROM stats
 """
 
 
@@ -1329,6 +1444,9 @@ QUERIES: list[Query] = [
     Query("sim_topk_lsh_mp", sim_topk_lsh_mp, _topk_lsh_mp_sql()),
     Query("sim_topk_ivf", sim_topk_ivf, _topk_ivf_sql),
     Query("dedup_embedding_cosine", dedup_embedding_cosine, _embcos_sql()),
+    Query("dedup_cluster_docs", dedup_cluster_docs, DEDUP_CLUSTER_SQL),
+    Query("hash_split_docs", hash_split_docs, _hash_split_sql()),
+    Query("quality_bins_docs", quality_bins_docs, QUALITY_BINS_SQL),
     Query("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
     Query("semi_join_suppliers", semi_join_suppliers, SEMI_SQL),
     Query("anti_join_customers", anti_join_customers, ANTI_SQL),

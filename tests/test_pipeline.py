@@ -1,0 +1,85 @@
+"""Training-data curation operators: connected-components clustering,
+deterministic hash splits, quality ntile binning."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from oxbow_spark.operators import pipeline
+
+
+def test_cc_transitive_chain(spark):
+    # chain 1-2-3-4 plus pair 10-11 plus triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.v: r.cluster for r in pipeline.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_cc_long_chain_converges(spark):
+    # a 40-vertex path needs many propagation rounds (diameter-bound)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = {r.v: r.cluster for r in
+           pipeline.connected_components(edges, max_iter=64).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_cluster_canonical_flags(spark):
+    edges = spark.createDataFrame([(5, 3), (3, 9)], "id_a long, id_b long")
+    rows = {r.v: r for r in pipeline.cluster_canonical(edges).collect()}
+    assert all(r.cluster == 3 for r in rows.values())
+    assert rows[3].is_canonical and not rows[5].is_canonical
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in pipeline.hash_split(df, fr).collect()}
+    b = {r.doc_id: r.split for r in
+         pipeline.hash_split(df.repartition(7), fr).collect()}
+    assert a == b  # partitioning-independent
+    n = len(a)
+    counts = {s: sum(1 for v in a.values() if v == s) for s in fr}
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    assert abs(counts["val"] / n - 0.1) < 0.03
+    # matches the python-side md5 definition exactly
+    for i in (0, 1, 999):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        want = "train" if u < 0.8 else ("val" if u < 0.8 + 0.1 else "test")
+        assert a[i] == want, i
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    fr = {"train": 0.5, "test": 0.5}
+    a = {r.doc_id: r.split for r in pipeline.hash_split(df, fr).collect()}
+    b = {r.doc_id: r.split for r in
+         pipeline.hash_split(df, fr, salt="v2").collect()}
+    assert a != b
+
+
+def test_hash_split_validates_fractions(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        pipeline.hash_split(df, {"a": 0.5, "b": 0.2})
+
+
+def test_quality_ntile_bins(spark):
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(100)], "doc_id long, score double"
+    )
+    got = pipeline.quality_ntile(df, n_bins=4).collect()
+    bins = {r.doc_id: r.bin for r in got}
+    # highest scores (lowest ids) land in bin 1, lowest in bin 4
+    assert bins[0] == 1 and bins[99] == 4
+    sizes = [sum(1 for b in bins.values() if b == k) for k in (1, 2, 3, 4)]
+    assert sizes == [25, 25, 25, 25]
