@@ -254,6 +254,10 @@ class FastqReader(DataSourceReader):
         return [_FilePartition(p) for p in self.paths]
 
     def read(self, partition: _FilePartition):
+        fast = self._read_fast(partition)
+        if fast is not None:
+            yield from fast
+            return
         rows, n = [], 0
         with open_text(partition.path) as f:
             while True:
@@ -281,6 +285,99 @@ class FastqReader(DataSourceReader):
                     break
         if rows:
             yield self._emit(rows)
+
+    def _read_fast(self, partition: _FilePartition):
+        """Vectorized whole-partition parse: one pyarrow.csv line read +
+        strided takes (records are rigid 4-line groups, so the columns
+        are lines[0::4]/[1::4]/[3::4]); name/description split from the
+        header with one split_pattern + numpy offset surgery. Returns
+        None for anything irregular (record count not divisible by 4,
+        wrong sigils, quality/'+' lines that pyarrow's reader could
+        mangle) — the line loop then reports the malformed record."""
+        import gzip as _gzip
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.csv as pacsv
+
+        from oxbow_spark.sources import fsio
+        from oxbow_spark.sources.base import is_gzip_path
+
+        raw = fsio.open_binary(partition.path)
+        if is_gzip_path(partition.path):
+            with _gzip.GzipFile(fileobj=raw) as f:
+                data = f.read()
+        else:
+            with raw:
+                data = raw.read()
+        if not data.strip():
+            empty = [pa.array([], f.type) for f in self._arrow_schema]
+            return iter([pa.RecordBatch.from_arrays(empty, schema=self._arrow_schema)])
+        try:
+            tbl = pacsv.read_csv(
+                pa.BufferReader(data),
+                read_options=pacsv.ReadOptions(
+                    column_names=["line"], block_size=1 << 24
+                ),
+                parse_options=pacsv.ParseOptions(
+                    delimiter="\x01", quote_char=False, escape_char=False,
+                    ignore_empty_lines=False,
+                ),
+                convert_options=pacsv.ConvertOptions(
+                    column_types={"line": pa.string()},
+                ),
+            )
+        except pa.ArrowInvalid:
+            return None
+        lines = tbl["line"].combine_chunks()
+        if len(lines) % 4 != 0 or lines.null_count:
+            return None
+        n = len(lines) // 4
+        heads = lines.take(np.arange(0, 4 * n, 4))
+        plus = lines.take(np.arange(2, 4 * n, 4))
+        if not (pc.all(pc.starts_with(heads, "@")).as_py()
+                and pc.all(pc.starts_with(plus, "+")).as_py()):
+            return None
+        if self.limit >= 0 and self.limit < n:
+            n = self.limit
+            heads = heads.slice(0, n)
+        sp = pc.split_pattern(
+            pc.utf8_slice_codeunits(heads, 1, 2**30), " ", max_splits=1
+        )
+        if isinstance(sp, pa.ChunkedArray):
+            sp = sp.combine_chunks()
+        name = pc.list_element(sp, 0)
+        counts = pc.list_value_length(sp).to_numpy(zero_copy_only=False)
+        offs = np.asarray(sp.offsets)[:-1]
+        has_desc = counts == 2
+        flat = sp.flatten()
+        desc_vals = flat.take(np.asarray(offs + 1)[has_desc])
+        desc_np = np.full(n, None, dtype=object)
+        desc_np[has_desc] = desc_vals.to_pylist()
+        # '' description → null (the line parser's `desc or None`)
+        desc = pa.array([d if d else None for d in desc_np], pa.string())
+        cols = {
+            "name": name,
+            "description": desc,
+            "sequence": lines.take(np.arange(1, 4 * n, 4)),
+            "quality": lines.take(np.arange(3, 4 * n, 4)),
+        }
+
+        def gen():
+            for lo in range(0, n, self.batch_size):
+                take = min(self.batch_size, n - lo)
+                yield pa.RecordBatch.from_arrays(
+                    [cols[nm].slice(lo, take).cast(f.type)
+                     for nm, f in zip(self.names, self._arrow_schema)],
+                    schema=self._arrow_schema,
+                )
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], f.type) for f in self._arrow_schema],
+                    schema=self._arrow_schema,
+                )
+
+        return gen()
 
     def _emit(self, rows):
         cols = list(zip(*rows)) if rows else [[] for _ in self.names]

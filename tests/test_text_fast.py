@@ -188,3 +188,41 @@ def test_gxf_attribute_scan_falls_back():
     # and the attribute scan itself still works end-to-end
     rows = _collect(ds)
     assert rows and isinstance(rows[0][-1], dict)
+
+
+# ----------------------------------------------------------------- FASTQ
+
+def test_fastq_fast_equals_slow():
+    import pyarrow as pa
+
+    from oxbow_spark.sources.sequence import FastqDataSource
+
+    def scan(path, opts=None, slow=False):
+        src = FastqDataSource({"path": path, **(opts or {})})
+        rd = src.reader(src.schema())
+        if slow:
+            rd._read_fast = lambda p: None  # force line loop
+        out = []
+        for part in rd.partitions():
+            out.extend(rd.read(part))
+        return pa.Table.from_batches(out)
+
+    for path in (f"{FIX}/sample.fastq", f"{FIX}/sample.fastq.gz"):
+        for opts in ({}, {"fields": "name,sequence"}, {"limit": "2"},
+                     {"batch_size": "3"}):
+            fast = scan(path, opts)
+            slow = scan(path, opts, slow=True)
+            assert fast.equals(slow), (path, opts)
+            assert fast.num_rows > 0
+
+
+def test_fastq_fast_malformed_falls_back(tmp_path):
+    from oxbow_spark.sources.sequence import FastqDataSource
+
+    p = tmp_path / "bad.fastq"
+    p.write_text("@r1\nACGT\nOOPS\nIIII\n")  # '+' line missing
+    src = FastqDataSource({"path": str(p)})
+    rd = src.reader(src.schema())
+    with pytest.raises(ValueError, match="malformed FASTQ"):
+        for part in rd.partitions():
+            list(rd.read(part))
