@@ -1,0 +1,101 @@
+"""Physical-plan shape guards: the properties that make the headline
+queries survive a 100x scale-up, asserted from `.explain` output so a
+regression (a lost broadcast, a filter that stops pushing, a nested-loop
+join sneaking in) fails CI before it fails a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oxbow_spark.queries import registry as R
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _opt(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_q5_broadcasts_every_dimension(spark, sf):
+    """q5's five dimension joins must all be broadcasts — lineitem (the
+    fact side) never shuffles before the final aggregate."""
+    plan = _plan(R.q5_nation_revenue(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_filter_pushes_to_scan(spark, sf):
+    """Both the event_type equality and the ts range must reach the
+    parquet scan's PushedFilters (row-group pruning at scale)."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    plan = _plan(R.range_filter_events(spark, sf))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    assert "EqualTo(event_type,click)" in line, line
+    assert "GreaterThanOrEqual(ts" in line and "LessThan(ts" in line, line
+
+
+def test_scan_project_prunes_columns(spark, sf):
+    """A 4-column projection must read exactly those columns
+    (ReadSchema pruning), not the full 16-column lineitem."""
+    plan = _plan(R.scan_project_limit(spark, sf))
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"):
+        assert col in rs, rs
+    assert "l_comment" not in rs and "l_shipdate" not in rs, rs
+
+
+def test_interval_join_is_binned_equi_join(spark, sf):
+    """The interval-overlap join must plan as a (chrom, bin) hash
+    equi-join, never a nested-loop/cartesian O(n*m) product."""
+    plan = _plan(R.interval_overlap_join(spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan), plan
+
+
+def test_topk_lsh_broadcasts_probe_side(spark, sf):
+    """ANN candidate generation joins the (tiny) query probe frame by
+    broadcast; the corpus side stays partition-parallel."""
+    plan = _plan(R.sim_topk_lsh(spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregates_map_side(spark, sf):
+    """The pricing summary must partial-aggregate before its single
+    exchange (map-side combine: the shuffle carries 6 groups, not 60k
+    rows)."""
+    plan = _plan(R.q1_pricing_summary(spark, sf))
+    first_exchange = plan.find("Exchange")
+    first_agg = plan.find("HashAggregate")
+    assert first_exchange != -1 and first_agg != -1
+    # plan prints top-down: final agg, exchange, partial agg, scan —
+    # a partial HashAggregate must appear BELOW (after) the exchange
+    assert "HashAggregate" in plan[first_exchange:], plan
+
+
+def test_minhash_has_no_cartesian(spark, sf):
+    """MinHash candidate generation is a band-key self-join — any
+    cartesian in the plan means the blocking broke."""
+    plan = _plan(R.dedup_minhash_docs(spark, sf))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_salted_join_shuffles_on_salted_key(spark, sf):
+    """The salted join's exchanges must hash on (key, salt), spreading a
+    hot key over n_salts reducers."""
+    plan = _plan(R.salted_join_lineitem(spark, sf))
+    assert "_salt" in plan, plan
+    assert "CartesianProduct" not in plan
