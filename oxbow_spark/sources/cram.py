@@ -55,6 +55,8 @@ from oxbow_spark.sources.sequence import faidx_fetch, read_fai
 from oxbow_spark.sources import fsio
 
 CRAM_MAGIC = b"CRAM"
+# phred+33 rendering table (quality byte → printable char, one translate)
+_PHRED33 = bytes((i + 33) & 0xFF for i in range(256))
 BASES = "ACGTN"
 # container headers (incl. multi-slice landmark arrays) comfortably fit here
 _HDR_BUF = 8192
@@ -853,11 +855,18 @@ class SliceDecoder:
                 cigar, seq, end = self._build(ri, pos, rl, feats)
             else:
                 if not cf & 0x8:
-                    seq = bytes(self._get_b("BA") for _ in range(rl)).decode("ascii", "replace")
+                    ba = self.series["BA"]
+                    if ba.codec == 1:  # external: one slab read, no loop
+                        raw_seq = self.streams[ba.cid].read(rl)
+                    else:
+                        raw_seq = bytes(self._get_b("BA") for _ in range(rl))
+                    seq = raw_seq.decode("ascii", "replace")
             if cf & 0x1:
                 qs = self._get_a("QS", rl)
                 if not all(q == 0xFF for q in qs):
-                    qual = "".join(chr(q + 33) for q in qs)
+                    # +33 per byte via one translate instead of per-char
+                    # chr(); latin-1 decode reproduces chr(b) exactly
+                    qual = qs.translate(_PHRED33).decode("latin-1")
             if cf & 0x8:
                 seq = None
             # mate fields
