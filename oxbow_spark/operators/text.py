@@ -46,6 +46,33 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(pieces)
 
 
+# conservative common-subset regexes (Java regex ≡ RE2 for these shapes,
+# so the DuckDB oracle matches byte-for-byte)
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, n_urls, n_emails, scrubbed_digest): URL/email scrubbing — the
+    PII-redaction pass of a training-data pipeline, as pure codegen'd
+    regexp expressions (two regexp_replace + two regexp_extract_all, no
+    UDFs, scan-speed). URLs are replaced first (<URL>), then emails
+    (<EMAIL>) — a URL's userinfo part would otherwise be double-counted
+    as an email — and counts follow the same order (emails counted on
+    the URL-scrubbed text). The digest stands in for the scrubbed text
+    so the oracle hash-checks the exact output."""
+    c = F.col(text_col)
+    no_urls = F.regexp_replace(c, URL_RE, "<URL>")
+    scrubbed = F.regexp_replace(no_urls, EMAIL_RE, "<EMAIL>")
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(f"({URL_RE})"), 1)).alias("n_urls"),
+        F.size(F.regexp_extract_all(no_urls, F.lit(f"({EMAIL_RE})"), 1)).alias("n_emails"),
+        F.md5(scrubbed).alias("scrubbed_digest"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc stats: chars, tokens, mean token length, punct & stopword ratios."""
     c = F.col(text_col)

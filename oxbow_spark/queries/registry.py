@@ -615,6 +615,54 @@ FROM documents
 """
 
 
+def scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing over the documents table. The synthetic corpus
+    carries no addresses, so deterministic emails/URLs are injected by
+    doc_id (the identical construction is inlined in the oracle SQL) —
+    the scrub regexes then do real work and the digest hash-checks the
+    exact redacted text."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    aug = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" contact admin"), did,
+                                F.lit("@corp.example.com now")))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" see https://ex.org/d/"),
+                               did, F.lit("?x=1 ok")))
+        .when(m == 2, F.concat(F.col("text"),
+                               F.lit(" mail bob.smith+x@mail.example.io and "
+                                     "https://a.example/c then done")))
+        .otherwise(F.col("text"))
+    )
+    return text.scrub_pii(docs.select("doc_id", aug.alias("text")))
+
+
+SCRUB_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN text || ' contact admin' || CAST(doc_id AS VARCHAR) || '@corp.example.com now'
+           WHEN 1 THEN text || ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR) || '?x=1 ok'
+           WHEN 2 THEN text || ' mail bob.smith+x@mail.example.io and https://a.example/c then done'
+           ELSE text
+         END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+         regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS no_urls
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '(https?://[^\s]+)', 1)) AS n_urls,
+       len(regexp_extract_all(no_urls,
+           '([A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}})', 1)) AS n_emails,
+       md5(regexp_replace(no_urls,
+           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g')) AS scrubbed_digest
+FROM s
+"""
+
+
 _TOPK_K = 5
 _N_QUERIES = 5
 
@@ -1439,6 +1487,7 @@ QUERIES: list[Query] = [
     Query("lang_id_docs", lang_id_docs, _langid_sql()),
     Query("fingerprint_docs", fingerprint_docs, FINGERPRINT_SQL),
     Query("bpe_token_count_docs", bpe_token_count_docs, BPE_SQL),
+    Query("scrub_docs", scrub_docs, SCRUB_SQL),
     Query("sim_topk_cosine", sim_topk_cosine, _topk_sql(), bench=True),
     Query("sim_topk_lsh", sim_topk_lsh, _topk_lsh_sql(), bench=True),
     Query("sim_topk_lsh_mp", sim_topk_lsh_mp, _topk_lsh_mp_sql()),
