@@ -761,6 +761,23 @@ class SliceDecoder:
         self.ref_names = ref_names
         self.reference = reference
         self.smat = sub_matrix(self.pres["SM"]) if "SM" in self.pres else {}
+        # External-reference slices prefetch the slice's declared
+        # (start, span) window ONCE — _ref_bases would otherwise hit the
+        # FASTA (open + faidx seek + read) for every match run of every
+        # record. Records that escape the declared span fall back to a
+        # direct fetch.
+        self._ref_win: str | None = None
+        self._ref_win_lo = 0
+        if (reference is not None and self.ref_id >= 0 and self.span > 0
+                and self.embed is None):
+            try:
+                self._ref_win = reference.fetch(
+                    ref_names[self.ref_id], self.start - 1,
+                    self.start - 1 + self.span,
+                )
+                self._ref_win_lo = self.start
+            except Exception:
+                self._ref_win = None  # malformed span: per-call fetches
 
     # reference base at 1-based position p on the slice's current ref
     def _ref_bases(self, ref_id: int, lo: int, hi: int) -> str:
@@ -771,6 +788,11 @@ class SliceDecoder:
             # lo/hi are 1-based inclusive; embed covers [self.start, ...]
             return self.embed[lo - self.start: hi - self.start + 1].decode("ascii", "replace")
         if self.reference is not None:
+            w = self._ref_win
+            if (w is not None and ref_id == self.ref_id
+                    and lo >= self._ref_win_lo
+                    and hi < self._ref_win_lo + len(w)):
+                return w[lo - self._ref_win_lo: hi - self._ref_win_lo + 1]
             return self.reference.fetch(self.ref_names[ref_id], lo - 1, hi - 1 + 1)
         if self.pres.get("RR", 1):
             raise ValueError(
