@@ -620,13 +620,19 @@ class Encoding:
 
     def get_bytes(self, streams, core, n: int | None = None) -> bytes:
         if self.codec == 5:
+            # BYTE_ARRAY_STOP: one C-level index scan + slice instead of
+            # a per-byte loop (names/soft-clips dominate record decode)
             s = streams[self.cid]
-            out = bytearray()
-            while True:
-                b = s.u8()
-                if b == self.stop:
-                    return bytes(out)
-                out.append(b)
+            buf = s.b
+            try:
+                j = buf.index(self.stop, s.p)
+            except ValueError:
+                raise ValueError(
+                    "unterminated BYTE_ARRAY_STOP stream (missing stop byte)"
+                ) from None
+            out = bytes(buf[s.p:j])
+            s.p = j + 1
+            return out
         if self.codec == 4:
             n = self.len_enc.get_int(streams, core)
             if self.val_enc.codec == 1:
