@@ -84,23 +84,26 @@ class Cursor:
         return v
 
     def itf8(self) -> int:
-        v = self.u8()
+        # hot path: locals instead of repeated self.u8() attr lookups
+        b = self.b
+        p = self.p
+        v = b[p]
         if v < 0x80:
-            r = v
-        elif v < 0xC0:
-            r = ((v & 0x7F) << 8) | self.u8()
+            self.p = p + 1
+            return v
+        if v < 0xC0:
+            r = ((v & 0x7F) << 8) | b[p + 1]
+            self.p = p + 2
         elif v < 0xE0:
-            r = ((v & 0x3F) << 16) | (self.u8() << 8)
-            r |= self.u8()
+            r = ((v & 0x3F) << 16) | (b[p + 1] << 8) | b[p + 2]
+            self.p = p + 3
         elif v < 0xF0:
-            r = ((v & 0x1F) << 24) | (self.u8() << 16)
-            r |= self.u8() << 8
-            r |= self.u8()
+            r = ((v & 0x1F) << 24) | (b[p + 1] << 16) | (b[p + 2] << 8) | b[p + 3]
+            self.p = p + 4
         else:
-            r = ((v & 0x0F) << 28) | (self.u8() << 20)
-            r |= self.u8() << 12
-            r |= self.u8() << 4
-            r |= self.u8() & 0x0F
+            r = (((v & 0x0F) << 28) | (b[p + 1] << 20) | (b[p + 2] << 12)
+                 | (b[p + 3] << 4) | (b[p + 4] & 0x0F))
+            self.p = p + 5
         return r - (1 << 32) if r >= 1 << 31 else r
 
     def ltf8(self) -> int:
