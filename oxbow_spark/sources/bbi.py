@@ -27,6 +27,7 @@ import struct
 import zlib
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -243,6 +244,98 @@ def decode_zoom_block(data: bytes, endian: str, chroms) -> list[tuple]:
     return out
 
 
+# ---- numpy column decoders (the vectorized twins of the tuple decoders
+# above, used by BbiReader._read_np; BigWig/zoom records are fixed-width,
+# so a block decodes as one structured frombuffer view) ----
+
+def _chrom_obj(chroms) -> "np.ndarray":
+    n = max(chroms) + 1 if chroms else 0
+    arr = np.empty(n, dtype=object)
+    for cid, (nm, _sz) in chroms.items():
+        arr[cid] = nm
+    return arr
+
+
+def decode_bigwig_block_np(data: bytes, endian: str, chroms):
+    """One BigWig data block → (chrom_objs, start, end, value) numpy
+    columns (same values as `decode_bigwig_block`)."""
+    cid, cstart, _cend, step, span, btype, _r, n = struct.unpack_from(
+        endian + "IIIIIBBH", data, 0
+    )
+    name = chroms[cid][0]
+    if btype == 1:  # bedGraph
+        dt = np.dtype([("s", endian + "u4"), ("e", endian + "u4"),
+                       ("v", endian + "f4")])
+        a = np.frombuffer(data, dt, n, 24)
+        s = a["s"].astype(np.int64)
+        e_ = a["e"].astype(np.int64)
+        v = a["v"]
+    elif btype == 2:  # varStep
+        dt = np.dtype([("s", endian + "u4"), ("v", endian + "f4")])
+        a = np.frombuffer(data, dt, n, 24)
+        s = a["s"].astype(np.int64)
+        e_ = s + span
+        v = a["v"]
+    else:  # fixedStep
+        v = np.frombuffer(data, endian + "f4", n, 24)
+        s = cstart + step * np.arange(n, dtype=np.int64)
+        e_ = s + span
+    names = np.full(n, name, dtype=object)
+    return names, s, e_, np.ascontiguousarray(v)
+
+
+def decode_bigbed_block_np(data: bytes, endian: str, chroms):
+    """One BigBed block (rest-as-string schema) → (chrom_objs, start,
+    end, rest_off, rest_len, raw) columns. Framing walks the NUL
+    terminators with C-level ``bytes.index`` (the 12-byte prefix may
+    itself contain zero bytes, so the scan must skip it per record);
+    prefixes then gather as one structured numpy view and the rest
+    spans slice against the raw buffer — no per-record struct/decode."""
+    find = data.index
+    size = len(data)
+    starts: list[int] = []
+    zpos: list[int] = []
+    off = 0
+    while off + 12 <= size:
+        z = find(b"\x00", off + 12)
+        starts.append(off)
+        zpos.append(z)
+        off = z + 1
+    n = len(starts)
+    arr = np.frombuffer(data, np.uint8)
+    st = np.asarray(starts, dtype=np.int64)
+    zp = np.asarray(zpos, dtype=np.int64)
+    if n == 0:
+        return (np.empty(0, object), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), arr)
+    dt = np.dtype([("cid", endian + "u4"), ("s", endian + "u4"),
+                   ("e", endian + "u4")])
+    fx = arr[st[:, None] + np.arange(12)].view(dt)[:, 0]
+    names = _chrom_obj(chroms)[fx["cid"].astype(np.int64)]
+    return (names, fx["s"].astype(np.int64), fx["e"].astype(np.int64),
+            st + 12, zp - (st + 12), arr)
+
+
+def decode_zoom_block_np(data: bytes, endian: str, chroms):
+    """One zoom block → (chrom_objs, start, end, valid, min, max, sum,
+    sum_squares) numpy columns (cid varies per record)."""
+    n = len(data) // 32
+    dt = np.dtype([
+        ("cid", endian + "u4"), ("s", endian + "u4"), ("e", endian + "u4"),
+        ("valid", endian + "u4"), ("mn", endian + "f4"), ("mx", endian + "f4"),
+        ("sm", endian + "f4"), ("ssq", endian + "f4"),
+    ])
+    a = np.frombuffer(data, dt, n)
+    names = _chrom_obj(chroms)[a["cid"].astype(np.int64)]
+    return (
+        names, a["s"].astype(np.int64), a["e"].astype(np.int64),
+        a["valid"].astype(np.int64),
+        a["mn"].astype(np.float64), a["mx"].astype(np.float64),
+        a["sm"].astype(np.float64), a["ssq"].astype(np.float64),
+    )
+
+
 WIG_SCHEMA = T.StructType([
     T.StructField("chrom", T.StringType(), False),
     T.StructField("start", T.LongType(), True),
@@ -340,15 +433,15 @@ class BbiReader(DataSourceReader):
     def read(self, part: BbiPartition):
         bbi = BbiFile(part.path)
         try:
-            if self.kind == "zoom":
-                decode = decode_zoom_block
-            elif bbi.is_bigwig:
-                decode = decode_bigwig_block
-            else:
-                tags = self.asql_tags
+            if self.kind == "zoom" or bbi.is_bigwig or self.asql_tags is None:
+                yield self._read_np(bbi, part)
+                return
+            # BigBed with AutoSql-typed custom columns: row-wise decode
+            tags = self.asql_tags
 
-                def decode(data, endian, chroms):
-                    return decode_bigbed_block(data, endian, chroms, tags)
+            def decode(data, endian, chroms):
+                return decode_bigbed_block(data, endian, chroms, tags)
+
             rows = []
             proj = [self._full_names.index(n) for n in self.names]
             identity = proj == list(range(len(self._full_names)))
@@ -370,6 +463,76 @@ class BbiReader(DataSourceReader):
             yield pa.RecordBatch.from_arrays(arrays, schema=self._arrow_schema)
         finally:
             bbi.close()
+
+    def _read_np(self, bbi: "BbiFile", part: BbiPartition) -> pa.RecordBatch:
+        """Columnar partition read (BigWig intervals, zoom summaries,
+        BigBed rest-schema): per block one structured frombuffer decode,
+        then one vectorized region mask + coordinate offset over the
+        concatenated columns — no per-record Python. BigBed rest strings
+        build straight from gathered byte spans (`_utf8_array`)."""
+        from oxbow_spark.sources.bam import _gather_ranges, _utf8_array
+
+        is_bed = self.kind != "zoom" and not bbi.is_bigwig
+        if self.kind == "zoom":
+            decode = decode_zoom_block_np
+        elif bbi.is_bigwig:
+            decode = decode_bigwig_block_np
+        else:
+            decode = decode_bigbed_block_np
+        chunks: list[tuple] = []
+        for doff, dsize in part.blocks:
+            bbi.f.seek(doff)
+            data = bbi.decompress(bbi.f.read(dsize))
+            chunks.append(decode(data, bbi.endian, bbi.chroms))
+        n_plain = 6 if is_bed else (8 if self.kind == "zoom" else 4)
+        if chunks:
+            if is_bed:
+                # pre-gather each chunk's rest bytes so spans survive the
+                # cross-chunk concatenation
+                gathered = [
+                    _gather_ranges(c[5], c[3], c[4])[0] for c in chunks
+                ]
+                rest_data = (np.concatenate(gathered) if gathered
+                             else np.zeros(0, np.uint8))
+                rest_len = np.concatenate([c[4] for c in chunks])
+                cols = [np.concatenate([c[i] for c in chunks])
+                        for i in range(3)]
+            else:
+                cols = [np.concatenate([c[i] for c in chunks])
+                        for i in range(n_plain)]
+        else:
+            cols = [np.empty(0, dtype=object)] + [
+                np.zeros(0, dtype=np.int64) for _ in range(2 if is_bed else n_plain - 1)
+            ]
+            rest_data = np.zeros(0, np.uint8)
+            rest_len = np.zeros(0, np.int64)
+        names_c, s_c, e_c = cols[0], cols[1], cols[2]
+        mask = None
+        if part.regions is not None:
+            mask = np.zeros(len(s_c), dtype=bool)
+            for nm, qs, qe in part.regions:
+                mask |= (names_c == nm) & (s_c < qe) & (e_c > qs)
+            cols = [c[mask] for c in cols]
+            s_c = cols[1]
+        if self.coord_offset:
+            cols[1] = s_c + self.coord_offset
+        by_name = dict(zip(self._full_names, cols))
+        if is_bed:
+            starts_all = np.concatenate(([0], np.cumsum(rest_len)))[:-1]
+            if mask is not None:
+                data_m, _ = _gather_ranges(rest_data, starts_all[mask],
+                                           rest_len[mask])
+                lens_m = rest_len[mask]
+            else:
+                data_m, lens_m = rest_data, rest_len
+            # empty rest → null (the row decoder's `rest or None`)
+            by_name["rest"] = _utf8_array(lens_m, data_m, lens_m == 0)
+        arrays = [
+            by_name[fld.name] if isinstance(by_name[fld.name], pa.Array)
+            else pa.array(by_name[fld.name], type=fld.type)
+            for fld in self._arrow_schema
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=self._arrow_schema)
 
 
 class PushdownBbiReader(BbiReader):
