@@ -130,6 +130,45 @@ def hash_split(
     return df.select(F.col(id_col), expr.alias("split"))
 
 
+def sequence_pack(
+    counted: DataFrame,
+    capacity: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(id, shard, chunk, chunk_offset): concat-then-chunk sequence
+    packing — the standard pretraining layout where documents are
+    concatenated in a deterministic order and sliced into
+    ``capacity``-token context windows (documents may straddle window
+    boundaries; attention masking handles that downstream). A document's
+    window is a pure prefix-sum: chunk = floor(tokens_before / capacity),
+    chunk_offset = tokens_before % capacity.
+
+    Sharded by a hash of the id (md5-derived — deterministic and
+    engine-portable, like `hash_split`), so the prefix sum is a window
+    per shard, not a global total order: at 100 TB each shard packs
+    independently and in parallel; chunk ids are unique within
+    (shard, chunk)."""
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    ).cast("int")
+    w = (
+        Window.partitionBy("shard").orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("long")
+    return (
+        counted.select(id_col, tokens_col, shard.alias("shard"))
+        .select(
+            id_col, "shard",
+            F.floor(before / capacity).cast("long").alias("chunk"),
+            (before % capacity).cast("long").alias("chunk_offset"),
+        )
+    )
+
+
 def quality_ntile(
     scored: DataFrame,
     n_bins: int = 8,

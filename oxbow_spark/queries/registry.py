@@ -1041,6 +1041,45 @@ FROM u
 """
 
 
+_PACK_CAPACITY = 512
+_PACK_SHARDS = 8
+
+
+def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: whitespace token counts → per-shard prefix-sum
+    assignment of each document to its context-window chunk."""
+    from oxbow_spark.operators import pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pipeline.sequence_pack(
+        counted, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    )
+
+
+PACK_SQL = f"""
+WITH counted AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % {_PACK_SHARDS} AS INT) AS shard
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+  FROM counted
+)
+SELECT doc_id, shard,
+       CAST(FLOOR(before / {_PACK_CAPACITY}) AS BIGINT) AS chunk,
+       before % {_PACK_CAPACITY} AS chunk_offset
+FROM pre
+"""
+
+
 _QUALITY_BINS = 8
 
 
@@ -1496,6 +1535,7 @@ QUERIES: list[Query] = [
     Query("dedup_cluster_docs", dedup_cluster_docs, DEDUP_CLUSTER_SQL),
     Query("hash_split_docs", hash_split_docs, _hash_split_sql()),
     Query("quality_bins_docs", quality_bins_docs, QUALITY_BINS_SQL),
+    Query("pack_docs", pack_docs, PACK_SQL),
     Query("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
     Query("semi_join_suppliers", semi_join_suppliers, SEMI_SQL),
     Query("anti_join_customers", anti_join_customers, ANTI_SQL),

@@ -83,3 +83,27 @@ def test_quality_ntile_bins(spark):
     assert bins[0] == 1 and bins[99] == 4
     sizes = [sum(1 for b in bins.values() if b == k) for k in (1, 2, 3, 4)]
     assert sizes == [25, 25, 25, 25]
+
+
+def test_sequence_pack_prefix_sums(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(40)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r for r in
+           pipeline.sequence_pack(df, capacity=250, n_shards=2).collect()}
+    assert len(out) == 40
+    # per shard, offsets advance by 100 tokens mod capacity and chunks
+    # increase monotonically with doc_id
+    import hashlib
+
+    by_shard: dict[int, list] = {}
+    for i in range(40):
+        s = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2
+        assert out[i].shard == s
+        by_shard.setdefault(s, []).append(out[i])
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        before = 0
+        for r in rows:
+            assert r.chunk == before // 250 and r.chunk_offset == before % 250
+            before += 100
