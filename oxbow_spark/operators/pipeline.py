@@ -133,7 +133,7 @@ def hash_split(
 def sequence_pack(
     counted: DataFrame,
     capacity: int,
-    n_shards: int = 16,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
 ) -> DataFrame:
@@ -149,7 +149,19 @@ def sequence_pack(
     engine-portable, like `hash_split`), so the prefix sum is a window
     per shard, not a global total order: at 100 TB each shard packs
     independently and in parallel; chunk ids are unique within
-    (shard, chunk)."""
+    (shard, chunk).
+
+    ``n_shards`` is the parallelism knob: each shard's prefix sum runs
+    as ONE window partition = one task, so shard count bounds the
+    packing parallelism. The default (None) derives it from the input —
+    ``max(16, counted partitions)`` — so a 100 TB input gets
+    thousands of shards without caller intervention. Pass an explicit
+    value when the layout must be partitioning-independent (the oracle
+    twins do). Shard choice only re-buckets: within a shard,
+    (chunk, chunk_offset) follow the same prefix-sum law for ANY
+    n_shards (see tests/test_pipeline.py::test_sequence_pack_shard_law)."""
+    if n_shards is None:
+        n_shards = max(16, counted.rdd.getNumPartitions())
     shard = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("long") % n_shards

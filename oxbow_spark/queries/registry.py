@@ -1075,7 +1075,7 @@ pre AS (
 )
 SELECT doc_id, shard,
        CAST(FLOOR(before / {_PACK_CAPACITY}) AS BIGINT) AS chunk,
-       before % {_PACK_CAPACITY} AS chunk_offset
+       CAST(before % {_PACK_CAPACITY} AS BIGINT) AS chunk_offset
 FROM pre
 """
 

