@@ -210,7 +210,10 @@ def _decode_indiv_record(ib: bytes, o: int, nf: int, ns: int,
                 eov = bits == _EOV_FLOAT_BITS
                 miss = bits == _MISSING_FLOAT_BITS
                 kind = "float"
-                vals = m.astype(object)
+                # sentinel cells are signaling NaNs: casting them warns
+                # (they get masked to None below anyway)
+                with np.errstate(invalid="ignore"):
+                    vals = m.astype(object)
             else:
                 eov = m == _EOV[t]
                 miss = m == _MISSING[t]
@@ -726,11 +729,17 @@ class BcfReader(DataSourceReader):
                 t, ln = _typed_meta(bi)
                 vals_per_sample = []
                 for _s in range(n_sample):
+                    _vo = bi.o
                     raw = _typed_values_raw(bi, t, ln)
                     if t == 7:
                         vals_per_sample.append(("str", raw[0] if raw else ""))
                     elif t == 5:
-                        vals_per_sample.append(("float", _clean_floats(raw)))
+                        # sentinel check must run on raw wire bits (the
+                        # unpack→repack round trip quiets signaling NaNs)
+                        bits = struct.unpack_from(f"<{ln}I", bi.b, _vo)
+                        vals_per_sample.append(
+                            ("float", _clean_floats_bits(bits, raw))
+                        )
                     elif t in _MISSING:
                         vals_per_sample.append(("int", _clean_ints(raw, t)))
                     else:

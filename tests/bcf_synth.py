@@ -63,19 +63,40 @@ def typed_f32_vec(vals: list[float]) -> bytes:
     return typed_meta(5, len(vals)) + struct.pack(f"<{len(vals)}f", *vals)
 
 
-HEADER = """##fileformat=VCFv4.3
-##FILTER=<ID=q10,Description="low qual">
-##INFO=<ID=DP,Number=1,Type=Integer,Description="depth">
-##INFO=<ID=AF,Number=A,Type=Float,Description="freq">
-##FORMAT=<ID=GT,Number=1,Type=String,Description="genotype">
-##FORMAT=<ID=DP,Number=1,Type=Integer,Description="depth">
-##contig=<ID=chr1,length=100000000>
-##contig=<ID=chr2,length=100000000>
-#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2
-"""
-# string dictionary: PASS=0, q10=1, DP=2, AF=3, GT=4 (order of appearance;
-# DP appears once in INFO and again in FORMAT — same id)
-_DICT = {"PASS": 0, "q10": 1, "DP": 2, "AF": 3, "GT": 4}
+_F32_MISSING = 0x7F800001
+_F32_EOV = 0x7F800002
+
+
+def f32_cell_bits(vals: list[float | None], ln: int) -> bytes:
+    """One fixed-width float FORMAT cell: values (None → MISSING) padded
+    to ``ln`` with EOV, written as raw uint32 bits — the sentinels are
+    signaling NaNs that a float pack round-trip would silently quiet."""
+    bits = [_F32_MISSING if v is None
+            else struct.unpack("<I", struct.pack("<f", v))[0] for v in vals]
+    bits += [_F32_EOV] * (ln - len(bits))
+    return struct.pack(f"<{ln}I", *bits)
+
+
+def header_text(samples: list[str]) -> str:
+    cols = "\t".join(samples)
+    return (
+        '##fileformat=VCFv4.3\n'
+        '##FILTER=<ID=q10,Description="low qual">\n'
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="depth">\n'
+        '##INFO=<ID=AF,Number=A,Type=Float,Description="freq">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="genotype">\n'
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="depth">\n'
+        '##FORMAT=<ID=GL,Number=.,Type=Float,Description="likelihoods">\n'
+        '##contig=<ID=chr1,length=100000000>\n'
+        '##contig=<ID=chr2,length=100000000>\n'
+        f'#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{cols}\n'
+    )
+
+
+HEADER = header_text(["s1", "s2"])
+# string dictionary: PASS=0, q10=1, DP=2, AF=3, GT=4, GL=5 (order of
+# appearance; DP appears once in INFO and again in FORMAT — same id)
+_DICT = {"PASS": 0, "q10": 1, "DP": 2, "AF": 3, "GT": 4, "GL": 5}
 
 
 def make_record(
@@ -83,16 +104,19 @@ def make_record(
     qual: float | None, filters: list[str], info_dp: int,
     info_af: list[float],
     gts: list[tuple[int, int, bool]] | None, dps: list[int] | None,
+    gls: list[list[float | None]] | None = None,
 ) -> bytes:
     """One BCF record; gts = per-sample (a0, a1, phased) with allele -1 =
     missing ('.'), dps per-sample; qual None → MISSING float sentinel
     (written as raw bits — 0x7F800001 is a signaling NaN that any float
-    round-trip would silently quiet to 0x7FC00001)."""
+    round-trip would silently quiet to 0x7FC00001). gls (optional) =
+    per-sample float vectors (None value → MISSING cell), EOV-padded to
+    the longest vector — the Number=. Type=Float FORMAT case."""
     shared = bytearray()
     n_allele = 1 + len(alts)
     n_sample = len(gts) if gts else 0
     n_info = 2
-    n_fmt = 2 if gts else 0
+    n_fmt = (2 + (1 if gls is not None else 0)) if gts else 0
     shared += struct.pack("<iii", rid, pos0, len(ref))
     shared += (struct.pack("<I", 0x7F800001) if qual is None
                else struct.pack("<f", qual))
@@ -117,6 +141,12 @@ def make_record(
         indiv += typed_meta(1, 1)
         for d in dps:
             indiv += struct.pack("<b", d)
+        if gls is not None:
+            ln = max((len(g) for g in gls), default=1) or 1
+            indiv += typed_int(_DICT["GL"])
+            indiv += typed_meta(5, ln)
+            for g in gls:
+                indiv += f32_cell_bits(g, ln)
 
     return struct.pack("<II", len(shared), len(indiv)) + bytes(shared) + bytes(indiv)
 
@@ -148,8 +178,45 @@ def write_bcf(path: str, n_records: int, with_samples: bool = True,
             af = [round(0.01 * j, 4) for j in range(20)]  # 15+ floats
         qual = None if i % 7 == 0 else float(i % 100) / 2.0
         filters = [] if i % 17 == 0 else (["PASS"] if i % 5 else ["q10"])
+        # float FORMAT (GL) on a cycle: ragged vectors (EOV truncation),
+        # MISSING cells, and absent-entirely records
+        gls = None
+        if with_samples and i % 3 == 0:
+            gls = [
+                [round(-0.1 * (i % 9 + j), 3) for j in range(1 + i % 3)],
+                ([None] if i % 6 == 0
+                 else [round(-0.2 * (i % 5 + j), 3) for j in range(2)]),
+            ]
         out += make_record(
             rid, pos0, vid, "ACGT"[i % 4], alts_cycle[i % 3],
-            qual, filters, 30 + i % 40, af, gts, dps,
+            qual, filters, 30 + i % 40, af, gts, dps, gls,
+        )
+    write_bgzf(path, bytes(out), block)
+
+
+def write_bcf_wide(path: str, n_records: int, n_samples: int = 96,
+                   block: int = 60000) -> None:
+    """Wide synthetic BCF (many samples) — drives the vectorized FORMAT
+    slab branch (ns·ln ≥ 64 cells → one frombuffer + vectorized sentinel
+    cleanup) for both int (DP) and float (GL) fields, with EOV-truncated
+    and MISSING cells sprinkled per sample."""
+    samples = [f"w{j}" for j in range(n_samples)]
+    text = header_text(samples).encode() + b"\x00"
+    out = bytearray()
+    out += b"BCF\x02\x02" + struct.pack("<I", len(text)) + text
+    for i in range(n_records):
+        gts = [((i + j) % 3 - 1 if (i + j) % 19 == 0 else (i + j) % 2,
+                (i + j + 1) % 2, bool(j % 2)) for j in range(n_samples)]
+        dps = [(i * 7 + j * 3) % 120 for j in range(n_samples)]
+        gls = []
+        for j in range(n_samples):
+            if (i + j) % 11 == 0:
+                gls.append([None])             # MISSING cell, EOV-padded
+            else:
+                k = 1 + (i + j) % 3            # ragged → EOV truncation
+                gls.append([round(-0.05 * (j % 17 + m), 3) for m in range(k)])
+        out += make_record(
+            i % 2, (i // 2) * 11, f"rw{i}", "ACGT"[i % 4], ["T"],
+            float(i % 60), ["PASS"], 25 + i % 30, [0.125], gts, dps, gls,
         )
     write_bgzf(path, bytes(out), block)

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pytest
 
-from tests.bcf_synth import write_bcf
+from tests.bcf_synth import write_bcf, write_bcf_wide
 
 FIX = "/root/reference/fixtures"
 
@@ -62,3 +62,40 @@ def test_fast_equals_slow_region(synth):
     slow = _scan(synth, {**opts, "slow_decode": "true"})
     assert fast.equals(slow)
     assert fast.num_rows > 0
+
+
+@pytest.fixture(scope="module")
+def wide(tmp_path_factory):
+    """96 samples → ns·ln ≥ 64 for DP (96×1) and GL (96×3): the
+    vectorized FORMAT slab branch fires for int AND float fields, with
+    EOV-truncated and MISSING cells (ADVICE r3)."""
+    p = str(tmp_path_factory.mktemp("bcfw") / "wide.bcf")
+    write_bcf_wide(p, 400, n_samples=96)
+    return p
+
+
+@pytest.mark.parametrize("opts", [
+    {},                                   # everything, incl. float GL
+    {"genotype_fields": "GL"},
+    {"genotype_fields": "DP,GL"},
+    {"samples_nested": "true"},
+    {"genotype_by": "field"},
+], ids=lambda o: ",".join(f"{k}={v}" for k, v in o.items()) or "default")
+def test_fast_equals_slow_wide(wide, opts):
+    fast = _scan(wide, opts)
+    slow = _scan(wide, {**opts, "slow_decode": "true"})
+    assert fast.equals(slow), (fast.num_rows, slow.num_rows)
+    assert fast.num_rows == 400
+
+
+def test_wide_float_sentinels(wide):
+    """GL cells decode with MISSING→null and EOV truncation on both paths."""
+    t = _scan(wide, {"genotype_fields": "GL", "info_fields": ""})
+    rows = t.column("w0").to_pylist()
+    # sample w0, record i: (i+0)%11==0 → all-MISSING cell → None
+    # (the '.' coercion); else len 1+(i%3), fully populated
+    for i in (0, 11, 22):
+        assert rows[i]["GL"] is None
+    for i in (1, 2, 3, 4):
+        assert len(rows[i]["GL"]) == 1 + (i % 3)
+        assert all(v is not None for v in rows[i]["GL"])
