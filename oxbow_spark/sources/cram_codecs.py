@@ -521,6 +521,16 @@ def fqz_decode(data: bytes, n_out: int) -> bytes:
     (sel << sloc)`` masked to 16 bits, where ``pos`` counts DOWN from
     the record length (read, then decremented) and ``delta`` counts
     symbol changes.
+
+    VALIDATION STATUS: round-trip verified against the spec-mirroring
+    encoder in ``tests/test_cram_codecs.py`` and the htscodecs source's
+    documented update order, but NOT yet byte-checked against a stream
+    produced by htslib/htscodecs itself (no such fixture exists in this
+    container and the codec can't be exercised by `samtools` here). If
+    any convention diverges from real producers, 'small'/'archive'
+    profile CRAMs would decode wrong bytes without error — treat
+    real-producer fqzcomp streams as unvalidated until a cross-check
+    fixture is added.
     """
     c = Cursor(data) if not isinstance(data, Cursor) else data
     vers = c.u8()
@@ -582,11 +592,16 @@ def fqz_decode(data: bytes, n_out: int) -> bytes:
         if qlen == 0:
             # Legitimate empty records advance the range-coder stream but
             # not the output; a truncated/corrupt stream decodes qlen=0
-            # forever off the decoder's trailing-zero padding. Fail once
-            # the input is exhausted (or after an absurd streak) instead
-            # of spinning on an executor.
+            # forever off the decoder's trailing-zero padding. The range
+            # coder NORMALLY exhausts its input while the last few real
+            # records are still in flight (it reads ahead), so input
+            # exhaustion alone must not trip the guard — a valid stream
+            # can end with a long run of empty quality records. Only an
+            # absurd streak (far beyond any real container's record
+            # count per slice) marks the stream truncated; the bound
+            # exists purely to stop an executor from spinning forever.
             empty_streak += 1
-            if (rc.p >= len(rc.b) and empty_streak > 8) or empty_streak > 65536:
+            if empty_streak > 1 << 20:
                 raise ValueError(
                     "fqzcomp: no progress decoding zero-length records "
                     f"({len(out)}/{n_out} bytes; truncated stream?)"

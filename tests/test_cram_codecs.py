@@ -487,3 +487,19 @@ def test_read_block_dispatches_new_methods():
     fq = fqz_encode(quals)
     ctype, cid, raw = read_block(Cursor(block(7, fq, 4)))
     assert raw == quals[0]
+
+
+def test_fqz_trailing_empty_records():
+    """A valid stream ending with a long run of zero-length quality
+    records must decode — the range coder exhausts its input while real
+    records are still in flight, so input exhaustion alone is not
+    truncation (ADVICE r3)."""
+    quals = [bytes([33 + (i + j) % 40 for j in range(20)]) for i in range(5)]
+    # a long empty run BEFORE the final record: the decoder must walk
+    # through 9+ zero-length records (with the range coder's read-ahead
+    # already past the buffer end) to reach the last real record
+    quals += [b""] * 32
+    quals += [bytes([40 + j % 30 for j in range(15)])]
+    blob = fqz_encode(quals)
+    want = b"".join(quals)
+    assert fqz_decode(blob, len(want)) == want
