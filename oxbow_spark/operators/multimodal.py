@@ -204,6 +204,59 @@ def decode_png(b: bytes) -> tuple[int, int, int, float]:
     return int(w), int(h), _PNG_CHANNELS[color_type], mean
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # SOF0..15 minus DHT/JPG/DAC
+
+
+def decode_jpeg_dims(b: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib JPEG dimension scan → (width, height, channels).
+
+    Walks the marker-segment stream (ITU-T T.81 §B): after SOI each
+    segment is 0xFF <marker> <u16 length incl. itself>; standalone
+    markers (TEM, RSTn) have no length. The first SOFn frame header
+    (baseline SOF0, progressive SOF2, and the other frame types except
+    DHT/JPG/DAC which share the 0xCx space) carries
+    precision/height/width/components — no entropy decode needed for
+    dimensions. Raises ValueError on malformed streams (honest gate,
+    matching `decode_png`)."""
+    import struct
+
+    if not b.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            raise ValueError(f"JPEG marker desync at {pos}")
+        pos += 1
+        while pos < n and b[pos] == 0xFF:  # fill bytes are legal padding
+            pos += 1
+        if pos >= n:
+            break
+        marker = b[pos]
+        pos += 1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: bare
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if pos + 2 > n:
+            break
+        (seg_len,) = struct.unpack_from(">H", b, pos)
+        if seg_len < 2:
+            raise ValueError("JPEG segment length < 2")
+        if marker in _JPEG_SOF_MARKERS:
+            if pos + 8 > n:
+                raise ValueError("JPEG SOF truncated")
+            _prec, h, w, nc = struct.unpack_from(">BHHB", b, pos + 2)
+            if w == 0 or h == 0:
+                raise ValueError("JPEG SOF with zero dimension")
+            return int(w), int(h), int(nc)
+        if marker == 0xDA:  # SOS: entropy data follows; SOF must precede
+            break
+        pos += seg_len
+    raise ValueError("JPEG without SOF frame header")
+
+
 def decode_image_stub(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "doc_id", real: bool = False) -> DataFrame:
     """(id, kind, width, height, channels, n_pixels, px_mean): image
@@ -214,7 +267,9 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload",
     batching, downstream joins, the DuckDB oracle) is testable without
     codecs. ``real=True``: PNG payloads decode for REAL via the
     pure-stdlib `decode_png` (actual dimensions, channels and pixel
-    mean); JPEG/other kinds use PIL when available, else yield null
+    mean); JPEG dimensions come from the pure-stdlib SOF scan
+    `decode_jpeg_dims` (px_mean stays null — entropy decode needs a
+    real codec); other kinds use PIL when available, else yield null
     dimensions (same schema — swapping decoders never changes the plan)."""
     schema = StructType([
         StructField(id_col, LongType()),
@@ -247,6 +302,12 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload",
                         decoded = decode_png(b)
                     except ValueError:
                         decoded = None  # sniffed PNG but not decodable
+                elif kind == "jpeg":
+                    try:
+                        jw, jh, jc = decode_jpeg_dims(b)
+                        decoded = (jw, jh, jc, None)
+                    except ValueError:
+                        decoded = None
                 if decoded is None and HAVE_PIL:
                     import io
 

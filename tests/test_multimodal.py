@@ -193,3 +193,64 @@ def test_embed_media_shape_and_determinism(payload_df):
     for r in a:
         assert len(r.embedding) == 8
         assert all(0.0 <= v <= 1.0 for v in r.embedding)
+
+
+def write_jpeg_headers(w: int, h: int, nc: int = 3, sof: int = 0xC2,
+                       fill: bool = False, rst: bool = False) -> bytes:
+    """Minimal JPEG marker stream (T.81 §B) up through SOS: SOI, APP0
+    (JFIF), COM, DQT, optional fill bytes / standalone TEM, SOFn, EOI.
+    Enough for a dimensions scan; no entropy data."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFE, b"synthetic")                       # COM
+    out += seg(0xDB, bytes([0]) + bytes(64))             # DQT
+    if fill:
+        out += b"\xff\xff\xff"                           # legal fill bytes
+    if rst:
+        out += b"\xff\x01"                               # TEM (standalone)
+    body = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        body += bytes([c + 1, 0x11, 0])
+    out += seg(sof, body)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("sof", [0xC0, 0xC1, 0xC2])
+@pytest.mark.parametrize("fill,rst", [(False, False), (True, True)])
+def test_decode_jpeg_dims(sof, fill, rst):
+    b = write_jpeg_headers(640, 481, 3, sof=sof, fill=fill, rst=rst)
+    assert multimodal.decode_jpeg_dims(b) == (640, 481, 3)
+    b = write_jpeg_headers(17, 4000, 1, sof=sof)
+    assert multimodal.decode_jpeg_dims(b) == (17, 4000, 1)
+
+
+def test_decode_jpeg_dims_honest_gates():
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.decode_jpeg_dims(b"not a jpeg")
+    with pytest.raises(ValueError, match="without SOF"):
+        multimodal.decode_jpeg_dims(b"\xff\xd8\xff\xd9")  # SOI+EOI only
+    with pytest.raises(ValueError, match="zero dimension"):
+        multimodal.decode_jpeg_dims(write_jpeg_headers(0, 10))
+
+
+def test_decode_real_jpeg_through_spark(spark):
+    """real=True returns true dims for JPEG payloads via the SOF scan
+    (px_mean stays null — no entropy decode without a codec)."""
+    rows = [(i, bytearray(write_jpeg_headers(100 + i, 200 + i, 3,
+                                             sof=0xC2 if i % 2 else 0xC0)))
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in
+           multimodal.decode_image_stub(df, real=True).collect()}
+    for i in range(4):
+        r = got[i]
+        assert r.kind == "jpeg"
+        assert (r.width, r.height, r.channels) == (100 + i, 200 + i, 3)
+        assert r.n_pixels == (100 + i) * (200 + i)
+        assert r.px_mean is None
