@@ -50,11 +50,16 @@ def main() -> None:
         if not q.bench:
             continue
         samples: list[float] = []
-        for _ in range(max(trials, 1)):
+        # one untimed warmup first: the initial run pays JVM JIT +
+        # whole-stage-codegen compilation (r3 spreads showed trial-1
+        # dominating, e.g. q1 4.8s vs 1.29s min); warming keeps the
+        # timed trials measuring the query, not the compiler
+        for trial in range(max(trials, 1) + 1):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
+            if trial > 0:
+                samples.append(time.perf_counter() - t0)
             # internal persists (minhash etc.) must not carry into the
             # next trial's timing
             spark.catalog.clearCache()

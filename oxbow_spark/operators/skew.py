@@ -52,7 +52,12 @@ def salted_join(
         raise ValueError(
             f"salted_join: how={how!r} unsupported — the exploded small side "
             "replicates unmatched rows n_salts times under right/full outer "
-            f"joins; use one of {sorted(allowed)}"
+            f"joins; use one of {sorted(allowed)}. Rewrite: a right outer "
+            "join is a left outer join with the arguments swapped — call "
+            "salted_join(other, one, key, how='left') so the preserved side "
+            "is the salted one; for full outer, union the salted left join "
+            "with the small side's anti-join remainder, or rely on AQE "
+            "skew handling (spark.sql.adaptive.skewJoin.enabled)."
         )
     keys = [key] if isinstance(key, str) else list(key)
     salt_src = F.xxhash64(*[F.col(c) for c in big.columns])

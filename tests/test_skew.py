@@ -74,3 +74,30 @@ def test_salted_join_rejects_outer_how(skewed):
     for how in ("right", "full", "outer", "full_outer", "right_outer"):
         with _pytest.raises(ValueError, match="unsupported"):
             salted_join(big, small, "k", how=how)
+
+
+def test_salted_join_error_names_rewrite(skewed):
+    """The right/full rejection must tell the user the working rewrite
+    (swap sides + how='left'; anti-join union / AQE for full outer)."""
+    import pytest as _pytest
+
+    from oxbow_spark.operators.skew import salted_join
+
+    big, small = skewed
+    with _pytest.raises(ValueError, match="how='left'"):
+        salted_join(big, small, "k", how="right")
+    with _pytest.raises(ValueError, match="skewJoin"):
+        salted_join(big, small, "k", how="full")
+
+
+def test_salted_join_right_rewrite_equivalence(skewed):
+    """The documented rewrite — swap sides, how='left' — reproduces the
+    plain right outer join exactly."""
+    from oxbow_spark.operators.skew import salted_join
+
+    big, small = skewed
+    plain = small.join(big, "k", "right")
+    rewritten = salted_join(big, small, "k", how="left")
+    cols = sorted(plain.columns)
+    assert (sorted(map(tuple, plain.select(cols).collect()))
+            == sorted(map(tuple, rewritten.select(cols).collect())))
