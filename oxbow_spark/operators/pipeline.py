@@ -193,9 +193,79 @@ def quality_ntile(
     almost-equal-bucket split, identical in Spark and ANSI SQL.
 
     Scale note: a global NTILE is a single total sort — fine for scored
-    *summaries*; at full-corpus scale bin by approxQuantile thresholds
-    instead (same output shape, no total order)."""
+    *summaries*; at full-corpus scale use `quantile_thresholds` +
+    `quality_threshold_bins` instead (same output shape, no total
+    order)."""
     w = Window.orderBy(F.desc(score_col), F.asc(id_col))
     return scored.select(
         id_col, score_col, F.ntile(n_bins).over(w).alias("bin")
     )
+
+
+def quantile_thresholds_core(values, n_bins: int) -> list[float]:
+    """Shared numpy quantile core: threshold i (i = 1..n_bins-1) is the
+    element at 1-indexed rank ceil(i/n_bins · n) of the sorted values —
+    the SAME rank rule Spark's exact approxQuantile (relativeError=0)
+    applies, verified empirically in
+    tests/test_pipeline.py::test_quantile_rank_rule_matches_spark. Both
+    the Spark query and the Spark-free oracle builder call this (the
+    IVF `ivf_fit_core` pattern), so inlined threshold literals agree
+    bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    s = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(s)
+    if n == 0:
+        raise ValueError("quantile thresholds of an empty column")
+    return [
+        float(s[min(max(int(math.ceil(i / n_bins * n)) - 1, 0), n - 1)])
+        for i in range(1, n_bins)
+    ]
+
+
+def quantile_thresholds(
+    df: DataFrame,
+    n_bins: int,
+    score_col: str = "score",
+    relative_error: float = 0.0,
+) -> list[float]:
+    """Bin thresholds via one Greenwald-Khanna sketch pass
+    (``df.stat.approxQuantile``) — partial-aggregated and merged like any
+    other agg, NO total sort, bounded sketch memory. The full-corpus
+    scale path for quality binning.
+
+    ``relative_error=0`` keeps every distinct value in the sketch and
+    returns the exact rank-``ceil(p·n)`` element (bit-identical to
+    `quantile_thresholds_core`); at 100 TB pass e.g. ``1e-4`` for a
+    fixed-size sketch whose thresholds are within ±ε·n ranks — bins
+    shift by at most that many members, which quality tiering
+    tolerates."""
+    probs = [i / n_bins for i in range(1, n_bins)]
+    return df.stat.approxQuantile(score_col, probs, relative_error)
+
+
+def quality_threshold_bins(
+    scored: DataFrame,
+    thresholds: list[float],
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score, bin): quality tiers from precomputed ascending
+    ``thresholds`` — a pure per-row expression (bin = n_bins − number of
+    thresholds strictly below the score; bin 1 = best), so the binning
+    itself is scan-speed with NO shuffle and no total order: the scale
+    twin of `quality_ntile`.
+
+    On data with distinct scores and row count divisible by n_bins it
+    reproduces NTILE exactly (tests assert this); tied scores all land
+    in one deterministic bin, where NTILE would split them by the id
+    tiebreak — the documented (and usually preferable) difference."""
+    n_bins = len(thresholds) + 1
+    count_below = None
+    for t in thresholds:
+        term = (F.col(score_col) > F.lit(float(t))).cast("int")
+        count_below = term if count_below is None else count_below + term
+    bin_expr = (F.lit(n_bins) - count_below) if count_below is not None else F.lit(1)
+    return scored.select(id_col, score_col, bin_expr.alias("bin"))

@@ -1099,8 +1099,7 @@ def quality_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUALITY_BINS_SQL = rf"""
-WITH base AS (
+_QB_SCORE_CTES = rf"""base AS (
   SELECT doc_id, text, {TOKS_SQL} AS t,
          CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({TOKS_SQL}) END AS n_tokens
   FROM documents
@@ -1112,10 +1111,64 @@ stats AS (
          - (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
            / GREATEST(len(text), 1)::DOUBLE AS score
   FROM base
-)
+)"""
+
+QUALITY_BINS_SQL = f"""
+WITH {_QB_SCORE_CTES}
 SELECT doc_id, ROUND(score, 9) AS score,
        NTILE({_QUALITY_BINS}) OVER (ORDER BY score DESC, doc_id ASC) AS bin
 FROM stats
+"""
+
+
+def quality_bins_quantile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-corpus-scale twin of `quality_bins_docs`: thresholds via
+    one Greenwald-Khanna sketch pass (`pipeline.quantile_thresholds`,
+    exact at relative_error=0), then a pure per-row threshold-count bin
+    expression — NO total sort anywhere, unlike NTILE's single global
+    window. Scores are rounded to 9 places BEFORE thresholding so the
+    values the sketch sees are the values the DuckDB twin re-fits on."""
+    from oxbow_spark.operators import pipeline
+
+    s = text.text_stats(_t(spark, sf_dir, "documents"))
+    scored = s.select(
+        "doc_id",
+        F.round(F.col("stopword_ratio") - F.col("punct_ratio"), 9).alias("score"),
+    )
+    thr = pipeline.quantile_thresholds(
+        scored, n_bins=_QUALITY_BINS, relative_error=0.0
+    )
+    return pipeline.quality_threshold_bins(scored, thr)
+
+
+def _quality_quantile_sql(sf_dir: str | None = None) -> str | None:
+    """DuckDB twin of `quality_bins_quantile_docs`: re-fit the bin
+    thresholds Spark-free at SQL-build time (DuckDB computes the same
+    rounded scores — proven bit-identical by the green NTILE row — and
+    `quantile_thresholds_core` applies the same ceil(p·n) rank rule as
+    Spark's exact approxQuantile), inline them as literals (the IVF
+    centroid pattern)."""
+    from oxbow_spark.operators import pipeline
+
+    path = os.path.join(sf_dir or _ORACLE_SF_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    scores = con.execute(
+        f"WITH {_QB_SCORE_CTES} SELECT ROUND(score, 9) AS s FROM stats"
+    ).fetchdf()["s"].to_numpy()
+    con.close()
+    thr = pipeline.quantile_thresholds_core(scores, _QUALITY_BINS)
+    terms = " + ".join(f"(score > CAST({t!r} AS DOUBLE))::INT" for t in thr)
+    return f"""
+WITH {_QB_SCORE_CTES},
+r AS (SELECT doc_id, ROUND(score, 9) AS score FROM stats)
+SELECT doc_id, score, {_QUALITY_BINS} - ({terms}) AS bin FROM r
 """
 
 
@@ -1535,6 +1588,8 @@ QUERIES: list[Query] = [
     Query("dedup_cluster_docs", dedup_cluster_docs, DEDUP_CLUSTER_SQL),
     Query("hash_split_docs", hash_split_docs, _hash_split_sql()),
     Query("quality_bins_docs", quality_bins_docs, QUALITY_BINS_SQL),
+    Query("quality_bins_quantile_docs", quality_bins_quantile_docs,
+          _quality_quantile_sql),
     Query("pack_docs", pack_docs, PACK_SQL),
     Query("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
     Query("semi_join_suppliers", semi_join_suppliers, SEMI_SQL),

@@ -138,3 +138,57 @@ def test_sequence_pack_shard_law(spark):
             mods = {int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
                     for i in range(200)}
             assert len(eff) > 1
+
+
+def test_quantile_rank_rule_matches_spark(spark):
+    """Lock the rank rule: Spark's exact approxQuantile (relativeError=0)
+    returns the element at 1-indexed rank ceil(p·n) — the rule
+    `quantile_thresholds_core` mirrors. If a Spark upgrade changes this,
+    the quantile-bins oracle row would silently drift; this test makes
+    the drift loud."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for n, k in ((101, 8), (1000, 4), (640, 8)):
+        vals = rng.normal(size=n)
+        vals[::5] = np.round(vals[::5], 1)  # duplicates
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "score double"
+        ).repartition(8)
+        got = pipeline.quantile_thresholds(df, n_bins=k, relative_error=0.0)
+        want = pipeline.quantile_thresholds_core(vals, k)
+        assert got == want, (n, k)
+
+
+def test_threshold_bins_equal_ntile_when_divisible(spark):
+    """On distinct scores with row count divisible by n_bins, threshold
+    binning reproduces NTILE exactly (the small-scale equivalence law)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    scores = rng.permutation(np.linspace(-5, 5, 320))  # distinct, 320 % 8 == 0
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)], "doc_id long, score double"
+    )
+    ntile = {r.doc_id: r.bin for r in pipeline.quality_ntile(df, n_bins=8).collect()}
+    thr = pipeline.quantile_thresholds(df, n_bins=8, relative_error=0.0)
+    tb = {r.doc_id: r.bin for r in
+          pipeline.quality_threshold_bins(df, thr).collect()}
+    assert tb == ntile
+
+
+def test_threshold_bins_ties_one_bin(spark):
+    """Tied scores all land in ONE deterministic bin (NTILE would split
+    them by the id tiebreak) — the documented difference."""
+    rows = [(i, 1.0) for i in range(50)] + [(50 + i, 2.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    thr = pipeline.quantile_thresholds(df, n_bins=4, relative_error=0.0)
+    got = pipeline.quality_threshold_bins(df, thr).collect()
+    by_score = {}
+    for r in got:
+        by_score.setdefault(r.score, set()).add(r.bin)
+    assert all(len(bins) == 1 for bins in by_score.values())
+    # thresholds at p=.25/.5/.75 are [1.0, 1.0, 2.0]; strict-count
+    # binning: 2.0 beats two of them → bin 2; 1.0 beats none → bin 4.
+    # Heavy ties legitimately leave bins empty — the mass can't split.
+    assert by_score[2.0] == {2} and by_score[1.0] == {4}
