@@ -102,8 +102,10 @@ def test_vcf_fast_path_engages():
 
 
 def test_struct_scans_fall_back():
-    # tags / INFO / genotypes need per-record typed parsing: parse_table
-    # must hand over (None), not mis-parse
+    # SAM tag scans need per-record typed parsing: parse_table must hand
+    # over (None), not mis-parse. VCF struct scans are vectorized as of
+    # round 4 but still hand over empty partitions (the line loop emits
+    # the empty batch with the right schema).
     sam = SamDataSource({"path": SAM, "tags": "scan"})
     assert sam.reader(sam.schema()).codec.parse_table(b"") is None
     vcf = VcfDataSource({"path": VCF})  # default: INFO + genotypes on
@@ -226,3 +228,127 @@ def test_fastq_fast_malformed_falls_back(tmp_path):
     with pytest.raises(ValueError, match="malformed FASTQ"):
         for part in rd.partitions():
             list(rd.read(part))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized INFO/genotype struct scans (round-4): fast ≡ slow on a
+# synthetic corpus exercising the edge encodings, plus engage/fallback
+# proofs.
+# ---------------------------------------------------------------------------
+
+VCF_SYNTH_HEADER = """##fileformat=VCFv4.3
+##FILTER=<ID=q10,Description="low">
+##INFO=<ID=DP,Number=1,Type=Integer,Description="d">
+##INFO=<ID=AF,Number=A,Type=Float,Description="f">
+##INFO=<ID=DB,Number=0,Type=Flag,Description="flag">
+##INFO=<ID=NM,Number=1,Type=String,Description="s">
+##INFO=<ID=CH,Number=1,Type=Character,Description="c">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">
+##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">
+##FORMAT=<ID=GL,Number=.,Type=Float,Description="gl">
+##FORMAT=<ID=HQ,Number=2,Type=Integer,Description="hq">
+##contig=<ID=chr1,length=1000000>
+##contig=<ID=chr2,length=1000000>
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\ts3
+"""
+
+
+def _write_synth_vcf(path, n=600):
+    rows = []
+    for i in range(n):
+        chrom = f"chr{1 + i % 2}"
+        pos = 100 + i * 3
+        vid = "." if i % 7 == 0 else f"rs{i};rs{i}x" if i % 11 == 0 else f"rs{i}"
+        ref = "ACGT"[i % 4]
+        alt = ["T", "T,G", "."][i % 3]
+        qual = "." if i % 5 == 0 else f"{(i % 80) / 2.0}"
+        filt = ["PASS", "q10", ".", "q10;q10"][i % 4]
+        info_parts = []
+        if i % 3 != 2:
+            info_parts.append(f"DP={30 + i % 50}")
+        if i % 4 == 1:
+            info_parts.append("AF=0.5,0.25" if i % 2 else "AF=0.125")
+        if i % 5 == 2:
+            info_parts.append("DB")
+        if i % 6 == 3:
+            info_parts.append(f"NM=v{i}")
+        if i % 9 == 4:
+            info_parts.append("CH=x")
+        if i % 13 == 5:
+            info_parts.append("AF=.")          # explicit missing
+        if i % 17 == 6:
+            info_parts.append("DP=.")
+        info = ";".join(info_parts) if info_parts else "."
+        # FORMAT layout varies: full, reordered, GT-only, missing GL
+        fmt, cells = {
+            0: ("GT:DP:GL:HQ",
+                [f"0/1:{10 + i % 9}:-0.1,-{(i % 7) / 10}:{i % 5},{i % 3}",
+                 "1|1:.:-0.5:.,3",
+                 "./.:7:.:."]),
+            1: ("GT:DP", [f"0|1:{i % 20}", ".:.", "1/2:30"]),
+            2: ("GT", ["0/0", ".", "|1"]),
+            3: ("DP:GT", [f"{i % 6}:1/0", ".:0/0", "8:."]),
+        }[i % 4]
+        rows.append("\t".join([chrom, str(pos), vid, ref, alt, qual, filt,
+                               info, fmt] + cells))
+    path.write_text(VCF_SYNTH_HEADER + "\n".join(rows) + "\n")
+    return str(path)
+
+
+VCF_STRUCT_CONFIGS = [
+    {},
+    {"samples_nested": "true"},
+    {"genotype_by": "field"},
+    {"info_fields": "DP,AF,DB"},
+    {"genotype_fields": "GT,GL"},
+    {"samples": "s2,s3"},
+    {"info_fields": "", "genotype_fields": "GT"},
+    {"limit": "37"},
+    {"coords": "01"},
+]
+
+
+@pytest.mark.parametrize("opts", VCF_STRUCT_CONFIGS,
+                         ids=lambda o: ",".join(f"{k}={v}" for k, v in o.items()) or "default")
+def test_vcf_struct_fast_equals_slow_synth(tmp_path, opts):
+    p = _write_synth_vcf(tmp_path / "synth.vcf")
+    fast = _collect(VcfDataSource({"path": p, **opts}))
+    slow = _collect(VcfDataSource({"path": p, **opts}), slow=True)
+    assert fast == slow, opts
+    assert len(fast) > 0
+
+
+def test_vcf_struct_fast_equals_slow_fixture():
+    for opts in ({}, {"samples_nested": "true"}, {"genotype_by": "field"}):
+        fast = _collect(VcfDataSource({"path": VCF, **opts}))
+        slow = _collect(VcfDataSource({"path": VCF, **opts}), slow=True)
+        assert fast == slow, opts
+        assert len(fast) > 0
+
+
+def test_vcf_struct_fast_path_engages(tmp_path):
+    p = _write_synth_vcf(tmp_path / "synth.vcf")
+    ds = VcfDataSource({"path": p})  # INFO + genotypes on
+    reader = ds.reader(ds.schema())
+
+    def boom(line):
+        raise AssertionError("line parser must not run on the struct fast path")
+
+    reader.codec.parse_line = boom
+    total = 0
+    for part in reader.partitions():
+        total += sum(b.num_rows for b in reader.read(part))
+    assert total > 0
+
+
+def test_vcf_struct_fast_falls_back_on_odd_numerics(tmp_path):
+    """Values the typed cast can't reproduce (e.g. INFO DP=0x1F) must
+    hand the batch to the line loop, not approximate: results identical
+    to slow, via fallback."""
+    p = tmp_path / "odd.vcf"
+    p.write_text(VCF_SYNTH_HEADER
+                 + "chr1\t100\t.\tA\tT\t1.0\tPASS\tDP=nonsense\tGT\t0/0\t0/1\t1/1\n")
+    fast = _collect(VcfDataSource({"path": str(p)}))
+    slow = _collect(VcfDataSource({"path": str(p)}), slow=True)
+    assert fast == slow
+    assert len(fast) == 1
