@@ -121,6 +121,78 @@ class Cursor:
         return [self.itf8() for _ in range(n)]
 
 
+# byte-value → ITF8 encoded length (prefix bits of the first byte)
+_ITF8_LEN = [1] * 256
+for _b in range(256):
+    if _b >= 0xF0:
+        _ITF8_LEN[_b] = 5
+    elif _b >= 0xE0:
+        _ITF8_LEN[_b] = 4
+    elif _b >= 0xC0:
+        _ITF8_LEN[_b] = 3
+    elif _b >= 0x80:
+        _ITF8_LEN[_b] = 2
+
+
+def itf8_batch(buf: bytes, start: int, count: int):
+    """Decode ``count`` consecutive ITF8 values from ``buf`` at
+    ``start`` → (int64 ndarray, end offset). The value START positions
+    need a sequential walk (each length depends on its first byte — a
+    table lookup and an add per value); the VALUE decode is then one
+    numpy gather per length class. ~6× the per-value `Cursor.itf8` path.
+    """
+    import numpy as np
+
+    if count == 0:
+        return np.empty(0, np.int64), start
+    starts = np.empty(count + 1, np.int64)
+    p = start
+    L = _ITF8_LEN
+    for i in range(count):
+        starts[i] = p
+        p += L[buf[p]]
+    starts[count] = p
+    if p > len(buf):
+        raise ValueError("ITF8 batch overruns stream")
+    a = np.frombuffer(buf, np.uint8).astype(np.int64)
+    s = starts[:-1]
+    b0 = a[s]
+    lens = np.diff(starts)
+    v = b0.copy()
+    for ln, mask_bits in ((2, 0x7F), (3, 0x3F), (4, 0x1F), (5, 0x0F)):
+        m = lens == ln
+        if not m.any():
+            continue
+        sm = s[m]
+        r = a[sm] & mask_bits
+        for k in range(1, ln):
+            last = k == ln - 1 and ln == 5
+            r = (r << (4 if last else 8)) | (
+                a[sm + k] & (0x0F if last else 0xFF)
+            )
+        v[m] = r
+    v = np.where(v >= 1 << 31, v - (1 << 32), v)
+    return v, p
+
+
+def stop_bounds(buf: bytes, start: int, count: int, stop: int):
+    """(starts, ends, end offset) of ``count`` stop-terminated byte
+    strings from ``buf`` at ``start`` — one numpy scan instead of a
+    per-string index loop."""
+    import numpy as np
+
+    if count == 0:
+        e = np.empty(0, np.int64)
+        return e, e, start
+    a = np.frombuffer(buf, np.uint8)
+    hits = np.flatnonzero(a[start:] == stop)
+    if len(hits) < count:
+        raise ValueError("unterminated BYTE_ARRAY_STOP stream")
+    ends = hits[:count] + start
+    starts = np.concatenate(([start], ends[:-1] + 1))
+    return starts, ends, int(ends[-1]) + 1
+
+
 class BitReader:
     """MSB-first bit reader over the slice core block."""
 
@@ -736,6 +808,12 @@ def decode_tag_value(typ: str, raw: bytes) -> tuple[str, object]:
 
 # ----------------------------------------------------------- slice decode
 
+class _ColumnarBail(Exception):
+    """Columnar decode cannot represent this slice (core-bit codec on a
+    consumed series, shared block, ...). Raised strictly BEFORE any
+    stream cursor mutation, so the per-record loop decodes from scratch."""
+
+
 class SliceDecoder:
     """Decodes every record of one slice into BAM-convention rows
     [qname flag rname pos mapq cigar rnext pnext tlen seq qual end]."""
@@ -819,7 +897,355 @@ class SliceDecoder:
     def _get_a(self, key: str, n: int | None = None) -> bytes:
         return self.series[key].get_bytes(self.streams, self.core, n)
 
+    # ---- columnar fast path ------------------------------------------
+    # Every CRAM data series lives in its OWN stream (consumed in record
+    # order within the stream, independently of other streams), so when
+    # the slice's series are all external-coded into DISTINCT blocks —
+    # the layout htslib writes — each series decodes as one COLUMN
+    # (vectorized batch ITF8 / one stop-byte scan / offset-sliced byte
+    # slabs) instead of interleaved per-record pulls. Core-bit codecs
+    # (huffman/beta/gamma) interleave ALL series through one bit stream
+    # and fall back to the per-record reference loop, as does any block
+    # shared between series. Constant huffman consumes nothing and is a
+    # constant column. ~3× record assembly (see README).
+
+    _COLUMNAR_INT = ("BF", "CF", "RI", "RL", "AP", "RG", "TL", "FN",
+                     "MQ", "NF", "MF", "NS", "NP", "TS",
+                     "BS", "DL", "RS", "HC", "PD")
+    _COLUMNAR_STOP = ("RN", "SC", "IN", "BB")
+    _COLUMNAR_BYTE = ("FC", "QS", "BA")
+
+    def _columnar_ok(self, want_tags: bool) -> bool:
+        """Structural gate: declared stream layout must be shareable-free.
+        Codec support is checked LAZILY at consumption time — a series
+        declared with an unsupported codec but never consumed (const BA,
+        BYTE_ARRAY_LEN BB with no 'b' features — both appear in real
+        htslib files) must not force the slow path. The lazy checks
+        raise `_ColumnarBail` BEFORE any stream cursor moves (positions
+        commit in one batch), so the per-record loop can take over
+        cleanly."""
+        used_cids: list[int] = []
+        for key in self._COLUMNAR_INT + self._COLUMNAR_STOP + self._COLUMNAR_BYTE:
+            enc = self.series.get(key)
+            if enc is None or not hasattr(enc, "cid"):
+                continue
+            used_cids.append(enc.cid)
+        # tag streams decode per record inside the assembly loop (their
+        # own cursors, record order) — they only need to be disjoint
+        # from the columnar blocks
+        tag_cids: set[int] = set()
+        for enc in self.tag_encs.values():
+            for e in (enc, getattr(enc, "len_enc", None),
+                      getattr(enc, "val_enc", None)):
+                if e is not None and hasattr(e, "cid"):
+                    tag_cids.add(e.cid)
+        cid_set = set(used_cids)
+        if len(cid_set) != len(used_cids):
+            return False  # shared blocks: interleaved record order
+        if cid_set & tag_cids:
+            return False
+        if self.embedded_ref_id >= 0 and self.embedded_ref_id in cid_set:
+            return False
+        return True
+
+    def _col_int(self, key: str, count: int, pos: dict):
+        """One int series as an int64 column of ``count`` values; stream
+        position advances in ``pos`` (committed by the caller), never on
+        the cursor."""
+        import numpy as np
+
+        if count == 0:
+            return np.empty(0, np.int64)
+        enc = self.series.get(key)
+        if enc is None:
+            raise _ColumnarBail(f"series {key} undeclared")
+        if enc.codec == 3 and getattr(enc, "const", None) is not None:
+            return np.full(count, enc.const, np.int64)
+        if enc.codec != 1 or enc.cid not in self.streams:
+            raise _ColumnarBail(f"series {key} not external")
+        cur = self.streams[enc.cid]
+        vals, end = itf8_batch(cur.b, pos.get(enc.cid, cur.p), count)
+        pos[enc.cid] = end
+        return vals
+
+    def _col_stop(self, key: str, count: int, pos: dict):
+        """(buf, starts, ends) of a stop-string series column."""
+        import numpy as np
+
+        if count == 0:
+            e = np.empty(0, np.int64)
+            return b"", e, e
+        enc = self.series.get(key)
+        if enc is None or enc.codec != 5 or enc.cid not in self.streams:
+            raise _ColumnarBail(f"series {key} not stop-coded external")
+        cur = self.streams[enc.cid]
+        starts, ends, end = stop_bounds(
+            cur.b, pos.get(enc.cid, cur.p), count, enc.stop)
+        pos[enc.cid] = end
+        return cur.b, starts, ends
+
+    def _col_byte_span(self, key: str, need: int, pos: dict):
+        """(buf, base offset) of a ``need``-byte span of a byte series."""
+        enc = self.series.get(key)
+        if enc is None or enc.codec != 1 or enc.cid not in self.streams:
+            raise _ColumnarBail(f"series {key} not byte-external")
+        cur = self.streams[enc.cid]
+        base = pos.get(enc.cid, cur.p)
+        if base + need > len(cur.b):
+            raise ValueError(f"series {key} stream truncated")
+        pos[enc.cid] = base + need
+        return cur.b, base
+
+    def _records_columnar(self, want_tags: bool):
+        import numpy as np
+
+        pres = self.pres
+        n = self.n_records
+        pos: dict[int, int] = {}  # deferred stream positions (committed
+        # only after every series decoded — a _ColumnarBail before then
+        # leaves all cursors pristine for the per-record loop)
+
+        def get(key, count):
+            return self._col_int(key, count, pos)
+
+        BF = get("BF", n)
+        CF = get("CF", n)
+        multiref = self.ref_id == -2
+        RI = get("RI", n) if multiref else np.full(n, self.ref_id, np.int64)
+        RL = get("RL", n)
+        AP = get("AP", n)
+        get("RG", n)
+        rn_on = bool(pres.get("RN", 1))
+        if pres.get("AP", 1):
+            POS = self.start + np.cumsum(AP)
+        else:
+            POS = AP
+        if rn_on:
+            rn_buf, rn_s, rn_e = self._col_stop("RN", n, pos)
+        detached = (CF & 0x2) != 0
+        downstream = ((CF & 0x4) != 0) & ~detached
+        n_det = int(detached.sum())
+        MF = get("MF", n_det) if n_det else np.zeros(0, np.int64)
+        if not rn_on:
+            dn_buf, dn_s, dn_e = self._col_stop("RN", n_det, pos)
+        NS = get("NS", n_det) if n_det else np.zeros(0, np.int64)
+        NP = get("NP", n_det) if n_det else np.zeros(0, np.int64)
+        TS = get("TS", n_det) if n_det else np.zeros(0, np.int64)
+        NF = get("NF", int(downstream.sum()))
+        TL = get("TL", n)
+        have_tags = any(self.td[t] for t in np.unique(TL) if 0 <= t < len(self.td))
+        mapped = (BF & 0x4) == 0
+        n_map = int(mapped.sum())
+        FN = np.zeros(n, np.int64)
+        FN[mapped] = get("FN", n_map)
+        total_feats = int(FN.sum())
+        # FC: one byte per feature from its own block
+        if total_feats:
+            fc_buf, fc_base = self._col_byte_span("FC", total_feats, pos)
+            FC = np.frombuffer(fc_buf, np.uint8, total_feats, fc_base)
+        else:
+            FC = np.zeros(0, np.uint8)
+        FP = get("FP", total_feats) if total_feats else np.zeros(0, np.int64)
+        # per-type payload columns, in feature-stream order
+        def _count(ch: str) -> int:
+            return int((FC == ord(ch)).sum()) if total_feats else 0
+
+        n_X, n_I, n_S = _count("X"), _count("I"), _count("S")
+        n_D, n_N, n_H, n_P = _count("D"), _count("N"), _count("H"), _count("P")
+        n_b = _count("b")
+        BS = get("BS", n_X) if n_X else np.zeros(0, np.int64)
+        DL = get("DL", n_D) if n_D else np.zeros(0, np.int64)
+        RS = get("RS", n_N) if n_N else np.zeros(0, np.int64)
+        HC = get("HC", n_H) if n_H else np.zeros(0, np.int64)
+        PD = get("PD", n_P) if n_P else np.zeros(0, np.int64)
+        if n_I:
+            in_buf, in_s, in_e = self._col_stop("IN", n_I, pos)
+        if n_S:
+            sc_buf, sc_s, sc_e = self._col_stop("SC", n_S, pos)
+        if n_b:
+            bb_buf, bb_s, bb_e = self._col_stop("BB", n_b, pos)
+        # BA: 1 byte per 'i'/'B' feature of mapped records, rl-byte slab
+        # for unmapped-with-seq records — offsets per record via cumsum
+        feat_rec = np.repeat(np.arange(n), FN) if total_feats else np.zeros(0, np.int64)
+        ba_feat = np.zeros(n, np.int64)
+        qs_feat = np.zeros(n, np.int64)
+        if total_feats:
+            is_ba = (FC == ord("i")) | (FC == ord("B"))
+            is_qs = (FC == ord("Q")) | (FC == ord("B"))
+            np.add.at(ba_feat, feat_rec[is_ba], 1)
+            np.add.at(qs_feat, feat_rec[is_qs], 1)
+        unmapped_seq = (~mapped) & ((CF & 0x8) == 0)
+        ba_counts = ba_feat + np.where(unmapped_seq, RL, 0)
+        qs_counts = qs_feat + np.where((CF & 0x1) != 0, RL, 0)
+        ba_need = int(ba_counts.sum())
+        if ba_need:
+            ba_buf, ba_base = self._col_byte_span("BA", ba_need, pos)
+            ba_off = ba_base + np.concatenate(([0], np.cumsum(ba_counts)))
+        qs_need = int(qs_counts.sum())
+        if qs_need:
+            qs_buf, qs_base = self._col_byte_span("QS", qs_need, pos)
+            qs_off = qs_base + np.concatenate(([0], np.cumsum(qs_counts)))
+            # whole-block phred render once (one C-level translate);
+            # per-record quals are then string slices. The all-0xFF
+            # ("qualities absent") test is a cumsum gather: non-FF count
+            # in [s, e) == 0.
+            qs_text = qs_buf.translate(_PHRED33).decode("latin-1")
+            qs_nonff = np.concatenate(([0], np.cumsum(
+                np.frombuffer(qs_buf, np.uint8) != 0xFF)))
+            # quality slab start per record = span start + feature bytes
+            qs_slab = (qs_off[:-1] + qs_feat).tolist()
+        fn_off = np.concatenate(([0], np.cumsum(FN)))
+        mq_vals = get("MQ", n_map)
+
+        # every series decoded: commit stream positions (the point of no
+        # return — no _ColumnarBail past here)
+        for cid, p_ in pos.items():
+            self.streams[cid].p = p_
+
+        # ---- assembly loop: array/buffer reads only, no stream decode
+        out = []
+        ref_names = self.ref_names
+        build = self._build
+        i_X = i_I = i_S = i_D = i_N = i_H = i_P = i_b = 0
+        i_det = i_dn = i_map = 0
+        BSl = BS.tolist(); DLl = DL.tolist(); RSl = RS.tolist()
+        HCl = HC.tolist(); PDl = PD.tolist()
+        POSl = POS.tolist(); BFl = BF.tolist(); CFl = CF.tolist()
+        RIl = RI.tolist(); RLl = RL.tolist(); TLl = TL.tolist()
+        FPl = FP.tolist(); FCl = FC.tolist()
+        fn_off_l = fn_off.tolist()
+        rn_sl = rn_s.tolist() if rn_on else None
+        rn_el = rn_e.tolist() if rn_on else None
+        ba_off_l = ba_off.tolist() if ba_need else None
+        qs_off_l = qs_off.tolist() if qs_need else None
+        mq_l = mq_vals.tolist()
+        for i in range(n):
+            bf = BFl[i]; cf = CFl[i]; ri = RIl[i]; rl = RLl[i]
+            pos = POSl[i]
+            qname = None
+            if rn_on:
+                qname = rn_buf[rn_sl[i]:rn_el[i]].decode("ascii", "replace")
+            mf = ns = np_ = ts = nf = None
+            if cf & 0x2:
+                mf = int(MF[i_det]) if len(MF) else None
+                if not rn_on:
+                    qname = dn_buf[int(dn_s[i_det]):int(dn_e[i_det])].decode(
+                        "ascii", "replace")
+                ns = int(NS[i_det]); np_ = int(NP[i_det]); ts = int(TS[i_det])
+                i_det += 1
+            elif cf & 0x4:
+                nf = int(NF[i_dn]); i_dn += 1
+            tl = TLl[i]
+            tags: dict[str, tuple[str, object]] = {}
+            if have_tags and 0 <= tl < len(self.td):
+                for tag, typ in self.td[tl]:
+                    raw = self.tag_encs[(tag, typ)].get_bytes(self.streams, self.core)
+                    val = decode_tag_value(typ, raw)
+                    if want_tags:
+                        tags[tag] = val
+            ba_used = 0   # per-record cursor into the BA span
+            qs_used = 0   # per-record cursor into the QS span
+            cigar = seq = qual = end = mapq = None
+            if not bf & 0x4:
+                feats = []
+                fpos = 0
+                for k in range(fn_off_l[i], fn_off_l[i + 1]):
+                    fc = chr(FCl[k])
+                    fpos += FPl[k]
+                    if fc == "X":
+                        payload: object = BSl[i_X]; i_X += 1
+                    elif fc == "i":
+                        payload = chr(ba_buf[ba_off_l[i] + ba_used]); ba_used += 1
+                    elif fc == "I":
+                        payload = in_buf[int(in_s[i_I]):int(in_e[i_I])].decode(
+                            "ascii", "replace"); i_I += 1
+                    elif fc == "S":
+                        payload = sc_buf[int(sc_s[i_S]):int(sc_e[i_S])].decode(
+                            "ascii", "replace"); i_S += 1
+                    elif fc == "D":
+                        payload = DLl[i_D]; i_D += 1
+                    elif fc == "N":
+                        payload = RSl[i_N]; i_N += 1
+                    elif fc == "H":
+                        payload = HCl[i_H]; i_H += 1
+                    elif fc == "P":
+                        payload = PDl[i_P]; i_P += 1
+                    elif fc == "B":
+                        payload = (chr(ba_buf[ba_off_l[i] + ba_used]),
+                                   qs_buf[qs_off_l[i] + qs_used])
+                        ba_used += 1; qs_used += 1
+                    elif fc == "Q":
+                        payload = qs_buf[qs_off_l[i] + qs_used]; qs_used += 1
+                    elif fc == "b":
+                        payload = bb_buf[int(bb_s[i_b]):int(bb_e[i_b])].decode(
+                            "ascii", "replace"); i_b += 1
+                    else:
+                        raise ValueError(f"unsupported CRAM read feature {fc!r}")
+                    feats.append((fc, fpos, payload))
+                mapq = mq_l[i_map]; i_map += 1
+                cigar, seq, end = build(ri, pos, rl, feats)
+            else:
+                if not cf & 0x8:
+                    o = ba_off_l[i] + ba_used
+                    seq = ba_buf[o:o + rl].decode("ascii", "replace")
+            if cf & 0x1:
+                o = qs_slab[i]
+                if qs_nonff[o + rl] - qs_nonff[o]:
+                    qual = qs_text[o:o + rl]
+            if cf & 0x8:
+                seq = None
+            rname = ref_names[ri] if ri >= 0 else None
+            if cf & 0x2:
+                if mf is not None:
+                    bf |= (0x20 if mf & 1 else 0) | (0x8 if mf & 2 else 0)
+                rnext = ref_names[ns] if ns is not None and ns >= 0 else None
+                pnext = np_ if rnext is not None else None
+                tlen = ts if ts is not None else 0
+            else:
+                rnext = pnext = None
+                tlen = 0
+            row = [
+                qname if qname != "*" else None,
+                bf, rname, pos if ri >= 0 else None,
+                None if mapq in (None, 255) else mapq,
+                cigar, rnext, pnext, tlen, seq, qual, end,
+            ]
+            out.append((row, tags, nf, rl))
+        self._link_mates(out)
+        return [(row, tags) for row, tags, _nf, _rl in out]
+
+    @staticmethod
+    def _link_mates(out) -> None:
+        """Intra-slice mate linking (NF chains): set rnext/pnext/tlen
+        from the mate record; leftmost gets +tlen, rightmost -tlen."""
+        for i, (row, _t, nf, _rl) in enumerate(out):
+            if nf is None:
+                continue
+            mate = out[i + nf + 1][0]
+            row[6] = mate[2]
+            row[7] = mate[3]
+            self_end = row[11] or row[3] or 0
+            mate_end = mate[11] or mate[3] or 0
+            lo = min(row[3] or 0, mate[3] or 0)
+            hi = max(self_end, mate_end)
+            span = hi - lo + 1
+            row[8] = span if (row[3] or 0) <= (mate[3] or 0) else -span
+            mate[6] = row[2]
+            mate[7] = row[3]
+            mate[8] = -row[8]
+
     def records(self, want_tags: bool):
+        if self._columnar_ok(want_tags):
+            try:
+                return self._records_columnar(want_tags)
+            except _ColumnarBail:
+                pass  # cursors untouched: the reference loop takes over
+        return self._records_loop(want_tags)
+
+    def _records_loop(self, want_tags: bool):
+        """Per-record reference decode — the general path (core-bit
+        codecs, shared blocks) and the equality twin the columnar path
+        is tested against."""
         pres = self.pres
         last_pos = self.start
         out = []
@@ -919,31 +1345,25 @@ class SliceDecoder:
                 cigar, rnext, pnext, tlen, seq, qual, end,
             ]
             out.append((row, tags, nf, rl))
-        # intra-slice mate linking (NF chains): set rnext/pnext/tlen from
-        # the mate record; leftmost gets +tlen, rightmost −tlen
-        for i, (row, _t, nf, _rl) in enumerate(out):
-            if nf is None:
-                continue
-            mate = out[i + nf + 1][0]
-            row[6] = mate[2]
-            row[7] = mate[3]
-            self_end = row[11] or row[3] or 0
-            mate_end = mate[11] or mate[3] or 0
-            lo = min(row[3] or 0, mate[3] or 0)
-            hi = max(self_end, mate_end)
-            span = hi - lo + 1
-            row[8] = span if (row[3] or 0) <= (mate[3] or 0) else -span
-            mate[6] = row[2]
-            mate[7] = row[3]
-            mate[8] = -row[8]
+        self._link_mates(out)
         return [(row, tags) for row, tags, _nf, _rl in out]
 
     def _build(self, ri: int, pos: int, rl: int, feats):
         """Features → (cigar string, sequence, 1-based inclusive end)."""
+        if not feats:
+            # perfect match: one reference slice, no per-op accounting
+            if rl <= 0:
+                return None, None, None
+            return (f"{rl}M", self._ref_bases(ri, pos, pos + rl - 1) or None,
+                    pos + rl - 1)
+        # seq accumulates string PARTS (slices/payloads), never per-char
+        # lists — join once at the end; cigar ops merge in place
         cig: list[list] = []
-        seq: list[str] = []
+        parts: list[str] = []
         rpos = 0  # read bases emitted
         refpos = pos  # next reference position (1-based)
+        ref = self._ref_bases
+        smat = self.smat
 
         def addc(op: str, n: int):
             if n <= 0:
@@ -953,33 +1373,29 @@ class SliceDecoder:
             else:
                 cig.append([op, n])
 
-        def copy_ref(n: int):
-            nonlocal refpos, rpos
-            if n <= 0:
-                return
-            seq.extend(self._ref_bases(ri, refpos, refpos + n - 1))
-            addc("M", n)
-            refpos += n
-            rpos += n
-
         for fc, fp, payload in feats:
-            copy_ref(fp - 1 - rpos)
+            gap = fp - 1 - rpos
+            if gap > 0:
+                parts.append(ref(ri, refpos, refpos + gap - 1))
+                addc("M", gap)
+                refpos += gap
+                rpos += gap
             if fc == "X":
-                rb = self._ref_bases(ri, refpos, refpos)
-                seq.append(self.smat.get(rb, {}).get(payload, "N"))
+                rb = ref(ri, refpos, refpos)
+                parts.append(smat.get(rb, {}).get(payload, "N"))
                 addc("M", 1)
                 refpos += 1
                 rpos += 1
             elif fc == "i":
-                seq.append(payload)
+                parts.append(payload)
                 addc("I", 1)
                 rpos += 1
             elif fc == "I":
-                seq.extend(payload)
+                parts.append(payload)
                 addc("I", len(payload))
                 rpos += len(payload)
             elif fc == "S":
-                seq.extend(payload)
+                parts.append(payload)
                 addc("S", len(payload))
                 rpos += len(payload)
             elif fc == "D":
@@ -993,14 +1409,18 @@ class SliceDecoder:
             elif fc == "P":
                 addc("P", payload)
             elif fc == "B":
-                seq.append(payload[0])
+                parts.append(payload[0])
                 addc("M", 1)
                 refpos += 1
                 rpos += 1
             # 'Q' affects qualities only
-        copy_ref(rl - rpos)
-        cigar = "".join(f"{n}{op}" for op, n in cig) or None
-        return cigar, "".join(seq) or None, refpos - 1 if refpos > pos else None
+        gap = rl - rpos
+        if gap > 0:
+            parts.append(ref(ri, refpos, refpos + gap - 1))
+            addc("M", gap)
+            refpos += gap
+        cigar = "".join([f"{n}{op}" for op, n in cig]) or None
+        return cigar, "".join(parts) or None, refpos - 1 if refpos > pos else None
 
 
 class ExternalRef:

@@ -1,0 +1,102 @@
+"""Large synthetic CRAM builder for throughput work: n mapped records on
+one reference with a realistic feature mix (substitutions, soft clips,
+deletions, insertions), qualities and read names on, all per-record
+series external-coded (the htslib layout). Raw (method 0) blocks — the
+point is record-assembly throughput, not entropy codecs."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from tests.test_cram_synthetic import CIDS, block, external, itf8, ltf8, stop_enc
+
+BIG_CIDS = {**CIDS, "BS": 17, "DL": 18, "IN": 19}
+
+
+def build_big_cram(n: int = 20000, read_len: int = 100,
+                   recs_per_slice: int = 10000) -> bytes:
+    sam_text = "@SQ\tSN:chr1\tLN:100000000\n"
+    raw = struct.pack("<i", len(sam_text)) + sam_text.encode()
+    fh_hdr = (itf8(0) + itf8(0) + itf8(0) + itf8(0) + ltf8(0) + ltf8(0)
+              + itf8(1) + itf8(1) + itf8(0))
+    fh_hdr += struct.pack("<I", zlib.crc32(fh_hdr))
+    fhb = block(0, 0, raw)
+    fh = struct.pack("<i", len(fhb)) + fh_hdr + fhb
+
+    def container(ref_id, start, span, nrec, blocks):
+        body = b"".join(blocks)
+        hdr = (itf8(ref_id) + itf8(start) + itf8(span) + itf8(nrec)
+               + ltf8(0) + ltf8(0) + itf8(len(blocks)) + itf8(1) + itf8(0))
+        hdr += struct.pack("<I", zlib.crc32(hdr))
+        return struct.pack("<i", len(body)) + hdr + body
+
+    out = [b"CRAM\x03\x00" + bytes(20), fh]
+    pres = (b"RN" + b"\x01" + b"AP" + b"\x01" + b"RR" + b"\x00"
+            + b"SM" + bytes(5) + b"TD" + itf8(1) + b"\x00")
+    pres_body = itf8(5) + pres
+    pres_map = itf8(len(pres_body)) + pres_body
+    entries = []
+    for key in ("BF", "CF", "RI", "RL", "AP", "RG", "TL", "FN",
+                "FC", "FP", "BS", "DL", "MQ", "QS", "BA"):
+        entries.append(key.encode() + external(BIG_CIDS[key]))
+    entries.append(b"RN" + stop_enc(BIG_CIDS["RN"]))
+    entries.append(b"SC" + stop_enc(BIG_CIDS["SC"]))
+    entries.append(b"IN" + stop_enc(BIG_CIDS["IN"]))
+    ser_body = itf8(len(entries)) + b"".join(entries)
+    ser_map = itf8(len(ser_body)) + ser_body
+    tag_map = itf8(len(itf8(0))) + itf8(0)
+    comp_raw = pres_map + ser_map + tag_map
+
+    done = 0
+    while done < n:
+        m = min(recs_per_slice, n - done)
+        streams: dict[str, bytearray] = {k: bytearray() for k in
+            ("BF", "CF", "RI", "RL", "AP", "RG", "TL", "FN", "FC", "FP",
+             "BS", "DL", "MQ", "QS", "BA", "RN", "SC", "IN")}
+        start_pos = 1000 + done * 5
+        for i in range(done, done + m):
+            streams["BF"] += itf8(0)
+            streams["CF"] += itf8(1)        # qualities stored
+            streams["RL"] += itf8(read_len)
+            streams["AP"] += itf8(5 if i > done else 0)
+            streams["RG"] += itf8(-1)
+            streams["RN"] += f"read{i}\x00".encode()
+            streams["TL"] += itf8(0)
+            kind = i % 4
+            if kind == 0:          # perfect match
+                streams["FN"] += itf8(0)
+            elif kind == 1:        # two substitutions
+                streams["FN"] += itf8(2)
+                streams["FC"] += b"XX"
+                streams["FP"] += itf8(10) + itf8(30)
+                streams["BS"] += itf8(1) + itf8(2)
+            elif kind == 2:        # leading soft clip + deletion
+                streams["FN"] += itf8(2)
+                streams["FC"] += b"SD"
+                streams["FP"] += itf8(1) + itf8(40)
+                streams["SC"] += b"ACGTA\x00"
+                streams["DL"] += itf8(3)
+            else:                  # insertion
+                streams["FN"] += itf8(1)
+                streams["FC"] += b"I"
+                streams["FP"] += itf8(20)
+                streams["IN"] += b"TTG\x00"
+            streams["MQ"] += itf8(37)
+            streams["QS"] += bytes((33 + (i + j) % 40) for j in range(read_len))
+        comp = block(1, 0, comp_raw)
+        ext_keys = [k for k, v in streams.items() if len(v)]
+        ext_blocks = [block(4, BIG_CIDS[k], bytes(streams[k]))
+                      for k in ext_keys]
+        ids = [BIG_CIDS[k] for k in ext_keys]
+        span = m * 5 + read_len
+        sl = (itf8(0) + itf8(start_pos) + itf8(span) + itf8(m) + ltf8(0)
+              + itf8(len(ext_blocks)) + itf8(len(ids))
+              + b"".join(itf8(i) for i in ids) + itf8(-1) + bytes(16))
+        slice_hdr = block(2, 0, sl)
+        out.append(container(0, start_pos, span, m, [comp, slice_hdr] + ext_blocks))
+        done += m
+
+    eof_blk = block(1, 0, itf8(0) * 3)
+    out.append(container(-1, 4542278, 0, 0, [eof_blk]))
+    return b"".join(out)
