@@ -20,3 +20,62 @@ work is delegated to downstream engines (reference
 """
 
 __version__ = "0.1.0"
+
+# py-oxbow-compatible public surface (reference
+# `py-oxbow/oxbow/__init__.py:49-77`): twelve lazy `from_*` constructors and
+# twelve one-shot Arrow-IPC `read_*` functions, plus the Spark-native
+# materializer each file handle adds (`.to_spark(spark)`).
+from oxbow_spark.api import (  # noqa: E402
+    from_bam,
+    from_bcf,
+    from_bed,
+    from_bigbed,
+    from_bigwig,
+    from_cram,
+    from_fasta,
+    from_fastq,
+    from_gff,
+    from_gtf,
+    from_sam,
+    from_vcf,
+    read_bam,
+    read_bcf,
+    read_bed,
+    read_bigbed,
+    read_bigwig,
+    read_cram,
+    read_fasta,
+    read_fastq,
+    read_gff,
+    read_gtf,
+    read_sam,
+    read_vcf,
+)
+
+__all__ = [
+    "__version__",
+    "from_bam",
+    "from_bcf",
+    "from_bed",
+    "from_bigbed",
+    "from_bigwig",
+    "from_cram",
+    "from_fasta",
+    "from_fastq",
+    "from_gff",
+    "from_gtf",
+    "from_sam",
+    "from_vcf",
+    "read_fasta",
+    "read_fastq",
+    "read_sam",
+    "read_bam",
+    "read_cram",
+    "read_bcf",
+    "read_vcf",
+    "read_bed",
+    "read_bigbed",
+    "read_bigwig",
+    "read_gff",
+    "read_gtf",
+]

@@ -435,6 +435,7 @@ class BamReader(DataSourceReader):
         self.limit = int(src.options.get("limit", -1))
         self.chunksize = int(src.options.get("chunksize", DEFAULT_CHUNKSIZE))
         self.regions = src.regions
+        self.index_path = src.options.get("index")
         self._arrow_schema = to_arrow_schema(self.codec_schema)
 
     # -- planning ---------------------------------------------------------
@@ -444,11 +445,15 @@ class BamReader(DataSourceReader):
             with BgzfReader(path) as r:
                 hdr, ref_names, first_vpos = read_bam_header(r)
             size = fsio.getsize(path)
+            explicit = self.index_path  # `index` option: reference parity
             bai_path = next(
                 (p for p in (path + ".bai", path[:-4] + ".bai") if fsio.exists(p)),
                 None,
             )
-            if bai_path:
+            if explicit:
+                index = (CsiIndex.read(explicit) if explicit.endswith(".csi")
+                         else BaiIndex.read(explicit))
+            elif bai_path:
                 index = BaiIndex.read(bai_path)
             elif fsio.exists(path + ".csi"):
                 index = CsiIndex.read(path + ".csi")  # >512 Mb chromosomes

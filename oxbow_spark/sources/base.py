@@ -152,6 +152,7 @@ class TextFormatReader(DataSourceReader):
         self.regions = _coords.merge_regions(_coords.parse_regions(
             options.get("regions"), options.get("region_cs", native)
         ))
+        self.index_path = options.get("index")
         self._arrow_schema = to_arrow_schema(codec.schema)
 
     def partitions(self):
@@ -171,8 +172,17 @@ class TextFormatReader(DataSourceReader):
             if is_gzip_path(p) and is_bgzf(p):
                 # tabix-indexed BGZF (.tbi, or .csi with tabix aux names):
                 # index-pushed region chunks, or linear-index partitioning
-                # for full scans (SURVEY D1/F1)
-                if fsio.exists(p + ".tbi"):
+                # for full scans (SURVEY D1/F1); an explicit `index` option
+                # (reference parity) overrides sidecar discovery
+                explicit = self.index_path
+                if explicit and explicit.endswith(".tbi"):
+                    tbi = TabixIndex.read(explicit)
+                    index, names = tbi.as_bai(), tbi.names
+                elif explicit:
+                    csi = CsiIndex.read(explicit)
+                    if csi.names:
+                        index, names = csi, csi.names
+                elif fsio.exists(p + ".tbi"):
                     tbi = TabixIndex.read(p + ".tbi")
                     index, names = tbi.as_bai(), tbi.names
                 elif fsio.exists(p + ".csi"):

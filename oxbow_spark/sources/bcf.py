@@ -611,6 +611,7 @@ class BcfReader(DataSourceReader):
             src.options.get("regions"), src.options.get("region_cs", "11")
         ))
         self.slow_decode = src.options.get("slow_decode", "false").lower() == "true"
+        self.index_path = src.options.get("index")
         self._arrow_schema = to_arrow_schema(self.codec.schema)
 
     def partitions(self):
@@ -627,7 +628,7 @@ class BcfReader(DataSourceReader):
 
         parts: list[BcfPartition] = []
         for p in self.paths:
-            csi_path = p + ".csi"
+            csi_path = self.index_path or p + ".csi"
             with fsio.open_binary(p) as f:
                 raw = f.read(3) == b"BCF"  # uncompressed BCF: not splittable
             if raw or not fsio.exists(csi_path):

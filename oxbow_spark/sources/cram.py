@@ -1426,9 +1426,9 @@ class SliceDecoder:
 class ExternalRef:
     """Reference FASTA access via the .fai index (shared faidx helpers)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, fai_path: str | None = None):
         self.path = path
-        fai = path + ".fai"
+        fai = fai_path or path + ".fai"
         if not fsio.exists(fai):
             raise ValueError(f"reference FASTA needs a .fai index: {fai}")
         self.fai = read_fai(fai)
@@ -1528,6 +1528,8 @@ class CramReader(DataSourceReader):
         self.coord_offset = src.coord_offset
         self.regions = src.regions
         self.reference_path = src.options.get("reference")
+        self.reference_index_path = src.options.get("reference_index")
+        self.index_path = src.options.get("index")
         self.batch_size = int(src.options.get("batch_size", DEFAULT_BATCH_SIZE))
         self.limit = int(src.options.get("limit", -1))
         self.spark_schema = src.spark_schema
@@ -1548,7 +1550,7 @@ class CramReader(DataSourceReader):
             # planner input: the .crai index when present (one small gzip
             # read) — else a container-header walk, O(#containers) driver
             # seeks (tens of thousands on a 100 GB CRAM)
-            crai_path = path + ".crai"
+            crai_path = self.index_path or path + ".crai"
             if fsio.exists(crai_path):
                 by_container = crai_container_slices(read_crai(crai_path))
                 for off, slices in by_container.items():
@@ -1619,7 +1621,10 @@ class CramReader(DataSourceReader):
         if part.offset < 0:
             yield self._emit([])
             return
-        reference = ExternalRef(self.reference_path) if self.reference_path else None
+        reference = (
+            ExternalRef(self.reference_path, self.reference_index_path)
+            if self.reference_path else None
+        )
         with fsio.open_binary(part.path) as f:
             f.seek(part.offset)
             head = f.read(_HDR_BUF)

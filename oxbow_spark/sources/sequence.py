@@ -148,7 +148,8 @@ def faidx_fetch_bgzf(path: str, gzi: list[tuple[int, int]], fai: dict,
 
 
 class FastaReader(DataSourceReader):
-    def __init__(self, paths, schema, names, regions, region_cs, batch_size, limit):
+    def __init__(self, paths, schema, names, regions, region_cs, batch_size,
+                 limit, index_path=None, gzi_path=None):
         self.paths = paths
         self.spark_schema = schema
         self.names = names
@@ -156,6 +157,8 @@ class FastaReader(DataSourceReader):
         self.region_cs = region_cs
         self.batch_size = batch_size
         self.limit = limit
+        self.index_path = index_path
+        self.gzi_path = gzi_path
         self._arrow_schema = to_arrow_schema(schema)
 
     def partitions(self):
@@ -175,8 +178,10 @@ class FastaReader(DataSourceReader):
         rows, n = [], 0
         if self.regions:
             regions = _coords.parse_regions(self.regions, self.region_cs)
-            fai_path = path + ".fai"
-            gzi_path = path + ".gzi"
+            # explicit `index`/`gzi` options (reference parity) override
+            # sidecar discovery
+            fai_path = self.index_path or path + ".fai"
+            gzi_path = self.gzi_path or path + ".gzi"
             compressed = path.endswith((".gz", ".bgz"))
             if fsio.exists(fai_path) and not compressed:
                 fai = read_fai(fai_path)
@@ -239,6 +244,8 @@ class FastaDataSource(DataSource):
             self.options.get("region_cs", "11"),
             int(self.options.get("batch_size", 1)),  # reference default: 1/row
             int(self.options.get("limit", -1)),
+            self.options.get("index"),
+            self.options.get("gzi"),
         )
 
 
