@@ -129,6 +129,177 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(*out)
 
 
+def _run_starts(srt: Column) -> Column:
+    """1-based positions that open a run in a SORTED array (always includes
+    1). Empty array → empty. The lambda only touches the bound column
+    ``srt`` (O(1) per element); keep it that way — referencing a derived
+    subtree inside a HOF lambda re-evaluates that subtree per element."""
+    n = F.size(srt)
+    return F.when(
+        n >= 1,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1) | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _top_run_chars(srt: Column, starts: Column, discount: int) -> Column:
+    """Max over distinct elements of a SORTED array of
+    ``occurrences × (len(element) − discount)`` — the character mass of the
+    most-repeated element, from the array and its staged run-start
+    positions (`_run_starts`). ``starts`` MUST be a materialized column,
+    not the `_run_starts` expression inline: run counts come from slicing
+    the starts column (evaluated once per row), so the whole computation is
+    O(n log n) per row — no shuffle, no UDF, no O(n²) lambda rescans.
+    ``discount`` subtracts separator chars (1 for "w1 w2" bigrams).
+    Empty array → 0."""
+    m = F.size(starts)
+    ext = F.concat(starts, F.array((F.size(srt) + 1).cast("int")))
+    counts = F.zip_with(
+        F.slice(ext, 2, m), F.slice(ext, 1, m), lambda nxt, cur: nxt - cur)
+    lens = F.transform(
+        starts, lambda s: F.length(F.element_at(srt, s)) - F.lit(discount))
+    return F.when(
+        m >= 1,
+        F.array_max(F.zip_with(counts, lens, lambda c, l: c * l)),
+    ).otherwise(F.lit(0))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_dup_token_frac: float = 0.6,
+                     max_top_token_frac: float = 0.13,
+                     max_top_2gram_frac: float = 0.11) -> DataFrame:
+    """Gopher-style repetition quality metrics, entirely per-row.
+
+    The Gopher/RefinedWeb repetition rules (duplicate-line fraction,
+    characters in the most frequent n-gram) drop boilerplate-heavy docs.
+    Our corpus is single-line, so the signals are token-level:
+
+    - ``dup_token_frac``   — 1 − distinct/total tokens;
+    - ``top_token_frac``   — char mass of the most frequent token ÷ total
+      token chars (occurrences × token length);
+    - ``top_2gram_frac``   — same for word bigrams (joining space
+      discounted);
+    - ``repetition_ok``    — all three under their thresholds.
+
+    Scale: every metric is a codegen'd expression over the row's own token
+    array (sort + run-length, `_top_run_chars`) — the operator is a pure
+    Project, no explode, no groupBy, no shuffle; 100 TB runs at scan speed.
+    Each array stage is a separate Project so CollapseProject cannot
+    re-inline the split into downstream lambdas (the `shingles_of` trap).
+    """
+    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    n1 = F.size(F.col("_t")) - 1
+    staged = tok.select(
+        id_col, "_t",
+        F.array_sort("_t").alias("_ts"),
+        F.when(
+            n1 >= 1,
+            F.array_sort(F.transform(
+                F.sequence(F.lit(1), n1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("_t"), i),
+                    F.element_at(F.col("_t"), i + 1)),
+            )),
+        ).otherwise(F.array().cast("array<string>")).alias("_bs"),
+    )
+    # run starts staged as real columns: `_top_run_chars` slices them per
+    # row; inlining them into its lambdas would re-run the O(n) filter per
+    # array element (the quadratic HOF trap — measured 13 s for 5k docs)
+    runs = staged.select(
+        id_col, "_t", "_ts", "_bs",
+        _run_starts(F.col("_ts")).alias("_rt"),
+        _run_starts(F.col("_bs")).alias("_rb"),
+    )
+    n_tok = F.size(F.col("_t"))
+    tot_chars = F.aggregate(
+        F.col("_t"), F.lit(0), lambda acc, x: acc + F.length(x))
+    dup_frac = (
+        (n_tok - F.size(F.array_distinct(F.col("_t")))).cast("double")
+        / F.greatest(n_tok, F.lit(1)).cast("double"))
+    # clamp at 1.0: overlapping bigram occurrences can cover more chars
+    # than the doc holds ("a a a a" → 3×"a a")
+    top_tok = F.least(
+        F.lit(1.0),
+        _top_run_chars(F.col("_ts"), F.col("_rt"), 0).cast("double")
+        / F.greatest(tot_chars, F.lit(1)).cast("double"))
+    top_2g = F.least(
+        F.lit(1.0),
+        _top_run_chars(F.col("_bs"), F.col("_rb"), 1).cast("double")
+        / F.greatest(tot_chars, F.lit(1)).cast("double"))
+    out = runs.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        top_tok.alias("top_token_frac"),
+        top_2g.alias("top_2gram_frac"),
+    )
+    return out.withColumn(
+        "repetition_ok",
+        (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_token_frac") <= max_top_token_frac)
+        & (F.col("top_2gram_frac") <= max_top_2gram_frac),
+    )
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 retrieval: top-``k`` docs for a bag-of-words query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene/Okapi+ form —
+    always positive).
+
+    Scale design: term frequencies come from a per-row ``filter`` of the
+    token array to the (tiny, literal) query vocabulary BEFORE any
+    explode — the exploded frame is O(matches), not O(corpus tokens).
+    Document length and corpus stats (N, avgdl, df per term) are one
+    partial-agg pass each; the stats frames are scalars/``|terms|`` rows
+    and broadcast onto the matches. One groupBy(doc) shuffle of the
+    match frame closes the score. Per-term contributions are quantized
+    (DECIMAL 28,6) before the final sum so the result is identical across
+    summation orders and engines (`operators/zoom.py:exact_sum`
+    discipline). Ties break by doc_id for a deterministic top-k.
+    """
+    terms = sorted(set(query_terms))
+    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    base = tok.select(
+        id_col,
+        F.size("_t").alias("dl"),
+        F.filter("_t", lambda t: t.isin(*terms)).alias("_q"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("tot_dl"),
+    )
+    hits = base.where(F.size("_q") > 0)
+    tf = (
+        hits.select(id_col, "dl", F.explode("_q").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl").cast("double") / avgdl)))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum(contrib.cast("decimal(28,6)")).cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set. Robust to token reordering/duplication; engine-portable.

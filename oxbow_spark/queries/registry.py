@@ -663,6 +663,109 @@ FROM s
 """
 
 
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _repetition_sql() -> str:
+    # run-length over the sorted list, the exact mirror of
+    # text._top_run_chars: starts = positions opening a run; ext appends the
+    # n+1 sentinel; top = max over runs of count × (len − discount).
+    # (ts[i-1] at i=1 indexes 0 → NULL; TRUE OR NULL = TRUE keeps row 1.)
+    def top(col: str, discount: str) -> str:
+        return (
+            f"CASE WHEN len({col}) >= 1 THEN list_max(list_transform("
+            f"generate_series(1, len(s_{col})), j -> (e_{col}[j+1] - e_{col}[j])"
+            f" * (length({col}[e_{col}[j]]) - {discount}))) ELSE 0 END"
+        )
+
+    return rf"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+st AS (
+  SELECT doc_id, t, list_sort(t) AS ts,
+         CASE WHEN len(t) >= 2
+              THEN list_sort(list_transform(generate_series(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1]))
+              ELSE [] END AS bs
+  FROM tok
+),
+runs AS (
+  SELECT *,
+    list_filter(generate_series(1, len(ts)), i -> i = 1 OR ts[i] != ts[i-1]) AS s_ts,
+    list_filter(generate_series(1, len(bs)), i -> i = 1 OR bs[i] != bs[i-1]) AS s_bs
+  FROM st
+),
+ext AS (
+  SELECT *, list_append(s_ts, len(ts) + 1) AS e_ts,
+            list_append(s_bs, len(bs) + 1) AS e_bs
+  FROM runs
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         list_sum(list_transform(t, x -> length(x))) AS tot_chars,
+         (len(t) - len(list_distinct(t)))::DOUBLE
+           / GREATEST(len(t), 1)::DOUBLE AS dup_token_frac,
+         {top('ts', '0')} AS top_tok_chars,
+         {top('bs', '1')} AS top_2g_chars
+  FROM ext
+)
+SELECT doc_id, n_tokens, dup_token_frac,
+       LEAST(1.0, top_tok_chars::DOUBLE / GREATEST(tot_chars, 1)::DOUBLE) AS top_token_frac,
+       LEAST(1.0, top_2g_chars::DOUBLE / GREATEST(tot_chars, 1)::DOUBLE) AS top_2gram_frac,
+       (dup_token_frac <= 0.6
+        AND LEAST(1.0, top_tok_chars::DOUBLE / GREATEST(tot_chars, 1)::DOUBLE) <= 0.13
+        AND LEAST(1.0, top_2g_chars::DOUBLE / GREATEST(tot_chars, 1)::DOUBLE) <= 0.11)
+         AS repetition_ok
+FROM m
+"""
+
+
+_BM25_TERMS = ["query", "spark", "table"]
+_BM25_K = 10
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_topk(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return rf"""
+WITH base AS (
+  SELECT doc_id, len(t) AS dl, list_filter(t, x -> x IN ({terms})) AS q
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM base),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(q) AS term FROM base WHERE len(q) > 0)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * (tf.tf * ({k1} + 1))
+         / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl::DOUBLE
+                            / (stats.tot_dl::DOUBLE / stats.n_docs::DOUBLE)))
+           AS c
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS score
+FROM contrib
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
 _TOPK_K = 5
 _N_QUERIES = 5
 
@@ -1580,6 +1683,8 @@ QUERIES: list[Query] = [
     Query("fingerprint_docs", fingerprint_docs, FINGERPRINT_SQL),
     Query("bpe_token_count_docs", bpe_token_count_docs, BPE_SQL),
     Query("scrub_docs", scrub_docs, SCRUB_SQL),
+    Query("repetition_docs", repetition_docs, _repetition_sql(), bench=True),
+    Query("bm25_topk_docs", bm25_topk_docs, _bm25_sql(), bench=True),
     Query("sim_topk_cosine", sim_topk_cosine, _topk_sql(), bench=True),
     Query("sim_topk_lsh", sim_topk_lsh, _topk_lsh_sql(), bench=True),
     Query("sim_topk_lsh_mp", sim_topk_lsh_mp, _topk_lsh_mp_sql()),
