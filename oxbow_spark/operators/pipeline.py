@@ -130,6 +130,46 @@ def hash_split(
     return df.select(F.col(id_col), expr.alias("split"))
 
 
+def resample_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: keep each row of domain
+    ``key_col = d`` with probability ``rates[d]`` (domains not listed keep
+    ``default_rate``). The acceptance test is the `hash_split` unit value
+    — first 8 md5 hex digits of (salt ‖ id) scaled to [0, 1) — compared
+    to the domain's rate, so the decision is a pure per-row function:
+    no shuffle, no RNG state, stable across runs/partitionings/appends,
+    and independent of `hash_split`'s salt (different salt → different
+    hash stream; a doc's split and its mixture fate are uncorrelated).
+
+    This is the domain-balancing pass of a training-data pipeline
+    (up-weighting curated sources / down-weighting crawl) expressed as a
+    Catalyst filter: at 100 TB it runs at scan speed and composes with
+    pushdown. For rates > 1 (true up-sampling with repetition) use
+    ``explode(sequence(...))`` on ceil(rate) copies + this filter on the
+    fractional remainder; this operator intentionally only thins."""
+    for d, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {d!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double") / F.lit(float(1 << 32))
+    )
+    rate = None
+    for d, r in sorted(rates.items()):
+        cond = F.col(key_col) == d
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(default_rate)
+    return df.where(u < rate)
+
+
 def sequence_pack(
     counted: DataFrame,
     capacity: int,

@@ -1144,6 +1144,36 @@ FROM u
 """
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_DEFAULT = 0.75
+_MIX_SALT = "mix"
+
+
+def resample_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oxbow_spark.operators import pipeline
+
+    return pipeline.resample_mixture(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        _MIX_RATES, salt=_MIX_SALT, default_rate=_MIX_DEFAULT,
+    )
+
+
+def _resample_sql() -> str:
+    arms = " ".join(
+        f"WHEN source = '{d}' THEN {r!r}" for d, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / {float(1 << 32)!r} AS u
+  FROM documents
+)
+WHERE u < CASE {arms} ELSE {_MIX_DEFAULT!r} END
+"""
+
+
 _PACK_CAPACITY = 512
 _PACK_SHARDS = 8
 
@@ -1692,6 +1722,7 @@ QUERIES: list[Query] = [
     Query("dedup_embedding_cosine", dedup_embedding_cosine, _embcos_sql()),
     Query("dedup_cluster_docs", dedup_cluster_docs, DEDUP_CLUSTER_SQL),
     Query("hash_split_docs", hash_split_docs, _hash_split_sql()),
+    Query("resample_mixture_docs", resample_mixture_docs, _resample_sql()),
     Query("quality_bins_docs", quality_bins_docs, QUALITY_BINS_SQL),
     Query("quality_bins_quantile_docs", quality_bins_quantile_docs,
           _quality_quantile_sql),

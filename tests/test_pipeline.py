@@ -192,3 +192,45 @@ def test_threshold_bins_ties_one_bin(spark):
     # binning: 2.0 beats two of them → bin 2; 1.0 beats none → bin 4.
     # Heavy ties legitimately leave bins empty — the mass can't split.
     assert by_score[2.0] == {2} and by_score[1.0] == {4}
+
+
+def test_resample_mixture_deterministic_and_rates(spark):
+    rows = [(i, f"src{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"src0": 1.0, "src1": 0.5, "src3": 0.0}
+    out = pipeline.resample_mixture(df, rates, default_rate=0.25)
+    got = {r.doc_id for r in out.collect()}
+    # identical on a second run and under a different partitioning
+    again = {r.doc_id for r in
+             pipeline.resample_mixture(df.repartition(7), rates,
+                                       default_rate=0.25).collect()}
+    assert got == again
+    by_src = {s: sum(1 for i in got if i % 4 == int(s[-1])) for s in
+              ("src0", "src1", "src2", "src3")}
+    assert by_src["src0"] == 500          # rate 1.0 keeps everything
+    assert by_src["src3"] == 0            # rate 0.0 drops everything
+    assert 180 <= by_src["src1"] <= 320   # ~0.5 of 500
+    assert 80 <= by_src["src2"] <= 170    # default 0.25 of 500
+
+
+def test_resample_mixture_salt_independent_of_split(spark):
+    # the mixture hash stream must not correlate with hash_split's:
+    # surviving docs keep ~the split fractions
+    rows = [(i, "web") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = pipeline.resample_mixture(df, {"web": 0.5}, salt="mix")
+    splits = pipeline.hash_split(kept, {"train": 0.8, "val": 0.1, "test": 0.1})
+    frac = {r.split: 0 for r in splits.collect()}
+    for r in splits.collect():
+        frac[r.split] += 1
+    n = sum(frac.values())
+    assert 0.75 <= frac["train"] / n <= 0.85
+
+
+def test_resample_mixture_rejects_bad_rates(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pipeline.resample_mixture(df, {"a": 1.5})
+    with _pt.raises(ValueError):
+        pipeline.resample_mixture(df, {}, default_rate=-0.1)
