@@ -42,7 +42,12 @@ from oxbow_spark.models.sam_header import (
     TagDef,
     tags_struct,
 )
-from oxbow_spark.sources.base import DEFAULT_BATCH_SIZE, resolve_paths, select_fields
+from oxbow_spark.sources.base import (
+    DEFAULT_BATCH_SIZE,
+    GenomicStreamMixin,
+    resolve_paths,
+    select_fields,
+)
 from oxbow_spark.sources.bgzf import (
 
     BaiIndex,
@@ -584,7 +589,7 @@ class PushdownBamReader(BamReader):
         return filters
 
 
-class BamDataSource(DataSource):
+class BamDataSource(GenomicStreamMixin, DataSource):
     NATIVE_CS = "11"
 
     @classmethod

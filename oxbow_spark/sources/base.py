@@ -92,6 +92,20 @@ class Codec:
         return None
 
 
+class GenomicStreamMixin:
+    """Adds Structured Streaming support to a batch genomic DataSource:
+    ``spark.readStream.format(<name>).load(<glob>)`` turns new files
+    matching the glob into micro-batch input (see
+    `oxbow_spark/streaming/source.py` for offset/planning semantics).
+    The glob should match the data files only (e.g. ``/runs/*.bam``) so
+    index sidecars don't enter the stream."""
+
+    def streamReader(self, schema):
+        from oxbow_spark.streaming.source import GenomicFileStreamReader
+
+        return GenomicFileStreamReader(type(self), self.options, schema)
+
+
 class LinePartition(InputPartition):
     def __init__(self, path: str, start: int = -1, end: int = -1, vpos: bool = False):
         self.path = path
@@ -406,7 +420,7 @@ class PushdownTextFormatReader(TextFormatReader):
         return filters
 
 
-class TextFormatSource(DataSource):
+class TextFormatSource(GenomicStreamMixin, DataSource):
     """Base DataSource; subclasses implement ``_codec()`` and ``name()``."""
 
     def __init__(self, options: dict):

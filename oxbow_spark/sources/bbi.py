@@ -34,7 +34,7 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.pandas.types import to_arrow_schema
 
 from oxbow_spark import coords as _coords
-from oxbow_spark.sources.base import resolve_paths, select_fields
+from oxbow_spark.sources.base import GenomicStreamMixin, resolve_paths, select_fields
 
 from oxbow_spark.sources import fsio
 
@@ -553,7 +553,7 @@ class PushdownBbiReader(BbiReader):
         return filters
 
 
-class _BbiSource(DataSource):
+class _BbiSource(GenomicStreamMixin, DataSource):
     NATIVE_CS = "01"
     KIND = "wig"
 

@@ -48,7 +48,12 @@ from oxbow_spark.models.sam_header import (
     TagDef,
     tags_struct,
 )
-from oxbow_spark.sources.base import DEFAULT_BATCH_SIZE, resolve_paths, select_fields
+from oxbow_spark.sources.base import (
+    DEFAULT_BATCH_SIZE,
+    GenomicStreamMixin,
+    resolve_paths,
+    select_fields,
+)
 from oxbow_spark.sources.pushdown import region_from_filters
 from oxbow_spark.sources.sequence import faidx_fetch, read_fai
 
@@ -1688,7 +1693,7 @@ _TAG_CODE = {"c": "i", "C": "i", "s": "i", "S": "i", "i": "i", "I": "i",
              "f": "f", "A": "A", "Z": "Z", "H": "H"}
 
 
-class CramDataSource(DataSource):
+class CramDataSource(GenomicStreamMixin, DataSource):
     NATIVE_CS = "11"
 
     @classmethod

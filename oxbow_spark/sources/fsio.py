@@ -167,6 +167,20 @@ def getsize(path: str) -> int:
     return int(fs.info(p)["size"])
 
 
+def getmtime(path: str) -> float:
+    """Modification time (epoch seconds); remote filesystems report what
+    their metadata carries (fsspec ``mtime``/``LastModified``)."""
+    path = strip_local_scheme(path)
+    if not is_remote(path):
+        return os.path.getmtime(path)
+    fs, p = _fs_of(path)
+    info = fs.info(p)
+    m = info.get("mtime") or info.get("LastModified")
+    if m is None:
+        return 0.0
+    return m.timestamp() if hasattr(m, "timestamp") else float(m)
+
+
 def exists(path: str) -> bool:
     if path.startswith(_PY_SCHEME):
         return path.removeprefix(_PY_SCHEME) in _PY_OPENERS

@@ -28,6 +28,7 @@ from pyspark.sql.pandas.types import to_arrow_schema
 from oxbow_spark import coords as _coords
 from oxbow_spark.sources.base import (
     DEFAULT_BATCH_SIZE,
+    GenomicStreamMixin,
     open_text,
     resolve_paths,
     select_fields,
@@ -222,7 +223,7 @@ class FastaReader(DataSourceReader):
             yield self._emit(rows)
 
 
-class FastaDataSource(DataSource):
+class FastaDataSource(GenomicStreamMixin, DataSource):
     @classmethod
     def name(cls) -> str:
         return "fasta"
@@ -392,7 +393,7 @@ class FastqReader(DataSourceReader):
         return pa.RecordBatch.from_arrays(arrays, schema=self._arrow_schema)
 
 
-class FastqDataSource(DataSource):
+class FastqDataSource(GenomicStreamMixin, DataSource):
     @classmethod
     def name(cls) -> str:
         return "fastq"

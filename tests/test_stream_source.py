@@ -1,0 +1,142 @@
+"""Streaming genomic file ingestion (`oxbow_spark/streaming/source.py`).
+
+Beyond the reference (batch-only): every genomic DataSource doubles as a
+Structured Streaming source; new files matching the load glob become
+micro-batch input, planned by the same batch reader partitions.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+FX = "/root/reference/fixtures/"
+
+
+@pytest.fixture(scope="module")
+def gspark(spark):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    return spark
+
+
+def _run_available(gspark, src_glob, fmt, out_dir, ckpt):
+    q = (
+        gspark.readStream.format(fmt).load(src_glob)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_bam_stream_ingests_files_incrementally(gspark, tmp_path):
+    d = tmp_path / "runs"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    d.mkdir()
+    shutil.copy(FX + "sample.bam", d / "run001.bam")
+    shutil.copy(FX + "sample.bam.bai", d / "run001.bam.bai")
+    glob = str(d / "*.bam")
+
+    batch_rows = gspark.read.format("bam").load(str(d / "run001.bam")).count()
+    _run_available(gspark, glob, "bam", out, ckpt)
+    got = gspark.read.parquet(out)
+    assert got.count() == batch_rows == 10
+    # streamed rows decode identically to the batch scan
+    assert (
+        sorted(r.qname for r in got.select("qname").collect())
+        == sorted(r.qname for r in gspark.read.format("bam")
+                  .load(str(d / "run001.bam")).select("qname").collect())
+    )
+
+    # a new file lands; restart from the checkpoint → only the new file
+    shutil.copy(FX + "sample.bam", d / "run002.bam")
+    _run_available(gspark, glob, "bam", out, ckpt)
+    assert gspark.read.parquet(out).count() == 2 * batch_rows
+
+    # nothing new → no duplicate re-ingestion
+    _run_available(gspark, glob, "bam", out, ckpt)
+    assert gspark.read.parquet(out).count() == 2 * batch_rows
+
+
+def test_vcf_stream_with_options(gspark, tmp_path):
+    d = tmp_path / "vcfs"
+    d.mkdir()
+    shutil.copy(FX + "sample.vcf", d / "a.vcf")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        gspark.readStream.format("vcf")
+        .option("fields", "chrom,pos,id")
+        .option("info_fields", "")          # "" → drop the family entirely
+        .option("genotype_fields", "")
+        .load(str(d / "*.vcf"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = gspark.read.parquet(out)
+    assert got.columns == ["chrom", "pos", "id"]
+    assert got.count() == 25
+
+
+def test_stream_reader_offsets_and_planning(tmp_path):
+    # driver-side unit semantics without a running query
+    from oxbow_spark.sources.bam import BamDataSource
+    from oxbow_spark.streaming.source import GenomicFileStreamReader
+
+    d = tmp_path / "runs"
+    d.mkdir()
+    shutil.copy(FX + "sample.bam", d / "run001.bam")
+    opts = {"path": str(d / "*.bam")}
+    ds = BamDataSource(dict(opts))
+    r = GenomicFileStreamReader(BamDataSource, opts, ds.schema())
+    assert r.initialOffset() == {"wm": ""}
+    o1 = r.latestOffset()
+    assert o1 == {"wm": "run001.bam"}
+    parts = r.partitions(r.initialOffset(), o1)
+    assert parts and all(p.path.endswith("run001.bam") for p in parts)
+    # no new files → empty micro-batch plan
+    assert r.partitions(o1, r.latestOffset()) == []
+    # second file: only the delta is planned
+    shutil.copy(FX + "sample.bam", d / "run002.bam")
+    o2 = r.latestOffset()
+    assert o2 == {"wm": "run002.bam"}
+    delta = r.partitions(o1, o2)
+    assert delta and all(p.path.endswith("run002.bam") for p in delta)
+    # executor-side read of a planned partition yields the file's rows
+    rows = sum(b.num_rows for b in r.read(delta[0]))
+    assert rows > 0
+    # watermark never regresses even if files vanish
+    (d / "run002.bam").unlink()
+    assert r.latestOffset() == {"wm": "run002.bam"}
+
+
+def test_stream_order_mtime(tmp_path):
+    from oxbow_spark.sources.bam import BamDataSource
+    from oxbow_spark.streaming.source import GenomicFileStreamReader, _file_key
+
+    d = tmp_path / "runs"
+    d.mkdir()
+    shutil.copy(FX + "sample.bam", d / "zzz.bam")
+    opts = {"path": str(d / "*.bam"), "stream_order": "mtime"}
+    ds = BamDataSource({"path": str(d / "*.bam")})
+    r = GenomicFileStreamReader(BamDataSource, opts, ds.schema())
+    o1 = r.latestOffset()
+    # an "older-named" file arriving later still advances the watermark
+    import time
+
+    time.sleep(0.01)
+    shutil.copy(FX + "sample.bam", d / "aaa.bam")
+    o2 = r.latestOffset()
+    assert o2["wm"] > o1["wm"]
+    delta = r.partitions(o1, o2)
+    assert delta and all(p.path.endswith("aaa.bam") for p in delta)
+    with pytest.raises(ValueError):
+        GenomicFileStreamReader(
+            BamDataSource, {"path": str(d), "stream_order": "bogus"}, None)
