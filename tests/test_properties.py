@@ -114,3 +114,85 @@ def test_phred_roundtrip_random_batch(spark):
     )
     for r in df.collect():
         assert list(r.rt) == list(r.scores)
+
+
+def test_repetition_metrics_random_batch(spark):
+    """repetition_stats ≡ a pure-Python reference on seeded random docs
+    (one collect for the whole batch)."""
+    from collections import Counter
+
+    from oxbow_spark.operators.text import repetition_stats
+
+    rng = random.Random(77)
+    vocab = ["a", "bb", "ccc", "dd", "e", "ffff", "g"]
+    docs = []
+    for i in range(200):
+        n = rng.randint(1, 40)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, text in docs:
+        t = text.split(" ")
+        tot = sum(len(x) for x in t)
+        top_tok = max(c * len(w) for w, c in Counter(t).items())
+        bg = [" ".join(p) for p in zip(t, t[1:])]
+        top_2g = max(
+            (c * (len(g) - 1) for g, c in Counter(bg).items()), default=0)
+        r = got[i]
+        assert r["n_tokens"] == len(t)
+        assert abs(r["dup_token_frac"] - (len(t) - len(set(t))) / len(t)) < 1e-12
+        assert abs(r["top_token_frac"] - min(1.0, top_tok / max(tot, 1))) < 1e-12
+        assert abs(r["top_2gram_frac"] - min(1.0, top_2g / max(tot, 1))) < 1e-12
+
+
+def test_resample_mixture_monotone_in_rate(spark):
+    """The kept set at rate r1 is a subset of the kept set at r2 >= r1
+    (same hash stream, threshold comparison) — retuning a domain's rate
+    only adds/removes the marginal docs, never reshuffles."""
+    from oxbow_spark.operators.pipeline import resample_mixture
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(1000)], "doc_id long, source string")
+    kept = {}
+    for r in (0.2, 0.5, 0.8):
+        kept[r] = {x.doc_id for x in
+                   resample_mixture(df, {"web": r}).collect()}
+    assert kept[0.2] <= kept[0.5] <= kept[0.8]
+    assert len(kept[0.2]) < len(kept[0.5]) < len(kept[0.8])
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_topk ≡ a straightforward Python Okapi+ implementation on a
+    seeded random corpus (scores compared to the operator's 1e-6
+    decimal quantization)."""
+    import math as _m
+
+    from oxbow_spark.operators.text import bm25_topk
+
+    rng = random.Random(5)
+    vocab = ["apple", "banana", "cherry", "date", "elder", "fig"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+            for i in range(60)]
+    terms, k1, b = ["apple", "cherry"], 1.2, 0.75
+    dls = {i: len(t.split()) for i, t in docs}
+    n, avgdl = len(docs), sum(dls.values()) / len(docs)
+    dfreq = {q: sum(1 for _, t in docs if q in t.split()) for q in terms}
+    expect = {}
+    for i, t in docs:
+        toks = t.split()
+        s = 0.0
+        for q in terms:
+            tf = toks.count(q)
+            if not tf:
+                continue
+            idf = _m.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+            c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+            s += _m.floor(c * 10**6 + 0.5) / 10**6  # decimal(28,6) quantize
+        if s:
+            expect[i] = s
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = [(r.doc_id, r.score) for r in bm25_topk(df, terms, k=10).collect()]
+    assert [i for i, _ in got] == [i for i, _ in top]
+    for (gi, gs), (ei, es) in zip(got, top):
+        assert abs(gs - es) < 1e-6, (gi, gs, es)
