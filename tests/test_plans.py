@@ -99,3 +99,33 @@ def test_salted_join_shuffles_on_salted_key(spark, sf):
     plan = _plan(R.salted_join_lineitem(spark, sf))
     assert "_salt" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_stats_no_big_shuffle_joins(spark, sf):
+    """BM25's corpus stats (1 row) and per-term df (|terms| rows) must
+    broadcast onto the match frame; the match frame never sort-merge
+    joins. (The single-row stats crossJoin legitimately plans as a
+    broadcast nested loop — that is the broadcast, not a cartesian over
+    data.)"""
+    plan = _plan(R.bm25_topk_docs(spark, sf))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Broadcast") >= 2, plan
+
+
+def test_repetition_is_pure_project(spark, sf):
+    """Repetition metrics must stay shuffle-free end-to-end over the real
+    documents table — one scan, Projects only."""
+    plan = _plan(R.repetition_docs(spark, sf))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_resample_mixture_is_pushdown_friendly_filter(spark, sf):
+    """Mixture resampling is a plain Filter over the scan — no shuffle,
+    no join, and column pruning still reaches the parquet read."""
+    df = R.resample_mixture_docs(spark, sf)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    opt = _opt(df)
+    assert "Filter" in opt, opt
