@@ -1,0 +1,258 @@
+"""Alignment writers: ``df.write.format("sam"/"bam")``.
+
+Beyond the reference (which has no writers): the alignment sources are
+also Spark DataSource *writers*, closing the loop for subset/transform
+pipelines — read a BAM, filter/mark/annotate with DataFrame ops, write
+standard SAM/BAM back out for htslib-world tools.
+
+Distributed layout (the Spark file-sink contract): each task writes one
+self-contained part file into the target directory — a complete SAM
+(header + records) or BAM (BGZF: header block + record blocks + EOF
+marker). Part files are independently valid, so downstream tools can
+consume them directly or `samtools cat` them; a 1-partition DataFrame
+yields a single conventional file. Rows use this repo's scan conventions
+(null ⇄ ``*``/0/255 missing-value mapping, ``rnext`` resolved, 1-based
+``pos``), so read → write round-trips are lossless for the standard
+columns.
+
+The SAM header comes from the ``header`` option (literal text). BAM
+additionally derives its reference dictionary (name → id, lengths) from
+the header's @SQ lines — required when any record is mapped.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+import uuid
+import zlib
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+from oxbow_spark.models.sam_header import SamHeader
+
+# one BGZF block holds at most 64 KiB of compressed payload; cap the
+# uncompressed input per block the way htslib does
+_BGZF_INPUT = 0xFF00
+# fixed 28-byte BGZF EOF marker (SAM spec §4.1.2)
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+SEQ_CODES = "=ACMGRSVTWYHKDBN"
+_SEQ_NIBBLE = {c: i for i, c in enumerate(SEQ_CODES)}
+_CIGAR_OPS = "MIDNSHP=X"
+_CIGAR_CODE = {c: i for i, c in enumerate(_CIGAR_OPS)}
+_CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+
+
+def bgzf_block(data: bytes) -> bytes:
+    """One BGZF block: gzip member with the BC extra subfield carrying
+    BSIZE (total block length − 1)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = co.compress(data) + co.flush()
+    bsize = len(comp) + 25 + 1  # header(12) + extra(6) + comp + crc+isize(8)
+    head = (
+        b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+        + struct.pack("<H", 6)            # XLEN
+        + b"BC" + struct.pack("<HH", 2, bsize - 1)
+    )
+    return head + comp + struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF,
+                                     len(data) & 0xFFFFFFFF)
+
+
+def bgzf_compress(data: bytes) -> bytes:
+    """Whole payload → BGZF block stream (no EOF marker appended)."""
+    out = []
+    for off in range(0, len(data), _BGZF_INPUT):
+        out.append(bgzf_block(data[off:off + _BGZF_INPUT]))
+    return b"".join(out)
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """BAI bin for a 0-based half-open interval (SAM spec §5.3)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _get(d: dict, k: str, default=None):
+    v = d.get(k)
+    return default if v is None else v
+
+
+def sam_line(d: dict) -> str:
+    """Row dict (scan conventions) → one SAM text line."""
+    rname = d.get("rname")
+    rnext = d.get("rnext")
+    if rnext is None:
+        rn6 = "*"
+    elif rname is not None and rnext == rname:
+        rn6 = "="
+    else:
+        rn6 = rnext
+    return "\t".join((
+        str(_get(d, "qname", "*")),
+        str(_get(d, "flag", 4)),
+        rname if rname is not None else "*",
+        str(_get(d, "pos", 0)),
+        str(_get(d, "mapq", 255)),
+        str(_get(d, "cigar", "*")),
+        rn6,
+        str(_get(d, "pnext", 0)),
+        str(_get(d, "tlen", 0)),
+        str(_get(d, "seq", "*")),
+        str(_get(d, "qual", "*")),
+    ))
+
+
+def encode_bam_record(d: dict, ref_ids: dict[str, int]) -> bytes:
+    """Row dict → one framed BAM record (block_size prefix included)."""
+    qname = _get(d, "qname", "*")
+    flag = int(_get(d, "flag", 4))
+    rname = d.get("rname")
+    pos1 = d.get("pos")
+    mapq = int(_get(d, "mapq", 255))
+    cigar = d.get("cigar")
+    rnext = d.get("rnext")
+    pnext1 = d.get("pnext")
+    tlen = int(_get(d, "tlen", 0))
+    seq = d.get("seq")
+    qual = d.get("qual")
+
+    if rname is not None and rname not in ref_ids:
+        raise ValueError(
+            f"rname {rname!r} not in the writer header's @SQ lines — pass a "
+            "header option whose @SQ dictionary covers every mapped record")
+    ref_id = ref_ids[rname] if rname is not None else -1
+    pos0 = (pos1 - 1) if pos1 else -1
+    next_id = ref_ids.get(rnext, -1) if rnext is not None else -1
+    next_pos0 = (pnext1 - 1) if pnext1 else -1
+
+    ops = _CIGAR_RE.findall(cigar) if cigar else []
+    reflen = sum(int(n) for n, c in ops if c in "MDN=X")
+    bin_ = reg2bin(pos0, pos0 + max(reflen, 1)) if pos0 >= 0 else 4680
+    l_seq = len(seq) if seq else 0
+
+    name_b = (qname if qname is not None else "*").encode("ascii") + b"\x00"
+    cig_b = b"".join(
+        struct.pack("<I", (int(n) << 4) | _CIGAR_CODE[c]) for n, c in ops)
+    seq_b = bytearray((l_seq + 1) // 2)
+    if seq:
+        for i, ch in enumerate(seq):
+            nib = _SEQ_NIBBLE.get(ch.upper(), 15)  # unknown → N
+            seq_b[i // 2] |= nib << (4 if i % 2 == 0 else 0)
+    qual_b = (bytes(min(ord(c) - 33, 93) for c in qual) if qual
+              else b"\xff" * l_seq)
+
+    body = struct.pack(
+        "<iiBBHHHiiii", ref_id, pos0, len(name_b), mapq, bin_, len(ops),
+        flag, l_seq, next_id, next_pos0, tlen,
+    ) + name_b + cig_b + bytes(seq_b) + qual_b
+    return struct.pack("<I", len(body)) + body
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+def _prepare_dir(path: str, overwrite: bool, suffix: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    if overwrite:
+        for f in os.listdir(path):
+            if f.endswith(suffix):
+                os.remove(os.path.join(path, f))
+
+
+class _AlignmentWriter(DataSourceWriter):
+    SUFFIX = ""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("writer needs a target path")
+        self.header_text = options.get("header") or "@HD\tVN:1.6"
+        _prepare_dir(self.path, overwrite, self.SUFFIX)
+
+    def _part_path(self) -> str:
+        return os.path.join(
+            self.path, f"part-{uuid.uuid4().hex[:12]}{self.SUFFIX}")
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class SamWriter(_AlignmentWriter):
+    SUFFIX = ".sam"
+
+    def write(self, iterator: Iterator) -> _PartFile:
+        out = self._part_path()
+        n = 0
+        with open(out, "w", encoding="ascii", newline="\n") as f:
+            for line in self.header_text.splitlines():
+                if line.strip():
+                    f.write(line.rstrip("\n") + "\n")
+            for row in iterator:
+                f.write(sam_line(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(out, n)
+
+
+class BamWriter(_AlignmentWriter):
+    SUFFIX = ".bam"
+
+    def __init__(self, options: dict, overwrite: bool):
+        super().__init__(options, overwrite)
+        hdr = SamHeader.parse(self.header_text.splitlines())
+        self.ref_names = hdr.chrom_names
+        self.ref_sizes = hdr.chrom_sizes
+        self.ref_ids = {nm: i for i, nm in enumerate(self.ref_names)}
+
+    def _header_block(self) -> bytes:
+        text = "".join(
+            ln.rstrip("\n") + "\n"
+            for ln in self.header_text.splitlines() if ln.strip())
+        tb = text.encode("ascii")
+        out = [b"BAM\x01", struct.pack("<i", len(tb)), tb,
+               struct.pack("<i", len(self.ref_names))]
+        for nm in self.ref_names:
+            nb = nm.encode("ascii") + b"\x00"
+            out.append(struct.pack("<i", len(nb)))
+            out.append(nb)
+            out.append(struct.pack("<i", self.ref_sizes.get(nm, 0)))
+        return b"".join(out)
+
+    def write(self, iterator: Iterator) -> _PartFile:
+        out = self._part_path()
+        n = 0
+        with open(out, "wb") as f:
+            f.write(bgzf_compress(self._header_block()))
+            buf = bytearray()
+            for row in iterator:
+                buf += encode_bam_record(row.asDict(), self.ref_ids)
+                n += 1
+                if len(buf) >= _BGZF_INPUT * 16:
+                    f.write(bgzf_compress(bytes(buf)))
+                    buf.clear()
+            if buf:
+                f.write(bgzf_compress(bytes(buf)))
+            f.write(BGZF_EOF)
+        return _PartFile(out, n)

@@ -598,7 +598,10 @@ class BamDataSource(GenomicStreamMixin, DataSource):
 
     def __init__(self, options: dict):
         super().__init__(options)
-        self.paths = resolve_paths(options.get("path"))
+        try:
+            self.paths = resolve_paths(options.get("path"))
+        except FileNotFoundError:
+            self.paths = []  # write mode: target needn't exist yet
         self.names = select_fields(STANDARD_FIELD_NAMES, options.get("fields"))
         requested = options.get("coords", self.NATIVE_CS)
         self.coord_offset = _coords.start_offset(self.NATIVE_CS, requested)
@@ -610,6 +613,11 @@ class BamDataSource(GenomicStreamMixin, DataSource):
         if self.tag_defs is not None:
             fields.append(T.StructField("tags", tags_struct(self.tag_defs), True))
         self.spark_schema = T.StructType(fields)
+
+    def writer(self, schema, overwrite: bool):
+        from oxbow_spark.sources.align_write import BamWriter
+
+        return BamWriter(self.options, overwrite)
 
     def header(self) -> SamHeader:
         with BgzfReader(self.paths[0]) as r:

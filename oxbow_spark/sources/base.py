@@ -428,8 +428,20 @@ class TextFormatSource(GenomicStreamMixin, DataSource):
         self.path = options.get("path")
         if not self.path:
             raise ValueError(f"{self.name()} source requires a path")
-        self.paths = resolve_paths(self.path)
+        try:
+            self.paths = resolve_paths(self.path)
+        except FileNotFoundError:
+            # write mode: the target needn't exist yet — schema()/reader()
+            # will re-raise with context if a read is attempted
+            self.paths = []
         self._codec_cache: Codec | None = None
+
+    def _require_paths(self) -> list[str]:
+        if not self.paths:
+            raise FileNotFoundError(
+                f"no files match {self.path!r} (reading requires existing "
+                "input; for writes this path is the target directory)")
+        return self.paths
 
     # -- subclass hooks ----------------------------------------------------
     NATIVE_CS = "11"
@@ -440,6 +452,7 @@ class TextFormatSource(GenomicStreamMixin, DataSource):
     # ---------------------------------------------------------------------
     def codec(self) -> Codec:
         if self._codec_cache is None:
+            self._require_paths()
             c = self._codec()
             requested = self.options.get("coords", self.NATIVE_CS)
             c.coord_offset = _coords.start_offset(self.NATIVE_CS, requested)

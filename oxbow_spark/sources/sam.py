@@ -250,6 +250,11 @@ class SamDataSource(TextFormatSource):
     def name(cls) -> str:
         return "sam"
 
+    def writer(self, schema, overwrite: bool):
+        from oxbow_spark.sources.align_write import SamWriter
+
+        return SamWriter(self.options, overwrite)
+
     def header(self) -> SamHeader:
         lines = []
         with open_text(self.paths[0]) as f:

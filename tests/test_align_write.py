@@ -1,0 +1,129 @@
+"""SAM/BAM writer sinks (`oxbow_spark/sources/align_write.py`).
+
+Beyond the reference (no writers there): `df.write.format("sam"/"bam")`
+emits standard, htslib-consumable part files; round-trips through this
+repo's own readers are lossless for the standard columns.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import zlib
+
+import pytest
+
+FX = "/root/reference/fixtures/"
+
+
+@pytest.fixture(scope="module")
+def gspark(spark):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def bam_header() -> str:
+    from oxbow_spark.sources.bam import BamDataSource
+
+    return "\n".join(BamDataSource({"path": FX + "sample.bam"}).header().lines)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_sam_roundtrip(gspark, tmp_path, bam_header):
+    df = gspark.read.format("bam").load(FX + "sample.bam")
+    out = str(tmp_path / "sam")
+    (df.coalesce(1).write.format("sam")
+       .option("header", bam_header).mode("overwrite").save(out))
+    parts = glob.glob(out + "/*.sam")
+    assert len(parts) == 1
+    with open(parts[0]) as f:
+        first = f.readline()
+    assert first.startswith("@HD")
+    back = gspark.read.format("sam").load(out + "/*.sam")
+    assert _rows(back) == _rows(df)
+
+
+def test_bam_roundtrip_and_standard_bgzf(gspark, tmp_path, bam_header):
+    df = gspark.read.format("bam").load(FX + "sample.bam")
+    out = str(tmp_path / "bam")
+    (df.coalesce(1).write.format("bam")
+       .option("header", bam_header).mode("overwrite").save(out))
+    parts = glob.glob(out + "/*.bam")
+    assert len(parts) == 1
+    # the BGZF stream is plain-gzip readable (any htslib-world consumer)
+    assert gzip.open(parts[0], "rb").read(4) == b"BAM\x01"
+    back = gspark.read.format("bam").load(out + "/*.bam")
+    assert _rows(back) == _rows(df)
+
+
+def test_distributed_parts_and_overwrite(gspark, tmp_path, bam_header):
+    df = gspark.read.format("bam").load(FX + "sample.bam").repartition(3)
+    out = str(tmp_path / "parts")
+    (df.write.format("bam").option("header", bam_header)
+       .mode("overwrite").save(out))
+    first = set(glob.glob(out + "/*.bam"))
+    assert len(first) == 3  # one self-contained file per task
+    back = gspark.read.format("bam").load(out + "/*.bam")
+    assert back.count() == 10
+    # overwrite replaces prior parts instead of accumulating
+    (df.coalesce(1).write.format("bam").option("header", bam_header)
+       .mode("overwrite").save(out))
+    second = set(glob.glob(out + "/*.bam"))
+    assert len(second) == 1 and not (first & second)
+
+
+def test_unmapped_and_missing_values_roundtrip(gspark, tmp_path, bam_header):
+    rows = [
+        ("r1", 4, None, None, None, None, None, None, 0, "ACGT", None, None),
+        ("r2", 0, "chr1", 5, 30, "4M", "chr1", 9, 42, "ACGT", "IIII", 8),
+    ]
+    cols = ("qname flag rname pos mapq cigar rnext pnext tlen seq qual end")
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos int, mapq int, "
+              "cigar string, rnext string, pnext int, tlen int, seq string, "
+              "qual string, end int")
+    for fmt in ("sam", "bam"):
+        out = str(tmp_path / f"mv_{fmt}")
+        (df.coalesce(1).write.format(fmt)
+           .option("header", bam_header).mode("overwrite").save(out))
+        back = gspark.read.format(fmt).load(out + f"/*.{fmt}")
+        assert _rows(back.select(*cols.split())) == _rows(df), fmt
+
+
+def test_bam_write_requires_sq_coverage(gspark, tmp_path):
+    df = gspark.read.format("bam").load(FX + "sample.bam")
+    with pytest.raises(Exception, match="@SQ"):
+        (df.coalesce(1).write.format("bam")
+           .option("header", "@HD\tVN:1.6").mode("overwrite")
+           .save(str(tmp_path / "nohdr")))
+
+
+def test_bgzf_compress_blocks(tmp_path):
+    from oxbow_spark.sources.align_write import BGZF_EOF, bgzf_compress
+    from oxbow_spark.sources.bgzf import BgzfReader
+
+    data = bytes(range(256)) * 1024  # spans multiple 64 KiB blocks
+    path = tmp_path / "x.bgz"
+    path.write_bytes(bgzf_compress(data) + BGZF_EOF)
+    assert gzip.open(path, "rb").read() == data  # standard gzip stream
+    with BgzfReader(str(path)) as r:             # and our BGZF reader
+        assert r.read(len(data)) == data
+    # EOF marker is itself a valid empty gzip member
+    assert zlib.decompress(BGZF_EOF[18:], -15) == b""
+
+
+def test_reg2bin_spec_levels():
+    from oxbow_spark.sources.align_write import reg2bin
+
+    assert reg2bin(0, 1) == 4681          # smallest 16 Kb bin
+    assert reg2bin(0, 1 << 14) == 4681
+    assert reg2bin(0, (1 << 14) + 1) == 585
+    assert reg2bin(1 << 14, (1 << 14) + 1) == 4682
+    assert reg2bin(0, 1 << 29) == 0       # whole-chromosome span
