@@ -122,6 +122,11 @@ class BedDataSource(TextFormatSource):
     def name(cls) -> str:
         return "bed"
 
+    def writer(self, schema, overwrite: bool):
+        from oxbow_spark.sources.writers import BedWriter
+
+        return BedWriter(self.options, overwrite)
+
     def _codec(self) -> BedCodec:
         bs = BedSchema.parse(self.options.get("bed_schema", "bed6"))
         full = bs.to_struct()

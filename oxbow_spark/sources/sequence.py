@@ -230,8 +230,16 @@ class FastaDataSource(GenomicStreamMixin, DataSource):
 
     def __init__(self, options):
         super().__init__(options)
-        self.paths = resolve_paths(options.get("path"))
+        try:
+            self.paths = resolve_paths(options.get("path"))
+        except FileNotFoundError:
+            self.paths = []  # write mode: target needn't exist yet
         self.names = select_fields(FASTA_FIELDS, options.get("fields"))
+
+    def writer(self, schema, overwrite: bool):
+        from oxbow_spark.sources.writers import FastaWriter
+
+        return FastaWriter(self.options, overwrite)
 
     def schema(self):
         return _struct(self.names)
@@ -402,8 +410,16 @@ class FastqDataSource(GenomicStreamMixin, DataSource):
         super().__init__(options)
         if options.get("regions"):
             raise ValueError("FASTQ does not support region queries")
-        self.paths = resolve_paths(options.get("path"))
+        try:
+            self.paths = resolve_paths(options.get("path"))
+        except FileNotFoundError:
+            self.paths = []  # write mode: target needn't exist yet
         self.names = select_fields(FASTQ_FIELDS, options.get("fields"))
+
+    def writer(self, schema, overwrite: bool):
+        from oxbow_spark.sources.writers import FastqWriter
+
+        return FastqWriter(self.options, overwrite)
 
     def schema(self):
         return _struct(self.names)

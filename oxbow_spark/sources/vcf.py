@@ -471,6 +471,11 @@ class VcfDataSource(TextFormatSource):
     def name(cls) -> str:
         return "vcf"
 
+    def writer(self, schema, overwrite: bool):
+        from oxbow_spark.sources.writers import VcfWriter
+
+        return VcfWriter(self.options, overwrite)
+
     def header(self) -> VcfHeader:
         lines = []
         with open_text(self.paths[0]) as f:

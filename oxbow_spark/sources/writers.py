@@ -1,0 +1,256 @@
+"""Text-format writers: ``df.write.format("vcf"/"bed"/"fasta"/"fastq")``.
+
+Beyond the reference (no writers there). Same distributed contract as the
+alignment writers (`align_write.py`): each task emits one self-contained,
+spec-conformant part file; rows follow this repo's scan conventions, so
+read → transform → write round-trips are value-lossless (text may
+renormalize: float formatting, absent-vs-'.' INFO keys — the same
+renormalizations htslib applies).
+
+The VCF writer inverts the scan's typed structures against the header
+(``header`` option, required): id/alt/filter lists, the typed INFO
+struct (Flag keys bare, Number=. lists comma-joined, missing elements
+'.'), and per-sample genotype structs in the default
+``genotype_by='sample'`` orientation — GT renders from its
+(allele, phased) struct with phasing preserved, FORMAT keys follow
+header order with GT first per spec.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSourceWriter
+
+from oxbow_spark.models.vcf_header import VcfHeader
+from oxbow_spark.sources.align_write import _PartFile, _prepare_dir
+
+
+class _TextPartWriter(DataSourceWriter):
+    SUFFIX = ""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("writer needs a target path")
+        self.options = dict(options)
+        _prepare_dir(self.path, overwrite, self.SUFFIX)
+
+    def _part_path(self) -> str:
+        import os
+        import uuid
+
+        return os.path.join(
+            self.path, f"part-{uuid.uuid4().hex[:12]}{self.SUFFIX}")
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+    def _head(self) -> str:
+        return ""
+
+    def _line(self, d: dict) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def write(self, iterator: Iterator) -> _PartFile:
+        out = self._part_path()
+        n = 0
+        with open(out, "w", encoding="utf-8", newline="\n") as f:
+            head = self._head()
+            if head:
+                f.write(head)
+            for row in iterator:
+                f.write(self._line(row.asDict()))
+                n += 1
+        return _PartFile(out, n)
+
+
+# --------------------------------------------------------------------- VCF
+
+def _fmt_scalar(v) -> str:
+    if v is None:
+        return "."
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        # shortest exact decimal (Python repr): value-lossless round-trip
+        # even through float32 INFO columns
+        return repr(v)
+    return str(v)
+
+
+def _fmt_list(v, sep: str) -> str:
+    if v is None:
+        return "."
+    if isinstance(v, (list, tuple)):
+        if not v:
+            return "."
+        return sep.join(_fmt_scalar(x) for x in v)
+    return _fmt_scalar(v)
+
+
+def render_gt(gt) -> str:
+    """Inverse of `models/vcf_header.py:parse_gt`: (allele, phased) struct
+    → '0|1'-style string, leading-phase preserved."""
+    if gt is None:
+        return "."
+    d = gt if isinstance(gt, dict) else gt.asDict()
+    alleles, phased = d.get("allele"), d.get("phased")
+    if not alleles:
+        return "."
+    out = []
+    for i, a in enumerate(alleles):
+        ph = bool(phased[i]) if phased and i < len(phased) else False
+        if i > 0 or ph:
+            out.append("|" if ph else "/")
+        out.append("." if a is None else str(a))
+    return "".join(out)
+
+
+class VcfWriter(_TextPartWriter):
+    SUFFIX = ".vcf"
+
+    def __init__(self, options: dict, overwrite: bool):
+        super().__init__(options, overwrite)
+        text = options.get("header")
+        if not text:
+            raise ValueError(
+                "the vcf writer requires a `header` option (full VCF header "
+                "text: ##fileformat/##INFO/##FORMAT/#CHROM lines)")
+        self.header_text = text
+        self.hdr = VcfHeader.parse(
+            [ln for ln in text.splitlines() if ln.startswith("#")])
+
+    def _head(self) -> str:
+        return "".join(
+            ln.rstrip("\n") + "\n"
+            for ln in self.header_text.splitlines() if ln.strip())
+
+    def _info_str(self, info) -> str:
+        if info is None:
+            return "."
+        d = info if isinstance(info, dict) else info.asDict()
+        parts = []
+        for de in self.hdr.infos:
+            v = d.get(de.name)
+            if v is None or v is False:
+                continue
+            if de.is_flag:
+                parts.append(de.name)
+            elif isinstance(v, (list, tuple)):
+                if len(v) == 1 and v[0] is None:
+                    # inverse of parse: 'k=' (empty value) → [None]; 'k=.'
+                    # and absent both → None (key omitted)
+                    parts.append(f"{de.name}=")
+                else:
+                    parts.append(f"{de.name}={_fmt_list(v, ',')}")
+            else:
+                parts.append(f"{de.name}={_fmt_scalar(v)}")
+        return ";".join(parts) or "."
+
+    def _sample_str(self, s, keys) -> str:
+        if s is None:
+            return "."
+        d = s if isinstance(s, dict) else s.asDict()
+        out = []
+        for k in keys:
+            v = d.get(k)
+            if k == "GT":
+                out.append(render_gt(v))
+            elif isinstance(v, (list, tuple)):
+                out.append(_fmt_list(v, ","))
+            else:
+                out.append(_fmt_scalar(v))
+        while len(out) > 1 and out[-1] == ".":
+            out.pop()  # htslib-style trailing-missing truncation
+        return ":".join(out)
+
+    def _line(self, d: dict) -> str:
+        cols = [
+            str(d.get("chrom", ".")),
+            _fmt_scalar(d.get("pos")),
+            _fmt_list(d.get("id"), ";"),
+            d.get("ref") or ".",
+            _fmt_list(d.get("alt"), ","),
+            _fmt_scalar(d.get("qual")),
+            # FILTER inverts parse_filter: [] ⇄ PASS, None ⇄ '.'
+            ("." if d.get("filter") is None
+             else "PASS" if not list(d["filter"])
+             else ";".join(d["filter"])),
+            self._info_str(d.get("info")),
+        ]
+        samples = [s for s in self.hdr.samples if s in d]
+        if samples:
+            # FORMAT keys: header order with GT first (spec §1.6.2)
+            keys = [de.name for de in self.hdr.formats]
+            if "GT" in keys:
+                keys.remove("GT")
+                keys.insert(0, "GT")
+            cols.append(":".join(keys))
+            cols.extend(self._sample_str(d[s], keys) for s in samples)
+        return "\t".join(cols) + "\n"
+
+
+# --------------------------------------------------------------------- BED
+
+class BedWriter(_TextPartWriter):
+    SUFFIX = ".bed"
+
+    def _line(self, d: dict) -> str:
+        out = []
+        for nm in ("chrom", "start", "end", "name", "score", "strand",
+                   "thickStart", "thickEnd", "itemRgb", "blockCount",
+                   "blockSizes", "blockStarts"):
+            if nm not in d:
+                continue
+            v = d[nm]
+            if v is None:
+                out.append("0" if nm == "itemRgb" else ".")
+            elif nm == "itemRgb":
+                out.append(",".join(str(x) for x in v))
+            elif isinstance(v, (list, tuple)):
+                out.append(",".join(str(x) for x in v))
+            else:
+                out.append(str(v))
+        # custom tail columns (bedN+m / rest) in row order after standards
+        for nm, v in d.items():
+            if nm in ("chrom", "start", "end", "name", "score", "strand",
+                      "thickStart", "thickEnd", "itemRgb", "blockCount",
+                      "blockSizes", "blockStarts"):
+                continue
+            out.append("." if v is None else str(v))
+        return "\t".join(out) + "\n"
+
+
+# ------------------------------------------------------------ FASTA/FASTQ
+
+class FastaWriter(_TextPartWriter):
+    SUFFIX = ".fasta"
+    WRAP = 60
+
+    def _line(self, d: dict) -> str:
+        name = d.get("name") or ""
+        desc = d.get("description")
+        seq = d.get("sequence") or ""
+        head = f">{name} {desc}\n" if desc else f">{name}\n"
+        body = "\n".join(
+            seq[i:i + self.WRAP] for i in range(0, max(len(seq), 1), self.WRAP))
+        return head + body + "\n"
+
+
+class FastqWriter(_TextPartWriter):
+    SUFFIX = ".fastq"
+
+    def _line(self, d: dict) -> str:
+        name = d.get("name") or ""
+        desc = d.get("description")
+        head = f"@{name} {desc}\n" if desc else f"@{name}\n"
+        return (head + (d.get("sequence") or "") + "\n+\n"
+                + (d.get("quality") or "") + "\n")

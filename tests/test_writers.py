@@ -1,0 +1,108 @@
+"""Text-format writer sinks (`oxbow_spark/sources/writers.py`):
+VCF / BED / FASTA / FASTQ `df.write.format(...)` round-trips."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+FX = "/root/reference/fixtures/"
+
+
+@pytest.fixture(scope="module")
+def gspark(spark):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    return spark
+
+
+def _rows(df):
+    return sorted(map(repr, df.collect()))
+
+
+def test_vcf_roundtrip_info_and_genotypes(gspark, tmp_path):
+    """Typed INFO structs (flags, Number=. lists, 'k=' empties), FILTER
+    PASS/'.' distinction, float32 values and phased/unphased GT all
+    survive write → read exactly."""
+    with open(FX + "sample.vcf") as f:
+        hdr = "".join(ln for ln in f if ln.startswith("#"))
+    df = gspark.read.format("vcf").load(FX + "sample.vcf")
+    out = str(tmp_path / "vcf")
+    (df.coalesce(1).write.format("vcf")
+       .option("header", hdr).mode("overwrite").save(out))
+    part = glob.glob(out + "/*.vcf")
+    assert len(part) == 1
+    with open(part[0]) as f:
+        assert f.readline().startswith("##")
+    back = gspark.read.format("vcf").load(out + "/*.vcf")
+    assert _rows(back) == _rows(df)
+
+
+def test_vcf_writer_requires_header(gspark, tmp_path):
+    df = gspark.read.format("vcf").load(FX + "sample.vcf").limit(1)
+    with pytest.raises(Exception, match="header"):
+        (df.write.format("vcf").mode("overwrite")
+           .save(str(tmp_path / "nohdr")))
+
+
+def test_bed_roundtrip(gspark, tmp_path):
+    df = gspark.read.format("bed").option("bed_schema", "bed6").load(
+        FX + "sample.bed")
+    out = str(tmp_path / "bed")
+    df.coalesce(1).write.format("bed").mode("overwrite").save(out)
+    back = gspark.read.format("bed").option("bed_schema", "bed6").load(
+        out + "/*.bed")
+    assert _rows(back) == _rows(df)
+
+
+def test_bed12_blocks_roundtrip(gspark, tmp_path):
+    rows = [("chr1", 10, 100, "f1", 0, "+", 10, 100, [255, 0, 0], 2,
+             [30, 40], [0, 50])]
+    df = gspark.createDataFrame(
+        rows, "chrom string, start long, end long, name string, score int, "
+              "strand string, thickStart long, thickEnd long, "
+              "itemRgb array<short>, blockCount long, "
+              "blockSizes array<long>, blockStarts array<long>")
+    out = str(tmp_path / "bed12")
+    df.coalesce(1).write.format("bed").mode("overwrite").save(out)
+    back = gspark.read.format("bed").option("bed_schema", "bed12").load(
+        out + "/*.bed")
+    assert _rows(back) == _rows(df)
+
+
+def test_fasta_roundtrip_with_wrapping(gspark, tmp_path):
+    df = gspark.read.format("fasta").load(FX + "sample.fasta")
+    out = str(tmp_path / "fa")
+    df.coalesce(1).write.format("fasta").mode("overwrite").save(out)
+    back = gspark.read.format("fasta").load(out + "/*.fasta")
+    assert _rows(back) == _rows(df)
+    # long sequences wrap at 60 columns (the conventional faidx-friendly
+    # layout)
+    df2 = gspark.createDataFrame(
+        [("long1", None, "A" * 150)],
+        "name string, description string, sequence string")
+    out2 = str(tmp_path / "fa2")
+    df2.coalesce(1).write.format("fasta").mode("overwrite").save(out2)
+    text = open(glob.glob(out2 + "/*.fasta")[0]).read().splitlines()
+    assert text[0] == ">long1" and len(text[1]) == 60 and len(text[3]) == 30
+    back2 = gspark.read.format("fasta").load(out2 + "/*.fasta")
+    assert back2.collect()[0].sequence == "A" * 150
+
+
+def test_fastq_roundtrip(gspark, tmp_path):
+    df = gspark.read.format("fastq").load(FX + "sample.fastq")
+    out = str(tmp_path / "fq")
+    df.coalesce(1).write.format("fastq").mode("overwrite").save(out)
+    back = gspark.read.format("fastq").load(out + "/*.fastq")
+    assert _rows(back) == _rows(df)
+
+
+def test_render_gt_inverse():
+    from oxbow_spark.models.vcf_header import parse_gt
+    from oxbow_spark.sources.writers import render_gt
+
+    for s in ("0/1", "0|1", "1|0|2", "./.", ".|1", "|1", "0", "2/."):
+        assert render_gt(parse_gt(s)) == s, s
+    assert render_gt(None) == "."
