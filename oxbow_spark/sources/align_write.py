@@ -181,6 +181,7 @@ class _AlignmentWriter(DataSourceWriter):
     SUFFIX = ""
 
     def __init__(self, options: dict, overwrite: bool):
+        self.options = dict(options)
         self.path = options.get("path")
         if not self.path:
             raise ValueError("writer needs a target path")
@@ -242,17 +243,103 @@ class BamWriter(_AlignmentWriter):
 
     def write(self, iterator: Iterator) -> _PartFile:
         out = self._part_path()
+        want_index = (self.options.get("index") or "").lower() == "bai"
         n = 0
         with open(out, "wb") as f:
-            f.write(bgzf_compress(self._header_block()))
-            buf = bytearray()
+            w = _BgzfStreamWriter(f)
+            w.write(self._header_block())
+            bai = _BaiBuilder(len(self.ref_names)) if want_index else None
             for row in iterator:
-                buf += encode_bam_record(row.asDict(), self.ref_ids)
+                d = row.asDict()
+                vstart = w.vtell()
+                w.write(encode_bam_record(d, self.ref_ids))
                 n += 1
-                if len(buf) >= _BGZF_INPUT * 16:
-                    f.write(bgzf_compress(bytes(buf)))
-                    buf.clear()
-            if buf:
-                f.write(bgzf_compress(bytes(buf)))
+                if bai is not None and d.get("rname") is not None and d.get("pos"):
+                    pos0 = d["pos"] - 1
+                    cig = d.get("cigar")
+                    reflen = (sum(int(m) for m, c in _CIGAR_RE.findall(cig)
+                                  if c in "MDN=X") if cig else 0)
+                    bai.add(self.ref_ids[d["rname"]], pos0,
+                            pos0 + max(reflen, 1), vstart, w.vtell())
+            w.close()
             f.write(BGZF_EOF)
+        if bai is not None:
+            with open(out + ".bai", "wb") as fi:
+                fi.write(bai.serialize())
         return _PartFile(out, n)
+
+
+class _BgzfStreamWriter:
+    """Stateful BGZF writer with record-addressable virtual offsets:
+    ``vtell()`` before/after a ``write`` gives the (compressed block
+    offset << 16 | within-block offset) coordinates the BAI carries.
+    Input chunks at the fixed htslib block payload size."""
+
+    def __init__(self, f):
+        self.f = f
+        self.coff = 0          # compressed bytes emitted so far
+        self.pend = bytearray()  # uncompressed bytes not yet in a block
+
+    def vtell(self) -> int:
+        return (self.coff << 16) | len(self.pend)
+
+    def write(self, data: bytes) -> None:
+        self.pend += data
+        while len(self.pend) >= _BGZF_INPUT:
+            self._flush_block(self.pend[:_BGZF_INPUT])
+            del self.pend[:_BGZF_INPUT]
+
+    def _flush_block(self, chunk) -> None:
+        blk = bgzf_block(bytes(chunk))
+        self.f.write(blk)
+        self.coff += len(blk)
+
+    def close(self) -> None:
+        if self.pend:
+            self._flush_block(self.pend)
+            self.pend.clear()
+
+
+class _BaiBuilder:
+    """BAI accumulator: per-reference binning chunks + 16 Kb linear
+    index (SAM spec §5.2). Assumes coordinate-grouped input per
+    reference (the `samtools index` precondition); adjacent chunks in a
+    bin merge when contiguous."""
+
+    def __init__(self, n_ref: int):
+        self.n_ref = n_ref
+        self.bins: list[dict[int, list[list[int]]]] = [
+            {} for _ in range(n_ref)]
+        self.linear: list[dict[int, int]] = [{} for _ in range(n_ref)]
+
+    def add(self, ref_id: int, beg0: int, end0: int,
+            vstart: int, vend: int) -> None:
+        b = reg2bin(beg0, end0)
+        chunks = self.bins[ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == vstart:
+            chunks[-1][1] = vend  # contiguous records extend the chunk
+        else:
+            chunks.append([vstart, vend])
+        lin = self.linear[ref_id]
+        for w in range(beg0 >> 14, ((max(end0, beg0 + 1) - 1) >> 14) + 1):
+            if w not in lin or vstart < lin[w]:
+                lin[w] = vstart
+
+    def serialize(self) -> bytes:
+        out = [b"BAI\x01", struct.pack("<i", self.n_ref)]
+        for r in range(self.n_ref):
+            bins = self.bins[r]
+            out.append(struct.pack("<i", len(bins)))
+            for b in sorted(bins):
+                chunks = bins[b]
+                out.append(struct.pack("<iI", b, len(chunks)))
+                for s, e in chunks:
+                    out.append(struct.pack("<QQ", s, e))
+            lin = self.linear[r]
+            n_intv = (max(lin) + 1) if lin else 0
+            out.append(struct.pack("<i", n_intv))
+            filled = 0
+            for w in range(n_intv):
+                filled = lin.get(w, filled)
+                out.append(struct.pack("<Q", lin.get(w, filled)))
+        return b"".join(out)

@@ -127,3 +127,51 @@ def test_reg2bin_spec_levels():
     assert reg2bin(0, (1 << 14) + 1) == 585
     assert reg2bin(1 << 14, (1 << 14) + 1) == 4682
     assert reg2bin(0, 1 << 29) == 0       # whole-chromosome span
+
+
+def test_bai_index_written_and_region_queries(gspark, tmp_path, bam_header):
+    df = (gspark.read.format("bam").load(FX + "sample.bam")
+          .orderBy("rname", "pos"))
+    out = str(tmp_path / "indexed")
+    (df.coalesce(1).write.format("bam").option("header", bam_header)
+       .option("index", "bai").mode("overwrite").save(out))
+    part = glob.glob(out + "/*.bam")[0]
+    assert os.path.exists(part + ".bai")
+    from oxbow_spark.sources.bgzf import BaiIndex
+
+    BaiIndex.read(part + ".bai")  # well-formed per our own parser
+    got = gspark.read.format("bam").option(
+        "regions", "chr1:1-100000").load(part)
+    want = gspark.read.format("bam").option(
+        "regions", "chr1:1-100000").load(FX + "sample.bam")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bai_index_multi_window_synthetic(gspark, tmp_path):
+    # spans many 16 Kb linear windows and multiple bins on two contigs
+    rows = []
+    for i in range(3000):
+        chrom = "chr1" if i % 2 == 0 else "chr2"
+        pos = 1 + (i // 2) * 137
+        rows.append((f"r{i:05d}", 0, chrom, pos, 60, "100M", None, None, 0,
+                     "A" * 100, "I" * 100, pos + 99))
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos int, mapq int, "
+              "cigar string, rnext string, pnext int, tlen int, seq string, "
+              "qual string, end int").orderBy("rname", "pos")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100000000\n@SQ\tSN:chr2\tLN:100000000"
+    out = str(tmp_path / "multi")
+    (df.coalesce(1).write.format("bam").option("header", hdr)
+       .option("index", "bai").mode("overwrite").save(out))
+    part = glob.glob(out + "/*.bam")[0]
+    assert os.path.exists(part + ".bai")
+    for region, lo, hi, chrom in (
+        ("chr1:1-5000", 1, 5000, "chr1"),
+        ("chr2:100000-150000", 100000, 150000, "chr2"),
+        ("chr1:200000-200100", 200000, 200100, "chr1"),
+    ):
+        got = (gspark.read.format("bam").option("regions", region)
+               .load(part).select("qname").collect())
+        want = [r for r in rows
+                if r[2] == chrom and r[3] <= hi and r[3] + 99 >= lo]
+        assert sorted(x.qname for x in got) == sorted(r[0] for r in want), region
