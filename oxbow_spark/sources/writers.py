@@ -40,8 +40,9 @@ class _TextPartWriter(DataSourceWriter):
         import os
         import uuid
 
+        suffix = getattr(self, "suffix", self.SUFFIX)
         return os.path.join(
-            self.path, f"part-{uuid.uuid4().hex[:12]}{self.SUFFIX}")
+            self.path, f"part-{uuid.uuid4().hex[:12]}{suffix}")
 
     def commit(self, messages) -> None:
         pass
@@ -127,6 +128,47 @@ class VcfWriter(_TextPartWriter):
         self.header_text = text
         self.hdr = VcfHeader.parse(
             [ln for ln in text.splitlines() if ln.startswith("#")])
+        self.bgzf = (options.get("compression") or "").lower() == "bgzf"
+        self.tbi = (options.get("index") or "").lower() == "tbi"
+        if self.tbi and not self.bgzf:
+            raise ValueError("index='tbi' requires compression='bgzf'")
+        if self.bgzf:
+            from oxbow_spark.sources.align_write import _prepare_dir
+
+            self.suffix = ".vcf.gz"
+            _prepare_dir(self.path, overwrite, self.suffix)
+
+    def write(self, iterator: Iterator) -> _PartFile:
+        if not self.bgzf:
+            return super().write(iterator)
+        from oxbow_spark.sources.align_write import (
+            BGZF_EOF,
+            _BgzfStreamWriter,
+            bgzf_compress,
+        )
+
+        out = self._part_path()
+        tbi = _TbiBuilder() if self.tbi else None
+        n = 0
+        with open(out, "wb") as f:
+            w = _BgzfStreamWriter(f)
+            w.write(self._head().encode("utf-8"))
+            for row in iterator:
+                d = row.asDict()
+                vstart = w.vtell()
+                w.write(self._line(d).encode("utf-8"))
+                n += 1
+                if tbi is not None:
+                    beg0 = int(d["pos"]) - 1
+                    tbi.add(str(d["chrom"]), beg0,
+                            beg0 + len(d.get("ref") or "x"),
+                            vstart, w.vtell())
+            w.close()
+            f.write(BGZF_EOF)
+        if tbi is not None:
+            with open(out + ".tbi", "wb") as fi:
+                fi.write(bgzf_compress(tbi.serialize()) + BGZF_EOF)
+        return _PartFile(out, n)
 
     def _head(self) -> str:
         return "".join(
@@ -196,6 +238,42 @@ class VcfWriter(_TextPartWriter):
             cols.append(":".join(keys))
             cols.extend(self._sample_str(d[s], keys) for s in samples)
         return "\t".join(cols) + "\n"
+
+
+class _TbiBuilder:
+    """Tabix (.tbi) accumulator for VCF output: the BAI binning/linear
+    structures (`align_write._BaiBuilder`) plus the tabix header —
+    VCF preset (format=2, seq col 1, begin col 2, meta '#'), names in
+    order of first appearance. The serialized payload is itself
+    BGZF-compressed by the caller (tabix files are BGZF)."""
+
+    def __init__(self):
+        from oxbow_spark.sources.align_write import _BaiBuilder
+
+        self._mk = _BaiBuilder
+        self.names: list[str] = []
+        self.ids: dict[str, int] = {}
+        self.bai = _BaiBuilder(0)
+
+    def add(self, chrom: str, beg0: int, end0: int,
+            vstart: int, vend: int) -> None:
+        rid = self.ids.get(chrom)
+        if rid is None:
+            rid = self.ids[chrom] = len(self.names)
+            self.names.append(chrom)
+            self.bai.n_ref += 1
+            self.bai.bins.append({})
+            self.bai.linear.append({})
+        self.bai.add(rid, beg0, end0, vstart, vend)
+
+    def serialize(self) -> bytes:
+        import struct
+
+        body = self.bai.serialize()[8:]  # strip BAI magic + n_ref
+        nm = b"".join(n.encode("ascii") + b"\x00" for n in self.names)
+        head = b"TBI\x01" + struct.pack(
+            "<8i", len(self.names), 2, 1, 2, 0, ord("#"), 0, len(nm))
+        return head + nm + body
 
 
 # --------------------------------------------------------------------- BED

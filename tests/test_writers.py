@@ -106,3 +106,44 @@ def test_render_gt_inverse():
     for s in ("0/1", "0|1", "1|0|2", "./.", ".|1", "|1", "0", "2/."):
         assert render_gt(parse_gt(s)) == s, s
     assert render_gt(None) == "."
+
+
+def test_vcf_bgzf_tabix_write_and_region_query(gspark, tmp_path):
+    """compression='bgzf' + index='tbi' emits a BGZF .vcf.gz part with a
+    tabix sidecar built during the write; region queries on the written
+    file resolve through that index."""
+    import gzip as _gzip
+    import os
+
+    with open(FX + "sample.vcf") as f:
+        hdr = "".join(ln for ln in f if ln.startswith("#"))
+    df = (gspark.read.format("vcf").load(FX + "sample.vcf")
+          .orderBy("chrom", "pos"))
+    out = str(tmp_path / "vcfgz")
+    (df.coalesce(1).write.format("vcf").option("header", hdr)
+       .option("compression", "bgzf").option("index", "tbi")
+       .mode("overwrite").save(out))
+    part = glob.glob(out + "/*.vcf.gz")[0]
+    assert os.path.exists(part + ".tbi")
+    assert _gzip.open(part, "rt").readline().startswith("##")
+    from oxbow_spark.sources.bgzf import TabixIndex
+
+    t = TabixIndex.read(part + ".tbi")
+    assert (t.col_seq, t.col_beg, t.col_end) == (1, 2, 0)
+    assert set(t.names) == {r.chrom for r in df.select("chrom").collect()}
+    back = gspark.read.format("vcf").load(part)
+    assert _rows(back) == _rows(df)
+    rows = df.collect()
+    chrom = rows[0].chrom
+    got = (gspark.read.format("vcf")
+           .option("regions", f"{chrom}:1-2000000").load(part))
+    want = [r for r in rows if r.chrom == chrom and r.pos <= 2000000]
+    assert got.count() == len(want)
+
+
+def test_vcf_tbi_requires_bgzf(gspark, tmp_path):
+    df = gspark.read.format("vcf").load(FX + "sample.vcf").limit(1)
+    with pytest.raises(Exception, match="bgzf"):
+        (df.write.format("vcf").option("header", "#x")
+           .option("index", "tbi").mode("overwrite")
+           .save(str(tmp_path / "bad")))
