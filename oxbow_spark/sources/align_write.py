@@ -117,7 +117,8 @@ def sam_line(d: dict) -> str:
     ))
 
 
-def encode_bam_record(d: dict, ref_ids: dict[str, int]) -> bytes:
+def encode_bam_record(d: dict, ref_ids: dict[str, int],
+                      tags: bytes = b"") -> bytes:
     """Row dict → one framed BAM record (block_size prefix included)."""
     qname = _get(d, "qname", "*")
     flag = int(_get(d, "flag", 4))
@@ -159,8 +160,71 @@ def encode_bam_record(d: dict, ref_ids: dict[str, int]) -> bytes:
     body = struct.pack(
         "<iiBBHHHiiii", ref_id, pos0, len(name_b), mapq, bin_, len(ops),
         flag, l_seq, next_id, next_pos0, tlen,
-    ) + name_b + cig_b + bytes(seq_b) + qual_b
+    ) + name_b + cig_b + bytes(seq_b) + qual_b + tags
     return struct.pack("<I", len(body)) + body
+
+
+def _parse_tag_defs(opt: str | None) -> list[tuple[str, str]]:
+    """'NM:i,MD:Z' (the reader's tag_defs grammar) → [(name, code)]."""
+    if not opt:
+        return []
+    return [tuple(spec.strip().split(":", 1)) for spec in opt.split(",")]
+
+
+def sam_tags_text(tags, defs: list[tuple[str, str]]) -> str:
+    """tags struct row → SAM text tag fields ('NM:i:3\tMD:Z:...')."""
+    if tags is None:
+        return ""
+    d = tags if isinstance(tags, dict) else tags.asDict()
+    out = []
+    for name, code in defs:
+        v = d.get(name)
+        if v is None:
+            continue
+        if code.startswith("B"):
+            sub = "f" if code == "Bf" else "i"
+            out.append(f"{name}:B:{sub}," + ",".join(
+                repr(x) if sub == "f" else str(int(x)) for x in v))
+        elif code in "cCsSiI":
+            out.append(f"{name}:i:{int(v)}")
+        elif code == "f":
+            out.append(f"{name}:f:{v!r}")
+        else:  # A / Z / H
+            out.append(f"{name}:{code}:{v}")
+    return ("\t" + "\t".join(out)) if out else ""
+
+
+def encode_bam_tags(tags, defs: list[tuple[str, str]]) -> bytes:
+    """tags struct row → binary BAM tag block. Integers normalize to
+    'i' (int32) and integer arrays to 'B,i' — the same normalization the
+    scan applies, so read → write → read round-trips the values."""
+    if tags is None:
+        return b""
+    d = tags if isinstance(tags, dict) else tags.asDict()
+    out = bytearray()
+    for name, code in defs:
+        v = d.get(name)
+        if v is None:
+            continue
+        nb = name.encode("ascii")
+        if code == "A":
+            out += nb + b"A" + str(v)[:1].encode("ascii")
+        elif code in "cCsSiI":
+            out += nb + b"i" + struct.pack("<i", int(v))
+        elif code == "f":
+            out += nb + b"f" + struct.pack("<f", float(v))
+        elif code in ("Z", "H"):
+            out += nb + code.encode() + str(v).encode("ascii") + b"\x00"
+        elif code.startswith("B"):
+            if code == "Bf":
+                out += nb + b"Bf" + struct.pack("<i", len(v))
+                out += struct.pack(f"<{len(v)}f", *[float(x) for x in v])
+            else:
+                out += nb + b"Bi" + struct.pack("<i", len(v))
+                out += struct.pack(f"<{len(v)}i", *[int(x) for x in v])
+        else:
+            raise ValueError(f"unsupported tag code {code!r} for {name}")
+    return bytes(out)
 
 
 @dataclass
@@ -206,13 +270,16 @@ class SamWriter(_AlignmentWriter):
 
     def write(self, iterator: Iterator) -> _PartFile:
         out = self._part_path()
+        defs = _parse_tag_defs(self.options.get("tag_defs"))
         n = 0
         with open(out, "w", encoding="ascii", newline="\n") as f:
             for line in self.header_text.splitlines():
                 if line.strip():
                     f.write(line.rstrip("\n") + "\n")
             for row in iterator:
-                f.write(sam_line(row.asDict()) + "\n")
+                d = row.asDict()
+                f.write(sam_line(d)
+                        + sam_tags_text(d.get("tags"), defs) + "\n")
                 n += 1
         return _PartFile(out, n)
 
@@ -244,6 +311,7 @@ class BamWriter(_AlignmentWriter):
     def write(self, iterator: Iterator) -> _PartFile:
         out = self._part_path()
         want_index = (self.options.get("index") or "").lower() == "bai"
+        defs = _parse_tag_defs(self.options.get("tag_defs"))
         n = 0
         with open(out, "wb") as f:
             w = _BgzfStreamWriter(f)
@@ -252,7 +320,9 @@ class BamWriter(_AlignmentWriter):
             for row in iterator:
                 d = row.asDict()
                 vstart = w.vtell()
-                w.write(encode_bam_record(d, self.ref_ids))
+                w.write(encode_bam_record(d, self.ref_ids,
+                                          tags=encode_bam_tags(
+                                              d.get("tags"), defs)))
                 n += 1
                 if bai is not None and d.get("rname") is not None and d.get("pos"):
                     pos0 = d["pos"] - 1

@@ -175,3 +175,16 @@ def test_bai_index_multi_window_synthetic(gspark, tmp_path):
         want = [r for r in rows
                 if r[2] == chrom and r[3] <= hi and r[3] + 99 >= lo]
         assert sorted(x.qname for x in got) == sorted(r[0] for r in want), region
+
+
+def test_tags_roundtrip_sam_and_bam(gspark, tmp_path, bam_header):
+    df = (gspark.read.format("bam").option("tag_defs", "NM:i,MD:Z")
+          .load(FX + "sample.bam"))
+    assert "tags" in df.columns
+    for fmt in ("sam", "bam"):
+        out = str(tmp_path / f"tags_{fmt}")
+        (df.coalesce(1).write.format(fmt).option("header", bam_header)
+           .option("tag_defs", "NM:i,MD:Z").mode("overwrite").save(out))
+        back = (gspark.read.format(fmt).option("tag_defs", "NM:i,MD:Z")
+                .load(out + f"/*.{fmt}"))
+        assert _rows(back) == _rows(df), fmt
