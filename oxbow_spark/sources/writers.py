@@ -28,6 +28,9 @@ from oxbow_spark.sources.align_write import _PartFile, _prepare_dir
 
 class _TextPartWriter(DataSourceWriter):
     SUFFIX = ""
+    # tabix header preset (fmt_flags, col_seq, col_beg, col_end, meta) —
+    # set by subclasses that support index='tbi'
+    TBI_PRESET: tuple[int, int, int, int, str] | None = None
 
     def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path")
@@ -35,6 +38,16 @@ class _TextPartWriter(DataSourceWriter):
             raise ValueError("writer needs a target path")
         self.options = dict(options)
         _prepare_dir(self.path, overwrite, self.SUFFIX)
+        self.bgzf = (options.get("compression") or "").lower() == "bgzf"
+        self.tbi = (options.get("index") or "").lower() == "tbi"
+        if self.tbi and self.TBI_PRESET is None:
+            raise ValueError(
+                f"index='tbi' is not supported by the {self.SUFFIX} writer")
+        if self.tbi and not self.bgzf:
+            raise ValueError("index='tbi' requires compression='bgzf'")
+        if self.bgzf:
+            self.suffix = self.SUFFIX + ".gz"
+            _prepare_dir(self.path, overwrite, self.suffix)
 
     def _part_path(self) -> str:
         import os
@@ -60,7 +73,12 @@ class _TextPartWriter(DataSourceWriter):
     def _line(self, d: dict) -> str:  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def _interval(self, d: dict):  # (chrom, beg0, end0) for tabix rows
+        return None  # pragma: no cover - overridden where TBI_PRESET set
+
     def write(self, iterator: Iterator) -> _PartFile:
+        if self.bgzf:
+            return self._write_bgzf(iterator)
         out = self._part_path()
         n = 0
         with open(out, "w", encoding="utf-8", newline="\n") as f:
@@ -70,6 +88,34 @@ class _TextPartWriter(DataSourceWriter):
             for row in iterator:
                 f.write(self._line(row.asDict()))
                 n += 1
+        return _PartFile(out, n)
+
+    def _write_bgzf(self, iterator: Iterator) -> _PartFile:
+        from oxbow_spark.sources.align_write import (
+            BGZF_EOF,
+            _BgzfStreamWriter,
+            bgzf_compress,
+        )
+
+        out = self._part_path()
+        tbi = _TbiBuilder(self.TBI_PRESET) if self.tbi else None
+        n = 0
+        with open(out, "wb") as f:
+            w = _BgzfStreamWriter(f)
+            w.write(self._head().encode("utf-8"))
+            for row in iterator:
+                d = row.asDict()
+                vstart = w.vtell()
+                w.write(self._line(d).encode("utf-8"))
+                n += 1
+                if tbi is not None:
+                    chrom, beg0, end0 = self._interval(d)
+                    tbi.add(str(chrom), beg0, end0, vstart, w.vtell())
+            w.close()
+            f.write(BGZF_EOF)
+        if tbi is not None:
+            with open(out + ".tbi", "wb") as fi:
+                fi.write(bgzf_compress(tbi.serialize()) + BGZF_EOF)
         return _PartFile(out, n)
 
 
@@ -117,6 +163,7 @@ def render_gt(gt) -> str:
 
 class VcfWriter(_TextPartWriter):
     SUFFIX = ".vcf"
+    TBI_PRESET = (2, 1, 2, 0, "#")  # tabix VCF preset
 
     def __init__(self, options: dict, overwrite: bool):
         super().__init__(options, overwrite)
@@ -128,47 +175,10 @@ class VcfWriter(_TextPartWriter):
         self.header_text = text
         self.hdr = VcfHeader.parse(
             [ln for ln in text.splitlines() if ln.startswith("#")])
-        self.bgzf = (options.get("compression") or "").lower() == "bgzf"
-        self.tbi = (options.get("index") or "").lower() == "tbi"
-        if self.tbi and not self.bgzf:
-            raise ValueError("index='tbi' requires compression='bgzf'")
-        if self.bgzf:
-            from oxbow_spark.sources.align_write import _prepare_dir
 
-            self.suffix = ".vcf.gz"
-            _prepare_dir(self.path, overwrite, self.suffix)
-
-    def write(self, iterator: Iterator) -> _PartFile:
-        if not self.bgzf:
-            return super().write(iterator)
-        from oxbow_spark.sources.align_write import (
-            BGZF_EOF,
-            _BgzfStreamWriter,
-            bgzf_compress,
-        )
-
-        out = self._part_path()
-        tbi = _TbiBuilder() if self.tbi else None
-        n = 0
-        with open(out, "wb") as f:
-            w = _BgzfStreamWriter(f)
-            w.write(self._head().encode("utf-8"))
-            for row in iterator:
-                d = row.asDict()
-                vstart = w.vtell()
-                w.write(self._line(d).encode("utf-8"))
-                n += 1
-                if tbi is not None:
-                    beg0 = int(d["pos"]) - 1
-                    tbi.add(str(d["chrom"]), beg0,
-                            beg0 + len(d.get("ref") or "x"),
-                            vstart, w.vtell())
-            w.close()
-            f.write(BGZF_EOF)
-        if tbi is not None:
-            with open(out + ".tbi", "wb") as fi:
-                fi.write(bgzf_compress(tbi.serialize()) + BGZF_EOF)
-        return _PartFile(out, n)
+    def _interval(self, d: dict):
+        beg0 = int(d["pos"]) - 1
+        return d["chrom"], beg0, beg0 + len(d.get("ref") or "x")
 
     def _head(self) -> str:
         return "".join(
@@ -243,14 +253,15 @@ class VcfWriter(_TextPartWriter):
 class _TbiBuilder:
     """Tabix (.tbi) accumulator for VCF output: the BAI binning/linear
     structures (`align_write._BaiBuilder`) plus the tabix header —
-    VCF preset (format=2, seq col 1, begin col 2, meta '#'), names in
-    order of first appearance. The serialized payload is itself
-    BGZF-compressed by the caller (tabix files are BGZF)."""
+    the format preset (VCF: format=2 seq/beg cols 1/2; BED: BED-style
+    flag 0x10000 cols 1/2/3), names in order of first appearance. The
+    serialized payload is itself BGZF-compressed by the caller (tabix
+    files are BGZF)."""
 
-    def __init__(self):
+    def __init__(self, preset: tuple[int, int, int, int, str]):
         from oxbow_spark.sources.align_write import _BaiBuilder
 
-        self._mk = _BaiBuilder
+        self.preset = preset
         self.names: list[str] = []
         self.ids: dict[str, int] = {}
         self.bai = _BaiBuilder(0)
@@ -269,10 +280,11 @@ class _TbiBuilder:
     def serialize(self) -> bytes:
         import struct
 
+        fmt, cs, cb, ce, meta = self.preset
         body = self.bai.serialize()[8:]  # strip BAI magic + n_ref
         nm = b"".join(n.encode("ascii") + b"\x00" for n in self.names)
         head = b"TBI\x01" + struct.pack(
-            "<8i", len(self.names), 2, 1, 2, 0, ord("#"), 0, len(nm))
+            "<8i", len(self.names), fmt, cs, cb, ce, ord(meta), 0, len(nm))
         return head + nm + body
 
 
@@ -280,6 +292,10 @@ class _TbiBuilder:
 
 class BedWriter(_TextPartWriter):
     SUFFIX = ".bed"
+    TBI_PRESET = (0x10000, 1, 2, 3, "#")  # tabix BED preset (0-based)
+
+    def _interval(self, d: dict):
+        return d["chrom"], int(d["start"]), int(d["end"])
 
     def _line(self, d: dict) -> str:
         out = []

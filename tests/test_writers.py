@@ -147,3 +147,29 @@ def test_vcf_tbi_requires_bgzf(gspark, tmp_path):
         (df.write.format("vcf").option("header", "#x")
            .option("index", "tbi").mode("overwrite")
            .save(str(tmp_path / "bad")))
+
+
+def test_bed_bgzf_tabix_write_and_region_query(gspark, tmp_path):
+    import os
+
+    df = (gspark.read.format("bed").option("bed_schema", "bed6")
+          .load(FX + "sample.bed").orderBy("chrom", "start"))
+    out = str(tmp_path / "bedgz")
+    (df.coalesce(1).write.format("bed")
+       .option("compression", "bgzf").option("index", "tbi")
+       .mode("overwrite").save(out))
+    part = glob.glob(out + "/*.bed.gz")[0]
+    assert os.path.exists(part + ".tbi")
+    from oxbow_spark.sources.bgzf import TabixIndex
+
+    t = TabixIndex.read(part + ".tbi")
+    assert t.zero_based and (t.col_seq, t.col_beg, t.col_end) == (1, 2, 3)
+    back = (gspark.read.format("bed").option("bed_schema", "bed6")
+            .load(part))
+    assert _rows(back) == _rows(df)
+    rows = df.collect()
+    chrom = rows[0].chrom
+    got = (gspark.read.format("bed").option("bed_schema", "bed6")
+           .option("regions", f"{chrom}:[0,100000)").load(part))
+    want = [r for r in rows if r.chrom == chrom and r.start < 100000]
+    assert got.count() == len(want)
