@@ -105,6 +105,13 @@ class GenomicStreamMixin:
 
         return GenomicFileStreamReader(type(self), self.options, schema)
 
+    def streamWriter(self, schema, overwrite: bool):
+        """Streaming sink twin of the batch `writer()` (formats that have
+        one): micro-batches append self-contained part files."""
+        from oxbow_spark.streaming.source import StreamSinkAdapter
+
+        return StreamSinkAdapter(self.writer(schema, False))
+
 
 class LinePartition(InputPartition):
     def __init__(self, path: str, start: int = -1, end: int = -1, vpos: bool = False):

@@ -934,6 +934,11 @@ class BcfDataSource(VcfDataSource):
     def name(cls) -> str:
         return "bcf"
 
+    def writer(self, schema, overwrite: bool):
+        raise NotImplementedError(
+            "binary BCF writing is not implemented — write the same rows "
+            "as VCF text with df.write.format('vcf') (same schema)")
+
     def header(self) -> VcfHeader:
         with open_bcf(self.paths[0]) as r:
             hdr, _, _ = read_bcf_header(r)

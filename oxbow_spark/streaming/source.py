@@ -40,7 +40,11 @@ from __future__ import annotations
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    InputPartition,
+)
 
 from oxbow_spark.sources import fsio
 
@@ -116,6 +120,26 @@ class GenomicFileStreamReader(DataSourceStreamReader):
             ds = self.ds_cls({**partition.options, "path": partition.path})
             rdr = self._readers[partition.path] = ds.reader(ds.schema())
         yield from rdr.read(partition.inner)
+
+
+class StreamSinkAdapter(DataSourceStreamWriter):
+    """Adapts a batch part-file writer (`align_write.py`, `writers.py`)
+    into a streaming sink: each micro-batch task appends one
+    self-contained part file; an aborted batch removes the parts it
+    wrote. `writeStream.format("sam"/"bam"/"vcf"/...)` therefore closes
+    the streaming loop — files in, transformed files out."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def write(self, iterator):
+        return self.inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        pass
+
+    def abort(self, messages, batchId: int) -> None:
+        self.inner.abort([m for m in messages if m is not None])
 
 
 # The user-facing mixin lives in `sources/base.py` (GenomicStreamMixin)

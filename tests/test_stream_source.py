@@ -140,3 +140,46 @@ def test_stream_order_mtime(tmp_path):
     with pytest.raises(ValueError):
         GenomicFileStreamReader(
             BamDataSource, {"path": str(d), "stream_order": "bogus"}, None)
+
+
+def test_stream_sink_bam_to_sam(gspark, tmp_path):
+    """Full streaming loop: BAM files land → transform → SAM parts out."""
+    from oxbow_spark.sources.bam import BamDataSource
+
+    d = tmp_path / "in"
+    d.mkdir()
+    shutil.copy(FX + "sample.bam", d / "run001.bam")
+    hdr = "\n".join(
+        BamDataSource({"path": FX + "sample.bam"}).header().lines)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        gspark.readStream.format("bam").load(str(d / "*.bam"))
+        .where("flag = 0 or flag = 16")
+        .writeStream.format("sam")
+        .option("path", out).option("header", hdr)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    import glob as _glob
+
+    parts = _glob.glob(out + "/*.sam")
+    assert parts
+    back = gspark.read.format("sam").load(out + "/*.sam")
+    want = (gspark.read.format("bam").load(str(d / "run001.bam"))
+            .where("flag = 0 or flag = 16"))
+    assert back.count() == want.count() > 0
+    # second file lands -> only the delta appends
+    shutil.copy(FX + "sample.bam", d / "run002.bam")
+    q2 = (
+        gspark.readStream.format("bam").load(str(d / "*.bam"))
+        .where("flag = 0 or flag = 16")
+        .writeStream.format("sam")
+        .option("path", out).option("header", hdr)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    back2 = gspark.read.format("sam").load(out + "/*.sam")
+    assert back2.count() == 2 * want.count()
