@@ -139,6 +139,12 @@ class _GxfSource(TextFormatSource):
     NATIVE_CS = "11"
     FLAVOR = "gtf"
 
+    def writer(self, schema, overwrite: bool):
+        from oxbow_spark.sources.writers import GffWriter, GtfWriter
+
+        cls = GtfWriter if self.FLAVOR == "gtf" else GffWriter
+        return cls(self.options, overwrite)
+
     def _attr_defs(self) -> list[AttributeDef] | None:
         explicit = self.options.get("attribute_defs")
         if explicit:

@@ -323,6 +323,66 @@ class BedWriter(_TextPartWriter):
         return "\t".join(out) + "\n"
 
 
+# --------------------------------------------------------------------- GXF
+
+class GxfWriter(_TextPartWriter):
+    """GTF/GFF writer: 8 standard columns + the attributes column.
+
+    Attributes come from the scan's ``attributes`` struct when present
+    (rendered per flavor: GTF ``key "value"; ``, GFF3
+    ``key=value`` with %-escaping — the inverse of
+    `models/gxf.py:parse_attributes` for scanned keys; unscanned keys are
+    not in the struct and so cannot round-trip — scan with
+    ``attributes='scan'`` for full fidelity on known keys). Without the
+    struct, the attribute column renders '.'."""
+
+    FLAVOR = "gtf"
+
+    def _attr_str(self, attrs) -> str:
+        if attrs is None:
+            return "."
+        d = attrs if isinstance(attrs, dict) else attrs.asDict()
+        parts = []
+        for k, v in d.items():
+            if v is None:
+                continue
+            vals = v if isinstance(v, (list, tuple)) else [v]
+            if self.FLAVOR == "gtf":
+                parts.extend(f'{k} "{x}";' for x in vals)
+            else:
+                from urllib.parse import quote
+
+                enc = ",".join(quote(str(x), safe=" :^*$@!+?|") for x in vals)
+                parts.append(f"{k}={enc}")
+        if not parts:
+            return "."
+        return " ".join(parts) if self.FLAVOR == "gtf" else ";".join(parts)
+
+    def _line(self, d: dict) -> str:
+        score = d.get("score")
+        return "\t".join((
+            str(d.get("seqid", ".")),
+            d.get("source") or ".",
+            d.get("type") or ".",
+            str(d.get("start", 0)),
+            str(d.get("end", 0)),
+            "." if score is None else repr(float(score)),
+            d.get("strand") or ".",
+            "." if d.get("frame") is None else str(d["frame"]),
+            self._attr_str(d.get("attributes")),
+        )) + "\n"
+
+
+class GtfWriter(GxfWriter):
+    FLAVOR = "gtf"
+    SUFFIX = ".gtf"
+
+
+class GffWriter(GxfWriter):
+    FLAVOR = "gff"
+    SUFFIX = ".gff"
+
+
 # ------------------------------------------------------------ FASTA/FASTQ
 
 class FastaWriter(_TextPartWriter):

@@ -173,3 +173,22 @@ def test_bed_bgzf_tabix_write_and_region_query(gspark, tmp_path):
            .option("regions", f"{chrom}:[0,100000)").load(part))
     want = [r for r in rows if r.chrom == chrom and r.start < 100000]
     assert got.count() == len(want)
+
+
+def test_gtf_gff_roundtrip_with_attributes(gspark, tmp_path):
+    for fmt, fx in (("gtf", "example.gtf"), ("gff", "example.gff")):
+        df = (gspark.read.format(fmt).option("attributes", "scan")
+              .load(FX + fx))
+        out = str(tmp_path / fmt)
+        df.coalesce(1).write.format(fmt).mode("overwrite").save(out)
+        back = (gspark.read.format(fmt).option("attributes", "scan")
+                .load(out + f"/*.{fmt}"))
+        assert _rows(back) == _rows(df), fmt
+
+
+def test_gxf_writer_without_attributes_column(gspark, tmp_path):
+    df = gspark.read.format("gtf").load(FX + "example.gtf")  # standard 8
+    out = str(tmp_path / "plain")
+    df.coalesce(1).write.format("gtf").mode("overwrite").save(out)
+    back = gspark.read.format("gtf").load(out + "/*.gtf")
+    assert _rows(back) == _rows(df)
