@@ -559,7 +559,10 @@ class _BbiSource(GenomicStreamMixin, DataSource):
 
     def __init__(self, options: dict):
         super().__init__(options)
-        self.paths = resolve_paths(options.get("path"))
+        try:
+            self.paths = resolve_paths(options.get("path"))
+        except FileNotFoundError:
+            self.paths = []  # write mode: target needn't exist yet
         self.zoom = int(options["zoom"]) if options.get("zoom") not in (None, "") else -1
         self.kind = "zoom" if self.zoom >= 0 else self.KIND
         self.asql_tags: tuple[str, ...] | None = None
@@ -637,6 +640,11 @@ class BigWigDataSource(_BbiSource):
     @classmethod
     def name(cls) -> str:
         return "bigwig"
+
+    def writer(self, schema, overwrite: bool):
+        from oxbow_spark.sources.bbi_write import BigWigWriter
+
+        return BigWigWriter(self.options, overwrite)
 
 
 class BigBedDataSource(_BbiSource):

@@ -1,0 +1,145 @@
+"""Minimal BigWig writer: ``df.write.format("bigwig")``.
+
+Beyond the reference (no writers). Emits spec-conformant BigWig part
+files (kent bbiFile layout, version 4, little-endian, uncompressed,
+zoomLevels=0): common header → total summary → chromosome B+ tree
+(single leaf) → bedGraph data sections → R-tree index (single leaf
+node). Readable by this repo's `BbiFile` scan — full and region-pruned
+— and by kent/htslib-world consumers that accept zoom-less files
+(`bigWigInfo`, pyBigWig). One self-contained file per task, the same
+distributed contract as the other writers.
+
+Layout choices and limits (documented, not silent):
+- bedGraph sections (type 1), ``items_per_slot`` rows per section
+  (default 512), one section never spans chromosomes;
+- single-leaf trees bound a part file to 65535 chromosomes and 65535
+  sections (u16 node counts) — raise ``items_per_slot`` or partition
+  count for more;
+- chromosome sizes come from the ``chrom_sizes`` option
+  ("chr1:248956422,chr2:242193529") or default to each chromosome's max
+  interval end seen in the part.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from oxbow_spark.sources.align_write import _AlignmentWriter, _PartFile
+
+_BW_MAGIC = 0x888FFC26
+_CHROM_TREE_MAGIC = 0x78CA8C91
+_RTREE_MAGIC = 0x2468ACE0
+
+
+def _chrom_tree(names: list[str], sizes: dict[str, int]) -> bytes:
+    key_size = max((len(n) for n in names), default=1)
+    head = struct.pack("<IIIIQQ", _CHROM_TREE_MAGIC, max(len(names), 1),
+                       key_size, 8, len(names), 0)
+    leaf = struct.pack("<BBH", 1, 0, len(names))
+    items = []
+    for cid, nm in enumerate(sorted(names)):
+        items.append(nm.encode("ascii").ljust(key_size, b"\x00")
+                     + struct.pack("<II", names.index(nm), sizes[nm]))
+    return head + leaf + b"".join(items)
+
+
+class BigWigWriter(_AlignmentWriter):
+    SUFFIX = ".bw"
+
+    def __init__(self, options: dict, overwrite: bool):
+        super().__init__(options, overwrite)
+        self.items_per_slot = int(options.get("items_per_slot", 512))
+        self.chrom_sizes: dict[str, int] = {}
+        for spec in (options.get("chrom_sizes") or "").split(","):
+            if ":" in spec:
+                nm, _, sz = spec.strip().partition(":")
+                self.chrom_sizes[nm] = int(sz)
+
+    def write(self, iterator: Iterator) -> _PartFile:
+        rows: list[tuple[str, int, int, float]] = []
+        for row in iterator:
+            d = row.asDict()
+            rows.append((str(d["chrom"]), int(d["start"]), int(d["end"]),
+                         float(d["value"] if d.get("value") is not None
+                               else 0.0)))
+        names: list[str] = []
+        ids: dict[str, int] = {}
+        for c, _s, _e, _v in rows:
+            if c not in ids:
+                ids[c] = len(names)
+                names.append(c)
+        if len(names) > 0xFFFF:
+            raise ValueError("single-leaf chrom tree caps a part at 65535 "
+                             "chromosomes — raise the partition count")
+        sizes = dict(self.chrom_sizes)
+        for c, _s, e, _v in rows:
+            if c not in self.chrom_sizes:
+                sizes[c] = max(sizes.get(c, 0), e)
+
+        # sections: per chromosome, items_per_slot rows each
+        sections: list[tuple[int, int, int, bytes]] = []  # cid, s, e, payload
+        by_chrom: dict[str, list[tuple[int, int, float]]] = {}
+        for c, s, e, v in rows:
+            by_chrom.setdefault(c, []).append((s, e, v))
+        for c in names:
+            rs = sorted(by_chrom[c])
+            for i in range(0, len(rs), self.items_per_slot):
+                chunk = rs[i:i + self.items_per_slot]
+                lo, hi = chunk[0][0], max(x[1] for x in chunk)
+                body = struct.pack("<IIIIIBBH", ids[c], lo, hi, 0, 0, 1, 0,
+                                   len(chunk))
+                body += b"".join(struct.pack("<IIf", s, e, v)
+                                 for s, e, v in chunk)
+                sections.append((ids[c], lo, hi, body))
+        if len(sections) > 0xFFFF:
+            raise ValueError("single-leaf R-tree caps a part at 65535 "
+                             "sections — raise items_per_slot")
+
+        vals = [v for _c, _s, _e, v in rows]
+        covered = sum(e - s for _c, s, e, _v in rows)
+        summary = struct.pack(
+            "<Qdddd", covered, min(vals, default=0.0), max(vals, default=0.0),
+            sum(v * (e - s) for _c, s, e, v in rows),
+            sum(v * v * (e - s) for _c, s, e, v in rows))
+
+        header_sz = 64
+        summary_off = header_sz
+        chrom_off = summary_off + 40
+        tree = _chrom_tree(names, sizes)
+        data_off = chrom_off + len(tree)
+        # u64 section count precedes the data sections (kent dataCount)
+        offs = []
+        pos = data_off + 8
+        for _cid, _lo, _hi, body in sections:
+            offs.append(pos)
+            pos += len(body)
+        index_off = pos
+
+        leaf_items = b"".join(
+            struct.pack("<IIIIQQ", cid, lo, cid, hi, off, len(body))
+            for (cid, lo, hi, body), off in zip(sections, offs))
+        rtree = struct.pack(
+            "<IIQIIIIQII", _RTREE_MAGIC, max(len(sections), 1),
+            len(rows),
+            min((c for c, *_ in sections), default=0),
+            min((lo for _c, lo, _h, _b in sections), default=0),
+            max((c for c, *_ in sections), default=0),
+            max((hi for _c, _l, hi, _b in sections), default=0),
+            index_off, self.items_per_slot, 0,
+        ) + struct.pack("<BBH", 1, 0, len(sections)) + leaf_items
+
+        header = struct.pack(
+            "<IHHQQQHHQQIQ", _BW_MAGIC, 4, 0, chrom_off, data_off,
+            index_off, 0, 0, 0, summary_off, 0, 0)
+
+        out = self._part_path()
+        with open(out, "wb") as f:
+            f.write(header)
+            f.write(summary)
+            f.write(tree)
+            f.write(struct.pack("<Q", len(sections)))
+            for _cid, _lo, _hi, body in sections:
+                f.write(body)
+            f.write(rtree)
+        return _PartFile(out, len(rows))

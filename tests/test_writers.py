@@ -192,3 +192,43 @@ def test_gxf_writer_without_attributes_column(gspark, tmp_path):
     df.coalesce(1).write.format("gtf").mode("overwrite").save(out)
     back = gspark.read.format("gtf").load(out + "/*.gtf")
     assert _rows(back) == _rows(df)
+
+
+def test_bigwig_roundtrip_and_region_query(gspark, tmp_path):
+    """Minimal BigWig writer: kent layout (header/summary/chrom-tree/
+    bedGraph sections/R-tree), exact value round-trip through our own
+    scan, and leaf-level region pruning on the written file."""
+    import glob as _glob
+
+    df = gspark.read.format("bigwig").load(FX + "sample.bw")
+    out = str(tmp_path / "bw")
+    df.coalesce(1).write.format("bigwig").mode("overwrite").save(out)
+    part = _glob.glob(out + "/*.bw")[0]
+    back = gspark.read.format("bigwig").load(part)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # synthetic across two chromosomes and many sections
+    rows = [("chr1" if i % 2 == 0 else "chr2",
+             (i // 2) * 100, (i // 2) * 100 + 100, float(i))
+            for i in range(4000)]
+    sdf = gspark.createDataFrame(
+        rows, "chrom string, start long, end long, value float")
+    out2 = str(tmp_path / "bw2")
+    (sdf.coalesce(1).write.format("bigwig")
+        .option("items_per_slot", "128").mode("overwrite").save(out2))
+    part2 = _glob.glob(out2 + "/*.bw")[0]
+    from oxbow_spark.sources.bbi import BbiFile
+
+    bf = BbiFile(part2)
+    assert len(bf.chroms) == 2 and bf.zooms == []
+    all_leaves = bf.rtree_leaves(bf.full_index_off)
+    assert len(all_leaves) > 20  # really sectioned
+    pruned = bf.rtree_leaves(
+        bf.full_index_off, (bf.chrom_ids["chr1"], 0, 1000))
+    assert 0 < len(pruned) < len(all_leaves)  # index prunes
+    got = (gspark.read.format("bigwig")
+           .option("regions", "chr1:[0,5000)").load(part2))
+    want = [r for r in rows if r[0] == "chr1" and r[1] < 5000]
+    assert got.count() == len(want)
+    total = gspark.read.format("bigwig").load(part2)
+    assert total.count() == 4000
