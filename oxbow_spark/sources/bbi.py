@@ -586,6 +586,8 @@ class _BbiSource(GenomicStreamMixin, DataSource):
         258-279`); ``bed_schema=rest`` forces the opaque tail string."""
         if options.get("bed_schema", "autosql") != "autosql":
             return BED_SCHEMA
+        if not self.paths:
+            return BED_SCHEMA  # write mode: no file to read autosql from
         from oxbow_spark.models.autosql import parse_autosql
 
         bbi = BbiFile(self.paths[0])
@@ -653,3 +655,8 @@ class BigBedDataSource(_BbiSource):
     @classmethod
     def name(cls) -> str:
         return "bigbed"
+
+    def writer(self, schema, overwrite: bool):
+        from oxbow_spark.sources.bbi_write import BigBedWriter
+
+        return BigBedWriter(self.options, overwrite)

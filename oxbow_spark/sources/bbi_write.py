@@ -28,6 +28,7 @@ from typing import Iterator
 from oxbow_spark.sources.align_write import _AlignmentWriter, _PartFile
 
 _BW_MAGIC = 0x888FFC26
+_BB_MAGIC = 0x8789F2EB
 _CHROM_TREE_MAGIC = 0x78CA8C91
 _RTREE_MAGIC = 0x2468ACE0
 
@@ -42,6 +43,103 @@ def _chrom_tree(names: list[str], sizes: dict[str, int]) -> bytes:
         items.append(nm.encode("ascii").ljust(key_size, b"\x00")
                      + struct.pack("<II", names.index(nm), sizes[nm]))
     return head + leaf + b"".join(items)
+
+
+class BigBedWriter(_AlignmentWriter):
+    """Minimal BigBed writer (same kent layout as `BigWigWriter`, item
+    payloads = chromId/start/end + NUL-terminated rest text). Input rows
+    carry ``chrom``/``start``/``end`` and optionally ``rest`` (the
+    scan's own ``bed_schema=rest`` layout, so scan → write → scan
+    round-trips bit-exactly). An ``autosql`` option embeds a declaration
+    so readers (ours included) can type the rest columns."""
+
+    SUFFIX = ".bb"
+
+    def __init__(self, options: dict, overwrite: bool):
+        super().__init__(options, overwrite)
+        self.items_per_slot = int(options.get("items_per_slot", 512))
+        self.autosql = options.get("autosql")
+
+    def write(self, iterator: Iterator) -> _PartFile:
+        rows: list[tuple[str, int, int, str]] = []
+        for row in iterator:
+            d = row.asDict()
+            rows.append((str(d["chrom"]), int(d["start"]), int(d["end"]),
+                         d.get("rest") or ""))
+        names: list[str] = []
+        ids: dict[str, int] = {}
+        sizes: dict[str, int] = {}
+        for c, _s, e, _r in rows:
+            if c not in ids:
+                ids[c] = len(names)
+                names.append(c)
+            sizes[c] = max(sizes.get(c, 0), e)
+        by_chrom: dict[str, list[tuple[int, int, str]]] = {}
+        for c, s, e, r in rows:
+            by_chrom.setdefault(c, []).append((s, e, r))
+        sections: list[tuple[int, int, int, bytes]] = []
+        for c in names:
+            rs = sorted(by_chrom[c])
+            for i in range(0, len(rs), self.items_per_slot):
+                chunk = rs[i:i + self.items_per_slot]
+                body = b"".join(
+                    struct.pack("<III", ids[c], s, e)
+                    + r.encode("utf-8") + b"\x00"
+                    for s, e, r in chunk)
+                sections.append(
+                    (ids[c], chunk[0][0], max(x[1] for x in chunk), body))
+        if len(names) > 0xFFFF or len(sections) > 0xFFFF:
+            raise ValueError("single-leaf trees cap a part at 65535 "
+                             "chromosomes/sections")
+
+        n_rest = (rows[0][3].count("\t") + 1) if rows and rows[0][3] else 0
+        if self.autosql:
+            from oxbow_spark.models.autosql import parse_autosql
+
+            n_rest = len(parse_autosql(self.autosql)[1]) - 3
+        field_count = 3 + n_rest
+        covered = sum(e - s for _c, s, e, _r in rows)
+        summary = struct.pack("<Qdddd", covered, 0.0, 0.0, 0.0, 0.0)
+
+        asql_b = (self.autosql.encode("utf-8") + b"\x00"
+                  if self.autosql else b"")
+        summary_off = 64
+        asql_off = summary_off + 40 if asql_b else 0
+        chrom_off = summary_off + 40 + len(asql_b)
+        tree = _chrom_tree(names, sizes)
+        data_off = chrom_off + len(tree)
+        offs = []
+        pos = data_off + 8
+        for _cid, _lo, _hi, body in sections:
+            offs.append(pos)
+            pos += len(body)
+        index_off = pos
+        leaf_items = b"".join(
+            struct.pack("<IIIIQQ", cid, lo, cid, hi, off, len(body))
+            for (cid, lo, hi, body), off in zip(sections, offs))
+        rtree = struct.pack(
+            "<IIQIIIIQII", _RTREE_MAGIC, max(len(sections), 1), len(rows),
+            min((c for c, *_ in sections), default=0),
+            min((lo for _c, lo, _h, _b in sections), default=0),
+            max((c for c, *_ in sections), default=0),
+            max((hi for _c, _l, hi, _b in sections), default=0),
+            index_off, self.items_per_slot, 0,
+        ) + struct.pack("<BBH", 1, 0, len(sections)) + leaf_items
+        header = struct.pack(
+            "<IHHQQQHHQQIQ", _BB_MAGIC, 4, 0, chrom_off, data_off,
+            index_off, field_count, min(field_count, 12), asql_off,
+            summary_off, 0, 0)
+        out = self._part_path()
+        with open(out, "wb") as f:
+            f.write(header)
+            f.write(summary)
+            f.write(asql_b)
+            f.write(tree)
+            f.write(struct.pack("<Q", len(rows)))
+            for _cid, _lo, _hi, body in sections:
+                f.write(body)
+            f.write(rtree)
+        return _PartFile(out, len(rows))
 
 
 class BigWigWriter(_AlignmentWriter):

@@ -232,3 +232,37 @@ def test_bigwig_roundtrip_and_region_query(gspark, tmp_path):
     assert got.count() == len(want)
     total = gspark.read.format("bigwig").load(part2)
     assert total.count() == 4000
+
+
+def test_bigbed_roundtrip_rest_and_autosql_typed(gspark, tmp_path):
+    import glob as _glob
+
+    df = (gspark.read.format("bigbed").option("bed_schema", "rest")
+          .load(FX + "sample.bb"))
+    out = str(tmp_path / "bb")
+    df.coalesce(1).write.format("bigbed").mode("overwrite").save(out)
+    part = _glob.glob(out + "/*.bb")[0]
+    back = (gspark.read.format("bigbed").option("bed_schema", "rest")
+            .load(part))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # embed the fixture's AutoSql declaration → the written file reads
+    # back fully TYPED, identical to scanning the original fixture
+    from oxbow_spark.sources.bbi import BbiFile
+
+    asql = BbiFile(FX + "sample.bb").autosql()
+    assert asql
+    out2 = str(tmp_path / "bb_typed")
+    (df.coalesce(1).write.format("bigbed").option("autosql", asql)
+       .mode("overwrite").save(out2))
+    part2 = _glob.glob(out2 + "/*.bb")[0]
+    typed = gspark.read.format("bigbed").load(part2)
+    orig = gspark.read.format("bigbed").load(FX + "sample.bb")
+    assert typed.columns == orig.columns
+    assert _rows(typed) == _rows(orig)
+    # region query on the written file
+    chrom = df.first().chrom
+    got = (gspark.read.format("bigbed").option("bed_schema", "rest")
+           .option("regions", f"{chrom}:[0,10000000)").load(part))
+    want = [r for r in df.collect() if r.chrom == chrom and r.start < 10000000]
+    assert got.count() == len(want)
