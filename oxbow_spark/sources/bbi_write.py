@@ -114,17 +114,8 @@ class BigBedWriter(_AlignmentWriter):
             offs.append(pos)
             pos += len(body)
         index_off = pos
-        leaf_items = b"".join(
-            struct.pack("<IIIIQQ", cid, lo, cid, hi, off, len(body))
-            for (cid, lo, hi, body), off in zip(sections, offs))
-        rtree = struct.pack(
-            "<IIQIIIIQII", _RTREE_MAGIC, max(len(sections), 1), len(rows),
-            min((c for c, *_ in sections), default=0),
-            min((lo for _c, lo, _h, _b in sections), default=0),
-            max((c for c, *_ in sections), default=0),
-            max((hi for _c, _l, hi, _b in sections), default=0),
-            index_off, self.items_per_slot, 0,
-        ) + struct.pack("<BBH", 1, 0, len(sections)) + leaf_items
+        rtree = _rtree(sections, offs, len(rows), index_off,
+                       self.items_per_slot)
         header = struct.pack(
             "<IHHQQQHHQQIQ", _BB_MAGIC, 4, 0, chrom_off, data_off,
             index_off, field_count, min(field_count, 12), asql_off,
@@ -142,6 +133,65 @@ class BigBedWriter(_AlignmentWriter):
         return _PartFile(out, len(rows))
 
 
+def _zoom_records(rows, ids: dict[str, int], reduction: int) -> list[bytes]:
+    """BBI zoom reduction of (chrom, start, end, value) rows: one record
+    per touched (chrom, bin) with coverage-weighted stats — the same
+    semantics as `operators/zoom.py:zoom_aggregate` (verified against
+    reference fixture zoom levels), computed here per part at write
+    time. Returns packed 32-byte records sorted by (cid, bin)."""
+    bins: dict[tuple[int, int], list] = {}
+    for c, s, e, v in rows:
+        cid = ids[c]
+        for b in range(s // reduction, max((e - 1) // reduction, s // reduction) + 1):
+            lo, hi = b * reduction, (b + 1) * reduction
+            ov = min(e, hi) - max(s, lo)
+            if ov <= 0:
+                continue
+            acc = bins.get((cid, b))
+            if acc is None:
+                bins[(cid, b)] = [ov, v, v, v * ov, v * v * ov]
+            else:
+                acc[0] += ov
+                acc[1] = min(acc[1], v)
+                acc[2] = max(acc[2], v)
+                acc[3] += v * ov
+                acc[4] += v * v * ov
+    out = []
+    for (cid, b), (valid, mn, mx, sm, ssq) in sorted(bins.items()):
+        out.append(struct.pack(
+            "<IIIIffff", cid, b * reduction, (b + 1) * reduction,
+            valid, mn, mx, sm, ssq))
+    return out
+
+
+def _sectionize(records: list[bytes], per_slot: int) -> list[tuple[int, int, int, bytes]]:
+    """Pack zoom records into R-tree sections (cid/lo/hi bounds from the
+    records themselves)."""
+    sections = []
+    for i in range(0, len(records), per_slot):
+        chunk = records[i:i + per_slot]
+        firsts = [struct.unpack_from("<III", r) for r in chunk]
+        cid = firsts[0][0]
+        lo = min(s for _c, s, _e in firsts)
+        hi = max(e for _c, _s, e in firsts)
+        sections.append((cid, lo, hi, b"".join(chunk)))
+    return sections
+
+
+def _rtree(sections, offs, n_items: int, index_off: int, per_slot: int) -> bytes:
+    leaf_items = b"".join(
+        struct.pack("<IIIIQQ", cid, lo, cid, hi, off, len(body))
+        for (cid, lo, hi, body), off in zip(sections, offs))
+    return struct.pack(
+        "<IIQIIIIQII", _RTREE_MAGIC, max(len(sections), 1), n_items,
+        min((c for c, *_ in sections), default=0),
+        min((lo for _c, lo, _h, _b in sections), default=0),
+        max((c for c, *_ in sections), default=0),
+        max((hi for _c, _l, hi, _b in sections), default=0),
+        index_off, per_slot, 0,
+    ) + struct.pack("<BBH", 1, 0, len(sections)) + leaf_items
+
+
 class BigWigWriter(_AlignmentWriter):
     SUFFIX = ".bw"
 
@@ -153,6 +203,10 @@ class BigWigWriter(_AlignmentWriter):
             if ":" in spec:
                 nm, _, sz = spec.strip().partition(":")
                 self.chrom_sizes[nm] = int(sz)
+        zr = options.get("zoom_reductions")  # "" → no zoom levels
+        self.zoom_reductions = (
+            [int(x) for x in zr.split(",") if x.strip()]
+            if zr is not None else None)  # None → derive a default ladder
 
     def write(self, iterator: Iterator) -> _PartFile:
         rows: list[tuple[str, int, int, float]] = []
@@ -201,7 +255,25 @@ class BigWigWriter(_AlignmentWriter):
             sum(v * (e - s) for _c, s, e, v in rows),
             sum(v * v * (e - s) for _c, s, e, v in rows))
 
-        header_sz = 64
+        # zoom reduction ladder: kent-style default — 10× the mean
+        # interval, ×4 per level, while a level still reduces the data
+        reductions = self.zoom_reductions
+        if reductions is None and rows:
+            mean_len = max(1, covered // len(rows))
+            span = max(sizes.values(), default=0)
+            reductions, r = [], max(16, 10 * mean_len)
+            while len(reductions) < 10 and r < span:
+                reductions.append(r)
+                r *= 4
+        reductions = reductions or []
+        zoom_levels = []  # (reduction, sections)
+        for r in reductions:
+            recs = _zoom_records(rows, ids, r)
+            if not recs:
+                continue
+            zoom_levels.append((r, _sectionize(recs, self.items_per_slot)))
+
+        header_sz = 64 + 24 * len(zoom_levels)
         summary_off = header_sz
         chrom_off = summary_off + 40
         tree = _chrom_tree(names, sizes)
@@ -213,31 +285,44 @@ class BigWigWriter(_AlignmentWriter):
             offs.append(pos)
             pos += len(body)
         index_off = pos
+        rtree = _rtree(sections, offs, len(rows), index_off,
+                       self.items_per_slot)
+        pos = index_off + len(rtree)
 
-        leaf_items = b"".join(
-            struct.pack("<IIIIQQ", cid, lo, cid, hi, off, len(body))
-            for (cid, lo, hi, body), off in zip(sections, offs))
-        rtree = struct.pack(
-            "<IIQIIIIQII", _RTREE_MAGIC, max(len(sections), 1),
-            len(rows),
-            min((c for c, *_ in sections), default=0),
-            min((lo for _c, lo, _h, _b in sections), default=0),
-            max((c for c, *_ in sections), default=0),
-            max((hi for _c, _l, hi, _b in sections), default=0),
-            index_off, self.items_per_slot, 0,
-        ) + struct.pack("<BBH", 1, 0, len(sections)) + leaf_items
+        # zoom level payloads follow the main index: per level a u32
+        # record count, the sections, then that level's own R-tree
+        zheaders = []
+        zblobs = []
+        for r, zsecs in zoom_levels:
+            zdata_off = pos
+            n_recs = sum(len(b) // 32 for _c, _l, _h, b in zsecs)
+            zoffs = []
+            zpos = zdata_off + 4
+            for _cid, _lo, _hi, body in zsecs:
+                zoffs.append(zpos)
+                zpos += len(body)
+            zindex_off = zpos
+            ztree = _rtree(zsecs, zoffs, n_recs, zindex_off,
+                           self.items_per_slot)
+            zheaders.append(struct.pack("<IIQQ", r, 0, zdata_off, zindex_off))
+            zblobs.append(struct.pack("<I", n_recs)
+                          + b"".join(b for _c, _l, _h, b in zsecs) + ztree)
+            pos = zindex_off + len(ztree)
 
         header = struct.pack(
-            "<IHHQQQHHQQIQ", _BW_MAGIC, 4, 0, chrom_off, data_off,
-            index_off, 0, 0, 0, summary_off, 0, 0)
+            "<IHHQQQHHQQIQ", _BW_MAGIC, 4, len(zoom_levels), chrom_off,
+            data_off, index_off, 0, 0, 0, summary_off, 0, 0)
 
         out = self._part_path()
         with open(out, "wb") as f:
             f.write(header)
+            f.write(b"".join(zheaders))
             f.write(summary)
             f.write(tree)
             f.write(struct.pack("<Q", len(sections)))
             for _cid, _lo, _hi, body in sections:
                 f.write(body)
             f.write(rtree)
+            for blob in zblobs:
+                f.write(blob)
         return _PartFile(out, len(rows))

@@ -220,7 +220,8 @@ def test_bigwig_roundtrip_and_region_query(gspark, tmp_path):
     from oxbow_spark.sources.bbi import BbiFile
 
     bf = BbiFile(part2)
-    assert len(bf.chroms) == 2 and bf.zooms == []
+    assert len(bf.chroms) == 2
+    assert bf.zooms  # the default reduction ladder is written too
     all_leaves = bf.rtree_leaves(bf.full_index_off)
     assert len(all_leaves) > 20  # really sectioned
     pruned = bf.rtree_leaves(
@@ -266,3 +267,52 @@ def test_bigbed_roundtrip_rest_and_autosql_typed(gspark, tmp_path):
            .option("regions", f"{chrom}:[0,10000000)").load(part))
     want = [r for r in df.collect() if r.chrom == chrom and r.start < 10000000]
     assert got.count() == len(want)
+
+
+def test_bigwig_writer_zoom_levels(gspark, tmp_path):
+    """zoom_reductions writes real BBI zoom levels (records + per-level
+    R-tree); the written ladder reads back through the zoom scan and
+    matches an independent Python reduction."""
+    import collections
+    import glob as _glob
+
+    rows = [("chr1", i * 50, i * 50 + 50, float(i % 7)) for i in range(2000)]
+    df = gspark.createDataFrame(
+        rows, "chrom string, start long, end long, value float")
+    out = str(tmp_path / "bwz")
+    (df.coalesce(1).write.format("bigwig")
+       .option("zoom_reductions", "1000,4000").mode("overwrite").save(out))
+    part = _glob.glob(out + "/*.bw")[0]
+    from oxbow_spark.sources.bbi import BbiFile
+
+    assert [z.reduction for z in BbiFile(part).zooms] == [1000, 4000]
+    assert gspark.read.format("bigwig").load(part).count() == 2000
+    z0 = sorted(map(tuple, gspark.read.format("bigwig")
+                    .option("zoom", "0").load(part).collect()))
+    bins = collections.defaultdict(lambda: [0, None, None, 0.0, 0.0])
+    for c, s, e, v in rows:
+        for b in range(s // 1000, (e - 1) // 1000 + 1):
+            ov = min(e, (b + 1) * 1000) - max(s, b * 1000)
+            if ov <= 0:
+                continue
+            acc = bins[b]
+            acc[0] += ov
+            acc[1] = v if acc[1] is None else min(acc[1], v)
+            acc[2] = v if acc[2] is None else max(acc[2], v)
+            acc[3] += v * ov
+            acc[4] += v * v * ov
+    assert len(z0) == len(bins)
+    for r in z0:
+        exp = bins[r[1] // 1000]
+        assert (r[3], r[4], r[5]) == (exp[0], exp[1], exp[2])
+        assert abs(r[6] - exp[3]) < 1e-3 and abs(r[7] - exp[4]) < 1e-2
+    # default ladder kicks in without the option
+    out2 = str(tmp_path / "bwz2")
+    df.coalesce(1).write.format("bigwig").mode("overwrite").save(out2)
+    part2 = _glob.glob(out2 + "/*.bw")[0]
+    assert BbiFile(part2).zooms  # non-empty default ladder
+    # zoom_reductions="" disables zooms
+    out3 = str(tmp_path / "bwz3")
+    (df.coalesce(1).write.format("bigwig")
+       .option("zoom_reductions", "").mode("overwrite").save(out3))
+    assert BbiFile(_glob.glob(out3 + "/*.bw")[0]).zooms == []
