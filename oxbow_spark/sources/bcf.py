@@ -935,9 +935,9 @@ class BcfDataSource(VcfDataSource):
         return "bcf"
 
     def writer(self, schema, overwrite: bool):
-        raise NotImplementedError(
-            "binary BCF writing is not implemented — write the same rows "
-            "as VCF text with df.write.format('vcf') (same schema)")
+        from oxbow_spark.sources.bcf_write import BcfWriter
+
+        return BcfWriter(self.options, overwrite)
 
     def header(self) -> VcfHeader:
         with open_bcf(self.paths[0]) as r:

@@ -316,3 +316,60 @@ def test_bigwig_writer_zoom_levels(gspark, tmp_path):
     (df.coalesce(1).write.format("bigwig")
        .option("zoom_reductions", "").mode("overwrite").save(out3))
     assert BbiFile(_glob.glob(out3 + "/*.bw")[0]).zooms == []
+
+
+def _bcf_header_text(path: str) -> str:
+    import struct
+
+    from oxbow_spark.sources.bcf import open_bcf
+
+    with open_bcf(path) as r:
+        r.read(5)
+        (ln,) = struct.unpack("<I", r.read(4))
+        return r.read(ln).split(b"\x00", 1)[0].decode()
+
+
+def test_bcf_roundtrip_fixture(gspark, tmp_path):
+    """BCF writer: typed INFO/FORMAT/GT binary encoding round-trips the
+    real fixture (100 records) exactly through our decoder."""
+    import glob as _glob
+
+    src = FX + "sample.bcf"
+    df = gspark.read.format("bcf").load(src)
+    out = str(tmp_path / "bcf")
+    (df.coalesce(1).write.format("bcf")
+       .option("header", _bcf_header_text(src)).mode("overwrite").save(out))
+    part = _glob.glob(out + "/*.bcf")[0]
+    back = gspark.read.format("bcf").load(part)
+    assert _rows(back) == _rows(df)
+
+
+def test_bcf_roundtrip_synthetic_edges(gspark, tmp_path):
+    """The edge-case corpus (missing qual/'.' FILTER/'.' ID, 15+ extended
+    lengths, ragged EOV-truncated float vectors, missing GT alleles,
+    phased GTs) survives write → read exactly."""
+    import glob as _glob
+
+    from tests.bcf_synth import write_bcf
+
+    src = str(tmp_path / "synth.bcf")
+    write_bcf(src, 120)
+    df = gspark.read.format("bcf").load(src)
+    out = str(tmp_path / "bcfw")
+    (df.coalesce(1).write.format("bcf")
+       .option("header", _bcf_header_text(src)).mode("overwrite").save(out))
+    part = _glob.glob(out + "/*.bcf")[0]
+    back = gspark.read.format("bcf").load(part)
+    assert _rows(back) == _rows(df)
+
+
+def test_bcf_writer_requires_contigs(gspark, tmp_path):
+    df = gspark.createDataFrame(
+        [("chrZ", 5, ["x"], "A", ["T"], None, [])],
+        "chrom string, pos int, id array<string>, ref string, "
+        "alt array<string>, qual double, filter array<string>")
+    hdr = ("##fileformat=VCFv4.2\n"
+           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+    with pytest.raises(Exception, match="contig"):
+        (df.coalesce(1).write.format("bcf").option("header", hdr)
+           .mode("overwrite").save(str(tmp_path / "x")))
