@@ -1418,6 +1418,13 @@ class SliceDecoder:
                 addc("M", 1)
                 refpos += 1
                 rpos += 1
+            elif fc == "b":
+                # stretch of verbatim bases (spec §10.4: consumes query
+                # AND reference) — the no-reference profile's match op
+                parts.append(payload)
+                addc("M", len(payload))
+                refpos += len(payload)
+                rpos += len(payload)
             # 'Q' affects qualities only
         gap = rl - rpos
         if gap > 0:
@@ -1702,7 +1709,10 @@ class CramDataSource(GenomicStreamMixin, DataSource):
 
     def __init__(self, options: dict):
         super().__init__(options)
-        self.paths = resolve_paths(options.get("path"))
+        try:
+            self.paths = resolve_paths(options.get("path"))
+        except FileNotFoundError:
+            self.paths = []  # write mode: target needn't exist yet
         self.names = select_fields(STANDARD_FIELD_NAMES, options.get("fields"))
         requested = options.get("coords", self.NATIVE_CS)
         self.coord_offset = _coords.start_offset(self.NATIVE_CS, requested)
@@ -1722,12 +1732,18 @@ class CramDataSource(GenomicStreamMixin, DataSource):
             self.first_offsets[p] = first
             self.ref_names_by_path[p] = names
         self.sam_header = hdr
-        self.ref_names = self.ref_names_by_path[self.paths[0]]
-        self.tag_defs = self._tag_defs()
+        self.ref_names = (
+            self.ref_names_by_path[self.paths[0]] if self.paths else [])
+        self.tag_defs = self._tag_defs() if self.paths else None
         fields = [T.StructField(nm, dict(STANDARD_FIELDS)[nm], True) for nm in self.names]
         if self.tag_defs is not None:
             fields.append(T.StructField("tags", tags_struct(self.tag_defs)))
         self.spark_schema = T.StructType(fields)
+
+    def writer(self, schema, overwrite: bool):
+        from oxbow_spark.sources.cram_write import CramWriter
+
+        return CramWriter(self.options, overwrite)
 
     def header(self) -> SamHeader:
         return self.sam_header

@@ -188,3 +188,71 @@ def test_tags_roundtrip_sam_and_bam(gspark, tmp_path, bam_header):
         back = (gspark.read.format(fmt).option("tag_defs", "NM:i,MD:Z")
                 .load(out + f"/*.{fmt}"))
         assert _rows(back) == _rows(df), fmt
+
+
+def test_cram_roundtrip_fixtures(gspark, tmp_path, bam_header):
+    """CRAM writer (no-ref profile): BAM and SAM fixtures round-trip
+    exactly through our CRAM decoder — no reference FASTA needed on
+    either side."""
+    import glob as _glob
+
+    df = gspark.read.format("bam").load(FX + "sample.bam")
+    out = str(tmp_path / "cram")
+    (df.coalesce(1).write.format("cram")
+       .option("header", bam_header).mode("overwrite").save(out))
+    part = _glob.glob(out + "/*.cram")[0]
+    with open(part, "rb") as f:
+        assert f.read(4) == b"CRAM"
+    back = gspark.read.format("cram").load(part)
+    assert _rows(back) == _rows(df)
+
+    sam = gspark.read.format("sam").load(FX + "sample.sam")
+    with open(FX + "sample.sam") as f:
+        hdr2 = "\n".join(ln for ln in f.read().splitlines()
+                         if ln.startswith("@"))
+    out2 = str(tmp_path / "cram2")
+    (sam.coalesce(1).write.format("cram")
+       .option("header", hdr2).mode("overwrite").save(out2))
+    back2 = gspark.read.format("cram").load(_glob.glob(out2 + "/*.cram")[0])
+    assert _rows(back2) == _rows(sam)
+
+
+def test_cram_roundtrip_edge_records(gspark, tmp_path):
+    """Indels, clips, skips, pads, unmapped-with-seq, missing values and
+    phred round-trips through the feature decomposition."""
+    import glob as _glob
+
+    rows = [
+        ("r1", 0, "chr1", 10, 60, "5M2I3M", None, None, 0,
+         "AACCGGTTAA", "IIIIIIIIII", 17),
+        ("r2", 16, "chr1", 30, 20, "3S4M1D3M", "chr1", 10, -25,
+         "TTTACGTAAA", None, 37),
+        ("r3", 0, "chr2", 5, None, "2M300N2M2H", None, None, 0,
+         "ACGT", "FFFF", 308),
+        ("r4", 4, None, None, None, None, None, None, 0,
+         "NNNNACGT", "BBBBBBBB", None),
+        ("r5", 0, "chr2", 50, 1, "4M1P4M", None, None, 0,
+         "AAAATTTT", "ABCDEFGH", 57),
+    ]
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos int, mapq int, "
+              "cigar string, rnext string, pnext int, tlen int, seq string, "
+              "qual string, end int")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100000\n@SQ\tSN:chr2\tLN:100000"
+    out = str(tmp_path / "edges")
+    (df.coalesce(1).write.format("cram")
+       .option("header", hdr).mode("overwrite").save(out))
+    back = gspark.read.format("cram").load(_glob.glob(out + "/*.cram")[0])
+    assert _rows(back) == _rows(df)
+
+
+def test_cram_distributed_parts(gspark, tmp_path, bam_header):
+    import glob as _glob
+
+    df = gspark.read.format("bam").load(FX + "sample.bam").repartition(3)
+    out = str(tmp_path / "parts")
+    (df.write.format("cram").option("header", bam_header)
+       .mode("overwrite").save(out))
+    assert len(_glob.glob(out + "/*.cram")) == 3
+    back = gspark.read.format("cram").load(out + "/*.cram")
+    assert back.count() == 10
