@@ -53,8 +53,20 @@ def itf8(v: int) -> bytes:
 
 
 def ltf8(v: int) -> bytes:
-    # non-negative small values only (counters)
-    return bytes([v]) if v < 0x80 else itf8(v)  # pragma: no cover (small)
+    """LTF8 (int64 varint): n leading 1-bits in the first byte signal n
+    continuation bytes; 7−n value bits ride in the first byte. Unlike
+    ITF8 there is no 4-bit tail quirk, so the encodings diverge at
+    2^28 — a part file's base counter can exceed that, hence the real
+    encoder (round-trip property-tested against the reader)."""
+    if v < 0:
+        v += 1 << 64
+    for n in range(9):
+        if n < 8 and v < (1 << (7 * (n + 1))):
+            prefix = (0xFF << (8 - n)) & 0xFF
+            first = prefix | (v >> (8 * n))
+            return bytes([first] + [(v >> (8 * i)) & 0xFF
+                                    for i in range(n - 1, -1, -1)])
+    return bytes([0xFF] + [(v >> (8 * i)) & 0xFF for i in range(7, -1, -1)])
 
 
 def _arr(vals) -> bytes:

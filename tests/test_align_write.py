@@ -256,3 +256,31 @@ def test_cram_distributed_parts(gspark, tmp_path, bam_header):
     assert len(_glob.glob(out + "/*.cram")) == 3
     back = gspark.read.format("cram").load(out + "/*.cram")
     assert back.count() == 10
+
+
+def test_cram_varint_encoders_roundtrip():
+    """itf8/ltf8 writer encodings ≡ the reader's decoders across widths
+    (incl. the 2^28+ region where ITF8's 4-bit tail and LTF8 diverge)."""
+    import random
+
+    from oxbow_spark.sources.cram import Cursor
+    from oxbow_spark.sources.cram_write import itf8, ltf8
+
+    rng = random.Random(7)
+    for _ in range(5000):
+        v = rng.randrange(0, 1 << 32)
+        c = Cursor(itf8(v))
+        got = c.itf8()
+        assert (got & 0xFFFFFFFF) == v and c.p == len(c.b), v
+    for k in (7, 14, 21, 28, 35, 49, 62):
+        for _ in range(2000):
+            v = rng.randrange(0, 1 << k)
+            c = Cursor(ltf8(v))
+            assert c.ltf8() == v and c.p == len(c.b), (k, v)
+    for v in (0, 127, 128, 16383, 16384, (1 << 21) - 1, 1 << 21,
+              (1 << 28) - 1, 1 << 28, (1 << 35) - 1, (1 << 62) - 1):
+        c = Cursor(ltf8(v))
+        assert c.ltf8() == v, v
+    # itf8(-1) is the encoding used for "no reference" ids
+    c = Cursor(itf8(-1))
+    assert c.itf8() == -1
