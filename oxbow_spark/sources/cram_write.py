@@ -155,6 +155,8 @@ class CramWriter(_AlignmentWriter):
         hdr = SamHeader.parse(self.header_text.splitlines())
         self.ref_names = hdr.chrom_names
         self.ref_ids = {nm: i for i, nm in enumerate(self.ref_names)}
+        self.records_per_container = int(
+            options.get("records_per_container", 10000))
 
     # -- compression header -------------------------------------------------
 
@@ -311,16 +313,28 @@ class CramWriter(_AlignmentWriter):
         hdr_head += _arr([0])
         hdr_head += struct.pack("<I", zlib.crc32(bytes(hdr_head)))
 
-        bufs = _SeriesBufs()
-        n = 0
-        bases = 0
-        for row in iterator:
-            bases += self._encode(row.asDict(), bufs)
-            n += 1
+        # chunk records into bounded containers (one slice each): caps
+        # writer memory at O(chunk) and gives the reader one partition
+        # per container on re-read (intra-file parallelism)
+        per = self.records_per_container
+        total = 0
         with open(out, "wb") as f:
             f.write(b"CRAM" + bytes([3, 0]) + b"sparkbow".ljust(20, b"\x00"))
             f.write(bytes(hdr_head) + hdr_block)
+            bufs = _SeriesBufs()
+            n = 0
+            bases = 0
+            for row in iterator:
+                bases += self._encode(row.asDict(), bufs)
+                n += 1
+                if n >= per:
+                    f.write(self._container(bufs, n, bases))
+                    total += n
+                    bufs = _SeriesBufs()
+                    n = 0
+                    bases = 0
             if n:
                 f.write(self._container(bufs, n, bases))
+                total += n
             f.write(self._eof_container())
-        return _PartFile(out, n)
+        return _PartFile(out, total)

@@ -284,3 +284,30 @@ def test_cram_varint_encoders_roundtrip():
     # itf8(-1) is the encoding used for "no reference" ids
     c = Cursor(itf8(-1))
     assert c.itf8() == -1
+
+
+def test_cram_multi_container_output(gspark, tmp_path):
+    """records_per_container bounds writer memory and yields one reader
+    partition per container on re-read."""
+    import glob as _glob
+
+    rows = [(f"r{i:05d}", 0, "chr1", 1 + i * 10, 60, "20M", None, None, 0,
+             "ACGTACGTACGTACGTACGT", "I" * 20, i * 10 + 20)
+            for i in range(2500)]
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos int, mapq int, "
+              "cigar string, rnext string, pnext int, tlen int, seq string, "
+              "qual string, end int")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10000000"
+    out = str(tmp_path / "multi")
+    (df.coalesce(1).write.format("cram").option("header", hdr)
+       .option("records_per_container", "500").mode("overwrite").save(out))
+    part = _glob.glob(out + "/*.cram")[0]
+    from oxbow_spark.sources.cram import read_file_header, scan_containers
+
+    _h, _n, first = read_file_header(part)
+    containers = list(scan_containers(part, first))
+    assert len(containers) == 5  # 2500 / 500
+    back = gspark.read.format("cram").load(part)
+    assert back.count() == 2500
+    assert _rows(back) == _rows(df)
