@@ -657,4 +657,6 @@ class BamDataSource(GenomicStreamMixin, DataSource):
     def reader(self, schema: T.StructType) -> BamReader:
         from oxbow_spark.sources.pushdown import pushdown_enabled
 
+        if not self.paths:
+            raise FileNotFoundError(f"no files match {self.options.get('path')!r}")
         return PushdownBamReader(self) if pushdown_enabled() else BamReader(self)

@@ -618,6 +618,8 @@ class _BbiSource(GenomicStreamMixin, DataSource):
     def reader(self, schema):
         from oxbow_spark.sources.pushdown import pushdown_enabled
 
+        if not self.paths:
+            raise FileNotFoundError(f"no files match {self.options.get('path')!r}")
         return PushdownBbiReader(self) if pushdown_enabled() else BbiReader(self)
 
     # metadata introspection (SURVEY M1/M4)

@@ -1784,4 +1784,6 @@ class CramDataSource(GenomicStreamMixin, DataSource):
     def reader(self, schema: T.StructType) -> CramReader:
         from oxbow_spark.sources.pushdown import pushdown_enabled
 
+        if not self.paths:
+            raise FileNotFoundError(f"no files match {self.options.get('path')!r}")
         return PushdownCramReader(self) if pushdown_enabled() else CramReader(self)

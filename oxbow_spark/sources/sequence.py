@@ -245,6 +245,8 @@ class FastaDataSource(GenomicStreamMixin, DataSource):
         return _struct(self.names)
 
     def reader(self, schema):
+        if not self.paths:
+            raise FileNotFoundError(f"no files match {self.options.get('path')!r}")
         return FastaReader(
             self.paths,
             self.schema(),
@@ -425,6 +427,8 @@ class FastqDataSource(GenomicStreamMixin, DataSource):
         return _struct(self.names)
 
     def reader(self, schema):
+        if not self.paths:
+            raise FileNotFoundError(f"no files match {self.options.get('path')!r}")
         return FastqReader(
             self.paths,
             self.schema(),

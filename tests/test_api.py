@@ -166,3 +166,15 @@ def test_batches_stream_and_empty_schema():
     t = ox.from_bam(FX + "sample.bam", regions="chr1:90000-90001").to_arrow()
     assert t.num_rows == 0
     assert "qname" in t.schema.names
+
+
+def test_missing_path_raises_at_read():
+    # write-mode tolerance must not turn a typo'd read path into 0 rows
+    with pytest.raises(FileNotFoundError):
+        ox.from_bam("/nonexistent/nope.bam").to_arrow()
+    with pytest.raises(FileNotFoundError):
+        ox.from_vcf("/nonexistent/nope.vcf").to_arrow()
+    with pytest.raises(FileNotFoundError):
+        ox.from_bigwig("/nonexistent/nope.bw").to_arrow()
+    with pytest.raises(FileNotFoundError):
+        ox.from_fasta("/nonexistent/nope.fa").to_arrow()
