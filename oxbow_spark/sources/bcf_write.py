@@ -91,9 +91,11 @@ def _typed_str(s: str) -> bytes:
 
 def _gt_codes(gt) -> list[int]:
     """Inverse of `bcf.py:decode_gt`: (allele, phased) struct → packed
-    ints ((a+1)<<1 | phased; missing allele → 0)."""
+    ints ((a+1)<<1 | phased; missing allele → 0). A sample with no GT
+    encodes as a zero-length (all-EOV) cell so it decodes back to
+    None, not './.'."""
     if gt is None:
-        return [0]
+        return []
     d = gt if isinstance(gt, dict) else gt.asDict()
     alleles, phased = d.get("allele") or [], d.get("phased") or []
     out = []
