@@ -191,8 +191,9 @@ class CramWriter(_AlignmentWriter):
 
     # -- record encode ------------------------------------------------------
 
-    def _encode(self, d: dict, bufs: _SeriesBufs) -> int:
-        """Returns the record's base count (container stats)."""
+    def _encode(self, d: dict, bufs: _SeriesBufs):
+        """Returns (base count, ref id, start1, end1) for container
+        metadata and the .crai sidecar (ref id −1 when unmapped)."""
         flag = int(d.get("flag") or 0)
         rname = d.get("rname")
         seq = d.get("seq")
@@ -252,19 +253,33 @@ class CramWriter(_AlignmentWriter):
                 bufs.bufs["BA"] += seq.encode("ascii")
         if qual is not None:
             bufs.bufs["QS"] += bytes(min(ord(c) - 33, 93) for c in qual)
-        return rl
+        rid = self.ref_ids.get(rname, -1) if (rname and mapped) else -1
+        pos1 = int(d.get("pos") or 0)
+        reflen = (sum(int(n) for n, op in _CIGAR_RE.findall(cigar)
+                      if op in "MDN=X") if cigar else max(rl, 1))
+        return rl, rid, pos1, pos1 + max(reflen, 1) - 1
 
     # -- container assembly -------------------------------------------------
 
-    def _container(self, bufs: _SeriesBufs, n_records: int,
-                   n_bases: int) -> bytes:
+    def _container(self, bufs: _SeriesBufs, n_records: int, n_bases: int,
+                   refs: dict[int, list[int]]) -> bytes:
+        # single-reference chunks advertise (ref, start, span) in the
+        # container header so region planning prunes them without a .crai
+        mapped = {r: se for r, se in refs.items() if r >= 0}
+        if len(refs) == 1 and len(mapped) == 1:
+            (rid, (lo, hi)), = mapped.items()
+            c_ref, c_start, c_span = rid, lo, hi - lo + 1
+        elif refs and not mapped:
+            c_ref, c_start, c_span = -1, 0, 0  # all unmapped
+        else:
+            c_ref, c_start, c_span = -2, 0, 0  # multiref
         comp_block = _block(1, 0, self._comp_header())
         data_blocks = []
         used = [(k, self.cids[k]) for k in self.cids if bufs.bufs[k]]
         for k, cid in used:
             data_blocks.append(_block(4, cid, bytes(bufs.bufs[k])))
         sl = bytearray()
-        sl += itf8(-2)          # multiref slice
+        sl += itf8(-2)          # multiref slice (RI per record)
         sl += itf8(0) + itf8(0)  # start, span
         sl += itf8(n_records)
         sl += ltf8(0)           # record counter
@@ -277,7 +292,7 @@ class CramWriter(_AlignmentWriter):
         body = comp_block + slice_block + b"".join(data_blocks)
         head = bytearray()
         head += struct.pack("<i", len(body))
-        head += itf8(-2) + itf8(0) + itf8(0)
+        head += itf8(c_ref) + itf8(c_start) + itf8(c_span)
         head += itf8(n_records)
         head += ltf8(0) + ltf8(n_bases)
         head += itf8(1 + 1 + len(data_blocks))
@@ -317,24 +332,52 @@ class CramWriter(_AlignmentWriter):
         # writer memory at O(chunk) and gives the reader one partition
         # per container on re-read (intra-file parallelism)
         per = self.records_per_container
+        want_crai = (self.options.get("index") or "").lower() == "crai"
+        crai_lines: list[str] = []
         total = 0
         with open(out, "wb") as f:
             f.write(b"CRAM" + bytes([3, 0]) + b"sparkbow".ljust(20, b"\x00"))
             f.write(bytes(hdr_head) + hdr_block)
+            pos_bytes = 26 + len(hdr_head) + len(hdr_block)
             bufs = _SeriesBufs()
             n = 0
             bases = 0
+            refs: dict[int, list[int]] = {}
+
+            def flush():
+                nonlocal pos_bytes, total, bufs, n, bases, refs
+                cont = self._container(bufs, n, bases, refs)
+                f.write(cont)
+                for rid, (lo, hi) in sorted(refs.items()):
+                    crai_lines.append(
+                        f"{rid}\t{lo if rid >= 0 else 0}"
+                        f"\t{hi - lo + 1 if rid >= 0 else 0}"
+                        f"\t{pos_bytes}\t0\t0")
+                pos_bytes += len(cont)
+                total += n
+                bufs = _SeriesBufs()
+                n = 0
+                bases = 0
+                refs = {}
+
             for row in iterator:
-                bases += self._encode(row.asDict(), bufs)
+                rl, rid, lo, hi = self._encode(row.asDict(), bufs)
+                bases += rl
+                se = refs.get(rid)
+                if se is None:
+                    refs[rid] = [lo, hi]
+                else:
+                    se[0] = min(se[0], lo)
+                    se[1] = max(se[1], hi)
                 n += 1
                 if n >= per:
-                    f.write(self._container(bufs, n, bases))
-                    total += n
-                    bufs = _SeriesBufs()
-                    n = 0
-                    bases = 0
+                    flush()
             if n:
-                f.write(self._container(bufs, n, bases))
-                total += n
+                flush()
             f.write(self._eof_container())
+        if want_crai:
+            import gzip
+
+            with gzip.open(out + ".crai", "wt") as fi:
+                fi.write("\n".join(crai_lines) + ("\n" if crai_lines else ""))
         return _PartFile(out, total)

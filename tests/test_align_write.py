@@ -311,3 +311,41 @@ def test_cram_multi_container_output(gspark, tmp_path):
     back = gspark.read.format("cram").load(part)
     assert back.count() == 2500
     assert _rows(back) == _rows(df)
+
+
+def test_cram_region_pruning_with_and_without_crai(gspark, tmp_path):
+    """Single-ref container metadata + optional .crai sidecar: region
+    queries on written CRAMs prune to the overlapping containers (1 of
+    6 here) and return exact results via either planning path."""
+    import glob as _glob
+
+    rows = [(f"r{i:05d}", 0, "chr1" if i < 1500 else "chr2",
+             1 + (i % 1500) * 10, 60, "20M", None, None, 0,
+             "ACGTACGTACGTACGTACGT", "I" * 20, (i % 1500) * 10 + 20)
+            for i in range(3000)]
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos int, mapq int, "
+              "cigar string, rnext string, pnext int, tlen int, seq string, "
+              "qual string, end int").orderBy("rname", "pos")
+    hdr = ("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10000000\n"
+           "@SQ\tSN:chr2\tLN:10000000")
+    out = str(tmp_path / "pruned")
+    (df.coalesce(1).write.format("cram").option("header", hdr)
+       .option("records_per_container", "500").option("index", "crai")
+       .mode("overwrite").save(out))
+    part = _glob.glob(out + "/*.cram")[0]
+    assert os.path.exists(part + ".crai")
+    from oxbow_spark.sources.cram import CramDataSource
+
+    want = sorted(r[0] for r in rows
+                  if r[2] == "chr1" and r[3] <= 2000 and r[3] + 19 >= 1)
+    for with_crai in (True, False):
+        if not with_crai:
+            os.remove(part + ".crai")
+        got = (gspark.read.format("cram")
+               .option("regions", "chr1:1-2000").load(part)
+               .select("qname").collect())
+        assert sorted(r.qname for r in got) == want, with_crai
+        ds = CramDataSource({"path": part, "regions": "chr1:1-2000"})
+        assert len(ds.reader(ds.schema()).partitions()) == 1, with_crai
+    assert gspark.read.format("cram").load(part).count() == 3000
