@@ -398,6 +398,31 @@ class FastaWriter(_TextPartWriter):
             seq[i:i + self.WRAP] for i in range(0, max(len(seq), 1), self.WRAP))
         return head + body + "\n"
 
+    def write(self, iterator: Iterator) -> _PartFile:
+        if (self.options.get("index") or "").lower() != "fai":
+            return super().write(iterator)
+        # index='fai': track byte offsets while writing so the part gets
+        # a faidx sidecar — written FASTAs are immediately region-
+        # sliceable (regions= option / X12 faidx_fetch)
+        out = self._part_path()
+        fai: list[str] = []
+        pos = 0
+        n = 0
+        with open(out, "w", encoding="utf-8", newline="\n") as f:
+            for row in iterator:
+                d = row.asDict()
+                text = self._line(d)
+                head_len = text.index("\n") + 1
+                seq = d.get("sequence") or ""
+                fai.append(f"{d.get('name') or ''}\t{len(seq)}"
+                           f"\t{pos + head_len}\t{self.WRAP}\t{self.WRAP + 1}")
+                f.write(text)
+                pos += len(text.encode("utf-8"))
+                n += 1
+        with open(out + ".fai", "w", encoding="utf-8", newline="\n") as fi:
+            fi.write("\n".join(fai) + ("\n" if fai else ""))
+        return _PartFile(out, n)
+
 
 class FastqWriter(_TextPartWriter):
     SUFFIX = ".fastq"

@@ -422,3 +422,30 @@ def test_bcf_writer_int_widths_and_vectors(gspark, tmp_path):
        .mode("overwrite").save(out))
     back = gspark.read.format("bcf").load(_glob.glob(out + "/*.bcf")[0])
     assert _rows(back.select(df.columns)) == _rows(df)
+
+
+def test_fasta_writer_fai_sidecar(gspark, tmp_path):
+    """index='fai' writes the faidx sidecar during the write; region
+    slices on the written file resolve through it."""
+    import glob as _glob
+    import os
+
+    rows = [("s1", None, "ACGT" * 40), ("s2", "desc here", "TTTTGGGGCCCC"),
+            ("s3", None, "A" * 61)]
+    df = gspark.createDataFrame(
+        rows, "name string, description string, sequence string")
+    out = str(tmp_path / "fa")
+    (df.coalesce(1).write.format("fasta").option("index", "fai")
+       .mode("overwrite").save(out))
+    part = _glob.glob(out + "/*.fasta")[0]
+    assert os.path.exists(part + ".fai")
+    from oxbow_spark.sources.sequence import faidx_fetch, read_fai
+
+    fai = read_fai(part + ".fai")
+    assert set(fai) == {"s1", "s2", "s3"}
+    assert faidx_fetch(part, fai, "s1", 0, 10) == "ACGTACGTAC"
+    assert faidx_fetch(part, fai, "s2", 4, 8) == "GGGG"
+    assert faidx_fetch(part, fai, "s3", 58, 61) == "AAA"  # crosses the wrap
+    got = (gspark.read.format("fasta").option("regions", "s1:1-8")
+           .load(part).collect())
+    assert got[0].sequence == "ACGTACGT"
