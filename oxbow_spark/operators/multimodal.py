@@ -42,11 +42,15 @@ try:  # real image decode path — absent in this container
 except ImportError:
     HAVE_PIL = False
 
-# (kind, magic-byte prefix) sniff table, checked in order
+# (kind, magic-byte prefix) sniff table, checked in order. The DuckDB
+# oracle mirrors this CASE arm-for-arm (`queries/registry.py:_SNIFF_SQL_CASE`)
+# — keep both in sync when extending.
 MAGICS: list[tuple[str, bytes]] = [
     ("png", bytes.fromhex("89504E470D0A1A0A")),
     ("jpeg", bytes.fromhex("FFD8FF")),
     ("riff", b"RIFF"),
+    ("gif", b"GIF8"),
+    ("bmp", b"BM"),
 ]
 
 
@@ -54,6 +58,8 @@ def sniff_kind(b: bytes) -> str:
     for kind, magic in MAGICS:
         if b.startswith(magic):
             return kind
+    if len(b) >= 12 and b[4:8] == b"ftyp":  # ISO BMFF (mp4/mov): sized box
+        return "mp4"
     return "raw"
 
 
@@ -257,6 +263,85 @@ def decode_jpeg_dims(b: bytes) -> tuple[int, int, int]:
     raise ValueError("JPEG without SOF frame header")
 
 
+def decode_gif(b: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib GIF parse → (width, height, n_frames).
+
+    GIF87a/89a (public spec, W3C/CompuServe): 6-byte signature, logical
+    screen descriptor (canvas w/h as LE u16, packed flags carrying the
+    global color table size), then a block stream — 0x21 extensions and
+    0x2C image descriptors, both trailed by length-prefixed sub-blocks,
+    until the 0x3B trailer. Frame count = image descriptors seen; the
+    walk skips local color tables and LZW data without decoding them.
+    Raises ValueError on malformed streams (honest gate)."""
+    import struct
+
+    if not (b.startswith(b"GIF87a") or b.startswith(b"GIF89a")):
+        raise ValueError("not a GIF (bad signature)")
+    if len(b) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    w, h, packed = struct.unpack_from("<HHB", b, 6)
+    pos = 13
+    if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (packed & 0x07))
+
+    def _skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(b):
+                raise ValueError("GIF sub-blocks truncated")
+            ln = b[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    frames = 0
+    while pos < len(b):
+        tag = b[pos]
+        pos += 1
+        if tag == 0x3B:  # trailer
+            break
+        if tag == 0x21:  # extension: label byte + sub-blocks
+            pos = _skip_subblocks(pos + 1)
+        elif tag == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                raise ValueError("GIF image descriptor truncated")
+            lpacked = b[pos + 8]
+            pos += 9
+            if lpacked & 0x80:  # local color table
+                pos += 3 * (2 << (lpacked & 0x07))
+            pos = _skip_subblocks(pos + 1)  # LZW min code size + data
+            frames += 1
+        else:
+            raise ValueError(f"GIF unknown block 0x{tag:02x}")
+    if frames == 0:
+        raise ValueError("GIF without image descriptors")
+    return int(w), int(h), frames
+
+
+def decode_bmp_dims(b: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib BMP header parse → (width, height, channels).
+
+    'BM' file header (14 bytes) + BITMAPINFOHEADER (or any later >=40-byte
+    DIB header; the 12-byte OS/2 BITMAPCOREHEADER uses u16 dims): width
+    i32 LE, height i32 LE (negative = top-down, reported as abs),
+    channels = bit count / 8 (1 for paletted <=8-bit)."""
+    import struct
+
+    if not b.startswith(b"BM"):
+        raise ValueError("not a BMP (bad magic)")
+    if len(b) < 26:
+        raise ValueError("BMP truncated before DIB header")
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
+    if hdr_size == 12:  # BITMAPCOREHEADER
+        w, h, _planes, bits = struct.unpack_from("<HHHH", b, 18)
+    elif hdr_size >= 40:
+        w, h, _planes, bits = struct.unpack_from("<iiHH", b, 18)
+    else:
+        raise ValueError(f"BMP DIB header size {hdr_size} unsupported")
+    if w <= 0 or h == 0:
+        raise ValueError("BMP with non-positive dimension")
+    return int(w), abs(int(h)), max(1, bits // 8)
+
+
 def decode_image_stub(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "doc_id", real: bool = False) -> DataFrame:
     """(id, kind, width, height, channels, n_pixels, px_mean): image
@@ -268,9 +353,12 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload",
     codecs. ``real=True``: PNG payloads decode for REAL via the
     pure-stdlib `decode_png` (actual dimensions, channels and pixel
     mean); JPEG dimensions come from the pure-stdlib SOF scan
-    `decode_jpeg_dims` (px_mean stays null — entropy decode needs a
-    real codec); other kinds use PIL when available, else yield null
-    dimensions (same schema — swapping decoders never changes the plan)."""
+    `decode_jpeg_dims`, GIF from the block-walk `decode_gif` (frame
+    count reported as channels' sibling n_pixels=w*h; channels=3), BMP
+    from `decode_bmp_dims` (px_mean stays null for these — entropy/LZW
+    decode needs a real codec); other kinds use PIL when available, else
+    yield null dimensions (same schema — swapping decoders never
+    changes the plan)."""
     schema = StructType([
         StructField(id_col, LongType()),
         StructField("kind", StringType()),
@@ -306,6 +394,18 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload",
                     try:
                         jw, jh, jc = decode_jpeg_dims(b)
                         decoded = (jw, jh, jc, None)
+                    except ValueError:
+                        decoded = None
+                elif kind == "gif":
+                    try:
+                        gw, gh, _frames = decode_gif(b)
+                        decoded = (gw, gh, 3, None)
+                    except ValueError:
+                        decoded = None
+                elif kind == "bmp":
+                    try:
+                        bw, bh, bc = decode_bmp_dims(b)
+                        decoded = (bw, bh, bc, None)
                     except ValueError:
                         decoded = None
                 if decoded is None and HAVE_PIL:
@@ -382,5 +482,213 @@ def embed_media(df: DataFrame, dim: int = 8, payload_col: str = "payload",
                 d = hashlib.md5(bytes(b).hex().upper().encode()).digest()
                 vecs.append([d[j % 16] / 255.0 for j in range(dim)])
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
+
+    return df.mapInPandas(fn, schema)
+
+
+def decode_wav(b: bytes) -> tuple[int, int, int, float, float]:
+    """Pure-stdlib+numpy WAV decode → (n_channels, sample_rate,
+    n_samples, duration_s, rms).
+
+    RIFF/WAVE chunk walk (public spec, Microsoft/IBM RIFF): 'fmt '
+    carries format tag / channels / rate / bits, 'data' carries PCM
+    samples. PCM 8-bit (unsigned), 16/32-bit (signed LE) and 32-bit
+    float (format 3) decode for real via one `np.frombuffer`; rms is
+    over samples normalized to [-1, 1]. Raises ValueError on non-RIFF,
+    non-PCM or truncated payloads (honest gate, matching the image
+    kernels)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunks")
+    tag, n_ch, rate, _brate, _align, bits = fmt
+    if n_ch < 1 or rate < 1:
+        raise ValueError("WAV with zero channels or rate")
+    if tag == 1 and bits == 8:
+        x = np.frombuffer(data, np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif tag == 1 and bits == 16:
+        x = np.frombuffer(data[:len(data) & ~1], "<i2").astype(np.float64)
+        x /= 32768.0
+    elif tag == 1 and bits == 32:
+        x = np.frombuffer(data[:len(data) & ~3], "<i4").astype(np.float64)
+        x /= 2147483648.0
+    elif tag == 3 and bits == 32:
+        x = np.frombuffer(data[:len(data) & ~3], "<f4").astype(np.float64)
+    else:
+        raise ValueError(f"WAV format tag {tag}/{bits}-bit unsupported")
+    n_samples = len(x) // n_ch
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    return int(n_ch), int(rate), int(n_samples), n_samples / rate, rms
+
+
+def audio_stats(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id", real: bool = False) -> DataFrame:
+    """(id, kind, n_channels, sample_rate, n_samples, duration_s, rms):
+    audio feature extraction over Arrow-batched mapInPandas — narrow,
+    no shuffle, batch-at-a-time like the image kernels.
+
+    ``real=False`` (default): deterministic STUB — every field is a pure
+    function of the byte length so the plumbing (schema, batching, the
+    DuckDB oracle twin) is testable without codec libraries.
+    ``real=True``: RIFF payloads decode for REAL via the pure-stdlib
+    `decode_wav` (PCM 8/16/32-bit and float32); non-WAV or malformed
+    payloads yield nulls under the same schema."""
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("kind", StringType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                kind = sniff_kind(b)
+                n = len(b)
+                if not real:
+                    ch = 1 + n % 2
+                    rate = 8000 + (n * 443) % 40000
+                    ns = n * 4
+                    rows.append((i, kind, ch, rate, ns, ns / rate,
+                                 ((n * 977) % 1000) / 1000.0))
+                    continue
+                try:
+                    ch, rate, ns, dur, rms = decode_wav(b)
+                    rows.append((i, kind, ch, rate, ns, dur, rms))
+                except ValueError:
+                    rows.append((i, kind, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "kind", "n_channels", "sample_rate", "n_samples",
+                "duration_s", "rms"])
+
+    return df.mapInPandas(fn, schema)
+
+
+def decode_mp4(b: bytes) -> tuple[float, int | None, int | None, int]:
+    """Pure-stdlib ISO BMFF (MP4/MOV) metadata parse → (duration_s,
+    width, height, n_tracks).
+
+    Box walk per ISO/IEC 14496-12: u32 size + fourcc (size 1 → u64
+    largesize, size 0 → to-end). Recurses into 'moov'/'trak'; 'mvhd'
+    (version 0: u32 timescale/duration at +12, version 1: u64 at +20)
+    gives the movie duration; the first 'tkhd' with non-zero dimensions
+    (16.16 fixed-point at the record tail) gives width/height; n_tracks
+    counts 'trak' boxes. No sample data is touched."""
+    import struct
+
+    duration = None
+    dims = None
+    tracks = 0
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal duration, dims, tracks
+        pos = lo
+        while pos + 8 <= hi:
+            (sz,) = struct.unpack_from(">I", b, pos)
+            typ = b[pos + 4:pos + 8]
+            body = pos + 8
+            if sz == 1:
+                if pos + 16 > hi:
+                    raise ValueError("mp4 largesize truncated")
+                (sz,) = struct.unpack_from(">Q", b, pos + 8)
+                body = pos + 16
+            elif sz == 0:
+                sz = hi - pos
+            if sz < 8 or pos + sz > hi:
+                raise ValueError(f"mp4 box size {sz} out of range")
+            if typ in (b"moov", b"trak") and depth < 4:
+                if typ == b"trak":
+                    tracks += 1
+                walk(body, pos + sz, depth + 1)
+            elif typ == b"mvhd" and body + 4 <= hi:
+                ver = b[body]
+                if ver == 1 and body + 28 <= hi:
+                    (ts,) = struct.unpack_from(">I", b, body + 20)
+                    (dur,) = struct.unpack_from(">Q", b, body + 24)
+                else:
+                    ts, dur = struct.unpack_from(">II", b, body + 12)
+                if ts:
+                    duration = dur / ts
+            elif typ == b"tkhd" and dims is None:
+                ver = b[body]
+                tail = body + (92 if ver == 1 else 80)
+                if tail + 8 <= hi:
+                    wfx, hfx = struct.unpack_from(">II", b, tail)
+                    if wfx and hfx:
+                        dims = (wfx >> 16, hfx >> 16)
+            pos += sz
+
+    if sniff_kind(b) != "mp4":
+        raise ValueError("not an ISO BMFF payload (no ftyp)")
+    walk(0, len(b), 0)
+    if duration is None:
+        raise ValueError("mp4 without mvhd")
+    w, h = dims if dims else (None, None)
+    return float(duration), w, h, tracks
+
+
+def video_meta(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id", real: bool = False) -> DataFrame:
+    """(id, kind, duration_s, width, height, n_tracks): container-level
+    video metadata over Arrow-batched mapInPandas.
+
+    ``real=False`` (default): deterministic STUB (pure function of byte
+    length) so the plumbing and DuckDB oracle are testable.
+    ``real=True``: mp4/mov payloads parse for REAL via the pure-stdlib
+    `decode_mp4` box walk (movie duration, track dims, track count) —
+    frame pixel extraction still needs a real codec and stays with
+    `frame_sample`; malformed payloads yield nulls, same schema."""
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("kind", StringType()),
+        StructField("duration_s", DoubleType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_tracks", LongType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                kind = sniff_kind(b)
+                n = len(b)
+                if not real:
+                    w = 160 + (n * 31) % 1760
+                    h = 90 + (n * 17) % 990
+                    rows.append((i, kind, (n % 3600) / 10.0, w, h,
+                                 1 + n % 3))
+                    continue
+                try:
+                    dur, w, h, nt = decode_mp4(b)
+                    rows.append((i, kind, dur, w, h, nt))
+                except ValueError:
+                    rows.append((i, kind, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "kind", "duration_s", "width", "height",
+                "n_tracks"])
 
     return df.mapInPandas(fn, schema)

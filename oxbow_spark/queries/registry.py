@@ -1590,10 +1590,15 @@ _PAYLOAD_SQL = """CASE
   WHEN doc_id % 4 = 2 THEN encode('RIFF') || encode(text)
   ELSE encode(text) END"""
 
+# mirrors multimodal.sniff_kind arm-for-arm (same priority order)
 _SNIFF_SQL_CASE = """CASE
   WHEN substr(hex(payload), 1, 16) = '89504E470D0A1A0A' THEN 'png'
   WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
   WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'riff'
+  WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'gif'
+  WHEN substr(hex(payload), 1, 4) = '424D' THEN 'bmp'
+  WHEN octet_length(payload) >= 12
+       AND substr(hex(payload), 9, 8) = '66747970' THEN 'mp4'
   ELSE 'raw' END"""
 
 
@@ -1656,6 +1661,52 @@ SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
        md5(substr(hex(payload), CAST(frame_idx * {_FRAME_BYTES * 2} + 1 AS BIGINT),
                   {_FRAME_BYTES * 2})) AS frame_digest
 FROM f
+"""
+
+
+def mm_audio_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature plumbing (stub kernel — real WAV decode is
+    `multimodal.decode_wav`, pytest-verified; the oracle models the
+    stub, the same convention as `mm_decode_image_docs`)."""
+    return multimodal.audio_stats(_mm_payload(spark, sf_dir))
+
+
+MM_AUDIO_SQL = f"""
+WITH p AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents),
+d AS (
+  SELECT doc_id, {_SNIFF_SQL_CASE} AS kind,
+         octet_length(payload) AS n
+  FROM p
+)
+SELECT doc_id, kind,
+       CAST(1 + n % 2 AS BIGINT) AS n_channels,
+       CAST(8000 + (n * 443) % 40000 AS BIGINT) AS sample_rate,
+       CAST(n * 4 AS BIGINT) AS n_samples,
+       (n * 4) / CAST(8000 + (n * 443) % 40000 AS DOUBLE) AS duration_s,
+       ((n * 977) % 1000) / 1000.0 AS rms
+FROM d
+"""
+
+
+def mm_video_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container metadata plumbing (stub kernel — real ISO BMFF
+    parse is `multimodal.decode_mp4`, pytest-verified)."""
+    return multimodal.video_meta(_mm_payload(spark, sf_dir))
+
+
+MM_VIDEO_SQL = f"""
+WITH p AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents),
+d AS (
+  SELECT doc_id, {_SNIFF_SQL_CASE} AS kind,
+         octet_length(payload) AS n
+  FROM p
+)
+SELECT doc_id, kind,
+       (n % 3600) / 10.0 AS duration_s,
+       CAST(160 + (n * 31) % 1760 AS BIGINT) AS width,
+       CAST(90 + (n * 17) % 990 AS BIGINT) AS height,
+       CAST(1 + n % 3 AS BIGINT) AS n_tracks
+FROM d
 """
 
 
@@ -1741,6 +1792,8 @@ QUERIES: list[Query] = [
     Query("mm_decode_image_docs", mm_decode_image_docs, MM_DECODE_SQL, bench=True),
     Query("mm_frame_sample_docs", mm_frame_sample_docs, MM_FRAME_SQL),
     Query("mm_embed_docs", mm_embed_docs, _mm_embed_sql()),
+    Query("mm_audio_stats_docs", mm_audio_stats_docs, MM_AUDIO_SQL),
+    Query("mm_video_meta_docs", mm_video_meta_docs, MM_VIDEO_SQL),
 ]
 
 

@@ -254,3 +254,227 @@ def test_decode_real_jpeg_through_spark(spark):
         assert (r.width, r.height, r.channels) == (100 + i, 200 + i, 3)
         assert r.n_pixels == (100 + i) * (200 + i)
         assert r.px_mean is None
+
+
+# -------------------------------------------------- real GIF / BMP headers
+
+def write_gif(w: int, h: int, n_frames: int = 1, gct: bool = True) -> bytes:
+    """Minimal GIF89a writer: logical screen descriptor (+ optional
+    2-entry global color table), a graphics-control extension per frame,
+    image descriptors with a tiny fake LZW sub-block, trailer."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    packed = 0x80 if gct else 0  # GCT flag, size bits 0 -> 2 entries
+    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+    if gct:
+        out += bytes(6)  # 2 RGB entries
+    for _ in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"       # GCE + terminator
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x02\x03\x84\x8f\xa9\x00"               # LZW min + 1 sub-block
+    out += b"\x3b"
+    return bytes(out)
+
+
+def write_bmp(w: int, h: int, bits: int = 24, core: bool = False) -> bytes:
+    """Minimal BMP writer: 'BM' file header + BITMAPINFOHEADER (or the
+    12-byte OS/2 core header); no pixel data needed for a header parse."""
+    import struct
+
+    if core:
+        dib = struct.pack("<IHHHH", 12, w, h, 1, bits)
+    else:
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, 0, 0, 0, 0, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, 14 + len(dib)) + dib
+
+
+def test_decode_gif():
+    assert multimodal.decode_gif(write_gif(320, 200)) == (320, 200, 1)
+    assert multimodal.decode_gif(write_gif(12, 7, n_frames=5)) == (12, 7, 5)
+    assert multimodal.decode_gif(write_gif(9, 9, gct=False)) == (9, 9, 1)
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_gif(b"GIF99a??")
+    with pytest.raises(ValueError, match="without image"):
+        multimodal.decode_gif(write_gif(4, 4, n_frames=0))
+
+
+def test_decode_bmp_dims():
+    assert multimodal.decode_bmp_dims(write_bmp(640, 480)) == (640, 480, 3)
+    assert multimodal.decode_bmp_dims(write_bmp(31, 17, bits=32)) == (31, 17, 4)
+    assert multimodal.decode_bmp_dims(write_bmp(8, 8, bits=8)) == (8, 8, 1)
+    assert multimodal.decode_bmp_dims(write_bmp(5, 6, core=True)) == (5, 6, 3)
+    import struct
+    topdown = bytearray(write_bmp(10, 20))
+    struct.pack_into("<i", topdown, 22, -20)  # negative height = top-down
+    assert multimodal.decode_bmp_dims(bytes(topdown)) == (10, 20, 3)
+    with pytest.raises(ValueError, match="magic"):
+        multimodal.decode_bmp_dims(b"notbmp")
+
+
+def test_decode_real_gif_bmp_through_spark(spark):
+    rows = [(0, bytearray(write_gif(33, 44, n_frames=2))),
+            (1, bytearray(write_bmp(55, 66, bits=32)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in
+           multimodal.decode_image_stub(df, real=True).collect()}
+    assert (got[0].kind, got[0].width, got[0].height, got[0].channels) == (
+        "gif", 33, 44, 3)
+    assert (got[1].kind, got[1].width, got[1].height, got[1].channels) == (
+        "bmp", 55, 66, 4)
+    assert got[0].px_mean is None and got[1].px_mean is None
+
+
+# ----------------------------------------------------------- real WAV decode
+
+def write_wav(samples, rate: int = 16000, n_ch: int = 1,
+              bits: int = 16, tag: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer: fmt + data chunks, PCM int or float32."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples)
+    if tag == 3:
+        bits = 32
+        data = x.astype("<f4").tobytes()
+    elif bits == 8:
+        data = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    else:
+        data = (np.clip(x, -1, 1) * 2147483647).astype("<i4").tobytes()
+    fmt = struct.pack("<HHIIHH", tag, n_ch, rate, rate * n_ch * bits // 8,
+                      n_ch * bits // 8, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_known_signal():
+    import numpy as np
+
+    t = np.arange(1600) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    ch, rate, ns, dur, rms = multimodal.decode_wav(write_wav(x, 16000))
+    assert (ch, rate, ns) == (1, 16000, 1600)
+    assert abs(dur - 0.1) < 1e-12
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2); 16-bit quantization noise
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3
+    # float32 path carries the exact values
+    _, _, _, _, rms32 = multimodal.decode_wav(write_wav(x, 16000, tag=3))
+    assert abs(rms32 - float(np.sqrt(np.mean(x * x)))) < 1e-6
+
+
+@pytest.mark.parametrize("bits", [8, 16, 32])
+def test_decode_wav_widths_and_stereo(bits):
+    import numpy as np
+
+    x = np.linspace(-0.9, 0.9, 400)
+    ch, rate, ns, dur, rms = multimodal.decode_wav(
+        write_wav(x, 8000, n_ch=2, bits=bits))
+    assert (ch, rate, ns) == (2, 8000, 200)
+    assert abs(dur - 0.025) < 1e-12
+    assert abs(rms - float(np.sqrt(np.mean(x * x)))) < 2e-2
+
+
+def test_decode_wav_honest_gates():
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        multimodal.decode_wav(b"RIFFxxxxAVI LIST")
+    import struct
+    fmt = struct.pack("<HHIIHH", 85, 1, 44100, 0, 0, 0)  # mp3-in-wav tag
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(ValueError, match="unsupported"):
+        multimodal.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_audio_stats_real_through_spark(spark):
+    import numpy as np
+
+    x = 0.25 * np.sin(np.arange(800) * 0.05)
+    rows = [(0, bytearray(write_wav(x, 8000))),
+            (1, bytearray(b"\x89PNG\r\n\x1a\nnot audio"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in
+           multimodal.audio_stats(df, real=True).collect()}
+    assert (got[0].kind, got[0].n_channels, got[0].sample_rate,
+            got[0].n_samples) == ("riff", 1, 8000, 800)
+    assert abs(got[0].duration_s - 0.1) < 1e-12
+    assert abs(got[0].rms - float(np.sqrt(np.mean(x * x)))) < 1e-3
+    assert got[1].kind == "png" and got[1].rms is None
+
+
+def test_audio_stats_stub_deterministic(payload_df):
+    out = multimodal.audio_stats(payload_df).collect()
+    assert out
+    for r in out:
+        assert r.n_channels in (1, 2)
+        assert 8000 <= r.sample_rate < 48000
+        assert abs(r.duration_s - r.n_samples / r.sample_rate) < 1e-12
+
+
+# ------------------------------------------------------- real MP4 metadata
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + typ + body
+
+
+def write_mp4(duration_s: float, timescale: int = 1000, w: int = 0,
+              h: int = 0, n_tracks: int = 1, version: int = 0) -> bytes:
+    """Minimal ISO BMFF writer: ftyp + moov(mvhd + n trak(tkhd))."""
+    import struct
+
+    if version == 1:
+        mvhd = (b"\x01" + bytes(3) + bytes(16)
+                + struct.pack(">I", timescale)
+                + struct.pack(">Q", int(duration_s * timescale)) + bytes(80))
+    else:
+        mvhd = (b"\x00" + bytes(3) + bytes(8)
+                + struct.pack(">II", timescale, int(duration_s * timescale))
+                + bytes(80))
+    traks = b""
+    for i in range(n_tracks):
+        tail = struct.pack(">II", (w if i == 0 else 0) << 16,
+                           (h if i == 0 else 0) << 16)
+        tkhd = b"\x00" + bytes(3) + bytes(76) + tail
+        traks += _box(b"trak", _box(b"tkhd", tkhd))
+    return (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + _box(b"moov", _box(b"mvhd", mvhd) + traks))
+
+
+@pytest.mark.parametrize("version", [0, 1])
+def test_decode_mp4(version):
+    b = write_mp4(12.5, 600, w=1920, h=1080, n_tracks=2, version=version)
+    dur, w, h, nt = multimodal.decode_mp4(b)
+    assert abs(dur - 12.5) < 1e-9
+    assert (w, h, nt) == (1920, 1080, 2)
+    # audio-only: no dims
+    dur, w, h, nt = multimodal.decode_mp4(write_mp4(3.0, 1000))
+    assert abs(dur - 3.0) < 1e-9 and (w, h, nt) == (None, None, 1)
+    with pytest.raises(ValueError, match="ftyp"):
+        multimodal.decode_mp4(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="mvhd"):
+        multimodal.decode_mp4(_box(b"ftyp", b"isom") + _box(b"moov", b""))
+
+
+def test_video_meta_real_through_spark(spark):
+    rows = [(0, bytearray(write_mp4(7.25, 800, w=640, h=360, n_tracks=2))),
+            (1, bytearray(b"\xFF\xD8\xFFnot video"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in
+           multimodal.video_meta(df, real=True).collect()}
+    assert got[0].kind == "mp4"
+    assert abs(got[0].duration_s - 7.25) < 1e-9
+    assert (got[0].width, got[0].height, got[0].n_tracks) == (640, 360, 2)
+    assert got[1].kind == "jpeg" and got[1].duration_s is None
+
+
+def test_sniff_new_kinds():
+    assert multimodal.sniff_kind(write_gif(4, 4)) == "gif"
+    assert multimodal.sniff_kind(write_bmp(4, 4)) == "bmp"
+    assert multimodal.sniff_kind(write_mp4(1.0)) == "mp4"
+    assert multimodal.sniff_kind(write_wav([0.0] * 8)) == "riff"
+    assert multimodal.sniff_kind(b"plain text") == "raw"
