@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oxbow_spark import coords
-from oxbow_spark.operators import dedup, multimodal, similarity, text
+from oxbow_spark.operators import decontam, dedup, multimodal, similarity, text
 from oxbow_spark.operators.asof import asof_join
 from oxbow_spark.operators.interval_join import overlap_join
 from oxbow_spark.operators.zoom import exact_sum, zoom_aggregate
@@ -491,6 +491,45 @@ WHERE (len(a.s) + len(b.s) - len(list_distinct(list_concat(a.s, b.s))))::DOUBLE
 
 
 _SIMHASH_BITS = 16
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 stand in as
+    the 'benchmark' split; the rest of the corpus is scored for k-gram
+    overlap against it (broadcast benchmark gram set — see
+    operators/decontam.py for the 100 TB plan shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return decontam.ngram_decontaminate(corpus, bench, shingle_k=_SHINGLE_K)
+
+
+def _decontam_sql() -> str:
+    k = _SHINGLE_K
+    shingle = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(k)) + ")"
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {k}
+              THEN list_transform(generate_series(1, len(t) - {k - 1}), i -> {shingle})
+              ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+m AS (
+  SELECT c.doc_id, count(*) AS n_matched
+  FROM (SELECT doc_id, unnest(sh) AS g FROM corpus) c JOIN bench USING (g)
+  GROUP BY c.doc_id
+)
+SELECT corpus.doc_id,
+       CAST(len(sh) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+       COALESCE(n_matched, 0) / GREATEST(len(sh), 1)::DOUBLE AS contamination,
+       COALESCE(n_matched, 0) >= 1 AS contaminated
+FROM corpus LEFT JOIN m USING (doc_id)
+"""
 
 
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1757,6 +1796,7 @@ QUERIES: list[Query] = [
     Query("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_SQL),
     Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql(), bench=True),
     Query("dedup_ngram_jaccard_docs", dedup_ngram_jaccard_docs, _ngram_sql()),
+    Query("decontaminate_docs", decontaminate_docs, _decontam_sql()),
     Query("dedup_simhash_docs", dedup_simhash_docs, _simhash_sql(), bench=True),
     Query("text_stats_docs", text_stats_docs, TEXT_STATS_SQL, bench=True),
     Query("text_quality_docs", text_quality_docs, TEXT_QUALITY_SQL),
