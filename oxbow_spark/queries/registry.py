@@ -222,6 +222,175 @@ WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND l_shipdate < TIMESTAMP '1998-09-0
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + filter + single-group agg. All three
+    predicates reach the parquet scan (PushedFilters); the only exchange
+    is the one-row final agg — the cheapest possible plan at any SF."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue")
+    )
+
+
+Q6_SQL = f"""
+SELECT {_xsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customer ⨝ orders (date window) ⨝ lineitem
+    (returnflag) ⨝ nation, revenue per customer, top 20. customer and
+    nation broadcast; the fact side shuffles once for the per-customer
+    agg; the top-k sorts the already-aggregated (customer-sized) frame."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_xsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-10-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer ⟕ orders order-count distribution
+    (the simplified tables carry no o_comment, so the classic
+    not-like-'%special%requests%' filter becomes an o_orderpriority
+    exclusion — same left-outer + two-level aggregation plan). The
+    orders side pre-aggregates per custkey (map-side partials) before
+    the join, so the wide side of the join is customer-sized, not
+    order-sized; the second agg is over a tiny (distinct-count-sized)
+    frame."""
+    cust = _t(spark, sf_dir, "customer")
+    cnt = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        cust.join(cnt, cust.c_custkey == cnt.o_custkey, "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COALESCE(cnt, 0) AS c_count
+  FROM customer LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS cnt
+    FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+  ) ON c_custkey = o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered semi-reduction — per-order
+    quantity sums filter to the rare heavy orders BEFORE joining orders
+    and customer, so the joins see only the qualifying keys (broadcast
+    at any SF: the having-filter output is tiny by construction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", "sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("date").cast("string").alias("o_date"),
+                "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+       o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, {_xsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING {_xsum('l_quantity')} > 250
+) ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: lineitem ⨝ part (broadcast) under a disjunction
+    of brand/size/quantity bands (the simplified tables carry no
+    shipmode/shipinstruct). The per-band l_quantity bounds are OR-ed, so
+    Catalyst can still push the derived quantity envelope to the scan
+    while the brand/size arms apply post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    arm1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) \
+        & q.between(1, 11)
+    arm2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) \
+        & q.between(10, 20)
+    arm3 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) \
+        & q.between(20, 30)
+    return j.where(arm1 | arm2 | arm3).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+Q19_SQL = f"""
+SELECT {_xsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def scan_project_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY P1/P2/L1: projection + deterministic limit. The projection
     reaches the parquet scan (ReadSchema shows 4 columns)."""
@@ -1786,6 +1955,11 @@ QUERIES: list[Query] = [
     Query("q3_top_revenue_orders", q3_top_revenue_orders, Q3_SQL, bench=True),
     Query("q5_nation_revenue", q5_nation_revenue, Q5_SQL, bench=True),
     Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL, bench=True),
+    Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+    Query("q10_returned_items", q10_returned_items, Q10_SQL),
+    Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
+    Query("q18_large_volume_customers", q18_large_volume_customers, Q18_SQL),
+    Query("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_SQL),
     Query("scan_project_limit", scan_project_limit, SCAN_SQL),
     Query("range_filter_events", range_filter_events, RANGE_SQL, bench=True),
     Query("union_multi_region", union_multi_region, UNION_SQL),

@@ -129,3 +129,52 @@ def test_resample_mixture_is_pushdown_friendly_filter(spark, sf):
     assert "Exchange" not in plan, plan
     opt = _opt(df)
     assert "Filter" in opt, opt
+
+
+def test_q6_all_predicates_pushed(spark, sf):
+    """q6 is pure scan+agg: the shipdate/discount/quantity filters must
+    reach PushedFilters and the plan must contain no join at all."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    plan = _plan(R.q6_forecast_revenue(spark, sf))
+    assert "Join" not in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "LessThan(l_quantity" in pushed, pushed
+
+
+def test_q10_broadcasts_dimensions(spark, sf):
+    """q10's customer and nation joins must broadcast; the fact side
+    shuffles only for the per-customer aggregate."""
+    plan = _plan(R.q10_returned_items(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_having_filter_precedes_joins(spark, sf):
+    """q18's heavy-order reduction must aggregate lineitem BEFORE the
+    joins (the optimized plan joins onto an Aggregate subtree), and both
+    joins broadcast the small sides."""
+    plan = _plan(R.q18_large_volume_customers(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    opt = _opt(R.q18_large_volume_customers(spark, sf))
+    join_pos = opt.find("Join")
+    agg_pos = opt.rfind("Aggregate")
+    assert join_pos != -1 and agg_pos > join_pos, opt  # agg inside join subtree
+
+
+def test_q19_broadcast_part_quantity_envelope_pushed(spark, sf):
+    """q19's part join must broadcast, and the OR-ed quantity bands must
+    still yield a pushed quantity envelope on the lineitem scan."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    plan = _plan(R.q19_disjunctive_revenue(spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln for ln in pushed), plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf):
+    """Decontamination must broadcast the benchmark gram set — the
+    corpus side never shuffles to find matches."""
+    plan = _plan(R.decontaminate_docs(spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
