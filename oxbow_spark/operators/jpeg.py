@@ -1,0 +1,302 @@
+"""Pure-numpy baseline JPEG decoder (ITU-T T.81, public spec).
+
+Scope: baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
+coding, 1 or 3 components, any (H,V) sampling factors (4:4:4, 4:2:2,
+4:2:0, ...), restart markers. Progressive (SOF2), arithmetic coding,
+12-bit and hierarchical modes raise ValueError — an honest gate, like
+`decode_png` in operators/multimodal.py. No codec library is available
+in this container, so this is the real entropy-decode path behind
+`decode_image_stub(real=True)`'s px_mean for JPEG payloads.
+
+The reference (abdenlab/oxbow) has no image layer; this belongs to the
+training-data-pipeline brief's multimodal kernels. The decode is
+vectorized where it pays (dequant + IDCT run as one einsum over all
+blocks of a component; upsampling is a numpy repeat) while the Huffman
+walk is necessarily bit-serial.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: zigzag_index -> raster position (u*8+v)
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# orthonormal 8-point DCT-II basis: T[u, x]; JPEG's FDCT/IDCT pair is
+# exactly  coeffs = T @ (pixels - 128) @ T.T  /  pixels = T.T @ C @ T + 128
+_T8 = np.array([
+    [np.sqrt((1.0 if u == 0 else 2.0) / 8.0)
+     * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+    for u in range(8)])
+
+
+class _HuffTable:
+    """Canonical Huffman table from a DHT (counts-per-length, symbols)."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                self.lookup[(ln, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 de-stuffing; stops
+    at any non-stuffed marker (the caller handles RSTn)."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.marker is not None or self.pos >= len(self.b):
+                self.acc = (self.acc << 8) | 0  # pad past-end with zeros
+                self.n += 8
+                continue
+            byte = self.b[self.pos]
+            if byte == 0xFF:
+                nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # RSTn terminates this entropy segment
+                    self.marker = nxt
+                    continue
+                else:
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def bits(self, count: int) -> int:
+        if count == 0:
+            return 0
+        if self.n < count:
+            self._fill()
+        v = (self.acc >> (self.n - count)) & ((1 << count) - 1)
+        self.n -= count
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: _HuffTable) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.lookup.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG invalid Huffman code")
+
+    def restart(self, expected: int) -> None:
+        """Consume the pending RSTn marker and resume after it."""
+        if self.marker is None:
+            # marker not reached yet: byte-align and scan forward
+            self.n = 0
+            self.acc = 0
+            while self.pos + 1 < len(self.b):
+                if self.b[self.pos] == 0xFF and 0xD0 <= self.b[self.pos + 1] <= 0xD7:
+                    self.marker = self.b[self.pos + 1]
+                    self.pos += 2
+                    break
+                self.pos += 1
+            else:
+                raise ValueError("JPEG missing restart marker")
+        else:
+            if not (0xD0 <= self.marker <= 0xD7):
+                raise ValueError("JPEG expected restart, hit other marker")
+            # skip to just after the marker bytes
+            while self.pos + 1 < len(self.b):
+                if self.b[self.pos] == 0xFF and self.b[self.pos + 1] == self.marker:
+                    self.pos += 2
+                    break
+                self.pos += 1
+        if self.marker != 0xD0 + (expected & 7):
+            raise ValueError("JPEG restart marker out of sequence")
+        self.marker = None
+        self.acc = 0
+        self.n = 0
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to an (h, w) or (h, w, 3) uint8 array."""
+    if not b.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (bad SOI)")
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
+    comps: list[dict] = []
+    w = h = None
+    restart_interval = 0
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            raise ValueError(f"JPEG marker desync at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2:pos + seg_len]
+        nxt = pos + seg_len
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                sp += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[sp:sp + 64], np.uint8).astype(np.float64)
+                    sp += 64
+                else:
+                    tbl = np.frombuffer(seg[sp:sp + 128], ">u2").astype(np.float64)
+                    sp += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                counts = list(seg[sp + 1:sp + 17])
+                total = sum(counts)
+                syms = seg[sp + 17:sp + 17 + total]
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffTable(counts, syms)
+                sp += 17 + total
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"JPEG precision {prec} unsupported (8 only)")
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("JPEG non-baseline frame unsupported "
+                             f"(SOF marker 0x{marker:02x})")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS: entropy data follows
+            ns = seg[0]
+            for si in range(ns):
+                cs, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
+                for c in comps:
+                    if c["id"] == cs:
+                        c["dc"] = tabs >> 4
+                        c["ac"] = tabs & 0xF
+            data_start = pos + seg_len
+            return _decode_scan(b, data_start, w, h, comps, qt, dc_tabs,
+                                ac_tabs, restart_interval)
+        pos = nxt
+    raise ValueError("JPEG without SOS scan")
+
+
+def _decode_scan(b, pos, w, h, comps, qt, dc_tabs, ac_tabs, dri):
+    if w is None or not comps:
+        raise ValueError("JPEG SOS before SOF")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # blocks per row
+        c["bh"] = mcuy * c["v"]
+        c["blocks"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
+        c["pred"] = 0
+    r = _BitReader(b, pos)
+    mcu_count = 0
+    rst_seq = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                r.restart(rst_seq)
+                rst_seq = (rst_seq + 1) & 7
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                dct = dc_tabs.get(c.get("dc", 0))
+                act = ac_tabs.get(c.get("ac", 0))
+                if dct is None or act is None:
+                    raise ValueError("JPEG scan references missing Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = r.huff(dct)
+                        diff = _extend(r.bits(t), t)
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = r.huff(act)
+                            rr, ss = rs >> 4, rs & 0xF
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(r.bits(ss), ss)
+                            k += 1
+                        row = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        c["blocks"][row] = zz
+            mcu_count += 1
+    # dequant + IDCT, all blocks of a component at once
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]][np.argsort(ZIGZAG)]  # zigzag table -> raster order
+        coef = np.zeros_like(c["blocks"])
+        coef[:, ZIGZAG] = c["blocks"]        # zigzag -> raster
+        coef *= q[None, :]
+        blocks = coef.reshape(-1, 8, 8)
+        pix = np.einsum("ux,nuv,vy->nxy", _T8, blocks, _T8) + 128.0
+        plane = pix.reshape(c["bh"], c["bw"], 8, 8).transpose(0, 2, 1, 3)
+        plane = plane.reshape(c["bh"] * 8, c["bw"] * 8)
+        # upsample to full-resolution grid, crop
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        out = planes[0]
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        rch = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bch = y + 1.772 * (cb - 128.0)
+        out = np.stack([rch, g, bch], axis=-1)
+    else:
+        raise ValueError(f"JPEG with {len(planes)} components unsupported")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def jpeg_pixel_stats(b: bytes) -> tuple[int, int, int, float]:
+    """(width, height, channels, px_mean) via the full baseline decode."""
+    px = decode_jpeg(b)
+    if px.ndim == 2:
+        return px.shape[1], px.shape[0], 1, float(px.mean()) / 255.0
+    return px.shape[1], px.shape[0], px.shape[2], float(px.mean()) / 255.0

@@ -352,13 +352,14 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload",
     batching, downstream joins, the DuckDB oracle) is testable without
     codecs. ``real=True``: PNG payloads decode for REAL via the
     pure-stdlib `decode_png` (actual dimensions, channels and pixel
-    mean); JPEG dimensions come from the pure-stdlib SOF scan
-    `decode_jpeg_dims`, GIF from the block-walk `decode_gif` (frame
-    count reported as channels' sibling n_pixels=w*h; channels=3), BMP
-    from `decode_bmp_dims` (px_mean stays null for these — entropy/LZW
-    decode needs a real codec); other kinds use PIL when available, else
-    yield null dimensions (same schema — swapping decoders never
-    changes the plan)."""
+    mean); baseline JPEGs decode fully via the pure-numpy Huffman+IDCT
+    decoder (`operators/jpeg.py` — true px_mean), with the SOF
+    dimension scan `decode_jpeg_dims` as the fallback for progressive
+    frames (dims only, px_mean null); GIF uses the block-walk
+    `decode_gif`, BMP `decode_bmp_dims` (px_mean null — LZW/RLE decode
+    not implemented); other kinds use PIL when available, else yield
+    null dimensions (same schema — swapping decoders never changes the
+    plan)."""
     schema = StructType([
         StructField(id_col, LongType()),
         StructField("kind", StringType()),
@@ -391,11 +392,17 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload",
                     except ValueError:
                         decoded = None  # sniffed PNG but not decodable
                 elif kind == "jpeg":
+                    # full baseline decode first (true px_mean); fall back
+                    # to the SOF dimension scan for progressive/exotic frames
                     try:
-                        jw, jh, jc = decode_jpeg_dims(b)
-                        decoded = (jw, jh, jc, None)
+                        from oxbow_spark.operators.jpeg import jpeg_pixel_stats
+                        decoded = jpeg_pixel_stats(b)
                     except ValueError:
-                        decoded = None
+                        try:
+                            jw, jh, jc = decode_jpeg_dims(b)
+                            decoded = (jw, jh, jc, None)
+                        except ValueError:
+                            decoded = None
                 elif kind == "gif":
                     try:
                         gw, gh, _frames = decode_gif(b)
