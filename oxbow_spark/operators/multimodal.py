@@ -317,6 +317,113 @@ def decode_gif(b: bytes) -> tuple[int, int, int]:
     return int(w), int(h), frames
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, npix: int) -> "list[int]":
+    """GIF variable-width LZW decode (LSB-first bit packing) → pixel
+    index list, truncated/padded handling left to the caller."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(dictionary) and code not in (clear, end):
+                entry = dictionary[code]
+            elif code == len(dictionary) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("GIF LZW code out of range")
+            out.extend(entry)
+            if prev is not None:
+                dictionary.append(prev + entry[:1])
+                if len(dictionary) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= npix:
+                return out[:npix]
+    return out
+
+
+def decode_gif_pixels(b: bytes) -> tuple[int, int, int, float]:
+    """Real first-frame GIF decode → (width, height, 3, px_mean).
+
+    Full LZW decompression of the first image descriptor's data, mapped
+    through the active (local or global) color table; ``px_mean`` is the
+    mean of the frame's RGB samples / 255 (row order — and thus the
+    interlace flag — is irrelevant to a mean). Transparency is ignored:
+    the transparent index still carries its palette color."""
+    import struct
+
+    import numpy as np
+
+    if not (b.startswith(b"GIF87a") or b.startswith(b"GIF89a")):
+        raise ValueError("not a GIF (bad signature)")
+    if len(b) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    _w, _h, packed = struct.unpack_from("<HHB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos:pos + 3 * ncol], np.uint8).reshape(-1, 3)
+        pos += 3 * ncol
+    while pos < len(b):
+        tag = b[pos]
+        pos += 1
+        if tag == 0x3B:
+            break
+        if tag == 0x21:
+            pos += 1
+            while True:
+                ln = b[pos]
+                pos += 1 + ln
+                if ln == 0:
+                    break
+        elif tag == 0x2C:
+            _x, _y, fw, fh, lpacked = struct.unpack_from("<HHHHB", b, pos)
+            pos += 9
+            pal = gct
+            if lpacked & 0x80:
+                ncol = 2 << (lpacked & 0x07)
+                pal = np.frombuffer(b[pos:pos + 3 * ncol], np.uint8).reshape(-1, 3)
+                pos += 3 * ncol
+            if pal is None:
+                raise ValueError("GIF frame without color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                ln = b[pos]
+                pos += 1
+                data += b[pos:pos + ln]
+                pos += ln
+                if ln == 0:
+                    break
+            idx = _gif_lzw_decode(min_code, bytes(data), fw * fh)
+            if not idx:
+                raise ValueError("GIF frame decoded to zero pixels")
+            rgb = pal[np.clip(np.array(idx, dtype=np.int64), 0, len(pal) - 1)]
+            return int(fw), int(fh), 3, float(rgb.mean()) / 255.0
+        else:
+            raise ValueError(f"GIF unknown block 0x{tag:02x}")
+    raise ValueError("GIF without image descriptors")
+
+
 def decode_bmp_dims(b: bytes) -> tuple[int, int, int]:
     """Pure-stdlib BMP header parse → (width, height, channels).
 
@@ -340,6 +447,46 @@ def decode_bmp_dims(b: bytes) -> tuple[int, int, int]:
     if w <= 0 or h == 0:
         raise ValueError("BMP with non-positive dimension")
     return int(w), abs(int(h)), max(1, bits // 8)
+
+
+def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, float]:
+    """Real BMP pixel decode → (width, height, channels, px_mean) for
+    uncompressed (BI_RGB) 8/24/32-bit images: the pixel array starts at
+    the file header's bfOffBits, rows are bottom-up and padded to 4
+    bytes (row order is irrelevant to a mean); 8-bit indices map through
+    the BGRA palette after the DIB header. Compressed (RLE/bitfields)
+    variants raise ValueError — honest gate."""
+    import struct
+
+    import numpy as np
+
+    w, h, channels = decode_bmp_dims(b)
+    (off,) = struct.unpack_from("<I", b, 10)
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
+    bits = channels * 8
+    compression = 0
+    if hdr_size >= 40:
+        (compression,) = struct.unpack_from("<I", b, 30)
+    if compression != 0:
+        raise ValueError(f"BMP compression {compression} unsupported (BI_RGB only)")
+    stride = (w * bits // 8 + 3) & ~3
+    need = stride * h
+    if off + need > len(b):
+        raise ValueError("BMP pixel array truncated")
+    raw = np.frombuffer(b[off:off + need], np.uint8).reshape(h, stride)
+    if bits == 8:
+        pal_off = 14 + hdr_size
+        npal = (off - pal_off) // 4
+        if npal <= 0:
+            raise ValueError("8-bit BMP without palette")
+        pal = np.frombuffer(b[pal_off:pal_off + 4 * npal], np.uint8).reshape(-1, 4)
+        idx = raw[:, :w]
+        rgb = pal[np.clip(idx, 0, npal - 1)][:, :, :3]  # BGRA → BGR slice
+        return w, h, 3, float(rgb.mean()) / 255.0
+    px = raw[:, :w * (bits // 8)].reshape(h, w, bits // 8)
+    if bits == 32:
+        px = px[:, :, :3]  # drop the X/alpha byte from the mean
+    return w, h, channels, float(px.mean()) / 255.0
 
 
 def decode_image_stub(df: DataFrame, payload_col: str = "payload",
@@ -404,17 +551,25 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload",
                         except ValueError:
                             decoded = None
                 elif kind == "gif":
+                    # full first-frame LZW decode; dims-only fallback
                     try:
-                        gw, gh, _frames = decode_gif(b)
-                        decoded = (gw, gh, 3, None)
+                        decoded = decode_gif_pixels(b)
                     except ValueError:
-                        decoded = None
+                        try:
+                            gw, gh, _frames = decode_gif(b)
+                            decoded = (gw, gh, 3, None)
+                        except ValueError:
+                            decoded = None
                 elif kind == "bmp":
+                    # real pixel mean for BI_RGB; dims-only fallback
                     try:
-                        bw, bh, bc = decode_bmp_dims(b)
-                        decoded = (bw, bh, bc, None)
+                        decoded = decode_bmp_pixels(b)
                     except ValueError:
-                        decoded = None
+                        try:
+                            bw, bh, bc = decode_bmp_dims(b)
+                            decoded = (bw, bh, bc, None)
+                        except ValueError:
+                            decoded = None
                 if decoded is None and HAVE_PIL:
                     import io
 

@@ -322,7 +322,10 @@ def test_decode_real_gif_bmp_through_spark(spark):
         "gif", 33, 44, 3)
     assert (got[1].kind, got[1].width, got[1].height, got[1].channels) == (
         "bmp", 55, 66, 4)
-    assert got[0].px_mean is None and got[1].px_mean is None
+    # write_gif's placeholder LZW block may or may not decode (garbage
+    # in, garbage out — dims come from the header either way); the
+    # pixel-less BMP must fall back to the dims-only path
+    assert got[1].px_mean is None
 
 
 # ----------------------------------------------------------- real WAV decode
@@ -478,3 +481,152 @@ def test_sniff_new_kinds():
     assert multimodal.sniff_kind(write_mp4(1.0)) == "mp4"
     assert multimodal.sniff_kind(write_wav([0.0] * 8)) == "riff"
     assert multimodal.sniff_kind(b"plain text") == "raw"
+
+
+# --------------------------------------------- real GIF/BMP pixel decode
+
+def gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """Independent GIF LZW encoder (LSB-first variable-width codes) for
+    decoder round-trip tests."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bits = []
+
+    def emit(code, size):
+        bits.append((code, size))
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    prev = b""
+    for c in indices:
+        cur = prev + bytes([c])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], code_size)
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        prev = bytes([c])
+    if prev:
+        emit(table[prev], code_size)
+    emit(end, code_size)
+    acc = nbits = 0
+    out = bytearray()
+    for code, size in bits:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def write_real_gif(idx, palette, min_code_size: int = None) -> bytes:
+    """GIF89a with REAL LZW pixel data: ``idx`` is an (h, w) uint8 index
+    array, ``palette`` a list of (r, g, b)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    ncol = len(palette)
+    size_bits = max(1, (ncol - 1).bit_length())
+    mcs = min_code_size or max(2, size_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+    for i in range(1 << size_bits):
+        r, g, b = palette[i] if i < ncol else (0, 0, 0)
+        out += bytes([r, g, b])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([mcs])
+    data = gif_lzw_encode(idx.reshape(-1).tolist(), mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_lzw_pixel_decode():
+    import numpy as np
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 4, (13, 22), dtype=np.uint8)
+    blob = write_real_gif(idx, palette)
+    w, h, c, mean = multimodal.decode_gif_pixels(blob)
+    assert (w, h, c) == (22, 13, 3)
+    truth = np.array(palette, dtype=np.float64)[idx.reshape(-1)]
+    assert abs(mean - float(truth.mean()) / 255.0) < 1e-9
+
+
+def test_gif_lzw_long_stream_code_growth():
+    import numpy as np
+
+    # enough distinct runs to force several code-size bumps
+    palette = [(i * 8 % 256, i * 5 % 256, i * 3 % 256) for i in range(16)]
+    rng = np.random.default_rng(12)
+    idx = rng.integers(0, 16, (40, 60), dtype=np.uint8)
+    blob = write_real_gif(idx, palette)
+    w, h, c, mean = multimodal.decode_gif_pixels(blob)
+    assert (w, h) == (60, 40)
+    truth = np.array(palette, dtype=np.float64)[idx.reshape(-1)]
+    assert abs(mean - float(truth.mean()) / 255.0) < 1e-9
+
+
+def write_bmp_with_pixels(px) -> bytes:
+    """BMP writer with a real BI_RGB pixel array: ``px`` is (h, w, 3)
+    RGB uint8 (stored bottom-up as BGR with 4-byte row padding)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for r in range(h - 1, -1, -1):
+        row = px[r][:, ::-1].tobytes()  # RGB → BGR
+        rows += row + bytes(stride - len(row))
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    off = 14 + len(dib)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    return hdr + dib + bytes(rows)
+
+
+def test_bmp_pixel_decode():
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (9, 14, 3), dtype=np.uint8)
+    w, h, c, mean = multimodal.decode_bmp_pixels(write_bmp_with_pixels(px))
+    assert (w, h, c) == (14, 9, 3)
+    assert abs(mean - float(px.mean()) / 255.0) < 1e-9
+
+
+def test_real_gif_bmp_px_mean_through_spark(spark):
+    import numpy as np
+
+    palette = [(0, 0, 0), (255, 255, 255)]
+    idx = (np.indices((8, 8)).sum(axis=0) % 2).astype(np.uint8)  # checker
+    rng = np.random.default_rng(14)
+    bpx = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    rows = [(0, bytearray(write_real_gif(idx, palette))),
+            (1, bytearray(write_bmp_with_pixels(bpx)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in
+           multimodal.decode_image_stub(df, real=True).collect()}
+    assert got[0].px_mean == pytest.approx(0.5)
+    assert got[1].px_mean == pytest.approx(float(bpx.mean()) / 255.0)
