@@ -538,6 +538,71 @@ WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
 """
 
 
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag windows (§2.8): per-user inter-event gap + next-event
+    pointer. One shuffle on the partition key; ties broken by event_id
+    for deterministic oracle parity."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", TS_US().alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+GAPS_SQL = """
+SELECT user_id, event_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       LEAD(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+_DEPTH_BIN = 128
+
+
+def depth_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned coverage/read-depth (operators/coverage.py) over the same
+    synthetic event-intervals as `interval_overlap_join`: explode into
+    touched bins + one (chrom, bin) agg with map-side partials."""
+    from oxbow_spark.operators.coverage import depth_profile
+
+    iv = _events(spark, sf_dir).select(
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    return depth_profile(iv, bin_size=_DEPTH_BIN)
+
+
+DEPTH_SQL = f"""
+WITH iv AS (
+  SELECT event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),
+x AS (
+  SELECT chrom, s, e,
+         unnest(generate_series(s // {_DEPTH_BIN}, (e - 1) // {_DEPTH_BIN})) AS bin
+  FROM iv WHERE e > s
+)
+SELECT chrom, bin,
+       COUNT(*) AS n_reads,
+       CAST(SUM(LEAST(e, bin * {_DEPTH_BIN} + {_DEPTH_BIN})
+                - GREATEST(s, bin * {_DEPTH_BIN})) AS BIGINT) AS covered_bp,
+       CAST(bin * {_DEPTH_BIN} AS BIGINT) AS bin_start,
+       CAST(SUM(LEAST(e, bin * {_DEPTH_BIN} + {_DEPTH_BIN})
+                - GREATEST(s, bin * {_DEPTH_BIN})) AS BIGINT)
+         / CAST({_DEPTH_BIN} AS DOUBLE) AS mean_depth
+FROM x
+GROUP BY chrom, bin
+"""
+
+
 def coords_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY X10/§1.5: coordinate-system conversion — start shifts by
     exactly −1 going '11'→'01', end never shifts."""
@@ -1966,6 +2031,8 @@ QUERIES: list[Query] = [
     Query("window_dedup_best", window_dedup_best, WINDOW_SQL, bench=True),
     Query("zoom_binned_agg", zoom_binned_agg, ZOOM_SQL, bench=True),
     Query("interval_overlap_join", interval_overlap_join, INTERVAL_SQL, bench=True),
+    Query("depth_profile_events", depth_profile_events, DEPTH_SQL),
+    Query("event_gaps", event_gaps, GAPS_SQL),
     Query("coords_normalize", coords_normalize, COORDS_SQL),
     Query("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_SQL),
     Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql(), bench=True),
