@@ -1,8 +1,10 @@
 """Pure-numpy baseline JPEG decoder (ITU-T T.81, public spec).
 
-Scope: baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
+Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
+spectral selection, successive approximation, DC/AC first + refinement
+scans with EOB runs, the §G.2 scheme), 8-bit samples, Huffman entropy
 coding, 1 or 3 components, any (H,V) sampling factors (4:4:4, 4:2:2,
-4:2:0, ...), restart markers. Progressive (SOF2), arithmetic coding,
+4:2:0, ...), restart markers. Arithmetic coding,
 12-bit and hierarchical modes raise ValueError — an honest gate, like
 `decode_png` in operators/multimodal.py. No codec library is available
 in this container, so this is the real entropy-decode path behind
@@ -152,6 +154,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     comps: list[dict] = []
     w = h = None
     restart_interval = 0
+    progressive = False
     pos = 2
     n = len(b)
     while pos + 4 <= n:
@@ -187,14 +190,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 syms = seg[sp + 17:sp + 17 + total]
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffTable(counts, syms)
                 sp += 17 + total
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"JPEG precision {prec} unsupported (8 only)")
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("JPEG non-baseline frame unsupported "
                              f"(SOF marker 0x{marker:02x})")
@@ -202,16 +206,30 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS: entropy data follows
             ns = seg[0]
+            scan_comps = []
             for si in range(ns):
                 cs, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
                 for c in comps:
                     if c["id"] == cs:
                         c["dc"] = tabs >> 4
                         c["ac"] = tabs & 0xF
+                        scan_comps.append(c)
             data_start = pos + seg_len
-            return _decode_scan(b, data_start, w, h, comps, qt, dc_tabs,
-                                ac_tabs, restart_interval)
+            if not progressive:
+                return _decode_scan(b, data_start, w, h, comps, qt, dc_tabs,
+                                    ac_tabs, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            _alloc_blocks(comps, w, h)
+            pos = _decode_prog_scan(
+                b, data_start, w, h, comps, scan_comps, dc_tabs, ac_tabs,
+                ss, se, ah_al >> 4, ah_al & 0xF, restart_interval)
+            continue
         pos = nxt
+    if progressive and comps and comps[0].get("blocks") is not None:
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return _reconstruct(comps, qt, w, h, hmax, vmax)
     raise ValueError("JPEG without SOS scan")
 
 
@@ -266,11 +284,187 @@ def _decode_scan(b, pos, w, h, comps, qt, dc_tabs, ac_tabs, dri):
                         row = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
                         c["blocks"][row] = zz
             mcu_count += 1
+    return _reconstruct(comps, qt, w, h, hmax, vmax)
+
+
+def _alloc_blocks(comps, w, h):
+    """Persistent per-component zigzag coefficient state for progressive
+    scans (int32 — refinement does bitwise work on the values)."""
+    if comps and comps[0].get("blocks") is not None:
+        return
+    if w is None or not comps:
+        raise ValueError("JPEG SOS before SOF")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        # non-interleaved scans cover only ceil(comp_size/8) blocks
+        comp_w = -(-w * c["h"] // hmax)
+        comp_h = -(-h * c["v"] // vmax)
+        c["sw"] = -(-comp_w // 8)
+        c["sh"] = -(-comp_h // 8)
+        c["blocks"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+
+
+def _find_marker(b: bytes, pos: int) -> int:
+    """Position of the next real marker (skips entropy data, stuffed
+    0xFF00 and RSTn)."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 \
+                and not (0xD0 <= b[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_prog_scan(b, pos, w, h, comps, scan_comps, dc_tabs, ac_tabs,
+                      ss, se, ah, al, dri):
+    """One progressive scan (T.81 §G.2): DC first/refine (interleaved or
+    not), AC first/refine (single component) with EOB runs. Updates the
+    persistent coefficient state; returns the stream position of the
+    next marker."""
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG progressive scan mixes DC and AC bands")
+    if ss > se or se > 63:
+        raise ValueError("JPEG progressive spectral band invalid")
+    r = _BitReader(b, pos)
+    eobrun = 0
+    for c in scan_comps:
+        c["pred"] = 0
+
+    def dc_block(c, row):
+        blk = c["blocks"][row]
+        if ah == 0:
+            dct = dc_tabs.get(c.get("dc", 0))
+            if dct is None:
+                raise ValueError("JPEG scan references missing Huffman table")
+            t = r.huff(dct)
+            c["pred"] += _extend(r.bits(t), t)
+            blk[0] = c["pred"] << al
+        else:
+            if r.bits(1):
+                blk[0] |= 1 << al
+
+    def ac_block(c, row):
+        nonlocal eobrun
+        blk = c["blocks"][row]
+        act = ac_tabs.get(c.get("ac", 0))
+        if act is None:
+            raise ValueError("JPEG scan references missing Huffman table")
+        if ah == 0:  # first scan for this band
+            if eobrun:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = r.huff(act)
+                rr, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if rr < 15:
+                        eobrun = (1 << rr) - 1 + (r.bits(rr) if rr else 0)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += rr
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                blk[k] = _extend(r.bits(s), s) << al
+                k += 1
+            return
+        # refinement scan
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k):
+            if blk[k] != 0 and r.bits(1) and not (blk[k] & p1):
+                blk[k] += p1 if blk[k] > 0 else m1
+
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = r.huff(act)
+                rr, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if rr < 15:
+                        eobrun = (1 << rr) + (r.bits(rr) if rr else 0)
+                        break
+                    # ZRL: advance past 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG AC refinement size != 1")
+                    val = p1 if r.bits(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:  # EOB correction pass over the rest of the band
+            while k <= se:
+                correct(k)
+                k += 1
+            eobrun -= 1
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    interleaved = len(scan_comps) > 1
+    rst_seq = 0
+    unit = 0
+
+    def maybe_restart():
+        nonlocal rst_seq, eobrun
+        if dri and unit and unit % dri == 0:
+            r.restart(rst_seq)
+            rst_seq = (rst_seq + 1) & 7
+            eobrun = 0
+            for c in scan_comps:
+                c["pred"] = 0
+
+    if interleaved:
+        if ss != 0:
+            raise ValueError("JPEG interleaved AC scan is invalid")
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for c in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = (my * c["v"] + by) * c["bw"] \
+                                + (mx * c["h"] + bx)
+                            dc_block(c, row)
+                unit += 1
+    else:
+        c = scan_comps[0]
+        for sy in range(c["sh"]):
+            for sx in range(c["sw"]):
+                maybe_restart()
+                row = sy * c["bw"] + sx
+                if ss == 0:
+                    dc_block(c, row)
+                else:
+                    ac_block(c, row)
+                unit += 1
+    return _find_marker(b, max(r.pos, pos))
+
+
+def _reconstruct(comps, qt, w, h, hmax, vmax):
     # dequant + IDCT, all blocks of a component at once
     planes = []
     for c in comps:
         q = qt[c["tq"]][np.argsort(ZIGZAG)]  # zigzag table -> raster order
-        coef = np.zeros_like(c["blocks"])
+        coef = np.zeros((c["blocks"].shape[0], 64), dtype=np.float64)
         coef[:, ZIGZAG] = c["blocks"]        # zigzag -> raster
         coef *= q[None, :]
         blocks = coef.reshape(-1, 8, 8)
@@ -295,7 +489,8 @@ def _decode_scan(b, pos, w, h, comps, qt, dc_tabs, ac_tabs, dri):
 
 
 def jpeg_pixel_stats(b: bytes) -> tuple[int, int, int, float]:
-    """(width, height, channels, px_mean) via the full baseline decode."""
+    """(width, height, channels, px_mean) via the full decode
+    (baseline or progressive)."""
     px = decode_jpeg(b)
     if px.ndim == 2:
         return px.shape[1], px.shape[0], 1, float(px.mean()) / 255.0

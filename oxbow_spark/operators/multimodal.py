@@ -499,10 +499,10 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload",
     batching, downstream joins, the DuckDB oracle) is testable without
     codecs. ``real=True``: PNG payloads decode for REAL via the
     pure-stdlib `decode_png` (actual dimensions, channels and pixel
-    mean); baseline JPEGs decode fully via the pure-numpy Huffman+IDCT
-    decoder (`operators/jpeg.py` — true px_mean), with the SOF
-    dimension scan `decode_jpeg_dims` as the fallback for progressive
-    frames (dims only, px_mean null); GIF uses the block-walk
+    mean); baseline AND progressive JPEGs decode fully via the
+    pure-numpy Huffman+IDCT decoder (`operators/jpeg.py` — true
+    px_mean), with the SOF dimension scan `decode_jpeg_dims` as the
+    fallback for exotic frames (dims only); GIF uses the block-walk
     `decode_gif`, BMP `decode_bmp_dims` (px_mean null — LZW/RLE decode
     not implemented); other kinds use PIL when available, else yield
     null dimensions (same schema — swapping decoders never changes the

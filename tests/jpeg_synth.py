@@ -189,3 +189,253 @@ def encode_jpeg(px: np.ndarray, quant: int = 1, sampling=None,
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------- progressive
+
+def _nbits(v: int) -> int:
+    return int(v).bit_length()
+
+
+class _ProgWriter(_BitWriter):
+    """Bit writer with EOB-run + buffered-correction-bit bookkeeping
+    (the §G.1.2.2/libjpeg scheme). TWO correction-bit segments, exactly
+    like libjpeg's BE/BR split: ``corr_run`` holds bits belonging to the
+    pending EOB run (flushed right after the EOBn symbol), ``corr``
+    holds the current block's bits since the last emitted symbol
+    (flushed right after that symbol + sign). A block that joins the
+    EOB run migrates its bits into the run segment."""
+
+    def __init__(self, codes):
+        super().__init__()
+        self.codes = codes
+        self.eobrun = 0
+        self.corr_run: list[int] = []
+        self.corr: list[int] = []
+
+    def sym(self, s: int) -> None:
+        ln, code = self.codes[s]
+        self.put(code, ln)
+
+    def flush_corr(self) -> None:
+        for bit in self.corr:
+            self.put(bit, 1)
+        self.corr = []
+
+    def join_eobrun(self) -> None:
+        self.eobrun += 1
+        self.corr_run.extend(self.corr)
+        self.corr = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nb = _nbits(self.eobrun) - 1
+            self.sym(nb << 4)
+            if nb:
+                self.put(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+            for bit in self.corr_run:
+                self.put(bit, 1)
+            self.corr_run = []
+
+
+def _prog_blocks(comp_plane, sw, sh, bw):
+    """Quantized zigzag blocks of one component, padded grid."""
+    import numpy as np
+    out = {}
+    for sy in range(sh):
+        for sx in range(sw):
+            blk = comp_plane[sy * 8:sy * 8 + 8, sx * 8:sx * 8 + 8] - 128.0
+            coef = _T8 @ blk @ _T8.T
+            out[sy * bw + sx] = np.round(coef.reshape(-1)[ZIGZAG]).astype(int)
+    return out
+
+
+def encode_jpeg_progressive(px, sampling=None) -> bytes:
+    """Progressive (SOF2) encoder with a libjpeg-like scan script:
+    DC first (Al=1) → per-component AC bands (Al=1) → DC refine →
+    per-component AC refine (Ah=1→Al=0). Flat quant=1. Exercises the
+    decoder's DC first/refine, AC first (EOBRUN/ZRL) and AC refine
+    (corrections, insertions, EOB-correction) paths."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        sampling = sampling or [(1, 1)]
+    else:
+        ycc = rgb_to_ycbcr(px)
+        planes = [ycc[..., i] for i in range(3)]
+        sampling = sampling or [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    comps = []
+    for (hi, vi), plane in zip(sampling, planes):
+        if (hmax // hi, vmax // vi) != (1, 1):
+            fy, fx = vmax // vi, hmax // hi
+            ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+            pad = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = pad.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        comp_w, comp_h = -(-w * hi // hmax), -(-h * vi // vmax)
+        sw, sh = -(-comp_w // 8), -(-comp_h // 8)
+        bw, bh = mcux * hi, mcuy * vi
+        tpl = np.pad(plane, ((0, bh * 8 - plane.shape[0]),
+                             (0, bw * 8 - plane.shape[1])), mode="edge")
+        # interleaved DC walks visit the FULL padded (bw x bh) grid
+        comps.append({"hi": hi, "vi": vi, "sw": sw, "sh": sh,
+                      "bw": bw, "bh": bh,
+                      "blocks": _prog_blocks(tpl, bw, bh, bw)})
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for ci, c in enumerate(comps):
+        sof += bytes([ci + 1, (c["hi"] << 4) | c["vi"], 0])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + DC_SYMBOLS)
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + AC_SYMBOLS)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, sos)
+
+    # --- scan 1: interleaved DC first, Al=1
+    al = 1
+    out += sos_header(list(range(len(comps))), 0, 0, 0, al)
+    bw_ = _ProgWriter(AC_CODES)
+    dc_codes = DC_CODES
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for by in range(c["vi"]):
+                    for bx in range(c["hi"]):
+                        row = (my * c["vi"] + by) * c["bw"] + (mx * c["hi"] + bx)
+                        v = int(c["blocks"][row][0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t, bits = _mag(diff)
+                        ln, code = dc_codes[t]
+                        bw_.put(code, ln)
+                        if t:
+                            bw_.put(bits, t)
+    bw_.align()
+    out += bw_.out
+
+    # --- per-component AC first scans (two bands for comp 0), Al=1
+    ac_al = 1
+
+    def ac_first_scan(ci, ss, se):
+        nonlocal out
+        out += sos_header([ci], ss, se, 0, ac_al)
+        c = comps[ci]
+        pw = _ProgWriter(AC_CODES)
+        for sy in range(c["sh"]):
+            for sx in range(c["sw"]):
+                zz = c["blocks"][sy * c["bw"] + sx]
+                run = 0
+                emitted = False
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    m = abs(v) >> ac_al
+                    if m == 0:
+                        run += 1
+                        continue
+                    pw.flush_eobrun()
+                    while run > 15:
+                        pw.sym(0xF0)
+                        run -= 16
+                    s, bits = _mag(m if v > 0 else -m)
+                    pw.sym((run << 4) | s)
+                    pw.put(bits, s)
+                    run = 0
+                    emitted = True
+                if run > 0 or not emitted:
+                    pw.eobrun += 1
+                    if pw.eobrun == 0x7FFF:
+                        pw.flush_eobrun()
+        pw.flush_eobrun()
+        pw.align()
+        out += pw.out
+
+    ac_first_scan(0, 1, 5)
+    ac_first_scan(0, 6, 63)
+    for ci in range(1, len(comps)):
+        ac_first_scan(ci, 1, 63)
+
+    # --- DC refine scan (interleaved), Ah=1 -> Al=0
+    out += sos_header(list(range(len(comps))), 0, 0, 1, 0)
+    bw_ = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for by in range(c["vi"]):
+                    for bx in range(c["hi"]):
+                        row = (my * c["vi"] + by) * c["bw"] + (mx * c["hi"] + bx)
+                        bw_.put(int(c["blocks"][row][0]) & 1, 1)
+    bw_.align()
+    out += bw_.out
+
+    # --- per-component AC refine scans, Ah=1 -> Al=0
+    def ac_refine_scan(ci, ss, se):
+        nonlocal out
+        ah, al2 = 1, 0
+        out += sos_header([ci], ss, se, ah, al2)
+        c = comps[ci]
+        pw = _ProgWriter(AC_CODES)
+        for sy in range(c["sh"]):
+            for sx in range(c["sw"]):
+                zz = c["blocks"][sy * c["bw"] + sx]
+                temps = [abs(int(zz[k])) >> al2 for k in range(ss, se + 1)]
+                eob = 0  # band-relative index AFTER last newly-significant
+                for i, t in enumerate(temps):
+                    if t == 1:
+                        eob = i + 1
+                run = 0
+                for i, t in enumerate(temps):
+                    if t == 0:
+                        run += 1
+                        continue
+                    # any nonzero: emit due ZRLs first (but never past the
+                    # last new coefficient — those zeros fold into the EOB)
+                    while run > 15 and i < eob:
+                        pw.flush_eobrun()
+                        pw.sym(0xF0)
+                        run -= 16
+                        pw.flush_corr()
+                    if t > 1:  # already significant: buffered correction
+                        pw.corr.append(t & 1)
+                        continue
+                    # newly significant (t == 1)
+                    pw.flush_eobrun()
+                    pw.sym((run << 4) | 1)
+                    pw.put(1 if int(zz[ss + i]) > 0 else 0, 1)
+                    pw.flush_corr()
+                    run = 0
+                if eob < len(temps):
+                    # symbols did not reach the band end: the block joins
+                    # an EOB run (even with no corrections pending — the
+                    # decoder must be told to skip it); its tail
+                    # corrections migrate into the run segment
+                    pw.join_eobrun()
+                    if pw.eobrun == 0x7FFF:
+                        pw.flush_eobrun()
+        pw.flush_eobrun()
+        pw.align()
+        out += pw.out
+
+    for ci in range(len(comps)):
+        ac_refine_scan(ci, 1, 63)
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -74,8 +74,13 @@ def test_honest_gates():
     px = np.full((8, 8), 90, np.uint8)
     blob = bytearray(encode_jpeg(px))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # masquerade as progressive
+    blob[sof + 1] = 0xC3  # masquerade as lossless sequential
     with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(blob))
+    # a baseline full-band scan inside a claimed-progressive frame is
+    # rejected, not silently misdecoded
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC and AC"):
         decode_jpeg(bytes(blob))
 
 
@@ -95,3 +100,69 @@ def test_real_jpeg_px_mean_through_spark(spark):
         r = got[i]
         assert (r.width, r.height, r.channels) == (w, h, c)
         assert r.px_mean is not None and abs(r.px_mean - m) < 0.005
+
+
+# ------------------------------------------------------------ progressive
+
+from tests.jpeg_synth import encode_jpeg_progressive  # noqa: E402
+
+
+def test_progressive_solid_exact():
+    px = np.full((16, 16), 200, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(px)), px)
+
+
+def test_progressive_gray_random():
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, (24, 17), np.uint8)
+    got = decode_jpeg(encode_jpeg_progressive(px))
+    assert got.shape == px.shape
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_progressive_color_444():
+    rng = np.random.default_rng(22)
+    px = rng.integers(0, 256, (40, 56, 3), np.uint8)
+    got = decode_jpeg(encode_jpeg_progressive(px))
+    assert np.abs(got.astype(float) - px.astype(float)).max() <= 4
+
+
+def test_progressive_420():
+    yy, xx = np.mgrid[0:32, 0:40]
+    px = np.stack([(yy * 3) % 256, (xx * 2) % 256,
+                   ((yy + xx) * 2) % 256], -1).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg_progressive(
+        px, sampling=[(2, 2), (1, 1), (1, 1)]))
+    assert np.abs(got.astype(float) - px.astype(float)).mean() < 2.0
+
+
+def test_progressive_sparse_eob_runs():
+    """Mostly-flat image → long cross-block EOB runs in every AC scan,
+    plus refinement corrections on the few energetic blocks."""
+    px = np.full((48, 48), 128, np.uint8)
+    px[5, 7] = 255
+    px[30, 40] = 0
+    got = decode_jpeg(encode_jpeg_progressive(px))
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 1
+
+
+def test_progressive_matches_baseline_decode():
+    """Progressive and baseline encodings of the same image decode to
+    (near-)identical pixels through the one decoder."""
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, (21, 33), np.uint8)
+    a = decode_jpeg(encode_jpeg(px))
+    b = decode_jpeg(encode_jpeg_progressive(px))
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_progressive_real_path_through_spark(spark):
+    rng = np.random.default_rng(24)
+    px = rng.integers(0, 256, (16, 24, 3), np.uint8)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_jpeg_progressive(px)))],
+        "doc_id long, payload binary")
+    r = multimodal.decode_image_stub(df, real=True).collect()[0]
+    assert (r.width, r.height, r.channels) == (24, 16, 3)
+    assert r.px_mean is not None
+    assert abs(r.px_mean - float(px.mean()) / 255.0) < 0.01
