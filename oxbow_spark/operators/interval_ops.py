@@ -1,0 +1,153 @@
+"""Interval set operations (the bedtools merge/intersect/subtract
+family) as Spark DataFrame programs.
+
+The reference scans genomic intervals but defers all set algebra to
+downstream engines (`py-oxbow/oxbow/_pyarrow.py:738-774` raises
+NotImplementedError for joins); bedtools-style merge/intersect/subtract
+are the standard downstream operations on BED/GTF/BigBed frames.
+Half-open [start, end) coordinates throughout — normalize 1-based inputs
+with `oxbow_spark.coords` first.
+
+Scale notes:
+- `merge_intervals` is ONE per-chrom window pass (running max of `end`)
+  + ONE hash aggregation. The window partitions by chrom: genome-scale
+  inputs put ~3 Gbp / #contigs per partition, which fits; for extreme
+  single-contig skew, pre-split by coarse ranges and stitch boundary
+  groups (documented, not automatic — the stitch pass costs more than
+  it saves below ~10^9 rows per contig).
+- `intersect_intervals` rides the binned equi-join (`interval_join.py`)
+  — never a nested loop.
+- `subtract_intervals` = merge(b) → binned join → per-a-row gap walk
+  (lag window keyed by a-row id) + anti-join pass-through of untouched
+  rows. Three narrow-keyed shuffles, no cartesian anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oxbow_spark.operators.interval_join import overlap_join
+
+_NEG_INF = -(1 << 62)
+
+
+def merge_intervals(
+    df: DataFrame, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+) -> DataFrame:
+    """(chrom, start, end, n_merged): union of overlapping OR adjacent
+    intervals per key (bedtools-merge default: bookended intervals
+    [a,b) + [b,c) merge)."""
+    base = df.select(
+        F.col(on),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    )
+    w = Window.partitionBy(on).orderBy("_s", "_e")
+    prev_max = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_grp = (F.col("_s") > F.coalesce(prev_max, F.lit(_NEG_INF))).cast("long")
+    grp = F.sum(new_grp).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        base.withColumn("_grp", grp)
+        .groupBy(on, "_grp")
+        .agg(
+            F.min("_s").alias(start_col),
+            F.max("_e").alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_grp")
+    )
+
+
+def intersect_intervals(
+    a: DataFrame, b: DataFrame, bin_size: int, on: str = "chrom",
+    a_start: str = "start", a_end: str = "end",
+    b_start: str = "b_start", b_end: str = "b_end",
+) -> DataFrame:
+    """One row per overlapping (a, b) pair with the clipped intersection
+    bounds as ``i_start``/``i_end`` (bedtools-intersect per-pair output;
+    merge the result for the flattened union). Carries all non-key
+    columns of both inputs — pre-alias collisions like `overlap_join`."""
+    j = overlap_join(
+        a, b, bin_size=bin_size, on=on,
+        left_start=a_start, left_end=a_end,
+        right_start=b_start, right_end=b_end,
+    )
+    return j.select(
+        "*",
+        F.greatest(F.col(a_start).cast("long"),
+                   F.col(b_start).cast("long")).alias("i_start"),
+        F.least(F.col(a_end).cast("long"),
+                F.col(b_end).cast("long")).alias("i_end"),
+    )
+
+
+def subtract_intervals(
+    a: DataFrame, b: DataFrame, bin_size: int, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+    b_start: str = "start", b_end: str = "end",
+    id_col: str | None = None,
+) -> DataFrame:
+    """bedtools-subtract: the parts of each ``a`` interval not covered
+    by any ``b`` interval. Output columns = ``a``'s columns with
+    start/end replaced by the surviving segment bounds (an ``a`` row
+    can yield 0, 1 or many segments).
+
+    ``id_col`` names a unique per-row key of ``a`` if one exists;
+    without it a `monotonically_increasing_id` is used — fine for a
+    single action, but a caller-supplied key is the deterministic
+    choice when the plan's branches may recompute (speculative retries
+    re-derive the same ids only if the scan partitioning is stable)."""
+    other = [c for c in a.columns if c not in (start_col, end_col)]
+    rid = (F.col(id_col) if id_col
+           else F.monotonically_increasing_id()).alias("_aid")
+    aid = a.select(
+        rid,
+        F.col(start_col).cast("long").alias("_as"),
+        F.col(end_col).cast("long").alias("_ae"),
+        *[F.col(c) for c in other],
+    )
+    bm = merge_intervals(b, on=on, start_col=b_start, end_col=b_end) \
+        .select(F.col(on).alias("_on"),
+                F.col(b_start).alias("_bs"), F.col(b_end).alias("_be"))
+    j = overlap_join(
+        aid.withColumnRenamed(on, "_on"),
+        bm,
+        bin_size=bin_size, on="_on",
+        left_start="_as", left_end="_ae",
+        right_start="_bs", right_end="_be",
+    )
+    cs = F.greatest(F.col("_bs"), F.col("_as"))
+    ce = F.least(F.col("_be"), F.col("_ae"))
+    cov = j.select("_aid", "_as", "_ae",
+                   *[F.col("_on").alias(on) if c == on else F.col(c)
+                     for c in other],
+                   cs.alias("_cs"), ce.alias("_ce"))
+    w = Window.partitionBy("_aid").orderBy("_cs")
+    seg_start = F.coalesce(
+        F.lag("_ce").over(w), F.col("_as")).alias("_seg_s")
+    gaps = cov.select(
+        "_aid", "_as", "_ae", *other,
+        seg_start, F.col("_cs").alias("_seg_e"), "_ce",
+        F.row_number().over(
+            Window.partitionBy("_aid").orderBy(F.desc("_cs"))
+        ).alias("_rn_desc"),
+    )
+    mids = gaps.where(F.col("_seg_e") > F.col("_seg_s")).select(
+        *other,
+        F.col("_seg_s").alias(start_col), F.col("_seg_e").alias(end_col),
+    )
+    tails = gaps.where(
+        (F.col("_rn_desc") == 1) & (F.col("_ae") > F.col("_ce"))
+    ).select(
+        *other,
+        F.col("_ce").alias(start_col), F.col("_ae").alias(end_col),
+    )
+    untouched = aid.join(
+        cov.select("_aid").distinct(), "_aid", "left_anti"
+    ).select(*other,
+             F.col("_as").alias(start_col), F.col("_ae").alias(end_col))
+    return mids.unionByName(tails).unionByName(untouched)

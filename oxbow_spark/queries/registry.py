@@ -563,6 +563,131 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """
 
 
+# DuckDB twin of operators/interval_ops.merge_intervals over a CTE named
+# ``{src}`` with columns (chrom, s, e) — reused by the merge and subtract
+# oracles
+def _merge_sql_ctes(src: str, out: str) -> str:
+    neg = -(1 << 62)
+    return f"""
+{out}_ng AS (
+  SELECT chrom, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY chrom ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), {neg})
+              THEN 1 ELSE 0 END AS ng
+  FROM {src}
+),
+{out}_g AS (
+  SELECT chrom, s, e,
+         SUM(ng) OVER (PARTITION BY chrom ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS grp
+  FROM {out}_ng
+),
+{out} AS (
+  SELECT chrom, MIN(s) AS ms, MAX(e) AS me, COUNT(*) AS n_merged
+  FROM {out}_g GROUP BY chrom, grp
+)"""
+
+
+def merge_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-merge over the synthetic event intervals
+    (operators/interval_ops.py: one per-chrom window pass + one agg)."""
+    from oxbow_spark.operators.interval_ops import merge_intervals
+
+    iv = _events(spark, sf_dir).select(
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    return merge_intervals(iv)
+
+
+MERGE_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),{_merge_sql_ctes("iv", "m")}
+SELECT chrom, ms AS start, me AS "end", n_merged FROM m
+"""
+
+
+def intersect_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-intersect (per-pair clipped segments) via the binned
+    equi-join — even event ids vs odd event ids."""
+    from oxbow_spark.operators.interval_ops import intersect_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"), "chrom", "start", "end")
+    b = ev.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("b_id"), "chrom",
+        F.col("start").alias("b_start"), F.col("end").alias("b_end"))
+    out = intersect_intervals(a, b, bin_size=512)
+    return out.select("a_id", "b_id", "i_start", "i_end")
+
+
+INTERSECT_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_id, event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+)
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       GREATEST(a.s, b.s) AS i_start, LEAST(a.e, b.e) AS i_end
+FROM iv a JOIN iv b ON a.chrom = b.chrom AND a.s < b.e AND b.s < a.e
+WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
+"""
+
+
+def subtract_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-subtract: even-id event intervals minus odd-id coverage
+    (merge(b) → binned join → per-row gap walk)."""
+    from oxbow_spark.operators.interval_ops import subtract_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"), "chrom", "start", "end")
+    b = ev.where(F.col("event_id") % 2 == 1).select("chrom", "start", "end")
+    return subtract_intervals(a, b, bin_size=512, id_col="a_id")
+
+
+SUBTRACT_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_id, event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),
+a AS (SELECT event_id AS aid, chrom, s, e FROM iv WHERE event_id % 2 = 0),
+b AS (SELECT chrom, s, e FROM iv WHERE event_id % 2 = 1),{_merge_sql_ctes("b", "bm")},
+cov AS (
+  SELECT a.aid, a.chrom, a.s, a.e,
+         GREATEST(bm.ms, a.s) AS cs, LEAST(bm.me, a.e) AS ce
+  FROM a JOIN bm ON a.chrom = bm.chrom AND a.s < bm.me AND bm.ms < a.e
+),
+gaps AS (
+  SELECT aid, chrom, s, e,
+         COALESCE(LAG(ce) OVER w, s) AS seg_s, cs AS seg_e, ce,
+         ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cs DESC) AS rnd
+  FROM cov WINDOW w AS (PARTITION BY aid ORDER BY cs)
+)
+SELECT aid AS a_id, chrom, seg_s AS start, seg_e AS "end"
+FROM gaps WHERE seg_e > seg_s
+UNION ALL
+SELECT aid AS a_id, chrom, ce AS start, e AS "end"
+FROM gaps WHERE rnd = 1 AND e > ce
+UNION ALL
+SELECT aid AS a_id, chrom, s AS start, e AS "end"
+FROM a WHERE aid NOT IN (SELECT aid FROM cov)
+"""
+
+
 _DEPTH_BIN = 128
 
 
@@ -2033,6 +2158,9 @@ QUERIES: list[Query] = [
     Query("interval_overlap_join", interval_overlap_join, INTERVAL_SQL, bench=True),
     Query("depth_profile_events", depth_profile_events, DEPTH_SQL),
     Query("event_gaps", event_gaps, GAPS_SQL),
+    Query("merge_intervals_events", merge_intervals_events, MERGE_IV_SQL),
+    Query("intersect_intervals_events", intersect_intervals_events, INTERSECT_IV_SQL),
+    Query("subtract_intervals_events", subtract_intervals_events, SUBTRACT_IV_SQL),
     Query("coords_normalize", coords_normalize, COORDS_SQL),
     Query("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_SQL),
     Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql(), bench=True),

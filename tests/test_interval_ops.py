@@ -1,0 +1,105 @@
+"""Interval set algebra (bedtools merge/intersect/subtract semantics):
+hand-computed results, bookended-merge rule, full/partial/no coverage
+subtraction shapes, plan guards (no cartesian)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oxbow_spark.operators.interval_ops import (
+    intersect_intervals,
+    merge_intervals,
+    subtract_intervals,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    a = spark.createDataFrame(
+        [
+            (1, "chr1", 10, 50),
+            (2, "chr1", 60, 70),
+            (3, "chr1", 100, 200),
+            (4, "chr2", 0, 30),
+        ],
+        "aid long, chrom string, start long, end long",
+    )
+    b = spark.createDataFrame(
+        [
+            ("chr1", 20, 30),    # punches a hole in a1
+            ("chr1", 40, 65),    # clips a1 tail and a2 head (spans gap)
+            ("chr1", 100, 200),  # fully covers a3
+            ("chr2", 100, 130),  # no overlap with a4
+        ],
+        "chrom string, start long, end long",
+    )
+    return a, b
+
+
+def test_merge_overlap_and_bookends(spark):
+    df = spark.createDataFrame(
+        [("chr1", 1, 5), ("chr1", 5, 9), ("chr1", 3, 6),   # one run 1..9
+         ("chr1", 20, 25),                                 # separate
+         ("chr2", 1, 4)],
+        "chrom string, start long, end long",
+    )
+    got = {(r.chrom, r.start, r.end): r.n_merged
+           for r in merge_intervals(df).collect()}
+    assert got == {("chr1", 1, 9): 3, ("chr1", 20, 25): 1, ("chr2", 1, 4): 1}
+
+
+def test_merge_containment(spark):
+    df = spark.createDataFrame(
+        [("chr1", 0, 100), ("chr1", 10, 20), ("chr1", 30, 40)],
+        "chrom string, start long, end long",
+    )
+    rows = merge_intervals(df).collect()
+    assert len(rows) == 1 and (rows[0].start, rows[0].end) == (0, 100)
+    assert rows[0].n_merged == 3
+
+
+def test_intersect_clips(frames):
+    a, b = frames
+    bb = b.select("chrom", F.col("start").alias("b_start"),
+                  F.col("end").alias("b_end"))
+    got = {(r.aid, r.i_start, r.i_end)
+           for r in intersect_intervals(a, bb, bin_size=64).collect()}
+    assert got == {
+        (1, 20, 30), (1, 40, 50),   # a1 x two b intervals
+        (2, 60, 65),                # a2 clipped head
+        (3, 100, 200),              # full coverage
+    }
+
+
+def test_subtract_shapes(frames):
+    a, b = frames
+    got = {(r.aid, r.start, r.end)
+           for r in subtract_intervals(a, b, bin_size=64,
+                                       id_col="aid").collect()}
+    assert got == {
+        (1, 10, 20), (1, 30, 40),   # hole punched + tail clipped
+        (2, 65, 70),                # head clipped
+        # a3 fully covered: nothing survives
+        (4, 0, 30),                 # untouched passes through whole
+    }
+
+
+def test_subtract_conserves_outside_coverage(frames):
+    a, b = frames
+    out = subtract_intervals(a, b, bin_size=64, id_col="aid")
+    survived = out.agg(F.sum(F.col("end") - F.col("start"))).collect()[0][0]
+    # total a bp = 40+10+100+30 = 180; covered: a1 20 (10+10), a2 5, a3 100
+    assert survived == 180 - 20 - 5 - 100
+
+
+def test_no_cartesian_anywhere(frames):
+    a, b = frames
+    bb = b.select("chrom", F.col("start").alias("b_start"),
+                  F.col("end").alias("b_end"))
+    for df in (merge_intervals(a.drop("aid")),
+               intersect_intervals(a, bb, bin_size=64),
+               subtract_intervals(a, b, bin_size=64, id_col="aid")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
