@@ -1,0 +1,68 @@
+"""flagstat operator: hand-computed counters on synthetic flags, and a
+cross-check against an independent Python count over the real BAM
+fixture's flags."""
+
+from __future__ import annotations
+
+import pytest
+
+from oxbow_spark.operators.flagstat import flagstat
+
+FIX = "/root/reference/fixtures"
+
+
+def test_flagstat_hand_computed(spark):
+    rows = [
+        (0x1 | 0x2 | 0x40,),          # paired, proper, read1, mapped
+        (0x1 | 0x2 | 0x80,),          # paired, proper, read2, mapped
+        (0x1 | 0x4 | 0x40,),          # paired, read1, unmapped
+        (0x1 | 0x8 | 0x80,),          # paired, read2, mate unmapped -> singleton
+        (0x100,),                     # secondary, mapped
+        (0x800 | 0x400,),             # supplementary duplicate
+        (0x200,),                     # qc fail, unpaired, mapped
+    ]
+    df = spark.createDataFrame(rows, "flag int")
+    r = flagstat(df).collect()[0]
+    assert r.total == 7
+    assert r.primary == 5
+    assert r.secondary == 1 and r.supplementary == 1
+    assert r.duplicates == 1 and r.primary_duplicates == 0
+    assert r.mapped == 6 and r.primary_mapped == 4
+    assert r.qc_fail == 1
+    assert r.paired_reads == 4
+    assert r.read1 == 2 and r.read2 == 2
+    assert r.properly_paired == 2
+    assert r.with_mate_mapped == 2   # the two proper-pair reads
+    assert r.singletons == 1
+    assert r.mapped_rate == pytest.approx(6 / 7)
+    assert r.properly_paired_rate == pytest.approx(2 / 4)
+
+
+def test_flagstat_on_bam_fixture(spark):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    df = spark.read.format("bam").load(f"{FIX}/sample.bam")
+    assert "flag" in df.columns
+    flags = [r.flag for r in df.select("flag").collect()]
+    r = flagstat(df, mapq_col="mapq").collect()[0]
+
+    def c(pred):
+        return sum(1 for f in flags if pred(f))
+
+    pri = lambda f: not (f & 0x100) and not (f & 0x800)  # noqa: E731
+    assert r.total == len(flags)
+    assert r.primary == c(pri)
+    assert r.mapped == c(lambda f: not (f & 0x4))
+    assert r.paired_reads == c(lambda f: pri(f) and (f & 0x1))
+    assert r.properly_paired == c(
+        lambda f: pri(f) and (f & 0x1) and (f & 0x2) and not (f & 0x4))
+    assert r.singletons == c(
+        lambda f: pri(f) and (f & 0x1) and not (f & 0x4) and (f & 0x8))
+
+
+def test_flagstat_single_aggregation_plan(spark):
+    df = spark.createDataFrame([(0,)], "flag int")
+    plan = flagstat(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan, plan
