@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from oxbow_spark.operators.asof import asof_join
 from oxbow_spark.operators.interval_join import overlap_join
 
 _NEG_INF = -(1 << 62)
@@ -151,3 +152,78 @@ def subtract_intervals(
     ).select(*other,
              F.col("_as").alias(start_col), F.col("_ae").alias(end_col))
     return mids.unionByName(tails).unionByName(untouched)
+
+
+def closest_intervals(
+    a: DataFrame, b: DataFrame, bin_size: int, on: str = "chrom",
+    a_start: str = "start", a_end: str = "end", a_id: str = "a_id",
+    b_start: str = "start", b_end: str = "end", b_id: str = "b_id",
+) -> DataFrame:
+    """bedtools-closest: for each ``a`` interval, the nearest ``b``
+    interval on the same key and the distance to it — 0 when they
+    overlap, else the half-open gap (bookended intervals have distance
+    0 under this convention; bedtools' closed-coordinate output prints
+    1 there). Ties break on the smaller ``b_id`` (bedtools prints all
+    ties; one deterministic winner keeps the result oracle-hashable).
+    ``a`` rows with no same-key ``b`` at all keep a null match.
+
+    Three narrow candidate generators, never an all-pairs join:
+    overlap candidates via the binned equi-join (distance 0), nearest
+    preceding via a backward as-of on (a.start vs b.end), nearest
+    following via a forward as-of on (a.end vs b.start) — each ONE
+    keyed shuffle; a final per-a-row window picks min (distance, b_id).
+    """
+    aa = a.select(
+        F.col(a_id).alias("_aid"), F.col(on).alias("_on"),
+        F.col(a_start).cast("long").alias("_as"),
+        F.col(a_end).cast("long").alias("_ae"),
+    )
+    bb = b.select(
+        F.col(b_id).alias("_bid"), F.col(on).alias("_on"),
+        F.col(b_start).cast("long").alias("_bs"),
+        F.col(b_end).cast("long").alias("_be"),
+    )
+    # overlap candidates: distance 0
+    ovl = overlap_join(
+        aa, bb, bin_size=bin_size, on="_on",
+        left_start="_as", left_end="_ae",
+        right_start="_bs", right_end="_be",
+    ).select("_aid", "_on", "_as", "_ae", "_bid", F.lit(0).cast("long").alias("_dist"))
+    # nearest preceding: greatest b.end <= a.start; ties on end keep min
+    # id; the matched end rides along to compute the gap
+    prev_b = (
+        bb.groupBy("_on", "_be").agg(F.min("_bid").alias("_bid"))
+        .select("_on", F.col("_be").alias("_bv"), "_bid",
+                F.col("_be").alias("_bend"))
+    )
+    prev = asof_join(
+        aa.withColumnRenamed("_as", "_bv"),
+        prev_b, on="_bv", by="_on", direction="backward",
+        right_cols=["_bid", "_bend"],
+    ).where(F.col("_bid").isNotNull()).select(
+        "_aid", "_on", F.col("_bv").alias("_as"), "_ae", "_bid",
+        (F.col("_bv") - F.col("_bend")).cast("long").alias("_dist"),
+    )
+    # nearest following: smallest b.start >= a.end; ties on start keep min id
+    next_b = (
+        bb.groupBy("_on", "_bs").agg(F.min("_bid").alias("_bid"))
+        .select("_on", F.col("_bs").alias("_bv"), "_bid",
+                F.col("_bs").alias("_bstart"))
+    )
+    nxt = asof_join(
+        aa.withColumnRenamed("_ae", "_bv"),
+        next_b, on="_bv", by="_on", direction="forward",
+        right_cols=["_bid", "_bstart"],
+    ).where(F.col("_bid").isNotNull()).select(
+        "_aid", "_on", "_as", F.col("_bv").alias("_ae"), "_bid",
+        (F.col("_bstart") - F.col("_bv")).cast("long").alias("_dist"),
+    )
+    cand = ovl.unionByName(prev).unionByName(nxt)
+    w = Window.partitionBy("_aid").orderBy("_dist", "_bid")
+    best = cand.withColumn("_rn", F.row_number().over(w)) \
+        .where(F.col("_rn") == 1).select("_aid", "_bid", "_dist")
+    return aa.join(best, "_aid", "left").select(
+        F.col("_aid").alias(a_id), F.col("_on").alias(on),
+        F.col("_as").alias(a_start), F.col("_ae").alias(a_end),
+        F.col("_bid").alias(b_id), F.col("_dist").alias("distance"),
+    )

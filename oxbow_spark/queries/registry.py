@@ -688,6 +688,49 @@ FROM a WHERE aid NOT IN (SELECT aid FROM cov)
 """
 
 
+def closest_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-closest: nearest odd-id interval for each even-id one
+    (overlap + two as-of candidate passes, min (distance, b_id))."""
+    from oxbow_spark.operators.interval_ops import closest_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"), "chrom", "start", "end")
+    b = ev.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("b_id"), "chrom", "start", "end")
+    return closest_intervals(a, b, bin_size=512)
+
+
+CLOSEST_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_id, event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),
+a AS (SELECT event_id AS aid, chrom, s, e FROM iv WHERE event_id % 2 = 0),
+b AS (SELECT event_id AS bid, chrom, s AS bs, e AS be FROM iv WHERE event_id % 2 = 1),
+j AS (
+  SELECT a.aid, a.chrom, a.s, a.e, b.bid,
+         CASE WHEN a.s < b.be AND b.bs < a.e THEN 0
+              WHEN b.be <= a.s THEN a.s - b.be
+              ELSE b.bs - a.e END AS dist
+  FROM a JOIN b USING (chrom)
+),
+r AS (
+  SELECT aid, chrom, s, e, bid, dist,
+         ROW_NUMBER() OVER (PARTITION BY aid ORDER BY dist, bid) AS rn
+  FROM j
+)
+SELECT aid AS a_id, chrom, s AS start, e AS "end",
+       bid AS b_id, CAST(dist AS BIGINT) AS distance
+FROM r WHERE rn = 1
+"""
+
+
 _DEPTH_BIN = 128
 
 
@@ -2161,6 +2204,7 @@ QUERIES: list[Query] = [
     Query("merge_intervals_events", merge_intervals_events, MERGE_IV_SQL),
     Query("intersect_intervals_events", intersect_intervals_events, INTERSECT_IV_SQL),
     Query("subtract_intervals_events", subtract_intervals_events, SUBTRACT_IV_SQL),
+    Query("closest_intervals_events", closest_intervals_events, CLOSEST_IV_SQL),
     Query("coords_normalize", coords_normalize, COORDS_SQL),
     Query("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_SQL),
     Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql(), bench=True),

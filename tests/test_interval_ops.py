@@ -103,3 +103,42 @@ def test_no_cartesian_anywhere(frames):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_closest(spark):
+    from oxbow_spark.operators.interval_ops import closest_intervals
+
+    a = spark.createDataFrame(
+        [(1, "chr1", 100, 110),   # overlaps b20
+         (2, "chr1", 300, 310),   # between b20(end 120) and b30(start 400)
+         (3, "chr1", 398, 399),   # gap 1 to b30
+         (4, "chr2", 50, 60),     # chr2 has no b: null match
+         (5, "chr1", 120, 130)],  # bookended with b20 end: distance 0
+        "a_id long, chrom string, start long, end long",
+    )
+    b = spark.createDataFrame(
+        [(20, "chr1", 105, 120),
+         (30, "chr1", 400, 420),
+         (31, "chr1", 400, 500)],  # tie on start with b30 -> min id wins
+        "b_id long, chrom string, start long, end long",
+    )
+    got = {r.a_id: (r.b_id, r.distance)
+           for r in closest_intervals(a, b, bin_size=64).collect()}
+    assert got[1] == (20, 0)
+    assert got[2] == (30, 90)     # 400-310 < 300-120
+    assert got[3] == (30, 1)      # tie (30 vs 31 both dist 1) -> min id
+    assert got[4] == (None, None)
+    assert got[5] == (20, 0)      # bookended: half-open distance 0
+    assert len(got) == 5
+
+
+def test_closest_no_cartesian(spark):
+    from oxbow_spark.operators.interval_ops import closest_intervals
+
+    a = spark.createDataFrame([(1, "c", 0, 5)],
+                              "a_id long, chrom string, start long, end long")
+    b = spark.createDataFrame([(2, "c", 9, 12)],
+                              "b_id long, chrom string, start long, end long")
+    plan = closest_intervals(a, b, bin_size=16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
