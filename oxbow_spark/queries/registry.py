@@ -1986,6 +1986,43 @@ FROM events GROUP BY event_type
 """
 
 
+def stream_depth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming binned coverage: the streaming twin of
+    `depth_profile_events` (explode into bins pre-aggregation, windowed
+    agg of bin width, watermark evicts closed bins), drained with an
+    availableNow trigger and hash-matched against the same counters as
+    SQL over the static table."""
+    import re as _re
+
+    from oxbow_spark import streaming as _streaming
+
+    ev = _streaming.events_stream(spark, sf_dir)
+    name = "reg_stream_depth_" + _re.sub(r"\W", "_", sf_dir)
+    return _streaming.run_available_now(
+        _streaming.stream_depth(ev, bin_size=_DEPTH_BIN),
+        name, output_mode="complete",
+    )
+
+
+STREAM_DEPTH_SQL = f"""
+WITH iv AS (
+  SELECT event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),
+x AS (
+  SELECT chrom, s, e,
+         unnest(generate_series(s // {_DEPTH_BIN}, (e - 1) // {_DEPTH_BIN})) AS bin
+  FROM iv WHERE e > s
+)
+SELECT chrom, bin,
+       COUNT(*) AS n_reads,
+       CAST(SUM(LEAST(e, bin * {_DEPTH_BIN} + {_DEPTH_BIN})
+                - GREATEST(s, bin * {_DEPTH_BIN})) AS BIGINT) AS covered_bp
+FROM x
+GROUP BY chrom, bin
+"""
+
+
 def stream_zoom_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming zoom: the events table ingested through the
     file stream source, watermarked 1-hour tumbling windows, drained with
@@ -2237,6 +2274,7 @@ QUERIES: list[Query] = [
     Query("asof_join_events", asof_join_events, ASOF_SQL),
     Query("sessionize_events", sessionize_events, SESSIONIZE_SQL, bench=True),
     Query("stream_zoom_events", stream_zoom_events, STREAM_ZOOM_SQL),
+    Query("stream_depth_events", stream_depth_events, STREAM_DEPTH_SQL),
     Query("json_props_events", json_props_events, JSON_PROPS_SQL),
     Query("distinct_users_events", distinct_users_events, DISTINCT_SQL),
     Query("salted_join_lineitem", salted_join_lineitem, SALTED_JOIN_SQL),

@@ -3,5 +3,6 @@ from oxbow_spark.streaming.ops import (  # noqa: F401
     run_available_now,
     sessionize_state,
     stream_dedup,
+    stream_depth,
     stream_zoom,
 )

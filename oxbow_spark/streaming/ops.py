@@ -92,6 +92,45 @@ def stream_zoom(events: DataFrame, resolution: str = "1 hour",
     )
 
 
+def stream_depth(events: DataFrame, bin_size: int = 128,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of `operators.coverage.depth_profile`: watermarked
+    binned interval coverage. Each synthetic event interval
+    (event_type, ts_s, ts_s + 300) explodes into the bins it touches
+    (narrow, pre-aggregation), each bin carries its start as an
+    event-time timestamp, and a windowed aggregate of width
+    ``bin_size`` seconds produces exactly the batch operator's
+    (chrom, bin) counters — the watermark lets the state store evict
+    closed bins at 100 TB stream volumes."""
+    iv = events.select(
+        F.col("event_type").alias("chrom"),
+        F.expr("ts div 1000000000").alias("_s"),
+    ).withColumn("_e", F.col("_s") + 300)
+    first = F.floor(F.col("_s") / bin_size).cast("long")
+    last = F.floor((F.col("_e") - 1) / bin_size).cast("long")
+    binned = iv.select(
+        "chrom", "_s", "_e",
+        F.explode(F.sequence(first, last)).alias("bin"),
+    ).withColumn("_betime", F.timestamp_seconds(F.col("bin") * bin_size))
+    bs = F.col("bin") * bin_size
+    clipped = (F.least(F.col("_e"), bs + bin_size)
+               - F.greatest(F.col("_s"), bs)).cast("long")
+    return (
+        binned.withColumn("_c", clipped)
+        .withWatermark("_betime", watermark)
+        .groupBy(F.window("_betime", f"{bin_size} seconds").alias("win"),
+                 "chrom")
+        .agg(F.count(F.lit(1)).alias("n_reads"),
+             F.sum("_c").alias("covered_bp"))
+        .select(
+            "chrom",
+            (F.unix_timestamp("win.start") / bin_size).cast("long")
+            .alias("bin"),
+            "n_reads", "covered_bp",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "1 hour",
                  keys: list[str] | None = None) -> DataFrame:
     """Streaming exact dedup: keep the first occurrence of each key, with

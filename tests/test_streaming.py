@@ -68,3 +68,26 @@ def test_sessionize_state_equals_session_window(spark, small_sf):
     for k in set(batch) - set(got):
         users_open[k[0]] = users_open.get(k[0], 0) + 1
     assert all(v == 1 for v in users_open.values())
+
+
+def test_stream_depth_equals_batch(spark, small_sf):
+    """Streaming binned coverage ≡ the batch depth_profile operator on
+    the same events (n_reads + covered_bp per (chrom, bin))."""
+    from oxbow_spark.operators.coverage import depth_profile
+    from oxbow_spark.session import read_events
+
+    ev = streaming.events_stream(spark, small_sf)
+    out = streaming.run_available_now(
+        streaming.stream_depth(ev), "t_stream_depth", output_mode="complete"
+    )
+    got = {(r.chrom, r.bin): (r.n_reads, r.covered_bp) for r in out.collect()}
+
+    iv = read_events(spark, small_sf).select(
+        F.col("event_type").alias("chrom"),
+        F.expr("ts div 1000000000").alias("start"),
+        (F.expr("ts div 1000000000") + 300).alias("end"),
+    )
+    batch = depth_profile(iv, bin_size=128).collect()
+    assert batch and len(batch) == len(got)
+    for r in batch:
+        assert got[(r.chrom, r.bin)] == (r.n_reads, r.covered_bp)
