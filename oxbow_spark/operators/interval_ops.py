@@ -227,3 +227,23 @@ def closest_intervals(
         F.col("_as").alias(a_start), F.col("_ae").alias(a_end),
         F.col("_bid").alias(b_id), F.col("_dist").alias("distance"),
     )
+
+
+def complement_intervals(
+    df: DataFrame, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+) -> DataFrame:
+    """bedtools-complement (data-bounded): the gaps between the merged
+    intervals of each key, within [min(start), max(end)] of that key —
+    no external chrom-sizes table needed; pass explicit boundary rows
+    to extend the universe. One merge pass + one lag window."""
+    m = merge_intervals(df, on=on, start_col=start_col, end_col=end_col)
+    w = Window.partitionBy(on).orderBy(start_col)
+    prev_end = F.lag(end_col).over(w)
+    return (
+        m.select(F.col(on), prev_end.alias("_gs"),
+                 F.col(start_col).alias("_ge"))
+        .where(F.col("_gs").isNotNull() & (F.col("_ge") > F.col("_gs")))
+        .select(F.col(on), F.col("_gs").alias(start_col),
+                F.col("_ge").alias(end_col))
+    )

@@ -688,6 +688,33 @@ FROM a WHERE aid NOT IN (SELECT aid FROM cov)
 """
 
 
+def complement_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-complement (data-bounded): gaps between merged event
+    intervals per chrom."""
+    from oxbow_spark.operators.interval_ops import complement_intervals
+
+    iv = _events(spark, sf_dir).select(
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    return complement_intervals(iv)
+
+
+COMPLEMENT_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),{_merge_sql_ctes("iv", "m")},
+g AS (
+  SELECT chrom, LAG(me) OVER (PARTITION BY chrom ORDER BY ms) AS gs, ms AS ge
+  FROM m
+)
+SELECT chrom, gs AS start, ge AS "end"
+FROM g WHERE gs IS NOT NULL AND ge > gs
+"""
+
+
 def closest_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bedtools-closest: nearest odd-id interval for each even-id one
     (overlap + two as-of candidate passes, min (distance, b_id))."""
@@ -2242,6 +2269,7 @@ QUERIES: list[Query] = [
     Query("intersect_intervals_events", intersect_intervals_events, INTERSECT_IV_SQL),
     Query("subtract_intervals_events", subtract_intervals_events, SUBTRACT_IV_SQL),
     Query("closest_intervals_events", closest_intervals_events, CLOSEST_IV_SQL),
+    Query("complement_intervals_events", complement_intervals_events, COMPLEMENT_IV_SQL),
     Query("coords_normalize", coords_normalize, COORDS_SQL),
     Query("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_SQL),
     Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql(), bench=True),

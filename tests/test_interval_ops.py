@@ -142,3 +142,18 @@ def test_closest_no_cartesian(spark):
     plan = closest_intervals(a, b, bin_size=16)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_complement(spark):
+    from oxbow_spark.operators.interval_ops import complement_intervals
+
+    df = spark.createDataFrame(
+        [("chr1", 10, 20), ("chr1", 15, 30),   # run 10..30
+         ("chr1", 50, 60), ("chr1", 60, 70),   # bookends merge: 50..70
+         ("chr1", 90, 95),
+         ("chr2", 5, 8)],                      # single run: no gaps
+        "chrom string, start long, end long",
+    )
+    got = {(r.chrom, r.start, r.end)
+           for r in complement_intervals(df).collect()}
+    assert got == {("chr1", 30, 50), ("chr1", 70, 90)}
