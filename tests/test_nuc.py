@@ -1,0 +1,77 @@
+"""Nucleotide composition: Python-recount ground truth over the real
+FASTA fixture, windowed GC tracks, case folding, N handling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oxbow_spark.operators.nuc import gc_windows, nuc_stats
+
+FIX = "/root/reference/fixtures"
+
+
+@pytest.fixture(scope="module")
+def fasta(spark):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    return spark.read.format("fasta").load(f"{FIX}/sample.fasta").cache()
+
+
+def test_nuc_stats_matches_python(fasta):
+    truth = {r.name: r.sequence.upper() for r in fasta.collect()}
+    assert truth
+    got = {r.name: r for r in nuc_stats(fasta, id_cols=["name"]).collect()}
+    for name, seq in truth.items():
+        r = got[name]
+        assert r.length == len(seq)
+        for base, col in (("A", r.n_a), ("C", r.n_c), ("G", r.n_g),
+                          ("T", r.n_t), ("N", r.n_n)):
+            assert col == seq.count(base), (name, base)
+        called = sum(seq.count(b) for b in "ACGT")
+        gc = (seq.count("G") + seq.count("C")) / max(called, 1)
+        assert r.gc_frac == pytest.approx(gc)
+
+
+def test_nuc_stats_case_and_other(spark):
+    df = spark.createDataFrame([("x", "acgTN-ryACGT")], "name string, sequence string")
+    r = nuc_stats(df).collect()[0]
+    assert (r.n_a, r.n_c, r.n_g, r.n_t, r.n_n) == (2, 2, 2, 2, 1)
+    assert r.n_other == 3  # '-', 'R', 'Y'
+    assert r.gc_frac == pytest.approx(4 / 8)
+
+
+def test_gc_windows_tumbling_and_sliding(spark):
+    seq = "GGGGAAAATTTTCCCC"  # 16 bp: windows of 4 -> 1.0, 0.0, 0.0, 1.0
+    df = spark.createDataFrame([("x", seq)], "name string, sequence string")
+    got = {r.win_start: r for r in gc_windows(df, window=4).collect()}
+    assert [got[i].gc_frac for i in (0, 4, 8, 12)] == [1.0, 0.0, 0.0, 1.0]
+    assert all(got[i].win_len == 4 for i in (0, 4, 8, 12))
+    # sliding with step 2: window at 2 is 'GGAA' -> 0.5
+    sl = {r.win_start: r.gc_frac
+          for r in gc_windows(df, window=4, step=2).collect()}
+    assert sl[2] == pytest.approx(0.5)
+    # final partial window keeps its true length
+    got14 = [r for r in gc_windows(df, window=4, step=2).collect()
+             if r.win_start == 14][0]
+    assert got14.win_len == 2 and got14.gc_frac == pytest.approx(1.0)
+
+
+def test_gc_windows_matches_python_on_fixture(fasta):
+    truth = {r.name: r.sequence.upper() for r in fasta.collect()}
+    got = gc_windows(fasta, window=10, step=5).collect()
+    by_key = {(r.name, r.win_start): r.gc_frac for r in got}
+    for name, seq in truth.items():
+        for s in range(0, len(seq), 5):
+            w = seq[s:s + 10]
+            called = sum(w.count(b) for b in "ACGT")
+            gc = (w.count("G") + w.count("C")) / max(called, 1)
+            assert by_key[(name, s)] == pytest.approx(gc), (name, s)
+
+
+def test_plan_no_shuffle(spark):
+    df = spark.createDataFrame([("x", "ACGT" * 10)], "name string, sequence string")
+    for out in (nuc_stats(df), gc_windows(df, window=8)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
