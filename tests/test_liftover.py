@@ -1,0 +1,102 @@
+"""Chain-file liftover: parser block math, forward and reverse-strand
+position/interval mapping, gap unmapped handling, broadcast plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from oxbow_spark.operators.liftover import (
+    chain_frame,
+    liftover_intervals,
+    liftover_positions,
+    parse_chain,
+)
+
+# two chains: a forward one with an interior gap, and a reverse one.
+# chain 1: src chrA [100, 160) aligned in two blocks:
+#   [100,130) -> dst chrX [1000,1030); 10bp src gap / 5bp dst gap;
+#   [140,160) -> dst chrX [1035,1055)
+# chain 2: src chrB [50, 80) -> dst chrY strand '-', q_size 500,
+#   strand-local q range [200, 230)
+CHAIN_TEXT = """\
+chain 1000 chrA 1000 + 100 160 chrX 2000 + 1000 1055 1
+30 10 5
+20
+
+chain 900 chrB 600 + 50 80 chrY 500 - 200 230 2
+30
+"""
+
+
+@pytest.fixture(scope="module")
+def chains(spark):
+    blocks = parse_chain(CHAIN_TEXT)
+    return chain_frame(spark, blocks)
+
+
+def test_parse_chain_blocks():
+    blocks = parse_chain(CHAIN_TEXT)
+    assert len(blocks) == 3
+    b0, b1, b2 = blocks
+    assert (b0.t_start, b0.t_end, b0.q_start) == (100, 130, 1000)
+    assert (b1.t_start, b1.t_end, b1.q_start) == (140, 160, 1035)
+    assert b1.chain_id == 1
+    assert (b2.t_chrom, b2.q_strand, b2.q_start, b2.q_size) == (
+        "chrB", "-", 200, 500)
+
+
+def test_positions_forward_and_gap(spark, chains):
+    df = spark.createDataFrame(
+        [(1, "chrA", 100), (2, "chrA", 129), (3, "chrA", 135),
+         (4, "chrA", 140), (5, "chrA", 159), (6, "chrA", 500),
+         (7, "chrZ", 100)],
+        "rid long, chrom string, pos long",
+    )
+    got = {r.rid: (r.new_chrom, r.new_pos)
+           for r in liftover_positions(df, chains).collect()}
+    assert got[1] == ("chrX", 1000)
+    assert got[2] == ("chrX", 1029)
+    assert got[3] == (None, None)        # in the src gap: unmapped
+    assert got[4] == ("chrX", 1035)      # after the 10/5 gap
+    assert got[5] == ("chrX", 1054)
+    assert got[6] == (None, None)        # outside every chain
+    assert got[7] == (None, None)        # unknown chrom
+
+
+def test_positions_reverse_strand(spark, chains):
+    df = spark.createDataFrame(
+        [(1, "chrB", 50), (2, "chrB", 79)], "rid long, chrom string, pos long")
+    got = {r.rid: (r.new_chrom, r.new_pos)
+           for r in liftover_positions(df, chains).collect()}
+    # strand-local q = 200 + (pos - 50); + coordinate = 500 - q - 1
+    assert got[1] == ("chrY", 500 - 200 - 1)        # 299
+    assert got[2] == ("chrY", 500 - 229 - 1)        # 270
+
+
+def test_intervals(spark, chains):
+    df = spark.createDataFrame(
+        [(1, "chrA", 105, 125),    # inside fwd block
+         (2, "chrA", 120, 145),    # spans the gap: unmapped (strict)
+         (3, "chrB", 50, 80),      # whole reverse block
+         (4, "chrB", 60, 70)],     # interior reverse
+        "rid long, chrom string, start long, end long",
+    )
+    got = {r.rid: (r.new_chrom, r.new_start, r.new_end)
+           for r in liftover_intervals(df, chains).collect()}
+    assert got[1] == ("chrX", 1005, 1025)
+    assert got[2] == (None, None, None)
+    # chrB [50,80) -> strand-local [200,230) -> + coords [270, 300)
+    assert got[3] == ("chrY", 270, 300)
+    # [60,70) -> local [210,220) -> + coords [280, 290)
+    assert got[4] == ("chrY", 280, 290)
+    # half-open width is preserved under both strands
+    assert got[3][2] - got[3][1] == 30 and got[4][2] - got[4][1] == 10
+
+
+def test_broadcast_plan(spark, chains):
+    df = spark.createDataFrame([(1, "chrA", 100)],
+                               "rid long, chrom string, pos long")
+    plan = liftover_positions(df, chains)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
