@@ -595,12 +595,53 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(fn, schema)
 
 
+def avi_mjpeg_frames(b: bytes) -> "list[bytes]":
+    """Pure-stdlib MJPEG-AVI frame extraction: RIFF 'AVI ' chunk walk
+    into the 'movi' LIST, returning each compressed video frame chunk
+    ('##dc'/'##db') payload — for MJPEG streams these are complete
+    JPEGs, decodable by `operators/jpeg.py`. Raises ValueError on
+    non-AVI payloads (honest gate)."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            cid = b[pos:pos + 4]
+            (ln,) = struct.unpack_from("<I", b, pos + 4)
+            body_lo = pos + 8
+            body_hi = min(body_lo + ln, hi)
+            if cid == b"LIST":
+                ltype = b[body_lo:body_lo + 4]
+                if ltype in (b"movi", b"hdrl", b"rec "):
+                    walk(body_lo + 4, body_hi)
+            elif cid[2:4] in (b"dc", b"db") and ln > 0:
+                frames.append(b[body_lo:body_hi])
+            pos = body_lo + ln + (ln & 1)  # word alignment
+
+    walk(12, len(b))
+    if not frames:
+        raise ValueError("AVI without video frame chunks")
+    return frames
+
+
 def frame_sample(df: DataFrame, frame_bytes: int = 64, every_k: int = 2,
-                 payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
-    """(id, frame_idx, frame_digest): video-style frame sampling — the
-    payload is treated as ``n_bytes // frame_bytes`` fixed-size frames and
-    every k-th frame is emitted (one → many rows per input, the expand
-    shape a real frame extractor needs). Digest = md5(hex(frame))."""
+                 payload_col: str = "payload", id_col: str = "doc_id",
+                 real: bool = False) -> DataFrame:
+    """(id, frame_idx, frame_digest): video frame sampling — one → many
+    rows per input, every k-th frame emitted. Digest = md5(hex(frame)).
+
+    ``real=False`` (default): deterministic STUB — the payload is
+    treated as ``n_bytes // frame_bytes`` fixed-size slices, so the
+    expand shape and the DuckDB oracle are testable without codecs.
+    ``real=True``: RIFF/AVI payloads yield their ACTUAL compressed
+    video frame chunks via the pure-stdlib `avi_mjpeg_frames` walk
+    (MJPEG frames are complete JPEGs — feed them to
+    `frame_pixel_stats` for real pixel decode); non-AVI payloads fall
+    back to the fixed-slice stub framing, same schema."""
     schema = StructType([
         StructField(id_col, LongType()),
         StructField("frame_idx", IntegerType()),
@@ -611,7 +652,19 @@ def frame_sample(df: DataFrame, frame_bytes: int = 64, every_k: int = 2,
         for pdf in batches:
             ids, idxs, digs = [], [], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                hx = bytes(b).hex().upper()
+                b = bytes(b)
+                if real:
+                    try:
+                        fr = avi_mjpeg_frames(b)
+                        for j in range(0, len(fr), every_k):
+                            ids.append(i)
+                            idxs.append(j)
+                            digs.append(hashlib.md5(
+                                fr[j].hex().upper().encode()).hexdigest())
+                        continue
+                    except ValueError:
+                        pass  # not an AVI: stub framing below
+                hx = b.hex().upper()
                 n_frames = len(b) // frame_bytes
                 for j in range(0, n_frames, every_k):
                     ids.append(i)
@@ -620,6 +673,45 @@ def frame_sample(df: DataFrame, frame_bytes: int = 64, every_k: int = 2,
                     digs.append(hashlib.md5(sl.encode()).hexdigest())
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
                                 "frame_digest": digs})
+
+    return df.mapInPandas(fn, schema)
+
+
+def frame_pixel_stats(df: DataFrame, every_k: int = 1,
+                      payload_col: str = "payload",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, frame_idx, width, height, px_mean): REAL per-frame pixel
+    decode for MJPEG-AVI payloads — the RIFF walk yields each frame's
+    JPEG bytes and `operators/jpeg.py` entropy-decodes them (baseline
+    or progressive). Undecodable frames / non-AVI payloads yield a
+    single null row per input (same schema, auditable)."""
+    from oxbow_spark.operators.jpeg import jpeg_pixel_stats
+
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("px_mean", DoubleType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    fr = avi_mjpeg_frames(bytes(b))
+                except ValueError:
+                    rows.append((i, None, None, None, None))
+                    continue
+                for j in range(0, len(fr), every_k):
+                    try:
+                        w, h, _c, m = jpeg_pixel_stats(fr[j])
+                        rows.append((i, j, w, h, m))
+                    except ValueError:
+                        rows.append((i, j, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "frame_idx", "width", "height", "px_mean"])
 
     return df.mapInPandas(fn, schema)
 

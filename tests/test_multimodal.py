@@ -630,3 +630,87 @@ def test_real_gif_bmp_px_mean_through_spark(spark):
            multimodal.decode_image_stub(df, real=True).collect()}
     assert got[0].px_mean == pytest.approx(0.5)
     assert got[1].px_mean == pytest.approx(float(bpx.mean()) / 255.0)
+
+
+# ------------------------------------------- real MJPEG-AVI frame decode
+
+def write_mjpeg_avi(frames_px) -> bytes:
+    """Minimal MJPEG AVI: RIFF('AVI ') with an hdrl LIST and a movi LIST
+    of 00dc chunks, each a real baseline JPEG from tests/jpeg_synth."""
+    import struct
+
+    from tests.jpeg_synth import encode_jpeg
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def list_(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    h, w = frames_px[0].shape[:2]
+    avih = struct.pack("<14I", 33333, 0, 0, 0, len(frames_px), 0, 1, 0,
+                       w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0,
+                       0, 1, 30, 0, len(frames_px), 0, 0, 0, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D,
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = list_(b"hdrl", chunk(b"avih", avih)
+                 + list_(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = list_(b"movi", b"".join(
+        chunk(b"00dc", encode_jpeg(px)) for px in frames_px))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_frames_walk():
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    frames = [rng.integers(0, 256, (16, 24), np.uint8) for _ in range(5)]
+    blob = write_mjpeg_avi(frames)
+    assert multimodal.sniff_kind(blob) == "riff"
+    got = multimodal.avi_mjpeg_frames(blob)
+    assert len(got) == 5
+    for f in got:
+        assert f.startswith(b"\xff\xd8")  # each chunk is a whole JPEG
+    with pytest.raises(ValueError, match="AVI"):
+        multimodal.avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_frame_sample_real_avi(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(32)
+    frames = [rng.integers(0, 256, (8, 8), np.uint8) for _ in range(6)]
+    blob = write_mjpeg_avi(frames)
+    df = spark.createDataFrame([(0, bytearray(blob))],
+                               "doc_id long, payload binary")
+    out = multimodal.frame_sample(df, every_k=2, real=True).collect()
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] \
+        == [0, 2, 4]
+    # digests are of the REAL jpeg chunk bytes
+    import hashlib as _h
+    fr = multimodal.avi_mjpeg_frames(blob)
+    expect = _h.md5(fr[2].hex().upper().encode()).hexdigest()
+    assert [r.frame_digest for r in out if r.frame_idx == 2] == [expect]
+
+
+def test_frame_pixel_stats_real_decode(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    frames = [rng.integers(0, 256, (16, 24), np.uint8) for _ in range(3)]
+    blob = write_mjpeg_avi(frames)
+    df = spark.createDataFrame(
+        [(0, bytearray(blob)), (1, bytearray(b"not a video"))],
+        "doc_id long, payload binary")
+    out = multimodal.frame_pixel_stats(df).collect()
+    vids = sorted([r for r in out if r.doc_id == 0],
+                  key=lambda r: r.frame_idx)
+    assert len(vids) == 3
+    for r, px in zip(vids, frames):
+        assert (r.width, r.height) == (24, 16)
+        assert abs(r.px_mean - float(px.mean()) / 255.0) < 0.005
+    nulls = [r for r in out if r.doc_id == 1]
+    assert len(nulls) == 1 and nulls[0].width is None
