@@ -758,6 +758,148 @@ FROM r WHERE rn = 1
 """
 
 
+def flagstat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """samtools-flagstat counter panel (operators/flagstat.py) over
+    synthetic SAM flags derived from event ids (event_id % 4096 walks
+    all 12 flag bits) — one conditional-aggregation pass."""
+    from oxbow_spark.operators.flagstat import flagstat
+
+    ev = _events(spark, sf_dir).select(
+        (F.col("event_id") % 4096).cast("int").alias("flag"))
+    return flagstat(ev)
+
+
+def _flagstat_sql() -> str:
+    f = "(event_id % 4096)"
+    def has(bit): return f"({f} & {bit}) <> 0"
+    def not_(bit): return f"({f} & {bit}) = 0"
+    primary = f"{not_(0x100)} AND {not_(0x800)}"
+    mapped = not_(0x4)
+    paired = has(0x1)
+    def cnt(cond, name):
+        return f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+    return f"""
+SELECT {cnt('TRUE', 'total')},
+       {cnt(primary, 'primary')},
+       {cnt(has(0x100), 'secondary')},
+       {cnt(has(0x800), 'supplementary')},
+       {cnt(has(0x400), 'duplicates')},
+       {cnt(f'{primary} AND {has(0x400)}', 'primary_duplicates')},
+       {cnt(mapped, 'mapped')},
+       {cnt(f'{primary} AND {mapped}', 'primary_mapped')},
+       {cnt(has(0x200), 'qc_fail')},
+       {cnt(f'{primary} AND {paired}', 'paired_reads')},
+       {cnt(f'{primary} AND {paired} AND {has(0x40)}', 'read1')},
+       {cnt(f'{primary} AND {paired} AND {has(0x80)}', 'read2')},
+       {cnt(f'{primary} AND {paired} AND {has(0x2)} AND {mapped}', 'properly_paired')},
+       {cnt(f'{primary} AND {paired} AND {mapped} AND {not_(0x8)}', 'with_mate_mapped')},
+       {cnt(f'{primary} AND {paired} AND {mapped} AND {has(0x8)}', 'singletons')},
+       SUM(CASE WHEN {mapped} THEN 1 ELSE 0 END)
+         / GREATEST(COUNT(*), 1)::DOUBLE AS mapped_rate,
+       SUM(CASE WHEN {primary} AND {mapped} THEN 1 ELSE 0 END)
+         / GREATEST(SUM(CASE WHEN {primary} THEN 1 ELSE 0 END), 1)::DOUBLE
+         AS primary_mapped_rate,
+       SUM(CASE WHEN {primary} AND {paired} AND {has(0x2)} AND {mapped} THEN 1 ELSE 0 END)
+         / GREATEST(SUM(CASE WHEN {primary} AND {paired} THEN 1 ELSE 0 END), 1)::DOUBLE
+         AS properly_paired_rate
+FROM events
+"""
+
+
+_NUC_HEX = "0123456789abcdef"
+_NUC_MAP = "ACGTACGTACGTACGT"
+
+
+def nuc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleotide composition (operators/nuc.py) over deterministic
+    synthetic DNA — each doc's md5 hex digest transliterated to ACGT —
+    so the translate-delta counting and GC math get a DuckDB twin."""
+    from oxbow_spark.operators.nuc import nuc_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.translate(F.md5(F.col("text")), _NUC_HEX, _NUC_MAP)
+        .alias("sequence"),
+    )
+    return nuc_stats(docs, id_cols=["doc_id"])
+
+
+NUC_SQL = f"""
+WITH s AS (
+  SELECT doc_id, translate(md5(text), '{_NUC_HEX}', '{_NUC_MAP}') AS seq
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(seq) AS BIGINT) AS length,
+       CAST(len(seq) - len(replace(seq, 'A', '')) AS BIGINT) AS n_a,
+       CAST(len(seq) - len(replace(seq, 'C', '')) AS BIGINT) AS n_c,
+       CAST(len(seq) - len(replace(seq, 'G', '')) AS BIGINT) AS n_g,
+       CAST(len(seq) - len(replace(seq, 'T', '')) AS BIGINT) AS n_t,
+       CAST(0 AS BIGINT) AS n_n,
+       CAST(0 AS BIGINT) AS n_other,
+       (len(seq) - len(replace(seq, 'G', ''))
+        + len(seq) - len(replace(seq, 'C', '')))
+         / GREATEST(len(seq), 1)::DOUBLE AS gc_frac
+FROM s
+"""
+
+
+# synthetic liftover net over the event coordinate space: for each
+# event_type "chromosome", one forward chain block covering the first
+# half of a 2^21-second tile and one reverse block covering the third
+# quarter; positions elsewhere are unmapped. Spark parses this chain
+# text; the DuckDB twin inlines the same block algebra.
+_LIFT_TILE = 1 << 21
+_LIFT_CHAIN = "\n".join(
+    f"""chain 100 {c} {1 << 31} + 0 {_LIFT_TILE // 2} {c}_new {1 << 31} + 1000000 {1000000 + _LIFT_TILE // 2} 1
+{_LIFT_TILE // 2}
+
+chain 90 {c} {1 << 31} + {_LIFT_TILE // 2} {3 * _LIFT_TILE // 4} {c}_rev {1 << 31} - 5000 {5000 + _LIFT_TILE // 4} 2
+{_LIFT_TILE // 4}
+"""
+    for c in ["click", "view", "purchase", "signup", "error"]
+)
+
+
+def liftover_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-file liftover (operators/liftover.py) of event positions
+    (ts seconds folded into a 2^21 tile) through a synthetic
+    forward+reverse net per event_type."""
+    from oxbow_spark.operators.liftover import chain_frame, parse_chain
+    from oxbow_spark.operators.liftover import liftover_positions
+
+    chains = chain_frame(spark, parse_chain(_LIFT_CHAIN))
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        (TS_SEC() % _LIFT_TILE).alias("pos"),
+    )
+    out = liftover_positions(ev, chains)
+    # 'via_chain' (not 'chain_id') so the oracle harness's
+    # alphabetical column sort leads with non-null (chrom, event_id)
+    return out.withColumnRenamed("chain_id", "via_chain")
+
+
+LIFTOVER_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type AS chrom, {EPOCH_SQL} % {_LIFT_TILE} AS pos
+  FROM events
+)
+SELECT event_id, chrom, pos,
+       CASE WHEN pos < {_LIFT_TILE // 2} THEN chrom || '_new'
+            WHEN pos < {3 * _LIFT_TILE // 4} THEN chrom || '_rev'
+            ELSE NULL END AS new_chrom,
+       CASE WHEN pos < {_LIFT_TILE // 2} THEN 1000000 + pos
+            WHEN pos < {3 * _LIFT_TILE // 4}
+              THEN {1 << 31} - (5000 + pos - {_LIFT_TILE // 2}) - 1
+            ELSE NULL END AS new_pos,
+       CASE WHEN pos < {_LIFT_TILE // 2} THEN 1
+            WHEN pos < {3 * _LIFT_TILE // 4} THEN 2
+            ELSE NULL END AS via_chain
+FROM ev
+"""
+
+
 _DEPTH_BIN = 128
 
 
@@ -2270,6 +2412,9 @@ QUERIES: list[Query] = [
     Query("subtract_intervals_events", subtract_intervals_events, SUBTRACT_IV_SQL),
     Query("closest_intervals_events", closest_intervals_events, CLOSEST_IV_SQL),
     Query("complement_intervals_events", complement_intervals_events, COMPLEMENT_IV_SQL),
+    Query("flagstat_events", flagstat_events, _flagstat_sql()),
+    Query("nuc_docs", nuc_docs, NUC_SQL),
+    Query("liftover_events", liftover_events, LIFTOVER_SQL),
     Query("coords_normalize", coords_normalize, COORDS_SQL),
     Query("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_SQL),
     Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql(), bench=True),
