@@ -1,4 +1,42 @@
+from oxbow_spark.operators.asof import asof_join
+from oxbow_spark.operators.coverage import depth_profile
+from oxbow_spark.operators.decontam import ngram_decontaminate
+from oxbow_spark.operators.flagstat import flagstat
 from oxbow_spark.operators.interval_join import overlap_join
+from oxbow_spark.operators.interval_ops import (
+    closest_intervals,
+    complement_intervals,
+    intersect_intervals,
+    merge_intervals,
+    subtract_intervals,
+)
+from oxbow_spark.operators.liftover import (
+    chain_frame,
+    liftover_intervals,
+    liftover_positions,
+    parse_chain,
+)
+from oxbow_spark.operators.nuc import gc_windows, nuc_stats
+from oxbow_spark.operators.variant_norm import normalize_variants
 from oxbow_spark.operators.zoom import zoom_aggregate
 
-__all__ = ["overlap_join", "zoom_aggregate"]
+__all__ = [
+    "asof_join",
+    "chain_frame",
+    "closest_intervals",
+    "complement_intervals",
+    "depth_profile",
+    "flagstat",
+    "gc_windows",
+    "intersect_intervals",
+    "liftover_intervals",
+    "liftover_positions",
+    "merge_intervals",
+    "ngram_decontaminate",
+    "normalize_variants",
+    "nuc_stats",
+    "overlap_join",
+    "parse_chain",
+    "subtract_intervals",
+    "zoom_aggregate",
+]
