@@ -157,3 +157,71 @@ def test_complement(spark):
     got = {(r.chrom, r.start, r.end)
            for r in complement_intervals(df).collect()}
     assert got == {("chr1", 30, 50), ("chr1", 70, 90)}
+
+
+# ---------------------------------------------- property-based (hypothesis)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_IV = st.tuples(st.integers(0, 60), st.integers(1, 25)).map(
+    lambda t: (t[0], t[0] + t[1]))
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_IV, min_size=1, max_size=8))
+def test_merge_covers_exactly_the_input_positions(ivs):
+    spark = _SESSION[0]
+    df = spark.createDataFrame([("c", s, e) for s, e in ivs],
+                               "chrom string, start long, end long")
+    got = merge_intervals(df).collect()
+    # 1. output runs are disjoint and non-adjacent
+    runs = sorted((r.start, r.end) for r in got)
+    for (s1, e1), (s2, e2) in zip(runs, runs[1:]):
+        assert e1 < s2
+    # 2. the union of positions is preserved exactly
+    truth = set()
+    for s, e in ivs:
+        truth |= set(range(s, e))
+    covered = set()
+    for s, e in runs:
+        covered |= set(range(s, e))
+    assert covered == truth
+    assert sum(r.n_merged for r in got) == len(ivs)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_IV, min_size=1, max_size=6),
+       st.lists(_IV, min_size=1, max_size=6))
+def test_subtract_partition_law(a_ivs, b_ivs):
+    """subtract(a, b) must keep exactly the positions of a not covered
+    by b — checked against exhaustive position-set arithmetic."""
+    spark = _SESSION[0]
+    a = spark.createDataFrame(
+        [(i, "c", s, e) for i, (s, e) in enumerate(a_ivs)],
+        "aid long, chrom string, start long, end long")
+    b = spark.createDataFrame([("c", s, e) for s, e in b_ivs],
+                              "chrom string, start long, end long")
+    got = subtract_intervals(a, b, bin_size=16, id_col="aid").collect()
+    bpos = set()
+    for s, e in b_ivs:
+        bpos |= set(range(s, e))
+    for i, (s, e) in enumerate(a_ivs):
+        expect = set(range(s, e)) - bpos
+        have = set()
+        for r in got:
+            if r.aid == i:
+                seg = set(range(r.start, r.end))
+                assert not (seg & have), "segments overlap"
+                have |= seg
+        assert have == expect, (i, sorted(have), sorted(expect))
+
+
+_SESSION = []
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _capture_spark(spark):
+    _SESSION.clear()
+    _SESSION.append(spark)
+    yield
