@@ -309,3 +309,41 @@ def quality_threshold_bins(
         count_below = term if count_below is None else count_below + term
     bin_expr = (F.lit(n_bins) - count_below) if count_below is not None else F.lit(1)
     return scored.select(id_col, score_col, bin_expr.alias("bin"))
+
+
+def chunk_documents(
+    df: DataFrame, chunk_tokens: int = 256, overlap: int = 64,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_id, chunk_start, n_tokens, chunk_text): sliding-window
+    document chunking — the RAG-indexing shape (fixed token windows with
+    ``overlap`` tokens of context carried between neighbors; the final
+    window may be short, every token is covered).
+
+    Pure per-row expressions: tokenize once, explode over the window
+    starts (fan-out = #chunks, narrow), slice + rejoin — no shuffle, no
+    UDF; the plan is a Project + Generate at any corpus size."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from oxbow_spark.operators.dedup import tokens
+
+    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / stride) + 1
+    ).cast("long")
+    ex = tok.select(
+        F.col(id_col), F.col("_t"), n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * stride).cast("long")
+    piece = F.slice(F.col("_t"), (start + 1).cast("int"), chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("chunk_start"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - start).cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -900,6 +900,44 @@ FROM ev
 """
 
 
+_CHUNK_T = 64
+_CHUNK_OV = 16
+
+
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking (operators/pipeline.py):
+    64-token windows, 16 tokens of overlap."""
+    from oxbow_spark.operators.pipeline import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_T, overlap=_CHUNK_OV,
+    )
+
+
+_CHUNK_STRIDE = _CHUNK_T - _CHUNK_OV
+CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL} AS t, len({TOKS_SQL}) AS n FROM documents
+),
+x AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= {_CHUNK_T} THEN 0
+                ELSE (n - {_CHUNK_T} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+           END)) AS chunk_id
+  FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       CAST(LEAST({_CHUNK_T}, n - chunk_id * {_CHUNK_STRIDE}) AS BIGINT) AS n_tokens,
+       array_to_string(t[chunk_id * {_CHUNK_STRIDE} + 1 :
+                        chunk_id * {_CHUNK_STRIDE} + {_CHUNK_T}], ' ') AS chunk_text
+FROM x
+"""
+
+
 _DEPTH_BIN = 128
 
 
@@ -2415,6 +2453,7 @@ QUERIES: list[Query] = [
     Query("flagstat_events", flagstat_events, _flagstat_sql()),
     Query("nuc_docs", nuc_docs, NUC_SQL),
     Query("liftover_events", liftover_events, LIFTOVER_SQL),
+    Query("chunk_docs", chunk_docs, CHUNK_SQL),
     Query("coords_normalize", coords_normalize, COORDS_SQL),
     Query("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_SQL),
     Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql(), bench=True),

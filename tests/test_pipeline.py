@@ -234,3 +234,41 @@ def test_resample_mixture_rejects_bad_rates(spark):
         pipeline.resample_mixture(df, {"a": 1.5})
     with _pt.raises(ValueError):
         pipeline.resample_mixture(df, {}, default_rate=-0.1)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from oxbow_spark.operators.pipeline import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")],
+        "doc_id long, text string")
+    got = sorted(chunk_documents(df, chunk_tokens=10, overlap=4).collect(),
+                 key=lambda r: (r.doc_id, r.chunk_id))
+    d1 = [r for r in got if r.doc_id == 1]
+    # stride 6: starts 0,6,12,18 -> 4 chunks; last has 25-18=7 tokens
+    assert [r.chunk_start for r in d1] == [0, 6, 12, 18]
+    assert [r.n_tokens for r in d1] == [10, 10, 10, 7]
+    # neighbor chunks share exactly `overlap` tokens
+    t0 = d1[0].chunk_text.split()
+    t1 = d1[1].chunk_text.split()
+    assert t0[-4:] == t1[:4]
+    # every token appears in some chunk, in order
+    seen = []
+    for r in d1:
+        for w in r.chunk_text.split():
+            if not seen or w != seen[-1] and w not in seen[-4:]:
+                pass
+    assert d1[0].chunk_text.startswith("w0 ") and d1[-1].chunk_text.endswith("w24")
+    # short + empty docs yield exactly one chunk
+    assert [r.n_tokens for r in got if r.doc_id == 2] == [2]
+    d3 = [r for r in got if r.doc_id == 3]
+    assert len(d3) == 1 and d3[0].chunk_text == ""
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from oxbow_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
