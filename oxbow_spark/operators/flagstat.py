@@ -70,3 +70,26 @@ def flagstat(df: DataFrame, flag_col: str = "flag",
             F.col("properly_paired")
             / F.greatest(F.col("paired_reads"), F.lit(1)),
     })
+
+
+def template_stats(df: DataFrame, flag_col: str = "flag",
+                   tlen_col: str = "tlen",
+                   max_insert: int = 10000) -> DataFrame:
+    """Insert-size summary for properly-paired primary reads (the
+    `samtools stats` IS section): one conditional-aggregation pass over
+    |tlen| of the leftmost mate (tlen > 0 — counts each template once),
+    clipped to ``max_insert`` to keep chimeras out of the moments.
+    Returns a single row: n_templates, mean/stddev/min/max insert."""
+    f = F.col(flag_col)
+    t = F.col(tlen_col).cast("long")
+    proper = flag_is(f, "paired") & flag_is(f, "proper_pair") \
+        & ~flag_is(f, "unmapped") & ~flag_is(f, "secondary") \
+        & ~flag_is(f, "supplementary") & (t > 0) & (t <= max_insert)
+    v = F.when(proper, t)
+    return df.agg(
+        F.count(v).alias("n_templates"),
+        F.avg(v).alias("mean_insert"),
+        F.stddev_samp(v).alias("sd_insert"),
+        F.min(v).alias("min_insert"),
+        F.max(v).alias("max_insert"),
+    )

@@ -806,6 +806,41 @@ FROM events
 """
 
 
+def template_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-size summary (operators/flagstat.py:template_stats) over
+    synthetic flags/tlen derived from event ids. The stddev column is
+    dropped from the oracle row: the two engines' variance algorithms
+    agree only to ~1 ulp, outside value-hash tolerance — n/mean/min/max
+    are exactly deterministic."""
+    from oxbow_spark.operators.flagstat import template_stats
+
+    ev = _events(spark, sf_dir).select(
+        (F.col("event_id") % 4096).cast("int").alias("flag"),
+        ((F.col("event_id") % 1200) - 100).cast("long").alias("tlen"),
+    )
+    return template_stats(ev).select(
+        "n_templates", "mean_insert", "min_insert", "max_insert")
+
+
+TEMPLATE_SQL = """
+WITH ev AS (
+  SELECT CAST(event_id % 4096 AS INT) AS flag,
+         CAST(event_id % 1200 - 100 AS BIGINT) AS tlen
+  FROM events
+),
+v AS (
+  SELECT CASE WHEN (flag & 1) <> 0 AND (flag & 2) <> 0 AND (flag & 4) = 0
+                   AND (flag & 256) = 0 AND (flag & 2048) = 0
+                   AND tlen > 0 AND tlen <= 10000
+              THEN tlen END AS t
+  FROM ev
+)
+SELECT COUNT(t) AS n_templates, AVG(t) AS mean_insert,
+       MIN(t) AS min_insert, MAX(t) AS max_insert
+FROM v
+"""
+
+
 _NUC_HEX = "0123456789abcdef"
 _NUC_MAP = "ACGTACGTACGTACGT"
 
@@ -2454,6 +2489,7 @@ QUERIES: list[Query] = [
     Query("nuc_docs", nuc_docs, NUC_SQL),
     Query("liftover_events", liftover_events, LIFTOVER_SQL),
     Query("chunk_docs", chunk_docs, CHUNK_SQL),
+    Query("template_stats_events", template_stats_events, TEMPLATE_SQL),
     Query("coords_normalize", coords_normalize, COORDS_SQL),
     Query("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_SQL),
     Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql(), bench=True),

@@ -66,3 +66,41 @@ def test_flagstat_single_aggregation_plan(spark):
     plan = flagstat(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan, plan
     assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan, plan
+
+
+def test_template_stats(spark):
+    import statistics
+
+    from oxbow_spark.operators.flagstat import template_stats
+
+    rows = [
+        (0x1 | 0x2 | 0x40, 300),    # counted
+        (0x1 | 0x2 | 0x80, -300),   # mate: tlen<0, not double-counted
+        (0x1 | 0x2 | 0x40, 450),    # counted
+        (0x1 | 0x2 | 0x40, 20000),  # above max_insert: excluded
+        (0x1 | 0x40, 500),          # not proper pair: excluded
+        (0x1 | 0x2 | 0x4 | 0x40, 400),   # unmapped: excluded
+        (0x1 | 0x2 | 0x100 | 0x40, 400),  # secondary: excluded
+    ]
+    df = spark.createDataFrame(rows, "flag int, tlen long")
+    r = template_stats(df).collect()[0]
+    assert r.n_templates == 2
+    assert r.mean_insert == pytest.approx(375.0)
+    assert r.sd_insert == pytest.approx(statistics.stdev([300, 450]))
+    assert (r.min_insert, r.max_insert) == (300, 450)
+
+
+def test_template_stats_on_fixture(spark):
+    from oxbow_spark.operators.flagstat import template_stats
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    df = spark.read.format("bam").load(f"{FIX}/sample.bam")
+    r = template_stats(df).collect()[0]
+    flags = [(x.flag, x.tlen) for x in df.select("flag", "tlen").collect()]
+    vals = [t for f, t in flags
+            if (f & 0x1) and (f & 0x2) and not (f & 0x4)
+            and not (f & 0x100) and not (f & 0x800) and 0 < t <= 10000]
+    assert r.n_templates == len(vals)
+    if vals:
+        assert r.mean_insert == pytest.approx(sum(vals) / len(vals))
