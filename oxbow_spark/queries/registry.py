@@ -973,6 +973,48 @@ FROM x
 """
 
 
+def liftover_iv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict same-block interval liftover through the synthetic net
+    (reverse-strand blocks flip the interval, width preserved)."""
+    from oxbow_spark.operators.liftover import chain_frame, parse_chain
+    from oxbow_spark.operators.liftover import liftover_intervals
+
+    chains = chain_frame(spark, parse_chain(_LIFT_CHAIN))
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        (TS_SEC() % _LIFT_TILE).alias("start"),
+        (TS_SEC() % _LIFT_TILE + 50).alias("end"),
+    )
+    return liftover_intervals(ev, chains) \
+        .withColumnRenamed("chain_id", "via_chain")
+
+
+LIFTOVER_IV_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type AS chrom,
+         {EPOCH_SQL} % {_LIFT_TILE} AS s, {EPOCH_SQL} % {_LIFT_TILE} + 50 AS e
+  FROM events
+)
+SELECT event_id, chrom, s AS start, e AS "end",
+       CASE WHEN e <= {_LIFT_TILE // 2} THEN chrom || '_new'
+            WHEN s >= {_LIFT_TILE // 2} AND e <= {3 * _LIFT_TILE // 4}
+              THEN chrom || '_rev' ELSE NULL END AS new_chrom,
+       CASE WHEN e <= {_LIFT_TILE // 2} THEN 1000000 + s
+            WHEN s >= {_LIFT_TILE // 2} AND e <= {3 * _LIFT_TILE // 4}
+              THEN {1 << 31} - (5000 + e - {_LIFT_TILE // 2})
+            ELSE NULL END AS new_start,
+       CASE WHEN e <= {_LIFT_TILE // 2} THEN 1000000 + e
+            WHEN s >= {_LIFT_TILE // 2} AND e <= {3 * _LIFT_TILE // 4}
+              THEN {1 << 31} - (5000 + s - {_LIFT_TILE // 2})
+            ELSE NULL END AS new_end,
+       CASE WHEN e <= {_LIFT_TILE // 2} THEN 1
+            WHEN s >= {_LIFT_TILE // 2} AND e <= {3 * _LIFT_TILE // 4} THEN 2
+            ELSE NULL END AS via_chain
+FROM ev
+"""
+
+
 _DEPTH_BIN = 128
 
 
@@ -2490,6 +2532,7 @@ QUERIES: list[Query] = [
     Query("liftover_events", liftover_events, LIFTOVER_SQL),
     Query("chunk_docs", chunk_docs, CHUNK_SQL),
     Query("template_stats_events", template_stats_events, TEMPLATE_SQL),
+    Query("liftover_iv_events", liftover_iv_events, LIFTOVER_IV_SQL),
     Query("coords_normalize", coords_normalize, COORDS_SQL),
     Query("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_SQL),
     Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql(), bench=True),
