@@ -216,6 +216,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                         scan_comps.append(c)
             data_start = pos + seg_len
             if not progressive:
+                if len(scan_comps) != len(comps):
+                    # legal-but-rare multi-scan sequential baseline: the
+                    # interleaved fast path below would misread it —
+                    # honest gate, caller falls back to dims-only
+                    raise ValueError(
+                        "JPEG multi-scan sequential baseline unsupported "
+                        f"({len(scan_comps)}/{len(comps)} components in SOS)")
                 return _decode_scan(b, data_start, w, h, comps, qt, dc_tabs,
                                     ac_tabs, restart_interval)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]

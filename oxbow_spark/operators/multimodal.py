@@ -463,7 +463,16 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, float]:
     w, h, channels = decode_bmp_dims(b)
     (off,) = struct.unpack_from("<I", b, 10)
     (hdr_size,) = struct.unpack_from("<I", b, 14)
-    bits = channels * 8
+    # true bit count from the DIB header — channels*8 would alias 1/4-bit
+    # paletted (channels=1) to 8 and misread RGB555 strides
+    if hdr_size == 12:
+        (bits,) = struct.unpack_from("<H", b, 24)
+    else:
+        (bits,) = struct.unpack_from("<H", b, 28)
+    if bits not in (8, 24, 32):
+        # 1/4-bit paletted and 16-bit RGB555 payloads would misdecode
+        # under the 8/24/32 stride math — honest gate, dims-only fallback
+        raise ValueError(f"BMP bit depth {bits} unsupported (8/24/32 only)")
     compression = 0
     if hdr_size >= 40:
         (compression,) = struct.unpack_from("<I", b, 30)
@@ -886,9 +895,14 @@ def decode_mp4(b: bytes) -> tuple[float, int | None, int | None, int]:
                 if ts:
                     duration = dur / ts
             elif typ == b"tkhd" and dims is None:
+                # ISO 14496-12 §8.3.2: verflags(4) + times/track-id/
+                # reserved/duration (20 for v0, 32 for v1) + reserved(8)
+                # + layer/alt_group/volume/reserved(8) + matrix(36) →
+                # width/height 16.16 at body+76 (v0) / body+88 (v1),
+                # bounded by this tkhd box's end, not the parent's.
                 ver = b[body]
-                tail = body + (92 if ver == 1 else 80)
-                if tail + 8 <= hi:
+                tail = body + (88 if ver == 1 else 76)
+                if tail + 8 <= pos + sz:
                     wfx, hfx = struct.unpack_from(">II", b, tail)
                     if wfx and hfx:
                         dims = (wfx >> 16, hfx >> 16)

@@ -59,7 +59,9 @@ def gc_windows(df: DataFrame, window: int, step: int | None = None,
         F.greatest(F.length(up) - 1, F.lit(0)),
         F.lit(step),
     )
-    ex = df.select(
+    # empty sequences must yield zero windows — without the filter the
+    # clamped bound greatest(len-1, 0) emits one bogus (0, 0, 0.0) row
+    ex = df.where(F.length(F.col(seq_col)) > 0).select(
         F.col(id_col), up.alias("_seq"),
         F.explode(starts).alias("win_start"),
     )

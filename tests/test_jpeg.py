@@ -166,3 +166,18 @@ def test_progressive_real_path_through_spark(spark):
     assert (r.width, r.height, r.channels) == (24, 16, 3)
     assert r.px_mean is not None
     assert abs(r.px_mean - float(px.mean()) / 255.0) < 0.01
+
+
+def test_multi_scan_sequential_baseline_gated():
+    """A sequential-baseline SOS that does not cover every frame
+    component (legal multi-scan file) must raise, not misdecode as an
+    interleaved scan."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    blob = bytearray(encode_jpeg(px))
+    sos = blob.find(b"\xff\xda")
+    assert blob[sos + 4] == 3  # interleaved 3-component scan header
+    blob[sos + 2:sos + 4] = (8).to_bytes(2, "big")  # len: 2+1+2*1+3
+    blob[sos + 4] = 1  # ns=1 → scan covers only component 1
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(bytes(blob))

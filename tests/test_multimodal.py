@@ -442,7 +442,13 @@ def write_mp4(duration_s: float, timescale: int = 1000, w: int = 0,
     for i in range(n_tracks):
         tail = struct.pack(">II", (w if i == 0 else 0) << 16,
                            (h if i == 0 else 0) << 16)
-        tkhd = b"\x00" + bytes(3) + bytes(76) + tail
+        # spec layout (ISO 14496-12 §8.3.2): verflags + 20|32 bytes of
+        # times/track-id/reserved/duration + reserved(8) + layer/alt/
+        # volume/reserved(8) + matrix(36) → dims at body+76 (v0) / +88 (v1)
+        if version == 1:
+            tkhd = b"\x01" + bytes(3) + bytes(32 + 8 + 8 + 36) + tail
+        else:
+            tkhd = b"\x00" + bytes(3) + bytes(20 + 8 + 8 + 36) + tail
         traks += _box(b"trak", _box(b"tkhd", tkhd))
     return (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
             + _box(b"moov", _box(b"mvhd", mvhd) + traks))
@@ -714,3 +720,12 @@ def test_frame_pixel_stats_real_decode(spark):
         assert abs(r.px_mean - float(px.mean()) / 255.0) < 0.005
     nulls = [r for r in out if r.doc_id == 1]
     assert len(nulls) == 1 and nulls[0].width is None
+
+
+def test_decode_bmp_pixels_gates_unsupported_depths():
+    """16-bit RGB555 and 4-bit paletted payloads must be rejected (the
+    8/24/32 stride math would silently average garbage), falling back to
+    dims-only."""
+    for bits in (16, 4, 1):
+        with pytest.raises(ValueError, match="bit depth"):
+            multimodal.decode_bmp_pixels(write_bmp(4, 4, bits=bits))

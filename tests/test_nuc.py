@@ -75,3 +75,11 @@ def test_plan_no_shuffle(spark):
     for out in (nuc_stats(df), gc_windows(df, window=8)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_gc_windows_empty_sequence_yields_no_rows(spark):
+    df = spark.createDataFrame(
+        [("e", ""), ("x", "GGCC")], "name string, sequence string")
+    rows = gc_windows(df, window=4).collect()
+    # the zero-length sequence must not emit a bogus (0, 0, 0.0) window
+    assert [r.name for r in rows] == ["x"]
