@@ -8,19 +8,27 @@ offset; positions in gaps are unmapped. `-` strand chains map onto the
 reversed destination sequence, so coordinates flip to
 ``q_size - x - 1``.
 
+Best-chain semantics (matching UCSC liftOver's chain selection): when
+several chains of a real whole-genome net overlap the same source
+range, each input row maps through the single best candidate — maximum
+chain score, ties broken by minimum chain_id — never one output row
+per matching chain.
+
 Scale design: chain files are a few MB even for whole-genome nets →
-the parsed block table BROADCASTS; rows join blocks on
-``(chrom, bin)`` (each block explodes into the coarse bins it spans,
-driver-side — block counts are ~1e5-1e6, never corpus-sized), so the
-mapping is a broadcast hash join + offset arithmetic, never a
-nested-loop range probe. The corpus side stays narrow.
+the parsed block table BROADCASTS, pre-grouped per (chrom, 64 kb bin)
+into an array of block structs. Rows reach their candidate blocks via
+one broadcast hash equi-join on ``(chrom, bin)`` (group keys are
+unique, so the join never duplicates corpus rows), and the best-chain
+pick is a pure expression — ``filter`` by containment + ``array_max``
+over (score, -chain_id)-ordered structs. No window, no extra shuffle,
+no nested-loop range probe; the corpus side stays narrow.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _BIN = 1 << 16  # 64 kb mapping bins — chain blocks are typically kb-scale
@@ -36,6 +44,7 @@ class ChainBlock:
     q_strand: str  # '+' or '-'
     q_size: int    # destination chromosome length (for - strand flips)
     chain_id: int
+    score: int     # chain header score — best-chain tiebreak
 
 
 def parse_chain(text: str) -> list[ChainBlock]:
@@ -47,6 +56,7 @@ def parse_chain(text: str) -> list[ChainBlock]:
     t_pos = q_pos = 0
     hdr: list[str] | None = None
     cid = 0
+    score = 0
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#"):
@@ -58,6 +68,7 @@ def parse_chain(text: str) -> list[ChainBlock]:
             t_pos = int(hdr[5])
             q_pos = int(hdr[10])
             cid = int(hdr[12]) if len(hdr) > 12 else cid + 1
+            score = int(hdr[1])
             continue
         if hdr is None:
             raise ValueError("chain data before any chain header")
@@ -67,7 +78,7 @@ def parse_chain(text: str) -> list[ChainBlock]:
             blocks.append(ChainBlock(
                 t_chrom=hdr[2], t_start=t_pos, t_end=t_pos + size,
                 q_chrom=hdr[7], q_start=q_pos, q_strand=hdr[9],
-                q_size=int(hdr[8]), chain_id=cid,
+                q_size=int(hdr[8]), chain_id=cid, score=score,
             ))
         if len(parts) == 3:
             t_pos += size + int(parts[1])
@@ -84,13 +95,44 @@ def chain_frame(spark: SparkSession, blocks: list[ChainBlock]) -> DataFrame:
     for b in blocks:
         for bn in range(b.t_start // _BIN, (b.t_end - 1) // _BIN + 1):
             rows.append((b.t_chrom, bn, b.t_start, b.t_end, b.q_chrom,
-                         b.q_start, b.q_strand, b.q_size, b.chain_id))
+                         b.q_start, b.q_strand, b.q_size, b.chain_id,
+                         b.score))
     return spark.createDataFrame(
         rows,
         "t_chrom string, _bin long, t_start long, t_end long, "
         "q_chrom string, q_start long, q_strand string, q_size long, "
-        "chain_id long",
+        "chain_id long, score long",
     )
+
+
+_BLOCK_FIELDS = ["t_start", "t_end", "q_chrom", "q_start", "q_strand",
+                 "q_size", "chain_id", "score"]
+
+
+def _grouped_chains(chains: DataFrame) -> DataFrame:
+    """(t_chrom, _bin) → array of block structs. Unique group keys, so
+    the downstream broadcast join matches each corpus row at most once
+    (the whole point: multi-chain overlap resolution never re-shuffles
+    or duplicates the corpus)."""
+    return chains.groupBy("t_chrom", "_bin").agg(
+        F.collect_list(F.struct(*_BLOCK_FIELDS)).alias("_blocks"))
+
+
+def _best_block(cand: Column) -> Column:
+    """Best chain among candidate blocks: max score, tie → min chain_id
+    (UCSC liftOver keeps the highest-scoring chain in the net). Struct
+    comparison is lexicographic, so leading (score, -chain_id) makes
+    array_max pick it deterministically; null/empty arrays yield null."""
+    return F.array_max(F.transform(cand, lambda b: F.struct(
+        b["score"].alias("score"),
+        (-b["chain_id"]).alias("_nci"),
+        b["t_start"].alias("t_start"),
+        b["q_chrom"].alias("q_chrom"),
+        b["q_start"].alias("q_start"),
+        b["q_strand"].alias("q_strand"),
+        b["q_size"].alias("q_size"),
+        b["chain_id"].alias("chain_id"),
+    )))
 
 
 def liftover_positions(
@@ -100,23 +142,28 @@ def liftover_positions(
     """Input columns + (new_chrom, new_pos, chain_id); unmapped rows
     (position in a chain gap or outside every chain) keep nulls — the
     liftOver 'unMapped' set, left for the caller to filter or audit.
+    Overlapping chains resolve to the best one per row (max score, tie
+    min chain_id) — one output row per input row, always.
     Positions are 0-based."""
     pos = F.col(pos_col).cast("long")
     left = df.withColumn("_bin", F.floor(pos / _BIN))
+    g = _grouped_chains(chains)
     j = left.join(
-        F.broadcast(chains),
-        (F.col(chrom_col) == F.col("t_chrom")) & (left["_bin"] == chains["_bin"])
-        & (pos >= F.col("t_start")) & (pos < F.col("t_end")),
+        F.broadcast(g),
+        (F.col(chrom_col) == F.col("t_chrom")) & (left["_bin"] == g["_bin"]),
         "left",
     )
-    fwd = F.col("q_start") + (pos - F.col("t_start"))
-    new_pos = F.when(F.col("q_strand") == "+", fwd) \
-        .otherwise(F.col("q_size") - fwd - 1)
+    cand = F.filter(
+        "_blocks", lambda b: (pos >= b["t_start"]) & (pos < b["t_end"]))
+    best = _best_block(cand)
+    fwd = best["q_start"] + (pos - best["t_start"])
+    new_pos = F.when(best["q_strand"] == "+", fwd) \
+        .otherwise(best["q_size"] - fwd - 1)
     return j.select(
         *[left[c] for c in df.columns],
-        F.col("q_chrom").alias("new_chrom"),
+        best["q_chrom"].alias("new_chrom"),
         new_pos.cast("long").alias("new_pos"),
-        F.col("chain_id"),
+        best["chain_id"].alias("chain_id"),
     )
 
 
@@ -129,26 +176,32 @@ def liftover_intervals(
     across chain gaps under -minMatch; that relaxation maps each end
     separately with `liftover_positions` and joins on chain_id).
     Output: input columns + (new_chrom, new_start, new_end, chain_id);
-    split/unmapped intervals keep nulls. `-` strand chains flip the
+    split/unmapped intervals keep nulls. Overlapping chains resolve to
+    the best containing block per row (max score, tie min chain_id) —
+    one output row per input row, always. `-` strand chains flip the
     interval: new_start = flip(end-1), new_end = flip(start)+1."""
     s = F.col(start_col).cast("long")
     e = F.col(end_col).cast("long")
     left = df.withColumn("_bin", F.floor(s / _BIN))
+    g = _grouped_chains(chains)
     j = left.join(
-        F.broadcast(chains),
-        (F.col(chrom_col) == F.col("t_chrom")) & (left["_bin"] == chains["_bin"])
-        & (s >= F.col("t_start")) & (e <= F.col("t_end")) & (e > s),
+        F.broadcast(g),
+        (F.col(chrom_col) == F.col("t_chrom")) & (left["_bin"] == g["_bin"]),
         "left",
     )
-    fwd_s = F.col("q_start") + (s - F.col("t_start"))
-    fwd_e = F.col("q_start") + (e - F.col("t_start"))
-    plus = F.col("q_strand") == "+"
-    new_s = F.when(plus, fwd_s).otherwise(F.col("q_size") - fwd_e)
-    new_e = F.when(plus, fwd_e).otherwise(F.col("q_size") - fwd_s)
+    cand = F.filter(
+        "_blocks",
+        lambda b: (s >= b["t_start"]) & (e <= b["t_end"]) & (e > s))
+    best = _best_block(cand)
+    fwd_s = best["q_start"] + (s - best["t_start"])
+    fwd_e = best["q_start"] + (e - best["t_start"])
+    plus = best["q_strand"] == "+"
+    new_s = F.when(plus, fwd_s).otherwise(best["q_size"] - fwd_e)
+    new_e = F.when(plus, fwd_e).otherwise(best["q_size"] - fwd_s)
     return j.select(
         *[left[c] for c in df.columns],
-        F.col("q_chrom").alias("new_chrom"),
+        best["q_chrom"].alias("new_chrom"),
         new_s.cast("long").alias("new_start"),
         new_e.cast("long").alias("new_end"),
-        F.col("chain_id"),
+        best["chain_id"].alias("chain_id"),
     )

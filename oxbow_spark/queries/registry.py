@@ -882,14 +882,21 @@ FROM s
 # synthetic liftover net over the event coordinate space: for each
 # event_type "chromosome", one forward chain block covering the first
 # half of a 2^21-second tile and one reverse block covering the third
-# quarter; positions elsewhere are unmapped. Spark parses this chain
-# text; the DuckDB twin inlines the same block algebra.
+# quarter; positions elsewhere are unmapped. A third, LOWER-scoring
+# decoy chain overlaps the first quarter (mapping to {c}_decoy) — real
+# UCSC nets overlap like this, and best-chain selection (max score, tie
+# min chain_id) must suppress it: the oracle columns below intentionally
+# never mention the decoy. Spark parses this chain text; the DuckDB
+# twin inlines the same block algebra.
 _LIFT_TILE = 1 << 21
 _LIFT_CHAIN = "\n".join(
     f"""chain 100 {c} {1 << 31} + 0 {_LIFT_TILE // 2} {c}_new {1 << 31} + 1000000 {1000000 + _LIFT_TILE // 2} 1
 {_LIFT_TILE // 2}
 
 chain 90 {c} {1 << 31} + {_LIFT_TILE // 2} {3 * _LIFT_TILE // 4} {c}_rev {1 << 31} - 5000 {5000 + _LIFT_TILE // 4} 2
+{_LIFT_TILE // 4}
+
+chain 50 {c} {1 << 31} + 0 {_LIFT_TILE // 4} {c}_decoy {1 << 31} + 777 {777 + _LIFT_TILE // 4} 3
 {_LIFT_TILE // 4}
 """
     for c in ["click", "view", "purchase", "signup", "error"]

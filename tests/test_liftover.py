@@ -100,3 +100,56 @@ def test_broadcast_plan(spark, chains):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# overlapping chains: best-chain (max score, tie min chain_id) must win,
+# one output row per input row — never one per matching chain
+OVERLAP_TEXT = """\
+chain 1000 chrA 1000 + 100 200 chrX 2000 + 1000 1100 1
+100
+
+chain 500 chrA 1000 + 150 260 chrW 3000 + 400 510 2
+110
+
+chain 500 chrA 1000 + 150 260 chrV 3000 + 700 810 9
+110
+"""
+
+
+@pytest.fixture(scope="module")
+def overlap_chains(spark):
+    return chain_frame(spark, parse_chain(OVERLAP_TEXT))
+
+
+def test_positions_best_chain(spark, overlap_chains):
+    df = spark.createDataFrame(
+        [(1, "chrA", 120),   # chain 1 only
+         (2, "chrA", 160),   # chains 1, 2, 9 overlap: score 1000 wins
+         (3, "chrA", 220),   # chains 2 and 9 (score tie): min id -> 2
+         (4, "chrA", 300)],  # none
+        "rid long, chrom string, pos long",
+    )
+    got = {r.rid: (r.new_chrom, r.new_pos, r.chain_id)
+           for r in liftover_positions(df, overlap_chains).collect()}
+    assert got[1] == ("chrX", 1020, 1)
+    assert got[2] == ("chrX", 1060, 1)
+    assert got[3] == ("chrW", 470, 2)
+    assert got[4] == (None, None, None)
+    # exactly one output row per input row
+    assert liftover_positions(df, overlap_chains).count() == 4
+
+
+def test_intervals_best_chain(spark, overlap_chains):
+    df = spark.createDataFrame(
+        [(1, "chrA", 160, 190),   # inside both nets: chain 1 wins
+         (2, "chrA", 180, 230),   # spans past chain 1's block: 2 beats 9
+         (3, "chrA", 120, 220)],  # contained by no single block
+        "rid long, chrom string, start long, end long",
+    )
+    out = liftover_intervals(df, overlap_chains)
+    got = {r.rid: (r.new_chrom, r.new_start, r.new_end, r.chain_id)
+           for r in out.collect()}
+    assert got[1] == ("chrX", 1060, 1090, 1)
+    assert got[2] == ("chrW", 430, 480, 2)
+    assert got[3] == (None, None, None, None)
+    assert out.count() == 3
