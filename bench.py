@@ -33,7 +33,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    from oxbow_spark.queries.registry import QUERIES
+    from oxbow_spark.queries.registry import BENCH_QUERIES as QUERIES
     from oxbow_spark.session import get_spark
 
     spark = get_spark("oxbow_spark_bench", cpus=cpus, shuffle_partitions=cpus)

@@ -2511,58 +2511,366 @@ FROM p
 """
 
 
+# --------------------------------------------------------------------------
+# Consolidated driver rows. The driver externally verifies at most 50
+# queries (the first 50 in registration order), so twin/sibling rows are
+# merged into single union- or join-shaped rows: every operator keeps an
+# oracle-checked path and the whole registry fits the verification
+# window (guarded by tests/test_oracle.py::test_registry_fits_driver_window).
+# The granular per-operator functions above remain the public API, are
+# exercised directly by the unit suites, and keep their stable names in
+# BENCH_QUERIES for round-over-round benchmark continuity.
+# --------------------------------------------------------------------------
+
+_IV_ALGEBRA_COLS = {  # superset schema of the five interval-algebra ops
+    "chrom": "string", "start": "long", "end": "long",
+    "a_id": "long", "b_id": "long", "n_merged": "long", "distance": "long",
+}
+
+
+# columns a given op does not produce get non-null SENTINELS (-1 / ''),
+# not NULLs: the oracle harness sorts rows by alphabetical column order,
+# and None is not orderable against real values in early columns
+_IV_SENTINEL = {"string": "", "long": -1}
+
+
+def _iv_tag(df: DataFrame, op: str, renames: dict[str, str]) -> DataFrame:
+    cols = [F.lit(op).alias("op")]
+    for name, typ in _IV_ALGEBRA_COLS.items():
+        src = renames.get(name, name)
+        if src in df.columns:
+            cols.append(F.col(src).cast(typ).alias(name))
+        else:
+            cols.append(F.lit(_IV_SENTINEL[typ]).cast(typ).alias(name))
+    return df.select(*cols)
+
+
+def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five bedtools-style interval-algebra operators (merge /
+    intersect / subtract / complement / closest — operators/
+    interval_ops.py) union-tagged into one superset-schema frame so each
+    stays externally hash-checked within the driver's 50-row window."""
+    return (
+        _iv_tag(merge_intervals_events(spark, sf_dir), "merge", {})
+        .unionByName(_iv_tag(intersect_intervals_events(spark, sf_dir),
+                             "intersect",
+                             {"start": "i_start", "end": "i_end"}))
+        .unionByName(_iv_tag(subtract_intervals_events(spark, sf_dir),
+                             "subtract", {}))
+        .unionByName(_iv_tag(complement_intervals_events(spark, sf_dir),
+                             "complement", {}))
+        .unionByName(_iv_tag(closest_intervals_events(spark, sf_dir),
+                             "closest", {}))
+    )
+
+
+def _iv_tag_sql(sql: str, op: str, renames: dict[str, str],
+                present: set[str]) -> str:
+    duck_t = {"string": "VARCHAR", "long": "BIGINT"}
+    cols = [f"'{op}' AS op"]
+    for name, typ in _IV_ALGEBRA_COLS.items():
+        src = renames.get(name, name)
+        if name in present:
+            cols.append(f'CAST("{src}" AS {duck_t[typ]}) AS "{name}"')
+        else:
+            lit = "''" if typ == "string" else "-1"
+            cols.append(f'CAST({lit} AS {duck_t[typ]}) AS "{name}"')
+    return f"SELECT {', '.join(cols)} FROM ({sql}) _q"
+
+
+def _iv_algebra_sql() -> str:
+    parts = [
+        _iv_tag_sql(MERGE_IV_SQL, "merge", {},
+                    {"chrom", "start", "end", "n_merged"}),
+        _iv_tag_sql(INTERSECT_IV_SQL, "intersect",
+                    {"start": "i_start", "end": "i_end"},
+                    {"start", "end", "a_id", "b_id"}),
+        _iv_tag_sql(SUBTRACT_IV_SQL, "subtract", {},
+                    {"chrom", "start", "end", "a_id"}),
+        _iv_tag_sql(COMPLEMENT_IV_SQL, "complement", {},
+                    {"chrom", "start", "end"}),
+        _iv_tag_sql(CLOSEST_IV_SQL, "closest", {},
+                    {"chrom", "start", "end", "a_id", "b_id", "distance"}),
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def tpch_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three single-row TPC-H shapes (Q6 scan-agg, Q14 broadcast-join
+    conditional agg, Q19 disjunctive broadcast-join agg) unpivoted to
+    (q, metric, value) long format and unioned — three independent tiny
+    plans, one externally verified row."""
+    q6 = q6_forecast_revenue(spark, sf_dir).select(
+        F.lit("q6").alias("q"), F.lit("revenue").alias("metric"),
+        F.col("revenue").cast("double").alias("value"))
+    q14 = q14_promo_revenue(spark, sf_dir).selectExpr(
+        "stack(3, 'promo_revenue', promo_revenue, "
+        "'total_revenue', total_revenue, 'promo_pct', promo_pct) "
+        "AS (metric, value)").select(
+        F.lit("q14").alias("q"), "metric", F.col("value").cast("double"))
+    q19 = q19_disjunctive_revenue(spark, sf_dir).select(
+        F.lit("q19").alias("q"), F.lit("revenue").alias("metric"),
+        F.col("revenue").cast("double").alias("value"))
+    return q6.unionByName(q14).unionByName(q19)
+
+
+def _tpch_scalars_sql() -> str:
+    return f"""
+SELECT 'q6' AS q, 'revenue' AS metric, CAST(revenue AS DOUBLE) AS value
+FROM ({Q6_SQL}) _q6
+UNION ALL
+SELECT 'q14', m, CAST(v AS DOUBLE) FROM (
+  SELECT unnest(['promo_revenue', 'total_revenue', 'promo_pct']) AS m,
+         unnest([promo_revenue, total_revenue, promo_pct]) AS v
+  FROM ({Q14_SQL}) _q14)
+UNION ALL
+SELECT 'q19', 'revenue', CAST(revenue AS DOUBLE) FROM ({Q19_SQL}) _q19
+"""
+
+
+def align_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flagstat counter panel ⨯ template/insert-size summary (both
+    single-row frames over the synthetic flag/tlen columns) — a 1×1
+    cross join keeps both operators inside one verified row."""
+    return flagstat_events(spark, sf_dir).crossJoin(
+        template_stats_events(spark, sf_dir))
+
+
+def _align_stats_sql() -> str:
+    return (f"SELECT * FROM ({_flagstat_sql()}) _f "
+            f"CROSS JOIN ({TEMPLATE_SQL}) _t")
+
+
+def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile: stats ⋈ quality ⋈ lang-id ⋈ token
+    counts on doc_id (each side one row per doc; quality's duplicate
+    n_tokens dropped). Four operators, one verified row."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.text_stats(docs)
+        .join(text.quality_score(docs).drop("n_tokens"), "doc_id")
+        .join(text.lang_id(docs), "doc_id")
+        .join(docs.select(
+            "doc_id",
+            text.token_count(F.col("text")).alias("n_ws_tokens"),
+            text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")),
+            "doc_id")
+    )
+
+
+def _text_profile_sql() -> str:
+    return f"""
+SELECT s.*,
+       q.ok_length, q.ok_token_len, q.ok_stopwords, q.ok_punct, q.passes,
+       l.* EXCLUDE (doc_id),
+       b.* EXCLUDE (doc_id)
+FROM ({TEXT_STATS_SQL}) s
+JOIN ({TEXT_QUALITY_SQL}) q USING (doc_id)
+JOIN ({_langid_sql()}) l USING (doc_id)
+JOIN ({BPE_SQL}) b USING (doc_id)
+"""
+
+
+def liftover_all_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position + strict-interval liftover through the synthetic
+    overlapping-chain net, union-tagged: position rows carry
+    (start=pos, new_start=new_pos) with -1 sentinel end columns. The
+    source coords are named src_start/src_end so the oracle harness's
+    alphabetical row sort hits the unique non-null (chrom, event_id,
+    kind) key before any nullable new_* column."""
+    pos = liftover_events(spark, sf_dir).select(
+        F.lit("pos").alias("kind"), "event_id", "chrom",
+        F.col("pos").cast("long").alias("src_start"),
+        F.lit(-1).cast("long").alias("src_end"),
+        "new_chrom",
+        F.col("new_pos").cast("long").alias("new_start"),
+        F.lit(None).cast("long").alias("new_end"),
+        "via_chain")
+    iv = liftover_iv_events(spark, sf_dir).select(
+        F.lit("iv").alias("kind"), "event_id", "chrom",
+        F.col("start").cast("long").alias("src_start"),
+        F.col("end").cast("long").alias("src_end"),
+        "new_chrom", F.col("new_start").cast("long"),
+        F.col("new_end").cast("long"), "via_chain")
+    return pos.unionByName(iv)
+
+
+def _liftover_all_sql() -> str:
+    return f"""
+SELECT 'pos' AS kind, event_id, chrom,
+       CAST(pos AS BIGINT) AS src_start, CAST(-1 AS BIGINT) AS src_end,
+       new_chrom, CAST(new_pos AS BIGINT) AS new_start,
+       CAST(NULL AS BIGINT) AS new_end, via_chain
+FROM ({LIFTOVER_SQL}) _p
+UNION ALL
+SELECT 'iv', event_id, chrom, CAST(start AS BIGINT), CAST("end" AS BIGINT),
+       new_chrom, CAST(new_start AS BIGINT), CAST(new_end AS BIGINT),
+       via_chain
+FROM ({LIFTOVER_IV_SQL}) _i
+"""
+
+
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k method suite union-tagged: exact brute-force cosine,
+    single-table LSH, and the multi-probe multi-table LSH scale
+    configuration. (IVF stays its own row — its oracle refits centroids
+    from the parquet and is lazily built.)"""
+    def tag(df: DataFrame, m: str) -> DataFrame:
+        return df.select(F.lit(m).alias("method"), "query_id",
+                         "neighbor_id", "rank", "cos")
+    return (
+        tag(sim_topk_cosine(spark, sf_dir), "cosine")
+        .unionByName(tag(sim_topk_lsh(spark, sf_dir), "lsh"))
+        .unionByName(tag(sim_topk_lsh_mp(spark, sf_dir), "lsh_mp"))
+    )
+
+
+def _sim_topk_sql() -> str:
+    return f"""
+SELECT 'cosine' AS method, * FROM ({_topk_sql()}) _c
+UNION ALL
+SELECT 'lsh', * FROM ({_topk_lsh_sql()}) _l
+UNION ALL
+SELECT 'lsh_mp', * FROM ({_topk_lsh_mp_sql()}) _m
+"""
+
+
+def mm_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload media metadata: sniff ⋈ audio stats ⋈ video container
+    meta on doc_id (kind kept once; the two duration_s columns renamed
+    apart). Three mapInPandas kernels, one verified row."""
+    p = _mm_payload(spark, sf_dir)
+    sn = multimodal.sniff_media(p)
+    au = (multimodal.audio_stats(p).drop("kind")
+          .withColumnRenamed("duration_s", "audio_duration_s"))
+    vi = (multimodal.video_meta(p).drop("kind")
+          .withColumnRenamed("duration_s", "video_duration_s"))
+    return sn.join(au, "doc_id").join(vi, "doc_id")
+
+
+def _mm_meta_sql() -> str:
+    return f"""
+SELECT s.*,
+       a.n_channels, a.sample_rate, a.n_samples,
+       a.duration_s AS audio_duration_s, a.rms,
+       v.duration_s AS video_duration_s, v.width, v.height, v.n_tracks
+FROM ({MM_SNIFF_SQL}) s
+JOIN ({MM_AUDIO_SQL}) a USING (doc_id)
+JOIN ({MM_VIDEO_SQL}) v USING (doc_id)
+"""
+
+
+def mm_payload_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + media-embedding featurizer union-tagged as
+    (part, doc_id, idx, digest): frame rows carry (frame_idx,
+    frame_digest); the embed row reuses idx for the vector dim."""
+    fr = mm_frame_sample_docs(spark, sf_dir).select(
+        F.lit("frame").alias("part"), "doc_id",
+        F.col("frame_idx").cast("int").alias("idx"),
+        F.col("frame_digest").alias("digest"))
+    em = mm_embed_docs(spark, sf_dir).select(
+        F.lit("embed").alias("part"), "doc_id",
+        F.col("dim").cast("int").alias("idx"),
+        F.col("embedding_digest").alias("digest"))
+    return fr.unionByName(em)
+
+
+def _mm_payload_features_sql() -> str:
+    return f"""
+SELECT 'frame' AS part, doc_id, CAST(frame_idx AS INT) AS idx,
+       frame_digest AS digest
+FROM ({MM_FRAME_SQL}) _f
+UNION ALL
+SELECT 'embed', doc_id, CAST(dim AS INT), embedding_digest
+FROM ({_mm_embed_sql()}) _e
+"""
+
+
+def split_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible split assignment + mixture resampling union-tagged
+    as (op, doc_id, label) — both are pure per-row md5 maps, no
+    shuffle on either branch."""
+    sp = hash_split_docs(spark, sf_dir).select(
+        F.lit("split").alias("op"), "doc_id",
+        F.col("split").alias("label"))
+    rs = resample_mixture_docs(spark, sf_dir).select(
+        F.lit("resample").alias("op"), "doc_id",
+        F.col("source").alias("label"))
+    return sp.unionByName(rs)
+
+
+def _split_resample_sql() -> str:
+    return f"""
+SELECT 'split' AS op, doc_id, split AS label FROM ({_hash_split_sql()}) _s
+UNION ALL
+SELECT 'resample', doc_id, source FROM ({_resample_sql()}) _r
+"""
+
+
+# Benchmark set: granular operator rows under their r1-r4 names so
+# BENCH_r{{N}}.json stays comparable round over round even though the
+# driver-verified QUERIES list consolidates twins.
+BENCH_QUERIES: list[Query] = [
+    Query("q1_pricing_summary", q1_pricing_summary, None, bench=True),
+    Query("q3_top_revenue_orders", q3_top_revenue_orders, None, bench=True),
+    Query("q5_nation_revenue", q5_nation_revenue, None, bench=True),
+    Query("q14_promo_revenue", q14_promo_revenue, None, bench=True),
+    Query("range_filter_events", range_filter_events, None, bench=True),
+    Query("window_dedup_best", window_dedup_best, None, bench=True),
+    Query("zoom_binned_agg", zoom_binned_agg, None, bench=True),
+    Query("interval_overlap_join", interval_overlap_join, None, bench=True),
+    Query("dedup_minhash_docs", dedup_minhash_docs, None, bench=True),
+    Query("dedup_simhash_docs", dedup_simhash_docs, None, bench=True),
+    Query("text_stats_docs", text_stats_docs, None, bench=True),
+    Query("repetition_docs", repetition_docs, None, bench=True),
+    Query("bm25_topk_docs", bm25_topk_docs, None, bench=True),
+    Query("sim_topk_cosine", sim_topk_cosine, None, bench=True),
+    Query("sim_topk_lsh", sim_topk_lsh, None, bench=True),
+    Query("sessionize_events", sessionize_events, None, bench=True),
+    Query("mm_decode_image_docs", mm_decode_image_docs, None, bench=True),
+]
+
+
+# Exactly 50 rows — the driver's externally-verified window. Previously
+# never-in-window rows (pack_docs, stream_depth_events, mm_audio/video
+# via mm_meta_docs, quality_bins_quantile_docs) now all sit inside it.
 QUERIES: list[Query] = [
     Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL, bench=True),
     Query("q3_top_revenue_orders", q3_top_revenue_orders, Q3_SQL, bench=True),
     Query("q5_nation_revenue", q5_nation_revenue, Q5_SQL, bench=True),
-    Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL, bench=True),
-    Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+    Query("tpch_scalars", tpch_scalars, _tpch_scalars_sql()),
     Query("q10_returned_items", q10_returned_items, Q10_SQL),
     Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
     Query("q18_large_volume_customers", q18_large_volume_customers, Q18_SQL),
-    Query("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_SQL),
     Query("scan_project_limit", scan_project_limit, SCAN_SQL),
-    Query("range_filter_events", range_filter_events, RANGE_SQL, bench=True),
+    Query("range_filter_events", range_filter_events, RANGE_SQL),
     Query("union_multi_region", union_multi_region, UNION_SQL),
-    Query("window_dedup_best", window_dedup_best, WINDOW_SQL, bench=True),
-    Query("zoom_binned_agg", zoom_binned_agg, ZOOM_SQL, bench=True),
-    Query("interval_overlap_join", interval_overlap_join, INTERVAL_SQL, bench=True),
+    Query("window_dedup_best", window_dedup_best, WINDOW_SQL),
+    Query("zoom_binned_agg", zoom_binned_agg, ZOOM_SQL),
+    Query("interval_overlap_join", interval_overlap_join, INTERVAL_SQL),
     Query("depth_profile_events", depth_profile_events, DEPTH_SQL),
-    Query("event_gaps", event_gaps, GAPS_SQL),
-    Query("merge_intervals_events", merge_intervals_events, MERGE_IV_SQL),
-    Query("intersect_intervals_events", intersect_intervals_events, INTERSECT_IV_SQL),
-    Query("subtract_intervals_events", subtract_intervals_events, SUBTRACT_IV_SQL),
-    Query("closest_intervals_events", closest_intervals_events, CLOSEST_IV_SQL),
-    Query("complement_intervals_events", complement_intervals_events, COMPLEMENT_IV_SQL),
-    Query("flagstat_events", flagstat_events, _flagstat_sql()),
+    Query("interval_algebra_events", interval_algebra_events,
+          _iv_algebra_sql()),
+    Query("align_stats_events", align_stats_events, _align_stats_sql()),
     Query("nuc_docs", nuc_docs, NUC_SQL),
-    Query("liftover_events", liftover_events, LIFTOVER_SQL),
+    Query("liftover_all_events", liftover_all_events, _liftover_all_sql()),
     Query("chunk_docs", chunk_docs, CHUNK_SQL),
-    Query("template_stats_events", template_stats_events, TEMPLATE_SQL),
-    Query("liftover_iv_events", liftover_iv_events, LIFTOVER_IV_SQL),
     Query("coords_normalize", coords_normalize, COORDS_SQL),
     Query("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_SQL),
-    Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql(), bench=True),
+    Query("dedup_minhash_docs", dedup_minhash_docs, _minhash_sql()),
     Query("dedup_ngram_jaccard_docs", dedup_ngram_jaccard_docs, _ngram_sql()),
     Query("decontaminate_docs", decontaminate_docs, _decontam_sql()),
-    Query("dedup_simhash_docs", dedup_simhash_docs, _simhash_sql(), bench=True),
-    Query("text_stats_docs", text_stats_docs, TEXT_STATS_SQL, bench=True),
-    Query("text_quality_docs", text_quality_docs, TEXT_QUALITY_SQL),
-    Query("lang_id_docs", lang_id_docs, _langid_sql()),
+    Query("dedup_simhash_docs", dedup_simhash_docs, _simhash_sql()),
+    Query("text_profile_docs", text_profile_docs, _text_profile_sql()),
     Query("fingerprint_docs", fingerprint_docs, FINGERPRINT_SQL),
-    Query("bpe_token_count_docs", bpe_token_count_docs, BPE_SQL),
     Query("scrub_docs", scrub_docs, SCRUB_SQL),
-    Query("repetition_docs", repetition_docs, _repetition_sql(), bench=True),
-    Query("bm25_topk_docs", bm25_topk_docs, _bm25_sql(), bench=True),
-    Query("sim_topk_cosine", sim_topk_cosine, _topk_sql(), bench=True),
-    Query("sim_topk_lsh", sim_topk_lsh, _topk_lsh_sql(), bench=True),
-    Query("sim_topk_lsh_mp", sim_topk_lsh_mp, _topk_lsh_mp_sql()),
+    Query("repetition_docs", repetition_docs, _repetition_sql()),
+    Query("bm25_topk_docs", bm25_topk_docs, _bm25_sql()),
+    Query("sim_topk", sim_topk, _sim_topk_sql()),
     Query("sim_topk_ivf", sim_topk_ivf, _topk_ivf_sql),
     Query("dedup_embedding_cosine", dedup_embedding_cosine, _embcos_sql()),
     Query("dedup_cluster_docs", dedup_cluster_docs, DEDUP_CLUSTER_SQL),
-    Query("hash_split_docs", hash_split_docs, _hash_split_sql()),
-    Query("resample_mixture_docs", resample_mixture_docs, _resample_sql()),
-    Query("quality_bins_docs", quality_bins_docs, QUALITY_BINS_SQL),
+    Query("split_resample_docs", split_resample_docs, _split_resample_sql()),
     Query("quality_bins_quantile_docs", quality_bins_quantile_docs,
           _quality_quantile_sql),
     Query("pack_docs", pack_docs, PACK_SQL),
@@ -2570,19 +2878,16 @@ QUERIES: list[Query] = [
     Query("semi_join_suppliers", semi_join_suppliers, SEMI_SQL),
     Query("anti_join_customers", anti_join_customers, ANTI_SQL),
     Query("asof_join_events", asof_join_events, ASOF_SQL),
-    Query("sessionize_events", sessionize_events, SESSIONIZE_SQL, bench=True),
+    Query("sessionize_events", sessionize_events, SESSIONIZE_SQL),
     Query("stream_zoom_events", stream_zoom_events, STREAM_ZOOM_SQL),
     Query("stream_depth_events", stream_depth_events, STREAM_DEPTH_SQL),
     Query("json_props_events", json_props_events, JSON_PROPS_SQL),
-    Query("distinct_users_events", distinct_users_events, DISTINCT_SQL),
     Query("salted_join_lineitem", salted_join_lineitem, SALTED_JOIN_SQL),
     Query("distinct_users_salted", distinct_users_salted, DISTINCT_SALTED_SQL),
-    Query("mm_sniff_docs", mm_sniff_docs, MM_SNIFF_SQL),
-    Query("mm_decode_image_docs", mm_decode_image_docs, MM_DECODE_SQL, bench=True),
-    Query("mm_frame_sample_docs", mm_frame_sample_docs, MM_FRAME_SQL),
-    Query("mm_embed_docs", mm_embed_docs, _mm_embed_sql()),
-    Query("mm_audio_stats_docs", mm_audio_stats_docs, MM_AUDIO_SQL),
-    Query("mm_video_meta_docs", mm_video_meta_docs, MM_VIDEO_SQL),
+    Query("mm_meta_docs", mm_meta_docs, _mm_meta_sql()),
+    Query("mm_decode_image_docs", mm_decode_image_docs, MM_DECODE_SQL),
+    Query("mm_payload_features_docs", mm_payload_features_docs,
+          _mm_payload_features_sql()),
 ]
 
 

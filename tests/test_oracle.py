@@ -82,3 +82,21 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_registry_fits_driver_window():
+    """The driver externally verifies only the first 50 registry rows.
+    Every row must therefore sit inside that window — VERDICT r4 found
+    20 of 70 rows driver-unverified. Consolidate (union/join twin rows)
+    before adding a 51st row; the benchmark set is separate
+    (BENCH_QUERIES) and unconstrained."""
+    from oxbow_spark.queries.registry import BENCH_QUERIES
+
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} registry rows exceed the driver's 50-row "
+        "verification window — consolidate twins instead of appending"
+    )
+    names = [q.name for q in QUERIES]
+    assert len(set(names)) == len(names)
+    # bench rows must reference callables that exist (name continuity)
+    assert all(callable(q.fn) for q in BENCH_QUERIES)
