@@ -11,10 +11,13 @@ with `oxbow_spark.coords` first.
 Scale notes:
 - `merge_intervals` is ONE per-chrom window pass (running max of `end`)
   + ONE hash aggregation. The window partitions by chrom: genome-scale
-  inputs put ~3 Gbp / #contigs per partition, which fits; for extreme
-  single-contig skew, pre-split by coarse ranges and stitch boundary
-  groups (documented, not automatic — the stitch pass costs more than
-  it saves below ~10^9 rows per contig).
+  inputs put ~3 Gbp / #contigs per partition, which fits. For extreme
+  single-contig skew pass ``split_bp``: intervals pre-split at coarse
+  range-chunk boundaries, the window keys on (chrom, chunk) — bounded
+  partitions — and only the ≤2 boundary-touching runs per chunk enter a
+  tiny second stitch pass. Exact same result (weights make the
+  n_merged counts immune to piece splitting); the stitch pass costs
+  more than it saves below ~10^9 rows per contig, so it is opt-in.
 - `intersect_intervals` rides the binned equi-join (`interval_join.py`)
   — never a nested loop.
 - `subtract_intervals` = merge(b) → binned join → per-a-row gap walk
@@ -33,19 +36,13 @@ from oxbow_spark.operators.interval_join import overlap_join
 _NEG_INF = -(1 << 62)
 
 
-def merge_intervals(
-    df: DataFrame, on: str = "chrom",
-    start_col: str = "start", end_col: str = "end",
-) -> DataFrame:
-    """(chrom, start, end, n_merged): union of overlapping OR adjacent
-    intervals per key (bedtools-merge default: bookended intervals
-    [a,b) + [b,c) merge)."""
-    base = df.select(
-        F.col(on),
-        F.col(start_col).cast("long").alias("_s"),
-        F.col(end_col).cast("long").alias("_e"),
-    )
-    w = Window.partitionBy(on).orderBy("_s", "_e")
+def _merge_runs(base: DataFrame, keys: list[str],
+                start_col: str, end_col: str) -> DataFrame:
+    """Core merge pass over (_s, _e, _w) rows: running-max window keyed
+    by ``keys`` + one hash agg. ``_w`` weights sum into n_merged, which
+    makes the pass composable (chunk pieces carry weight 0/1; stitch
+    re-merges runs whose weight is their piece count)."""
+    w = Window.partitionBy(*keys).orderBy("_s", "_e")
     prev_max = F.max("_e").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
     new_grp = (F.col("_s") > F.coalesce(prev_max, F.lit(_NEG_INF))).cast("long")
@@ -53,14 +50,67 @@ def merge_intervals(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
         base.withColumn("_grp", grp)
-        .groupBy(on, "_grp")
+        .groupBy(*keys, "_grp")
         .agg(
             F.min("_s").alias(start_col),
             F.max("_e").alias(end_col),
-            F.count(F.lit(1)).alias("n_merged"),
+            F.sum("_w").alias("n_merged"),
         )
         .drop("_grp")
     )
+
+
+def merge_intervals(
+    df: DataFrame, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+    split_bp: int | None = None,
+) -> DataFrame:
+    """(chrom, start, end, n_merged): union of overlapping OR adjacent
+    intervals per key (bedtools-merge default: bookended intervals
+    [a,b) + [b,c) merge).
+
+    ``split_bp`` (the 100× scale path for single-contig skew): intervals
+    split at ``split_bp`` chunk boundaries, the merge window keys on
+    (chrom, chunk) so no partition exceeds one chunk's rows, and runs
+    touching a chunk edge — at most 2 per chunk — are stitched by a
+    second merge over that tiny frame. Result is identical to the plain
+    path: continuation pieces carry weight 0, so each source interval
+    counts once in n_merged no matter how many chunks it spans."""
+    base = df.select(
+        F.col(on),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    )
+    if split_bp is None:
+        return _merge_runs(base.withColumn("_w", F.lit(1).cast("long")),
+                           [on], start_col, end_col)
+
+    bp = int(split_bp)
+    k0 = F.floor(F.col("_s") / bp)
+    k1 = F.greatest(F.floor((F.col("_e") - 1) / bp), k0)
+    pieces = base.select(
+        F.col(on), "_s", "_e",
+        F.explode(F.sequence(k0, k1)).alias("_k"),
+    ).select(
+        F.col(on), "_k",
+        F.greatest(F.col("_s"), F.col("_k") * bp).alias("_ps"),
+        F.least(F.col("_e"), (F.col("_k") + 1) * bp).alias("_pe"),
+        # an interval's weight lives in its FIRST chunk only
+        (F.col("_k") == F.floor(F.col("_s") / bp)).cast("long").alias("_w"),
+    ).select(F.col(on), "_k", F.col("_ps").alias("_s"),
+             F.col("_pe").alias("_e"), "_w")
+
+    runs = _merge_runs(pieces, [on, "_k"], start_col, end_col)
+    touch = (F.col(start_col) == F.col("_k") * bp) |         (F.col(end_col) == (F.col("_k") + 1) * bp)
+    final = runs.where(~touch).drop("_k")         .select(F.col(on), start_col, end_col, "n_merged")
+    # ≤2 boundary-touching runs per (chrom, chunk) → the stitch merge
+    # input is O(contig/split_bp), never corpus-sized
+    stitched = _merge_runs(
+        runs.where(touch).select(
+            F.col(on), F.col(start_col).alias("_s"),
+            F.col(end_col).alias("_e"), F.col("n_merged").alias("_w")),
+        [on], start_col, end_col)
+    return final.unionByName(stitched)
 
 
 def intersect_intervals(
@@ -91,6 +141,7 @@ def subtract_intervals(
     start_col: str = "start", end_col: str = "end",
     b_start: str = "start", b_end: str = "end",
     id_col: str | None = None,
+    split_bp: int | None = None,
 ) -> DataFrame:
     """bedtools-subtract: the parts of each ``a`` interval not covered
     by any ``b`` interval. Output columns = ``a``'s columns with
@@ -111,7 +162,8 @@ def subtract_intervals(
         F.col(end_col).cast("long").alias("_ae"),
         *[F.col(c) for c in other],
     )
-    bm = merge_intervals(b, on=on, start_col=b_start, end_col=b_end) \
+    bm = merge_intervals(b, on=on, start_col=b_start, end_col=b_end,
+                         split_bp=split_bp) \
         .select(F.col(on).alias("_on"),
                 F.col(b_start).alias("_bs"), F.col(b_end).alias("_be"))
     j = overlap_join(
@@ -232,12 +284,14 @@ def closest_intervals(
 def complement_intervals(
     df: DataFrame, on: str = "chrom",
     start_col: str = "start", end_col: str = "end",
+    split_bp: int | None = None,
 ) -> DataFrame:
     """bedtools-complement (data-bounded): the gaps between the merged
     intervals of each key, within [min(start), max(end)] of that key —
     no external chrom-sizes table needed; pass explicit boundary rows
     to extend the universe. One merge pass + one lag window."""
-    m = merge_intervals(df, on=on, start_col=start_col, end_col=end_col)
+    m = merge_intervals(df, on=on, start_col=start_col, end_col=end_col,
+                        split_bp=split_bp)
     w = Window.partitionBy(on).orderBy(start_col)
     prev_end = F.lag(end_col).over(w)
     return (

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from oxbow_spark.operators.interval_ops import (
+    complement_intervals,
     intersect_intervals,
     merge_intervals,
     subtract_intervals,
@@ -225,3 +226,71 @@ def _capture_spark(spark):
     _SESSION.clear()
     _SESSION.append(spark)
     yield
+
+
+# ---------------------------------------------------------------- split_bp
+
+def _canon_merge(df):
+    return sorted((r[0], r[1], r[2], r[3]) for r in df.collect())
+
+
+def test_merge_split_bp_equals_plain_on_events(spark, sf_dir):
+    """Range-chunked merge (pre-split + boundary stitch) must equal the
+    plain per-chrom pass exactly on the oracle events intervals —
+    including n_merged, which weight-0 continuation pieces keep exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("chrom"),
+        (F.unix_timestamp("ts")).alias("start"),
+        (F.unix_timestamp("ts") + 300).alias("end"),
+    )
+    plain = _canon_merge(merge_intervals(ev))
+    for bp in (128, 1024, 1 << 20):
+        assert _canon_merge(merge_intervals(ev, split_bp=bp)) == plain, bp
+
+
+def test_merge_split_bp_spanning_and_bookended(spark):
+    """Intervals spanning many chunks, exact-boundary bookends, and
+    degenerate chains stitch back to the plain result."""
+    rows = [
+        ("c", 0, 1000),      # spans 10 chunks at bp=100
+        ("c", 1000, 1100),   # bookended at a chunk boundary -> same run
+        ("c", 1200, 1250),   # separate
+        ("c", 300, 320),     # nested inside the big one
+        ("d", 95, 105),      # straddles one boundary
+        ("d", 105, 110),     # bookend continues it
+        ("d", 250, 260),     # isolated, interior
+        ("e", 100, 200),     # exactly one full chunk
+    ]
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+    plain = _canon_merge(merge_intervals(df))
+    assert _canon_merge(merge_intervals(df, split_bp=100)) == plain
+    assert _canon_merge(merge_intervals(df, split_bp=7)) == plain
+    # sanity: the expected merged picture
+    assert plain == sorted([
+        ("c", 0, 1100, 3), ("c", 1200, 1250, 1),
+        ("d", 95, 110, 2), ("d", 250, 260, 1), ("e", 100, 200, 1)])
+
+
+def test_merge_split_bp_plan_windows_on_chunk(spark):
+    """The chunked path's heavy window must key on (chrom, chunk), not
+    chrom alone — that is the whole point of the scale path."""
+    df = spark.createDataFrame(
+        [("c", 0, 10)], "chrom string, start long, end long")
+    plan = merge_intervals(df, split_bp=100)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "_k" in plan, plan
+
+
+def test_subtract_complement_split_bp_passthrough(spark):
+    a = spark.createDataFrame(
+        [(1, "c", 0, 500)], "a_id long, chrom string, start long, end long")
+    b = spark.createDataFrame(
+        [("c", 100, 200), ("c", 180, 300)], "chrom string, start long, end long")
+    plain = sorted(tuple(r) for r in subtract_intervals(
+        a, b, bin_size=64, id_col="a_id").collect())
+    chunked = sorted(tuple(r) for r in subtract_intervals(
+        a, b, bin_size=64, id_col="a_id", split_bp=100).collect())
+    assert plain == chunked
+    cp = sorted(tuple(r) for r in complement_intervals(b).collect())
+    cc = sorted(tuple(r) for r in complement_intervals(b, split_bp=64).collect())
+    assert cp == cc
