@@ -62,6 +62,9 @@ from oxbow_spark.sources import fsio
 CRAM_MAGIC = b"CRAM"
 # phred+33 rendering table (quality byte → printable char, one translate)
 _PHRED33 = bytes((i + 33) & 0xFF for i in range(256))
+# cigar token caches for the vectorized assembler
+_DEC_CACHE = tuple(str(i) for i in range(4096))
+_CHR_CACHE = tuple(chr(i) for i in range(256))
 BASES = "ACGTN"
 # container headers (incl. multi-slice landmark arrays) comfortably fit here
 _HDR_BUF = 8192
@@ -1095,8 +1098,20 @@ class SliceDecoder:
             # ("qualities absent") test is a cumsum gather: non-FF count
             # in [s, e) == 0.
             qs_text = qs_buf.translate(_PHRED33).decode("latin-1")
-            qs_nonff = np.concatenate(([0], np.cumsum(
-                np.frombuffer(qs_buf, np.uint8) != 0xFF)))
+            # "qualities absent" = all-0xFF run. Real blocks are almost
+            # always all-present (or, for absent series, all-FF), so a
+            # cheap whole-block count replaces the O(block) int64 prefix
+            # cumsum in those cases; only MIXED blocks pay for it.
+            n_ff = int(np.count_nonzero(
+                np.frombuffer(qs_buf, np.uint8, qs_need,
+                              qs_base) == 0xFF))
+            if n_ff == 0:
+                qs_nonff = None      # every range has qualities
+            elif n_ff == qs_need:
+                qs_nonff = False     # no range has qualities
+            else:
+                qs_nonff = np.concatenate(([0], np.cumsum(
+                    np.frombuffer(qs_buf, np.uint8) != 0xFF)))
             # quality slab start per record = span start + feature bytes
             qs_slab = (qs_off[:-1] + qs_feat).tolist()
         fn_off = np.concatenate(([0], np.cumsum(FN)))
@@ -1106,6 +1121,21 @@ class SliceDecoder:
         # return — no _ColumnarBail past here)
         for cid, p_ in pos.items():
             self.streams[cid].p = p_
+
+        # ---- vectorized cigar/seq assembly (feature algebra in numpy;
+        # per-record work shrinks to slicing precomputed buffers). Bails
+        # to the in-loop per-record build for multiref slices and
+        # malformed feature streams.
+        vec = None
+        if not multiref:
+            vec = self._assemble_vec(
+                n, mapped, POS, RL, FN, fn_off, FC, FP, feat_rec,
+                BS, DL, RS, HC, PD,
+                (in_buf, in_s, in_e) if n_I else None,
+                (sc_buf, sc_s, sc_e) if n_S else None,
+                (bb_buf, bb_s, bb_e) if n_b else None,
+                (ba_buf, ba_off) if ba_need else None,
+            )
 
         # ---- assembly loop: array/buffer reads only, no stream decode
         out = []
@@ -1151,7 +1181,14 @@ class SliceDecoder:
             ba_used = 0   # per-record cursor into the BA span
             qs_used = 0   # per-record cursor into the QS span
             cigar = seq = qual = end = mapq = None
-            if not bf & 0x4:
+            if not bf & 0x4 and vec is not None:
+                cigar = vec[0][i]
+                o = vec[2][i]
+                seq = vec[1][o:o + rl] or None
+                e_ = vec[3][i]
+                end = e_ if e_ >= 0 else None
+                mapq = mq_l[i_map]; i_map += 1
+            elif not bf & 0x4:
                 feats = []
                 fpos = 0
                 for k in range(fn_off_l[i], fn_off_l[i + 1]):
@@ -1195,7 +1232,9 @@ class SliceDecoder:
                     seq = ba_buf[o:o + rl].decode("ascii", "replace")
             if cf & 0x1:
                 o = qs_slab[i]
-                if qs_nonff[o + rl] - qs_nonff[o]:
+                if qs_nonff is None:
+                    qual = qs_text[o:o + rl]
+                elif qs_nonff is not False and qs_nonff[o + rl] - qs_nonff[o]:
                     qual = qs_text[o:o + rl]
             if cf & 0x8:
                 seq = None
@@ -1352,6 +1391,248 @@ class SliceDecoder:
             out.append((row, tags, nf, rl))
         self._link_mates(out)
         return [(row, tags) for row, tags, _nf, _rl in out]
+
+    def _assemble_vec(self, n, mapped, POS, RL, FN, fn_off, FC, FP,
+                      feat_rec, BS, DL, RS, HC, PD,
+                      in_sb, sc_sb, bb_sb, ba_sp):
+        """Vectorized feature → (cigar, seq, end) assembly for a whole
+        slice: the per-record/per-feature Python of `_build` re-expressed
+        as numpy segmented cumsums (absolute read/ref offsets), one
+        RLE merge over interleaved (gap-M, op) slot arrays for cigars,
+        and batched gather/scatter byte fills for sequences (reference
+        window fetched ONCE per slice). Returns (cigars, seqs, ends)
+        lists indexed by record, or None to bail to the per-record loop
+        (multiref handled by the caller; malformed streams — overlapping
+        feature positions, read-length overruns — bail here so the loop
+        reproduces `_build`'s behavior byte for byte)."""
+        import numpy as np
+
+        K = len(FC)
+        code = FC.astype(np.uint8) if K else np.zeros(0, np.uint8)
+        is_X = code == ord("X"); is_i = code == ord("i")
+        is_I = code == ord("I"); is_S = code == ord("S")
+        is_D = code == ord("D"); is_N = code == ord("N")
+        is_H = code == ord("H"); is_P = code == ord("P")
+        is_B = code == ord("B"); is_b = code == ord("b")
+        is_Q = code == ord("Q")
+        known = (is_X | is_i | is_I | is_S | is_D | is_N | is_H | is_P
+                 | is_B | is_b | is_Q)
+        if K and not bool(known.all()):
+            return None  # unknown feature code: let the loop raise
+
+        first_idx = fn_off[:-1][FN > 0]
+        # absolute 1-based read position per feature (FP is delta-coded)
+        c = np.cumsum(FP) if K else np.zeros(0, np.int64)
+        ext = np.concatenate(([0], c))
+        fp_abs = c - np.repeat(ext[fn_off[:-1]], FN) if K else c
+
+        rc = np.zeros(K, np.int64)  # read bases consumed
+        rc[is_X | is_i | is_B] = 1
+        if in_sb is not None:
+            rc[is_I] = in_sb[2] - in_sb[1]
+        if sc_sb is not None:
+            rc[is_S] = sc_sb[2] - sc_sb[1]
+        if bb_sb is not None:
+            rc[is_b] = bb_sb[2] - bb_sb[1]
+        rpos_after = fp_abs - 1 + rc
+        rpos_prev = np.concatenate(([0], rpos_after[:-1])) if K else rpos_after
+        if K:
+            rpos_prev[first_idx] = 0
+        gap = fp_abs - 1 - rpos_prev
+        if K and bool((gap < 0).any()):
+            return None  # overlapping features: _build's sequential walk
+        # ref bases consumed per feature (gap fill + the op itself)
+        rfc = gap.copy()
+        rfc[is_X] += 1
+        rfc[is_B] += 1
+        rfc[is_D] += DL
+        rfc[is_N] += RS
+        rfc[is_b] += rc[is_b]
+        cum_rfc = np.cumsum(rfc) if K else rfc
+        extr = np.concatenate(([0], cum_rfc))
+        ref_after = cum_rfc - np.repeat(extr[fn_off[:-1]], FN) if K else cum_rfc
+        ref_before = ref_after - rfc  # before this feature's gap fill
+        rec_rfc = np.diff(extr[fn_off])
+        rpos_ext = np.concatenate(([0], rpos_after))
+        rpos_last = rpos_ext[fn_off[1:]]
+        rpos_last[FN == 0] = 0
+        tail = np.where(mapped, RL - rpos_last, 0)
+        if bool((tail < 0).any()):
+            return None  # features overrun the read length
+        total_ref = rec_rfc + tail
+        end_np = POS + total_ref - 1
+
+        # ---- cigars: interleaved (gap M, op) slots + per-record tail M,
+        # dropped when empty, RLE-merged, rendered once
+        op_code = np.zeros(K, np.uint8)
+        op_len = np.zeros(K, np.int64)
+        M = ord("M")
+        op_code[is_X | is_B | is_b] = M
+        op_code[is_i | is_I] = ord("I")
+        op_code[is_S] = ord("S")
+        op_code[is_D] = ord("D")
+        op_code[is_N] = ord("N")
+        op_code[is_H] = ord("H")
+        op_code[is_P] = ord("P")
+        op_len[is_X | is_i | is_B] = 1
+        op_len[is_I] = rc[is_I]
+        op_len[is_S] = rc[is_S]
+        op_len[is_b] = rc[is_b]
+        op_len[is_D] = DL
+        op_len[is_N] = RS
+        op_len[is_H] = HC
+        op_len[is_P] = PD
+        # interleaved slot arrays built by direct scatter (tail of record
+        # r lands after its features and the r earlier tails)
+        S = 2 * K + n
+        rng = np.arange(n)
+        all_code = np.zeros(S, np.uint8)
+        all_len = np.zeros(S, np.int64)
+        all_rec = np.zeros(S, np.int64)
+        if K:
+            pe = 2 * np.arange(K) + feat_rec
+            all_code[pe] = M
+            all_len[pe] = gap
+            all_rec[pe] = feat_rec
+            all_code[pe + 1] = op_code
+            all_len[pe + 1] = op_len
+            all_rec[pe + 1] = feat_rec
+        pt = 2 * fn_off[1:] + rng
+        all_code[pt] = M
+        all_len[pt] = tail
+        all_rec[pt] = rng
+        keep = (all_len > 0) & (all_code != 0)
+        kc, kl, kr = all_code[keep], all_len[keep], all_rec[keep]
+        cigars: list = [None] * n
+        if len(kc):
+            bnd = np.empty(len(kc), bool)
+            bnd[0] = True
+            bnd[1:] = (kc[1:] != kc[:-1]) | (kr[1:] != kr[:-1])
+            starts = np.flatnonzero(bnd)
+            mlen = np.add.reduceat(kl, starts).tolist()
+            mcode = kc[starts].tolist()
+            mrec = kr[starts]
+            rb = np.empty(len(mrec), bool)
+            rb[0] = True
+            rb[1:] = mrec[1:] != mrec[:-1]
+            seg_s = np.flatnonzero(rb)
+            seg_e = np.concatenate((seg_s[1:], [len(mcode)]))
+            dec = _DEC_CACHE
+            nd = len(dec)
+            chars = _CHR_CACHE
+            for s, e, r in zip(seg_s.tolist(), seg_e.tolist(),
+                               mrec[seg_s].tolist()):
+                if e - s == 1:  # single-op cigar (the perfect-match mass)
+                    ln = mlen[s]
+                    cigars[r] = (dec[ln] if ln < nd else str(ln)) \
+                        + chars[mcode[s]]
+                else:
+                    cigars[r] = "".join(
+                        (dec[mlen[k]] if mlen[k] < nd else str(mlen[k]))
+                        + chars[mcode[k]] for k in range(s, e))
+
+        # ---- seqs: one byte buffer. Read and reference advance in
+        # LOCKSTEP except at indel-type features (I/i/S/b/D/N), so each
+        # record is a handful of contiguous ref RUNS — copied as numpy
+        # slice memcpys (no corpus-sized index arrays) — plus point
+        # overwrites for X substitutions and i/B verbatim bases and
+        # short slice copies for I/S/b payloads.
+        seq_len = np.where(mapped, RL, 0)
+        seq_off = np.concatenate(([0], np.cumsum(seq_len)))
+        total = int(seq_off[-1])
+        out = np.full(total, ord("N"), np.uint8)
+        frec = feat_rec if K else np.zeros(0, np.int64)
+        pos_rec = POS[frec] if K else np.zeros(0, np.int64)
+
+        indel = is_I | is_i | is_S | is_b | is_D | is_N
+        bidx = np.flatnonzero(indel)
+        rng_n = np.arange(n)
+        # run starts: record begin + after every indel feature
+        run_rec = np.concatenate((rng_n, frec[bidx]))
+        run_dst = np.concatenate((np.zeros(n, np.int64), rpos_after[bidx]))
+        run_src = np.concatenate((POS, (pos_rec + ref_after)[bidx]))
+        # a run started by an indel ends the PREVIOUS run at that
+        # feature's pre-gap read position (fp_abs - 1)
+        run_fpm1 = np.concatenate((np.zeros(n, np.int64),
+                                   (fp_abs - 1)[bidx]))
+        order = np.lexsort((run_dst, run_rec))
+        run_rec = run_rec[order]
+        run_dst = run_dst[order]
+        run_src = run_src[order]
+        run_fpm1 = run_fpm1[order]
+        run_stop = np.empty(len(run_rec), np.int64)
+        if len(run_rec):
+            same = run_rec[1:] == run_rec[:-1]
+            run_stop[:-1] = np.where(same, run_fpm1[1:], RL[run_rec[:-1]])
+            run_stop[-1] = RL[run_rec[-1]]
+        run_len = run_stop - run_dst
+        sel_runs = (run_len > 0) & mapped[run_rec]
+        x_ref = (pos_rec + ref_before + gap)[is_X] if K else             np.zeros(0, np.int64)
+        ref_np = None
+        lo = 1
+        if bool(sel_runs.any()) or len(x_ref):
+            rs = run_src[sel_runs]
+            rl_run = run_len[sel_runs]
+            los = [rs.min()] if len(rs) else []
+            his = [(rs + rl_run).max() - 1] if len(rs) else []
+            if len(x_ref):
+                los.append(x_ref.min())
+                his.append(x_ref.max())
+            lo, hi = int(min(los)), int(max(his))
+            if lo < 1:
+                return None
+            try:
+                ref_str = self._ref_bases(int(self.ref_id), lo, hi)
+            except Exception:
+                return None
+            if ref_str is None or len(ref_str) != hi - lo + 1:
+                return None
+            ref_np = np.frombuffer(
+                ref_str.encode("latin-1", "replace"), np.uint8)
+            rd = (seq_off[run_rec] + run_dst)[sel_runs].tolist()
+            rsl = (rs - lo).tolist()
+            rll = rl_run.tolist()
+            for d, sr, ln in zip(rd, rsl, rll):
+                out[d:d + ln] = ref_np[sr:sr + ln]
+
+        # substitutions: lut[ref_base, code] (one gather over X features)
+        if len(x_ref):
+            lut = np.full((256, 256), ord("N"), np.uint8)
+            for rb_ch, subs in self.smat.items():
+                for sc_code, ch in subs.items():
+                    if 0 <= sc_code < 256:
+                        lut[ord(rb_ch), sc_code] = ord(ch)
+            xb = np.clip(BS, 0, 255)
+            out[(seq_off[frec] + fp_abs - 1)[is_X]] = \
+                lut[ref_np[x_ref - lo], xb]
+
+        # single verbatim bases from the BA slab ('i' and 'B')
+        is_ba = is_i | is_B
+        if ba_sp is not None and bool(is_ba.any()):
+            ba_np = np.frombuffer(ba_sp[0], np.uint8)
+            csb = np.cumsum(is_ba)
+            ordin = (csb - np.repeat(
+                np.concatenate(([0], csb))[fn_off[:-1]], FN) - 1)
+            sel = is_ba
+            out[(seq_off[frec] + fp_abs - 1)[sel]] = \
+                ba_np[ba_sp[1][frec[sel]] + ordin[sel]]
+
+        # variable-length payloads: I (insert), S (soft clip), b (bases)
+        for sel, sb in ((is_I, in_sb), (is_S, sc_sb), (is_b, bb_sb)):
+            if sb is None or not bool(sel.any()):
+                continue
+            buf_np = np.frombuffer(sb[0], np.uint8)
+            pl = rc[sel].tolist()
+            ps = sb[1].tolist()
+            pd = (seq_off[frec] + fp_abs - 1)[sel].tolist()
+            for d, sr, ln in zip(pd, ps, pl):
+                out[d:d + ln] = buf_np[sr:sr + ln]
+
+        text = out.tobytes().decode("latin-1")
+        # -1 sentinels (POS >= 1 so real ends are >= 0) let the caller
+        # branch without another per-record pass here
+        ends = np.where(mapped & (total_ref > 0), end_np, -1).tolist()
+        return cigars, text, seq_off.tolist(), ends
 
     def _build(self, ri: int, pos: int, rl: int, feats):
         """Features → (cigar string, sequence, 1-based inclusive end)."""

@@ -100,3 +100,95 @@ def build_big_cram(n: int = 20000, read_len: int = 100,
     eof_blk = block(1, 0, itf8(0) * 3)
     out.append(container(-1, 4542278, 0, 0, [eof_blk]))
     return b"".join(out)
+
+
+def build_longread_cram(n: int = 2000, read_len: int = 5000,
+                        n_subs: int = 40, recs_per_slice: int = 1000) -> bytes:
+    """Long-read profile: every record carries ``n_subs`` substitution
+    features plus a soft clip, an insertion and a deletion — the
+    PacBio/ONT-shaped workload where per-feature Python dominates record
+    assembly and the vectorized path pays off."""
+    sam_text = "@SQ\tSN:chr1\tLN:100000000\n"
+    raw = struct.pack("<i", len(sam_text)) + sam_text.encode()
+    fh_hdr = (itf8(0) + itf8(0) + itf8(0) + itf8(0) + ltf8(0) + ltf8(0)
+              + itf8(1) + itf8(1) + itf8(0))
+    fh_hdr += struct.pack("<I", zlib.crc32(fh_hdr))
+    fhb = block(0, 0, raw)
+    fh = struct.pack("<i", len(fhb)) + fh_hdr + fhb
+
+    def container(ref_id, start, span, nrec, blocks):
+        body = b"".join(blocks)
+        hdr = (itf8(ref_id) + itf8(start) + itf8(span) + itf8(nrec)
+               + ltf8(0) + ltf8(0) + itf8(len(blocks)) + itf8(1) + itf8(0))
+        hdr += struct.pack("<I", zlib.crc32(hdr))
+        return struct.pack("<i", len(body)) + hdr + body
+
+    out = [b"CRAM\x03\x00" + bytes(20), fh]
+    pres = (b"RN" + b"\x01" + b"AP" + b"\x01" + b"RR" + b"\x00"
+            + b"SM" + bytes(5) + b"TD" + itf8(1) + b"\x00")
+    pres_body = itf8(5) + pres
+    pres_map = itf8(len(pres_body)) + pres_body
+    entries = []
+    for key in ("BF", "CF", "RI", "RL", "AP", "RG", "TL", "FN",
+                "FC", "FP", "BS", "DL", "MQ", "QS", "BA"):
+        entries.append(key.encode() + external(BIG_CIDS[key]))
+    entries.append(b"RN" + stop_enc(BIG_CIDS["RN"]))
+    entries.append(b"SC" + stop_enc(BIG_CIDS["SC"]))
+    entries.append(b"IN" + stop_enc(BIG_CIDS["IN"]))
+    ser_body = itf8(len(entries)) + b"".join(entries)
+    ser_map = itf8(len(ser_body)) + ser_body
+    tag_map = itf8(len(itf8(0))) + itf8(0)
+    comp_raw = pres_map + ser_map + tag_map
+
+    gap = read_len // (n_subs + 4)
+    done = 0
+    while done < n:
+        m = min(recs_per_slice, n - done)
+        streams: dict[str, bytearray] = {k: bytearray() for k in
+            ("BF", "CF", "RI", "RL", "AP", "RG", "TL", "FN", "FC", "FP",
+             "BS", "DL", "MQ", "QS", "BA", "RN", "SC", "IN")}
+        start_pos = 1000 + done * 50
+        for i in range(done, done + m):
+            streams["BF"] += itf8(0)
+            streams["CF"] += itf8(1)
+            streams["RL"] += itf8(read_len)
+            streams["AP"] += itf8(50 if i > done else 0)
+            streams["RG"] += itf8(-1)
+            streams["RN"] += f"lr{i}\x00".encode()
+            streams["TL"] += itf8(0)
+            nf = n_subs + 3
+            streams["FN"] += itf8(nf)
+            streams["FC"] += b"S"
+            streams["FP"] += itf8(1)
+            streams["SC"] += b"ACGTACGT\x00"
+            fpos = 9
+            for j in range(n_subs):
+                streams["FC"] += b"X"
+                streams["FP"] += itf8(gap)
+                fpos += gap
+                streams["BS"] += itf8((i + j) % 4)
+            streams["FC"] += b"I"
+            streams["FP"] += itf8(5)
+            streams["IN"] += b"TTGCA\x00"
+            streams["FC"] += b"D"
+            streams["FP"] += itf8(7)
+            streams["DL"] += itf8(12)
+            streams["MQ"] += itf8(50)
+            streams["QS"] += bytes((33 + (i + j) % 40)
+                                   for j in range(read_len))
+        comp = block(1, 0, comp_raw)
+        ext_keys = [k for k, v in streams.items() if len(v)]
+        ext_blocks = [block(4, BIG_CIDS[k], bytes(streams[k]))
+                      for k in ext_keys]
+        ids = [BIG_CIDS[k] for k in ext_keys]
+        span = m * 50 + read_len + 100
+        sl = (itf8(0) + itf8(start_pos) + itf8(span) + itf8(m) + ltf8(0)
+              + itf8(len(ext_blocks)) + itf8(len(ids))
+              + b"".join(itf8(i) for i in ids) + itf8(-1) + bytes(16))
+        slice_hdr = block(2, 0, sl)
+        out.append(container(0, start_pos, span, m, [comp, slice_hdr] + ext_blocks))
+        done += m
+
+    eof_blk = block(1, 0, itf8(0) * 3)
+    out.append(container(-1, 4542278, 0, 0, [eof_blk]))
+    return b"".join(out)

@@ -354,3 +354,37 @@ def test_itf8_batch_roundtrip():
 
 def _itf8_of(v: int) -> bytes:
     return itf8(v)
+
+
+def test_vectorized_assembly_engages_and_matches(tmp_path):
+    """Both synthetic profiles must ENGAGE the vectorized cigar/seq
+    assembler (no silent bail) and match the per-record `_build` loop
+    byte for byte."""
+    from tests.cram_synth_big import build_big_cram, build_longread_cram
+    from oxbow_spark.sources import cram as cram_mod
+
+    for fname, blob in (("s.cram", build_big_cram(4000, recs_per_slice=2000)),
+                        ("l.cram", build_longread_cram(400, recs_per_slice=200))):
+        p = tmp_path / fname
+        p.write_bytes(blob)
+        engaged = {"vec": 0, "bail": 0}
+        orig = cram_mod.SliceDecoder._assemble_vec
+
+        def spy(self, *a, **k):
+            r = orig(self, *a, **k)
+            engaged["vec" if r is not None else "bail"] += 1
+            return r
+
+        cram_mod.SliceDecoder._assemble_vec = spy
+        try:
+            fast = _scan_rows(str(p), reference="")
+        finally:
+            cram_mod.SliceDecoder._assemble_vec = orig
+        assert engaged["vec"] > 0 and engaged["bail"] == 0, engaged
+
+        cram_mod.SliceDecoder._assemble_vec = lambda self, *a, **k: None
+        try:
+            slow = _scan_rows(str(p), reference="")
+        finally:
+            cram_mod.SliceDecoder._assemble_vec = orig
+        assert fast == slow
