@@ -849,24 +849,230 @@ def audio_stats(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(fn, schema)
 
 
+# --------------------------------------------------- H.264/H.265 SPS parse
+
+class _EGReader:
+    """MSB-first bit reader with exp-Golomb (ue/se) decode for
+    NAL RBSP payloads (emulation-prevention bytes already stripped)."""
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.p = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.b[self.p >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.p & 7))) & 1)
+            self.p += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-Golomb run too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k & 1 else -(k // 2)
+
+
+def _strip_ep(b: bytes) -> bytes:
+    """Remove H.264/H.265 emulation-prevention bytes (00 00 03 → 00 00)."""
+    return b.replace(b"\x00\x00\x03", b"\x00\x00")
+
+
+_H264_EXT_PROFILES = (100, 110, 122, 244, 44, 83, 86, 118, 128,
+                      138, 139, 134, 135)
+
+
+def parse_h264_sps(nal: bytes) -> tuple[int, int, int]:
+    """H.264 (ITU-T H.264 §7.3.2.1.1) SPS NAL → (profile_idc, width,
+    height) in luma samples, frame cropping applied."""
+    if not nal or (nal[0] & 0x1F) != 7:
+        raise ValueError("not an H.264 SPS NAL")
+    r = _EGReader(_strip_ep(nal[1:]))
+    profile = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    r.u(8)  # level_idc
+    r.ue()  # seq_parameter_set_id
+    chroma = 1
+    if profile in _H264_EXT_PROFILES:
+        chroma = r.ue()
+        if chroma == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            for i in range(12 if chroma == 3 else 8):
+                if r.u(1):  # seq_scaling_list_present_flag[i]
+                    last, nxt = 8, 8
+                    for _ in range(16 if i < 6 else 64):
+                        if nxt:
+                            nxt = (last + r.se() + 256) % 256
+                        last = nxt if nxt else last
+    r.ue()  # log2_max_frame_num_minus4
+    poc = r.ue()
+    if poc == 0:
+        r.ue()
+    elif poc == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    pw = r.ue()
+    ph = r.ue()
+    fmo = r.u(1)  # frame_mbs_only_flag
+    if not fmo:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    cl = cr = ct = cb = 0
+    if r.u(1):  # frame_cropping_flag
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+    # crop units per §7.4.2.1.1 (chroma 1 → 2/2, 2 → 2/1, 3 or 0 → 1/1)
+    cux = 2 if chroma in (1, 2) else 1
+    cuy = (2 if chroma == 1 else 1) * (2 - fmo)
+    width = (pw + 1) * 16 - cux * (cl + cr)
+    height = (2 - fmo) * (ph + 1) * 16 - cuy * (ct + cb)
+    return profile, width, height
+
+
+def _h265_ptl(r: _EGReader, max_sub_layers_minus1: int) -> int:
+    """profile_tier_level (H.265 §7.3.3) → general_profile_idc."""
+    r.u(2)  # general_profile_space
+    r.u(1)  # general_tier_flag
+    profile = r.u(5)
+    r.u(32)  # general_profile_compatibility_flags
+    r.u(48)  # progressive/interlaced/non-packed/frame-only + reserved
+    r.u(8)  # general_level_idc
+    if max_sub_layers_minus1:
+        pres = [(r.u(1), r.u(1)) for _ in range(max_sub_layers_minus1)]
+        for _ in range(max_sub_layers_minus1, 8):
+            r.u(2)  # reserved_zero_2bits
+        for pp, lp in pres:
+            if pp:
+                r.u(2 + 1 + 5)
+                r.u(32)
+                r.u(48)
+            if lp:
+                r.u(8)
+    return profile
+
+
+def parse_h265_sps(nal: bytes) -> tuple[int, int, int]:
+    """H.265 (ITU-T H.265 §7.3.2.2.1) SPS NAL → (general_profile_idc,
+    pic_width_in_luma_samples, pic_height_in_luma_samples)."""
+    if len(nal) < 2 or ((nal[0] >> 1) & 0x3F) != 33:
+        raise ValueError("not an H.265 SPS NAL")
+    r = _EGReader(_strip_ep(nal[2:]))
+    r.u(4)  # sps_video_parameter_set_id
+    msl = r.u(3)  # sps_max_sub_layers_minus1
+    r.u(1)  # sps_temporal_id_nesting_flag
+    profile = _h265_ptl(r, msl)
+    r.ue()  # sps_seq_parameter_set_id
+    chroma = r.ue()
+    if chroma == 3:
+        r.u(1)  # separate_colour_plane_flag
+    width = r.ue()
+    height = r.ue()
+    return profile, width, height
+
+
+_VIDEO_ENTRIES = (b"avc1", b"avc3", b"hvc1", b"hev1")
+
+
+def _sps_from_stsd(b: bytes, body: int, end: int):
+    """Walk an stsd box: VisualSampleEntry dims + the first SPS NAL out
+    of an avcC/hvcC decoder-config sub-box → (sps_dims, entry_dims),
+    either possibly None."""
+    import struct
+
+    if body + 8 > end:
+        return None, None
+    n_entries = struct.unpack_from(">I", b, body + 4)[0]
+    pos = body + 8
+    for _ in range(min(n_entries, 32)):
+        if pos + 8 > end:
+            break
+        (esz,) = struct.unpack_from(">I", b, pos)
+        fourcc = b[pos + 4:pos + 8]
+        if esz < 8 or pos + esz > end:
+            break
+        if fourcc in _VIDEO_ENTRIES:
+            ebody = pos + 8
+            entry_dims = None
+            if ebody + 28 <= pos + esz:
+                ew, eh = struct.unpack_from(">HH", b, ebody + 24)
+                if ew and eh:
+                    entry_dims = (ew, eh)
+            # sub-boxes start after the 78-byte VisualSampleEntry fields
+            sub = ebody + 78
+            while sub + 8 <= pos + esz:
+                (ssz,) = struct.unpack_from(">I", b, sub)
+                styp = b[sub + 4:sub + 8]
+                if ssz < 8 or sub + ssz > pos + esz:
+                    break
+                try:
+                    if styp == b"avcC":
+                        cfg = b[sub + 8:sub + ssz]
+                        nsps = cfg[5] & 0x1F
+                        if nsps:
+                            ln = struct.unpack_from(">H", cfg, 6)[0]
+                            _p, w, h = parse_h264_sps(cfg[8:8 + ln])
+                            return (w, h), entry_dims
+                    elif styp == b"hvcC":
+                        cfg = b[sub + 8:sub + ssz]
+                        n_arrays = cfg[22]
+                        off = 23
+                        for _a in range(n_arrays):
+                            ntype = cfg[off] & 0x3F
+                            cnt = struct.unpack_from(">H", cfg, off + 1)[0]
+                            off += 3
+                            for _n in range(cnt):
+                                ln = struct.unpack_from(">H", cfg, off)[0]
+                                nal = cfg[off + 2:off + 2 + ln]
+                                off += 2 + ln
+                                if ntype == 33:
+                                    _p, w, h = parse_h265_sps(nal)
+                                    return (w, h), entry_dims
+                except (ValueError, IndexError, struct.error):
+                    pass  # malformed config: keep looking / dims-only
+                sub += ssz
+            return None, entry_dims
+        pos += esz
+    return None, None
+
+
 def decode_mp4(b: bytes) -> tuple[float, int | None, int | None, int]:
     """Pure-stdlib ISO BMFF (MP4/MOV) metadata parse → (duration_s,
     width, height, n_tracks).
 
     Box walk per ISO/IEC 14496-12: u32 size + fourcc (size 1 → u64
-    largesize, size 0 → to-end). Recurses into 'moov'/'trak'; 'mvhd'
+    largesize, size 0 → to-end). Recurses into 'moov'/'trak' (and on
+    into 'mdia'/'minf'/'stbl' for the sample description); 'mvhd'
     (version 0: u32 timescale/duration at +12, version 1: u64 at +20)
-    gives the movie duration; the first 'tkhd' with non-zero dimensions
-    (16.16 fixed-point at the record tail) gives width/height; n_tracks
-    counts 'trak' boxes. No sample data is touched."""
+    gives the movie duration; width/height come from the first non-zero
+    source in priority order tkhd (16.16 display dims) → SPS parse of
+    the avcC/hvcC decoder config (H.264 §7.3.2.1.1 / H.265 §7.3.2.2.1
+    coded luma dims, crop applied) → VisualSampleEntry u16 dims;
+    n_tracks counts 'trak' boxes. No sample data is touched."""
     import struct
 
     duration = None
     dims = None
+    sps_dims = None
+    entry_dims = None
     tracks = 0
 
     def walk(lo: int, hi: int, depth: int) -> None:
-        nonlocal duration, dims, tracks
+        nonlocal duration, dims, sps_dims, entry_dims, tracks
         pos = lo
         while pos + 8 <= hi:
             (sz,) = struct.unpack_from(">I", b, pos)
@@ -881,10 +1087,15 @@ def decode_mp4(b: bytes) -> tuple[float, int | None, int | None, int]:
                 sz = hi - pos
             if sz < 8 or pos + sz > hi:
                 raise ValueError(f"mp4 box size {sz} out of range")
-            if typ in (b"moov", b"trak") and depth < 4:
+            if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl") \
+                    and depth < 8:
                 if typ == b"trak":
                     tracks += 1
                 walk(body, pos + sz, depth + 1)
+            elif typ == b"stsd" and sps_dims is None:
+                sd, ed = _sps_from_stsd(b, body, pos + sz)
+                sps_dims = sps_dims or sd
+                entry_dims = entry_dims or ed
             elif typ == b"mvhd" and body + 4 <= hi:
                 ver = b[body]
                 if ver == 1 and body + 28 <= hi:
@@ -913,8 +1124,123 @@ def decode_mp4(b: bytes) -> tuple[float, int | None, int | None, int]:
     walk(0, len(b), 0)
     if duration is None:
         raise ValueError("mp4 without mvhd")
-    w, h = dims if dims else (None, None)
+    w, h = dims or sps_dims or entry_dims or (None, None)
     return float(duration), w, h, tracks
+
+
+# synthesis helpers (tests + oracle payloads): minimal SPS bit writers
+# and an H.264/H.265-in-MP4 container builder whose planted dims the
+# real parse must recover
+
+class _EGWriter:
+    def __init__(self):
+        self.bits: list = []
+
+    def u(self, v: int, n: int) -> "_EGWriter":
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+        return self
+
+    def ue(self, v: int) -> "_EGWriter":
+        k = v + 1
+        n = k.bit_length() - 1
+        self.u(0, n)
+        self.u(k, n + 1)
+        return self
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [1] + [0] * 7  # rbsp_stop_one_bit + pad
+        out = bytearray()
+        for i in range(0, len(self.bits) + 1, 8):
+            v = 0
+            for j in range(8):
+                v = (v << 1) | (bits[i + j] if i + j < len(bits) else 0)
+            out.append(v)
+        return bytes(out)
+
+
+def write_h264_sps(width: int, height: int, profile: int = 66) -> bytes:
+    """Baseline-profile SPS NAL for 16-multiple dims (no cropping)."""
+    if width % 16 or height % 16:
+        raise ValueError("write_h264_sps needs multiples of 16")
+    w = _EGWriter()
+    w.u(profile, 8).u(0, 8).u(30, 8)          # profile/constraints/level
+    w.ue(0)                                    # sps id
+    if profile in _H264_EXT_PROFILES:          # high-profile extension
+        w.ue(1)                                # chroma_format_idc 4:2:0
+        w.ue(0).ue(0)                          # bit depths
+        w.u(0, 1)                              # qpprime bypass
+        w.u(0, 1)                              # no scaling matrix
+    w.ue(0)                                    # log2_max_frame_num_minus4
+    w.ue(2)                                    # pic_order_cnt_type = 2
+    w.ue(1)                                    # max_num_ref_frames
+    w.u(0, 1)                                  # gaps_in_frame_num
+    w.ue(width // 16 - 1)
+    w.ue(height // 16 - 1)
+    w.u(1, 1)                                  # frame_mbs_only
+    w.u(1, 1)                                  # direct_8x8_inference
+    w.u(0, 1)                                  # frame_cropping
+    w.u(0, 1)                                  # vui_parameters_present
+    return b"\x67" + w.bytes()
+
+
+def write_h265_sps(width: int, height: int, profile: int = 1) -> bytes:
+    w = _EGWriter()
+    w.u(0, 4).u(0, 3).u(1, 1)                  # vps id, sub layers, nesting
+    w.u(0, 2).u(0, 1).u(profile, 5)            # PTL: space/tier/profile
+    w.u(0, 32).u(0, 48).u(93, 8)               # compat/flags/level
+    w.ue(0)                                    # sps id
+    w.ue(1)                                    # chroma_format_idc 4:2:0
+    w.ue(width)
+    w.ue(height)
+    w.ue(0)                                    # conformance window absent…
+    # (stop bit from bytes() terminates the payload; the parser never
+    # reads past pic_height)
+    return b"\x42\x01" + w.bytes()
+
+
+def write_video_mp4(width: int, height: int, codec: str = "h264",
+                    duration_s: float = 2.0, profile: int | None = None) -> bytes:
+    """Minimal ftyp+moov MP4 whose tkhd dims are ZERO so video_meta
+    (real=True) must recover width/height from the avcC/hvcC SPS."""
+    import struct
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + t + payload
+
+    if codec == "h264":
+        sps = write_h264_sps(width, height, profile or 66)
+        cfg = (bytes([1, profile or 66, 0, 30, 0xFF, 0xE1])
+               + struct.pack(">H", len(sps)) + sps + b"\x00")
+        entry_fmt, cfg_box = b"avc1", box(b"avcC", cfg)
+    elif codec == "h265":
+        sps = write_h265_sps(width, height, profile or 1)
+        cfg = (bytes([1, (profile or 1) & 0x1F]) + bytes(4) + bytes(6)
+               + bytes([93]) + b"\xF0\x00" + b"\xFC" + b"\xFD"
+               + b"\xF8" + b"\xF8" + bytes(2) + bytes([0x03]) + bytes([1])
+               + bytes([33])                     # array: NAL type 33 (SPS)
+               + struct.pack(">H", 1) + struct.pack(">H", len(sps)) + sps)
+        entry_fmt, cfg_box = b"hvc1", box(b"hvcC", cfg)
+    else:
+        raise ValueError(codec)
+    # VisualSampleEntry: 78 fixed bytes; u16 dims at +24 also zeroed so
+    # the SPS is the only dimension source
+    entry = (bytes(6) + struct.pack(">H", 1) + bytes(16)
+             + struct.pack(">HH", 0, 0) + bytes(4 + 4 + 4 + 2)
+             + bytes(32) + struct.pack(">Hh", 24, -1) + cfg_box)
+    stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1)
+               + box(entry_fmt, entry))
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    tkhd = box(b"tkhd", b"\x00" + bytes(3) + bytes(20 + 8 + 8 + 36)
+               + struct.pack(">II", 0, 0))
+    trak = box(b"trak", tkhd + mdia)
+    ts = 600
+    mvhd = box(b"mvhd", b"\x00" + bytes(3) + bytes(8)
+               + struct.pack(">II", ts, int(duration_s * ts)) + bytes(80))
+    return (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + box(b"moov", mvhd + trak))
 
 
 def video_meta(df: DataFrame, payload_col: str = "payload",

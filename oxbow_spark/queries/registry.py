@@ -2735,25 +2735,66 @@ SELECT 'lsh_mp', * FROM ({_topk_lsh_mp_sql()}) _m
 """
 
 
+# Real-parse leg of mm_meta_docs: deterministic H.264/H.265-in-MP4
+# payloads (tkhd and sample-entry dims ZEROED, so width/height can only
+# come from the avcC/hvcC SPS bit parse) cycling by doc_id; the oracle
+# knows the planted dims arithmetically. Variant 4 is a non-MP4 payload
+# that must yield nulls through the same schema.
+_SPS_DIMS = [(320, 176, "h264", 66), (1280, 720, "h264", 100),
+             (640, 480, "h264", 77), (1924, 1080, "h265", 1)]
+_SPS_HEX = [
+    multimodal.write_video_mp4(w, h, codec, profile=pf).hex().upper()
+    for w, h, codec, pf in _SPS_DIMS
+] + [b"not a video payload".hex().upper()]
+
+
 def mm_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload media metadata: sniff ⋈ audio stats ⋈ video container
     meta on doc_id (kind kept once; the two duration_s columns renamed
-    apart). Three mapInPandas kernels, one verified row."""
+    apart), plus a REAL H.264/H.265 SPS-parse leg: synthetic MP4s with
+    zeroed container dims whose coded dims `video_meta(real=True)` must
+    recover from the avcC/hvcC SPS NAL (operators/multimodal.py:
+    parse_h264_sps / parse_h265_sps). Four mapInPandas kernels, one
+    verified row."""
     p = _mm_payload(spark, sf_dir)
     sn = multimodal.sniff_media(p)
     au = (multimodal.audio_stats(p).drop("kind")
           .withColumnRenamed("duration_s", "audio_duration_s"))
     vi = (multimodal.video_meta(p).drop("kind")
           .withColumnRenamed("duration_s", "video_duration_s"))
-    return sn.join(au, "doc_id").join(vi, "doc_id")
+    sps_payload = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.unhex(F.element_at(
+            F.array(*[F.lit(x) for x in _SPS_HEX]),
+            (F.col("doc_id") % 5 + 1).cast("int"))).alias("payload"))
+    sp = multimodal.video_meta(sps_payload, real=True).select(
+        "doc_id",
+        F.col("kind").alias("sps_kind"),
+        F.col("duration_s").alias("sps_duration_s"),
+        F.col("width").alias("sps_width"),
+        F.col("height").alias("sps_height"),
+        F.col("n_tracks").alias("sps_n_tracks"))
+    return sn.join(au, "doc_id").join(vi, "doc_id").join(sp, "doc_id")
 
 
 def _mm_meta_sql() -> str:
+    def arm(vals, cast="BIGINT"):
+        cases = " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+        return f"CAST(CASE doc_id % 5 {cases} ELSE NULL END AS {cast})"
+    widths = arm([w for w, _h, _c, _p in _SPS_DIMS])
+    heights = arm([h for _w, h, _c, _p in _SPS_DIMS])
     return f"""
 SELECT s.*,
        a.n_channels, a.sample_rate, a.n_samples,
        a.duration_s AS audio_duration_s, a.rms,
-       v.duration_s AS video_duration_s, v.width, v.height, v.n_tracks
+       v.duration_s AS video_duration_s, v.width, v.height, v.n_tracks,
+       CASE WHEN doc_id % 5 = 4 THEN 'raw' ELSE 'mp4' END AS sps_kind,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 2.0 END AS DOUBLE)
+         AS sps_duration_s,
+       {widths} AS sps_width,
+       {heights} AS sps_height,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 1 END AS BIGINT)
+         AS sps_n_tracks
 FROM ({MM_SNIFF_SQL}) s
 JOIN ({MM_AUDIO_SQL}) a USING (doc_id)
 JOIN ({MM_VIDEO_SQL}) v USING (doc_id)

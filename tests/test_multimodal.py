@@ -729,3 +729,71 @@ def test_decode_bmp_pixels_gates_unsupported_depths():
     for bits in (16, 4, 1):
         with pytest.raises(ValueError, match="bit depth"):
             multimodal.decode_bmp_pixels(write_bmp(4, 4, bits=bits))
+
+
+# ------------------------------------------------- H.264/H.265 SPS parse
+
+def test_h264_sps_round_trip():
+    for w, h, pf in ((1920, 1072, 66), (320, 176, 100), (640, 480, 77)):
+        assert multimodal.parse_h264_sps(
+            multimodal.write_h264_sps(w, h, pf)) == (pf, w, h)
+
+
+def test_h264_sps_cropping():
+    """Hand-built SPS with frame cropping: 1920x1080 = 1920x1088 coded
+    minus 8 bottom luma rows (crop_bottom=4 in 2-sample chroma units)."""
+    W = multimodal._EGWriter()
+    W.u(66, 8).u(0, 8).u(30, 8)
+    W.ue(0).ue(0).ue(2).ue(1).u(0, 1)
+    W.ue(1920 // 16 - 1).ue(1088 // 16 - 1)
+    W.u(1, 1).u(1, 1)
+    W.u(1, 1)                      # frame_cropping_flag
+    W.ue(0).ue(0).ue(0).ue(4)      # left/right/top/bottom
+    W.u(0, 1)
+    assert multimodal.parse_h264_sps(b"\x67" + W.bytes()) == (66, 1920, 1080)
+
+
+def test_h265_sps_round_trip():
+    for w, h, pf in ((1921, 1081, 1), (640, 360, 2)):
+        assert multimodal.parse_h265_sps(
+            multimodal.write_h265_sps(w, h, pf)) == (pf, w, h)
+
+
+def test_sps_rejects_wrong_nal_type():
+    with pytest.raises(ValueError, match="H.264 SPS"):
+        multimodal.parse_h264_sps(b"\x68\x00\x00")
+    with pytest.raises(ValueError, match="H.265 SPS"):
+        multimodal.parse_h265_sps(b"\x40\x01\x00")
+
+
+def test_emulation_prevention_stripping():
+    """An SPS whose RBSP contains 00 00 03 sequences must parse the
+    de-escaped payload."""
+    sps = multimodal.write_h264_sps(256, 144)
+    rbsp = sps[1:]
+    escaped = rbsp.replace(b"\x00\x00", b"\x00\x00\x03")
+    # only meaningful if escaping actually occurred
+    if escaped != rbsp:
+        assert multimodal.parse_h264_sps(b"\x67" + escaped) == (66, 256, 144)
+
+
+def test_video_mp4_sps_dims_via_decode_mp4():
+    """Container with zeroed tkhd and sample-entry dims: width/height
+    must come from the SPS bit parse for both codecs."""
+    for codec, w, h in (("h264", 1280, 720), ("h265", 1924, 1080)):
+        dur, gw, gh, nt = multimodal.decode_mp4(
+            multimodal.write_video_mp4(w, h, codec))
+        assert (gw, gh, nt) == (w, h, 1)
+        assert abs(dur - 2.0) < 1e-9
+
+
+def test_video_meta_real_sps_through_spark(spark):
+    rows = [(0, bytearray(multimodal.write_video_mp4(320, 176, "h264"))),
+            (1, bytearray(multimodal.write_video_mp4(1924, 1080, "h265"))),
+            (2, bytearray(b"not a video"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in
+           multimodal.video_meta(df, real=True).collect()}
+    assert (got[0].width, got[0].height) == (320, 176)
+    assert (got[1].width, got[1].height) == (1924, 1080)
+    assert got[2].width is None and got[2].kind == "raw"
