@@ -22,6 +22,8 @@ Layout choices and limits (documented, not silent):
 
 from __future__ import annotations
 
+import os
+import shutil
 import struct
 from typing import Iterator
 
@@ -45,6 +47,75 @@ def _chrom_tree(names: list[str], sizes: dict[str, int]) -> bytes:
     return head + leaf + b"".join(items)
 
 
+class _SectionSpool:
+    """Task-local spool for data sections: bodies stream to a temp file
+    as they are cut; only (cid, lo, hi, rel_off, size) stays in memory —
+    the writer's working set becomes O(index), not O(part). The final
+    file assembly copies the spool into place behind the header/tree and
+    resolves absolute offsets from the recorded relative ones."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.f = open(path, "wb")
+        self.meta: list[tuple[int, int, int, int, int]] = []
+        self.rel = 0
+
+    def add(self, cid: int, lo: int, hi: int, body: bytes) -> None:
+        self.meta.append((cid, lo, hi, self.rel, len(body)))
+        self.f.write(body)
+        self.rel += len(body)
+
+    def close(self) -> None:
+        self.f.close()
+
+    def sections_meta(self, data_base: int):
+        """((cid, lo, hi, None) section tuples, absolute offsets) in the
+        shape `_rtree` expects — bodies stay on disk."""
+        secs = [(c, lo, hi, b"") for c, lo, hi, _o, _n in self.meta]
+        offs = [data_base + o for _c, _l, _h, o, _n in self.meta]
+        return secs, offs
+
+    def copy_into(self, out) -> None:
+        with open(self.path, "rb") as src:
+            shutil.copyfileobj(src, out, 1 << 20)
+
+    def read_bodies(self):
+        """Stream (cid, lo, hi, body) back — one section in memory at a
+        time (used for zoom reduction passes)."""
+        with open(self.path, "rb") as src:
+            for cid, lo, hi, _off, n in self.meta:
+                yield cid, lo, hi, src.read(n)
+
+    def unlink(self) -> None:
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
+def _rtree_spooled(spool: _SectionSpool, data_base: int, n_items: int,
+                   index_off: int, per_slot: int) -> bytes:
+    secs, offs = spool.sections_meta(data_base)
+    leaf_items = b"".join(
+        struct.pack("<IIIIQQ", cid, lo, cid, hi, off, n)
+        for (cid, lo, hi, _b), off, (_c2, _l2, _h2, _o2, n)
+        in zip(secs, offs, spool.meta))
+    return struct.pack(
+        "<IIQIIIIQII", _RTREE_MAGIC, max(len(secs), 1), n_items,
+        min((c for c, *_ in secs), default=0),
+        min((lo for _c, lo, _h, _b in secs), default=0),
+        max((c for c, *_ in secs), default=0),
+        max((hi for _c, _l, hi, _b in secs), default=0),
+        index_off, per_slot, 0,
+    ) + struct.pack("<BBH", 1, 0, len(secs)) + leaf_items
+
+
+_UNSORTED_MSG = (
+    "spool=true needs rows grouped by chrom and sorted by start within "
+    "each chrom — df.sortWithinPartitions('chrom', 'start') before the "
+    "write, or drop the spool option for the buffered path")
+
+
 class BigBedWriter(_AlignmentWriter):
     """Minimal BigBed writer (same kent layout as `BigWigWriter`, item
     payloads = chromId/start/end + NUL-terminated rest text). Input rows
@@ -59,8 +130,11 @@ class BigBedWriter(_AlignmentWriter):
         super().__init__(options, overwrite)
         self.items_per_slot = int(options.get("items_per_slot", 512))
         self.autosql = options.get("autosql")
+        self.spool = str(options.get("spool", "")).lower() in ("1", "true")
 
     def write(self, iterator: Iterator) -> _PartFile:
+        if self.spool:
+            return self._write_spooled(iterator)
         rows: list[tuple[str, int, int, str]] = []
         for row in iterator:
             d = row.asDict()
@@ -131,6 +205,102 @@ class BigBedWriter(_AlignmentWriter):
                 f.write(body)
             f.write(rtree)
         return _PartFile(out, len(rows))
+
+    def _write_spooled(self, iterator: Iterator) -> _PartFile:
+        """Bounded-memory path (``spool=true``): see
+        `BigWigWriter._write_spooled` — grouped+sorted input, sections
+        stream to a task-local spool, O(index) working set, byte-
+        identical output to the buffered path for sorted input."""
+        out = self._part_path()
+        spool = _SectionSpool(out + ".spool")
+        names: list[str] = []
+        ids: dict[str, int] = {}
+        max_end: dict[str, int] = {}
+        chunk: list[tuple[int, int, str]] = []
+        cur: str | None = None
+        prev_start = -1
+        n_rows = 0
+        covered = 0
+        first_rest: str | None = None
+
+        def flush() -> None:
+            if not chunk:
+                return
+            cid = ids[cur]
+            body = b"".join(
+                struct.pack("<III", cid, s, e) + r.encode("utf-8") + b"\x00"
+                for s, e, r in chunk)
+            spool.add(cid, chunk[0][0], max(x[1] for x in chunk), body)
+            chunk.clear()
+
+        try:
+            for row in iterator:
+                d = row.asDict()
+                c = str(d["chrom"])
+                st = int(d["start"])
+                en = int(d["end"])
+                rest = d.get("rest") or ""
+                if first_rest is None:
+                    first_rest = rest
+                if c != cur:
+                    if c in ids:
+                        raise ValueError(_UNSORTED_MSG)
+                    flush()
+                    ids[c] = len(names)
+                    names.append(c)
+                    cur = c
+                    prev_start = -1
+                elif st < prev_start:
+                    raise ValueError(_UNSORTED_MSG)
+                prev_start = st
+                chunk.append((st, en, rest))
+                if len(chunk) >= self.items_per_slot:
+                    flush()
+                n_rows += 1
+                covered += en - st
+                max_end[c] = max(max_end.get(c, 0), en)
+            flush()
+            spool.close()
+            if len(names) > 0xFFFF or len(spool.meta) > 0xFFFF:
+                raise ValueError("single-leaf trees cap a part at 65535 "
+                                 "chromosomes/sections")
+
+            n_rest = ((first_rest.count("\t") + 1)
+                      if n_rows and first_rest else 0)
+            if self.autosql:
+                from oxbow_spark.models.autosql import parse_autosql
+
+                n_rest = len(parse_autosql(self.autosql)[1]) - 3
+            field_count = 3 + n_rest
+            summary = struct.pack("<Qdddd", covered, 0.0, 0.0, 0.0, 0.0)
+
+            asql_b = (self.autosql.encode("utf-8") + b"\x00"
+                      if self.autosql else b"")
+            summary_off = 64
+            asql_off = summary_off + 40 if asql_b else 0
+            chrom_off = summary_off + 40 + len(asql_b)
+            sizes = dict(max_end)
+            tree = _chrom_tree(names, sizes)
+            data_off = chrom_off + len(tree)
+            index_off = data_off + 8 + spool.rel
+            rtree = _rtree_spooled(spool, data_off + 8, n_rows, index_off,
+                                   self.items_per_slot)
+            header = struct.pack(
+                "<IHHQQQHHQQIQ", _BB_MAGIC, 4, 0, chrom_off, data_off,
+                index_off, field_count, min(field_count, 12), asql_off,
+                summary_off, 0, 0)
+            with open(out, "wb") as f:
+                f.write(header)
+                f.write(summary)
+                f.write(asql_b)
+                f.write(tree)
+                f.write(struct.pack("<Q", n_rows))
+                spool.copy_into(f)
+                f.write(rtree)
+            return _PartFile(out, n_rows)
+        finally:
+            spool.close()
+            spool.unlink()
 
 
 def _zoom_records(rows, ids: dict[str, int], reduction: int) -> list[bytes]:
@@ -207,8 +377,11 @@ class BigWigWriter(_AlignmentWriter):
         self.zoom_reductions = (
             [int(x) for x in zr.split(",") if x.strip()]
             if zr is not None else None)  # None → derive a default ladder
+        self.spool = str(options.get("spool", "")).lower() in ("1", "true")
 
     def write(self, iterator: Iterator) -> _PartFile:
+        if self.spool:
+            return self._write_spooled(iterator)
         rows: list[tuple[str, int, int, float]] = []
         for row in iterator:
             d = row.asDict()
@@ -326,3 +499,166 @@ class BigWigWriter(_AlignmentWriter):
             for blob in zblobs:
                 f.write(blob)
         return _PartFile(out, len(rows))
+
+    def _write_spooled(self, iterator: Iterator) -> _PartFile:
+        """Bounded-memory path (``spool=true``): grouped+sorted input
+        streams section-by-section into a task-local spool file; the
+        in-memory state is the chrom table, one pending chunk, running
+        summary stats, section metadata, and zoom bin accumulators —
+        O(index), never O(part). Zoom levels re-read the spool one
+        section at a time. Produces byte-identical files to the buffered
+        path for input already sorted by (chrom, start)."""
+        out = self._part_path()
+        spool = _SectionSpool(out + ".spool")
+        names: list[str] = []
+        ids: dict[str, int] = {}
+        max_end: dict[str, int] = {}
+        chunk: list[tuple[int, int, float]] = []
+        cur: str | None = None
+        prev_start = -1
+        n_rows = 0
+        covered = 0
+        vmin = vmax = None
+        vsum = vssq = 0.0
+
+        def flush() -> None:
+            if not chunk:
+                return
+            cid = ids[cur]
+            lo, hi = chunk[0][0], max(x[1] for x in chunk)
+            body = struct.pack("<IIIIIBBH", cid, lo, hi, 0, 0, 1, 0,
+                               len(chunk))
+            body += b"".join(struct.pack("<IIf", s, e, v)
+                             for s, e, v in chunk)
+            spool.add(cid, lo, hi, body)
+            chunk.clear()
+
+        try:
+            for row in iterator:
+                d = row.asDict()
+                c = str(d["chrom"])
+                st = int(d["start"])
+                en = int(d["end"])
+                v = float(d["value"] if d.get("value") is not None else 0.0)
+                if c != cur:
+                    if c in ids:  # chrom reappeared: not grouped
+                        raise ValueError(_UNSORTED_MSG)
+                    flush()
+                    ids[c] = len(names)
+                    names.append(c)
+                    cur = c
+                    prev_start = -1
+                elif st < prev_start:
+                    raise ValueError(_UNSORTED_MSG)
+                prev_start = st
+                chunk.append((st, en, v))
+                if len(chunk) >= self.items_per_slot:
+                    flush()
+                n_rows += 1
+                covered += en - st
+                vmin = v if vmin is None else min(vmin, v)
+                vmax = v if vmax is None else max(vmax, v)
+                vsum += v * (en - st)
+                vssq += v * v * (en - st)
+                max_end[c] = max(max_end.get(c, 0), en)
+            flush()
+            spool.close()
+            if len(names) > 0xFFFF or len(spool.meta) > 0xFFFF:
+                raise ValueError("single-leaf trees cap a part at 65535 "
+                                 "chromosomes/sections")
+
+            sizes = dict(self.chrom_sizes)
+            for c, e in max_end.items():
+                if c not in self.chrom_sizes:
+                    sizes[c] = max(sizes.get(c, 0), e)
+            summary = struct.pack("<Qdddd", covered, vmin or 0.0,
+                                  vmax or 0.0, vsum, vssq)
+
+            reductions = self.zoom_reductions
+            if reductions is None and n_rows:
+                mean_len = max(1, covered // n_rows)
+                span = max(sizes.values(), default=0)
+                reductions, r = [], max(16, 10 * mean_len)
+                while len(reductions) < 10 and r < span:
+                    reductions.append(r)
+                    r *= 4
+            reductions = reductions or []
+            zoom_levels = []
+            for r in reductions:
+                bins: dict[tuple[int, int], list] = {}
+                for cid, _lo, _hi, body in spool.read_bodies():
+                    (cnt,) = struct.unpack_from("<H", body, 22)
+                    for i in range(cnt):
+                        st, en, v = struct.unpack_from("<IIf", body,
+                                                       24 + 12 * i)
+                        for b in range(st // r,
+                                       max((en - 1) // r, st // r) + 1):
+                            lo2, hi2 = b * r, (b + 1) * r
+                            ov = min(en, hi2) - max(st, lo2)
+                            if ov <= 0:
+                                continue
+                            acc = bins.get((cid, b))
+                            if acc is None:
+                                bins[(cid, b)] = [ov, v, v, v * ov,
+                                                  v * v * ov]
+                            else:
+                                acc[0] += ov
+                                acc[1] = min(acc[1], v)
+                                acc[2] = max(acc[2], v)
+                                acc[3] += v * ov
+                                acc[4] += v * v * ov
+                recs = [struct.pack("<IIIIffff", cid, b * r, (b + 1) * r,
+                                    valid, mn, mx, sm, ssq)
+                        for (cid, b), (valid, mn, mx, sm, ssq)
+                        in sorted(bins.items())]
+                if recs:
+                    zoom_levels.append(
+                        (r, _sectionize(recs, self.items_per_slot)))
+
+            header_sz = 64 + 24 * len(zoom_levels)
+            summary_off = header_sz
+            chrom_off = summary_off + 40
+            tree = _chrom_tree(names, sizes)
+            data_off = chrom_off + len(tree)
+            index_off = data_off + 8 + spool.rel
+            rtree = _rtree_spooled(spool, data_off + 8, n_rows, index_off,
+                                   self.items_per_slot)
+            pos = index_off + len(rtree)
+
+            zheaders = []
+            zblobs = []
+            for r, zsecs in zoom_levels:
+                zdata_off = pos
+                n_recs = sum(len(b) // 32 for _c, _l, _h, b in zsecs)
+                zoffs = []
+                zpos = zdata_off + 4
+                for _cid, _lo, _hi, body in zsecs:
+                    zoffs.append(zpos)
+                    zpos += len(body)
+                zindex_off = zpos
+                ztree = _rtree(zsecs, zoffs, n_recs, zindex_off,
+                               self.items_per_slot)
+                zheaders.append(struct.pack("<IIQQ", r, 0, zdata_off,
+                                            zindex_off))
+                zblobs.append(struct.pack("<I", n_recs)
+                              + b"".join(b for _c, _l, _h, b in zsecs)
+                              + ztree)
+                pos = zindex_off + len(ztree)
+
+            header = struct.pack(
+                "<IHHQQQHHQQIQ", _BW_MAGIC, 4, len(zoom_levels), chrom_off,
+                data_off, index_off, 0, 0, 0, summary_off, 0, 0)
+            with open(out, "wb") as f:
+                f.write(header)
+                f.write(b"".join(zheaders))
+                f.write(summary)
+                f.write(tree)
+                f.write(struct.pack("<Q", len(spool.meta)))
+                spool.copy_into(f)
+                f.write(rtree)
+                for blob in zblobs:
+                    f.write(blob)
+            return _PartFile(out, n_rows)
+        finally:
+            spool.close()
+            spool.unlink()

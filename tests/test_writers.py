@@ -449,3 +449,62 @@ def test_fasta_writer_fai_sidecar(gspark, tmp_path):
     got = (gspark.read.format("fasta").option("regions", "s1:1-8")
            .load(part).collect())
     assert got[0].sequence == "ACGTACGT"
+
+
+def test_bbi_spooled_writer_byte_identical_and_bounded(gspark, tmp_path):
+    """spool=true streams sections to a task-local spool file (O(index)
+    writer memory) and must emit BYTE-IDENTICAL files to the buffered
+    path for input sorted by (chrom, start) — zoom ladder included. The
+    spool temp must be gone afterwards."""
+    import glob as _glob
+    import os
+
+    rows = [("chr1", i * 50, i * 50 + 60, float(i % 17))
+            for i in range(3000)]
+    rows += [("chr2", i * 75, i * 75 + 75, float(i % 5))
+             for i in range(2000)]
+    sdf = gspark.createDataFrame(
+        rows, "chrom string, start long, end long, value float")
+    a, b = str(tmp_path / "buf"), str(tmp_path / "sp")
+    (sdf.coalesce(1).sortWithinPartitions("chrom", "start")
+     .write.format("bigwig").mode("overwrite").save(a))
+    (sdf.coalesce(1).sortWithinPartitions("chrom", "start")
+     .write.format("bigwig").option("spool", "true")
+     .mode("overwrite").save(b))
+    fa = _glob.glob(a + "/*.bw")[0]
+    fb = _glob.glob(b + "/*.bw")[0]
+    assert open(fa, "rb").read() == open(fb, "rb").read()
+    assert not _glob.glob(b + "/*.spool")
+    assert gspark.read.format("bigwig").load(fb).count() == 5000
+
+    # BigBed too
+    brows = [("chr1", i * 10, i * 10 + 25, f"name{i}\t{i % 3}")
+             for i in range(2500)]
+    bdf = gspark.createDataFrame(
+        brows, "chrom string, start long, end long, rest string")
+    a2, b2 = str(tmp_path / "bbuf"), str(tmp_path / "bsp")
+    (bdf.coalesce(1).sortWithinPartitions("chrom", "start")
+     .write.format("bigbed").mode("overwrite").save(a2))
+    (bdf.coalesce(1).sortWithinPartitions("chrom", "start")
+     .write.format("bigbed").option("spool", "true")
+     .mode("overwrite").save(b2))
+    fa2 = _glob.glob(a2 + "/*.bb")[0]
+    fb2 = _glob.glob(b2 + "/*.bb")[0]
+    assert open(fa2, "rb").read() == open(fb2, "rb").read()
+    assert os.path.getsize(fb2) > 0
+
+
+def test_bbi_spooled_writer_rejects_unsorted(gspark, tmp_path):
+    sdf = gspark.createDataFrame(
+        [("chr1", 100, 200, 1.0), ("chr1", 0, 50, 2.0)],
+        "chrom string, start long, end long, value float")
+    with pytest.raises(Exception, match="sortWithinPartitions"):
+        (sdf.coalesce(1).write.format("bigwig").option("spool", "true")
+         .mode("overwrite").save(str(tmp_path / "x")))
+    # regrouped chromosome is rejected too
+    sdf2 = gspark.createDataFrame(
+        [("chr1", 0, 50, 1.0), ("chr2", 0, 50, 1.0), ("chr1", 60, 90, 1.0)],
+        "chrom string, start long, end long, value float")
+    with pytest.raises(Exception, match="sortWithinPartitions"):
+        (sdf2.coalesce(1).write.format("bigwig").option("spool", "true")
+         .mode("overwrite").save(str(tmp_path / "y")))
