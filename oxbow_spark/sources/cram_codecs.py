@@ -522,15 +522,21 @@ def fqz_decode(data: bytes, n_out: int) -> bytes:
     the record length (read, then decremented) and ``delta`` counts
     symbol changes.
 
-    VALIDATION STATUS: round-trip verified against the spec-mirroring
-    encoder in ``tests/test_cram_codecs.py`` and the htscodecs source's
-    documented update order, but NOT yet byte-checked against a stream
-    produced by htslib/htscodecs itself (no such fixture exists in this
-    container and the codec can't be exercised by `samtools` here). If
-    any convention diverges from real producers, 'small'/'archive'
-    profile CRAMs would decode wrong bytes without error — treat
-    real-producer fqzcomp streams as unvalidated until a cross-check
-    fixture is added.
+    VALIDATION STATUS: every spec branch is round-trip verified against
+    the spec-mirroring encoders in ``tests/test_cram_codecs.py`` —
+    single and MULTI parameter sets, HAVE_STAB selector tables,
+    per-param DO_SEL context mixing, QMAP symbol maps, FIXED_LEN,
+    DO_REV record reversal, dedup, explicit q/p/d tables, and empty
+    records (round 5 also fixed the selector-stream gate to htscodecs'
+    ``max_sel > 0`` rule — selectors are coded in every multi-param
+    stream, DO_SEL only mixes them into the context). Still NOT
+    byte-checked against a stream produced by htslib/htscodecs itself:
+    no such fixture, library, or network exists in this container, so a
+    committed real-producer stream remains the one outstanding
+    cross-check. If some convention diverges from real producers,
+    'small'/'archive' profile CRAMs would decode wrong bytes without
+    error — treat real-producer fqzcomp streams as unvalidated until
+    that fixture lands.
     """
     c = Cursor(data) if not isinstance(data, Cursor) else data
     vers = c.u8()
@@ -555,7 +561,11 @@ def fqz_decode(data: bytes, n_out: int) -> bytes:
             m = qmodels[ctx] = AdaptiveModel(max_sym)
         return m
 
-    do_sel = any(p.do_sel for p in params)
+    # selector stream presence is keyed on max_sel > 0 (htscodecs
+    # fqz_decode): a multi-param stream codes a selector per record even
+    # when no param mixes it into the context — PFLAG_DO_SEL only
+    # controls the context mixing, not the stream
+    do_sel = max_sel > 0
     sel_model = AdaptiveModel(max(max_sel + 1, 1))
     len_models = [AdaptiveModel(256) for _ in range(4)]
     dup_model = AdaptiveModel(2)

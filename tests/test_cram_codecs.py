@@ -503,3 +503,187 @@ def test_fqz_trailing_empty_records():
     blob = fqz_encode(quals)
     want = b"".join(quals)
     assert fqz_decode(blob, len(want)) == want
+
+
+def fqz_encode_full(recs: list[bytes], param_specs: list[dict],
+                    stab: list[int] | None = None,
+                    selector: list[int] | None = None,
+                    do_rev: list[int] | None = None) -> bytes:
+    """Spec-mirroring MULTI-parameter fqzcomp encoder covering every
+    remaining decoder branch: GFLAG_MULTI + HAVE_STAB selector tables,
+    per-param DO_SEL context mixing, PFLAG_HAVE_QMAP symbol maps,
+    FIXED_LEN single-length streams, and GFLAG_DO_REV record reversal.
+    ``param_specs`` entries: {qbits, qshift, qmap?, fixed_len?, dedup?,
+    do_sel?}; ``selector`` gives the coded selector per record (required
+    when len(param_specs) > 1 or any do_sel); ``stab`` maps selector →
+    param index; ``do_rev`` per-record reverse bits (enables DO_REV)."""
+    from oxbow_spark.sources.cram_codecs import (
+        _FQZ_GFLAG_DO_REV,
+        _FQZ_GFLAG_HAVE_STAB,
+        _FQZ_GFLAG_MULTI,
+        _FQZ_PFLAG_DO_DEDUP,
+        _FQZ_PFLAG_DO_SEL,
+        _FQZ_PFLAG_FIXED_LEN,
+        _FQZ_PFLAG_HAVE_QMAP,
+    )
+
+    multi = len(param_specs) > 1
+    gflags = (_FQZ_GFLAG_MULTI if multi else 0) \
+        | (_FQZ_GFLAG_HAVE_STAB if stab is not None else 0) \
+        | (_FQZ_GFLAG_DO_REV if do_rev is not None else 0)
+    head = bytearray([5, gflags])
+    if multi:
+        head.append(len(param_specs))
+    max_sel = len(param_specs) - 1
+    if stab is not None:
+        max_sel = len(stab) - 1
+        head.append(max_sel)
+        head += bytes(stab)
+    built = []
+    for spec in param_specs:
+        qmap = spec.get("qmap")
+        pflags = 0
+        if qmap is not None:
+            pflags |= _FQZ_PFLAG_HAVE_QMAP
+        if spec.get("fixed_len"):
+            pflags |= _FQZ_PFLAG_FIXED_LEN
+        if spec.get("dedup"):
+            pflags |= _FQZ_PFLAG_DO_DEDUP
+        if spec.get("do_sel"):
+            pflags |= _FQZ_PFLAG_DO_SEL
+        qbits = spec.get("qbits", 6)
+        qshift = spec.get("qshift", 3)
+        max_sym = (len(qmap) if qmap is not None
+                   else max((max(r) for r in recs if r), default=0) + 1)
+        qloc, sloc = 0, 12
+        ploc, dloc = 15, 15
+        head += struct.pack("<H", spec.get("context", 0))
+        head += bytes([pflags, max_sym, (qbits << 4) | qshift,
+                       (qloc << 4) | sloc, (ploc << 4) | dloc])
+        if qmap is not None:
+            head += bytes(qmap)
+        inv = ({v: i for i, v in enumerate(qmap)} if qmap is not None
+               else None)
+        built.append(dict(spec, qbits=qbits, qshift=qshift, qloc=qloc,
+                          sloc=sloc, inv=inv, max_sym=max_sym))
+
+    any_sel = max_sel > 0  # mirrors the decoder's max_sel gate
+    sel_model = AdaptiveModel(max(max_sel + 1, 1))
+    enc = RangeEncoder()
+    qmodels: dict[int, AdaptiveModel] = {}
+    gmax_sym = max(b["max_sym"] for b in built)
+
+    def qmodel(ctx):
+        m = qmodels.get(ctx)
+        if m is None:
+            m = qmodels[ctx] = AdaptiveModel(gmax_sym)
+        return m
+
+    len_models = [AdaptiveModel(256) for _ in range(4)]
+    dup_model = AdaptiveModel(2)
+    rev_model = AdaptiveModel(2)
+    prev = None
+    fixed_sent = False
+    for ri, q in enumerate(recs):
+        sel = selector[ri] if selector is not None else 0
+        if any_sel:
+            sel_model.encode(enc, sel)
+        x = stab[sel] if stab is not None else min(sel, len(built) - 1)
+        p = built[x]
+        if p.get("fixed_len"):
+            if not fixed_sent:
+                for i in range(4):
+                    len_models[i].encode(enc, (len(q) >> (8 * i)) & 0xFF)
+                fixed_sent = True
+        else:
+            for i in range(4):
+                len_models[i].encode(enc, (len(q) >> (8 * i)) & 0xFF)
+        r = do_rev[ri] if do_rev is not None else 0
+        if do_rev is not None:
+            rev_model.encode(enc, r)
+        if p.get("dedup") and prev is not None and len(prev) == len(q):
+            dup_model.encode(enc, 1 if q == prev else 0)
+            if q == prev:
+                continue
+        if not q:
+            prev = b""
+            continue
+        coded = q[::-1] if r else q  # decoder re-reverses flagged spans
+        qctx = 0
+        prevq = 0
+        delta = 0
+        pos = len(coded)
+        qmask = (1 << p["qbits"]) - 1
+        ctx = p.get("context", 0) & 0xFFFF
+        for v in coded:
+            sym = p["inv"][v] if p["inv"] is not None else v
+            qmodel(ctx).encode(enc, sym)
+            qctx = ((qctx << p["qshift"]) + sym) & 0xFFFFFFFF
+            ctx = p.get("context", 0)
+            ctx += (qctx & qmask) << p["qloc"]
+            if prevq != sym:
+                delta += 1
+            prevq = sym
+            if p.get("do_sel"):
+                ctx += sel << p["sloc"]
+            ctx &= 0xFFFF
+        prev = coded
+    return bytes(head) + enc.finish()
+
+
+def test_fqz_multi_param_with_stab_and_sel():
+    """Two parameter sets selected per record through an explicit
+    selector table, one of them mixing the selector into the context
+    (DO_SEL) and using a different context base."""
+    recs = [bytes((i * 7 + j) % 40 for j in range(30)) for i in range(12)]
+    selector = [i % 3 for i in range(12)]
+    blob = fqz_encode_full(
+        recs,
+        [{"qbits": 6, "qshift": 3, "context": 0},
+         {"qbits": 4, "qshift": 4, "do_sel": True, "context": 0x100}],
+        stab=[0, 1, 1], selector=selector)
+    want = b"".join(recs)
+    assert fqz_decode(blob, len(want)) == want
+
+
+def test_fqz_qmap():
+    """PFLAG_HAVE_QMAP: symbols are indices into an explicit value map
+    (binned-quality profiles); decoder must map them back."""
+    qmap = [2, 12, 25, 37]
+    recs = [bytes(qmap[(i + j) % 4] for j in range(25)) for i in range(8)]
+    blob = fqz_encode_full(recs, [{"qbits": 2, "qshift": 2, "qmap": qmap}])
+    want = b"".join(recs)
+    assert fqz_decode(blob, len(want)) == want
+
+
+def test_fqz_fixed_len():
+    """FIXED_LEN: one in-stream length applies to every record."""
+    recs = [bytes((i + j) % 45 for j in range(64)) for i in range(10)]
+    blob = fqz_encode_full(recs, [{"qbits": 5, "qshift": 3,
+                                   "fixed_len": True}])
+    want = b"".join(recs)
+    assert fqz_decode(blob, len(want)) == want
+
+
+def test_fqz_do_rev():
+    """GFLAG_DO_REV: flagged records are coded reversed and flipped back
+    by the decoder after the main pass."""
+    recs = [bytes((i * 3 + j) % 40 for j in range(20)) for i in range(9)]
+    rev = [i % 2 for i in range(9)]
+    blob = fqz_encode_full(recs, [{"qbits": 6, "qshift": 3}], do_rev=rev)
+    want = b"".join(recs)
+    assert fqz_decode(blob, len(want)) == want
+
+
+def test_fqz_multi_dedup_and_empty_records():
+    """Dedup inside a multi-param stream plus zero-length records."""
+    recs = [b"", bytes([9] * 16), bytes([9] * 16), b"",
+            bytes([11] * 16), bytes([11] * 16)]
+    selector = [0, 0, 0, 1, 1, 1]
+    blob = fqz_encode_full(
+        recs,
+        [{"qbits": 4, "qshift": 2, "dedup": True},
+         {"qbits": 6, "qshift": 3, "dedup": True}],
+        stab=[0, 1], selector=selector)
+    want = b"".join(recs)
+    assert fqz_decode(blob, len(want)) == want
