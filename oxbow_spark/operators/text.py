@@ -310,3 +310,135 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(F.concat_ws(" ", tok)).alias("fingerprint"),
         F.size(tok).alias("n_distinct_tokens"),
     )
+
+
+def ngram_lm_score(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", alpha: float = 0.5) -> DataFrame:
+    """(id, n_terms, mean_nll, ppl): CCNet-style n-gram language-model
+    perplexity scoring, trained on the corpus itself — the standard
+    quality signal for web-scale pretraining filters (CCNet fits KenLM
+    on Wikipedia; here the bigram model fits on the scored corpus so the
+    operator is self-contained and deterministic).
+
+    Model: add-alpha-smoothed bigram LM. First token scores under the
+    unigram distribution ``(c(w)+a)/(N+aV)``; token i>0 under
+    ``(c(w_{i-1} w_i)+a)/(c(w_{i-1})+aV)``. ``mean_nll`` is the mean
+    negative natural log-probability per scored token; ``ppl`` its exp.
+    Per-term contributions quantize to DECIMAL(28,6) before the sum, so
+    aggregation order cannot perturb the result (oracle-hashable, same
+    discipline as `bm25_topk`).
+
+    Plan shape: one explode for unigram counts, one for bigram counts,
+    then the scoring joins on token keys — count tables are vocab-sized
+    (≪ corpus), broadcast when small, plain shuffle joins otherwise; the
+    model constants (N, V) ride a broadcast 1-row cross join, never a
+    driver collect. Empty documents keep a row with null score."""
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>"))
+        .otherwise(tokens(c)).alias("_t"),
+    )
+    uni = (base.select(F.explode("_t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    consts = uni.agg(
+        F.sum("cw").alias("N"), F.count(F.lit(1)).alias("V"))
+
+    # sequence(1, 0) DESCENDS in Spark — gate short arrays explicitly
+    pair_expr = F.expr(
+        "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1), "
+        "i -> struct(element_at(_t, i) AS prev, element_at(_t, i+1) AS cur)) "
+        "ELSE array() END")
+    pairs = base.select(F.col(id_col), F.explode(pair_expr).alias("p")) \
+        .select(id_col, F.col("p.prev").alias("prev"),
+                F.col("p.cur").alias("cur"))
+    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+
+    av = F.lit(float(alpha)) * F.col("V")
+    first = (base.where(F.size("_t") > 0)
+             .select(F.col(id_col), F.element_at("_t", 1).alias("w"))
+             .join(uni, "w")
+             .crossJoin(F.broadcast(consts))
+             .select(F.col(id_col),
+                     (-F.log((F.col("cw") + F.lit(float(alpha)))
+                             / (F.col("N") + av))).alias("nll")))
+    rest = (pairs.join(big, ["prev", "cur"])
+            .join(uni.withColumnRenamed("w", "prev"), "prev")
+            .crossJoin(F.broadcast(consts))
+            .select(F.col(id_col),
+                    (-F.log((F.col("cb") + F.lit(float(alpha)))
+                            / (F.col("cw") + av))).alias("nll")))
+    scored = (first.unionByName(rest)
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_terms"),
+                   F.sum(F.col("nll").cast("decimal(28,6)")).alias("_s")))
+    out = base.select(id_col).join(scored, id_col, "left")
+    mean = (F.col("_s").cast("double")
+            / F.col("n_terms").cast("double"))
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+        F.round(mean, 6).alias("mean_nll"),
+        F.round(F.exp(mean), 6).alias("ppl"),
+    )
+
+
+def dup_span_stats(df: DataFrame, k: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, n_dup_grams, n_dup_spans, dup_tokens, longest_dup_span,
+    dup_token_frac): exact duplicate-substring statistics — the
+    "deduplicate training data" signal (Lee et al. 2022): a k-token
+    gram that occurs more than once ANYWHERE in the corpus marks its
+    span; overlapping/adjacent marked spans merge per document (via
+    `interval_ops.merge_intervals` keyed by doc — token positions are
+    the coordinate system).
+
+    Plan shape: one gram explode + one gram-count groupBy (map-side
+    partials), a join back on the gram key, and one per-doc window merge
+    of the marked spans. No all-pairs anything; the gram-count frame is
+    the only corpus-order structure and it shuffles once. Docs with no
+    duplicated span keep a zero-filled row."""
+    from oxbow_spark.operators.interval_ops import merge_intervals
+
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>"))
+        .otherwise(tokens(c)).alias("_t"),
+    )
+    gram_expr = F.expr(
+        f"CASE WHEN size(_t) >= {k} THEN "
+        f"transform(sequence(1, size(_t) - {k} + 1), "
+        f"i -> struct(i AS pos, array_join(slice(_t, i, {k}), ' ') AS gram)) "
+        f"ELSE array() END")
+    g = base.select(F.col(id_col), F.size("_t").alias("_n"),
+                    F.explode(gram_expr).alias("g")) \
+        .select(id_col, "_n", F.col("g.pos").alias("pos"),
+                F.col("g.gram").alias("gram"))
+    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    marked = g.join(counts.where(F.col("cnt") > 1), "gram") \
+        .select(id_col, "_n", F.col("pos").alias("start"),
+                (F.col("pos") + k).alias("end"))
+    spans = merge_intervals(
+        marked.select(id_col, "start", "end"), on=id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("end") - F.col("start")).alias("dup_tokens"),
+        F.max(F.col("end") - F.col("start")).alias("longest_dup_span"),
+    )
+    n_grams = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_grams"))
+    out = (base.select(F.col(id_col), F.size("_t").alias("_n"))
+           .join(per_doc, id_col, "left")
+           .join(n_grams, id_col, "left"))
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("longest_dup_span", F.lit(0)).cast("long")
+        .alias("longest_dup_span"),
+        (F.coalesce("dup_tokens", F.lit(0)).cast("double")
+         / F.greatest(F.col("_n"), F.lit(1)).cast("double"))
+        .alias("dup_token_frac"),
+    )

@@ -2641,10 +2641,15 @@ def _align_stats_sql() -> str:
             f"CROSS JOIN ({TEMPLATE_SQL}) _t")
 
 
+_LM_ALPHA = 0.5
+_DUP_K = 3
+
+
 def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: stats ⋈ quality ⋈ lang-id ⋈ token
-    counts on doc_id (each side one row per doc; quality's duplicate
-    n_tokens dropped). Four operators, one verified row."""
+    counts ⋈ corpus-bigram-LM perplexity ⋈ exact duplicate-substring
+    span stats on doc_id (each side one row per doc; quality's
+    duplicate n_tokens dropped). Six operators, one verified row."""
     docs = _t(spark, sf_dir, "documents")
     return (
         text.text_stats(docs)
@@ -2655,7 +2660,88 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             text.token_count(F.col("text")).alias("n_ws_tokens"),
             text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")),
             "doc_id")
+        .join(text.ngram_lm_score(docs, alpha=_LM_ALPHA), "doc_id")
+        .join(text.dup_span_stats(docs, k=_DUP_K), "doc_id")
     )
+
+
+def _lm_sql() -> str:
+    a = _LM_ALPHA
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE {TOKS_SQL} END AS t
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w
+),
+consts AS (SELECT sum(cw) AS n_total, count(*) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM base WHERE len(t) >= 2)
+),
+big AS (SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY prev, cur),
+f AS (
+  SELECT doc_id, -ln((cw + {a}) / (n_total + {a} * v)) AS nll
+  FROM (SELECT doc_id, t[1] AS w FROM base WHERE len(t) > 0) fw
+  JOIN uni ON fw.w = uni.w CROSS JOIN consts
+),
+r AS (
+  SELECT doc_id, -ln((cb + {a}) / (cw + {a} * v)) AS nll
+  FROM pairs JOIN big USING (prev, cur)
+  JOIN uni ON pairs.prev = uni.w CROSS JOIN consts
+),
+sc AS (
+  SELECT doc_id, count(*) AS n_terms,
+         SUM(CAST(nll AS DECIMAL(28,6))) AS sm
+  FROM (SELECT * FROM f UNION ALL SELECT * FROM r) GROUP BY doc_id
+)
+SELECT base.doc_id,
+       CAST(COALESCE(n_terms, 0) AS BIGINT) AS n_terms,
+       ROUND(CAST(sm AS DOUBLE) / n_terms, 6) AS mean_nll,
+       ROUND(exp(CAST(sm AS DOUBLE) / n_terms), 6) AS ppl
+FROM base LEFT JOIN sc USING (doc_id)
+"""
+
+
+def _dupspan_sql() -> str:
+    k = _DUP_K
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE {TOKS_SQL} END AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+{k - 1}], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {k} + 1)) AS i
+        FROM base WHERE len(t) >= {k})
+),
+cnts AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+mk AS (
+  SELECT doc_id AS chrom, pos AS s, pos + {k} AS e
+  FROM g JOIN cnts USING (gram) WHERE cnt > 1
+),{_merge_sql_ctes("mk", "m")},
+per AS (
+  SELECT chrom AS doc_id, count(*) AS n_dup_spans,
+         SUM(me - ms) AS dup_tokens, MAX(me - ms) AS longest
+  FROM m GROUP BY chrom
+),
+ng AS (SELECT chrom AS doc_id, count(*) AS n_dup_grams FROM mk GROUP BY chrom)
+SELECT base.doc_id,
+       CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(longest, 0) AS BIGINT) AS longest_dup_span,
+       COALESCE(dup_tokens, 0) / GREATEST(len(t), 1)::DOUBLE
+         AS dup_token_frac
+FROM base LEFT JOIN per USING (doc_id) LEFT JOIN ng USING (doc_id)
+"""
 
 
 def _text_profile_sql() -> str:
@@ -2663,11 +2749,15 @@ def _text_profile_sql() -> str:
 SELECT s.*,
        q.ok_length, q.ok_token_len, q.ok_stopwords, q.ok_punct, q.passes,
        l.* EXCLUDE (doc_id),
-       b.* EXCLUDE (doc_id)
+       b.* EXCLUDE (doc_id),
+       lm.* EXCLUDE (doc_id),
+       d.* EXCLUDE (doc_id)
 FROM ({TEXT_STATS_SQL}) s
 JOIN ({TEXT_QUALITY_SQL}) q USING (doc_id)
 JOIN ({_langid_sql()}) l USING (doc_id)
 JOIN ({BPE_SQL}) b USING (doc_id)
+JOIN ({_lm_sql()}) lm USING (doc_id)
+JOIN ({_dupspan_sql()}) d USING (doc_id)
 """
 
 
