@@ -60,6 +60,46 @@ from oxbow_spark.sources.sequence import faidx_fetch, read_fai
 from oxbow_spark.sources import fsio
 
 CRAM_MAGIC = b"CRAM"
+# full 12-column standard schema for the arrow-native emit path (the
+# reader projects by name afterwards)
+_STD_ARROW = to_arrow_schema(
+    T.StructType([T.StructField(n, t) for n, t in STANDARD_FIELDS]))
+
+
+def _arrow_region_filter(batch, entries):
+    """Vectorized twin of `coords.alignment_record_passes` over a
+    standard-layout batch: union of region entries, each record checked
+    once."""
+    from pyarrow import compute as pc
+
+    rname = batch.column(2)
+    pos = batch.column(3)
+    end = batch.column(11)
+    mask = None
+    for e in entries:
+        if e[0] == "*":
+            m = pc.is_null(rname)
+        else:
+            nm, s0, e0 = e
+            m = pc.and_(pc.equal(rname, nm), pc.is_valid(pos))
+            rec_end = pc.coalesce(end, pos)
+            if e0 is not None:
+                m = pc.and_(m, pc.less(pos, pa.scalar(e0 + 1, pos.type)))
+            m = pc.and_(m, pc.greater(rec_end, pa.scalar(s0, pos.type)))
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.or_(mask, m)
+    return batch.filter(mask)
+
+
+def _arrow_shift(batch, col_idx, offset):
+    """Add ``offset`` to the given integer columns, nulls preserved,
+    type kept."""
+    from pyarrow import compute as pc
+
+    cols = list(batch.columns)
+    for i in col_idx:
+        cols[i] = pc.add(cols[i], pa.scalar(offset, cols[i].type))
+    return pa.RecordBatch.from_arrays(cols, schema=batch.schema)
 # phred+33 rendering table (quality byte → printable char, one translate)
 _PHRED33 = bytes((i + 33) & 0xFF for i in range(256))
 # cigar token caches for the vectorized assembler
@@ -1004,7 +1044,7 @@ class SliceDecoder:
         pos[enc.cid] = base + need
         return cur.b, base
 
-    def _records_columnar(self, want_tags: bool):
+    def _records_columnar(self, want_tags: bool, arrow: bool = False):
         import numpy as np
 
         pres = self.pres
@@ -1136,6 +1176,25 @@ class SliceDecoder:
                 (bb_buf, bb_s, bb_e) if n_b else None,
                 (ba_buf, ba_off) if ba_need else None,
             )
+
+        if arrow and vec is not None and not want_tags and rn_on:
+            batch = self._arrow_batch(
+                n, vec, mapped, BF, CF, RI, RL, POS,
+                rn_buf, rn_s, rn_e, self.series["RN"].stop,
+                detached, downstream, MF, NS, NP, TS, NF,
+                mq_vals, unmapped_seq, ba_need,
+                ba_buf if ba_need else b"",
+                ba_off if ba_need else None,
+                qs_need,
+                qs_buf if qs_need else b"",
+                qs_off if qs_need else None,
+                qs_feat,
+                qs_slab if qs_need else None,
+                qs_nonff if qs_need else False,
+                qs_text if qs_need else "",
+            )
+            if batch is not None:
+                return batch
 
         # ---- assembly loop: array/buffer reads only, no stream decode
         out = []
@@ -1281,10 +1340,27 @@ class SliceDecoder:
     def records(self, want_tags: bool):
         if self._columnar_ok(want_tags):
             try:
-                return self._records_columnar(want_tags)
+                out = self._records_columnar(want_tags)
             except _ColumnarBail:
                 pass  # cursors untouched: the reference loop takes over
+            else:
+                return out
         return self._records_loop(want_tags)
+
+    def records_any(self, want_tags: bool):
+        """('arrow', RecordBatch) when the fully-columnar arrow emit is
+        available (vectorized assembly + standard layout, no tags), else
+        ('rows', [(row, tags), ...])."""
+        if self._columnar_ok(want_tags):
+            try:
+                out = self._records_columnar(want_tags, arrow=True)
+            except _ColumnarBail:
+                pass
+            else:
+                if isinstance(out, pa.RecordBatch):
+                    return ("arrow", out)
+                return ("rows", out)
+        return ("rows", self._records_loop(want_tags))
 
     def _records_loop(self, want_tags: bool):
         """Per-record reference decode — the general path (core-bit
@@ -1634,6 +1710,198 @@ class SliceDecoder:
         ends = np.where(mapped & (total_ref > 0), end_np, -1).tolist()
         return cigars, text, seq_off.tolist(), ends
 
+    def _arrow_batch(self, n, vec, mapped, BF, CF, RI, RL, POS,
+                     rn_buf, rn_s, rn_e, rn_stop,
+                     detached, downstream, MF, NS, NP, TS, NF,
+                     mq_vals, unmapped_seq, ba_need, ba_buf, ba_off,
+                     qs_need, qs_buf, qs_off, qs_feat, qs_slab, qs_nonff,
+                     qs_text):
+        """Columnar slice → one Arrow RecordBatch with the 12 standard
+        columns, built from the decode arrays without a per-record row
+        loop: qname and qual are ZERO-COPY StringArrays over the
+        stop-coded name slab (stops dropped, offsets shifted) and the
+        phred-rendered quality slab (absolute offsets — the slab layout
+        is already consecutive); rname dictionary-decodes ref ids;
+        flag/pos/mapq/tlen are numpy casts. Only NF mate chains and
+        mixed seq sources keep short Python loops over their (small)
+        subsets. Returns None when a layout precondition fails — the
+        caller falls back to the row loop, so fast ≡ slow by
+        construction."""
+        import numpy as np
+        from pyarrow import compute as pc
+
+        cigars, text, seq_off, ends = vec
+        try:
+            if n == 0 or int(POS.max()) >= (1 << 31) or len(rn_s) != n:
+                return None
+            # ---- qname: strip stop bytes, shift offsets
+            span = bytes(rn_buf[int(rn_s[0]):int(rn_e[-1]) + 1])
+            if not span.isascii():
+                return None
+            data = span.replace(bytes([rn_stop]), b"")
+            off = np.empty(n + 1, np.int32)
+            off[:n] = rn_s - rn_s[0] - np.arange(n)
+            off[n] = (int(rn_e[-1]) + 1 - int(rn_s[0])) - n
+            if len(data) != off[n]:
+                return None
+            qname = pa.Array.from_buffers(
+                pa.utf8(), n,
+                [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data)])
+            rn_first = np.frombuffer(rn_buf, np.uint8)[rn_s]
+            star = (rn_e - rn_s == 1) & (rn_first == ord("*"))
+            if bool(star.any()):
+                qname = pc.if_else(
+                    pa.array(~star), qname, pa.scalar(None, pa.utf8()))
+
+            # ---- rnext/pnext/tlen: detached fields then NF mate links
+            ref_names = self.ref_names
+            rname_py = np.full(n, None, dtype=object)
+            ri_ok = RI >= 0
+            if bool(ri_ok.any()):
+                rname_py[ri_ok] = np.array(ref_names, dtype=object)[RI[ri_ok]]
+            rnext = np.full(n, None, dtype=object)
+            pnext = np.full(n, None, dtype=object)
+            tlen = np.zeros(n, np.int64)
+            det_idx = np.flatnonzero(detached)
+            if len(det_idx):
+                ns_ok = NS >= 0
+                ok_idx = det_idx[ns_ok]
+                rnext[ok_idx] = np.array(ref_names, dtype=object)[NS[ns_ok]]
+                pnext[ok_idx] = NP[ns_ok].astype(object)
+                tlen[det_idx] = TS
+            pos_py = np.where(ri_ok, POS, 0)
+            ends_np = np.asarray(ends, np.int64)
+            end_ok = ends_np >= 0
+            dn_idx = np.flatnonzero(downstream)
+            for j0, i in enumerate(dn_idx.tolist()):
+                # NF mate chain (small subset loop — mirrors _link_mates)
+                m = i + int(NF[j0]) + 1
+                if m >= n:
+                    return None
+                rnext[i] = rname_py[m]
+                pnext[i] = int(POS[m]) if RI[m] >= 0 else None
+                self_end = int(ends_np[i]) if end_ok[i] else (
+                    int(POS[i]) if RI[i] >= 0 else 0)
+                mate_end = int(ends_np[m]) if end_ok[m] else (
+                    int(POS[m]) if RI[m] >= 0 else 0)
+                p_i = int(POS[i]) if RI[i] >= 0 else 0
+                p_m = int(POS[m]) if RI[m] >= 0 else 0
+                span_t = max(self_end, mate_end) - min(p_i, p_m) + 1
+                tlen[i] = span_t if p_i <= p_m else -span_t
+                rnext[m] = rname_py[i]
+                pnext[m] = int(POS[i]) if RI[i] >= 0 else None
+                tlen[m] = -tlen[i]
+
+            # ---- flags: fold detached mate flags in
+            flags = BF.copy()
+            if len(det_idx):
+                bits = (((MF & 1) != 0) * 0x20 + ((MF & 2) != 0) * 0x8)
+                flags[det_idx] |= bits
+
+            # ---- mapq
+            mq = np.zeros(n, np.int64)
+            mq[mapped] = mq_vals
+            mq_null = (~mapped) | (mq == 255)
+
+            # ---- seq: zero-copy over the assembled text when every
+            # sequence lives there; mixed BA-slab sources take a list
+            seq_absent = (CF & 0x8) != 0
+            if not bool(unmapped_seq.any()) and text.isascii():
+                soff = np.asarray(seq_off, np.int32)
+                seq = pa.Array.from_buffers(
+                    pa.utf8(), n,
+                    [None, pa.py_buffer(soff.tobytes()),
+                     pa.py_buffer(text.encode("ascii"))])
+                seq_null = seq_absent | ~mapped | (RL <= 0)
+                seq = pc.if_else(
+                    pa.array(~seq_null), seq, pa.scalar(None, pa.utf8()))
+            else:
+                so = seq_off
+                rl_l = RL.tolist()
+                lst = []
+                um = unmapped_seq.tolist()
+                mp = mapped.tolist()
+                ab = seq_absent.tolist()
+                for i in range(n):
+                    if ab[i]:
+                        lst.append(None)
+                    elif mp[i]:
+                        s = text[so[i]:so[i] + rl_l[i]]
+                        lst.append(s or None)
+                    elif um[i]:
+                        o = int(ba_off[i])
+                        lst.append(
+                            ba_buf[o:o + rl_l[i]].decode("ascii", "replace")
+                            or None)
+                    else:
+                        lst.append(None)
+                seq = pa.array(lst, type=pa.utf8())
+
+            # ---- qual: zero-copy over the phred-rendered slab when the
+            # layout is consecutive and uniformly present/absent
+            has_q = (CF & 0x1) != 0
+            if qs_need and qs_nonff is None and bool((qs_feat == 0).all()):
+                qoff = np.empty(n + 1, np.int64)
+                qoff[:n] = qs_slab
+                qoff[n] = int(qs_off[-1])
+                lens = np.diff(qoff)
+                if not bool((lens == np.where(has_q, RL, 0)).all()):
+                    return None
+                tr = qs_buf.translate(_PHRED33)
+                if not tr[int(qoff[0]):int(qoff[n])].isascii():
+                    return None
+                qual = pa.Array.from_buffers(
+                    pa.utf8(), n,
+                    [None, pa.py_buffer(qoff.astype(np.int32).tobytes()),
+                     pa.py_buffer(tr)])
+                qual = pc.if_else(
+                    pa.array(has_q & (RL > 0)), qual,
+                    pa.scalar(None, pa.utf8()))
+            elif not qs_need or qs_nonff is False:
+                qual = pa.nulls(n, pa.utf8())
+            else:
+                qt = qs_text
+                sl = qs_slab
+                rl_l = RL.tolist()
+                hq = has_q.tolist()
+                lst = []
+                for i in range(n):
+                    if hq[i] and rl_l[i] > 0:
+                        o = sl[i]
+                        if qs_nonff is None or (
+                                qs_nonff[o + rl_l[i]] - qs_nonff[o]):
+                            lst.append(qt[o:o + rl_l[i]])
+                        else:
+                            lst.append(None)
+                    else:
+                        lst.append(None)
+                qual = pa.array(lst, type=pa.utf8())
+
+            ri32 = RI.astype(np.int32)
+            rname = pa.DictionaryArray.from_arrays(
+                pa.array(np.where(ri_ok, ri32, 0).astype(np.int32),
+                         mask=~ri_ok),
+                pa.array(list(ref_names), type=pa.utf8())
+            ).dictionary_decode()
+            arrays = [
+                qname,
+                pa.array(flags.astype(np.int32)),
+                rname,
+                pa.array(pos_py.astype(np.int32), mask=~ri_ok),
+                pa.array(mq.astype(np.int16), mask=mq_null),
+                pa.array(cigars, type=pa.utf8()),
+                pa.array(rnext.tolist(), type=pa.utf8()),
+                pa.array(pnext.tolist(), type=pa.int32()),
+                pa.array(tlen.astype(np.int32)),
+                seq,
+                qual,
+                pa.array(np.where(end_ok, ends_np, 0).astype(np.int32),
+                         mask=~(end_ok & mapped)),
+            ]
+            return pa.RecordBatch.from_arrays(arrays, schema=_STD_ARROW)
+        except (ValueError, OverflowError, pa.ArrowInvalid):
+            return None
+
     def _build(self, ri: int, pos: int, rl: int, feats):
         """Features → (cigar string, sequence, 1-based inclusive end)."""
         if not feats:
@@ -1935,7 +2203,30 @@ class CramReader(DataSourceReader):
         rows, n = [], 0
         while body.p < len(body.b):
             dec = SliceDecoder(comp, body, ref_names, reference)
-            for row, tags in dec.records(self.with_tags):
+            kind, out_any = dec.records_any(self.with_tags)
+            if kind == "arrow":
+                # columnar slice: region filter / coord shift / project /
+                # limit all stay vectorized — no per-record Python at all
+                if rows:
+                    yield self._emit(rows)  # preserve record order
+                    rows = []
+                batch = out_any
+                if part.regions is not None:
+                    batch = _arrow_region_filter(batch, part.regions)
+                if self.coord_offset:
+                    batch = _arrow_shift(batch, (3, 7), self.coord_offset)
+                if 0 <= self.limit:
+                    batch = batch.slice(0, max(self.limit - n, 0))
+                n += batch.num_rows
+                final = pa.RecordBatch.from_arrays(
+                    [batch.column(i) for i in std_idx],
+                    schema=self._arrow_schema)
+                for off in range(0, final.num_rows, self.batch_size):
+                    yield final.slice(off, self.batch_size)
+                if 0 <= self.limit <= n:
+                    break
+                continue
+            for row, tags in out_any:
                 if part.regions is not None and not _coords.alignment_record_passes(
                     part.regions, row[2], row[3], row[11]
                 ):

@@ -311,9 +311,9 @@ def test_columnar_equals_loop_big(tmp_path):
     engaged = {"n": 0}
     orig = cram_mod.SliceDecoder._records_columnar
 
-    def spy(self, w):
+    def spy(self, w, arrow=False):
         engaged["n"] += 1
-        return orig(self, w)
+        return orig(self, w, arrow=arrow)
 
     cram_mod.SliceDecoder._records_columnar = spy
     try:
@@ -388,3 +388,42 @@ def test_vectorized_assembly_engages_and_matches(tmp_path):
         finally:
             cram_mod.SliceDecoder._assemble_vec = orig
         assert fast == slow
+
+
+def test_arrow_emit_engages_and_matches_loop(tmp_path):
+    """The arrow-native emit (records_any → RecordBatch) must engage on
+    the synthetic profiles and agree with the per-record loop under
+    projections, region filters, and limits."""
+    from tests.cram_synth_big import build_big_cram
+    from oxbow_spark.sources import cram as cram_mod
+
+    p = tmp_path / "a.cram"
+    p.write_bytes(build_big_cram(6000, recs_per_slice=2000))
+
+    engaged = {"arrow": 0, "rows": 0}
+    orig = cram_mod.SliceDecoder.records_any
+
+    def spy(self, w):
+        k, o = orig(self, w)
+        engaged[k] += 1
+        return k, o
+
+    cram_mod.SliceDecoder.records_any = spy
+    try:
+        for opts in (
+            {},
+            {"fields": "qname,flag,pos,seq"},
+            {"regions": "chr1:2000-9000"},
+            {"limit": "123"},
+            {"regions": "chr1:1500-20000", "fields": "rname,pos,end,cigar"},
+        ):
+            engaged.update(arrow=0, rows=0)
+            fast = _scan_rows(str(p), reference="", **opts)
+            assert engaged["arrow"] > 0, opts
+            slow = _scan_rows(str(p), force_loop=True, reference="", **opts)
+            if "limit" in opts:  # limit is per-partition row cap: counts only
+                assert len(fast) == len(slow)
+            else:
+                assert fast == slow, opts
+    finally:
+        cram_mod.SliceDecoder.records_any = orig
