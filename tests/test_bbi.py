@@ -212,3 +212,67 @@ def test_bigbed_fixture_bed3_autosql(gspark):
     df = gspark.read.format("bigbed").load(BB)
     assert df.columns == ["chrom", "start", "end"]
     assert df.count() == 100
+
+
+def _bb_scan(path, force_loop=False, **opts):
+    """In-process reader drive (executor monkeypatching is invisible
+    through spark.read) — returns row tuples across all partitions."""
+    from oxbow_spark.sources import bbi as bbi_mod
+    from oxbow_spark.sources.bbi import BigBedDataSource
+
+    ds = BigBedDataSource({"path": path, **opts})
+    rd = ds.reader(None)
+    orig = bbi_mod.BbiReader._read_typed_np
+    if force_loop:
+        bbi_mod.BbiReader._read_typed_np = lambda self, b, part: None
+    try:
+        rows = []
+        for part in rd.partitions():
+            for b in rd.read(part):
+                rows.extend(map(tuple, (d.values() for d in b.to_pylist())))
+        return sorted(rows, key=repr)
+    finally:
+        bbi_mod.BbiReader._read_typed_np = orig
+
+
+def test_bigbed_typed_vectorized_engages_and_matches(gspark, tmp_path):
+    """The split+cast fast path must ENGAGE for the narrowPeak synthetic
+    and agree with the per-record parser loop row for row (incl. the
+    '.'-verbatim string / '.'-null numeric split); a ragged payload must
+    fall back, not misparse."""
+    from oxbow_spark.sources import bbi as bbi_mod
+
+    p = str(tmp_path / "t.bb")
+    _write_bigbed(p, NARROWPEAK_AS, NP_ROWS)
+    engaged = {"fast": 0, "fallback": 0}
+    orig = bbi_mod.BbiReader._read_typed_np
+
+    def spy(self, b, part):
+        r = orig(self, b, part)
+        engaged["fast" if r is not None else "fallback"] += 1
+        return r
+
+    bbi_mod.BbiReader._read_typed_np = spy
+    try:
+        fast = _bb_scan(p)
+        assert engaged["fast"] > 0 and engaged["fallback"] == 0, engaged
+        engaged.update(fast=0, fallback=0)
+        f2 = _bb_scan(p, regions="chr1:100-1000",
+                      fields="chrom,start,name,signalValue")
+        assert engaged["fast"] > 0
+    finally:
+        bbi_mod.BbiReader._read_typed_np = orig
+    assert fast == _bb_scan(p, force_loop=True)
+    assert f2 == _bb_scan(p, force_loop=True, regions="chr1:100-1000",
+                          fields="chrom,start,name,signalValue")
+    assert len(f2) > 0
+
+    # ragged rest (one row missing trailing fields): fallback path keeps
+    # parser-loop semantics (missing -> None)
+    ragged = NP_ROWS[:1] + [("chr2", 10, 20, "x", 5, "+", 1.0)]
+    p3 = str(tmp_path / "r.bb")
+    _write_bigbed(p3, NARROWPEAK_AS, ragged)
+    rows = {(r.chrom, r.start): r
+            for r in gspark.read.format("bigbed").load(p3).collect()}
+    assert rows[("chr2", 10)].pValue is None
+    assert rows[("chr2", 10)].peak is None
