@@ -178,3 +178,43 @@ def test_decontaminate_broadcasts_benchmark(spark, sf):
     plan = _plan(R.decontaminate_docs(spark, sf))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ngram_lm_plan_broadcasts_constants_no_cartesian(spark, sf):
+    """LM scoring: the (N, V) model constants ride a broadcast 1-row
+    cross join (BroadcastNestedLoopJoin over one row is fine); the
+    token-key joins must never degenerate into a CartesianProduct, and
+    the count aggregations must have map-side partials."""
+    from oxbow_spark.operators.text import ngram_lm_score
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _plan(ngram_lm_score(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row constants join
+    assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_dup_span_plan_no_cartesian_partial_aggs(spark, sf):
+    """Dup-span stats: gram counting is a partial/final hash agg; the
+    gram join-back and per-doc merges never go nested-loop."""
+    from oxbow_spark.operators.text import dup_span_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _plan(dup_span_stats(docs, k=3))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_merge_split_bp_no_extra_shuffle_explosion(spark, sf):
+    """The chunked merge adds exactly the per-(chrom, chunk) window and
+    the tiny stitch window — no join, no cartesian."""
+    from oxbow_spark.operators.interval_ops import merge_intervals
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").selectExpr(
+        "event_type AS chrom",
+        "CAST(unix_timestamp(ts) AS LONG) AS start",
+        "CAST(unix_timestamp(ts) + 300 AS LONG) AS end")
+    plan = _plan(merge_intervals(ev, split_bp=1 << 16))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan  # union + windows only
