@@ -294,3 +294,24 @@ def test_subtract_complement_split_bp_passthrough(spark):
     cp = sorted(tuple(r) for r in complement_intervals(b).collect())
     cc = sorted(tuple(r) for r in complement_intervals(b, split_bp=64).collect())
     assert cp == cc
+
+
+def test_merge_split_bp_random_property(spark):
+    """Randomized stitched ≡ plain equality, adversarial shapes: heavy
+    overlap piles, exact-boundary starts/ends, chunk-spanning giants."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for _ in range(400):
+        c = rng.choice(["a", "b"])
+        s = rng.randrange(0, 1000)
+        ln = rng.choice([1, 2, 7, 50, 100, 101, 250, 999])
+        rows.append((c, s, s + ln))
+    # exact multiples of the split width on both edges
+    rows += [("a", 100, 200), ("a", 200, 300), ("b", 0, 1000),
+             ("b", 500, 600), ("a", 999, 1001)]
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+    plain = _canon_merge(merge_intervals(df))
+    for bp in (100, 128, 333, 1 << 20):
+        assert _canon_merge(merge_intervals(df, split_bp=bp)) == plain, bp

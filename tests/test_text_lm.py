@@ -83,3 +83,113 @@ def test_dup_span_merging_adjacent(spark):
         assert got[i].dup_tokens == 5
         assert got[i].longest_dup_span == 5
         assert got[i].dup_token_frac == 1.0
+
+
+# ------------------------------------------------------ property tests
+
+import math as _math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["aa", "bb", "cc", "dd", "e"]
+
+
+def _py_lm(corpus, alpha=0.5):
+    """Brute-force bigram-LM reference mirroring ngram_lm_score
+    (including the DECIMAL(28,6) per-term quantization)."""
+    toks = {i: t.split() for i, t in corpus}
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    N = sum(uni.values())
+    V = len(uni)
+    out = {}
+    for i, t in toks.items():
+        if not t:
+            out[i] = (0, None, None)
+            continue
+        terms = [round(-_math.log((uni[t[0]] + alpha) / (N + alpha * V)), 6)]
+        for a, b in zip(t, t[1:]):
+            terms.append(round(-_math.log(
+                (big[(a, b)] + alpha) / (uni[a] + alpha * V)), 6))
+        m = sum(terms) / len(terms)
+        out[i] = (len(terms), round(m, 6), round(_math.exp(m), 6))
+    return out
+
+
+@given(st.lists(st.lists(st.sampled_from(_WORDS), max_size=12),
+                min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None)
+def test_ngram_lm_matches_python_reference(docs_tokens):
+    spark = test_ngram_lm_matches_python_reference._spark
+    corpus = [(i, " ".join(t)) for i, t in enumerate(docs_tokens)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.n_terms, r.mean_nll, r.ppl)
+           for r in ngram_lm_score(df, alpha=0.5).collect()}
+    want = _py_lm(corpus)
+    for i, (n, m, p) in want.items():
+        gn, gm, gp = got[i]
+        assert gn == n
+        if m is None:
+            assert gm is None and gp is None
+        else:
+            assert gm == pytest.approx(m, abs=2e-6)
+            assert gp == pytest.approx(p, rel=1e-5)
+
+
+def _py_dup_spans(corpus, k):
+    toks = {i: t.split() for i, t in corpus}
+    cnt: dict[str, int] = {}
+    for t in toks.values():
+        for j in range(len(t) - k + 1):
+            g = " ".join(t[j:j + k])
+            cnt[g] = cnt.get(g, 0) + 1
+    out = {}
+    for i, t in toks.items():
+        pos = [j for j in range(len(t) - k + 1)
+               if cnt[" ".join(t[j:j + k])] > 1]
+        covered = set()
+        for j in pos:
+            covered.update(range(j, j + k))
+        # merged runs over covered positions
+        runs = []
+        for p in sorted(covered):
+            if runs and p == runs[-1][1]:
+                runs[-1][1] = p + 1
+            else:
+                runs.append([p, p + 1])
+        dup = sum(b - a for a, b in runs)
+        out[i] = (len(pos), len(runs), dup,
+                  max((b - a for a, b in runs), default=0),
+                  dup / max(len(t), 1))
+    return out
+
+
+@given(st.lists(st.lists(st.sampled_from(_WORDS), max_size=14),
+                min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=10, deadline=None)
+def test_dup_spans_match_python_reference(docs_tokens, k):
+    spark = test_dup_spans_match_python_reference._spark
+    corpus = [(i, " ".join(t)) for i, t in enumerate(docs_tokens)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.n_dup_grams, r.n_dup_spans, r.dup_tokens,
+                      r.longest_dup_span, r.dup_token_frac)
+           for r in dup_span_stats(df, k=k).collect()}
+    want = _py_dup_spans(corpus, k)
+    for i, w in want.items():
+        g = got[i]
+        assert g[:4] == w[:4], (i, g, w)
+        assert g[4] == pytest.approx(w[4])
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bind_spark(spark):
+    test_ngram_lm_matches_python_reference._spark = spark
+    test_dup_spans_match_python_reference._spark = spark
+    yield
