@@ -1,4 +1,5 @@
 from oxbow_spark.operators.asof import asof_join
+from oxbow_spark.operators.bpe import bpe_segment, bpe_train, word_freqs
 from oxbow_spark.operators.coverage import depth_profile
 from oxbow_spark.operators.decontam import ngram_decontaminate
 from oxbow_spark.operators.flagstat import flagstat
@@ -22,6 +23,9 @@ from oxbow_spark.operators.zoom import zoom_aggregate
 
 __all__ = [
     "asof_join",
+    "bpe_segment",
+    "bpe_train",
+    "word_freqs",
     "chain_frame",
     "closest_intervals",
     "complement_intervals",
