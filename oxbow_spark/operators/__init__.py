@@ -1,5 +1,6 @@
 from oxbow_spark.operators.asof import asof_join
 from oxbow_spark.operators.bpe import bpe_segment, bpe_train, word_freqs
+from oxbow_spark.operators.pileup import pileup
 from oxbow_spark.operators.coverage import depth_profile
 from oxbow_spark.operators.decontam import ngram_decontaminate
 from oxbow_spark.operators.flagstat import flagstat
@@ -24,6 +25,7 @@ from oxbow_spark.operators.zoom import zoom_aggregate
 __all__ = [
     "asof_join",
     "bpe_segment",
+    "pileup",
     "bpe_train",
     "word_freqs",
     "chain_frame",

@@ -1,0 +1,100 @@
+"""samtools-mpileup-style base pileup as pure Catalyst expressions.
+
+Given an alignment frame (rname, 1-based pos, cigar, seq), emit one row
+per covered reference base with nucleotide counts — the workhorse
+downstream of every alignment scan (variant eyeballing, consensus,
+error profiling). The reference (abdenlab/oxbow) scans alignments and
+leaves pileup to consumers; this is that consumer, Spark-first.
+
+Plan shape: the CIGAR walk is ONE ``aggregate`` fold per record
+(running read/ref offsets per op — no UDF, no per-record Python), base
+events explode from M/=/X segments (ref-consuming substitutions slice
+the read), deletion events from D segments; the only shuffle is the
+final (rname, refpos) hash aggregation, which takes map-side partial
+combine. At 100 TB the explode is inherently read-length × records —
+exactly pileup's output cardinality — and partial aggs keep the
+shuffle at covered-genome-positions size, not base-events size.
+Region-limit first (scan pushdown) for targeted pileups.
+
+Conventions (documented, deterministic):
+- M, =, X consume read+ref and contribute base counts (bases upcased;
+  anything outside ACGT counts as N);
+- D consumes ref and counts in ``n_del`` (and in ``depth``, matching
+  samtools' DP which spans deletions);
+- N (ref skip) consumes ref but contributes NOTHING (intron skip, not
+  a deletion); I/S consume read only; H/P consume nothing;
+- records with null cigar or null seq (unmapped / seq-less) are
+  skipped, like samtools does with '*' sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_READ_OPS = "'M','I','S','=','X'"
+_REF_OPS = "'M','D','N','=','X'"
+
+
+def _cigar_segments() -> Column:
+    """cigar → array<struct<op, len, q, r>> with per-op running read (q)
+    and ref (r) offsets, via one aggregate fold."""
+    return F.expr(
+        r"""aggregate(
+  arrays_zip(transform(regexp_extract_all(cigar, '(\\d+)[MIDNSHP=X]', 1),
+                       x -> CAST(x AS INT)),
+             regexp_extract_all(cigar, '\\d+([MIDNSHP=X])', 1)),
+  struct(CAST(array() AS ARRAY<STRUCT<op: STRING, len: INT, q: INT, r: INT>>) AS segs,
+         0 AS q, 0 AS r),
+  (acc, x) -> struct(
+     concat(acc.segs, array(struct(x.`1` AS op, x.`0` AS len,
+                                   acc.q AS q, acc.r AS r))),
+     acc.q + CASE WHEN x.`1` IN (""" + _READ_OPS + r""") THEN x.`0` ELSE 0 END,
+     acc.r + CASE WHEN x.`1` IN (""" + _REF_OPS + r""") THEN x.`0` ELSE 0 END),
+  acc -> acc.segs)"""
+    )
+
+
+def pileup(df: DataFrame, on: str = "rname", pos_col: str = "pos",
+           cigar_col: str = "cigar", seq_col: str = "seq") -> DataFrame:
+    """(rname, refpos, n_a, n_c, n_g, n_t, n_n, n_del, depth): per-base
+    pileup over 1-based inclusive reference positions."""
+    base = df.where(
+        F.col(cigar_col).isNotNull() & F.col(seq_col).isNotNull()
+    ).select(
+        F.col(on).alias("rname"),
+        F.col(pos_col).cast("long").alias("pos"),
+        F.col(cigar_col).alias("cigar"),
+        F.upper(F.col(seq_col)).alias("seq"),
+    )
+    seg = base.withColumn("_segs", _cigar_segments())
+    events = seg.select(
+        "rname",
+        F.explode(F.expr(
+            """flatten(transform(_segs, s ->
+  CASE WHEN s.op IN ('M','=','X') THEN
+    transform(sequence(1, s.len),
+              i -> struct(pos + s.r + i - 1 AS refpos,
+                          substr(seq, s.q + i, 1) AS base))
+  WHEN s.op = 'D' THEN
+    transform(sequence(1, s.len),
+              i -> struct(pos + s.r + i - 1 AS refpos,
+                          '*' AS base))
+  ELSE CAST(array() AS ARRAY<STRUCT<refpos: BIGINT, base: STRING>>)
+  END))""")).alias("e"),
+    ).select("rname", F.col("e.refpos").alias("refpos"),
+             F.col("e.base").alias("base"))
+
+    def cnt(cond: Column, name: str) -> Column:
+        return F.sum(cond.cast("long")).alias(name)
+
+    b = F.col("base")
+    return events.groupBy("rname", "refpos").agg(
+        cnt(b == "A", "n_a"),
+        cnt(b == "C", "n_c"),
+        cnt(b == "G", "n_g"),
+        cnt(b == "T", "n_t"),
+        cnt(~b.isin("A", "C", "G", "T", "*"), "n_n"),
+        cnt(b == "*", "n_del"),
+        F.count(F.lit(1)).alias("depth"),
+    )

@@ -1,0 +1,132 @@
+"""Pileup operator vs a brute-force Python CIGAR walk — hand cases,
+randomized records, and the real BAM fixture."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from oxbow_spark.operators.pileup import pileup
+
+_CIG = re.compile(r"(\d+)([MIDNSHP=X])")
+
+
+def _py_pileup(rows):
+    out: dict[tuple, dict] = {}
+    for rname, pos, cigar, seq in rows:
+        if cigar is None or seq is None:
+            continue
+        seq = seq.upper()
+        q = 0
+        r = 0
+        for ln, op in ((int(a), o) for a, o in _CIG.findall(cigar)):
+            if op in "M=X":
+                for i in range(ln):
+                    k = (rname, pos + r + i)
+                    d = out.setdefault(k, dict(a=0, c=0, g=0, t=0, n=0,
+                                               dl=0, dp=0))
+                    ch = seq[q + i] if q + i < len(seq) else "N"
+                    if ch in "ACGT":
+                        d[ch.lower()] += 1
+                    else:
+                        d["n"] += 1
+                    d["dp"] += 1
+                q += ln
+                r += ln
+            elif op == "D":
+                for i in range(ln):
+                    k = (rname, pos + r + i)
+                    d = out.setdefault(k, dict(a=0, c=0, g=0, t=0, n=0,
+                                               dl=0, dp=0))
+                    d["dl"] += 1
+                    d["dp"] += 1
+                r += ln
+            elif op == "N":
+                r += ln
+            elif op in "IS":
+                q += ln
+    return {
+        k: (d["a"], d["c"], d["g"], d["t"], d["n"], d["dl"], d["dp"])
+        for k, d in out.items()
+    }
+
+
+def _spark_pileup(spark, rows):
+    df = spark.createDataFrame(
+        rows, "rname string, pos long, cigar string, seq string")
+    return {
+        (r.rname, r.refpos): (r.n_a, r.n_c, r.n_g, r.n_t, r.n_n,
+                              r.n_del, r.depth)
+        for r in pileup(df).collect()
+    }
+
+
+def test_pileup_hand_case(spark):
+    rows = [
+        ("chr1", 10, "5M", "ACGTA"),
+        ("chr1", 12, "2M2D3M", "GGTTT"),     # del spans 14-15
+        ("chr1", 11, "2S3M", "NNACG"),       # soft clip consumes read only
+        ("chr1", 20, "2M3N2M", "ACGT"),      # intron skip: nothing at 22-24
+        ("chr1", 30, "1M1I2M", "AGCT"),      # insertion consumes read only
+        ("chr2", 5, "3M", "acg"),            # lowercase upcases
+        ("chr1", 40, None, "AAAA"),          # unmapped: skipped
+        ("chr1", 41, "4M", None),            # seq-less: skipped
+    ]
+    got = _spark_pileup(spark, rows)
+    want = _py_pileup(rows)
+    assert got == want
+    # spot checks
+    assert got[("chr1", 10)] == (1, 0, 0, 0, 0, 0, 1)
+    assert got[("chr1", 14)][5] == 1          # deletion counted
+    assert ("chr1", 22) not in got            # N-skip leaves a hole
+    assert got[("chr2", 5)] == (1, 0, 0, 0, 0, 0, 1)
+
+
+def test_pileup_random(spark):
+    import random
+
+    rng = random.Random(23)
+    ops = "MIDNS"
+    rows = []
+    for i in range(300):
+        pos = rng.randrange(1, 500)
+        cig = []
+        q_len = 0
+        for _ in range(rng.randrange(1, 5)):
+            ln = rng.randrange(1, 6)
+            op = rng.choice(ops)
+            cig.append(f"{ln}{op}")
+            if op in "MIS":
+                q_len += ln
+        seq = "".join(rng.choice("ACGTN") for _ in range(q_len))
+        rows.append((f"c{i % 3}", pos, "".join(cig), seq))
+    assert _spark_pileup(spark, rows) == _py_pileup(rows)
+
+
+def test_pileup_on_bam_fixture(spark):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    df = spark.read.format("bam").load(
+        "/root/reference/fixtures/sample.bam")
+    rows = [(r.rname, r.pos, r.cigar, r.seq)
+            for r in df.select("rname", "pos", "cigar", "seq").collect()
+            if r.rname is not None]
+    sub = spark.createDataFrame(
+        rows, "rname string, pos long, cigar string, seq string")
+    got = {
+        (r.rname, r.refpos): (r.n_a, r.n_c, r.n_g, r.n_t, r.n_n,
+                              r.n_del, r.depth)
+        for r in pileup(sub).collect()
+    }
+    assert got == _py_pileup(rows)
+    assert len(got) > 100
+
+
+def test_pileup_plan_partial_agg_no_join(spark):
+    df = spark.createDataFrame(
+        [("c", 1, "3M", "ACG")], "rname string, pos long, cigar string, seq string")
+    plan = pileup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
