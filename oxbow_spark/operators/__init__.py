@@ -1,6 +1,11 @@
 from oxbow_spark.operators.asof import asof_join
 from oxbow_spark.operators.bpe import bpe_segment, bpe_train, word_freqs
-from oxbow_spark.operators.pileup import pileup
+from oxbow_spark.operators.pileup import (
+    consensus,
+    naive_snv,
+    pileup,
+    ref_bases_frame,
+)
 from oxbow_spark.operators.coverage import depth_profile
 from oxbow_spark.operators.decontam import ngram_decontaminate
 from oxbow_spark.operators.flagstat import flagstat

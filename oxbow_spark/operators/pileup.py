@@ -98,3 +98,67 @@ def pileup(df: DataFrame, on: str = "rname", pos_col: str = "pos",
         cnt(b == "*", "n_del"),
         F.count(F.lit(1)).alias("depth"),
     )
+
+
+def consensus(pile: DataFrame, min_depth: int = 1,
+              min_frac: float = 0.0) -> DataFrame:
+    """(rname, refpos, consensus, support, depth, frac): majority base
+    per covered position from a `pileup` frame. Ties break A<C<G<T<N
+    (deterministic); positions below ``min_depth`` or whose winner falls
+    under ``min_frac`` of depth emit 'N'. Pure Project — no shuffle
+    beyond the pileup's own aggregation."""
+    counts = [("A", "n_a"), ("C", "n_c"), ("G", "n_g"), ("T", "n_t"),
+              ("N", "n_n")]
+    best = F.greatest(*[F.col(c) for _b, c in counts])
+    winner = F.coalesce(
+        *[F.when(F.col(c) == best, F.lit(b)) for b, c in counts])
+    frac = best.cast("double") / F.greatest(F.col("depth"), F.lit(1))
+    ok = (F.col("depth") >= min_depth) & (frac >= min_frac) & (best > 0)
+    return pile.select(
+        "rname", "refpos",
+        F.when(ok, winner).otherwise(F.lit("N")).alias("consensus"),
+        best.alias("support"),
+        "depth",
+        F.round(frac, 6).alias("frac"),
+    )
+
+
+def naive_snv(pile: DataFrame, ref: DataFrame, min_depth: int = 4,
+              min_alt_frac: float = 0.2) -> DataFrame:
+    """(rname, refpos, ref_base, alt, alt_count, depth, alt_frac):
+    naive SNV candidates — positions where a non-reference base clears
+    ``min_alt_frac`` of depth at ``min_depth`` coverage. ``ref`` is a
+    (rname, refpos, ref_base) frame (e.g. exploded from the FASTA
+    scan); the join is a plain equi-join on (rname, refpos) — broadcast
+    when the targeted region is small, shuffle otherwise. Ties break
+    A<C<G<T. The classic GATK-free smoke-test caller, not a genotyper."""
+    counts = [("A", "n_a"), ("C", "n_c"), ("G", "n_g"), ("T", "n_t")]
+    j = pile.join(ref, ["rname", "refpos"])
+    rb = F.upper(F.col("ref_base"))
+    alt_best = F.greatest(*[
+        F.when(F.lit(b) == rb, F.lit(0)).otherwise(F.col(c))
+        for b, c in counts])
+    alt = F.coalesce(*[
+        F.when((F.lit(b) != rb) & (F.col(c) == alt_best), F.lit(b))
+        for b, c in counts])
+    frac = alt_best.cast("double") / F.greatest(F.col("depth"), F.lit(1))
+    return (
+        j.where((F.col("depth") >= min_depth) & (alt_best > 0)
+                & (frac >= min_alt_frac))
+        .select("rname", "refpos", rb.alias("ref_base"),
+                alt.alias("alt"), alt_best.alias("alt_count"),
+                "depth", F.round(frac, 6).alias("alt_frac"))
+    )
+
+
+def ref_bases_frame(fasta: DataFrame, name_col: str = "name",
+                    seq_col: str = "sequence") -> DataFrame:
+    """FASTA scan frame → (rname, refpos, ref_base) with 1-based
+    positions — the reference side of `naive_snv`. posexplode of the
+    character-split sequence; narrow, no shuffle."""
+    return fasta.select(
+        F.col(name_col).alias("rname"),
+        F.posexplode(F.split(F.upper(F.col(seq_col)), "")).alias(
+            "_i", "ref_base"),
+    ).where(F.col("ref_base") != "").select(
+        "rname", (F.col("_i") + 1).cast("long").alias("refpos"), "ref_base")

@@ -7,7 +7,12 @@ import re
 
 import pytest
 
-from oxbow_spark.operators.pileup import pileup
+from oxbow_spark.operators.pileup import (
+    consensus,
+    naive_snv,
+    pileup,
+    ref_bases_frame,
+)
 
 _CIG = re.compile(r"(\d+)([MIDNSHP=X])")
 
@@ -130,3 +135,48 @@ def test_pileup_plan_partial_agg_no_join(spark):
     plan = pileup(df)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_consensus_and_naive_snv(spark):
+    rows = [
+        # chr1:10-14 reads: mostly A at 10, split C/T at 11, low cov at 12
+        ("chr1", 10, "2M", "AC"), ("chr1", 10, "2M", "AT"),
+        ("chr1", 10, "2M", "AC"), ("chr1", 10, "2M", "AT"),
+        ("chr1", 12, "1M", "G"),
+    ]
+    df = spark.createDataFrame(
+        rows, "rname string, pos long, cigar string, seq string")
+    pile = pileup(df)
+    cons = {(r.rname, r.refpos): r for r in consensus(
+        pile, min_depth=2, min_frac=0.5).collect()}
+    assert cons[("chr1", 10)].consensus == "A"
+    assert cons[("chr1", 10)].support == 4
+    # 11: C=2 T=2 tie -> C (A<C<G<T order), frac 0.5 passes
+    assert cons[("chr1", 11)].consensus == "C"
+    # 12: depth 1 < min_depth -> N
+    assert cons[("chr1", 12)].consensus == "N"
+
+    ref = spark.createDataFrame(
+        [("chr1", 10, "A"), ("chr1", 11, "C"), ("chr1", 12, "G")],
+        "rname string, refpos long, ref_base string")
+    snv = {(r.rname, r.refpos): r for r in naive_snv(
+        pile, ref, min_depth=2, min_alt_frac=0.4).collect()}
+    # 10 is hom-ref (no alt); 11 has T at 0.5 vs ref C; 12 under depth
+    assert ("chr1", 10) not in snv
+    assert snv[("chr1", 11)].alt == "T" and snv[("chr1", 11)].alt_count == 2
+    assert ("chr1", 12) not in snv
+
+
+def test_ref_bases_frame_and_end_to_end_fasta(spark):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    fa = spark.read.format("fasta").load(
+        "/root/reference/fixtures/sample.fasta")
+    ref = ref_bases_frame(fa)
+    one = {r.refpos: r.ref_base
+           for r in ref.where(ref.rname == ref.first().rname)
+           .orderBy("refpos").limit(5).collect()}
+    seqs = {r.name: r.sequence for r in fa.collect()}
+    nm = sorted(seqs)[0] if False else ref.first().rname
+    assert "".join(one[i] for i in sorted(one)) == seqs[nm][:5].upper()
