@@ -110,6 +110,7 @@ def minhash_hash_exprs(s, num_hashes: int = 8) -> list:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, shingle_k: int = 3, _sh: DataFrame | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, sig_0..sig_{H-1}): per-doc MinHash signature.
 
@@ -132,6 +133,22 @@ def minhash_signatures(
         tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
         staged = tok.select(
             F.col(id_col), shingles_of(F.col("_t"), shingle_k).alias("_shg")
+        )
+    if hash_fn == "xxhash64":
+        # the documented production swap: one JVM xxhash64 per hash
+        # function (seeded by the function index literal), numeric min
+        # over longs — same plan shape (Project + array_min), ~an order
+        # cheaper per shingle than md5; loses only the cross-engine
+        # oracle mirror, which is why md5 stays the default
+        def _xx(j: int):
+            return lambda sh: F.xxhash64(F.lit(j), sh)
+
+        return staged.select(
+            F.col(id_col),
+            *[
+                F.array_min(F.transform("_shg", _xx(j))).alias(f"sig_{j}")
+                for j in range(num_hashes)
+            ],
         )
     n_dig = (num_hashes + 3) // 4
 
@@ -164,7 +181,7 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id",
-    num_hashes: int = 8, band_rows: int = 2,
+    num_hashes: int = 8, band_rows: int = 2, hash_fn: str = "md5",
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band.
 
@@ -175,7 +192,11 @@ def lsh_candidate_pairs(
     bands = []
     for b in range(num_hashes // band_rows):
         parts = [F.col(f"sig_{b * band_rows + r}") for r in range(band_rows)]
-        bands.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key")))
+        if hash_fn == "xxhash64":
+            key = F.xxhash64(F.lit(b), *parts).cast("string")
+        else:
+            key = F.md5(F.concat_ws("|", *parts))
+        bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
     e = sigs.select(F.col(id_col), F.explode(F.array(*bands)).alias("bk"))
     a = e.select(F.col(id_col).alias("id_a"), F.col("bk").alias("k"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("bk").alias("k"))
@@ -211,7 +232,7 @@ def minhash_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, band_rows: int = 2, shingle_k: int = 3,
     threshold: float = 0.5, storage_level: StorageLevel | None = None,
-    eager_barriers: bool = True,
+    eager_barriers: bool = True, hash_fn: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidate pairs verified >= threshold.
 
@@ -238,9 +259,10 @@ def minhash_dedup_pairs(
         else StorageLevel.MEMORY_AND_DISK
     )
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k
+        df, text_col, id_col, num_hashes, shingle_k, hash_fn=hash_fn
     ).persist(level)
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows).persist(level)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows,
+                               hash_fn=hash_fn).persist(level)
     if eager_barriers:
         sigs.count()
         cand.count()
