@@ -347,3 +347,72 @@ def chunk_documents(
         .alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    benchmarks: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ppl: float | None = None,
+    minhash_threshold: float = 0.5,
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """End-to-end training-corpus curation — the composition every
+    operator in this family exists for, in the standard order:
+
+    1. quality gate   — `text.quality_score(...).passes`
+    2. repetition gate — `text.repetition_stats(...).repetition_ok`
+    3. perplexity gate — corpus-fit bigram LM ≤ ``max_ppl`` (optional)
+    4. exact dedup    — md5 text digest, keep min id per group
+    5. near dedup     — MinHash-LSH verified pairs → connected
+       components, keep each cluster's canonical (min id) doc
+    6. decontamination — drop docs overlapping ``benchmarks`` (optional)
+    7. split assignment — stable md5 buckets (defaults 98/1/1)
+
+    Returns the curated frame: (id, text, split). Every stage is one of
+    this repo's oracle-checked operators; the composition itself adds
+    only semi/anti joins on id sets (broadcast when small, AQE
+    otherwise). Write out with
+    ``df.write.partitionBy('split').parquet(...)`` — hash splits are
+    append-stable, so re-crawled corpora extend without test-set leak."""
+    from oxbow_spark.operators import text as text_ops
+    from oxbow_spark.operators.decontam import ngram_decontaminate
+    from oxbow_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
+
+    base = df.select(id_col, text_col)
+
+    ok_q = text_ops.quality_score(df, text_col, id_col) \
+        .where(F.col("passes")).select(id_col)
+    ok_r = text_ops.repetition_stats(df, text_col, id_col) \
+        .where(F.col("repetition_ok")).select(id_col)
+    keep = base.join(ok_q, id_col, "left_semi") \
+               .join(ok_r, id_col, "left_semi")
+    if max_ppl is not None:
+        ok_p = text_ops.ngram_lm_score(df, text_col, id_col) \
+            .where(F.col("ppl").isNotNull() & (F.col("ppl") <= max_ppl)) \
+            .select(id_col)
+        keep = keep.join(ok_p, id_col, "left_semi")
+
+    # exact dedup: keep each digest group's canonical (min id) member
+    ex = exact_dedup(keep, text_col, id_col)
+    keep = keep.join(ex.select(F.col("keep_id").alias(id_col)),
+                     id_col, "left_semi")
+
+    # near dedup: verified pair graph → connected components → keep
+    # each component's canonical (min id, == its cluster label)
+    pairs = minhash_dedup_pairs(keep, text_col, id_col,
+                                threshold=minhash_threshold)
+    near_drop = connected_components(pairs, "id_a", "id_b") \
+        .where(F.col("v") != F.col("cluster")) \
+        .select(F.col("v").alias(id_col))
+    keep = keep.join(near_drop, id_col, "left_anti")
+
+    if benchmarks is not None:
+        hits = ngram_decontaminate(keep, benchmarks, text_col=text_col,
+                                   id_col=id_col).where(F.col("contaminated"))
+        keep = keep.join(hits.select(id_col), id_col, "left_anti")
+
+    sp = hash_split(keep, splits or {"train": 0.98, "val": 0.01,
+                                     "test": 0.01}, id_col=id_col)
+    return keep.join(sp, id_col)

@@ -272,3 +272,50 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_curate_corpus_end_to_end(spark):
+    """Every gate observable on a hand-built corpus: quality fail,
+    repetition fail, exact dup, near dup, benchmark contamination — the
+    survivors carry stable split labels."""
+    from oxbow_spark.operators.pipeline import curate_corpus
+
+    good = ("the quick brown fox jumps over a lazy dog and then it "
+            "runs far away into one quiet green forest while keeping "
+            "its steady pace across fallen logs under pale morning "
+            "light before resting near clear water by mossy stones")
+    other = ("the careful gray cat sits on a warm stone wall watching "
+             "small birds in an open garden today as gentle wind moves "
+             "through tall dry grass and loose leaves drift slowly "
+             "past old wooden gates toward narrow gravel paths")
+    contaminated = ("these benchmark words are very secret and they "
+                    "leak into the training data for this test of "
+                    "decontamination while every other sentence here "
+                    "stays ordinary filler prose about nothing at all")
+    rows = [
+        (1, good),
+        (2, good),                                   # exact dup of 1
+        (3, good + " tonight"),                      # near dup of 1
+        (4, "a a a a a a a a a a a a a a a a a a"),  # repetition fail
+        (5, "xx"),                                   # quality fail (short)
+        (6, other),
+        (7, contaminated),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "these benchmark words are very secret")],
+        "doc_id long, text string")
+    out = curate_corpus(docs, benchmarks=bench, minhash_threshold=0.5)
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert 1 in got            # canonical survives
+    assert 2 not in got        # exact dup dropped
+    assert 3 not in got        # near dup dropped
+    assert 4 not in got        # repetition gate
+    assert 5 not in got        # quality gate
+    assert 6 in got
+    assert 7 not in got        # decontaminated
+    assert set(got.values()) <= {"train", "val", "test"}
+    # determinism
+    again = {r.doc_id: r.split for r in curate_corpus(
+        docs, benchmarks=bench, minhash_threshold=0.5).collect()}
+    assert again == got
