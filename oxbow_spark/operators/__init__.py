@@ -1,5 +1,11 @@
 from oxbow_spark.operators.asof import asof_join
 from oxbow_spark.operators.bpe import bpe_segment, bpe_train, word_freqs
+from oxbow_spark.operators.classifier import (
+    classifier_filter,
+    score_quality,
+    train_quality_classifier,
+    weak_labels_from_heuristics,
+)
 from oxbow_spark.operators.pileup import (
     consensus,
     naive_snv,
