@@ -1288,7 +1288,9 @@ class SliceDecoder:
             else:
                 if not cf & 0x8:
                     o = ba_off_l[i] + ba_used
-                    seq = ba_buf[o:o + rl].decode("ascii", "replace")
+                    # '' → None: a zero-length unmapped sequence is
+                    # absent ('*'), matching the mapped rl<=0 rule
+                    seq = ba_buf[o:o + rl].decode("ascii", "replace") or None
             if cf & 0x1:
                 o = qs_slab[i]
                 if qs_nonff is None:
@@ -1437,7 +1439,7 @@ class SliceDecoder:
                         raw_seq = self.streams[ba.cid].read(rl)
                     else:
                         raw_seq = bytes(self._get_b("BA") for _ in range(rl))
-                    seq = raw_seq.decode("ascii", "replace")
+                    seq = raw_seq.decode("ascii", "replace") or None
             if cf & 0x1:
                 qs = self._get_a("QS", rl)
                 if not all(q == 0xFF for q in qs):

@@ -429,3 +429,33 @@ def test_arrow_emit_engages_and_matches_loop(tmp_path):
                 assert fast == slow, opts
     finally:
         cram_mod.SliceDecoder.records_any = orig
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_fuzz_all_feature_types_arrow_equals_loop(tmp_path, seed):
+    """Randomized corpora over EVERY feature type, mate shapes and
+    presence flags: arrow/vectorized output must equal the per-record
+    loop exactly (bail counts as equal by construction — but at least
+    one slice per corpus must take the fast path)."""
+    from tests.cram_synth_big import build_fuzz_cram
+    from oxbow_spark.sources import cram as cram_mod
+
+    p = tmp_path / f"fz{seed}.cram"
+    p.write_bytes(build_fuzz_cram(seed))
+    engaged = {"arrow": 0, "rows": 0}
+    orig = cram_mod.SliceDecoder.records_any
+
+    def spy(self, w):
+        k, o = orig(self, w)
+        engaged[k] += 1
+        return k, o
+
+    cram_mod.SliceDecoder.records_any = spy
+    try:
+        fast = _scan_rows(str(p), reference="")
+    finally:
+        cram_mod.SliceDecoder.records_any = orig
+    slow = _scan_rows(str(p), force_loop=True, reference="")
+    assert fast == slow
+    assert engaged["arrow"] > 0, engaged
+    assert len(fast) == 800
