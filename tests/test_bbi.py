@@ -276,3 +276,52 @@ def test_bigbed_typed_vectorized_engages_and_matches(gspark, tmp_path):
             for r in gspark.read.format("bigbed").load(p3).collect()}
     assert rows[("chr2", 10)].pValue is None
     assert rows[("chr2", 10)].peak is None
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_bigbed_typed_fuzz_fast_equals_loop(gspark, tmp_path, seed):
+    """Random typed schemas and adversarial values (negatives, '+5',
+    dots, empties, inf/nan floats, trailing-comma lists, ragged rows):
+    the split+cast fast path must equal the parser loop — falling back
+    counts, silently diverging does not."""
+    import random
+
+    rng = random.Random(seed)
+    field_types = ["string", "int", "uint", "float", "double",
+                   "int[3]", "float[2]", "string[2]", "bigint"]
+    n_fields = rng.randrange(1, 5)
+    chosen = [rng.choice(field_types) for _ in range(n_fields)]
+    fields = "\n".join(
+        f"    {t:8s} f{i};  \"field {i}\"" for i, t in enumerate(chosen))
+    asql = (f'table fuzz\n"fuzz"\n(\n'
+            f'    string chrom; "c"\n    uint chromStart; "s"\n'
+            f'    uint chromEnd; "e"\n{fields}\n)\n')
+
+    def val(t):
+        if t.startswith("string["):
+            return rng.choice(["a,b", "x,", ",", "a,b,", "."])
+        if "[" in t:  # numeric list
+            base = rng.choice(["1,2,3", "4,5,", "-1,0,7", "."])
+            return base
+        if t == "string":
+            return rng.choice(["hello", ".", "", "x.y", "a b"])
+        if t in ("float", "double"):
+            return rng.choice(["1.5", "-2.25", ".", "", "1e3", "0.0"])
+        return rng.choice(["0", "7", "-3", "1000000", ".", ""])
+
+    rows = []
+    pos = 0
+    for i in range(60):
+        rest_vals = [val(t) for t in chosen]
+        if rng.random() < 0.1:
+            rest_vals = rest_vals[:max(0, len(rest_vals) - 1)]  # ragged
+        rows.append((f"chr{1 + i % 2}", pos, pos + 10,
+                     *rest_vals))
+        pos += 20
+    # _write_bigbed packs rest as tab-joined str() of the extras
+    packed = [(c, s, e) + tuple(vs) for c, s, e, *vs in rows]
+    p = str(tmp_path / "fz.bb")
+    _write_bigbed(p, asql, packed)
+    fast = _bb_scan(p)
+    slow = _bb_scan(p, force_loop=True)
+    assert fast == slow, (asql, fast[:3], slow[:3])
