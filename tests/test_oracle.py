@@ -100,3 +100,18 @@ def test_registry_fits_driver_window():
     assert len(set(names)) == len(names)
     # bench rows must reference callables that exist (name continuity)
     assert all(callable(q.fn) for q in BENCH_QUERIES)
+
+
+def test_bench_names_stable():
+    """BENCH_QUERIES keeps the r1-r4 benchmark row names so
+    BENCH_r{N}.json stays comparable round over round."""
+    from oxbow_spark.queries.registry import BENCH_QUERIES
+
+    assert [q.name for q in BENCH_QUERIES] == [
+        "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
+        "q14_promo_revenue", "range_filter_events", "window_dedup_best",
+        "zoom_binned_agg", "interval_overlap_join", "dedup_minhash_docs",
+        "dedup_simhash_docs", "text_stats_docs", "repetition_docs",
+        "bm25_topk_docs", "sim_topk_cosine", "sim_topk_lsh",
+        "sessionize_events", "mm_decode_image_docs",
+    ]
