@@ -6,7 +6,12 @@ from oxbow_spark.operators.classifier import (
     train_quality_classifier,
     weak_labels_from_heuristics,
 )
-from oxbow_spark.operators.popgen import allele_stats, genotype_alleles
+from oxbow_spark.operators.popgen import (
+    allele_stats,
+    genotype_alleles,
+    sample_qc,
+    titv,
+)
 from oxbow_spark.operators.pileup import (
     consensus,
     naive_snv,

@@ -87,3 +87,65 @@ def allele_stats(df: DataFrame, alleles_col: str = "alleles",
         F.when(n_alt == 1, maf).alias("maf"),
         hwe.alias("hwe_chi2"),
     )
+
+
+def sample_qc(df: DataFrame, samples_col: str = "samples") -> DataFrame:
+    """(sample, n_variants, n_called, call_rate, n_het, het_rate,
+    n_hom_alt): per-sample cohort QC — missingness and heterozygosity,
+    the first-pass sample filters of any association workflow. One
+    posexplode over the (schema-enumerated) per-sample GT arrays + one
+    hash agg keyed by sample index; cohort size changes the array
+    width, not the plan."""
+    names = [f.name for f in df.schema[samples_col].dataType.fields]
+    gts = F.array(*[F.col(f"{samples_col}.{s}.GT.allele") for s in names])
+    ex = df.select(F.posexplode(gts).alias("_si", "g"))
+    called = F.col("g").isNotNull() & ~F.exists("g", lambda a: a.isNull())
+    het = called & (F.size(F.array_distinct("g")) > 1)
+    hom_alt = called & (F.size(F.array_distinct("g")) == 1) \
+        & (F.col("g")[0] > 0)
+    agg = ex.groupBy("_si").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.sum(called.cast("long")).alias("n_called"),
+        F.sum(het.cast("long")).alias("n_het"),
+        F.sum(hom_alt.cast("long")).alias("n_hom_alt"),
+    )
+    name_arr = F.array(*[F.lit(s) for s in names])
+    return agg.select(
+        F.element_at(name_arr, F.col("_si") + 1).alias("sample"),
+        "n_variants", "n_called",
+        F.round(F.col("n_called") / F.greatest("n_variants", F.lit(1)), 6)
+        .alias("call_rate"),
+        "n_het",
+        F.round(F.col("n_het") / F.greatest("n_called", F.lit(1)), 6)
+        .alias("het_rate"),
+        "n_hom_alt",
+    )
+
+
+_TI = {("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")}
+
+
+def titv(df: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
+    """(… , n_ti, n_tv, titv): transition/transversion counts over
+    biallelic SNVs (ref and alt both single bases), optionally grouped
+    by ``by`` columns (e.g. ('chrom',)) — the canonical callset QC
+    ratio (~2.0-2.1 genome-wide for real human data; ~0.5 for random
+    noise). Pure conditional aggregation."""
+    snv = df.where(
+        (F.length("ref") == 1) & (F.size("alt") == 1)
+        & (F.length(F.element_at("alt", 1)) == 1))
+    r = F.upper(F.col("ref"))
+    a = F.upper(F.element_at("alt", 1))
+    is_ti = F.lit(False)
+    for x, y in sorted(_TI):
+        is_ti = is_ti | ((r == x) & (a == y))
+    acgt = r.isin("A", "C", "G", "T") & a.isin("A", "C", "G", "T") & (r != a)
+    snv = snv.where(acgt)
+    agg = snv.groupBy(*by).agg(
+        F.sum(is_ti.cast("long")).alias("n_ti"),
+        F.sum((~is_ti).cast("long")).alias("n_tv"),
+    )
+    return agg.select(
+        *by, "n_ti", "n_tv",
+        F.round(F.col("n_ti") / F.greatest("n_tv", F.lit(1)), 6)
+        .alias("titv"))

@@ -106,3 +106,52 @@ def test_allele_stats_on_vcf_fixture(spark):
         assert got[k][0] == w[0] and got[k][1] == w[1]
         assert got[k][2] == w[3] and got[k][3] == w[4]
     assert len(got) >= 24
+
+
+def test_sample_qc(spark):
+    from oxbow_spark.sources import register_all
+
+    from oxbow_spark.operators.popgen import sample_qc
+
+    register_all(spark)
+    df = (spark.read.format("vcf")
+          .option("genotypes", "true").option("samples_nested", "true")
+          .load("/root/reference/fixtures/sample.vcf"))
+    got = {r.sample: r for r in sample_qc(df).collect()}
+    names = [f.name for f in df.schema["samples"].dataType.fields]
+    assert set(got) == set(names)
+    # python reference
+    rows = df.select("samples").collect()
+    for si, s in enumerate(names):
+        n = len(rows)
+        gts = [r.samples[si].GT.allele if r.samples[si] and r.samples[si].GT
+               else None for r in rows]
+        called = [g for g in gts if g is not None and None not in g]
+        het = sum(1 for g in called if len(set(g)) > 1)
+        assert got[s].n_variants == n
+        assert got[s].n_called == len(called), s
+        assert got[s].n_het == het, s
+        assert got[s].call_rate == pytest.approx(
+            round(len(called) / max(n, 1), 6))
+
+
+def test_titv(spark):
+    from oxbow_spark.operators.popgen import titv
+
+    rows = [
+        ("1", 1, "A", ["G"]),   # ti
+        ("1", 2, "C", ["T"]),   # ti
+        ("1", 3, "A", ["C"]),   # tv
+        ("1", 4, "G", ["T"]),   # tv
+        ("2", 5, "T", ["C"]),   # ti
+        ("2", 6, "AT", ["A"]),  # indel: excluded
+        ("2", 7, "A", ["G", "T"]),  # multiallelic: excluded
+        ("2", 8, "N", ["A"]),   # non-ACGT: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "chrom string, pos int, ref string, alt array<string>")
+    total = titv(df).collect()[0]
+    assert (total.n_ti, total.n_tv) == (3, 2)
+    assert total.titv == pytest.approx(1.5)
+    per = {r.chrom: (r.n_ti, r.n_tv) for r in titv(df, by=("chrom",)).collect()}
+    assert per == {"1": (2, 2), "2": (1, 0)}
