@@ -418,6 +418,7 @@ def test_arrow_emit_engages_and_matches_loop(tmp_path):
             {"regions": "chr1:1500-20000", "fields": "rname,pos,end,cigar"},
             {"coords": "01"},  # coordinate shift through _arrow_shift
             {"coords": "01", "regions": "chr1:2000-9000"},
+            {"batch_size": "7"},  # slicing path of the arrow emit
         ):
             engaged.update(arrow=0, rows=0)
             fast = _scan_rows(str(p), reference="", **opts)
