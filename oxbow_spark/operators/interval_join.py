@@ -53,11 +53,15 @@ def overlap_join(
     right_start: str = "start",
     right_end: str = "end",
     how: str = "inner",
+    min_overlap_frac: float | None = None,
 ) -> DataFrame:
     """Join rows whose half-open intervals overlap, per partition key(s).
 
     Overlap predicate: ``l.start < r.end AND r.start < l.end`` (0-based
     half-open; normalize 1-based inputs with oxbow_spark.coords first).
+    ``min_overlap_frac`` adds the bedtools ``-f`` requirement: the
+    clipped overlap must cover at least that fraction of the LEFT
+    interval's length (still a pure join predicate — no extra pass).
     Column name collisions between left and right must be resolved by the
     caller (alias/prefix) except the ``on`` keys, which are coalesced.
     """
@@ -73,6 +77,11 @@ def overlap_join(
     ls, le = lc(left_start).cast("bigint"), lc(left_end).cast("bigint")
     rs, re_ = rc(right_start).cast("bigint"), rc(right_end).cast("bigint")
     cond.append((ls < re_) & (rs < le))
+    if min_overlap_frac is not None:
+        ov = F.least(le, re_) - F.greatest(ls, rs)
+        cond.append(
+            ov.cast("double")
+            >= F.lit(float(min_overlap_frac)) * (le - ls).cast("double"))
     # dedup-without-shuffle: emit the pair only from the bin that contains
     # the larger of the two starts (that bin always exists and is unique).
     cond.append(lc("_l_bin") == F.floor(F.greatest(ls, rs) / F.lit(bin_size)))

@@ -210,6 +210,7 @@ def closest_intervals(
     a: DataFrame, b: DataFrame, bin_size: int, on: str = "chrom",
     a_start: str = "start", a_end: str = "end", a_id: str = "a_id",
     b_start: str = "start", b_end: str = "end", b_id: str = "b_id",
+    k: int = 1,
 ) -> DataFrame:
     """bedtools-closest: for each ``a`` interval, the nearest ``b``
     interval on the same key and the distance to it — 0 when they
@@ -272,13 +273,20 @@ def closest_intervals(
     )
     cand = ovl.unionByName(prev).unionByName(nxt)
     w = Window.partitionBy("_aid").orderBy("_dist", "_bid")
-    best = cand.withColumn("_rn", F.row_number().over(w)) \
-        .where(F.col("_rn") == 1).select("_aid", "_bid", "_dist")
-    return aa.join(best, "_aid", "left").select(
+    # the three candidate passes are disjoint per b-row (overlap needs
+    # bs < ae <= be and as < be; prev needs be <= as; next needs
+    # bs >= ae), so no per-(a, b) dedup is required before ranking
+    best = (cand
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("_aid", "_bid", "_dist", "_rn"))
+    out = aa.join(best, "_aid", "left").select(
         F.col("_aid").alias(a_id), F.col("_on").alias(on),
         F.col("_as").alias(a_start), F.col("_ae").alias(a_end),
         F.col("_bid").alias(b_id), F.col("_dist").alias("distance"),
+        F.coalesce("_rn", F.lit(1)).alias("rank"),
     )
+    return out.drop("rank") if k == 1 else out
 
 
 def complement_intervals(

@@ -315,3 +315,38 @@ def test_merge_split_bp_random_property(spark):
     plain = _canon_merge(merge_intervals(df))
     for bp in (100, 128, 333, 1 << 20):
         assert _canon_merge(merge_intervals(df, split_bp=bp)) == plain, bp
+
+
+def test_overlap_join_min_fraction(spark):
+    from oxbow_spark.operators.interval_join import overlap_join
+
+    a = spark.createDataFrame(
+        [(1, "c", 0, 100)], "a_id long, chrom string, start long, end long")
+    b = spark.createDataFrame(
+        [(10, "c", 90, 200), (11, "c", 40, 200), (12, "c", 150, 300)],
+        "b_id long, chrom string, b_start long, b_end long")
+    full = overlap_join(a, b, bin_size=64, right_start="b_start",
+                        right_end="b_end")
+    assert sorted(r.b_id for r in full.collect()) == [10, 11]
+    # -f 0.5: overlap must cover >= 50% of the LEFT interval (100bp)
+    half = overlap_join(a, b, bin_size=64, right_start="b_start",
+                        right_end="b_end", min_overlap_frac=0.5)
+    assert sorted(r.b_id for r in half.collect()) == [11]
+
+
+def test_closest_k_nearest(spark):
+    from oxbow_spark.operators.interval_ops import closest_intervals
+
+    a = spark.createDataFrame(
+        [(1, "c", 100, 110)], "a_id long, chrom string, start long, end long")
+    b = spark.createDataFrame(
+        [(10, "c", 100, 105), (11, "c", 120, 130), (12, "c", 60, 70),
+         (13, "c", 300, 310)],
+        "b_id long, chrom string, start long, end long")
+    got = sorted((r.rank, r.b_id, r.distance)
+                 for r in closest_intervals(a, b, bin_size=64, k=3).collect())
+    # overlap (0), next at 10, prev at 30 — bedtools -k 3 order
+    assert got == [(1, 10, 0), (2, 11, 10), (3, 12, 30)]
+    # k=1 keeps the original single-winner schema (no rank column)
+    one = closest_intervals(a, b, bin_size=64).columns
+    assert "rank" not in one
