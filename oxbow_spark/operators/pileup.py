@@ -56,40 +56,54 @@ def _cigar_segments() -> Column:
 
 
 def pileup(df: DataFrame, on: str = "rname", pos_col: str = "pos",
-           cigar_col: str = "cigar", seq_col: str = "seq") -> DataFrame:
-    """(rname, refpos, n_a, n_c, n_g, n_t, n_n, n_del, depth): per-base
-    pileup over 1-based inclusive reference positions."""
-    base = df.where(
-        F.col(cigar_col).isNotNull() & F.col(seq_col).isNotNull()
-    ).select(
+           cigar_col: str = "cigar", seq_col: str = "seq",
+           qual_col: str | None = None) -> DataFrame:
+    """(rname, refpos, n_a, n_c, n_g, n_t, n_n, n_del, depth
+    [, mean_bq]): per-base pileup over 1-based inclusive reference
+    positions. With ``qual_col`` (phred+33 string, SAM layout), adds the
+    mean base quality of the read bases covering each position
+    (deletions excluded; records with null qual contribute bases but no
+    quality — samtools' treatment of '*' quals)."""
+    with_q = qual_col is not None
+    cols = [
         F.col(on).alias("rname"),
         F.col(pos_col).cast("long").alias("pos"),
         F.col(cigar_col).alias("cigar"),
         F.upper(F.col(seq_col)).alias("seq"),
-    )
+    ]
+    if with_q:
+        cols.append(F.col(qual_col).alias("_qual"))
+    base = df.where(
+        F.col(cigar_col).isNotNull() & F.col(seq_col).isNotNull()
+    ).select(*cols)
     seg = base.withColumn("_segs", _cigar_segments())
+    q_expr = ("CASE WHEN _qual IS NOT NULL "
+              "THEN ascii(substr(_qual, s.q + i, 1)) - 33 "
+              "ELSE CAST(NULL AS INT) END" if with_q
+              else "CAST(NULL AS INT)")
     events = seg.select(
         "rname",
         F.explode(F.expr(
-            """flatten(transform(_segs, s ->
+            f"""flatten(transform(_segs, s ->
   CASE WHEN s.op IN ('M','=','X') THEN
     transform(sequence(1, s.len),
               i -> struct(pos + s.r + i - 1 AS refpos,
-                          substr(seq, s.q + i, 1) AS base))
+                          substr(seq, s.q + i, 1) AS base,
+                          {q_expr} AS bq))
   WHEN s.op = 'D' THEN
     transform(sequence(1, s.len),
               i -> struct(pos + s.r + i - 1 AS refpos,
-                          '*' AS base))
-  ELSE CAST(array() AS ARRAY<STRUCT<refpos: BIGINT, base: STRING>>)
+                          '*' AS base, CAST(NULL AS INT) AS bq))
+  ELSE CAST(array() AS ARRAY<STRUCT<refpos: BIGINT, base: STRING, bq: INT>>)
   END))""")).alias("e"),
     ).select("rname", F.col("e.refpos").alias("refpos"),
-             F.col("e.base").alias("base"))
+             F.col("e.base").alias("base"), F.col("e.bq").alias("bq"))
 
     def cnt(cond: Column, name: str) -> Column:
         return F.sum(cond.cast("long")).alias(name)
 
     b = F.col("base")
-    return events.groupBy("rname", "refpos").agg(
+    aggs = [
         cnt(b == "A", "n_a"),
         cnt(b == "C", "n_c"),
         cnt(b == "G", "n_g"),
@@ -97,7 +111,10 @@ def pileup(df: DataFrame, on: str = "rname", pos_col: str = "pos",
         cnt(~b.isin("A", "C", "G", "T", "*"), "n_n"),
         cnt(b == "*", "n_del"),
         F.count(F.lit(1)).alias("depth"),
-    )
+    ]
+    if with_q:
+        aggs.append(F.round(F.avg("bq"), 6).alias("mean_bq"))
+    return events.groupBy("rname", "refpos").agg(*aggs)
 
 
 def consensus(pile: DataFrame, min_depth: int = 1,

@@ -180,3 +180,23 @@ def test_ref_bases_frame_and_end_to_end_fasta(spark):
     seqs = {r.name: r.sequence for r in fa.collect()}
     nm = sorted(seqs)[0] if False else ref.first().rname
     assert "".join(one[i] for i in sorted(one)) == seqs[nm][:5].upper()
+
+
+def test_pileup_mean_base_quality(spark):
+    rows = [
+        ("chr1", 10, "3M", "ACG", "!#%"),   # phred 0, 2, 4
+        ("chr1", 11, "2M", "CC", "++"),     # phred 10, 10 at 11-12
+        ("chr1", 20, "1M1D1M", "AT", "5#"), # del at 21 carries no bq
+        ("chr1", 30, "2M", "GG", None),     # null qual: bases, no bq
+    ]
+    df = spark.createDataFrame(
+        rows, "rname string, pos long, cigar string, seq string, qual string")
+    got = {r.refpos: r for r in pileup(df, qual_col="qual").collect()}
+    assert got[10].mean_bq == pytest.approx(0.0)
+    assert got[11].mean_bq == pytest.approx((2 + 10) / 2)
+    assert got[12].mean_bq == pytest.approx((4 + 10) / 2)
+    assert got[21].mean_bq is None and got[21].n_del == 1
+    assert got[22].mean_bq == pytest.approx(2.0)  # '#' on the M after D
+    assert got[30].mean_bq is None and got[30].n_g == 1
+    # without qual_col the schema is unchanged
+    assert "mean_bq" not in pileup(df).columns
