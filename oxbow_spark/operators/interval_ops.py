@@ -37,7 +37,8 @@ _NEG_INF = -(1 << 62)
 
 
 def _merge_runs(base: DataFrame, keys: list[str],
-                start_col: str, end_col: str) -> DataFrame:
+                start_col: str, end_col: str,
+                distance: int = 0) -> DataFrame:
     """Core merge pass over (_s, _e, _w) rows: running-max window keyed
     by ``keys`` + one hash agg. ``_w`` weights sum into n_merged, which
     makes the pass composable (chunk pieces carry weight 0/1; stitch
@@ -45,7 +46,8 @@ def _merge_runs(base: DataFrame, keys: list[str],
     w = Window.partitionBy(*keys).orderBy("_s", "_e")
     prev_max = F.max("_e").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
-    new_grp = (F.col("_s") > F.coalesce(prev_max, F.lit(_NEG_INF))).cast("long")
+    new_grp = (F.col("_s") > F.coalesce(prev_max, F.lit(_NEG_INF))
+               + distance).cast("long")
     grp = F.sum(new_grp).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
@@ -63,7 +65,7 @@ def _merge_runs(base: DataFrame, keys: list[str],
 def merge_intervals(
     df: DataFrame, on: str = "chrom",
     start_col: str = "start", end_col: str = "end",
-    split_bp: int | None = None,
+    split_bp: int | None = None, distance: int = 0,
 ) -> DataFrame:
     """(chrom, start, end, n_merged): union of overlapping OR adjacent
     intervals per key (bedtools-merge default: bookended intervals
@@ -83,9 +85,11 @@ def merge_intervals(
     )
     if split_bp is None:
         return _merge_runs(base.withColumn("_w", F.lit(1).cast("long")),
-                           [on], start_col, end_col)
+                           [on], start_col, end_col, distance)
 
     bp = int(split_bp)
+    if distance >= bp:
+        raise ValueError("distance must be smaller than split_bp")
     k0 = F.floor(F.col("_s") / bp)
     k1 = F.greatest(F.floor((F.col("_e") - 1) / bp), k0)
     pieces = base.select(
@@ -100,8 +104,11 @@ def merge_intervals(
     ).select(F.col(on), "_k", F.col("_ps").alias("_s"),
              F.col("_pe").alias("_e"), "_w")
 
-    runs = _merge_runs(pieces, [on, "_k"], start_col, end_col)
-    touch = (F.col(start_col) == F.col("_k") * bp) |         (F.col(end_col) == (F.col("_k") + 1) * bp)
+    runs = _merge_runs(pieces, [on, "_k"], start_col, end_col, distance)
+    # with distance > 0, runs within that margin of a chunk edge can
+    # still connect across it — widen the stitch candidacy accordingly
+    touch = (F.col(start_col) <= F.col("_k") * bp + distance) | \
+        (F.col(end_col) >= (F.col("_k") + 1) * bp - distance)
     final = runs.where(~touch).drop("_k")         .select(F.col(on), start_col, end_col, "n_merged")
     # ≤2 boundary-touching runs per (chrom, chunk) → the stitch merge
     # input is O(contig/split_bp), never corpus-sized
@@ -109,7 +116,7 @@ def merge_intervals(
         runs.where(touch).select(
             F.col(on), F.col(start_col).alias("_s"),
             F.col(end_col).alias("_e"), F.col("n_merged").alias("_w")),
-        [on], start_col, end_col)
+        [on], start_col, end_col, distance)
     return final.unionByName(stitched)
 
 
@@ -293,19 +300,49 @@ def complement_intervals(
     df: DataFrame, on: str = "chrom",
     start_col: str = "start", end_col: str = "end",
     split_bp: int | None = None,
+    sizes: dict[str, int] | None = None,
 ) -> DataFrame:
-    """bedtools-complement (data-bounded): the gaps between the merged
-    intervals of each key, within [min(start), max(end)] of that key —
-    no external chrom-sizes table needed; pass explicit boundary rows
-    to extend the universe. One merge pass + one lag window."""
+    """bedtools-complement: the gaps between the merged intervals of
+    each key. Default universe is data-bounded ([min(start), max(end)]
+    per key); pass ``sizes`` ({chrom: length}) for the true bedtools
+    semantics over [0, size) — leading and trailing gaps included, and
+    fully-uncovered chroms in ``sizes`` emit their whole span. One
+    merge pass + one lag window (+ a broadcast of the tiny sizes table
+    when given)."""
     m = merge_intervals(df, on=on, start_col=start_col, end_col=end_col,
                         split_bp=split_bp)
+    if sizes is None:
+        w = Window.partitionBy(on).orderBy(start_col)
+        prev_end = F.lag(end_col).over(w)
+        return (
+            m.select(F.col(on), prev_end.alias("_gs"),
+                     F.col(start_col).alias("_ge"))
+            .where(F.col("_gs").isNotNull() & (F.col("_ge") > F.col("_gs")))
+            .select(F.col(on), F.col("_gs").alias(start_col),
+                    F.col("_ge").alias(end_col))
+        )
+    spark = df.sparkSession
+    sz = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(sizes.items())],
+        f"{on} string, _size long")
     w = Window.partitionBy(on).orderBy(start_col)
-    prev_end = F.lag(end_col).over(w)
-    return (
-        m.select(F.col(on), prev_end.alias("_gs"),
-                 F.col(start_col).alias("_ge"))
-        .where(F.col("_gs").isNotNull() & (F.col("_ge") > F.col("_gs")))
-        .select(F.col(on), F.col("_gs").alias(start_col),
-                F.col("_ge").alias(end_col))
+    prev_end = F.coalesce(F.lag(end_col).over(w), F.lit(0))
+    gaps = (
+        m.join(F.broadcast(sz), on)
+        .select(F.col(on), "_size", prev_end.alias("_gs"),
+                F.col(start_col).alias("_ge"),
+                F.row_number().over(
+                    Window.partitionBy(on).orderBy(F.desc(start_col))
+                ).alias("_rn"), F.col(end_col).alias("_me"))
     )
+    mids = gaps.where(F.col("_ge") > F.col("_gs")).select(
+        F.col(on), F.col("_gs").alias(start_col),
+        F.col("_ge").alias(end_col))
+    tails = gaps.where((F.col("_rn") == 1)
+                       & (F.col("_size") > F.col("_me"))).select(
+        F.col(on), F.col("_me").alias(start_col),
+        F.col("_size").alias(end_col))
+    uncovered = sz.join(m.select(on).distinct(), on, "left_anti").select(
+        F.col(on), F.lit(0).cast("long").alias(start_col),
+        F.col("_size").alias(end_col)).where(F.col(end_col) > 0)
+    return mids.unionByName(tails).unionByName(uncovered)

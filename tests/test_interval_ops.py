@@ -350,3 +350,32 @@ def test_closest_k_nearest(spark):
     # k=1 keeps the original single-winner schema (no rank column)
     one = closest_intervals(a, b, bin_size=64).columns
     assert "rank" not in one
+
+
+def test_merge_distance_option(spark):
+    rows = [("c", 0, 10), ("c", 15, 20), ("c", 40, 50), ("d", 0, 5)]
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+    # -d 5: the 5-gap pair joins, the 20-gap pair does not
+    got = _canon_merge(merge_intervals(df, distance=5))
+    assert got == sorted([("c", 0, 20, 2), ("c", 40, 50, 1), ("d", 0, 5, 1)])
+    # chunked path agrees, including cross-chunk distance joins
+    for bp in (7, 16, 100):
+        assert _canon_merge(merge_intervals(df, distance=5, split_bp=bp)) == got
+    rows2 = [("c", i * 12, i * 12 + 6) for i in range(40)]  # 6-gaps chain
+    df2 = spark.createDataFrame(rows2, "chrom string, start long, end long")
+    plain = _canon_merge(merge_intervals(df2, distance=6))
+    assert plain == [("c", 0, 474, 40)]
+    assert _canon_merge(merge_intervals(df2, distance=6, split_bp=50)) == plain
+    with pytest.raises(ValueError, match="distance"):
+        merge_intervals(df2, distance=50, split_bp=50)
+
+
+def test_complement_with_sizes(spark):
+    rows = [("c", 10, 20), ("c", 30, 40), ("e", 0, 100)]
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+    out = sorted(tuple(r) for r in complement_intervals(
+        df, sizes={"c": 50, "e": 100, "f": 25}).collect())
+    assert out == [
+        ("c", 0, 10), ("c", 20, 30), ("c", 40, 50),  # leading+mid+trailing
+        ("f", 0, 25),                                 # fully uncovered
+    ]  # 'e' covers [0,100) exactly: no gaps
