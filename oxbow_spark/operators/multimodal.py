@@ -476,8 +476,13 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, float]:
     compression = 0
     if hdr_size >= 40:
         (compression,) = struct.unpack_from("<I", b, 30)
+    if compression == 1:
+        if bits != 8:
+            raise ValueError("BI_RLE8 requires an 8-bit BMP")
+        return _decode_bmp_rle8(b, off, 14 + hdr_size, w, h)
     if compression != 0:
-        raise ValueError(f"BMP compression {compression} unsupported (BI_RGB only)")
+        raise ValueError(
+            f"BMP compression {compression} unsupported (BI_RGB/BI_RLE8)")
     stride = (w * bits // 8 + 3) & ~3
     need = stride * h
     if off + need > len(b):
@@ -496,6 +501,53 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, float]:
     if bits == 32:
         px = px[:, :, :3]  # drop the X/alpha byte from the mean
     return w, h, channels, float(px.mean()) / 255.0
+
+
+def _decode_bmp_rle8(b: bytes, off: int, pal_off: int,
+                     w: int, h: int) -> tuple[int, int, int, float]:
+    """BI_RLE8 (Windows BMP run-length) pixel decode: (count, value)
+    runs, 0-escapes for end-of-line (0), end-of-bitmap (1), delta (2)
+    and word-padded absolute runs; rows are bottom-up, skipped pixels
+    keep palette index 0 (the GDI convention)."""
+    import numpy as np
+
+    npal = (off - pal_off) // 4
+    if npal <= 0:
+        raise ValueError("RLE8 BMP without palette")
+    pal = np.frombuffer(b[pal_off:pal_off + 4 * npal],
+                        np.uint8).reshape(-1, 4)
+    idx = np.zeros((h, w), np.uint8)
+    x = y = 0
+    p = off
+    n = len(b)
+    while p + 1 < n and y < h:
+        cnt = b[p]
+        val = b[p + 1]
+        p += 2
+        if cnt > 0:
+            e = min(x + cnt, w)
+            idx[y, x:e] = val
+            x = e
+        elif val == 0:      # end of line
+            x, y = 0, y + 1
+        elif val == 1:      # end of bitmap
+            break
+        elif val == 2:      # delta
+            if p + 2 > n:
+                raise ValueError("RLE8 delta truncated")
+            x = min(x + b[p], w)
+            y = min(y + b[p + 1], h)
+            p += 2
+        else:               # absolute run of `val` indices, word-padded
+            if p + val > n:
+                raise ValueError("RLE8 absolute run truncated")
+            e = min(x + val, w)
+            take = e - x
+            idx[y, x:e] = np.frombuffer(b, np.uint8, take, p)
+            x = e
+            p += val + (val & 1)
+    rgb = pal[np.clip(idx, 0, npal - 1)][:, :, :3]
+    return w, h, 3, float(rgb.mean()) / 255.0
 
 
 def decode_image_stub(df: DataFrame, payload_col: str = "payload",

@@ -797,3 +797,40 @@ def test_video_meta_real_sps_through_spark(spark):
     assert (got[0].width, got[0].height) == (320, 176)
     assert (got[1].width, got[1].height) == (1924, 1080)
     assert got[2].width is None and got[2].kind == "raw"
+
+
+def test_decode_bmp_rle8():
+    """BI_RLE8: runs, absolute mode (word padding), EOL, delta skip and
+    EOB must reproduce the uncompressed 8-bit decode exactly."""
+    import struct
+
+    import numpy as np
+
+    w, h = 10, 4
+    pal = bytes(v for i in range(16) for v in (i * 16, i * 16, i * 16, 0))
+    # rows (bottom-up order in the file)
+    rle = bytearray()
+    rle += bytes([10, 3, 0, 0])                 # row0: 10×3, EOL
+    rle += bytes([4, 5, 0, 3, 7, 8, 9, 0, 3, 1, 0, 0])
+    # row1: 4×5, absolute run of 3 (7,8,9 + pad), 3×1, EOL
+    rle += bytes([2, 2, 0, 2, 3, 1, 5, 4, 0, 0])  # row2: 2×2, delta(+3,+1)
+    # delta jumps into row3; remaining of row2 stays index 0
+    rle += bytes([0, 1])                        # EOB
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle),
+                      0, 0, 16, 0)
+    off = 14 + 40 + len(pal)
+    blob = (b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+            + dib + pal + bytes(rle))
+    gw, gh, gc, gmean = multimodal.decode_bmp_pixels(blob)
+    assert (gw, gh, gc) == (w, h, 3)
+    # python reference
+    idx = np.zeros((h, w), np.uint8)
+    idx[0, :] = 3
+    idx[1, :4] = 5
+    idx[1, 4:7] = [7, 8, 9]
+    idx[1, 7:10] = 1
+    idx[2, :2] = 2
+    idx[3, 2 + 3:2 + 3 + 5] = 4  # delta target row/col, then 5×4 run
+    want = float(np.repeat((np.clip(idx, 0, 15) * 16)[..., None], 3,
+                           axis=2).mean()) / 255.0
+    assert gmean == pytest.approx(want, abs=1e-9)
