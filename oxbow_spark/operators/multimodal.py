@@ -801,6 +801,56 @@ def embed_media(df: DataFrame, dim: int = 8, payload_col: str = "payload",
     return df.mapInPandas(fn, schema)
 
 
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _decode_ima_adpcm(data: bytes, n_ch: int, block_align: int):
+    """IMA/DVI ADPCM (WAV format 0x11) → float64 samples in [-1, 1]
+    scale of int16. Per spec each channel block starts with a 4-byte
+    header (predictor i16, step index u8, reserved), then nibbles in
+    4-byte-per-channel interleave; mono suffices for the feature kernel
+    (multi-channel raises — honest gate)."""
+    import struct
+
+    import numpy as np
+
+    if n_ch != 1:
+        raise ValueError("IMA ADPCM: only mono supported")
+    if block_align < 4:
+        raise ValueError("IMA ADPCM: bad block align")
+    out: list[int] = []
+    for boff in range(0, len(data) - 3, block_align):
+        block = data[boff:boff + block_align]
+        pred = struct.unpack_from("<h", block, 0)[0]
+        idx = min(block[2], 88)
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                if nib & 8:
+                    diff = -diff
+                pred = max(-32768, min(32767, pred + diff))
+                idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+                out.append(pred)
+    return np.array(out, np.float64)
+
+
 def decode_wav(b: bytes) -> tuple[int, int, int, float, float]:
     """Pure-stdlib+numpy WAV decode → (n_channels, sample_rate,
     n_samples, duration_s, rms).
@@ -846,6 +896,8 @@ def decode_wav(b: bytes) -> tuple[int, int, int, float, float]:
         x /= 2147483648.0
     elif tag == 3 and bits == 32:
         x = np.frombuffer(data[:len(data) & ~3], "<f4").astype(np.float64)
+    elif tag == 0x11 and bits == 4:
+        x = _decode_ima_adpcm(data, n_ch, _align) / 32768.0
     else:
         raise ValueError(f"WAV format tag {tag}/{bits}-bit unsupported")
     n_samples = len(x) // n_ch

@@ -834,3 +834,80 @@ def test_decode_bmp_rle8():
     want = float(np.repeat((np.clip(idx, 0, 15) * 16)[..., None], 3,
                            axis=2).mean()) / 255.0
     assert gmean == pytest.approx(want, abs=1e-9)
+
+
+def test_decode_wav_ima_adpcm():
+    """IMA ADPCM (format 0x11): encode a sine with a reference
+    encoder, decode must track it closely; stereo stays gated."""
+    import math
+    import struct
+
+    import numpy as np
+
+    steps = multimodal._IMA_STEPS
+    index_tab = multimodal._IMA_INDEX
+
+    def encode(samples, block_samples=505):
+        blocks = b""
+        i = 0
+        while i < len(samples):
+            chunk = samples[i:i + block_samples]
+            pred = int(chunk[0])
+            idx = 0
+            nibs = []
+            for sample in chunk[1:]:
+                step = steps[idx]
+                delta = int(sample) - pred
+                nib = 0
+                if delta < 0:
+                    nib = 8
+                    delta = -delta
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                # decoder-mirror update
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                if nib & 8:
+                    diff = -diff
+                pred = max(-32768, min(32767, pred + diff))
+                idx = max(0, min(88, idx + index_tab[nib & 7]))
+                nibs.append(nib)
+            if len(nibs) % 2:
+                nibs.append(0)
+            body = bytes(nibs[j] | (nibs[j + 1] << 4)
+                         for j in range(0, len(nibs), 2))
+            blocks += struct.pack("<hBB", int(chunk[0]), 0, 0) + body
+            i += block_samples
+        return blocks, 4 + (block_samples - 1 + 1) // 2
+
+    rate = 8000
+    t = np.arange(1010)
+    sig = (12000 * np.sin(2 * math.pi * 440 * t / rate)).astype(int)
+    data, align = encode(sig)
+    fmt = struct.pack("<HHIIHH", 0x11, 1, rate, rate, align, 4)
+    blob = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    n_ch, r, n, dur, rms = multimodal.decode_wav(blob)
+    assert (n_ch, r) == (1, rate)
+    assert n == len(sig)
+    want_rms = float(np.sqrt(np.mean((sig / 32768.0) ** 2)))
+    assert abs(rms - want_rms) / want_rms < 0.05  # ADPCM is lossy
+    # stereo ADPCM stays honestly gated
+    fmt2 = struct.pack("<HHIIHH", 0x11, 2, rate, rate, align, 4)
+    blob2 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt2) + 8 + len(data))
+             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt2)) + fmt2
+             + b"data" + struct.pack("<I", len(data)) + data)
+    with pytest.raises(ValueError, match="mono"):
+        multimodal.decode_wav(blob2)
