@@ -200,3 +200,56 @@ def test_pileup_mean_base_quality(spark):
     assert got[30].mean_bq is None and got[30].n_g == 1
     # without qual_col the schema is unchanged
     assert "mean_bq" not in pileup(df).columns
+
+
+def test_pileup_qual_random(spark):
+    """Random CIGARs with random quals: mean_bq must match the Python
+    walk exactly (counts already covered by test_pileup_random)."""
+    import random
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(150):
+        pos = rng.randrange(1, 300)
+        cig = []
+        q_len = 0
+        for _ in range(rng.randrange(1, 4)):
+            ln = rng.randrange(1, 5)
+            op = rng.choice("MIDNS")
+            cig.append(f"{ln}{op}")
+            if op in "MIS":
+                q_len += ln
+        seq = "".join(rng.choice("ACGT") for _ in range(q_len))
+        qual = ("".join(chr(33 + rng.randrange(0, 42)) for _ in range(q_len))
+                if rng.random() < 0.8 else None)
+        rows.append((f"c{i % 2}", pos, "".join(cig), seq, qual))
+    df = spark.createDataFrame(
+        rows, "rname string, pos long, cigar string, seq string, qual string")
+    got = {(r.rname, r.refpos): (r.depth, r.mean_bq)
+           for r in pileup(df, qual_col="qual").collect()}
+    # python reference for mean_bq
+    import re as _re
+    acc: dict[tuple, list] = {}
+    for rname, pos, cigar, seq, qual in rows:
+        q = r = 0
+        for ln, op in ((int(a), o) for a, o in _re.findall(
+                r"(\d+)([MIDNS])", cigar)):
+            if op == "M":
+                for i2 in range(ln):
+                    k = (rname, pos + r + i2)
+                    acc.setdefault(k, [])
+                    if qual is not None:
+                        acc[k].append(ord(qual[q + i2]) - 33)
+                q += ln
+                r += ln
+            elif op == "D":
+                r += ln
+            elif op == "N":
+                r += ln
+            elif op in "IS":
+                q += ln
+    for k, (depth, mean_bq) in got.items():
+        vals = acc.get(k, [])
+        if vals:
+            assert mean_bq == pytest.approx(
+                round(sum(vals) / len(vals), 6), abs=1e-6), k
