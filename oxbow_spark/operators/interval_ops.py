@@ -149,17 +149,38 @@ def subtract_intervals(
     b_start: str = "start", b_end: str = "end",
     id_col: str | None = None,
     split_bp: int | None = None,
+    remove_any: bool = False,
 ) -> DataFrame:
     """bedtools-subtract: the parts of each ``a`` interval not covered
     by any ``b`` interval. Output columns = ``a``'s columns with
     start/end replaced by the surviving segment bounds (an ``a`` row
     can yield 0, 1 or many segments).
 
-    ``id_col`` names a unique per-row key of ``a`` if one exists;
+    ``remove_any`` is bedtools ``-A``: drop each ``a`` interval
+    ENTIRELY when anything in ``b`` overlaps it (one binned semi-join,
+    no gap walk). ``id_col`` names a unique per-row key of ``a`` if one exists;
     without it a `monotonically_increasing_id` is used — fine for a
     single action, but a caller-supplied key is the deterministic
     choice when the plan's branches may recompute (speculative retries
     re-derive the same ids only if the scan partitioning is stable)."""
+    if remove_any:
+        hits = overlap_join(
+            a.select(F.col(on).alias("_on"),
+                     F.col(start_col).cast("long").alias("_as"),
+                     F.col(end_col).cast("long").alias("_ae")).distinct(),
+            b.select(F.col(on).alias("_on"),
+                     F.col(b_start).cast("long").alias("_bs"),
+                     F.col(b_end).cast("long").alias("_be")),
+            bin_size=bin_size, on="_on",
+            left_start="_as", left_end="_ae",
+            right_start="_bs", right_end="_be",
+        ).select("_on", "_as", "_ae").distinct()
+        return a.join(
+            hits,
+            (F.col(on) == F.col("_on"))
+            & (F.col(start_col).cast("long") == F.col("_as"))
+            & (F.col(end_col).cast("long") == F.col("_ae")),
+            "left_anti")
     other = [c for c in a.columns if c not in (start_col, end_col)]
     rid = (F.col(id_col) if id_col
            else F.monotonically_increasing_id()).alias("_aid")

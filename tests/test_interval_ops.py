@@ -379,3 +379,17 @@ def test_complement_with_sizes(spark):
         ("c", 0, 10), ("c", 20, 30), ("c", 40, 50),  # leading+mid+trailing
         ("f", 0, 25),                                 # fully uncovered
     ]  # 'e' covers [0,100) exactly: no gaps
+
+
+def test_subtract_remove_any(spark):
+    a = spark.createDataFrame(
+        [(1, "c", 0, 100), (2, "c", 200, 300), (3, "d", 0, 50)],
+        "a_id long, chrom string, start long, end long")
+    b = spark.createDataFrame(
+        [("c", 90, 110)], "chrom string, start long, end long")
+    out = sorted(r.a_id for r in subtract_intervals(
+        a, b, bin_size=64, id_col="a_id", remove_any=True).collect())
+    assert out == [2, 3]  # interval 1 dropped whole, columns intact
+    cols = subtract_intervals(a, b, bin_size=64, id_col="a_id",
+                              remove_any=True).columns
+    assert cols == ["a_id", "chrom", "start", "end"]
