@@ -61,6 +61,66 @@ def test_bpe_train_matches_python_reference(spark):
         assert got == want, (k, got, want)
 
 
+def test_bpe_driver_equals_distributed(spark):
+    """The default driver-local trainer and the distributed fallback
+    must learn the identical merge list."""
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    for k in (1, 5, 12):
+        assert (bpe_train(df, k, strategy="driver")
+                == bpe_train(df, k, strategy="distributed"))
+
+
+def test_bpe_adversarial_symbols(spark):
+    """Backslash / quote / mixed corpus words must train identically on
+    both strategies and match the brute-force reference — the SQL-splice
+    escaping gap flagged in round 5 (a winning pair containing a
+    backslash used to corrupt the Catalyst fold literal)."""
+    corpus = [
+        (0, r"a\b a\b a\b C:\tmp\x C:\tmp\x"),
+        (1, r"it's it's don't don't \\'\\' \\'\\'"),
+        (2, r"a\b C:\tmp\x it's \n\n \n\n"),
+        (3, "normal words normal words"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    wf = {r.word: r.freq for r in word_freqs(df).collect()}
+    assert any("\\" in w for w in wf) and any("'" in w for w in wf)
+    for k in (3, 10):
+        want = _py_bpe_train(wf, k)
+        assert any("\\" in a + b or "'" in a + b for a, b in want)
+        assert bpe_train(df, k, strategy="driver") == want
+        assert bpe_train(df, k, strategy="distributed") == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_bpe_property_random_corpora(spark, seed):
+    """Randomized corpora (including runs, repeated chars, quotes and
+    backslashes) — driver trainer ≡ brute-force reference."""
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "ab'\\cd"
+    docs = []
+    for i in range(12):
+        words = ["".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(1, 6)))
+                 for _ in range(rng.randint(1, 10))]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wf = {r.word: r.freq for r in word_freqs(df).collect()}
+    k = rng.randint(1, 15)
+    assert bpe_train(df, k, strategy="driver") == _py_bpe_train(wf, k)
+
+
+def test_bpe_max_vocab_words_bound(spark):
+    """Truncation keeps only the top-K words by (freq DESC, word ASC):
+    training then equals the brute-force reference on that sub-vocab."""
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    wf = {r.word: r.freq for r in word_freqs(df).collect()}
+    top3 = dict(sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    assert (bpe_train(df, 5, max_vocab_words=3)
+            == _py_bpe_train(top3, 5))
+
+
 def test_bpe_train_run_semantics(spark):
     """'aaa'-style runs must merge greedily left-to-right, matching the
     reference exactly."""
