@@ -57,19 +57,40 @@ def _cigar_segments() -> Column:
 
 def pileup(df: DataFrame, on: str = "rname", pos_col: str = "pos",
            cigar_col: str = "cigar", seq_col: str = "seq",
-           qual_col: str | None = None) -> DataFrame:
+           qual_col: str | None = None, flag_col: str | None = None,
+           min_bq: int = 0, insertions: bool = False) -> DataFrame:
     """(rname, refpos, n_a, n_c, n_g, n_t, n_n, n_del, depth
-    [, mean_bq]): per-base pileup over 1-based inclusive reference
-    positions. With ``qual_col`` (phred+33 string, SAM layout), adds the
-    mean base quality of the read bases covering each position
-    (deletions excluded; records with null qual contribute bases but no
-    quality — samtools' treatment of '*' quals)."""
+    [, mean_bq] [, depth_fwd, depth_rev] [, n_ins]): per-base pileup
+    over 1-based inclusive reference positions.
+
+    - ``qual_col`` (phred+33 string, SAM layout) adds the mean base
+      quality of the read bases covering each position (deletions
+      excluded; records with null qual contribute bases but no quality
+      — samtools' treatment of '*' quals).
+    - ``min_bq`` (samtools ``-Q``, default 13 there, 0 here) drops base
+      events below the phred threshold from counts AND depth; deletions
+      carry no base quality and always pass, as do bases from null-qual
+      records (the gate can't evaluate them). Requires ``qual_col``.
+    - ``flag_col`` adds ``depth_fwd``/``depth_rev`` — depth split by the
+      SAM 0x10 reverse-strand bit (samtools' case-coded strand column,
+      as counts).
+    - ``insertions=True`` adds ``n_ins``: the number of insertion (I)
+      ops anchored at each position — samtools anchors an insertion to
+      the PRECEDING reference base, so a leading insertion (no
+      ref-consuming op before it) has no anchor and is skipped.
+      Insertion events never count toward depth (the read's anchor base
+      already does).
+    """
+    if min_bq > 0 and qual_col is None:
+        raise ValueError("min_bq requires qual_col")
     with_q = qual_col is not None
     cols = [
         F.col(on).alias("rname"),
         F.col(pos_col).cast("long").alias("pos"),
         F.col(cigar_col).alias("cigar"),
         F.upper(F.col(seq_col)).alias("seq"),
+        (((F.col(flag_col).bitwiseAND(16)) != 0) if flag_col is not None
+         else F.lit(False)).alias("_rev"),
     ]
     if with_q:
         cols.append(F.col(qual_col).alias("_qual"))
@@ -81,15 +102,19 @@ def pileup(df: DataFrame, on: str = "rname", pos_col: str = "pos",
               "THEN ascii(substr(_qual, s.q + i, 1)) - 33 "
               "ELSE CAST(NULL AS INT) END" if with_q
               else "CAST(NULL AS INT)")
+    ins_branch = ("""
+  WHEN s.op = 'I' AND s.r > 0 THEN
+    array(struct(pos + s.r - 1 AS refpos, '+' AS base,
+                 CAST(NULL AS INT) AS bq))""" if insertions else "")
     events = seg.select(
-        "rname",
+        "rname", "_rev",
         F.explode(F.expr(
             f"""flatten(transform(_segs, s ->
   CASE WHEN s.op IN ('M','=','X') THEN
     transform(sequence(1, s.len),
               i -> struct(pos + s.r + i - 1 AS refpos,
                           substr(seq, s.q + i, 1) AS base,
-                          {q_expr} AS bq))
+                          {q_expr} AS bq)){ins_branch}
   WHEN s.op = 'D' THEN
     transform(sequence(1, s.len),
               i -> struct(pos + s.r + i - 1 AS refpos,
@@ -97,23 +122,35 @@ def pileup(df: DataFrame, on: str = "rname", pos_col: str = "pos",
   ELSE CAST(array() AS ARRAY<STRUCT<refpos: BIGINT, base: STRING, bq: INT>>)
   END))""")).alias("e"),
     ).select("rname", F.col("e.refpos").alias("refpos"),
-             F.col("e.base").alias("base"), F.col("e.bq").alias("bq"))
+             F.col("e.base").alias("base"), F.col("e.bq").alias("bq"),
+             "_rev")
+    if min_bq > 0:
+        events = events.where(
+            F.col("base").isin("*", "+") | F.col("bq").isNull()
+            | (F.col("bq") >= min_bq))
 
     def cnt(cond: Column, name: str) -> Column:
         return F.sum(cond.cast("long")).alias(name)
 
     b = F.col("base")
+    in_depth = b != "+"
     aggs = [
         cnt(b == "A", "n_a"),
         cnt(b == "C", "n_c"),
         cnt(b == "G", "n_g"),
         cnt(b == "T", "n_t"),
-        cnt(~b.isin("A", "C", "G", "T", "*"), "n_n"),
+        cnt(~b.isin("A", "C", "G", "T", "*", "+"), "n_n"),
         cnt(b == "*", "n_del"),
-        F.count(F.lit(1)).alias("depth"),
+        (cnt(in_depth, "depth") if insertions
+         else F.count(F.lit(1)).alias("depth")),
     ]
     if with_q:
         aggs.append(F.round(F.avg("bq"), 6).alias("mean_bq"))
+    if flag_col is not None:
+        aggs.append(cnt(in_depth & ~F.col("_rev"), "depth_fwd"))
+        aggs.append(cnt(in_depth & F.col("_rev"), "depth_rev"))
+    if insertions:
+        aggs.append(cnt(b == "+", "n_ins"))
     return events.groupBy("rname", "refpos").agg(*aggs)
 
 

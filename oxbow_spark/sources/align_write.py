@@ -87,6 +87,20 @@ def reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+def reg2bin_csi(beg: int, end: int, min_shift: int = 14,
+                depth: int = 5) -> int:
+    """CSI generalized bin for a 0-based half-open interval (CSIv1 spec
+    reg2bin pseudocode); min_shift=14/depth=5 is the BAI instance."""
+    end -= 1
+    s, t = min_shift, ((1 << (3 * depth)) - 1) // 7
+    for level in range(depth, 0, -1):
+        if beg >> s == end >> s:
+            return t + (beg >> s)
+        s += 3
+        t -= 1 << (3 * (level - 1))
+    return 0
+
+
 def _get(d: dict, k: str, default=None):
     v = d.get(k)
     return default if v is None else v
@@ -310,13 +324,24 @@ class BamWriter(_AlignmentWriter):
 
     def write(self, iterator: Iterator) -> _PartFile:
         out = self._part_path()
-        want_index = (self.options.get("index") or "").lower() == "bai"
+        kind = (self.options.get("index") or "").lower()
+        if kind not in ("", "bai", "csi"):
+            raise ValueError(f"bam writer: unknown index kind {kind!r}")
         defs = _parse_tag_defs(self.options.get("tag_defs"))
         n = 0
         with open(out, "wb") as f:
             w = _BgzfStreamWriter(f)
             w.write(self._header_block())
-            bai = _BaiBuilder(len(self.ref_names)) if want_index else None
+            bai = None
+            if kind == "bai":
+                bai = _BaiBuilder(len(self.ref_names))
+            elif kind == "csi":
+                min_shift = int(self.options.get("csi_min_shift", 14))
+                depth = int(self.options.get(
+                    "csi_depth",
+                    csi_depth_for(max(self.ref_sizes.values(), default=0),
+                                  min_shift)))
+                bai = _CsiBuilder(len(self.ref_names), min_shift, depth)
             for row in iterator:
                 d = row.asDict()
                 vstart = w.vtell()
@@ -333,9 +358,12 @@ class BamWriter(_AlignmentWriter):
                             pos0 + max(reflen, 1), vstart, w.vtell())
             w.close()
             f.write(BGZF_EOF)
-        if bai is not None:
+        if kind == "bai":
             with open(out + ".bai", "wb") as fi:
                 fi.write(bai.serialize())
+        elif kind == "csi":
+            with open(out + ".csi", "wb") as fi:
+                fi.write(bgzf_compress(bai.serialize()) + BGZF_EOF)
         return _PartFile(out, n)
 
 
@@ -384,6 +412,10 @@ class _BaiBuilder:
 
     def add(self, ref_id: int, beg0: int, end0: int,
             vstart: int, vend: int) -> None:
+        if end0 > (1 << 29):
+            raise ValueError(
+                f"position {end0} exceeds the BAI 2^29-1 limit; "
+                "write with index='csi' for long contigs")
         b = reg2bin(beg0, end0)
         chunks = self.bins[ref_id].setdefault(b, [])
         if chunks and chunks[-1][1] == vstart:
@@ -412,4 +444,95 @@ class _BaiBuilder:
             for w in range(n_intv):
                 filled = lin.get(w, filled)
                 out.append(struct.pack("<Q", lin.get(w, filled)))
+        return b"".join(out)
+
+
+def csi_depth_for(max_len: int, min_shift: int = 14) -> int:
+    """Smallest CSI depth (≥5 for BAI parity) whose capacity
+    ``2^(min_shift + 3·depth)`` covers positions up to ``max_len``."""
+    depth = 5
+    while max_len > (1 << (min_shift + 3 * depth)):
+        depth += 1
+    return depth
+
+
+class _CsiBuilder:
+    """CSI (.csi, CSIv1 spec) accumulator: generalized-depth binning
+    chunks plus per-bin ``loffset`` virtual-position lower bounds in
+    place of BAI's serialized linear index. Capacity is
+    ``2^(min_shift + 3·depth)`` — depth>5 indexes the T2T-scale contigs
+    BAI cannot (its 2^29-1 cap). The reference consumes CSI everywhere
+    on the read path (`oxbow/src/util/index.rs:119-178`); this closes
+    the write side. Assumes coordinate-grouped input per reference
+    (the `samtools index` precondition).
+
+    loffset semantics match htslib: a linear min-voffset window table at
+    ``min_shift`` granularity is kept during accumulation (covering
+    *spanning* records, not just bin-assigned ones) and each serialized
+    bin's loffset is the forward-filled window value at the bin's first
+    position — so a reader pruning to ``loffset(deepest bin ∋ beg)``
+    never skips a long record that starts earlier but overlaps ``beg``.
+    The serialized payload must be BGZF-compressed by the caller (CSI
+    files are BGZF)."""
+
+    def __init__(self, n_ref: int, min_shift: int = 14, depth: int = 5,
+                 aux: bytes = b""):
+        self.n_ref = n_ref
+        self.min_shift = min_shift
+        self.depth = depth
+        self.aux = aux
+        self.capacity = 1 << (min_shift + 3 * depth)
+        self.bins: list[dict[int, list[list[int]]]] = [
+            {} for _ in range(n_ref)]
+        self.linear: list[dict[int, int]] = [{} for _ in range(n_ref)]
+
+    def add(self, ref_id: int, beg0: int, end0: int,
+            vstart: int, vend: int) -> None:
+        if end0 > self.capacity:
+            raise ValueError(
+                f"position {end0} exceeds CSI capacity "
+                f"2^({self.min_shift}+3*{self.depth}); raise csi_depth")
+        b = reg2bin_csi(beg0, end0, self.min_shift, self.depth)
+        chunks = self.bins[ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == vstart:
+            chunks[-1][1] = vend
+        else:
+            chunks.append([vstart, vend])
+        lin = self.linear[ref_id]
+        sh = self.min_shift
+        for w in range(beg0 >> sh, ((max(end0, beg0 + 1) - 1) >> sh) + 1):
+            if w not in lin or vstart < lin[w]:
+                lin[w] = vstart
+
+    def _bin_first_window(self, b: int) -> int:
+        """First min_shift-granularity window covered by bin ``b``."""
+        for level in range(self.depth, -1, -1):
+            t = ((1 << (3 * level)) - 1) // 7
+            if b >= t:
+                return (b - t) << (3 * (self.depth - level))
+        return 0
+
+    def serialize(self) -> bytes:
+        out = [b"CSI\x01",
+               struct.pack("<3i", self.min_shift, self.depth,
+                           len(self.aux)),
+               self.aux, struct.pack("<i", self.n_ref)]
+        for r in range(self.n_ref):
+            bins = self.bins[r]
+            lin = self.linear[r]
+            # forward-filled linear table for loffset lookups
+            n_win = (max(lin) + 1) if lin else 0
+            filled: list[int] = []
+            cur = 0
+            for w in range(n_win):
+                cur = lin.get(w, cur)
+                filled.append(cur)
+            out.append(struct.pack("<i", len(bins)))
+            for b in sorted(bins):
+                w = self._bin_first_window(b)
+                loff = filled[min(w, n_win - 1)] if n_win else 0
+                chunks = bins[b]
+                out.append(struct.pack("<IQi", b, loff, len(chunks)))
+                for s, e in chunks:
+                    out.append(struct.pack("<QQ", s, e))
         return b"".join(out)

@@ -29,8 +29,10 @@ from oxbow_spark.sources.align_write import _PartFile, _prepare_dir
 class _TextPartWriter(DataSourceWriter):
     SUFFIX = ""
     # tabix header preset (fmt_flags, col_seq, col_beg, col_end, meta) —
-    # set by subclasses that support index='tbi'
+    # set by subclasses that support index='tbi'/'csi'
     TBI_PRESET: tuple[int, int, int, int, str] | None = None
+    # index kinds a subclass handles in its own write() override
+    EXTRA_INDEX_KINDS: tuple[str, ...] = ()
 
     def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path")
@@ -39,12 +41,19 @@ class _TextPartWriter(DataSourceWriter):
         self.options = dict(options)
         _prepare_dir(self.path, overwrite, self.SUFFIX)
         self.bgzf = (options.get("compression") or "").lower() == "bgzf"
-        self.tbi = (options.get("index") or "").lower() == "tbi"
-        if self.tbi and self.TBI_PRESET is None:
+        self.index_kind = (options.get("index") or "").lower()
+        if self.index_kind not in ("", "tbi", "csi") + self.EXTRA_INDEX_KINDS:
+            raise ValueError(f"unknown index kind {self.index_kind!r}")
+        if self.index_kind in self.EXTRA_INDEX_KINDS:
+            self.index_kind = ""  # handled by the subclass's write()
+        self.tbi = self.index_kind == "tbi"
+        if self.index_kind and self.TBI_PRESET is None:
             raise ValueError(
-                f"index='tbi' is not supported by the {self.SUFFIX} writer")
-        if self.tbi and not self.bgzf:
-            raise ValueError("index='tbi' requires compression='bgzf'")
+                f"index={self.index_kind!r} is not supported by the "
+                f"{self.SUFFIX} writer")
+        if self.index_kind and not self.bgzf:
+            raise ValueError(
+                f"index={self.index_kind!r} requires compression='bgzf'")
         if self.bgzf:
             self.suffix = self.SUFFIX + ".gz"
             _prepare_dir(self.path, overwrite, self.suffix)
@@ -98,7 +107,14 @@ class _TextPartWriter(DataSourceWriter):
         )
 
         out = self._part_path()
-        tbi = _TbiBuilder(self.TBI_PRESET) if self.tbi else None
+        tbi = None
+        if self.index_kind == "tbi":
+            tbi = _TbiBuilder(self.TBI_PRESET)
+        elif self.index_kind == "csi":
+            tbi = _CsiTabixBuilder(
+                self.TBI_PRESET,
+                min_shift=int(self.options.get("csi_min_shift", 14)),
+                depth=int(self.options.get("csi_depth", 5)))
         n = 0
         with open(out, "wb") as f:
             w = _BgzfStreamWriter(f)
@@ -114,7 +130,8 @@ class _TextPartWriter(DataSourceWriter):
             w.close()
             f.write(BGZF_EOF)
         if tbi is not None:
-            with open(out + ".tbi", "wb") as fi:
+            ext = "." + self.index_kind
+            with open(out + ext, "wb") as fi:
                 fi.write(bgzf_compress(tbi.serialize()) + BGZF_EOF)
         return _PartFile(out, n)
 
@@ -288,6 +305,45 @@ class _TbiBuilder:
         return head + nm + body
 
 
+class _CsiTabixBuilder:
+    """Tabix-flavoured CSI (.csi) accumulator for BGZF text output: the
+    generalized-depth CSI binning (`align_write._CsiBuilder`) carrying
+    the tabix preset + sequence-name dictionary in the CSI aux blob —
+    the layout `bgzf.CsiIndex.read` (and htslib) expects. Unlike .tbi
+    (BAI's fixed 14/5 binning, 2^29-1 position cap), depth>5 indexes
+    long contigs. Serialized payload must be BGZF-compressed by the
+    caller."""
+
+    def __init__(self, preset: tuple[int, int, int, int, str],
+                 min_shift: int = 14, depth: int = 5):
+        from oxbow_spark.sources.align_write import _CsiBuilder
+
+        self.preset = preset
+        self.names: list[str] = []
+        self.ids: dict[str, int] = {}
+        self.csi = _CsiBuilder(0, min_shift, depth)
+
+    def add(self, chrom: str, beg0: int, end0: int,
+            vstart: int, vend: int) -> None:
+        rid = self.ids.get(chrom)
+        if rid is None:
+            rid = self.ids[chrom] = len(self.names)
+            self.names.append(chrom)
+            self.csi.n_ref += 1
+            self.csi.bins.append({})
+            self.csi.linear.append({})
+        self.csi.add(rid, beg0, end0, vstart, vend)
+
+    def serialize(self) -> bytes:
+        import struct
+
+        fmt, cs, cb, ce, meta = self.preset
+        nm = b"".join(n.encode("ascii") + b"\x00" for n in self.names)
+        self.csi.aux = struct.pack(
+            "<7i", fmt, cs, cb, ce, ord(meta), 0, len(nm)) + nm
+        return self.csi.serialize()
+
+
 # --------------------------------------------------------------------- BED
 
 class BedWriter(_TextPartWriter):
@@ -388,6 +444,7 @@ class GffWriter(GxfWriter):
 class FastaWriter(_TextPartWriter):
     SUFFIX = ".fasta"
     WRAP = 60
+    EXTRA_INDEX_KINDS = ("fai",)
 
     def _line(self, d: dict) -> str:
         name = d.get("name") or ""

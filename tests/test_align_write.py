@@ -349,3 +349,100 @@ def test_cram_region_pruning_with_and_without_crai(gspark, tmp_path):
         ds = CramDataSource({"path": part, "regions": "chr1:1-2000"})
         assert len(ds.reader(ds.schema()).partitions()) == 1, with_crai
     assert gspark.read.format("cram").load(part).count() == 3000
+
+
+def test_reg2bin_csi_matches_bai_instance():
+    """min_shift=14/depth=5 CSI binning IS the BAI scheme."""
+    import random
+
+    from oxbow_spark.sources.align_write import reg2bin, reg2bin_csi
+
+    rng = random.Random(7)
+    for _ in range(500):
+        beg = rng.randrange(0, (1 << 29) - 1)
+        end = beg + rng.randrange(1, min((1 << 29) - beg, 1 << 20))
+        assert reg2bin_csi(beg, end) == reg2bin(beg, end), (beg, end)
+    # deeper instance: positions beyond BAI's 2^29 cap still bin
+    b = reg2bin_csi(600_000_000, 600_000_100, 14, 6)
+    assert b > ((1 << 15) - 1) // 7  # lands in a level-6 leaf bin
+    assert reg2bin_csi(0, 1 << 32, 14, 6) == 0
+
+
+def test_bai_rejects_long_contig_positions(gspark, tmp_path):
+    """BAI caps positions at 2^29-1: the writer refuses instead of
+    silently mis-binning (use index='csi')."""
+    df = gspark.createDataFrame(
+        [("r1", 0, "chr1", 600_000_000, 60, "100M", None, None, 0,
+          "A" * 100, "I" * 100)],
+        "qname string, flag int, rname string, pos int, mapq int, "
+        "cigar string, rnext string, pnext int, tlen int, seq string, "
+        "qual string")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000000000"
+    with pytest.raises(Exception, match="csi"):
+        (df.coalesce(1).write.format("bam").option("header", hdr)
+           .option("index", "bai").mode("overwrite")
+           .save(str(tmp_path / "bad")))
+
+
+def test_csi_index_long_contig_bam(gspark, tmp_path):
+    """index='csi' on a >2^29-bp contig: depth auto-derives from the @SQ
+    length, the sidecar parses with our CSI reader, and region queries
+    on the written file resolve through it — the write-path gap from
+    round 5 (readers consumed CSI, writers emitted only BAI)."""
+    rows = []
+    for i in range(2000):
+        pos = 599_000_000 + i * 137  # all beyond the BAI 2^29 cap
+        rows.append((f"r{i:05d}", 0, "chr1", pos, 60, "100M", None, None,
+                     0, "A" * 100, "I" * 100))
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos int, mapq int, "
+              "cigar string, rnext string, pnext int, tlen int, seq string, "
+              "qual string").orderBy("rname", "pos")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000000000"
+    out = str(tmp_path / "longcsi")
+    (df.coalesce(1).write.format("bam").option("header", hdr)
+       .option("index", "csi").mode("overwrite").save(out))
+    part = glob.glob(out + "/*.bam")[0]
+    assert os.path.exists(part + ".csi") and not os.path.exists(part + ".bai")
+    from oxbow_spark.sources.bgzf import CsiIndex
+
+    idx = CsiIndex.read(part + ".csi")
+    assert idx.min_shift == 14 and idx.depth == 6  # 2^(14+18) >= 1e9
+    for region, lo, hi in (
+        ("chr1:599000000-599010000", 599_000_000, 599_010_000),
+        ("chr1:599100000-599100500", 599_100_000, 599_100_500),
+        ("chr1:1-1000", 1, 1000),
+    ):
+        got = (gspark.read.format("bam").option("regions", region)
+               .load(part).select("qname").collect())
+        want = [r for r in rows if r[3] <= hi and r[3] + 99 >= lo]
+        assert sorted(x.qname for x in got) == sorted(r[0] for r in want), region
+
+
+def test_csi_loffset_covers_spanning_records(gspark, tmp_path):
+    """htslib loffset semantics: a long record that STARTS before a
+    bin's first assigned record but overlaps the query must survive the
+    loffset prune (naive min-voffset-of-assigned-records would drop it)."""
+    rows = [("rlong", 0, "chr1", 1, 60, "100000M", None, None, 0,
+             "A" * 10, "I" * 10)]
+    for i in range(1500):
+        rows.append((f"r{i:05d}", 0, "chr1", 90_000 + i * 5, 60, "100M",
+                     None, None, 0, "A" * 100, "I" * 100))
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos int, mapq int, "
+              "cigar string, rnext string, pnext int, tlen int, seq string, "
+              "qual string").orderBy("rname", "pos")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100000000"
+    out = str(tmp_path / "spancsi")
+    (df.coalesce(1).write.format("bam").option("header", hdr)
+       .option("index", "csi").mode("overwrite").save(out))
+    part = glob.glob(out + "/*.bam")[0]
+    got = (gspark.read.format("bam")
+           .option("regions", "chr1:95000-95100").load(part)
+           .select("qname").collect())
+    names = sorted(x.qname for x in got)
+    assert "rlong" in names  # spans the query from position 1
+    want = sorted(r[0] for r in rows
+                  if r[3] <= 95_100 and r[3] + (99_999 if r[0] == "rlong"
+                                                else 99) >= 95_000)
+    assert names == want

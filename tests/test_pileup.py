@@ -253,3 +253,127 @@ def test_pileup_qual_random(spark):
         if vals:
             assert mean_bq == pytest.approx(
                 round(sum(vals) / len(vals), 6), abs=1e-6), k
+
+
+def _py_pileup_ext(rows, min_bq=0, insertions=False):
+    """Brute-force walk extended for strand split, insertion anchors and
+    the -Q base-quality gate (rows: rname,pos,cigar,seq,qual,flag)."""
+    out: dict[tuple, dict] = {}
+
+    def cell(k):
+        return out.setdefault(k, dict(a=0, c=0, g=0, t=0, n=0, dl=0, dp=0,
+                                      fwd=0, rev=0, ins=0))
+
+    for rname, pos, cigar, seq, qual, flag in rows:
+        if cigar is None or seq is None:
+            continue
+        seq = seq.upper()
+        rev = bool(flag & 16)
+        q = r = 0
+        for ln, op in ((int(a), o) for a, o in _CIG.findall(cigar)):
+            if op in "M=X":
+                for i in range(ln):
+                    bq = (ord(qual[q + i]) - 33) if qual is not None else None
+                    if min_bq > 0 and bq is not None and bq < min_bq:
+                        continue
+                    d = cell((rname, pos + r + i))
+                    ch = seq[q + i] if q + i < len(seq) else "N"
+                    d[ch.lower() if ch in "ACGT" else "n"] += 1
+                    d["dp"] += 1
+                    d["rev" if rev else "fwd"] += 1
+                q += ln
+                r += ln
+            elif op == "D":
+                for i in range(ln):
+                    d = cell((rname, pos + r + i))
+                    d["dl"] += 1
+                    d["dp"] += 1
+                    d["rev" if rev else "fwd"] += 1
+                r += ln
+            elif op == "N":
+                r += ln
+            elif op == "I":
+                if insertions and r > 0:
+                    cell((rname, pos + r - 1))["ins"] += 1
+                q += ln
+            elif op == "S":
+                q += ln
+    return {
+        k: (d["a"], d["c"], d["g"], d["t"], d["n"], d["dl"], d["dp"],
+            d["fwd"], d["rev"], d["ins"])
+        for k, d in out.items() if d["dp"] > 0 or d["ins"] > 0
+    }
+
+
+def test_pileup_insertions_strand_minbq_hand(spark):
+    rows = [
+        # fwd read, insertion of 2 after the base at 11
+        ("chr1", 10, "2M2I1M", "ACGGT", "IIIII", 0),
+        # rev read overlapping
+        ("chr1", 10, "3M", "ACT", "III", 16),
+        # leading insertion: no anchor, skipped
+        ("chr1", 20, "2I2M", "GGAA", "IIII", 0),
+        # low-qual base gated out at 30 ('!'=phred0), kept at 31
+        ("chr1", 30, "2M", "CC", "!I", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "rname string, pos long, cigar string, seq string, "
+              "qual string, flag int")
+    got = {(r.rname, r.refpos):
+           (r.n_a, r.n_c, r.n_g, r.n_t, r.n_n, r.n_del, r.depth,
+            r.depth_fwd, r.depth_rev, r.n_ins)
+           for r in pileup(df, qual_col="qual", flag_col="flag",
+                           min_bq=13, insertions=True).collect()}
+    assert got == _py_pileup_ext(rows, min_bq=13, insertions=True)
+    assert got[("chr1", 11)][9] == 1            # n_ins anchored at 11
+    assert ("chr1", 19) not in got              # leading I has no anchor
+    assert got[("chr1", 20)][6] == 1            # 2I2M: M starts at 20
+    assert ("chr1", 30) not in got              # '!' gated by -Q 13
+    assert got[("chr1", 31)][1] == 1            # 'I'=phred40 passes
+    assert got[("chr1", 10)][7:9] == (1, 1)     # one fwd, one rev
+
+
+def test_pileup_ext_random(spark):
+    """Randomized CIGAR/qual/strand records vs the extended walk, at
+    samtools' default -Q 13 and with insertion anchoring."""
+    import random
+
+    rng = random.Random(47)
+    rows = []
+    for i in range(250):
+        pos = rng.randrange(1, 400)
+        cig = []
+        q_len = 0
+        for _ in range(rng.randrange(1, 5)):
+            ln = rng.randrange(1, 6)
+            op = rng.choice("MIDNSIM")  # I/M twice: denser ins coverage
+            cig.append(f"{ln}{op}")
+            if op in "MIS":
+                q_len += ln
+        seq = "".join(rng.choice("ACGTN") for _ in range(q_len))
+        qual = ("".join(chr(33 + rng.randrange(0, 42)) for _ in range(q_len))
+                if rng.random() < 0.85 else None)
+        flag = rng.choice((0, 16))
+        rows.append((f"c{i % 3}", pos, "".join(cig), seq, qual, flag))
+    df = spark.createDataFrame(
+        rows, "rname string, pos long, cigar string, seq string, "
+              "qual string, flag int")
+    got = {(r.rname, r.refpos):
+           (r.n_a, r.n_c, r.n_g, r.n_t, r.n_n, r.n_del, r.depth,
+            r.depth_fwd, r.depth_rev, r.n_ins)
+           for r in pileup(df, qual_col="qual", flag_col="flag",
+                           min_bq=13, insertions=True).collect()}
+    assert got == _py_pileup_ext(rows, min_bq=13, insertions=True)
+    # and with the gate off + no insertions, the legacy columns and
+    # values are unchanged vs the original walk
+    legacy = {(r.rname, r.refpos): (r.n_a, r.n_c, r.n_g, r.n_t, r.n_n,
+                                    r.n_del, r.depth)
+              for r in pileup(df).collect()}
+    assert legacy == _py_pileup([(a, b, c, d) for a, b, c, d, _q, _f in rows])
+
+
+def test_pileup_minbq_requires_qual(spark):
+    df = spark.createDataFrame(
+        [("c", 1, "1M", "A")], "rname string, pos long, cigar string, seq string")
+    with pytest.raises(ValueError, match="qual_col"):
+        pileup(df, min_bq=13)

@@ -508,3 +508,63 @@ def test_bbi_spooled_writer_rejects_unsorted(gspark, tmp_path):
     with pytest.raises(Exception, match="sortWithinPartitions"):
         (sdf2.coalesce(1).write.format("bigwig").option("spool", "true")
          .mode("overwrite").save(str(tmp_path / "y")))
+
+
+def test_vcf_bgzf_csi_write_and_region_query(gspark, tmp_path):
+    """index='csi' with csi_depth=7 indexes a long contig (positions
+    beyond tabix/.tbi's 2^29-1 cap) inline; region queries on the
+    written file resolve through the tabix-flavoured CSI sidecar."""
+    import os
+
+    rows = [("chrL", 590_000_000 + i * 1000, None, "A", ["T"],
+             50.0, ["PASS"]) for i in range(500)]
+    df = gspark.createDataFrame(
+        rows, "chrom string, pos long, id string, ref string, "
+              "alt array<string>, qual double, filter array<string>"
+    ).orderBy("chrom", "pos")
+    hdr = ("##fileformat=VCFv4.3\n##contig=<ID=chrL,length=1000000000>\n"
+           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    out = str(tmp_path / "vcfcsi")
+    (df.coalesce(1).write.format("vcf").option("header", hdr)
+       .option("compression", "bgzf").option("index", "csi")
+       .option("csi_depth", "7").mode("overwrite").save(out))
+    part = glob.glob(out + "/*.vcf.gz")[0]
+    assert os.path.exists(part + ".csi") and not os.path.exists(part + ".tbi")
+    from oxbow_spark.sources.bgzf import CsiIndex
+
+    idx = CsiIndex.read(part + ".csi")
+    assert idx.depth == 7 and idx.names == ["chrL"]
+    got = (gspark.read.format("vcf")
+           .option("regions", "chrL:590100000-590200000").load(part))
+    want = [r for r in rows if 590_100_000 <= r[1] <= 590_200_000]
+    assert sorted(x.pos for x in got.collect()) == sorted(r[1] for r in want)
+
+
+def test_bed_bgzf_csi_write_and_region_query(gspark, tmp_path):
+    """Default-depth (5) tabix-flavoured CSI on BED: equivalent to .tbi
+    for normal-sized contigs, resolved by the same reader path."""
+    import os
+
+    df = (gspark.read.format("bed").option("bed_schema", "bed6")
+          .load(FX + "sample.bed").orderBy("chrom", "start"))
+    out = str(tmp_path / "bedcsi")
+    (df.coalesce(1).write.format("bed")
+       .option("compression", "bgzf").option("index", "csi")
+       .mode("overwrite").save(out))
+    part = glob.glob(out + "/*.bed.gz")[0]
+    assert os.path.exists(part + ".csi")
+    rows = df.collect()
+    chrom = rows[0].chrom
+    got = (gspark.read.format("bed").option("bed_schema", "bed6")
+           .option("regions", f"{chrom}:[0,100000)").load(part))
+    want = [r for r in rows if r.chrom == chrom and r.start < 100000]
+    assert got.count() == len(want)
+    # CSI region results identical to a .tbi-indexed write of the same df
+    out2 = str(tmp_path / "bedtbi")
+    (df.coalesce(1).write.format("bed")
+       .option("compression", "bgzf").option("index", "tbi")
+       .mode("overwrite").save(out2))
+    part2 = glob.glob(out2 + "/*.bed.gz")[0]
+    via_tbi = (gspark.read.format("bed").option("bed_schema", "bed6")
+               .option("regions", f"{chrom}:[0,100000)").load(part2))
+    assert _rows(got) == _rows(via_tbi)
