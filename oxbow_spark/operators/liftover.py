@@ -170,16 +170,29 @@ def liftover_positions(
 def liftover_intervals(
     df: DataFrame, chains: DataFrame, chrom_col: str = "chrom",
     start_col: str = "start", end_col: str = "end",
+    min_match: float | None = None, id_col: str | None = None,
 ) -> DataFrame:
-    """Interval liftover: both ends must land in the SAME chain block
-    (the strict gapless case — UCSC liftOver additionally stitches
-    across chain gaps under -minMatch; that relaxation maps each end
-    separately with `liftover_positions` and joins on chain_id).
+    """Interval liftover. Default (``min_match=None``): both ends must
+    land in the SAME chain block — the strict gapless case; straddling
+    intervals keep nulls.
+
+    ``min_match`` (UCSC liftOver's ``-minMatch``, its default 0.95)
+    relaxes this: an interval maps through a chain when at least that
+    fraction of its bases falls in the chain's aligned blocks — gaps
+    inside the chain are stitched over, and the output interval spans
+    from the first to the last mapped base. Candidate chains below the
+    threshold are dropped; among the rest the best (max score, tie min
+    chain_id) wins. See `_liftover_intervals_minmatch` for the plan
+    shape and the optional ``id_col`` fast path.
+
     Output: input columns + (new_chrom, new_start, new_end, chain_id);
     split/unmapped intervals keep nulls. Overlapping chains resolve to
     the best containing block per row (max score, tie min chain_id) —
     one output row per input row, always. `-` strand chains flip the
     interval: new_start = flip(end-1), new_end = flip(start)+1."""
+    if min_match is not None:
+        return _liftover_intervals_minmatch(
+            df, chains, chrom_col, start_col, end_col, min_match, id_col)
     s = F.col(start_col).cast("long")
     e = F.col(end_col).cast("long")
     left = df.withColumn("_bin", F.floor(s / _BIN))
@@ -205,3 +218,97 @@ def liftover_intervals(
         new_e.cast("long").alias("new_end"),
         best["chain_id"].alias("chain_id"),
     )
+
+
+def _liftover_intervals_minmatch(
+    df: DataFrame, chains: DataFrame, chrom_col: str, start_col: str,
+    end_col: str, min_match: float, id_col: str | None,
+) -> DataFrame:
+    """-minMatch interval mapping. Plan: intervals explode into their
+    64 kb bins (typically 1-2 copies), broadcast-join the flat binned
+    block table, per-(row, chain) aggregate of overlapped bases (each
+    block counted once — its overlap is charged to the bin holding the
+    overlap start), threshold on the mapped fraction, best-chain
+    ``max_by``, then one equi-join back onto the input so unmapped rows
+    keep nulls. With ``id_col`` (a unique row key) the rejoin is a
+    plain key join; without one, the computation runs on
+    ``dropDuplicates()`` of the input and rejoins null-safe on every
+    column — exact for duplicate rows, at the cost of one extra
+    shuffle. The corpus never cartesians: the only wide ops are the
+    per-(row, chain) partial-agg groupBy and (keyless mode) the
+    distinct."""
+    from functools import reduce
+
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    base = df if id_col is not None else df.dropDuplicates()
+    keys = [id_col] if id_col is not None else list(df.columns)
+
+    binned = base.select(
+        *keys, s.alias("_s"), e.alias("_e"),
+        F.col(chrom_col).alias("_chrom"),
+        F.explode(
+            F.when((e > s) & s.isNotNull(),
+                   F.sequence(F.floor(s / _BIN), F.floor((e - 1) / _BIN)))
+            .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        ).alias("_qbin"),
+    ) if id_col is not None else base.select(
+        "*", s.alias("_s"), e.alias("_e"),
+        F.col(chrom_col).alias("_chrom"),
+        F.explode(
+            F.when((e > s) & s.isNotNull(),
+                   F.sequence(F.floor(s / _BIN), F.floor((e - 1) / _BIN)))
+            .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        ).alias("_qbin"),
+    )
+    j = binned.join(
+        F.broadcast(chains),
+        (F.col("_chrom") == F.col("t_chrom"))
+        & (F.col("_qbin") == F.col("_bin")))
+    ov_s = F.greatest(F.col("_s"), F.col("t_start"))
+    ov_e = F.least(F.col("_e"), F.col("t_end"))
+    per = j.where((ov_e > ov_s) & (F.floor(ov_s / _BIN) == F.col("_qbin")))
+    blk = F.struct(F.col("t_start"), F.col("t_end"), F.col("q_start"))
+    agg = per.groupBy(*keys, "chain_id").agg(
+        F.sum(ov_e - ov_s).alias("_mapped"),
+        F.min_by(blk, F.col("t_start")).alias("_b0"),
+        F.max_by(blk, F.col("t_end")).alias("_b1"),
+        F.first("_s").alias("_s"), F.first("_e").alias("_e"),
+        F.first("q_chrom").alias("q_chrom"),
+        F.first("q_strand").alias("q_strand"),
+        F.first("q_size").alias("q_size"),
+        F.first("score").alias("score"),
+    )
+    frac_ok = (F.col("_mapped").cast("double")
+               / (F.col("_e") - F.col("_s"))) >= F.lit(min_match)
+    b0, b1 = F.col("_b0"), F.col("_b1")
+    q0 = b0["q_start"] + (F.greatest(F.col("_s"), b0["t_start"])
+                          - b0["t_start"])
+    q1 = b1["q_start"] + (F.least(F.col("_e"), b1["t_end"]) - b1["t_start"])
+    plus = F.col("q_strand") == "+"
+    cand = agg.where(frac_ok).select(
+        *keys,
+        F.struct(
+            F.col("score").alias("score"),
+            (-F.col("chain_id")).alias("_nci"),
+            F.col("q_chrom").alias("new_chrom"),
+            F.when(plus, q0).otherwise(F.col("q_size") - q1)
+            .cast("long").alias("new_start"),
+            F.when(plus, q1).otherwise(F.col("q_size") - q0)
+            .cast("long").alias("new_end"),
+            F.col("chain_id").alias("chain_id"),
+        ).alias("_m"),
+    )
+    best = (cand.groupBy(*keys)
+            .agg(F.max("_m").alias("_m"))
+            .select(*keys, "_m.new_chrom", "_m.new_start", "_m.new_end",
+                    "_m.chain_id"))
+    right = best.select(
+        *[F.col(k).alias(f"_k_{i}") for i, k in enumerate(keys)],
+        "new_chrom", "new_start", "new_end", "chain_id")
+    cond = reduce(
+        lambda a, b: a & b,
+        [df[k].eqNullSafe(right[f"_k_{i}"]) for i, k in enumerate(keys)])
+    return (df.join(right, cond, "left")
+            .select(*[df[c] for c in df.columns],
+                    "new_chrom", "new_start", "new_end", "chain_id"))

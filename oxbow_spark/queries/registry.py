@@ -2782,7 +2782,69 @@ def liftover_all_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end").cast("long").alias("src_end"),
         "new_chrom", F.col("new_start").cast("long"),
         F.col("new_end").cast("long"), "via_chain")
-    return pos.unionByName(iv)
+    ivmm = liftover_iv_minmatch_events(spark, sf_dir).select(
+        F.lit("ivmm").alias("kind"), "event_id", "chrom",
+        F.col("start").cast("long").alias("src_start"),
+        F.col("end").cast("long").alias("src_end"),
+        "new_chrom", F.col("new_start").cast("long"),
+        F.col("new_end").cast("long"), "via_chain")
+    return pos.unionByName(iv).unionByName(ivmm)
+
+
+def liftover_iv_minmatch_events(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """UCSC -minMatch interval liftover (threshold 0.95) through the
+    same net: intervals hanging off a chain's block edge still map when
+    ≥95% of their bases fall in aligned blocks, spanning first→last
+    mapped base; below-threshold and fully-gapped rows keep nulls."""
+    from oxbow_spark.operators.liftover import chain_frame, parse_chain
+    from oxbow_spark.operators.liftover import liftover_intervals
+
+    chains = chain_frame(spark, parse_chain(_LIFT_CHAIN))
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        (TS_SEC() % _LIFT_TILE).alias("start"),
+        (TS_SEC() % _LIFT_TILE + 50).alias("end"),
+    )
+    return liftover_intervals(ev, chains, min_match=0.95,
+                              id_col="event_id") \
+        .withColumnRenamed("chain_id", "via_chain")
+
+
+# minMatch oracle algebra on the synthetic single-block-per-chain net:
+# width 50, threshold 0.95 -> >= 48 mapped bases (integer). ov1/ov2 =
+# overlap with chain 1/2's block; both >= 48 is impossible (sum <= 50),
+# the decoy (score 50) can qualify only when chain 1 (score 100, same
+# span) also does, so it never wins. Mapped span clamps to the block.
+_LIFT_H, _LIFT_Q3 = _LIFT_TILE // 2, 3 * _LIFT_TILE // 4
+LIFTOVER_IVMM_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type AS chrom,
+         {EPOCH_SQL} % {_LIFT_TILE} AS s, {EPOCH_SQL} % {_LIFT_TILE} + 50 AS e
+  FROM events
+),
+ov AS (
+  SELECT *,
+         GREATEST(0, LEAST(e, {_LIFT_H}) - GREATEST(s, 0)) AS ov1,
+         GREATEST(0, LEAST(e, {_LIFT_Q3}) - GREATEST(s, {_LIFT_H})) AS ov2
+  FROM ev
+)
+SELECT event_id, chrom, s AS start, e AS "end",
+       CASE WHEN ov1 >= 48 THEN chrom || '_new'
+            WHEN ov2 >= 48 THEN chrom || '_rev' ELSE NULL END AS new_chrom,
+       CASE WHEN ov1 >= 48 THEN 1000000 + GREATEST(s, 0)
+            WHEN ov2 >= 48
+              THEN {1 << 31} - (5000 + LEAST(e, {_LIFT_Q3}) - {_LIFT_H})
+            ELSE NULL END AS new_start,
+       CASE WHEN ov1 >= 48 THEN 1000000 + LEAST(e, {_LIFT_H})
+            WHEN ov2 >= 48
+              THEN {1 << 31} - (5000 + GREATEST(s, {_LIFT_H}) - {_LIFT_H})
+            ELSE NULL END AS new_end,
+       CASE WHEN ov1 >= 48 THEN 1 WHEN ov2 >= 48 THEN 2
+            ELSE NULL END AS via_chain
+FROM ov
+"""
 
 
 def _liftover_all_sql() -> str:
@@ -2797,6 +2859,11 @@ SELECT 'iv', event_id, chrom, CAST(start AS BIGINT), CAST("end" AS BIGINT),
        new_chrom, CAST(new_start AS BIGINT), CAST(new_end AS BIGINT),
        via_chain
 FROM ({LIFTOVER_IV_SQL}) _i
+UNION ALL
+SELECT 'ivmm', event_id, chrom, CAST(start AS BIGINT), CAST("end" AS BIGINT),
+       new_chrom, CAST(new_start AS BIGINT), CAST(new_end AS BIGINT),
+       via_chain
+FROM ({LIFTOVER_IVMM_SQL}) _m
 """
 
 

@@ -153,3 +153,97 @@ def test_intervals_best_chain(spark, overlap_chains):
     assert got[2] == ("chrW", 430, 480, 2)
     assert got[3] == (None, None, None, None)
     assert out.count() == 3
+
+
+# chain 3: forward two-block chain with an interior gap (for minMatch),
+# chain 4: reverse two-block chain with an interior gap
+MM_CHAIN_TEXT = CHAIN_TEXT + """\
+chain 800 chrC 1000 + 100 160 chrW 2000 + 500 555 3
+30 10 5
+20
+
+chain 700 chrD 1000 + 100 160 chrV 500 - 300 355 4
+30 10 5
+20
+"""
+
+
+@pytest.fixture(scope="module")
+def mm_chains(spark):
+    return chain_frame(spark, parse_chain(MM_CHAIN_TEXT))
+
+
+def test_intervals_min_match_stitches_gaps(spark, mm_chains):
+    df = spark.createDataFrame(
+        [(1, "chrC", 105, 125),   # inside one block: same as strict
+         (2, "chrC", 120, 145),   # straddles the gap: 15/25 = 0.6 mapped
+         (3, "chrC", 128, 142),   # 2+2 of 14 mapped = 0.286
+         (4, "chrD", 120, 145),   # reverse-strand straddle, 0.6
+         (5, "chrC", 95, 125),    # hangs off the chain start: 25/30
+         (6, "chrZ", 0, 10)],     # unknown chrom
+        "rid long, chrom string, start long, end long")
+    # strict: only rid 1 maps
+    strict = {r.rid: r.new_chrom
+              for r in liftover_intervals(df, mm_chains).collect()}
+    assert strict[1] == "chrW" and strict[2] is None and strict[5] is None
+    # minMatch 0.5: gap-straddlers map, spanning first->last mapped base
+    got = {r.rid: (r.new_chrom, r.new_start, r.new_end, r.chain_id)
+           for r in liftover_intervals(
+               df, mm_chains, min_match=0.5).collect()}
+    assert got[1] == ("chrW", 505, 525, 3)
+    # [120,145): q0=500+20=520, q1=535+(145-140)=540
+    assert got[2] == ("chrW", 520, 540, 3)
+    assert got[3] == (None, None, None, None)      # 4/14 < 0.5
+    # chrD reverse: local q0=300+20=320, q1=335+5=340 -> flip on 500
+    assert got[4] == ("chrV", 500 - 340, 500 - 320, 4)
+    # [95,125): mapped [100,125) 25/30=0.83 -> q [500, 525)
+    assert got[5] == ("chrW", 500, 525, 3)
+    assert got[6] == (None, None, None, None)
+    # minMatch 0.95 rejects the straddlers but keeps full-block rows
+    tight = {r.rid: r.new_chrom for r in liftover_intervals(
+        df, mm_chains, min_match=0.95).collect()}
+    assert tight[1] == "chrW" and tight[2] is None and tight[5] is None
+
+
+def test_intervals_min_match_id_col_fast_path(spark, mm_chains):
+    df = spark.createDataFrame(
+        [(1, "chrC", 105, 125), (2, "chrC", 120, 145), (3, "chrZ", 0, 5)],
+        "rid long, chrom string, start long, end long")
+    a = {r.rid: (r.new_chrom, r.new_start, r.new_end, r.chain_id)
+         for r in liftover_intervals(
+             df, mm_chains, min_match=0.5, id_col="rid").collect()}
+    b = {r.rid: (r.new_chrom, r.new_start, r.new_end, r.chain_id)
+         for r in liftover_intervals(
+             df, mm_chains, min_match=0.5).collect()}
+    assert a == b and a[2][0] == "chrW"
+
+
+def test_intervals_min_match_duplicates_and_best_chain(spark, overlap_chains):
+    """Duplicate rows each get an output row; overlapping chains pick
+    max score / min chain_id, same as strict mode."""
+    rows = [("chrA", 110, 130)] * 3
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+    out = liftover_intervals(df, overlap_chains, min_match=0.9).collect()
+    assert len(out) == 3
+    assert len({(r.new_chrom, r.new_start, r.new_end, r.chain_id)
+                for r in out}) == 1
+    strict = liftover_intervals(df, overlap_chains).collect()
+    assert ({(r.new_chrom, r.new_start, r.new_end, r.chain_id)
+             for r in out}
+            == {(r.new_chrom, r.new_start, r.new_end, r.chain_id)
+                for r in strict})
+
+
+def test_intervals_min_match_equals_strict_when_inside_blocks(spark, chains):
+    """For intervals fully inside one block, minMatch at any threshold
+    reproduces the strict mapping exactly."""
+    df = spark.createDataFrame(
+        [(1, "chrA", 105, 125), (2, "chrB", 60, 70), (3, "chrA", 135, 138)],
+        "rid long, chrom string, start long, end long")
+    want = {r.rid: (r.new_chrom, r.new_start, r.new_end, r.chain_id)
+            for r in liftover_intervals(df, chains).collect()}
+    got = {r.rid: (r.new_chrom, r.new_start, r.new_end, r.chain_id)
+           for r in liftover_intervals(df, chains, min_match=1.0).collect()}
+    # rid 3 sits in the src gap: unmapped both ways
+    assert want[3] == (None, None, None, None)
+    assert got == want
