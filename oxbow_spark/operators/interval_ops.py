@@ -158,11 +158,14 @@ def subtract_intervals(
 
     ``remove_any`` is bedtools ``-A``: drop each ``a`` interval
     ENTIRELY when anything in ``b`` overlaps it (one binned semi-join,
-    no gap walk). ``id_col`` names a unique per-row key of ``a`` if one exists;
-    without it a `monotonically_increasing_id` is used — fine for a
-    single action, but a caller-supplied key is the deterministic
-    choice when the plan's branches may recompute (speculative retries
-    re-derive the same ids only if the scan partitioning is stable)."""
+    no gap walk). ``id_col`` names a unique per-row key of ``a`` if one
+    exists (the cheapest path — no extra shuffle); without it the row's
+    own values become the key: ``a`` collapses to distinct rows with a
+    multiplicity count, the gap walk runs once per distinct row, and
+    segments re-expand to the original multiplicity at the end. That
+    default is fully deterministic — safe under speculative retries and
+    branch recomputation, unlike a `monotonically_increasing_id` — at
+    the cost of one extra full-width aggregation of ``a``."""
     if remove_any:
         hits = overlap_join(
             a.select(F.col(on).alias("_on"),
@@ -182,14 +185,28 @@ def subtract_intervals(
             & (F.col(end_col).cast("long") == F.col("_ae")),
             "left_anti")
     other = [c for c in a.columns if c not in (start_col, end_col)]
-    rid = (F.col(id_col) if id_col
-           else F.monotonically_increasing_id()).alias("_aid")
-    aid = a.select(
-        rid,
-        F.col(start_col).cast("long").alias("_as"),
-        F.col(end_col).cast("long").alias("_ae"),
-        *[F.col(c) for c in other],
-    )
+    if id_col:
+        aid = a.select(
+            F.col(id_col).alias("_aid"),
+            F.col(start_col).cast("long").alias("_as"),
+            F.col(end_col).cast("long").alias("_ae"),
+            *[F.col(c) for c in other],
+        )
+        mult: list = []
+    else:
+        # deterministic default key: the distinct row's own values
+        # (struct equality — collision-free), with multiplicity
+        # restored after the gap walk
+        aid = (a.groupBy(*a.columns)
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .select(
+                   F.struct(*[F.col(c) for c in a.columns]).alias("_aid"),
+                   F.col("_n"),
+                   F.col(start_col).cast("long").alias("_as"),
+                   F.col(end_col).cast("long").alias("_ae"),
+                   *[F.col(c) for c in other],
+               ))
+        mult = ["_n"]
     bm = merge_intervals(b, on=on, start_col=b_start, end_col=b_end,
                          split_bp=split_bp) \
         .select(F.col(on).alias("_on"),
@@ -203,7 +220,7 @@ def subtract_intervals(
     )
     cs = F.greatest(F.col("_bs"), F.col("_as"))
     ce = F.least(F.col("_be"), F.col("_ae"))
-    cov = j.select("_aid", "_as", "_ae",
+    cov = j.select("_aid", *mult, "_as", "_ae",
                    *[F.col("_on").alias(on) if c == on else F.col(c)
                      for c in other],
                    cs.alias("_cs"), ce.alias("_ce"))
@@ -211,27 +228,33 @@ def subtract_intervals(
     seg_start = F.coalesce(
         F.lag("_ce").over(w), F.col("_as")).alias("_seg_s")
     gaps = cov.select(
-        "_aid", "_as", "_ae", *other,
+        "_aid", *mult, "_as", "_ae", *other,
         seg_start, F.col("_cs").alias("_seg_e"), "_ce",
         F.row_number().over(
             Window.partitionBy("_aid").orderBy(F.desc("_cs"))
         ).alias("_rn_desc"),
     )
     mids = gaps.where(F.col("_seg_e") > F.col("_seg_s")).select(
-        *other,
+        *other, *mult,
         F.col("_seg_s").alias(start_col), F.col("_seg_e").alias(end_col),
     )
     tails = gaps.where(
         (F.col("_rn_desc") == 1) & (F.col("_ae") > F.col("_ce"))
     ).select(
-        *other,
+        *other, *mult,
         F.col("_ce").alias(start_col), F.col("_ae").alias(end_col),
     )
     untouched = aid.join(
         cov.select("_aid").distinct(), "_aid", "left_anti"
-    ).select(*other,
+    ).select(*other, *mult,
              F.col("_as").alias(start_col), F.col("_ae").alias(end_col))
-    return mids.unionByName(tails).unionByName(untouched)
+    out = mids.unionByName(tails).unionByName(untouched)
+    if mult:
+        out = out.withColumn(
+            "_dup",
+            F.explode(F.array_repeat(F.lit(1), F.col("_n").cast("int")))
+        ).drop("_n", "_dup")
+    return out
 
 
 def closest_intervals(

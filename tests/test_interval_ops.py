@@ -393,3 +393,27 @@ def test_subtract_remove_any(spark):
     cols = subtract_intervals(a, b, bin_size=64, id_col="a_id",
                               remove_any=True).columns
     assert cols == ["a_id", "chrom", "start", "end"]
+
+
+def test_subtract_default_key_equals_id_col(frames):
+    """The deterministic values-key default must produce exactly the
+    keyed result (same segments, same multiset)."""
+    a, b = frames
+    keyed = sorted(map(tuple, subtract_intervals(
+        a, b, bin_size=64, id_col="aid").collect()))
+    plain = sorted(map(tuple, subtract_intervals(
+        a, b, bin_size=64).collect()))
+    assert plain == keyed
+
+
+def test_subtract_default_key_duplicates(spark):
+    """Duplicate a-rows each survive independently — the distinct +
+    multiplicity re-expansion restores exact row counts."""
+    a = spark.createDataFrame(
+        [("c", 0, 100)] * 3 + [("c", 300, 400)],
+        "chrom string, start long, end long")
+    b = spark.createDataFrame(
+        [("c", 40, 60)], "chrom string, start long, end long")
+    got = sorted(map(tuple, subtract_intervals(a, b, bin_size=64).collect()))
+    assert got == sorted(
+        [("c", 0, 40)] * 3 + [("c", 60, 100)] * 3 + [("c", 300, 400)])
