@@ -313,7 +313,10 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def ngram_lm_score(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", alpha: float = 0.5) -> DataFrame:
+                   id_col: str = "doc_id", alpha: float = 0.5,
+                   order: int = 2,
+                   lambdas: tuple[float, float, float] = (0.1, 0.3, 0.6)
+                   ) -> DataFrame:
     """(id, n_terms, mean_nll, ppl): CCNet-style n-gram language-model
     perplexity scoring, trained on the corpus itself — the standard
     quality signal for web-scale pretraining filters (CCNet fits KenLM
@@ -328,11 +331,23 @@ def ngram_lm_score(df: DataFrame, text_col: str = "text",
     aggregation order cannot perturb the result (oracle-hashable, same
     discipline as `bm25_topk`).
 
-    Plan shape: one explode for unigram counts, one for bigram counts,
-    then the scoring joins on token keys — count tables are vocab-sized
+    ``order=3`` (CCNet fits a 5-gram KenLM; 3 is the useful middle at
+    a self-contained cost) scores with simple linear interpolation over
+    (unigram, bigram, trigram) add-alpha probabilities weighted by
+    ``lambdas`` — token 1 scores under the unigram alone, token 2 under
+    the (λ1, λ2)-renormalized bigram interpolation, tokens ≥3 under the
+    full mix. The trigram context count c(prev2, prev1) is the corpus
+    bigram count (deterministic, engine-portable convention).
+
+    Plan shape: one explode per n-gram order for counts, then the
+    scoring joins on token keys — count tables are vocab-sized
     (≪ corpus), broadcast when small, plain shuffle joins otherwise; the
     model constants (N, V) ride a broadcast 1-row cross join, never a
     driver collect. Empty documents keep a row with null score."""
+    if order == 3:
+        return _trigram_lm_score(df, text_col, id_col, alpha, lambdas)
+    if order != 2:
+        raise ValueError(f"unsupported order {order}")
     c = F.col(text_col)
     base = df.select(
         F.col(id_col),
@@ -375,6 +390,105 @@ def ngram_lm_score(df: DataFrame, text_col: str = "text",
     out = base.select(id_col).join(scored, id_col, "left")
     mean = (F.col("_s").cast("double")
             / F.col("n_terms").cast("double"))
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+        F.round(mean, 6).alias("mean_nll"),
+        F.round(F.exp(mean), 6).alias("ppl"),
+    )
+
+
+def _trigram_lm_score(df: DataFrame, text_col: str, id_col: str,
+                      alpha: float, lambdas: tuple[float, float, float]
+                      ) -> DataFrame:
+    """Interpolated-trigram leg of `ngram_lm_score` (order=3). Same
+    decimal-quantized aggregation discipline; all count joins are inner
+    (every observed n-gram is in its own count table by construction)."""
+    l1, l2, l3 = (float(x) for x in lambdas)
+    if abs(l1 + l2 + l3 - 1.0) > 1e-9:
+        raise ValueError("lambdas must sum to 1")
+    a = F.lit(float(alpha))
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>"))
+        .otherwise(tokens(c)).alias("_t"),
+    )
+    uni = (base.select(F.explode("_t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    consts = uni.agg(F.sum("cw").alias("N"), F.count(F.lit(1)).alias("V"))
+    av = a * F.col("V")
+
+    pair_expr = F.expr(
+        "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1), "
+        "i -> struct(element_at(_t, i) AS prev, element_at(_t, i+1) AS cur)) "
+        "ELSE array() END")
+    pairs = base.select(F.col(id_col), F.explode(pair_expr).alias("p")) \
+        .select(id_col, F.col("p.prev").alias("prev"),
+                F.col("p.cur").alias("cur"))
+    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+
+    tri_expr = F.expr(
+        "CASE WHEN size(_t) >= 3 THEN transform(sequence(1, size(_t) - 2), "
+        "i -> struct(element_at(_t, i) AS p2, element_at(_t, i+1) AS p1, "
+        "element_at(_t, i+2) AS cur)) ELSE array() END")
+    triples = base.select(F.col(id_col), F.explode(tri_expr).alias("g")) \
+        .select(id_col, F.col("g.p2").alias("p2"),
+                F.col("g.p1").alias("p1"), F.col("g.cur").alias("cur"))
+    tri = triples.groupBy("p2", "p1", "cur").agg(
+        F.count(F.lit(1)).alias("ct"))
+
+    def p_uni(cw):
+        return (cw + a) / (F.col("N") + av)
+
+    # token 1: unigram only
+    first = (base.where(F.size("_t") > 0)
+             .select(F.col(id_col), F.element_at("_t", 1).alias("w"))
+             .join(uni, "w")
+             .crossJoin(F.broadcast(consts))
+             .select(F.col(id_col),
+                     (-F.log(p_uni(F.col("cw")))).alias("nll")))
+    # token 2: (l1, l2)-renormalized bigram interpolation
+    l1n, l2n = l1 / (l1 + l2), l2 / (l1 + l2)
+    second = (base.where(F.size("_t") >= 2)
+              .select(F.col(id_col),
+                      F.element_at("_t", 1).alias("prev"),
+                      F.element_at("_t", 2).alias("cur"))
+              .join(big, ["prev", "cur"])
+              .join(uni.select(F.col("w").alias("prev"),
+                               F.col("cw").alias("cwp")), "prev")
+              .join(uni.select(F.col("w").alias("cur"),
+                               F.col("cw").alias("cwc")), "cur")
+              .crossJoin(F.broadcast(consts))
+              .select(F.col(id_col), (-F.log(
+                  F.lit(l1n) * p_uni(F.col("cwc"))
+                  + F.lit(l2n) * ((F.col("cb") + a)
+                                  / (F.col("cwp") + av)))).alias("nll")))
+    # tokens >= 3: full (l1, l2, l3) mix
+    rest = (triples
+            .join(tri, ["p2", "p1", "cur"])
+            .join(big.select(F.col("prev").alias("p2"),
+                             F.col("cur").alias("p1"),
+                             F.col("cb").alias("cctx")), ["p2", "p1"])
+            .join(big.select(F.col("prev").alias("p1"),
+                             F.col("cur").alias("cur"),
+                             F.col("cb").alias("cb2")), ["p1", "cur"])
+            .join(uni.select(F.col("w").alias("p1"),
+                             F.col("cw").alias("cwp1")), "p1")
+            .join(uni.select(F.col("w").alias("cur"),
+                             F.col("cw").alias("cwc")), "cur")
+            .crossJoin(F.broadcast(consts))
+            .select(F.col(id_col), (-F.log(
+                F.lit(l1) * p_uni(F.col("cwc"))
+                + F.lit(l2) * ((F.col("cb2") + a) / (F.col("cwp1") + av))
+                + F.lit(l3) * ((F.col("ct") + a)
+                               / (F.col("cctx") + av)))).alias("nll")))
+    scored = (first.unionByName(second).unionByName(rest)
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_terms"),
+                   F.sum(F.col("nll").cast("decimal(28,6)")).alias("_s")))
+    out = base.select(id_col).join(scored, id_col, "left")
+    mean = F.col("_s").cast("double") / F.col("n_terms").cast("double")
     return out.select(
         F.col(id_col),
         F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),

@@ -2661,6 +2661,9 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")),
             "doc_id")
         .join(text.ngram_lm_score(docs, alpha=_LM_ALPHA), "doc_id")
+        .join(text.ngram_lm_score(docs, alpha=_LM_ALPHA, order=3).select(
+            "doc_id", F.col("mean_nll").alias("mean_nll3"),
+            F.col("ppl").alias("ppl3")), "doc_id")
         .join(text.dup_span_stats(docs, k=_DUP_K), "doc_id")
     )
 
@@ -2708,6 +2711,80 @@ FROM base LEFT JOIN sc USING (doc_id)
 """
 
 
+def _lm3_sql() -> str:
+    """Interpolated-trigram DuckDB twin of
+    `text.ngram_lm_score(order=3)`: token1 unigram, token2 the
+    (l1,l2)-renormalized bigram mix, tokens>=3 the full
+    (0.1, 0.3, 0.6) mix; trigram contexts count as corpus bigrams."""
+    a = _LM_ALPHA
+    l1, l2, l3 = 0.1, 0.3, 0.6
+    l1n, l2n = l1 / (l1 + l2), l2 / (l1 + l2)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE {TOKS_SQL} END AS t
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w
+),
+consts AS (SELECT sum(cw) AS n_total, count(*) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM base WHERE len(t) >= 2)
+),
+big AS (SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY prev, cur),
+trip AS (
+  SELECT doc_id, t[i] AS p2, t[i+1] AS p1, t[i+2] AS cur
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM base WHERE len(t) >= 3)
+),
+tri AS (SELECT p2, p1, cur, count(*) AS ct FROM trip GROUP BY p2, p1, cur),
+f AS (
+  SELECT doc_id, -ln((cw + {a}) / (n_total + {a} * v)) AS nll
+  FROM (SELECT doc_id, t[1] AS w FROM base WHERE len(t) > 0) fw
+  JOIN uni ON fw.w = uni.w CROSS JOIN consts
+),
+s2 AS (
+  SELECT sw.doc_id, -ln(
+      {l1n} * (uc.cw + {a}) / (n_total + {a} * v)
+      + {l2n} * (cb + {a}) / (up.cw + {a} * v)) AS nll
+  FROM (SELECT doc_id, t[1] AS prev, t[2] AS cur
+        FROM base WHERE len(t) >= 2) sw
+  JOIN big USING (prev, cur)
+  JOIN uni up ON sw.prev = up.w
+  JOIN uni uc ON sw.cur = uc.w
+  CROSS JOIN consts
+),
+r AS (
+  SELECT trip.doc_id, -ln(
+      {l1} * (uc.cw + {a}) / (n_total + {a} * v)
+      + {l2} * (b2.cb + {a}) / (up.cw + {a} * v)
+      + {l3} * (ct + {a}) / (bc.cb + {a} * v)) AS nll
+  FROM trip
+  JOIN tri USING (p2, p1, cur)
+  JOIN big bc ON trip.p2 = bc.prev AND trip.p1 = bc.cur
+  JOIN big b2 ON trip.p1 = b2.prev AND trip.cur = b2.cur
+  JOIN uni up ON trip.p1 = up.w
+  JOIN uni uc ON trip.cur = uc.w
+  CROSS JOIN consts
+),
+sc AS (
+  SELECT doc_id, count(*) AS n_terms,
+         SUM(CAST(nll AS DECIMAL(28,6))) AS sm
+  FROM (SELECT * FROM f UNION ALL SELECT * FROM s2 UNION ALL
+        SELECT * FROM r) GROUP BY doc_id
+)
+SELECT base.doc_id,
+       ROUND(CAST(sm AS DOUBLE) / n_terms, 6) AS mean_nll3,
+       ROUND(exp(CAST(sm AS DOUBLE) / n_terms), 6) AS ppl3
+FROM base LEFT JOIN sc USING (doc_id)
+"""
+
+
 def _dupspan_sql() -> str:
     k = _DUP_K
     return rf"""
@@ -2751,12 +2828,14 @@ SELECT s.*,
        l.* EXCLUDE (doc_id),
        b.* EXCLUDE (doc_id),
        lm.* EXCLUDE (doc_id),
+       lm3.* EXCLUDE (doc_id),
        d.* EXCLUDE (doc_id)
 FROM ({TEXT_STATS_SQL}) s
 JOIN ({TEXT_QUALITY_SQL}) q USING (doc_id)
 JOIN ({_langid_sql()}) l USING (doc_id)
 JOIN ({BPE_SQL}) b USING (doc_id)
 JOIN ({_lm_sql()}) lm USING (doc_id)
+JOIN ({_lm3_sql()}) lm3 USING (doc_id)
 JOIN ({_dupspan_sql()}) d USING (doc_id)
 """
 

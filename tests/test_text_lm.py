@@ -188,8 +188,76 @@ def test_dup_spans_match_python_reference(docs_tokens, k):
         assert g[4] == pytest.approx(w[4])
 
 
+def _py_lm3(corpus, alpha=0.5, lambdas=(0.1, 0.3, 0.6)):
+    """Brute-force interpolated-trigram reference mirroring
+    ngram_lm_score(order=3): token1 unigram, token2 renormalized
+    (l1,l2) bigram mix, tokens>=3 the full mix; trigram contexts count
+    as corpus bigrams."""
+    l1, l2, l3 = lambdas
+    toks = {i: t.split() for i, t in corpus}
+    uni, big, tri = {}, {}, {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+        for a, b, c in zip(t, t[1:], t[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    N = sum(uni.values())
+    V = len(uni)
+    a_ = alpha
+
+    def p1(w):
+        return (uni[w] + a_) / (N + a_ * V)
+
+    def p2(pv, w):
+        return (big[(pv, w)] + a_) / (uni[pv] + a_ * V)
+
+    def p3(p2v, p1v, w):
+        return (tri[(p2v, p1v, w)] + a_) / (big[(p2v, p1v)] + a_ * V)
+
+    out = {}
+    for i, t in toks.items():
+        if not t:
+            out[i] = (0, None, None)
+            continue
+        terms = [round(-_math.log(p1(t[0])), 6)]
+        if len(t) >= 2:
+            l1n, l2n = l1 / (l1 + l2), l2 / (l1 + l2)
+            terms.append(round(-_math.log(
+                l1n * p1(t[1]) + l2n * p2(t[0], t[1])), 6))
+        for j in range(2, len(t)):
+            terms.append(round(-_math.log(
+                l1 * p1(t[j]) + l2 * p2(t[j - 1], t[j])
+                + l3 * p3(t[j - 2], t[j - 1], t[j])), 6))
+        m = sum(terms) / len(terms)
+        out[i] = (len(terms), round(m, 6), round(_math.exp(m), 6))
+    return out
+
+
+@given(st.lists(st.lists(st.sampled_from(_WORDS), max_size=12),
+                min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None)
+def test_trigram_lm_matches_python_reference(docs_tokens):
+    spark = test_trigram_lm_matches_python_reference._spark
+    corpus = [(i, " ".join(t)) for i, t in enumerate(docs_tokens)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.n_terms, r.mean_nll, r.ppl)
+           for r in ngram_lm_score(df, alpha=0.5, order=3).collect()}
+    want = _py_lm3(corpus)
+    for i, (n, m, p) in want.items():
+        gn, gm, gp = got[i]
+        assert gn == n, (i, gn, n)
+        if m is None:
+            assert gm is None and gp is None
+        else:
+            assert gm == pytest.approx(m, abs=2e-6)
+            assert gp == pytest.approx(p, rel=1e-5)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bind_spark(spark):
     test_ngram_lm_matches_python_reference._spark = spark
+    test_trigram_lm_matches_python_reference._spark = spark
     test_dup_spans_match_python_reference._spark = spark
     yield
