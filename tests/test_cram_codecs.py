@@ -687,3 +687,74 @@ def test_fqz_multi_dedup_and_empty_records():
         stab=[0, 1], selector=selector)
     want = b"".join(recs)
     assert fqz_decode(blob, len(want)) == want
+
+
+# ------------------- htscodecs test-corpus parameter-shape widening
+# (round 6): the htscodecs fqzcomp test corpus exercises q4 (NovaSeq
+# 4-level binned), q8 (8-level) and q40 (HiSeq full-range) quality
+# profiles under varying context shapes. Mirror those shapes through
+# the spec-mirroring encoder: each profile × {no tables, DO_POS-style
+# ptab, DO_DEL-style dtab, both, both+dedup}. Still not a real
+# htscodecs byte stream (none can be produced in this container) — the
+# codec keeps its honest 'unvalidated vs real producers' flag.
+
+_FQZ_PROFILES = {
+    "q4": dict(vals=[3, 14, 31, 40], qbits=2, qshift=2),
+    "q8": dict(vals=[1, 5, 11, 17, 23, 29, 35, 41], qbits=3, qshift=3),
+    "q40": dict(vals=list(range(45)), qbits=6, qshift=3),
+}
+_FQZ_SHAPES = ["plain", "pos", "delta", "pos_delta", "pos_delta_dedup"]
+
+
+@pytest.mark.parametrize("profile", sorted(_FQZ_PROFILES))
+@pytest.mark.parametrize("shape", _FQZ_SHAPES)
+def test_fqz_htscodecs_profile_shapes(profile, shape):
+    import random
+
+    spec = _FQZ_PROFILES[profile]
+    rng = random.Random(sum(map(ord, profile + shape)))
+    vals = spec["vals"]
+    nlv = len(vals)
+    recs = []
+    for i in range(24):
+        L = 80 if i % 5 else 60  # mixed lengths
+        rec = []
+        for p in range(L):
+            # Illumina-ish positional degradation + jitter + dips
+            base = nlv - 1 - (p * nlv) // (L + 40)
+            j = base + rng.choice((-1, 0, 0, 0, 1))
+            if rng.random() < 0.03:
+                j = 0  # quality dip
+            rec.append(vals[min(nlv - 1, max(0, j))])
+        recs.append(bytes(rec))
+    if "dedup" in shape:
+        recs = [recs[0]] * 3 + recs + [recs[-1]] * 2
+    kw: dict = dict(qbits=spec["qbits"], qshift=spec["qshift"])
+    if "pos" in shape:
+        kw["ptab"] = _PTAB_STEP
+    if "delta" in shape:
+        kw["dtab"] = _DTAB_STEP
+    if "dedup" in shape:
+        kw["do_dedup"] = True
+    blob = fqz_encode(recs, **kw)
+    want = b"".join(recs)
+    assert fqz_decode(blob, len(want)) == want
+
+
+def test_fqz_q4_qmap_profile():
+    """q4 with PFLAG_HAVE_QMAP — htscodecs' own q4 shape: 4 mapped
+    symbols coded through an explicit value map, FIXED_LEN stream."""
+    import random
+
+    rng = random.Random(404)
+    vals = [3, 14, 31, 40]
+    recs = []
+    for i in range(16):
+        rec = [vals[min(3, max(0, 3 - (p * 4) // 110
+                               + rng.choice((-1, 0, 0, 1))))]
+               for p in range(72)]
+        recs.append(bytes(rec))
+    blob = fqz_encode_full(
+        recs, [dict(qbits=2, qshift=2, qmap=vals, fixed_len=True)])
+    want = b"".join(recs)
+    assert fqz_decode(blob, len(want)) == want
