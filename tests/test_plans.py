@@ -218,3 +218,37 @@ def test_merge_split_bp_no_extra_shuffle_explosion(spark, sf):
     plan = _plan(merge_intervals(ev, split_bp=1 << 16))
     assert "CartesianProduct" not in plan
     assert "Join" not in plan, plan  # union + windows only
+
+
+def test_trigram_lm_plan_no_cartesian(spark, sf):
+    """order=3 LM: count-frame joins stay hash joins (vocab-sized
+    sides), the constants ride the 1-row broadcast, no cartesian."""
+    from oxbow_spark.operators.text import ngram_lm_score
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _plan(ngram_lm_score(docs, order=3))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row constants join
+    assert "HashAggregate" in plan, plan
+
+
+def test_liftover_minmatch_plan_broadcasts_chains(spark, sf):
+    """-minMatch interval liftover: the binned block table broadcasts
+    into the candidate join; the per-(row, chain) aggregate has
+    map-side partials; nothing goes nested-loop/cartesian."""
+    from oxbow_spark.operators.liftover import (chain_frame,
+                                                liftover_intervals,
+                                                parse_chain)
+
+    text = ("chain 1000 click 2097152 + 0 1048576 click_new 2097152 + "
+            "1000000 2048576 1\n1048576\n")
+    chains = chain_frame(spark, parse_chain(text))
+    ev = spark.read.parquet(f"{sf}/events.parquet").selectExpr(
+        "event_id", "event_type AS chrom",
+        "CAST(event_id % 1000000 AS BIGINT) AS start",
+        "CAST(event_id % 1000000 + 50 AS BIGINT) AS end")
+    plan = _plan(liftover_intervals(ev, chains, min_match=0.95,
+                                    id_col="event_id"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
