@@ -261,7 +261,28 @@ class BcfWriter(_AlignmentWriter):
                 + bytes(shared) + bytes(indiv))
 
     def write(self, iterator: Iterator) -> _PartFile:
+        import re as _re
+
+        from oxbow_spark.sources.align_write import (
+            _CsiBuilder,
+            bgzf_compress,
+            csi_depth_for,
+        )
+
         out = self._part_path()
+        kind = (self.options.get("index") or "").lower()
+        if kind not in ("", "csi"):
+            raise ValueError(
+                f"bcf writer: unknown index kind {kind!r} (BCF's "
+                "standard index is 'csi')")
+        csi = None
+        if kind == "csi":
+            lens = [int(m) for m in _re.findall(
+                r"##contig=<[^>]*length=(\d+)", self.header_text)]
+            min_shift = int(self.options.get("csi_min_shift", 14))
+            depth = int(self.options.get(
+                "csi_depth", csi_depth_for(max(lens, default=0), min_shift)))
+            csi = _CsiBuilder(len(self.contig_ids), min_shift, depth)
         text = "".join(
             ln.rstrip("\n") + "\n"
             for ln in self.header_text.splitlines() if ln.strip())
@@ -271,8 +292,18 @@ class BcfWriter(_AlignmentWriter):
             w = _BgzfStreamWriter(f)
             w.write(b"BCF\x02\x02" + struct.pack("<I", len(tb)) + tb)
             for row in iterator:
-                w.write(self._record(row.asDict()))
+                d = row.asDict()
+                vstart = w.vtell()
+                w.write(self._record(d))
                 n += 1
+                if csi is not None:
+                    pos0 = int(d["pos"]) - 1
+                    csi.add(self.contig_ids[d["chrom"]], pos0,
+                            pos0 + max(len(d.get("ref") or ""), 1),
+                            vstart, w.vtell())
             w.close()
             f.write(BGZF_EOF)
+        if csi is not None:
+            with open(out + ".csi", "wb") as fi:
+                fi.write(bgzf_compress(csi.serialize()) + BGZF_EOF)
         return _PartFile(out, n)

@@ -568,3 +568,60 @@ def test_bed_bgzf_csi_write_and_region_query(gspark, tmp_path):
     via_tbi = (gspark.read.format("bed").option("bed_schema", "bed6")
                .option("regions", f"{chrom}:[0,100000)").load(part2))
     assert _rows(got) == _rows(via_tbi)
+
+
+def test_bcf_csi_write_and_region_query(gspark, tmp_path):
+    """index='csi' on the BCF writer (BCF's standard index): sidecar
+    parses with our CSI reader and region pushdown on the written file
+    matches the row-filter answer."""
+    import glob as _glob
+    import os
+
+    src = FX + "sample.bcf"
+    df = (gspark.read.format("bcf").load(src)
+          .orderBy("chrom", "pos"))
+    out = str(tmp_path / "bcfcsi")
+    (df.coalesce(1).write.format("bcf")
+       .option("header", _bcf_header_text(src))
+       .option("index", "csi").mode("overwrite").save(out))
+    part = _glob.glob(out + "/*.bcf")[0]
+    assert os.path.exists(part + ".csi")
+    from oxbow_spark.sources.bgzf import CsiIndex
+
+    idx = CsiIndex.read(part + ".csi")
+    assert idx.min_shift == 14 and idx.refs
+    rows = df.collect()
+    chrom = rows[0].chrom
+    got = (gspark.read.format("bcf")
+           .option("regions", f"{chrom}:1-2000000").load(part))
+    want = [r for r in rows if r.chrom == chrom and r.pos <= 2000000]
+    assert sorted(x.pos for x in got.collect()) == sorted(r.pos for r in want)
+
+
+def test_bcf_csi_long_contig(gspark, tmp_path):
+    """>2^29 positions: depth auto-derives from ##contig length and the
+    written CSI resolves region queries out there."""
+    import glob as _glob
+    import os
+
+    hdr = ("##fileformat=VCFv4.3\n"
+           "##contig=<ID=chrL,length=1000000000>\n"
+           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    rows = [("chrL", 590_000_000 + i * 1000, None, "A", ["T"], 50.0, [])
+            for i in range(400)]
+    df = gspark.createDataFrame(
+        rows, "chrom string, pos long, id array<string>, ref string, "
+              "alt array<string>, qual double, filter array<string>"
+    ).orderBy("chrom", "pos")
+    out = str(tmp_path / "bcflong")
+    (df.coalesce(1).write.format("bcf").option("header", hdr)
+       .option("index", "csi").mode("overwrite").save(out))
+    part = _glob.glob(out + "/*.bcf")[0]
+    assert os.path.exists(part + ".csi")
+    from oxbow_spark.sources.bgzf import CsiIndex
+
+    assert CsiIndex.read(part + ".csi").depth == 6
+    got = (gspark.read.format("bcf")
+           .option("regions", "chrL:590100000-590200000").load(part))
+    want = [r for r in rows if 590_100_000 <= r[1] <= 590_200_000]
+    assert sorted(x.pos for x in got.collect()) == sorted(r[1] for r in want)
