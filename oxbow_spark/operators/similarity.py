@@ -514,3 +514,80 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def semantic_dup_drops(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) drop set:
+    semantic-duplicate detection in embedding space. Each vector is
+    assigned to its spherical-k-means cluster (`ivf_fit` centroids,
+    expression-level argmax over the broadcast literals — the proven
+    `ivf_list_order` machinery); cosine pairs form ONLY within a
+    cluster, and an item is dropped when its cosine to ANY
+    higher-keep-priority cluster-mate clears ``threshold``. Keep
+    priority follows the paper: LOW cosine to the cluster centroid
+    survives (tie → lower id), so of each duplicate group the example
+    farthest from the centroid is retained; the one-pass pairwise rule
+    (no transitive components) mirrors the released implementation.
+
+    Returns one row per DROPPED item: (id_col, cluster, kept_id, cos)
+    where ``kept_id`` is the highest-priority witness (deterministic via
+    a (csim, id)-ordered row_number). Anti-join on ``id_col`` to dedup —
+    or call `semantic_dedup`.
+
+    Scale: the self-join key is the cluster id, so cost is
+    Σ|cluster|² — SemDeDup's own design point; nlist grows with the
+    corpus (the paper uses 11k clusters for LAION) keeping clusters
+    bounded. The centroid frame is literals (KBs); the only shuffles are
+    the cluster equi-join and the per-dropped-id window."""
+    order = ivf_list_order(F.col(vec_col), centroids)
+    darr = F.array(*_plane_dots(vec_col, centroids))
+    cluster = F.element_at(order, 1)["j"]
+    n = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _exact_norm2(F.col(vec_col)).alias("_nrm"),
+        cluster.alias("cluster"),
+        (F.element_at(darr, F.element_at(order, 1)["j"] + 1)
+         / F.sqrt(_exact_norm2(F.col(vec_col)))).alias("_csim"),
+    )
+    a = n.select(F.col("_id").alias("_id_a"), F.col("_v").alias("_av"),
+                 F.col("_nrm").alias("_an"), "cluster",
+                 F.col("_csim").alias("_csim_a"))
+    b = n.select(F.col("_id").alias("_id_b"), F.col("_v").alias("_bv"),
+                 F.col("_nrm").alias("_bn"), "cluster",
+                 F.col("_csim").alias("_csim_b"))
+    prio = (F.col("_csim_a") < F.col("_csim_b")) | (
+        (F.col("_csim_a") == F.col("_csim_b"))
+        & (F.col("_id_a") < F.col("_id_b")))
+    cos = _exact_dot(F.col("_av"), F.col("_bv")) \
+        / F.sqrt(F.col("_an") * F.col("_bn"))
+    cand = (a.join(b, "cluster")
+            .where(prio)
+            .withColumn("_cos", cos)
+            .where(F.col("_cos") >= threshold))
+    w = Window.partitionBy("_id_b").orderBy("_csim_a", "_id_a")
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("_id_b").alias(id_col), "cluster",
+                    F.col("_id_a").alias("kept_id"),
+                    F.round("_cos", 6).alias("cos")))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus rows surviving SemDeDup — `semantic_dup_drops` anti-joined
+    back on ``id_col`` (original columns preserved)."""
+    drops = semantic_dup_drops(
+        corpus, centroids, threshold, vec_col, id_col).select(id_col)
+    return corpus.join(drops, id_col, "left_anti")

@@ -1773,8 +1773,26 @@ FROM ranked WHERE rank <= {_TOPK_K}
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), _PLANES, threshold=_EMB_NEARDUP_T
+    """Embedding near-dup family, union-tagged: 'pairs' = hyperplane-
+    bucketed cosine candidate pairs (the round-3 leg), 'semdedup' =
+    SemDeDup drop set (round 6: spherical-k-means clusters, in-cluster
+    cosine, keep-farthest-from-centroid policy) with id_a = the kept
+    witness and id_b = the dropped item."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs(
+        emb, _PLANES, threshold=_EMB_NEARDUP_T)
+    cents = similarity.ivf_fit(
+        emb, nlist=_IVF_NLIST, max_iter=_IVF_MAXITER, order_col="vec_id")
+    drops = similarity.semantic_dup_drops(
+        emb, cents, threshold=_EMB_NEARDUP_T)
+    return (
+        pairs.select(F.lit("pairs").alias("method"), "id_a", "id_b",
+                     F.lit(-1).cast("long").alias("cluster"), "cos")
+        .unionByName(drops.select(
+            F.lit("semdedup").alias("method"),
+            F.col("kept_id").alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            F.col("cluster").cast("long").alias("cluster"), "cos"))
     )
 
 
@@ -1798,11 +1816,63 @@ escored AS (
 )"""
 
 
-def _embcos_sql() -> str:
+def _embcos_sql(sf_dir: str | None = None) -> str | None:
+    """DuckDB twin of the union row: bucketed pairs leg + SemDeDup leg.
+    SemDeDup centroids are re-fit Spark-free (`ivf_fit_parquet`, same
+    numpy core and id-sorted sample → bit-identical values) and inlined;
+    cluster assignment, centroid-cos keep priority and pair cosines
+    mirror the Spark expressions term-for-term."""
+    path = os.path.join(sf_dir or _ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    cents = similarity.ivf_fit_parquet(
+        path, nlist=_IVF_NLIST, max_iter=_IVF_MAXITER)
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+        "CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+    )
+    dcols = ",\n         ".join(
+        f"({_plane_dot_sql('embedding', c)}) AS d_{j}"
+        for j, c in enumerate(cents))
+    order = "list_sort([" + ", ".join(
+        f"{{'nd': -d_{j}, 'j': {j}}}" for j in range(len(cents))
+    ) + "])"
+    dlist = "list_value(" + ", ".join(
+        f"d_{j}" for j in range(len(cents))) + ")"
     return f"""
-WITH {_embcos_ctes()}
-SELECT id_a, id_b, ROUND(cos, 6) AS cos
+WITH {_embcos_ctes()},
+cdots AS (
+  SELECT vec_id, embedding,
+         {dot.format(a='embedding', b='embedding')} AS nrm,
+         {dcols}
+  FROM embeddings
+),
+cn AS (
+  SELECT vec_id, embedding, nrm,
+         {order}[1].j AS cluster,
+         {dlist}[{order}[1].j + 1] / SQRT(nrm) AS csim
+  FROM cdots
+),
+spairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.csim AS csim_a,
+         b.cluster AS cluster,
+         {dot.format(a='a.embedding', b='b.embedding')}
+           / SQRT(a.nrm * b.nrm) AS cos
+  FROM cn a JOIN cn b ON a.cluster = b.cluster
+   AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+),
+sdrops AS (
+  SELECT id_a, id_b, cluster, cos,
+         ROW_NUMBER() OVER (PARTITION BY id_b
+                            ORDER BY csim_a, id_a) AS rn
+  FROM spairs WHERE cos >= {_EMB_NEARDUP_T}
+)
+SELECT 'pairs' AS method, id_a, id_b, CAST(-1 AS BIGINT) AS cluster,
+       ROUND(cos, 6) AS cos
 FROM escored WHERE cos >= {_EMB_NEARDUP_T}
+UNION ALL
+SELECT 'semdedup', id_a, id_b, CAST(cluster AS BIGINT), ROUND(cos, 6)
+FROM sdrops WHERE rn = 1
 """
 
 
@@ -3145,7 +3215,7 @@ QUERIES: list[Query] = [
     Query("bm25_topk_docs", bm25_topk_docs, _bm25_sql()),
     Query("sim_topk", sim_topk, _sim_topk_sql()),
     Query("sim_topk_ivf", sim_topk_ivf, _topk_ivf_sql),
-    Query("dedup_embedding_cosine", dedup_embedding_cosine, _embcos_sql()),
+    Query("dedup_embedding_cosine", dedup_embedding_cosine, _embcos_sql),
     Query("dedup_cluster_docs", dedup_cluster_docs, DEDUP_CLUSTER_SQL),
     Query("split_resample_docs", split_resample_docs, _split_resample_sql()),
     Query("quality_bins_quantile_docs", quality_bins_quantile_docs,

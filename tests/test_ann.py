@@ -168,3 +168,73 @@ def test_multiprobe_supersets_single_probe(corpus):
     assert set(one) <= set(many)
     for key, cos in one.items():
         assert many[key] == cos
+
+
+# ----------------------------------------------------------- SemDeDup
+
+def _py_semdedup(X, ids, centroids, threshold):
+    """Brute-force SemDeDup reference: cluster by argmax centroid dot
+    (tie → lower centroid id), keep-priority = (centroid-cos ASC, id
+    ASC), drop on cosine >= threshold to any earlier item in-cluster."""
+    C = np.asarray(centroids)
+    dots = X @ C.T
+    # argmax with lower-id tie-break (mirror of ivf_list_order sorting)
+    assign = np.array([int(np.lexsort((np.arange(len(C)), -d))[0])
+                       for d in dots])
+    nrm = np.sqrt((X * X).sum(axis=1))
+    csim = dots[np.arange(len(X)), assign] / nrm
+    dropped = {}
+    for c in set(assign.tolist()):
+        idx = [i for i in range(len(X)) if assign[i] == c]
+        idx.sort(key=lambda i: (csim[i], ids[i]))
+        for bi, b in enumerate(idx):
+            for a in idx[:bi]:
+                cos = float(X[a] @ X[b]) / (nrm[a] * nrm[b])
+                if cos >= threshold:
+                    dropped.setdefault(int(ids[b]), (csim[a], int(ids[a])))
+                    break
+    return set(dropped)
+
+
+def test_semdedup_matches_python_reference(spark, corpus):
+    cents = S.ivf_fit(corpus, nlist=8, max_iter=10, order_col="vec_id")
+    got = {r.vec_id for r in S.semantic_dup_drops(
+        corpus, cents, threshold=0.35).collect()}
+    t = pq.read_table(EMB)
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.array(t.column("vec_id").to_pylist())
+    want = _py_semdedup(X, ids, cents, 0.35)
+    assert got == want and got  # non-empty on the planted near-dups
+
+
+def test_semdedup_keep_policy_hand_case(spark):
+    """Three near-identical vectors + one outlier in one cluster: the
+    copy FARTHEST from the centroid survives, the others drop against
+    it; the outlier (below threshold to everything) survives."""
+    base = np.zeros(8); base[0] = 1.0
+    rows = [
+        (1, list(base)),                               # exactly on axis
+        (2, list(0.95 * base + 0.05 * np.eye(8)[1])),  # near-dup
+        (3, list(0.90 * base + 0.10 * np.eye(8)[1])),  # near-dup, farther
+        (4, list(np.eye(8)[2])),                       # orthogonal-ish
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    cents = [list(base), list(np.eye(8)[2])]
+    out = {r.vec_id: r for r in S.semantic_dup_drops(
+        df, cents, threshold=0.9).collect()}
+    # id 3 has the lowest cos-to-centroid → highest keep priority
+    assert set(out) == {1, 2}
+    assert out[1].kept_id == 3 and out[2].kept_id == 3
+    kept = {r.vec_id for r in S.semantic_dedup(
+        df, cents, threshold=0.9).collect()}
+    assert kept == {3, 4}
+
+
+def test_semdedup_plan_no_cartesian(spark, corpus):
+    cents = S.ivf_fit(corpus, nlist=8, max_iter=10, order_col="vec_id")
+    plan = S.semantic_dup_drops(corpus, cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
