@@ -357,6 +357,9 @@ def curate_corpus(
     max_ppl: float | None = None,
     minhash_threshold: float = 0.5,
     splits: dict[str, float] | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.6,
+    semantic_nlist: int = 64,
 ) -> DataFrame:
     """End-to-end training-corpus curation — the composition every
     operator in this family exists for, in the standard order:
@@ -367,8 +370,12 @@ def curate_corpus(
     4. exact dedup    — md5 text digest, keep min id per group
     5. near dedup     — MinHash-LSH verified pairs → connected
        components, keep each cluster's canonical (min id) doc
-    6. decontamination — drop docs overlapping ``benchmarks`` (optional)
-    7. split assignment — stable md5 buckets (defaults 98/1/1)
+    6. semantic dedup — SemDeDup over an (id, embedding) frame
+       (optional, round 6): k-means clusters fit on the surviving set,
+       in-cluster cosine ≥ ``semantic_threshold`` drops all but the
+       farthest-from-centroid example
+    7. decontamination — drop docs overlapping ``benchmarks`` (optional)
+    8. split assignment — stable md5 buckets (defaults 98/1/1)
 
     Returns the curated frame: (id, text, split). Every stage is one of
     this repo's oracle-checked operators; the composition itself adds
@@ -407,6 +414,18 @@ def curate_corpus(
         .where(F.col("v") != F.col("cluster")) \
         .select(F.col("v").alias(id_col))
     keep = keep.join(near_drop, id_col, "left_anti")
+
+    if embeddings is not None:
+        from oxbow_spark.operators.similarity import (ivf_fit,
+                                                      semantic_dup_drops)
+
+        emb = embeddings.join(keep.select(id_col), id_col, "left_semi")
+        cents = ivf_fit(emb, nlist=semantic_nlist, vec_col="embedding",
+                        order_col=id_col)
+        sem_drop = semantic_dup_drops(
+            emb, cents, threshold=semantic_threshold,
+            vec_col="embedding", id_col=id_col).select(id_col)
+        keep = keep.join(sem_drop, id_col, "left_anti")
 
     if benchmarks is not None:
         hits = ngram_decontaminate(keep, benchmarks, text_col=text_col,

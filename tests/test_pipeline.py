@@ -319,3 +319,42 @@ def test_curate_corpus_end_to_end(spark):
     again = {r.doc_id: r.split for r in curate_corpus(
         docs, benchmarks=bench, minhash_threshold=0.5).collect()}
     assert again == got
+
+
+def test_curate_corpus_semantic_gate(spark):
+    """The optional SemDeDup gate: two textually-distinct survivors with
+    near-identical embeddings collapse to one (farthest-from-centroid
+    kept); docs without the embedding column path untouched when the
+    frame is not passed."""
+    import numpy as np
+
+    from oxbow_spark.operators.pipeline import curate_corpus
+
+    t1 = ("the quick brown fox jumps over a lazy dog and then it "
+          "runs far away into one quiet green forest while keeping "
+          "its steady pace across fallen logs under pale morning "
+          "light before resting near clear water by mossy stones")
+    t2 = ("a different careful gray cat sits on the warm stone wall "
+          "watching small birds in an open garden today as gentle "
+          "wind moves through tall dry grass and loose leaves drift "
+          "slowly past old wooden gates toward narrow gravel paths")
+    t3 = ("entirely another passage describing long train journeys "
+          "across wide flat plains under heavy summer skies while "
+          "passengers read thick novels and drink lukewarm tea from "
+          "paper cups sold by quiet vendors between distant stations")
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string")
+    e1 = np.eye(16)[0]
+    e2 = 0.97 * e1 + 0.03 * np.eye(16)[1]   # semantic dup of doc 1
+    e3 = np.eye(16)[2]
+    emb = spark.createDataFrame(
+        [(1, [float(x) for x in e1]), (2, [float(x) for x in e2]),
+         (3, [float(x) for x in e3])],
+        "doc_id long, embedding array<float>")
+    no_gate = {r.doc_id for r in curate_corpus(docs).collect()}
+    assert no_gate == {1, 2, 3}
+    out = {r.doc_id for r in curate_corpus(
+        docs, embeddings=emb, semantic_threshold=0.9,
+        semantic_nlist=2).collect()}
+    assert len(out) == 2 and 3 in out
+    assert len(out & {1, 2}) == 1  # exactly one of the semantic dups
