@@ -446,3 +446,58 @@ def test_csi_loffset_covers_spanning_records(gspark, tmp_path):
                   if r[3] <= 95_100 and r[3] + (99_999 if r[0] == "rlong"
                                                 else 99) >= 95_000)
     assert names == want
+
+
+def test_csi_builder_pruning_superset_property():
+    """Pure-index property: for random coordinate-sorted records and
+    random query regions, the records inside `query_chunks`' pruned
+    vpos ranges must be a SUPERSET of the records truly overlapping the
+    region (binning indexes may over-read, never under-read) — across
+    depths, including long spanning records."""
+    import random
+
+    from oxbow_spark.sources.align_write import _CsiBuilder
+    from oxbow_spark.sources.bgzf import CsiIndex, CsiRef, query_chunks
+
+    rng = random.Random(61)
+    for depth in (5, 6):
+        cap = 1 << (14 + 3 * depth)
+        span_max = min(cap // 4, 1 << 22)
+        recs = []
+        pos = 0
+        for _ in range(400):
+            pos += rng.randrange(0, 1 << 16)
+            ln = (rng.randrange(1, 200) if rng.random() < 0.9
+                  else rng.randrange(1, span_max))
+            if pos + ln >= cap:
+                break
+            recs.append((pos, pos + ln))
+        recs.sort()
+        b = _CsiBuilder(1, 14, depth)
+        voffs = []
+        for i, (s, e) in enumerate(recs):
+            v = i * 100
+            voffs.append(v)
+            b.add(0, s, e, v, v + 100)
+        # reconstruct an index object from the serialized bytes
+        import gzip as _gz
+        import io as _io
+        import tempfile
+
+        from oxbow_spark.sources.align_write import BGZF_EOF, bgzf_compress
+
+        with tempfile.NamedTemporaryFile(suffix=".csi", delete=False) as f:
+            f.write(bgzf_compress(b.serialize()) + BGZF_EOF)
+            path = f.name
+        idx = CsiIndex.read(path)
+        assert idx.depth == depth
+        hi = recs[-1][1] if recs else 1
+        for _ in range(60):
+            qs = rng.randrange(0, hi)
+            qe = qs + rng.randrange(1, 1 << 18)
+            chunks = query_chunks(idx, 0, qs, qe)
+            got = {i for i, v in enumerate(voffs)
+                   if any(cb <= v < ce for cb, ce in chunks)}
+            want = {i for i, (s, e) in enumerate(recs)
+                    if s < qe and e > qs}
+            assert want <= got, (depth, qs, qe, sorted(want - got)[:5])
