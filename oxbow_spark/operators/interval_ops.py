@@ -390,3 +390,69 @@ def complement_intervals(
         F.col(on), F.lit(0).cast("long").alias(start_col),
         F.col("_size").alias(end_col)).where(F.col(end_col) > 0)
     return mids.unionByName(tails).unionByName(uncovered)
+
+
+def coverage_intervals(
+    a: DataFrame, b: DataFrame, bin_size: int, on: str = "chrom",
+    a_start: str = "start", a_end: str = "end",
+    b_start: str = "start", b_end: str = "end",
+) -> DataFrame:
+    """bedtools-coverage: for each ``a`` interval, ``n_overlaps`` (the
+    number of ``b`` features overlapping it — unmerged, bedtools'
+    count), ``covered_bp`` (bases of ``a`` covered by the UNION of
+    ``b`` — computed against `merge_intervals(b)`, whose blocks are
+    disjoint so a plain clipped-length sum is the exact union), and
+    ``frac`` (covered_bp / interval length, bedtools' seventh column).
+
+    Output: ``a``'s columns + the three metrics; a-intervals touching
+    nothing report zeros. Row identity needs no key: metrics are a pure
+    function of (chrom, start, end), computed once per DISTINCT
+    interval and equi-joined back — duplicates in ``a`` each pick up
+    the same row, retry-deterministic by construction.
+
+    Plan: two binned overlap joins (raw b for the count, merged b for
+    the union bases) + partial-agg groupBys on the distinct interval
+    key — no cartesian, no window over corpus-sized partitions."""
+    from oxbow_spark.operators.interval_join import overlap_join
+
+    s = F.col(a_start).cast("long")
+    e = F.col(a_end).cast("long")
+    keys = a.select(F.col(on).alias("_on"), s.alias("_as"),
+                    e.alias("_ae")).distinct()
+    raw = b.select(F.col(on).alias("_on"),
+                   F.col(b_start).cast("long").alias("_bs"),
+                   F.col(b_end).cast("long").alias("_be"))
+    grp = ["_on", "_as", "_ae"]
+    cnt = (overlap_join(keys, raw, bin_size=bin_size, on="_on",
+                        left_start="_as", left_end="_ae",
+                        right_start="_bs", right_end="_be")
+           .groupBy(*grp).agg(F.count(F.lit(1)).alias("n_overlaps")))
+    bm = (merge_intervals(b, on=on, start_col=b_start, end_col=b_end)
+          .select(F.col(on).alias("_on"),
+                  F.col(b_start).cast("long").alias("_bs"),
+                  F.col(b_end).cast("long").alias("_be")))
+    cov = (overlap_join(keys, bm, bin_size=bin_size, on="_on",
+                        left_start="_as", left_end="_ae",
+                        right_start="_bs", right_end="_be")
+           .groupBy(*grp).agg(
+               F.sum(F.least(F.col("_be"), F.col("_ae"))
+                     - F.greatest(F.col("_bs"), F.col("_as")))
+               .alias("covered_bp")))
+    res = (keys.join(cnt, grp, "left").join(cov, grp, "left")
+           .select("_on", "_as", "_ae",
+                   F.coalesce("n_overlaps", F.lit(0)).cast("long")
+                   .alias("n_overlaps"),
+                   F.coalesce("covered_bp", F.lit(0)).cast("long")
+                   .alias("covered_bp")))
+    j = a.join(
+        res,
+        F.col(on).eqNullSafe(F.col("_on"))
+        & s.eqNullSafe(F.col("_as")) & e.eqNullSafe(F.col("_ae")),
+        "left")
+    frac = (F.col("covered_bp").cast("double")
+            / F.greatest(e - s, F.lit(1)).cast("double"))
+    return j.select(
+        *[a[c] for c in a.columns],
+        F.coalesce("n_overlaps", F.lit(0)).cast("long").alias("n_overlaps"),
+        F.coalesce("covered_bp", F.lit(0)).cast("long").alias("covered_bp"),
+        F.round(frac, 6).alias("frac"))

@@ -642,6 +642,49 @@ WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
 """
 
 
+def coverage_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-coverage: per even-id interval, overlap count + union
+    bases from the odd-id features (merged b -> exact clipped sum)."""
+    from oxbow_spark.operators.interval_ops import coverage_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"), "chrom", "start", "end")
+    b = ev.where(F.col("event_id") % 2 == 1).select("chrom", "start", "end")
+    return coverage_intervals(a, b, bin_size=512).drop("frac")
+
+
+COVERAGE_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_id, event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),
+a AS (SELECT event_id AS aid, chrom, s, e FROM iv WHERE event_id % 2 = 0),
+bq AS (SELECT chrom, s, e FROM iv WHERE event_id % 2 = 1),{{MERGE_B}},
+cnt AS (
+  SELECT a.aid, COUNT(*) AS n_overlaps
+  FROM a JOIN bq ON a.chrom = bq.chrom AND a.s < bq.e AND bq.s < a.e
+  GROUP BY a.aid
+),
+cov AS (
+  SELECT a.aid, SUM(LEAST(m.me, a.e) - GREATEST(m.ms, a.s)) AS covered_bp
+  FROM a JOIN m ON a.chrom = m.chrom AND a.s < m.me AND m.ms < a.e
+  GROUP BY a.aid
+)
+SELECT a.aid AS a_id, a.chrom, a.s AS start, a.e AS "end",
+       COALESCE(cnt.n_overlaps, 0) AS n_overlaps,
+       COALESCE(cov.covered_bp, 0) AS covered_bp
+FROM a LEFT JOIN cnt ON a.aid = cnt.aid LEFT JOIN cov ON a.aid = cov.aid
+"""
+COVERAGE_IV_SQL = COVERAGE_IV_SQL.replace(
+    "{MERGE_B}", _merge_sql_ctes("bq", "m"))
+
+
 def subtract_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bedtools-subtract: even-id event intervals minus odd-id coverage
     (merge(b) → binned join → per-row gap walk)."""
@@ -2592,9 +2635,10 @@ FROM p
 # BENCH_QUERIES for round-over-round benchmark continuity.
 # --------------------------------------------------------------------------
 
-_IV_ALGEBRA_COLS = {  # superset schema of the five interval-algebra ops
+_IV_ALGEBRA_COLS = {  # superset schema of the six interval-algebra ops
     "chrom": "string", "start": "long", "end": "long",
     "a_id": "long", "b_id": "long", "n_merged": "long", "distance": "long",
+    "n_overlaps": "long", "covered_bp": "long",
 }
 
 
@@ -2616,8 +2660,8 @@ def _iv_tag(df: DataFrame, op: str, renames: dict[str, str]) -> DataFrame:
 
 
 def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five bedtools-style interval-algebra operators (merge /
-    intersect / subtract / complement / closest — operators/
+    """All six bedtools-style interval-algebra operators (merge /
+    intersect / subtract / complement / closest / coverage — operators/
     interval_ops.py) union-tagged into one superset-schema frame so each
     stays externally hash-checked within the driver's 50-row window."""
     return (
@@ -2631,6 +2675,8 @@ def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "complement", {}))
         .unionByName(_iv_tag(closest_intervals_events(spark, sf_dir),
                              "closest", {}))
+        .unionByName(_iv_tag(coverage_intervals_events(spark, sf_dir),
+                             "coverage", {}))
     )
 
 
@@ -2661,6 +2707,9 @@ def _iv_algebra_sql() -> str:
                     {"chrom", "start", "end"}),
         _iv_tag_sql(CLOSEST_IV_SQL, "closest", {},
                     {"chrom", "start", "end", "a_id", "b_id", "distance"}),
+        _iv_tag_sql(COVERAGE_IV_SQL, "coverage", {},
+                    {"chrom", "start", "end", "a_id", "n_overlaps",
+                     "covered_bp"}),
     ]
     return "\nUNION ALL\n".join(parts)
 

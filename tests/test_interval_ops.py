@@ -417,3 +417,50 @@ def test_subtract_default_key_duplicates(spark):
     got = sorted(map(tuple, subtract_intervals(a, b, bin_size=64).collect()))
     assert got == sorted(
         [("c", 0, 40)] * 3 + [("c", 60, 100)] * 3 + [("c", 300, 400)])
+
+
+def test_coverage_intervals_hand_case(spark):
+    from oxbow_spark.operators.interval_ops import coverage_intervals
+
+    a = spark.createDataFrame(
+        [(1, "c", 0, 100), (2, "c", 200, 300), (3, "c", 400, 410),
+         (4, "d", 0, 50), (5, "c", 0, 100)],  # 5 duplicates 1's interval
+        "aid long, chrom string, start long, end long")
+    b = spark.createDataFrame(
+        [("c", 10, 30), ("c", 20, 50),      # overlapping pair: union 10-50
+         ("c", 90, 210),                    # spans a1 tail + a2 head
+         ("d", 100, 200)],                  # no overlap with a4
+        "chrom string, start long, end long")
+    got = {r.aid: (r.n_overlaps, r.covered_bp, r.frac)
+           for r in coverage_intervals(a, b, bin_size=64).collect()}
+    # a1: features 10-30, 20-50, 90-210 -> count 3; union covers
+    # [10,50)+[90,100) = 50 bp
+    assert got[1] == (3, 50, 0.5)
+    assert got[5] == got[1]                 # duplicate values, same row
+    assert got[2] == (1, 10, 0.1)           # [200,210) from 90-210
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_coverage_intervals_random_vs_python(spark):
+    import random
+
+    from oxbow_spark.operators.interval_ops import coverage_intervals
+
+    rng = random.Random(17)
+    a_rows = [(i, f"c{rng.randrange(2)}", s := rng.randrange(0, 2000),
+               s + rng.randrange(1, 200)) for i in range(120)]
+    b_rows = [(f"c{rng.randrange(2)}", s := rng.randrange(0, 2000),
+               s + rng.randrange(1, 150)) for _ in range(150)]
+    a = spark.createDataFrame(
+        a_rows, "aid long, chrom string, start long, end long")
+    b = spark.createDataFrame(b_rows, "chrom string, start long, end long")
+    got = {r.aid: (r.n_overlaps, r.covered_bp)
+           for r in coverage_intervals(a, b, bin_size=128).collect()}
+    for aid, ch, s, e in a_rows:
+        feats = [(bs, be) for bc, bs, be in b_rows
+                 if bc == ch and bs < e and be > s]
+        covered = set()
+        for bs, be in feats:
+            covered.update(range(max(s, bs), min(e, be)))
+        assert got[aid] == (len(feats), len(covered)), aid
