@@ -556,3 +556,56 @@ def dup_span_stats(df: DataFrame, k: int = 3, text_col: str = "text",
          / F.greatest(F.col("_n"), F.lit(1)).cast("double"))
         .alias("dup_token_frac"),
     )
+
+
+def remove_dup_spans(df: DataFrame, k: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, clean_text, n_tokens, n_removed_tokens): the REMOVAL half of
+    Lee et al. 2022 — every token covered by a corpus-duplicated k-gram
+    span (the exact spans `dup_span_stats` measures) is dropped from the
+    document, whitespace-rejoined. The convention removes ALL copies of
+    a duplicated span (the released deduplicate-text-datasets behavior);
+    a doc that is entirely duplicated text comes back empty.
+
+    Plan shape: the same gram explode + gram-count groupBy + per-doc
+    span merge as `dup_span_stats`, then the merged spans collect into a
+    per-doc array (bounded by doc length) and the rebuild is one pure
+    expression — filter tokens whose position falls in no span. No UDF,
+    no second corpus shuffle beyond the span-frame join."""
+    from oxbow_spark.operators.interval_ops import merge_intervals
+
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>"))
+        .otherwise(tokens(c)).alias("_t"),
+    )
+    gram_expr = F.expr(
+        f"CASE WHEN size(_t) >= {k} THEN "
+        f"transform(sequence(1, size(_t) - {k} + 1), "
+        f"i -> struct(i AS pos, array_join(slice(_t, i, {k}), ' ') AS gram)) "
+        f"ELSE array() END")
+    g = base.select(F.col(id_col), F.explode(gram_expr).alias("g")) \
+        .select(id_col, F.col("g.pos").alias("pos"),
+                F.col("g.gram").alias("gram"))
+    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    marked = g.join(counts.where(F.col("cnt") > 1), "gram") \
+        .select(id_col, F.col("pos").alias("start"),
+                (F.col("pos") + k).alias("end"))
+    spans = merge_intervals(marked, on=id_col) \
+        .groupBy(id_col).agg(F.collect_list(
+            F.struct(F.col("start").alias("s"),
+                     F.col("end").alias("e"))).alias("_spans"))
+    j = base.join(spans, id_col, "left")
+    keep = F.expr(
+        "filter(transform(_t, (x, i) -> struct(x AS tok, i + 1 AS p)), "
+        "tp -> _spans IS NULL OR NOT exists(_spans, "
+        "sp -> tp.p >= sp.s AND tp.p < sp.e))")
+    return j.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(keep, lambda tp: tp["tok"]))
+        .alias("clean_text"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(keep)).cast("long")
+        .alias("n_removed_tokens"),
+    )

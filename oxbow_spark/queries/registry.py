@@ -2784,6 +2784,9 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("mean_nll").alias("mean_nll3"),
             F.col("ppl").alias("ppl3")), "doc_id")
         .join(text.dup_span_stats(docs, k=_DUP_K), "doc_id")
+        .join(text.remove_dup_spans(docs, k=_DUP_K).select(
+            "doc_id", F.md5("clean_text").alias("clean_digest"),
+            "n_removed_tokens"), "doc_id")
     )
 
 
@@ -2940,6 +2943,44 @@ FROM base LEFT JOIN per USING (doc_id) LEFT JOIN ng USING (doc_id)
 """
 
 
+def _dupclean_sql() -> str:
+    """DuckDB twin of `text.remove_dup_spans`: same gram marking +
+    per-doc span merge, covered token positions flattened from the
+    merged runs, clean text rebuilt by a position-filter list
+    comprehension and digested."""
+    k = _DUP_K
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE {TOKS_SQL} END AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+{k - 1}], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {k} + 1)) AS i
+        FROM base WHERE len(t) >= {k})
+),
+cnts AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+mk AS (
+  SELECT doc_id AS chrom, pos AS s, pos + {k} AS e
+  FROM g JOIN cnts USING (gram) WHERE cnt > 1
+),{_merge_sql_ctes("mk", "m")},
+covp AS (
+  SELECT chrom AS doc_id,
+         flatten(list(range(ms, me))) AS cov
+  FROM m GROUP BY chrom
+)
+SELECT base.doc_id,
+       md5(COALESCE(array_to_string(
+         [base.t[j] FOR j IN range(1, len(base.t) + 1)
+          IF cov IS NULL OR NOT list_contains(cov, j)], ' '), ''))
+         AS clean_digest,
+       CAST(COALESCE(len(cov), 0) AS BIGINT) AS n_removed_tokens
+FROM base LEFT JOIN covp USING (doc_id)
+"""
+
+
 def _text_profile_sql() -> str:
     return f"""
 SELECT s.*,
@@ -2948,7 +2989,8 @@ SELECT s.*,
        b.* EXCLUDE (doc_id),
        lm.* EXCLUDE (doc_id),
        lm3.* EXCLUDE (doc_id),
-       d.* EXCLUDE (doc_id)
+       d.* EXCLUDE (doc_id),
+       dc.* EXCLUDE (doc_id)
 FROM ({TEXT_STATS_SQL}) s
 JOIN ({TEXT_QUALITY_SQL}) q USING (doc_id)
 JOIN ({_langid_sql()}) l USING (doc_id)
@@ -2956,6 +2998,7 @@ JOIN ({BPE_SQL}) b USING (doc_id)
 JOIN ({_lm_sql()}) lm USING (doc_id)
 JOIN ({_lm3_sql()}) lm3 USING (doc_id)
 JOIN ({_dupspan_sql()}) d USING (doc_id)
+JOIN ({_dupclean_sql()}) dc USING (doc_id)
 """
 
 

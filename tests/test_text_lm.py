@@ -259,5 +259,53 @@ def test_trigram_lm_matches_python_reference(docs_tokens):
 def _bind_spark(spark):
     test_ngram_lm_matches_python_reference._spark = spark
     test_trigram_lm_matches_python_reference._spark = spark
+    test_remove_dup_spans_matches_python_reference._spark = spark
     test_dup_spans_match_python_reference._spark = spark
     yield
+
+
+def test_remove_dup_spans_hand_case(spark):
+    """k=2: 'x y' duplicated across docs — every covered token goes,
+    including BOTH copies in doc 0; untouched docs round-trip."""
+    from oxbow_spark.operators.text import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [(0, "x y x y"), (1, "q x y r"), (2, "u v w"), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_dup_spans(df, k=2).collect()}
+    # doc 0: grams 'x y','y x','x y' -> 'x y' dup (3 occurrences),
+    # 'y x' unique BUT its span [2,4) merges with the overlapping dup
+    # spans? no: only dup grams mark spans -> spans [1,3) and [3,5)
+    # merge to [1,5) -> all four tokens removed
+    assert got[0].clean_text == "" and got[0].n_removed_tokens == 4
+    assert got[1].clean_text == "q r" and got[1].n_removed_tokens == 2
+    assert got[2].clean_text == "u v w" and got[2].n_removed_tokens == 0
+    assert got[3].clean_text == "" and got[3].n_tokens == 0
+
+
+@given(st.lists(st.lists(st.sampled_from(_WORDS), max_size=14),
+                min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=10, deadline=None)
+def test_remove_dup_spans_matches_python_reference(docs_tokens, k):
+    from oxbow_spark.operators.text import remove_dup_spans
+
+    spark = test_remove_dup_spans_matches_python_reference._spark
+    corpus = [(i, " ".join(t)) for i, t in enumerate(docs_tokens)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+           for r in remove_dup_spans(df, k=k).collect()}
+    # reference: covered positions from _py_dup_spans' marking rule
+    toks = {i: t.split() for i, t in corpus}
+    cnt: dict[str, int] = {}
+    for t in toks.values():
+        for j in range(len(t) - k + 1):
+            g = " ".join(t[j:j + k])
+            cnt[g] = cnt.get(g, 0) + 1
+    for i, t in toks.items():
+        covered = set()
+        for j in range(len(t) - k + 1):
+            if cnt[" ".join(t[j:j + k])] > 1:
+                covered.update(range(j, j + k))
+        clean = " ".join(x for j, x in enumerate(t) if j not in covered)
+        assert got[i] == (clean, len(covered)), (i, got[i], clean)
