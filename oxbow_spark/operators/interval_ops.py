@@ -456,3 +456,128 @@ def coverage_intervals(
         F.coalesce("n_overlaps", F.lit(0)).cast("long").alias("n_overlaps"),
         F.coalesce("covered_bp", F.lit(0)).cast("long").alias("covered_bp"),
         F.round(frac, 6).alias("frac"))
+
+
+def map_intervals(
+    a: DataFrame, b: DataFrame, bin_size: int, value_col: str,
+    ops: tuple[str, ...] = ("count", "sum", "mean", "min", "max"),
+    on: str = "chrom", a_start: str = "start", a_end: str = "end",
+    b_start: str = "start", b_end: str = "end",
+) -> DataFrame:
+    """bedtools-map: aggregate ``b``'s ``value_col`` over each ``a``
+    interval (features overlapping it). Output: ``a``'s columns +
+    ``map_<op>`` per requested op; intervals touching nothing report
+    count 0 and null aggregates (bedtools prints '.'). Same
+    values-keyed design as `coverage_intervals` — metrics computed once
+    per DISTINCT (chrom, start, end) and equi-joined back, duplicate
+    rows free, retry-deterministic. One binned overlap join + one
+    partial-agg groupBy."""
+    from oxbow_spark.operators.interval_join import overlap_join
+
+    agg_fns = {"count": lambda c: F.count(F.lit(1)),
+               "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+               "median": lambda c: F.median(c)}
+    bad = [o for o in ops if o not in agg_fns]
+    if bad:
+        raise ValueError(f"unknown map ops {bad}")
+    s = F.col(a_start).cast("long")
+    e = F.col(a_end).cast("long")
+    keys = a.select(F.col(on).alias("_on"), s.alias("_as"),
+                    e.alias("_ae")).distinct()
+    raw = b.select(F.col(on).alias("_on"),
+                   F.col(b_start).cast("long").alias("_bs"),
+                   F.col(b_end).cast("long").alias("_be"),
+                   F.col(value_col).alias("_v"))
+    aggs = [agg_fns[o](F.col("_v")).alias(f"map_{o}") for o in ops]
+    m = (overlap_join(keys, raw, bin_size=bin_size, on="_on",
+                      left_start="_as", left_end="_ae",
+                      right_start="_bs", right_end="_be")
+         .groupBy("_on", "_as", "_ae").agg(*aggs))
+    j = a.join(
+        m,
+        F.col(on).eqNullSafe(F.col("_on"))
+        & s.eqNullSafe(F.col("_as")) & e.eqNullSafe(F.col("_ae")),
+        "left")
+    out = [a[c] for c in a.columns]
+    for o in ops:
+        c = F.col(f"map_{o}")
+        if o == "count":
+            c = F.coalesce(c, F.lit(0)).cast("long")
+        out.append(c.alias(f"map_{o}"))
+    return j.select(*out)
+
+
+def slop_intervals(
+    df: DataFrame, left: int, right: int | None = None, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+    sizes: dict[str, int] | None = None,
+) -> DataFrame:
+    """bedtools-slop: widen each interval by ``left``/``right`` bp
+    (``right`` defaults to ``left``), clamped to [0, chrom size) when a
+    ``sizes`` dict is given (broadcast as a literal map — chrom.sizes
+    files are KBs). Pure Project."""
+    if right is None:
+        right = left
+    s = F.col(start_col).cast("long") - left
+    e = F.col(end_col).cast("long") + right
+    s = F.greatest(s, F.lit(0))
+    if sizes is not None:
+        sz = F.coalesce(
+            *[F.when(F.col(on) == k, F.lit(v)) for k, v in sizes.items()],
+            F.lit(1 << 62))
+        e = F.least(e, sz)
+    cols = [F.col(c) for c in df.columns if c not in (start_col, end_col)]
+    return df.select(*cols, s.alias(start_col),
+                     F.greatest(e, s).alias(end_col))
+
+
+def shift_intervals(
+    df: DataFrame, amount: int, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+    sizes: dict[str, int] | None = None,
+) -> DataFrame:
+    """bedtools-shift: translate intervals by ``amount`` bp (negative =
+    left). bedtools clamps coordinates at the chromosome bounds —
+    intervals SHRINK at an edge rather than backing off (start pinned to
+    [0, size-1], end to [start+1, size], so at least 1 bp survives).
+    Pure Project."""
+    s = F.col(start_col).cast("long") + amount
+    e = F.col(end_col).cast("long") + amount
+    sz = (F.coalesce(
+        *[F.when(F.col(on) == k, F.lit(v)) for k, v in (sizes or {}).items()],
+        F.lit(1 << 62)) if sizes else F.lit(1 << 62))
+    s2 = F.least(F.greatest(s, F.lit(0)), sz - 1)
+    e2 = F.least(F.greatest(e, s2 + 1), sz)
+    cols = [F.col(c) for c in df.columns if c not in (start_col, end_col)]
+    return df.select(*cols, s2.alias(start_col), e2.alias(end_col))
+
+
+def flank_intervals(
+    df: DataFrame, left: int, right: int | None = None, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+    sizes: dict[str, int] | None = None,
+) -> DataFrame:
+    """bedtools-flank: emit the LEFT and RIGHT flanking intervals of
+    each input (side-tagged), clamped to [0, size); zero-width flanks
+    (at a chrom edge) are dropped, like bedtools. Project + one
+    explode."""
+    if right is None:
+        right = left
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    lf = F.struct(F.lit("L").alias("side"),
+                  F.greatest(s - left, F.lit(0)).alias("fs"),
+                  s.alias("fe"))
+    sz = (F.coalesce(
+        *[F.when(F.col(on) == k, F.lit(v)) for k, v in (sizes or {}).items()],
+        F.lit(1 << 62)) if sizes else F.lit(1 << 62))
+    rf = F.struct(F.lit("R").alias("side"), e.alias("fs"),
+                  F.least(e + right, sz).alias("fe"))
+    cols = [F.col(c) for c in df.columns if c not in (start_col, end_col)]
+    x = df.select(*cols, F.explode(F.array(lf, rf)).alias("_f"))
+    return (x.where(F.col("_f.fe") > F.col("_f.fs"))
+            .select(*[F.col(c) for c in df.columns
+                      if c not in (start_col, end_col)],
+                    F.col("_f.side").alias("side"),
+                    F.col("_f.fs").alias(start_col),
+                    F.col("_f.fe").alias(end_col)))

@@ -464,3 +464,73 @@ def test_coverage_intervals_random_vs_python(spark):
         for bs, be in feats:
             covered.update(range(max(s, bs), min(e, be)))
         assert got[aid] == (len(feats), len(covered)), aid
+
+
+def test_map_intervals_hand_case(spark):
+    from oxbow_spark.operators.interval_ops import map_intervals
+
+    a = spark.createDataFrame(
+        [(1, "c", 0, 100), (2, "c", 200, 300), (3, "d", 0, 10)],
+        "aid long, chrom string, start long, end long")
+    b = spark.createDataFrame(
+        [("c", 10, 30, 5.0), ("c", 20, 50, 7.0), ("c", 250, 260, 1.0)],
+        "chrom string, start long, end long, score double")
+    got = {r.aid: r for r in map_intervals(
+        a, b, bin_size=64, value_col="score").collect()}
+    assert (got[1].map_count, got[1].map_sum, got[1].map_mean,
+            got[1].map_min, got[1].map_max) == (2, 12.0, 6.0, 5.0, 7.0)
+    assert got[2].map_count == 1 and got[2].map_sum == 1.0
+    assert got[3].map_count == 0 and got[3].map_sum is None
+
+
+def test_map_intervals_random_vs_python(spark):
+    import random
+
+    from oxbow_spark.operators.interval_ops import map_intervals
+
+    rng = random.Random(29)
+    a_rows = [(i, f"c{rng.randrange(2)}", s := rng.randrange(0, 1000),
+               s + rng.randrange(1, 100)) for i in range(80)]
+    b_rows = [(f"c{rng.randrange(2)}", s := rng.randrange(0, 1000),
+               s + rng.randrange(1, 80), float(rng.randrange(1, 50)))
+              for _ in range(100)]
+    a = spark.createDataFrame(
+        a_rows, "aid long, chrom string, start long, end long")
+    b = spark.createDataFrame(
+        b_rows, "chrom string, start long, end long, score double")
+    got = {r.aid: (r.map_count, r.map_sum)
+           for r in map_intervals(a, b, bin_size=128, value_col="score",
+                                  ops=("count", "sum")).collect()}
+    for aid, ch, s, e in a_rows:
+        vals = [v for bc, bs, be, v in b_rows
+                if bc == ch and bs < e and be > s]
+        assert got[aid] == (len(vals), sum(vals) if vals else None), aid
+
+
+def test_slop_shift_flank(spark):
+    from oxbow_spark.operators.interval_ops import (flank_intervals,
+                                                    shift_intervals,
+                                                    slop_intervals)
+
+    df = spark.createDataFrame(
+        [(1, "c", 10, 20), (2, "c", 0, 5), (3, "c", 95, 100)],
+        "aid long, chrom string, start long, end long")
+    sizes = {"c": 100}
+    slop = {r.aid: (r.start, r.end) for r in slop_intervals(
+        df, 8, sizes=sizes).collect()}
+    assert slop[1] == (2, 28)
+    assert slop[2] == (0, 13)       # left clamp at 0
+    assert slop[3] == (87, 100)     # right clamp at size
+    sh = {r.aid: (r.start, r.end) for r in shift_intervals(
+        df, 10, sizes=sizes).collect()}
+    assert sh[1] == (20, 30)
+    assert sh[3] == (99, 100)       # bedtools clamp: shrinks at the edge
+    shl = {r.aid: (r.start, r.end) for r in shift_intervals(
+        df, -10, sizes=sizes).collect()}
+    assert shl[2] == (0, 1)         # clamped at 0, >=1 bp survives
+    fl = {(r.aid, r.side): (r.start, r.end) for r in flank_intervals(
+        df, 5, sizes=sizes).collect()}
+    assert fl[(1, "L")] == (5, 10) and fl[(1, "R")] == (20, 25)
+    assert (2, "L") not in fl       # zero-width flank at chrom start
+    assert fl[(3, "R")] == (100, 100) if (3, "R") in fl else True
+    assert (3, "R") not in fl       # zero-width flank at chrom end
