@@ -349,13 +349,20 @@ class BamWriter(_AlignmentWriter):
                                           tags=encode_bam_tags(
                                               d.get("tags"), defs)))
                 n += 1
-                if bai is not None and d.get("rname") is not None and d.get("pos"):
-                    pos0 = d["pos"] - 1
-                    cig = d.get("cigar")
-                    reflen = (sum(int(m) for m, c in _CIGAR_RE.findall(cig)
-                                  if c in "MDN=X") if cig else 0)
-                    bai.add(self.ref_ids[d["rname"]], pos0,
-                            pos0 + max(reflen, 1), vstart, w.vtell())
+                if bai is not None:
+                    mapped = not (int(d.get("flag") or 0) & 4)
+                    if d.get("rname") is not None and d.get("pos"):
+                        rid = self.ref_ids[d["rname"]]
+                        pos0 = d["pos"] - 1
+                        cig = d.get("cigar")
+                        reflen = (sum(int(m)
+                                      for m, c in _CIGAR_RE.findall(cig)
+                                      if c in "MDN=X") if cig else 0)
+                        bai.add(rid, pos0, pos0 + max(reflen, 1),
+                                vstart, w.vtell())
+                        bai.tally(rid, mapped, vstart, w.vtell())
+                    else:
+                        bai.tally(None, mapped)
             w.close()
             f.write(BGZF_EOF)
         if kind == "bai":
@@ -409,6 +416,35 @@ class _BaiBuilder:
         self.bins: list[dict[int, list[list[int]]]] = [
             {} for _ in range(n_ref)]
         self.linear: list[dict[int, int]] = [{} for _ in range(n_ref)]
+        # idxstats metadata: per-ref [n_mapped, n_unmapped, voff_lo,
+        # voff_hi] + the no-coordinate record count
+        self.counts: list[list[int]] = [
+            [0, 0, -1, -1] for _ in range(n_ref)]
+        self.n_no_coor = 0
+
+    def tally(self, ref_id: int | None, mapped: bool,
+              vstart: int = -1, vend: int = -1) -> None:
+        """Count a record for the metadata pseudo-bin (samtools
+        idxstats): placed records tally per-ref mapped/unmapped and
+        extend the ref's voffset envelope; coordinate-less records
+        (ref_id None) go to the trailing n_no_coor."""
+        if ref_id is None:
+            self.n_no_coor += 1
+            return
+        c = self.counts[ref_id]
+        c[0 if mapped else 1] += 1
+        if vstart >= 0:
+            c[2] = vstart if c[2] < 0 else min(c[2], vstart)
+            c[3] = max(c[3], vend)
+
+    def _meta_chunks(self, r: int) -> bytes:
+        if r >= len(self.counts):  # dynamically-grown refs (tabix path)
+            return b""
+        c = self.counts[r]
+        if c[0] == 0 and c[1] == 0:
+            return b""
+        return (struct.pack("<QQ", max(c[2], 0), max(c[3], 0))
+                + struct.pack("<QQ", c[0], c[1]))
 
     def add(self, ref_id: int, beg0: int, end0: int,
             vstart: int, vend: int) -> None:
@@ -431,12 +467,15 @@ class _BaiBuilder:
         out = [b"BAI\x01", struct.pack("<i", self.n_ref)]
         for r in range(self.n_ref):
             bins = self.bins[r]
-            out.append(struct.pack("<i", len(bins)))
+            meta = self._meta_chunks(r)
+            out.append(struct.pack("<i", len(bins) + (1 if meta else 0)))
             for b in sorted(bins):
                 chunks = bins[b]
                 out.append(struct.pack("<iI", b, len(chunks)))
                 for s, e in chunks:
                     out.append(struct.pack("<QQ", s, e))
+            if meta:  # pseudo-bin 37450: voffset envelope + counts
+                out.append(struct.pack("<iI", 37450, 2) + meta)
             lin = self.linear[r]
             n_intv = (max(lin) + 1) if lin else 0
             out.append(struct.pack("<i", n_intv))
@@ -444,6 +483,7 @@ class _BaiBuilder:
             for w in range(n_intv):
                 filled = lin.get(w, filled)
                 out.append(struct.pack("<Q", lin.get(w, filled)))
+        out.append(struct.pack("<Q", self.n_no_coor))
         return b"".join(out)
 
 
@@ -485,6 +525,13 @@ class _CsiBuilder:
         self.bins: list[dict[int, list[list[int]]]] = [
             {} for _ in range(n_ref)]
         self.linear: list[dict[int, int]] = [{} for _ in range(n_ref)]
+        self.counts: list[list[int]] = [
+            [0, 0, -1, -1] for _ in range(n_ref)]
+        self.n_no_coor = 0
+
+    # idxstats metadata accumulators — same contract as _BaiBuilder
+    tally = _BaiBuilder.tally
+    _meta_chunks = _BaiBuilder._meta_chunks
 
     def add(self, ref_id: int, beg0: int, end0: int,
             vstart: int, vend: int) -> None:
@@ -517,9 +564,12 @@ class _CsiBuilder:
                struct.pack("<3i", self.min_shift, self.depth,
                            len(self.aux)),
                self.aux, struct.pack("<i", self.n_ref)]
+        meta_bin = ((1 << (3 * (self.depth + 1))) - 1) // 7
         for r in range(self.n_ref):
             bins = self.bins[r]
             lin = self.linear[r]
+            meta = (self._meta_chunks(r)
+                    if r < len(self.counts) else b"")
             # forward-filled linear table for loffset lookups
             n_win = (max(lin) + 1) if lin else 0
             filled: list[int] = []
@@ -527,7 +577,7 @@ class _CsiBuilder:
             for w in range(n_win):
                 cur = lin.get(w, cur)
                 filled.append(cur)
-            out.append(struct.pack("<i", len(bins)))
+            out.append(struct.pack("<i", len(bins) + (1 if meta else 0)))
             for b in sorted(bins):
                 w = self._bin_first_window(b)
                 loff = filled[min(w, n_win - 1)] if n_win else 0
@@ -535,4 +585,7 @@ class _CsiBuilder:
                 out.append(struct.pack("<IQi", b, loff, len(chunks)))
                 for s, e in chunks:
                     out.append(struct.pack("<QQ", s, e))
+            if meta:  # metadata pseudo-bin: voffset envelope + counts
+                out.append(struct.pack("<IQi", meta_bin, 0, 2) + meta)
+        out.append(struct.pack("<Q", self.n_no_coor))
         return b"".join(out)

@@ -660,3 +660,37 @@ class BamDataSource(GenomicStreamMixin, DataSource):
         if not self.paths:
             raise FileNotFoundError(f"no files match {self.options.get('path')!r}")
         return PushdownBamReader(self) if pushdown_enabled() else BamReader(self)
+
+
+def idxstats(path: str, index_path: str | None = None
+             ) -> list[tuple[str, int, int, int]]:
+    """samtools-idxstats without touching record bytes: per-reference
+    (rname, length, n_mapped, n_unmapped) from the BAM header's
+    reference dictionary plus the index's metadata pseudo-bins (BAI bin
+    37450 / CSI META_BIN — `bgzf.index_stats`), ending with the
+    ('*', 0, 0, n_no_coor) row for coordinate-less records, exactly like
+    samtools' output. References whose index carries no pseudo-bin
+    report zeros (minimal indexers omit it). O(index) work — suitable
+    driver-side even for a multi-TB BAM."""
+    from oxbow_spark.sources.bgzf import index_stats
+
+    with BgzfReader(path) as r:
+        hdr, ref_names, _ = read_bam_header(r)
+    sizes = dict(hdr.chrom_sizes or {})
+    if index_path:
+        index = (CsiIndex.read(index_path) if index_path.endswith(".csi")
+                 else BaiIndex.read(index_path))
+    elif fsio.exists(path + ".bai"):
+        index = BaiIndex.read(path + ".bai")
+    elif fsio.exists(path + ".csi"):
+        index = CsiIndex.read(path + ".csi")
+    else:
+        raise FileNotFoundError(f"no .bai/.csi index next to {path}")
+    stats = index_stats(index)
+    out = []
+    for i, nm in enumerate(ref_names):
+        mapped, unmapped = (stats[i] if i < len(stats)
+                            and stats[i] is not None else (0, 0))
+        out.append((nm, sizes.get(nm, 0), mapped, unmapped))
+    out.append(("*", 0, 0, index.n_no_coor or 0))
+    return out

@@ -275,10 +275,11 @@ class CsiRef:
     bins: dict[int, list[tuple[int, int]]]  # bin → [(chunk_beg, chunk_end)]
     loffsets: dict[int, int]                # bin → vpos of first overlapping record
     intervals: list[int]                    # sorted loffsets: record-aligned cuts
+    meta: tuple[int, int] | None = None     # (n_mapped, n_unmapped) pseudo-bin
 
     @classmethod
-    def build(cls, bins, loffsets):
-        return cls(bins, loffsets, sorted(set(loffsets.values())))
+    def build(cls, bins, loffsets, meta=None):
+        return cls(bins, loffsets, sorted(set(loffsets.values())), meta)
 
 
 @dataclass
@@ -318,6 +319,7 @@ class CsiIndex:
             off += 4
             bins: dict[int, list[tuple[int, int]]] = {}
             loffsets: dict[int, int] = {}
+            meta = None
             for _ in range(n_bin):
                 bin_id, loffset, n_chunk = struct.unpack_from("<IQi", data, off)
                 off += 16
@@ -329,11 +331,30 @@ class CsiIndex:
                 if bin_id < bin_limit:
                     bins[bin_id] = chunks
                     loffsets[bin_id] = loffset
-            refs.append(CsiRef.build(bins, loffsets))
+                elif len(chunks) == 2:
+                    # metadata pseudo-bin: chunk 2 = (n_mapped, n_unmapped)
+                    meta = chunks[1]
+            refs.append(CsiRef.build(bins, loffsets, meta))
         n_no_coor = None
         if off + 8 <= len(data):
             (n_no_coor,) = struct.unpack_from("<Q", data, off)
         return cls(refs, min_shift, depth, names, n_no_coor)
+
+
+def index_stats(index: "BaiIndex | CsiIndex") -> list[tuple[int, int] | None]:
+    """Per-reference (n_mapped, n_unmapped) record counts from the
+    index's metadata pseudo-bins (samtools `idxstats` source data —
+    BAI bin 37450 / CSI META_BIN, chunk 2), without touching record
+    bytes. ``None`` for references whose index carries no pseudo-bin
+    (older/minimal indexers)."""
+    out: list[tuple[int, int] | None] = []
+    for ref in index.refs:
+        meta = getattr(ref, "meta", None)
+        if meta is None:
+            chunks = ref.bins.get(37450)
+            meta = tuple(chunks[1]) if chunks and len(chunks) == 2 else None
+        out.append(tuple(meta) if meta is not None else None)
+    return out
 
 
 def _min_vpos(ref, beg: int, min_shift: int, depth: int) -> int:

@@ -332,6 +332,7 @@ class _CsiTabixBuilder:
             self.csi.n_ref += 1
             self.csi.bins.append({})
             self.csi.linear.append({})
+            self.csi.counts.append([0, 0, -1, -1])
         self.csi.add(rid, beg0, end0, vstart, vend)
 
     def serialize(self) -> bytes:

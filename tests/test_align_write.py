@@ -13,6 +13,7 @@ import os
 import zlib
 
 import pytest
+from pyspark.sql import functions as F
 
 FX = "/root/reference/fixtures/"
 
@@ -501,3 +502,50 @@ def test_csi_builder_pruning_superset_property():
             want = {i for i, (s, e) in enumerate(recs)
                     if s < qe and e > qs}
             assert want <= got, (depth, qs, qe, sorted(want - got)[:5])
+
+
+def test_idxstats_from_written_indexes(gspark, tmp_path):
+    """samtools-idxstats parity from index metadata alone: written BAI
+    and CSI both carry the pseudo-bin counts (mapped/unmapped per ref,
+    no-coordinate trailer), and `idxstats` reproduces the per-contig
+    truth without scanning records."""
+    rows = []
+    for i in range(300):
+        chrom = "chr1" if i % 3 else "chr2"
+        flag = 4 if i % 7 == 0 else 0      # some placed-unmapped
+        rows.append((f"r{i:04d}", flag, chrom, 1 + i * 50, 60, "50M",
+                     None, None, 0, "A" * 50, "I" * 50))
+    for i in range(12):                     # coordinate-less records
+        rows.append((f"u{i:02d}", 4, None, 0, 0, None, None, None, 0,
+                     "A" * 10, "I" * 10))
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos int, mapq int, "
+              "cigar string, rnext string, pnext int, tlen int, seq string, "
+              "qual string")
+    hdr = ("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000000\n"
+           "@SQ\tSN:chr2\tLN:2000000")
+    from oxbow_spark.sources.bam import idxstats
+
+    want = {}
+    for _q, flag, chrom, *_ in rows:
+        key = chrom or "*"
+        m, u = want.get(key, (0, 0))
+        want[key] = (m + (0 if flag & 4 else 1), u + (1 if flag & 4 else 0))
+    for kind in ("bai", "csi"):
+        out = str(tmp_path / f"ix_{kind}")
+        (df.orderBy(F.col("rname").asc_nulls_last(), "pos").coalesce(1)
+           .write.format("bam").option("header", hdr)
+           .option("index", kind).mode("overwrite").save(out))
+        part = glob.glob(out + "/*.bam")[0]
+        got = idxstats(part)
+        assert got[-1] == ("*", 0, 0, want["*"][1])
+        by = {r[0]: r for r in got[:-1]}
+        assert by["chr1"] == ("chr1", 1000000, *want["chr1"]), kind
+        assert by["chr2"] == ("chr2", 2000000, *want["chr2"]), kind
+        # region queries still resolve through the same index
+        got_q = (gspark.read.format("bam")
+                 .option("regions", "chr2:1-2000").load(part)
+                 .select("qname").collect())
+        exp = [r[0] for r in rows
+               if r[2] == "chr2" and r[3] <= 2000 and r[3] > 0]
+        assert sorted(x.qname for x in got_q) == sorted(exp), kind
