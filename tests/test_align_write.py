@@ -549,3 +549,27 @@ def test_idxstats_from_written_indexes(gspark, tmp_path):
         exp = [r[0] for r in rows
                if r[2] == "chr2" and r[3] <= 2000 and r[3] > 0]
         assert sorted(x.qname for x in got_q) == sorted(exp), kind
+
+
+def test_idxstats_real_fixture_matches_records(gspark):
+    """The samtools-produced fixture .bai carries real pseudo-bins:
+    idxstats from the index must equal per-contig counts from a full
+    record scan."""
+    from oxbow_spark.sources.bam import idxstats
+
+    got = {r[0]: (r[2], r[3]) for r in idxstats(FX + "sample.bam")}
+    recs = (gspark.read.format("bam").load(FX + "sample.bam")
+            .select("rname", "flag").collect())
+    want: dict[str, list[int]] = {}
+    no_coor = 0
+    for r in recs:
+        if r.rname is None:
+            no_coor += 1
+            continue
+        c = want.setdefault(r.rname, [0, 0])
+        c[0 if not (r.flag & 4) else 1] += 1
+    for nm, (m, u) in want.items() if True else ():
+        assert got[nm] == (m, u), nm
+    assert got["*"] == (0, no_coor)
+    assert sum(m for m, _u in got.values()) == sum(
+        1 for r in recs if r.rname is not None and not (r.flag & 4))
