@@ -568,7 +568,7 @@ def test_idxstats_real_fixture_matches_records(gspark):
             continue
         c = want.setdefault(r.rname, [0, 0])
         c[0 if not (r.flag & 4) else 1] += 1
-    for nm, (m, u) in want.items() if True else ():
+    for nm, (m, u) in want.items():
         assert got[nm] == (m, u), nm
     assert got["*"] == (0, no_coor)
     assert sum(m for m, _u in got.values()) == sum(
