@@ -25,10 +25,17 @@ from oxbow_spark.operators.interval_join import overlap_join
 from oxbow_spark.operators.interval_ops import (
     closest_intervals,
     complement_intervals,
+    coverage_intervals,
+    flank_intervals,
     intersect_intervals,
+    map_intervals,
     merge_intervals,
+    shift_intervals,
+    slop_intervals,
     subtract_intervals,
 )
+from oxbow_spark.operators.similarity import semantic_dedup, semantic_dup_drops
+from oxbow_spark.operators.text import remove_dup_spans
 from oxbow_spark.operators.liftover import (
     chain_frame,
     liftover_intervals,
@@ -41,6 +48,14 @@ from oxbow_spark.operators.zoom import zoom_aggregate
 
 __all__ = [
     "asof_join",
+    "coverage_intervals",
+    "map_intervals",
+    "slop_intervals",
+    "shift_intervals",
+    "flank_intervals",
+    "semantic_dedup",
+    "semantic_dup_drops",
+    "remove_dup_spans",
     "bpe_segment",
     "pileup",
     "bpe_train",
