@@ -394,6 +394,12 @@ class GxfWriter(_TextPartWriter):
     struct, the attribute column renders '.'."""
 
     FLAVOR = "gtf"
+    # tabix generic preset: seq col 1, 1-based start col 4, end col 5
+    TBI_PRESET = (0, 1, 4, 5, "#")
+
+    def _interval(self, d: dict):
+        return d.get("seqid", "."), int(d.get("start", 1)) - 1, \
+            int(d.get("end", 0))
 
     def _attr_str(self, attrs) -> str:
         if attrs is None:

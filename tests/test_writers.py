@@ -625,3 +625,40 @@ def test_bcf_csi_long_contig(gspark, tmp_path):
            .option("regions", "chrL:590100000-590200000").load(part))
     want = [r for r in rows if 590_100_000 <= r[1] <= 590_200_000]
     assert sorted(x.pos for x in got.collect()) == sorted(r[1] for r in want)
+
+
+def test_gtf_gff_bgzf_tabix_and_csi(gspark, tmp_path):
+    """GTF/GFF writers now carry the tabix generic preset (seq/start/end
+    cols 1/4/5, 1-based): bgzf parts with .tbi or .csi sidecars,
+    region queries resolved through them."""
+    import os
+
+    for fmt, fx, kind in (("gtf", "example.gtf", "tbi"),
+                          ("gff", "example.gff", "csi")):
+        df = (gspark.read.format(fmt).option("attributes", "scan")
+              .load(FX + fx).orderBy("seqid", "start"))
+        out = str(tmp_path / f"{fmt}gz")
+        (df.coalesce(1).write.format(fmt)
+           .option("compression", "bgzf").option("index", kind)
+           .mode("overwrite").save(out))
+        part = glob.glob(out + f"/*.{fmt}.gz")[0]
+        assert os.path.exists(part + "." + kind)
+        back = (gspark.read.format(fmt).option("attributes", "scan")
+                .load(part))
+
+        def _norm(frame):
+            return sorted(
+                (r.seqid, r.start, r.end, r.type,
+                 tuple(sorted(r.attributes.asDict().items()))
+                 if r.attributes is not None else None)
+                for r in frame.collect())
+
+        assert _norm(back) == _norm(df)
+        rows = df.collect()
+        chrom = rows[0].seqid
+        hi = max(r.end for r in rows if r.seqid == chrom) // 2 + 1
+        got = (gspark.read.format(fmt).option("attributes", "scan")
+               .option("regions", f"{chrom}:1-{hi}").load(part))
+        want = [r for r in rows
+                if r.seqid == chrom and r.start <= hi and r.end >= 1]
+        assert got.count() == len(want), (fmt, kind)
