@@ -380,10 +380,15 @@ class _BgzfStreamWriter:
     offset << 16 | within-block offset) coordinates the BAI carries.
     Input chunks at the fixed htslib block payload size."""
 
-    def __init__(self, f):
+    def __init__(self, f, track_blocks: bool = False):
         self.f = f
         self.coff = 0          # compressed bytes emitted so far
+        self.uoff = 0          # uncompressed bytes flushed so far
         self.pend = bytearray()  # uncompressed bytes not yet in a block
+        # (compressed, uncompressed) offsets AFTER each flushed block —
+        # i.e. the start offsets of blocks 1..n: the bgzip .gzi entries
+        self.blocks: list[tuple[int, int]] | None = \
+            [] if track_blocks else None
 
     def vtell(self) -> int:
         return (self.coff << 16) | len(self.pend)
@@ -398,6 +403,9 @@ class _BgzfStreamWriter:
         blk = bgzf_block(bytes(chunk))
         self.f.write(blk)
         self.coff += len(blk)
+        self.uoff += len(chunk)
+        if self.blocks is not None:
+            self.blocks.append((self.coff, self.uoff))
 
     def close(self) -> None:
         if self.pend:

@@ -467,22 +467,58 @@ class FastaWriter(_TextPartWriter):
             return super().write(iterator)
         # index='fai': track byte offsets while writing so the part gets
         # a faidx sidecar — written FASTAs are immediately region-
-        # sliceable (regions= option / X12 faidx_fetch)
+        # sliceable (regions= option / X12 faidx_fetch). With
+        # compression='bgzf' the offsets are UNCOMPRESSED-stream bytes
+        # and a bgzip-style .gzi block map is emitted alongside, so the
+        # compressed part stays random-access (the reader's
+        # faidx_fetch_bgzf path — same contract as `samtools faidx` on
+        # bgzipped FASTA).
         out = self._part_path()
         fai: list[str] = []
         pos = 0
         n = 0
-        with open(out, "w", encoding="utf-8", newline="\n") as f:
-            for row in iterator:
-                d = row.asDict()
-                text = self._line(d)
-                head_len = text.index("\n") + 1
-                seq = d.get("sequence") or ""
-                fai.append(f"{d.get('name') or ''}\t{len(seq)}"
-                           f"\t{pos + head_len}\t{self.WRAP}\t{self.WRAP + 1}")
-                f.write(text)
-                pos += len(text.encode("utf-8"))
-                n += 1
+        if self.bgzf:
+            import struct as _struct
+
+            from oxbow_spark.sources.align_write import (
+                BGZF_EOF,
+                _BgzfStreamWriter,
+            )
+
+            with open(out, "wb") as f:
+                w = _BgzfStreamWriter(f, track_blocks=True)
+                for row in iterator:
+                    d = row.asDict()
+                    text = self._line(d)
+                    head_len = text.index("\n") + 1
+                    seq = d.get("sequence") or ""
+                    fai.append(
+                        f"{d.get('name') or ''}\t{len(seq)}"
+                        f"\t{pos + head_len}\t{self.WRAP}\t{self.WRAP + 1}")
+                    b = text.encode("utf-8")
+                    w.write(b)
+                    pos += len(b)
+                    n += 1
+                w.close()
+                entries = (w.blocks or [])[:-1]  # starts of blocks 1..n-1
+                f.write(BGZF_EOF)
+            with open(out + ".gzi", "wb") as gz:
+                gz.write(_struct.pack("<Q", len(entries)))
+                for c, u in entries:
+                    gz.write(_struct.pack("<QQ", c, u))
+        else:
+            with open(out, "w", encoding="utf-8", newline="\n") as f:
+                for row in iterator:
+                    d = row.asDict()
+                    text = self._line(d)
+                    head_len = text.index("\n") + 1
+                    seq = d.get("sequence") or ""
+                    fai.append(
+                        f"{d.get('name') or ''}\t{len(seq)}"
+                        f"\t{pos + head_len}\t{self.WRAP}\t{self.WRAP + 1}")
+                    f.write(text)
+                    pos += len(text.encode("utf-8"))
+                    n += 1
         with open(out + ".fai", "w", encoding="utf-8", newline="\n") as fi:
             fi.write("\n".join(fai) + ("\n" if fai else ""))
         return _PartFile(out, n)

@@ -662,3 +662,43 @@ def test_gtf_gff_bgzf_tabix_and_csi(gspark, tmp_path):
         want = [r for r in rows
                 if r.seqid == chrom and r.start <= hi and r.end >= 1]
         assert got.count() == len(want), (fmt, kind)
+
+
+def test_fasta_bgzf_fai_gzi_write_and_region_slice(gspark, tmp_path):
+    """compression='bgzf' + index='fai': the part is BGZF-compressed AND
+    region-sliceable — .fai carries uncompressed offsets, .gzi the
+    bgzip block map, and the reader's faidx/bgzf path resolves regions
+    on the written file."""
+    import os
+    import random
+
+    rng = random.Random(5)
+    rows = [(f"s{i}", None, "".join(rng.choice("ACGT")
+                                    for _ in range(rng.randrange(50, 400))))
+            for i in range(40)]
+    df = gspark.createDataFrame(
+        rows, "name string, description string, sequence string")
+    out = str(tmp_path / "fagz")
+    (df.coalesce(1).write.format("fasta")
+       .option("compression", "bgzf").option("index", "fai")
+       .mode("overwrite").save(out))
+    part = glob.glob(out + "/*.fasta.gz")[0]
+    assert os.path.exists(part + ".fai") and os.path.exists(part + ".gzi")
+    back = gspark.read.format("fasta").load(part)
+    assert sorted((r.name, r.sequence) for r in back.collect()) \
+        == sorted((n, s) for n, _d, s in rows)
+    # region slices through .fai + .gzi
+    seqs = {n: s for n, _d, s in rows}
+    got = (gspark.read.format("fasta")
+           .option("regions", "s7:11-40").load(part).collect())
+    assert len(got) == 1 and got[0].sequence == seqs["s7"][10:40]
+    # the .gzi is bgzip-layout: parses and maps block starts
+    from oxbow_spark.sources.sequence import (bgzf_fetch_uncompressed,
+                                              read_gzi)
+
+    gzi = read_gzi(part + ".gzi")
+    assert gzi[0] == (0, 0)
+    full = "".join(f">{n}\n" + "\n".join(
+        s[i:i + 60] for i in range(0, max(len(s), 1), 60)) + "\n"
+        for n, _d, s in rows).encode()
+    assert bgzf_fetch_uncompressed(part, gzi, 100, 300) == full[100:300]
