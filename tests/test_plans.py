@@ -252,3 +252,24 @@ def test_liftover_minmatch_plan_broadcasts_chains(spark, sf):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_coverage_map_plans_no_cartesian(spark, sf):
+    """bedtools coverage/map: binned equi-joins + partial-agg groupBys;
+    the values-key rejoin stays a hash join — nothing nested-loop."""
+    from oxbow_spark.operators.interval_ops import (coverage_intervals,
+                                                    map_intervals)
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").selectExpr(
+        "event_id", "event_type AS chrom",
+        "CAST(event_id % 100000 AS BIGINT) AS start",
+        "CAST(event_id % 100000 + 300 AS BIGINT) AS end",
+        "value")
+    a = ev.where("event_id % 2 = 0").drop("value")
+    b = ev.where("event_id % 2 = 1").drop("event_id")
+    for df in (coverage_intervals(a, b, bin_size=512),
+               map_intervals(a, b, bin_size=512, value_col="value")):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "HashAggregate" in plan, plan
