@@ -553,8 +553,10 @@ def semantic_dup_drops(
         F.col(vec_col).alias("_v"),
         _exact_norm2(F.col(vec_col)).alias("_nrm"),
         cluster.alias("cluster"),
-        (F.element_at(darr, F.element_at(order, 1)["j"] + 1)
-         / F.sqrt(_exact_norm2(F.col(vec_col)))).alias("_csim"),
+        F.element_at(darr, F.element_at(order, 1)["j"] + 1).alias("_cd"),
+    ).select(
+        "_id", "_v", "_nrm", "cluster",
+        (F.col("_cd") / F.sqrt(F.col("_nrm"))).alias("_csim"),
     )
     a = n.select(F.col("_id").alias("_id_a"), F.col("_v").alias("_av"),
                  F.col("_nrm").alias("_an"), "cluster",
