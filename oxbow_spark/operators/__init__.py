@@ -34,6 +34,7 @@ from oxbow_spark.operators.interval_ops import (
     slop_intervals,
     subtract_intervals,
 )
+from oxbow_spark.operators.pipeline import dsir_log_weights, dsir_resample
 from oxbow_spark.operators.similarity import semantic_dedup, semantic_dup_drops
 from oxbow_spark.operators.text import remove_dup_spans
 from oxbow_spark.operators.liftover import (
@@ -56,6 +57,8 @@ __all__ = [
     "semantic_dedup",
     "semantic_dup_drops",
     "remove_dup_spans",
+    "dsir_log_weights",
+    "dsir_resample",
     "bpe_segment",
     "pileup",
     "bpe_train",

@@ -435,3 +435,113 @@ def curate_corpus(
     sp = hash_split(keep, splits or {"train": 0.98, "val": 0.01,
                                      "test": 0.01}, id_col=id_col)
     return keep.join(sp, id_col)
+
+
+def _dsir_grams(text_col: str):
+    """Unigram + bigram whitespace grams (the DSIR hashed feature set)
+    as one array expression; empty/blank text → empty array."""
+    from oxbow_spark.operators.dedup import tokens
+
+    t = tokens(F.col(text_col))
+    big = F.expr(
+        "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1), "
+        "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1))) "
+        "ELSE array() END")
+    return (F.when(F.length(F.trim(F.col(text_col))) == 0,
+                   F.array().cast("array<string>"))
+            .otherwise(t).alias("_t"), big)
+
+
+def _dsir_bucket(col):
+    """md5-derived hashed-feature bucket (engine-portable: both Spark
+    and DuckDB reproduce conv(md5 hex prefix) exactly)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def dsir_log_weights(raw: DataFrame, target: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_buckets: int = 4096, alpha: float = 0.5
+                     ) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    (id, n_grams, log_weight) where ``log_weight`` is the hashed
+    n-gram (unigram+bigram) log importance ratio of the target
+    distribution over the raw distribution,
+    ``Σ_g log(p_target(b(g)) / p_raw(b(g)))`` with add-alpha-smoothed
+    bucket distributions. Buckets hash through an md5 prefix so the
+    DuckDB oracle reproduces them bit-for-bit; per-gram terms quantize
+    to DECIMAL(28,6) before the sum (aggregation-order-proof, the LM
+    discipline). Docs with no grams keep a 0.0-weight row.
+
+    Plan shape: one gram explode per corpus for the two bucket-count
+    frames (≤ n_buckets rows each — broadcast into the scoring join),
+    one gram explode of ``raw`` for scoring, constants on a 1-row
+    broadcast; the corpus never shuffles except the per-doc sum's
+    partial/final agg."""
+    t_expr, big = _dsir_grams(text_col)
+
+    def grams_of(df):
+        return (df.select(F.col(id_col), t_expr)
+                .select(id_col, F.explode(
+                    F.concat(F.col("_t"), big)).alias("g"))
+                .select(id_col,
+                        (_dsir_bucket(F.col("g")) % n_buckets).alias("b")))
+
+    rawg = grams_of(raw)
+    tgtg = grams_of(target)
+    rc = rawg.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tc = tgtg.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    consts = (rc.agg(F.sum("cr").alias("Nr"))
+              .crossJoin(tc.agg(F.sum("ct").alias("Nt"))))
+    a = F.lit(float(alpha))
+    ab = a * F.lit(float(n_buckets))
+    term = (F.log((F.coalesce(F.col("ct"), F.lit(0)) + a)
+                  / (F.col("Nt") + ab))
+            - F.log((F.col("cr") + a) / (F.col("Nr") + ab)))
+    scored = (rawg
+              .join(rc, "b")
+              .join(tc, "b", "left")
+              .crossJoin(F.broadcast(consts))
+              .select(F.col(id_col),
+                      term.cast("decimal(28,6)").alias("_w"))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.sum("_w").alias("_s")))
+    base = raw.select(id_col)
+    return (base.join(scored, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.round(F.coalesce(F.col("_s").cast("double"),
+                                       F.lit(0.0)), 6)
+                    .alias("log_weight")))
+
+
+def dsir_resample(raw: DataFrame, target: DataFrame, n_keep: int,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_buckets: int = 4096, alpha: float = 0.5,
+                  seed: str = "dsir", gumbel: bool = True) -> DataFrame:
+    """DSIR selection: keep the ``n_keep`` documents with the highest
+    ``log_weight + Gumbel(md5(id, seed))`` score — the Gumbel-top-k
+    trick samples WITHOUT replacement proportionally to the importance
+    weights, yet stays fully deterministic (the noise derives from the
+    doc id, so retries and engines agree). ``gumbel=False`` keeps the
+    strict top-``n_keep`` by weight. Returns the kept rows of ``raw``.
+
+    Scale: scoring is `dsir_log_weights`; selection sorts only the
+    narrow (id, score) frame through TakeOrderedAndProject (no
+    corpus-wide total sort) and semi-joins the ids back. For
+    keep-fraction selection at extreme scale, derive a score threshold
+    with `quantile_thresholds` instead and filter."""
+    w = dsir_log_weights(raw, target, text_col, id_col, n_buckets, alpha)
+    if gumbel:
+        u = ((F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))),
+            1, 15), 16, 10).cast("double") + F.lit(0.5))
+            / F.lit(float(1 << 60)))
+        score = F.col("log_weight") + (-F.log(-F.log(u)))
+    else:
+        score = F.col("log_weight")
+    ids = (w.select(id_col, score.alias("_score"))
+           .orderBy(F.desc("_score"), F.asc(id_col))
+           .limit(int(n_keep)).select(id_col))
+    return raw.join(ids, id_col, "left_semi")

@@ -3225,17 +3225,96 @@ FROM ({_mm_embed_sql()}) _e
 """
 
 
+_DSIR_KEEP = 150
+_DSIR_BUCKETS = 512
+
+
 def split_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible split assignment + mixture resampling union-tagged
-    as (op, doc_id, label) — both are pure per-row md5 maps, no
-    shuffle on either branch."""
+    """Reproducible split assignment + mixture resampling + DSIR
+    importance selection union-tagged as (op, doc_id, label). Split and
+    resample are pure per-row md5 maps; the dsir leg (round 6) selects
+    the Gumbel-top-150 docs by hashed-bigram importance toward the
+    doc_id%5==0 sub-corpus (`pipeline.dsir_resample`), labeling every
+    doc keep/drop."""
     sp = hash_split_docs(spark, sf_dir).select(
         F.lit("split").alias("op"), "doc_id",
         F.col("split").alias("label"))
     rs = resample_mixture_docs(spark, sf_dir).select(
         F.lit("resample").alias("op"), "doc_id",
         F.col("source").alias("label"))
-    return sp.unionByName(rs)
+    from oxbow_spark.operators.pipeline import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    kept = dsir_resample(docs, target, _DSIR_KEEP,
+                         n_buckets=_DSIR_BUCKETS).select(
+        "doc_id", F.lit(1).alias("_k"))
+    ds = (docs.select("doc_id").join(kept, "doc_id", "left")
+          .select(F.lit("dsir").alias("op"), "doc_id",
+                  F.when(F.col("_k").isNotNull(), F.lit("keep"))
+                  .otherwise(F.lit("drop")).alias("label")))
+    return sp.unionByName(rs).unionByName(ds)
+
+
+def _dsir_sql() -> str:
+    """DuckDB twin of the dsir leg: md5-prefix hashed unigram+bigram
+    buckets, add-alpha log ratio with DECIMAL(28,6) per-term
+    quantization, md5-seeded Gumbel noise, top-N by (score, doc_id)."""
+    B, K, a = _DSIR_BUCKETS, _DSIR_KEEP, 0.5
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE {TOKS_SQL} END AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_concat(t,
+           CASE WHEN len(t) >= 2 THEN
+             [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+           ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM base
+),
+gb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % {B} AS b
+  FROM g
+),
+tg AS (SELECT b FROM gb WHERE doc_id % 5 = 0),
+rc AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+tc AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+consts AS (
+  SELECT (SELECT sum(cr) FROM rc) AS Nr, (SELECT sum(ct) FROM tc) AS Nt
+),
+w AS (
+  SELECT gb.doc_id,
+         SUM(CAST(
+           ln((COALESCE(ct, 0) + {a}) / (Nt + {a} * {B}))
+           - ln((cr + {a}) / (Nr + {a} * {B})) AS DECIMAL(28,6))) AS s
+  FROM gb JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN consts
+  GROUP BY gb.doc_id
+),
+lw AS (
+  SELECT base.doc_id,
+         ROUND(COALESCE(CAST(s AS DOUBLE), 0.0), 6) AS log_weight
+  FROM base LEFT JOIN w USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, log_weight
+         - ln(-ln((CAST(('0x' || substr(md5(doc_id::VARCHAR || 'dsir'),
+                                        1, 15)) AS BIGINT)::DOUBLE + 0.5)
+                  / {float(1 << 60)!r})) AS score
+  FROM lw
+),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, CASE WHEN rk <= {K} THEN 'keep' ELSE 'drop' END AS label
+FROM ranked
+"""
 
 
 def _split_resample_sql() -> str:
@@ -3243,6 +3322,8 @@ def _split_resample_sql() -> str:
 SELECT 'split' AS op, doc_id, split AS label FROM ({_hash_split_sql()}) _s
 UNION ALL
 SELECT 'resample', doc_id, source FROM ({_resample_sql()}) _r
+UNION ALL
+SELECT 'dsir', doc_id, label FROM ({_dsir_sql()}) _d
 """
 
 

@@ -358,3 +358,90 @@ def test_curate_corpus_semantic_gate(spark):
         semantic_nlist=2).collect()}
     assert len(out) == 2 and 3 in out
     assert len(out & {1, 2}) == 1  # exactly one of the semantic dups
+
+
+def _py_dsir(raw, target, n_buckets=64, alpha=0.5):
+    """Brute-force DSIR reference: md5-prefix buckets over
+    unigram+bigram grams, add-alpha smoothed log ratio."""
+    import hashlib
+    import math
+
+    def grams(text):
+        t = text.split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    rc: dict[int, int] = {}
+    tc: dict[int, int] = {}
+    for _i, txt in raw:
+        for g in grams(txt):
+            b = bucket(g)
+            rc[b] = rc.get(b, 0) + 1
+    for _i, txt in target:
+        for g in grams(txt):
+            b = bucket(g)
+            tc[b] = tc.get(b, 0) + 1
+    Nr, Nt = sum(rc.values()), sum(tc.values())
+    out = {}
+    for i, txt in raw:
+        gs = grams(txt)
+        s = 0.0
+        for g in gs:
+            b = bucket(g)
+            term = (math.log((tc.get(b, 0) + alpha)
+                             / (Nt + alpha * n_buckets))
+                    - math.log((rc[b] + alpha) / (Nr + alpha * n_buckets)))
+            s += round(term, 6)  # decimal(28,6) per-term quantization
+        out[i] = (len(gs), round(s, 6))
+    return out
+
+
+def test_dsir_weights_match_python_reference(spark):
+    raw = [(0, "the cat sat on the mat"),
+           (1, "quantum flux capacitors emit tachyon bursts"),
+           (2, "the dog sat on the log"),
+           (3, ""),
+           (4, "tachyon bursts the cat")]
+    target = [(0, "the cat sat quietly"), (1, "a cat and a dog sat")]
+    from oxbow_spark.operators.pipeline import dsir_log_weights
+
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.log_weight)
+           for r in dsir_log_weights(rdf, tdf, n_buckets=64).collect()}
+    want = _py_dsir(raw, target, n_buckets=64)
+    for i, (n, w) in want.items():
+        assert got[i][0] == n, i
+        assert got[i][1] == pytest.approx(w, abs=2e-6), i
+    assert got[3] == (0, 0.0)  # empty doc keeps a zero row
+    # target-like docs outweigh the off-distribution one
+    assert got[0][1] > got[1][1] and got[2][1] > got[1][1]
+
+
+def test_dsir_resample_deterministic_and_biased(spark):
+    import random
+
+    rng = random.Random(11)
+    target_words = ["cat", "dog", "sat", "mat", "pet", "paw"]
+    other_words = ["flux", "qubit", "torque", "valve", "ion", "grid"]
+    raw = []
+    for i in range(120):
+        pool = target_words if i % 2 == 0 else other_words
+        raw.append((i, " ".join(rng.choice(pool) for _ in range(12))))
+    target = [(i, " ".join(rng.choice(target_words) for _ in range(12)))
+              for i in range(40)]
+    from oxbow_spark.operators.pipeline import dsir_resample
+
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    k1 = {r.doc_id for r in dsir_resample(rdf, tdf, 30).collect()}
+    k2 = {r.doc_id for r in dsir_resample(rdf, tdf, 30).collect()}
+    assert k1 == k2 and len(k1) == 30          # deterministic
+    frac_target_like = sum(1 for i in k1 if i % 2 == 0) / len(k1)
+    assert frac_target_like >= 0.8             # selection is biased
+    # strict (no-noise) mode picks exactly the top weights
+    strict = {r.doc_id for r in dsir_resample(
+        rdf, tdf, 30, gumbel=False).collect()}
+    assert sum(1 for i in strict if i % 2 == 0) / 30 >= 0.95
