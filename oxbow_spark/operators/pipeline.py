@@ -360,6 +360,8 @@ def curate_corpus(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.6,
     semantic_nlist: int = 64,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus curation — the composition every
     operator in this family exists for, in the standard order:
@@ -375,7 +377,10 @@ def curate_corpus(
        in-cluster cosine ≥ ``semantic_threshold`` drops all but the
        farthest-from-centroid example
     7. decontamination — drop docs overlapping ``benchmarks`` (optional)
-    8. split assignment — stable md5 buckets (defaults 98/1/1)
+    8. DSIR selection — keep the ``dsir_keep`` Gumbel-top docs by
+       hashed-n-gram importance toward ``dsir_target`` (optional,
+       round 6) — runs LAST so the kept budget is spent on clean docs
+    9. split assignment — stable md5 buckets (defaults 98/1/1)
 
     Returns the curated frame: (id, text, split). Every stage is one of
     this repo's oracle-checked operators; the composition itself adds
@@ -431,6 +436,12 @@ def curate_corpus(
         hits = ngram_decontaminate(keep, benchmarks, text_col=text_col,
                                    id_col=id_col).where(F.col("contaminated"))
         keep = keep.join(hits.select(id_col), id_col, "left_anti")
+
+    if dsir_target is not None:
+        if dsir_keep is None:
+            raise ValueError("dsir_target requires dsir_keep")
+        keep = dsir_resample(keep, dsir_target, dsir_keep,
+                             text_col=text_col, id_col=id_col)
 
     sp = hash_split(keep, splits or {"train": 0.98, "val": 0.01,
                                      "test": 0.01}, id_col=id_col)

@@ -445,3 +445,32 @@ def test_dsir_resample_deterministic_and_biased(spark):
     strict = {r.doc_id for r in dsir_resample(
         rdf, tdf, 30, gumbel=False).collect()}
     assert sum(1 for i in strict if i % 2 == 0) / 30 >= 0.95
+
+
+def test_curate_corpus_dsir_gate(spark):
+    """Optional DSIR budget gate: of the clean survivors, only the
+    target-like Gumbel-top-n remain."""
+    import random
+
+    from oxbow_spark.operators.pipeline import curate_corpus
+
+    rng = random.Random(3)
+    tw = ["cat", "dog", "sat", "mat", "pet", "paw", "fur", "toy"]
+    ow = ["flux", "qubit", "torque", "valve", "ion", "grid", "rotor", "amp"]
+    rows = []
+    for i in range(60):
+        pool = tw if i % 2 == 0 else ow
+        # unique filler keeps the repetition/quality gates green while
+        # the sampled pool words carry the distribution signal
+        filler = " ".join(f"w{i}x{j}" for j in range(30))
+        rows.append((i, filler + " " + " ".join(rng.sample(pool, 6))
+                     + " the a of is in"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(i, " ".join(rng.sample(tw, 6)) + " the a of")
+         for i in range(20)], "doc_id long, text string")
+    out = {r.doc_id for r in curate_corpus(
+        docs, dsir_target=target, dsir_keep=20,
+        minhash_threshold=0.95).collect()}
+    assert len(out) == 20
+    assert sum(1 for i in out if i % 2 == 0) / len(out) >= 0.8
