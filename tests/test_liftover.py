@@ -247,3 +247,80 @@ def test_intervals_min_match_equals_strict_when_inside_blocks(spark, chains):
     # rid 3 sits in the src gap: unmapped both ways
     assert want[3] == (None, None, None, None)
     assert got == want
+
+
+def test_intervals_min_match_random_vs_python(spark):
+    """Randomized chains (gapped blocks, both strands, overlapping
+    nets) x random intervals: the Spark minMatch mapper must equal a
+    brute-force reference (overlap sums, threshold, first-to-last
+    mapped-base span, best-chain by score/min-id)."""
+    import random
+
+    rng = random.Random(83)
+    chains = []   # (chain_id, score, t_chrom, blocks=[(ts,te,qs)], strand, q_size)
+    cid = 0
+    for _ in range(6):
+        cid += 1
+        chrom = f"c{rng.randrange(2)}"
+        strand = rng.choice("+-")
+        t = rng.randrange(0, 5000)
+        q = rng.randrange(0, 5000)
+        blocks = []
+        for _b in range(rng.randrange(1, 4)):
+            size = rng.randrange(20, 400)
+            blocks.append((t, t + size, q))
+            gap_t = rng.randrange(1, 200)
+            gap_q = rng.randrange(1, 200)
+            t += size + gap_t
+            q += size + gap_q
+        chains.append((cid, rng.randrange(50, 2000), chrom, blocks,
+                       strand, 1 << 20))
+    text = ""
+    for cid, score, chrom, blocks, strand, qsz in chains:
+        t0, tN = blocks[0][0], blocks[-1][1]
+        q0 = blocks[0][2]
+        qN = blocks[-1][2] + (blocks[-1][1] - blocks[-1][0])
+        text += (f"chain {score} {chrom} {1 << 21} + {t0} {tN} "
+                 f"q_{cid} {qsz} {strand} {q0} {qN} {cid}\n")
+        for i, (ts, te, _qs) in enumerate(blocks):
+            if i + 1 < len(blocks):
+                nts = blocks[i + 1][0]
+                nqs = blocks[i + 1][2]
+                text += (f"{te - ts} {nts - te} "
+                         f"{nqs - (_qs + te - ts)}\n")
+            else:
+                text += f"{te - ts}\n\n"
+    cf = chain_frame(spark, parse_chain(text))
+    ivs = [(i, f"c{rng.randrange(2)}", s := rng.randrange(0, 6000),
+            s + rng.randrange(10, 600)) for i in range(150)]
+    df = spark.createDataFrame(
+        ivs, "rid long, chrom string, start long, end long")
+    mm = 0.6
+    got = {r.rid: (r.new_chrom, r.new_start, r.new_end, r.chain_id)
+           for r in liftover_intervals(df, cf, min_match=mm).collect()}
+
+    def brute(chrom, s, e):
+        best = None
+        for cid, score, tch, blocks, strand, qsz in chains:
+            if tch != chrom:
+                continue
+            ov = [(max(s, ts), min(e, te), ts, qs)
+                  for ts, te, qs in blocks if max(s, ts) < min(e, te)]
+            mapped = sum(b - a for a, b, _t, _q in ov)
+            if not ov or mapped / (e - s) < mm:
+                continue
+            a0, _b0, t0, q0s = min(ov, key=lambda x: x[2])
+            _a1, b1, t1, q1s = max(ov, key=lambda x: x[2])
+            lo = q0s + (a0 - t0)
+            hi = q1s + (b1 - t1)
+            if strand == "-":
+                lo, hi = qsz - hi, qsz - lo
+            cand = (score, -cid, f"q_{cid}", lo, hi, cid)
+            if best is None or cand > best:
+                best = cand
+        if best is None:
+            return (None, None, None, None)
+        return best[2], best[3], best[4], best[5]
+
+    for rid, chrom, s, e in ivs:
+        assert got[rid] == brute(chrom, s, e), (rid, chrom, s, e)
