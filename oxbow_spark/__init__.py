@@ -38,6 +38,7 @@ from oxbow_spark.api import (  # noqa: E402
     from_gtf,
     from_sam,
     from_vcf,
+    idxstats,
     read_bam,
     read_bcf,
     read_bed,
@@ -78,4 +79,5 @@ __all__ = [
     "read_bigwig",
     "read_gff",
     "read_gtf",
+    "idxstats",
 ]

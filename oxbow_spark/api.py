@@ -492,3 +492,14 @@ def read_bigwig(src, region=None, fields=None) -> bytes:
 def read_bigbed(src, schema="bed3+", region=None, fields=None) -> bytes:
     f = from_bigbed(src, schema, regions=region, fields=fields or "*")
     return _to_ipc(f.to_arrow())
+
+
+def idxstats(src, index=None):
+    """samtools-idxstats rows (rname, length, n_mapped, n_unmapped)
+    from a BAM's header + index metadata pseudo-bins alone — O(index),
+    no record bytes touched (`sources/bam.py:idxstats`). Beyond the
+    reference's surface: its scanners expose the index for pushdown but
+    not the pseudo-bin counters."""
+    from oxbow_spark.sources.bam import idxstats as _ix
+
+    return _ix(src, index_path=index)
