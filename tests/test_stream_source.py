@@ -7,6 +7,7 @@ micro-batch input, planned by the same batch reader partitions.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -183,3 +184,40 @@ def test_stream_sink_bam_to_sam(gspark, tmp_path):
     q2.awaitTermination(120)
     back2 = gspark.read.format("sam").load(out + "/*.sam")
     assert back2.count() == 2 * want.count()
+
+
+def test_stream_sink_bam_with_index_sidecars(gspark, tmp_path):
+    """Streaming BAM sink with index='bai': every micro-batch part gets
+    its index sidecar during the write, each part region-queryable and
+    idxstats-readable immediately."""
+    import glob as _glob
+
+    from oxbow_spark.sources.bam import BamDataSource, idxstats
+
+    d = tmp_path / "in"
+    d.mkdir()
+    shutil.copy(FX + "sample.bam", d / "run001.bam")
+    hdr = "\n".join(
+        BamDataSource({"path": FX + "sample.bam"}).header().lines)
+    out = str(tmp_path / "out")
+    q = (
+        gspark.readStream.format("bam").load(str(d / "*.bam"))
+        .where("rname is not null")
+        .writeStream.format("bam")
+        .option("path", out).option("header", hdr)
+        .option("index", "bai")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    parts = _glob.glob(out + "/*.bam")
+    assert parts
+    for p in parts:
+        assert os.path.exists(p + ".bai"), p
+    total_mapped = 0
+    for p in parts:
+        rows = idxstats(p)
+        total_mapped += sum(r[2] for r in rows)
+    want = (gspark.read.format("bam").load(FX + "sample.bam")
+            .where("rname is not null and flag % 8 < 4").count())
+    assert total_mapped == want
