@@ -362,6 +362,8 @@ def curate_corpus(
     semantic_nlist: int = 64,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
+    dedup_spans_k: int | None = None,
+    min_clean_tokens: int = 10,
 ) -> DataFrame:
     """End-to-end training-corpus curation — the composition every
     operator in this family exists for, in the standard order:
@@ -372,15 +374,23 @@ def curate_corpus(
     4. exact dedup    — md5 text digest, keep min id per group
     5. near dedup     — MinHash-LSH verified pairs → connected
        components, keep each cluster's canonical (min id) doc
-    6. semantic dedup — SemDeDup over an (id, embedding) frame
+    6. span removal   — ``dedup_spans_k`` (optional): REWRITE survivors
+       by stripping every corpus-duplicated k-token span
+       (`text.remove_dup_spans`, the Lee et al. 2022 removal mode),
+       then re-gate length — docs whose cleaned text drops below
+       ``min_clean_tokens`` tokens are dropped. Runs over the
+       doc-dedup survivors so span counting never pays for docs the
+       cheaper whole-doc gates already removed; downstream stages
+       (semantic/decontam/DSIR) all see the CLEANED text
+    7. semantic dedup — SemDeDup over an (id, embedding) frame
        (optional, round 6): k-means clusters fit on the surviving set,
        in-cluster cosine ≥ ``semantic_threshold`` drops all but the
        farthest-from-centroid example
-    7. decontamination — drop docs overlapping ``benchmarks`` (optional)
-    8. DSIR selection — keep the ``dsir_keep`` Gumbel-top docs by
+    8. decontamination — drop docs overlapping ``benchmarks`` (optional)
+    9. DSIR selection — keep the ``dsir_keep`` Gumbel-top docs by
        hashed-n-gram importance toward ``dsir_target`` (optional,
        round 6) — runs LAST so the kept budget is spent on clean docs
-    9. split assignment — stable md5 buckets (defaults 98/1/1)
+    10. split assignment — stable md5 buckets (defaults 98/1/1)
 
     Returns the curated frame: (id, text, split). Every stage is one of
     this repo's oracle-checked operators; the composition itself adds
@@ -419,6 +429,19 @@ def curate_corpus(
         .where(F.col("v") != F.col("cluster")) \
         .select(F.col("v").alias(id_col))
     keep = keep.join(near_drop, id_col, "left_anti")
+
+    if dedup_spans_k is not None:
+        # span-level rewrite (Lee et al. 2022 removal mode): duplicated
+        # k-gram spans counted over the SURVIVING corpus, every covered
+        # token stripped, whitespace-rejoined; then the length re-gate.
+        # The rewritten text replaces text_col for every later stage.
+        cleaned = text_ops.remove_dup_spans(
+            keep, k=dedup_spans_k, text_col=text_col, id_col=id_col)
+        keep = cleaned.where(
+            (F.size(F.split(F.trim(F.col("clean_text")), r"\s+"))
+             >= min_clean_tokens)
+            & (F.length(F.trim(F.col("clean_text"))) > 0)) \
+            .select(F.col(id_col), F.col("clean_text").alias(text_col))
 
     if embeddings is not None:
         from oxbow_spark.operators.similarity import (ivf_fit,

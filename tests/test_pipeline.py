@@ -474,3 +474,52 @@ def test_curate_corpus_dsir_gate(spark):
         minhash_threshold=0.95).collect()}
     assert len(out) == 20
     assert sum(1 for i in out if i % 2 == 0) / len(out) >= 0.8
+
+
+def test_curate_corpus_span_removal_gate(spark):
+    """The optional Lee-et-al span-removal stage: `dedup_spans_k`
+    rewrites survivors — every corpus-duplicated k-gram span stripped
+    (pinned cleaned text), docs falling under `min_clean_tokens` after
+    cleaning dropped, and DOWNSTREAM stages see the cleaned text (a
+    benchmark equal to a removed span no longer contaminates)."""
+    from oxbow_spark.operators.pipeline import curate_corpus
+
+    span_a = "bark cedar dune fern glen iris kelp lily moss"
+    span_b = "onyx pear quay reed sage teal vine wolf yarn"
+    doc_a_pre = "the wind over calm hills near old farm gates"
+    doc_a_post = "and rain fell soft upon gray stone walls here"
+    doc_b_pre = "a slow boat drifts past tall pine tree line"
+    doc_b_post = "for long days under pale blue open sky light"
+    rows = [
+        (1, f"{doc_a_pre} {span_a} {doc_a_post}"),
+        (2, f"{doc_b_pre} {span_b} {doc_b_post}"),
+        # mostly duplicated spans: cleaned text falls below the length
+        # re-gate (8 tokens < 10) and the doc is dropped
+        (3, f"{span_a} the two odd {span_b} and end gap here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in curate_corpus(
+        docs, dedup_spans_k=3, min_clean_tokens=10).collect()}
+    assert set(out) == {1, 2}
+    # cleaned text pinned exactly: the duplicated span is gone, the
+    # unique prefix/suffix rejoin on single spaces
+    assert out[1] == f"{doc_a_pre} {doc_a_post}"
+    assert out[2] == f"{doc_b_pre} {doc_b_post}"
+
+    # without the option nothing is rewritten or dropped
+    raw = {r.doc_id: r.text for r in curate_corpus(docs).collect()}
+    assert set(raw) == {1, 2, 3}
+    assert raw[1] == rows[0][1]
+
+    # decontamination runs AFTER the rewrite: a benchmark that matches
+    # only the removed span no longer flags the doc...
+    bench = spark.createDataFrame(
+        [(0, span_a)], "doc_id long, text string")
+    with_bench = {r.doc_id for r in curate_corpus(
+        docs, benchmarks=bench, dedup_spans_k=3,
+        min_clean_tokens=10).collect()}
+    assert with_bench == {1, 2}
+    # ...while without span removal the same benchmark kills doc 1
+    no_clean = {r.doc_id for r in curate_corpus(
+        docs, benchmarks=bench).collect()}
+    assert 1 not in no_clean and 2 in no_clean
