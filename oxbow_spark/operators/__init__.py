@@ -28,11 +28,14 @@ from oxbow_spark.operators.interval_ops import (
     coverage_intervals,
     flank_intervals,
     intersect_intervals,
+    jaccard_intervals,
     map_intervals,
     merge_intervals,
+    multiinter_intervals,
     shift_intervals,
     slop_intervals,
     subtract_intervals,
+    window_intervals,
 )
 from oxbow_spark.operators.pipeline import dsir_log_weights, dsir_resample
 from oxbow_spark.operators.similarity import semantic_dedup, semantic_dup_drops
@@ -72,12 +75,15 @@ __all__ = [
     "intersect_intervals",
     "liftover_intervals",
     "liftover_positions",
+    "jaccard_intervals",
     "merge_intervals",
+    "multiinter_intervals",
     "ngram_decontaminate",
     "normalize_variants",
     "nuc_stats",
     "overlap_join",
     "parse_chain",
     "subtract_intervals",
+    "window_intervals",
     "zoom_aggregate",
 ]

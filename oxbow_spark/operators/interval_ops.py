@@ -581,3 +581,131 @@ def flank_intervals(
                     F.col("_f.side").alias("side"),
                     F.col("_f.fs").alias(start_col),
                     F.col("_f.fe").alias(end_col)))
+
+
+def jaccard_intervals(
+    a: DataFrame, b: DataFrame, bin_size: int, on: str = "chrom",
+    a_start: str = "start", a_end: str = "end",
+    b_start: str = "start", b_end: str = "end",
+) -> DataFrame:
+    """bedtools-jaccard: one row — ``intersection_bp`` (bases shared by
+    the merged unions of ``a`` and ``b``), ``union_bp``
+    (len(A) + len(B) − intersection, both merged), ``jaccard``
+    (their ratio; 0.0 when both sets are empty) and
+    ``n_intersections`` (number of intersection blocks — merged inputs
+    are disjoint, so the pair count IS the block count; bedtools'
+    fourth column).
+
+    Plan: two merge passes, ONE binned overlap join between the merged
+    (disjoint) block sets, then three single-row partial aggs combined
+    by 1×1 cross joins — no corpus-sized shuffle beyond the merges.
+    The division is exact-reproducible: both operands are longs, so the
+    double quotient is the same IEEE value in any engine."""
+    am = merge_intervals(a, on=on, start_col=a_start, end_col=a_end) \
+        .select(F.col(on).alias("_on"), F.col(a_start).alias("_as"),
+                F.col(a_end).alias("_ae"))
+    bm = merge_intervals(b, on=on, start_col=b_start, end_col=b_end) \
+        .select(F.col(on).alias("_on"), F.col(b_start).alias("_bs"),
+                F.col(b_end).alias("_be"))
+    inter = overlap_join(
+        am, bm, bin_size=bin_size, on="_on",
+        left_start="_as", left_end="_ae",
+        right_start="_bs", right_end="_be",
+    ).agg(
+        F.coalesce(F.sum(F.least(F.col("_ae"), F.col("_be"))
+                         - F.greatest(F.col("_as"), F.col("_bs"))),
+                   F.lit(0)).cast("long").alias("intersection_bp"),
+        F.count(F.lit(1)).cast("long").alias("n_intersections"),
+    )
+    la = am.agg(F.coalesce(F.sum(F.col("_ae") - F.col("_as")),
+                           F.lit(0)).cast("long").alias("_abp"))
+    lb = bm.agg(F.coalesce(F.sum(F.col("_be") - F.col("_bs")),
+                           F.lit(0)).cast("long").alias("_bbp"))
+    u = (F.col("_abp") + F.col("_bbp") - F.col("intersection_bp"))
+    return (
+        inter.crossJoin(F.broadcast(la)).crossJoin(F.broadcast(lb))
+        .select(
+            "intersection_bp",
+            u.alias("union_bp"),
+            F.when(u > 0, F.col("intersection_bp").cast("double")
+                   / u.cast("double"))
+            .otherwise(F.lit(0.0)).alias("jaccard"),
+            "n_intersections",
+        ))
+
+
+def multiinter_intervals(
+    sets: dict[str, DataFrame], bin_size: int, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+) -> DataFrame:
+    """bedtools-multiinter: partition each key's axis into the
+    elementary segments induced by EVERY boundary of every input set,
+    and report, per covered segment, how many sets cover it and which
+    (``n_sets``, ``set_list`` — comma-joined, label-sorted). Adjacent
+    segments with identical coverage stay split (bedtools emits a
+    record per transition point, not a merged run).
+
+    Plan: per-(label, key) merge (one window pass over the tagged
+    union), boundary points → lead-window segments (per-key window —
+    same scale profile as `merge_intervals`), then ONE binned overlap
+    join of segments vs merged blocks. Merged blocks are disjoint per
+    label and segments are elementary (no block boundary strictly
+    inside one), so each (segment, label) pair appears at most once —
+    the final groupBy is a pure partial-agg count/collect."""
+    if not sets:
+        raise ValueError("multiinter needs at least one labelled set")
+    lab = None
+    for label, df in sets.items():
+        part = df.select(
+            F.lit(str(label)).alias("_lab"), F.col(on),
+            F.col(start_col).cast("long").alias("_s"),
+            F.col(end_col).cast("long").alias("_e"))
+        lab = part if lab is None else lab.unionByName(part)
+    merged = _merge_runs(lab.withColumn("_w", F.lit(1).cast("long")),
+                         ["_lab", on], "_ms", "_me") \
+        .select("_lab", F.col(on), "_ms", "_me")
+    pts = merged.select(
+        F.col(on), F.explode(F.array("_ms", "_me")).alias("_p")).distinct()
+    w = Window.partitionBy(on).orderBy("_p")
+    seg = pts.select(F.col(on), F.col("_p").alias("_ss"),
+                     F.lead("_p").over(w).alias("_se")) \
+        .where(F.col("_se").isNotNull())
+    cov = overlap_join(
+        seg.withColumnRenamed(on, "_on"),
+        merged.withColumnRenamed(on, "_on"),
+        bin_size=bin_size, on="_on",
+        left_start="_ss", left_end="_se",
+        right_start="_ms", right_end="_me",
+    )
+    return (cov.groupBy("_on", "_ss", "_se")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sets"),
+                 F.array_join(F.array_sort(F.collect_list("_lab")), ",")
+                 .alias("set_list"))
+            .select(F.col("_on").alias(on), F.col("_ss").alias(start_col),
+                    F.col("_se").alias(end_col), "n_sets", "set_list"))
+
+
+def window_intervals(
+    a: DataFrame, b: DataFrame, bin_size: int,
+    left: int, right: int | None = None, on: str = "chrom",
+    a_start: str = "start", a_end: str = "end",
+    b_start: str = "b_start", b_end: str = "b_end",
+) -> DataFrame:
+    """bedtools-window: report every (a, b) pair where ``b`` overlaps
+    ``a`` widened by ``left``/``right`` bp (``right`` defaults to
+    ``left``); output carries BOTH rows' columns with ``a``'s ORIGINAL
+    coordinates (the widening is only the match predicate, clamped at 0
+    like bedtools). One binned overlap join over the widened bounds —
+    the bin explosion pays for the extra window width, nothing else
+    changes versus `overlap_join`."""
+    if right is None:
+        right = left
+    wa = a.withColumn(
+        "_ws", F.greatest(F.col(a_start).cast("long") - left, F.lit(0))
+    ).withColumn("_we", F.col(a_end).cast("long") + right)
+    j = overlap_join(
+        wa, b, bin_size=bin_size, on=on,
+        left_start="_ws", left_end="_we",
+        right_start=b_start, right_end=b_end,
+    )
+    return j.drop("_ws", "_we")

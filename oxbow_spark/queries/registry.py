@@ -2635,17 +2635,142 @@ FROM p
 # BENCH_QUERIES for round-over-round benchmark continuity.
 # --------------------------------------------------------------------------
 
-_IV_ALGEBRA_COLS = {  # superset schema of the six interval-algebra ops
+def jaccard_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-jaccard: merged even-id intervals vs merged odd-id —
+    one row of (intersection_bp, union_bp, jaccard, n_intersections)."""
+    from oxbow_spark.operators.interval_ops import jaccard_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).select("chrom", "start", "end")
+    b = ev.where(F.col("event_id") % 2 == 1).select("chrom", "start", "end")
+    return jaccard_intervals(a, b, bin_size=512)
+
+
+JACCARD_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_id, event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),
+a0 AS (SELECT chrom, s, e FROM iv WHERE event_id % 2 = 0),
+b0 AS (SELECT chrom, s, e FROM iv WHERE event_id % 2 = 1),{_merge_sql_ctes("a0", "ma")},{_merge_sql_ctes("b0", "mb")},
+i AS (
+  SELECT COALESCE(SUM(LEAST(ma.me, mb.me) - GREATEST(ma.ms, mb.ms)), 0) AS ibp,
+         COUNT(*) AS ni
+  FROM ma JOIN mb ON ma.chrom = mb.chrom AND ma.ms < mb.me AND mb.ms < ma.me
+),
+la AS (SELECT COALESCE(SUM(me - ms), 0) AS abp FROM ma),
+lb AS (SELECT COALESCE(SUM(me - ms), 0) AS bbp FROM mb)
+SELECT ibp AS intersection_bp,
+       abp + bbp - ibp AS union_bp,
+       CASE WHEN abp + bbp - ibp > 0
+            THEN CAST(ibp AS DOUBLE) / CAST(abp + bbp - ibp AS DOUBLE)
+            ELSE 0.0 END AS jaccard,
+       ni AS n_intersections
+FROM i, la, lb
+"""
+
+
+def multiinter_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-multiinter over three event-id-residue interval sets:
+    elementary covered segments tagged with coverage count + label
+    list."""
+    from oxbow_spark.operators.interval_ops import multiinter_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    sets = {f"s{i}": ev.where(F.col("event_id") % 3 == i)
+            .select("chrom", "start", "end") for i in range(3)}
+    return multiinter_intervals(sets, bin_size=512)
+
+
+# per-(label, chrom) merge rides the chrom-keyed merge CTE by fusing the
+# label into the key ('s<r>|<chrom>' — event_type values contain no '|'),
+# split back after the merge
+MULTIINTER_IV_SQL = f"""
+WITH iv0 AS (
+  SELECT 's' || CAST(event_id % 3 AS VARCHAR) || '|' || event_type AS chrom,
+         {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),{_merge_sql_ctes("iv0", "mm")},
+m AS (
+  SELECT split_part(chrom, '|', 1) AS lab, split_part(chrom, '|', 2) AS ch,
+         ms, me
+  FROM mm
+),
+pts AS (SELECT DISTINCT ch, p FROM (
+  SELECT ch, ms AS p FROM m UNION ALL SELECT ch, me AS p FROM m)),
+seg AS (
+  SELECT ch, p AS ss, LEAD(p) OVER (PARTITION BY ch ORDER BY p) AS se
+  FROM pts
+),
+cov AS (
+  SELECT seg.ch, seg.ss, seg.se, m.lab
+  FROM seg JOIN m ON seg.ch = m.ch AND m.ms < seg.se AND seg.ss < m.me
+  WHERE seg.se IS NOT NULL
+)
+SELECT ch AS chrom, ss AS start, se AS "end",
+       COUNT(*) AS n_sets,
+       STRING_AGG(lab, ',' ORDER BY lab) AS set_list
+FROM cov GROUP BY ch, ss, se
+"""
+
+
+def window_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-window: odd-id features within (-150, +90) bp of each
+    even-id interval; a's original coordinates ride through."""
+    from oxbow_spark.operators.interval_ops import window_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"), "chrom", "start", "end")
+    b = ev.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("b_id"), "chrom",
+        F.col("start").alias("b_start"), F.col("end").alias("b_end"))
+    return window_intervals(a, b, bin_size=512, left=150, right=90) \
+        .select("a_id", "b_id", "chrom", "start", "end")
+
+
+WINDOW_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_id, event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+)
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.chrom,
+       a.s AS start, a.e AS "end"
+FROM iv a JOIN iv b ON a.chrom = b.chrom
+  AND GREATEST(a.s - 150, 0) < b.e AND b.s < a.e + 90
+WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
+"""
+
+
+_IV_ALGEBRA_COLS = {  # superset schema of the nine interval-algebra ops
     "chrom": "string", "start": "long", "end": "long",
     "a_id": "long", "b_id": "long", "n_merged": "long", "distance": "long",
     "n_overlaps": "long", "covered_bp": "long",
+    "n_sets": "long", "set_list": "string",
+    "intersection_bp": "long", "union_bp": "long", "jaccard": "double",
+    "n_intersections": "long",
 }
 
 
 # columns a given op does not produce get non-null SENTINELS (-1 / ''),
 # not NULLs: the oracle harness sorts rows by alphabetical column order,
 # and None is not orderable against real values in early columns
-_IV_SENTINEL = {"string": "", "long": -1}
+_IV_SENTINEL = {"string": "", "long": -1, "double": -1.0}
 
 
 def _iv_tag(df: DataFrame, op: str, renames: dict[str, str]) -> DataFrame:
@@ -2660,10 +2785,11 @@ def _iv_tag(df: DataFrame, op: str, renames: dict[str, str]) -> DataFrame:
 
 
 def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All six bedtools-style interval-algebra operators (merge /
-    intersect / subtract / complement / closest / coverage — operators/
-    interval_ops.py) union-tagged into one superset-schema frame so each
-    stays externally hash-checked within the driver's 50-row window."""
+    """All nine bedtools-style interval-algebra operators (merge /
+    intersect / subtract / complement / closest / coverage / jaccard /
+    multiinter / window — operators/interval_ops.py) union-tagged into
+    one superset-schema frame so each stays externally hash-checked
+    within the driver's 50-row window."""
     return (
         _iv_tag(merge_intervals_events(spark, sf_dir), "merge", {})
         .unionByName(_iv_tag(intersect_intervals_events(spark, sf_dir),
@@ -2677,12 +2803,18 @@ def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "closest", {}))
         .unionByName(_iv_tag(coverage_intervals_events(spark, sf_dir),
                              "coverage", {}))
+        .unionByName(_iv_tag(jaccard_intervals_events(spark, sf_dir),
+                             "jaccard", {}))
+        .unionByName(_iv_tag(multiinter_intervals_events(spark, sf_dir),
+                             "multiinter", {}))
+        .unionByName(_iv_tag(window_intervals_events(spark, sf_dir),
+                             "window", {}))
     )
 
 
 def _iv_tag_sql(sql: str, op: str, renames: dict[str, str],
                 present: set[str]) -> str:
-    duck_t = {"string": "VARCHAR", "long": "BIGINT"}
+    duck_t = {"string": "VARCHAR", "long": "BIGINT", "double": "DOUBLE"}
     cols = [f"'{op}' AS op"]
     for name, typ in _IV_ALGEBRA_COLS.items():
         src = renames.get(name, name)
@@ -2710,6 +2842,13 @@ def _iv_algebra_sql() -> str:
         _iv_tag_sql(COVERAGE_IV_SQL, "coverage", {},
                     {"chrom", "start", "end", "a_id", "n_overlaps",
                      "covered_bp"}),
+        _iv_tag_sql(JACCARD_IV_SQL, "jaccard", {},
+                    {"intersection_bp", "union_bp", "jaccard",
+                     "n_intersections"}),
+        _iv_tag_sql(MULTIINTER_IV_SQL, "multiinter", {},
+                    {"chrom", "start", "end", "n_sets", "set_list"}),
+        _iv_tag_sql(WINDOW_IV_SQL, "window", {},
+                    {"chrom", "start", "end", "a_id", "b_id"}),
     ]
     return "\nUNION ALL\n".join(parts)
 

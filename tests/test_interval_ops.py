@@ -534,3 +534,147 @@ def test_slop_shift_flank(spark):
     assert (2, "L") not in fl       # zero-width flank at chrom start
     assert fl[(3, "R")] == (100, 100) if (3, "R") in fl else True
     assert (3, "R") not in fl       # zero-width flank at chrom end
+
+
+def _py_merge(rows):
+    """Brute-force per-chrom merge (bookended intervals join) →
+    {chrom: [(s, e)]}."""
+    by = {}
+    for ch, s, e in rows:
+        by.setdefault(ch, []).append((s, e))
+    out = {}
+    for ch, iv in by.items():
+        iv.sort()
+        m = []
+        for s, e in iv:
+            if m and s <= m[-1][1]:
+                m[-1] = (m[-1][0], max(m[-1][1], e))
+            else:
+                m.append((s, e))
+        out[ch] = m
+    return out
+
+
+def test_jaccard_intervals_random_vs_python(spark):
+    import random
+
+    from oxbow_spark.operators.interval_ops import jaccard_intervals
+
+    rng = random.Random(31)
+    a_rows = [(f"c{rng.randrange(3)}", s := rng.randrange(0, 3000),
+               s + rng.randrange(1, 250)) for _ in range(140)]
+    b_rows = [(f"c{rng.randrange(3)}", s := rng.randrange(0, 3000),
+               s + rng.randrange(1, 250)) for _ in range(110)]
+    a = spark.createDataFrame(a_rows, "chrom string, start long, end long")
+    b = spark.createDataFrame(b_rows, "chrom string, start long, end long")
+    got = jaccard_intervals(a, b, bin_size=256).collect()[0]
+
+    am, bm = _py_merge(a_rows), _py_merge(b_rows)
+    la = sum(e - s for iv in am.values() for s, e in iv)
+    lb = sum(e - s for iv in bm.values() for s, e in iv)
+    ibp = n_int = 0
+    for ch in set(am) & set(bm):
+        for s1, e1 in am[ch]:
+            for s2, e2 in bm[ch]:
+                ov = min(e1, e2) - max(s1, s2)
+                if ov > 0:
+                    ibp += ov
+                    n_int += 1
+    assert (got.intersection_bp, got.union_bp, got.n_intersections) \
+        == (ibp, la + lb - ibp, n_int)
+    assert got.jaccard == ibp / (la + lb - ibp)
+
+
+def test_jaccard_intervals_disjoint_sets(spark):
+    from oxbow_spark.operators.interval_ops import jaccard_intervals
+
+    a = spark.createDataFrame([("c", 0, 10)],
+                              "chrom string, start long, end long")
+    b = spark.createDataFrame([("d", 0, 10)],
+                              "chrom string, start long, end long")
+    got = jaccard_intervals(a, b, bin_size=64).collect()[0]
+    assert (got.intersection_bp, got.union_bp, got.jaccard,
+            got.n_intersections) == (0, 20, 0.0, 0)
+
+
+def test_multiinter_intervals_hand_case(spark):
+    from oxbow_spark.operators.interval_ops import multiinter_intervals
+
+    s1 = spark.createDataFrame([("c", 0, 10), ("c", 20, 30)],
+                               "chrom string, start long, end long")
+    s2 = spark.createDataFrame([("c", 5, 25)],
+                               "chrom string, start long, end long")
+    got = {(r.chrom, r.start, r.end): (r.n_sets, r.set_list)
+           for r in multiinter_intervals(
+               {"x": s1, "y": s2}, bin_size=16).collect()}
+    # boundaries 0,5,10,20,25,30 → elementary covered segments
+    assert got == {
+        ("c", 0, 5): (1, "x"),
+        ("c", 5, 10): (2, "x,y"),
+        ("c", 10, 20): (1, "y"),
+        ("c", 20, 25): (2, "x,y"),
+        ("c", 25, 30): (1, "x"),
+    }
+
+
+def test_multiinter_intervals_random_vs_python(spark):
+    import random
+
+    from oxbow_spark.operators.interval_ops import multiinter_intervals
+
+    rng = random.Random(47)
+    sets, rows = {}, {}
+    for li in range(4):
+        lab = f"s{li}"
+        rows[lab] = [(f"c{rng.randrange(2)}", s := rng.randrange(0, 1500),
+                      s + rng.randrange(1, 180))
+                     for _ in range(rng.randrange(20, 45))]
+        sets[lab] = spark.createDataFrame(
+            rows[lab], "chrom string, start long, end long")
+    got = {(r.chrom, r.start, r.end): (r.n_sets, r.set_list)
+           for r in multiinter_intervals(sets, bin_size=128).collect()}
+
+    merged = {lab: _py_merge(rv) for lab, rv in rows.items()}
+    expect = {}
+    for ch in {c for m in merged.values() for c in m}:
+        pts = sorted({p for m in merged.values()
+                      for s, e in m.get(ch, []) for p in (s, e)})
+        for ss, se in zip(pts, pts[1:]):
+            labs = sorted(lab for lab, m in merged.items()
+                          if any(s <= ss and e >= se
+                                 for s, e in m.get(ch, [])))
+            if labs:
+                expect[(ch, ss, se)] = (len(labs), ",".join(labs))
+    assert got == expect
+
+
+def test_window_intervals_random_vs_python(spark):
+    import random
+
+    from oxbow_spark.operators.interval_ops import window_intervals
+
+    rng = random.Random(59)
+    a_rows = [(i, f"c{rng.randrange(2)}", s := rng.randrange(0, 2500),
+               s + rng.randrange(1, 120)) for i in range(90)]
+    b_rows = [(i, f"c{rng.randrange(2)}", s := rng.randrange(0, 2500),
+               s + rng.randrange(1, 120)) for i in range(110)]
+    a = spark.createDataFrame(
+        a_rows, "a_id long, chrom string, start long, end long")
+    b = spark.createDataFrame(
+        b_rows, "b_id long, chrom string, b_start long, b_end long")
+    out = window_intervals(a, b, bin_size=128, left=70, right=40).collect()
+    got = {(r.a_id, r.b_id) for r in out}
+    coords = {(r.a_id, r.b_id): (r.start, r.end, r.b_start, r.b_end)
+              for r in out}
+    expect = set()
+    for aid, ac, as_, ae in a_rows:
+        ws, we = max(as_ - 70, 0), ae + 40
+        for bid, bc, bs, be in b_rows:
+            if bc == ac and bs < we and ws < be:
+                expect.add((aid, bid))
+    assert got == expect
+    # a's ORIGINAL coordinates ride through, plus b's
+    for aid, ac, as_, ae in a_rows:
+        for bid, bc, bs, be in b_rows:
+            if (aid, bid) in got:
+                assert coords[(aid, bid)] == (as_, ae, bs, be)
