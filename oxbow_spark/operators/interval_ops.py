@@ -507,6 +507,35 @@ def map_intervals(
     return j.select(*out)
 
 
+_SIZES_LITERAL_MAX = 64
+_NO_SIZE = 1 << 62
+
+
+def _with_size(df: DataFrame, on: str,
+               sizes: dict[str, int] | None):
+    """(df', size_expr): the chrom-size lookup for the clamp family.
+    Small tables (≤ `_SIZES_LITERAL_MAX` contigs — every real
+    chrom.sizes of a finished genome) inline as a literal WHEN-chain:
+    zero extra plan nodes, pure Project preserved. Above that — 10⁵-
+    contig scaffold assemblies, where a 10⁵-branch CASE bloats the plan
+    and codegen — the sizes broadcast-join in (the same pattern
+    `complement_intervals` uses) and the lookup is one column ref.
+    Chroms absent from ``sizes`` clamp against an unbounded sentinel
+    either way, so both paths are value-identical."""
+    if sizes is None:
+        return df, F.lit(_NO_SIZE)
+    if len(sizes) <= _SIZES_LITERAL_MAX:
+        return df, F.coalesce(
+            *[F.when(F.col(on) == k, F.lit(int(v)))
+              for k, v in sizes.items()],
+            F.lit(_NO_SIZE))
+    sz = df.sparkSession.createDataFrame(
+        [(k, int(v)) for k, v in sorted(sizes.items())],
+        f"`{on}` string, `__size` long")
+    return (df.join(F.broadcast(sz), on, "left"),
+            F.coalesce(F.col("__size"), F.lit(_NO_SIZE)))
+
+
 def slop_intervals(
     df: DataFrame, left: int, right: int | None = None, on: str = "chrom",
     start_col: str = "start", end_col: str = "end",
@@ -514,21 +543,20 @@ def slop_intervals(
 ) -> DataFrame:
     """bedtools-slop: widen each interval by ``left``/``right`` bp
     (``right`` defaults to ``left``), clamped to [0, chrom size) when a
-    ``sizes`` dict is given (broadcast as a literal map — chrom.sizes
-    files are KBs). Pure Project."""
+    ``sizes`` dict is given (literal map for real chrom.sizes, broadcast
+    join above `_SIZES_LITERAL_MAX` contigs). Pure Project (+ the
+    broadcast on the scaffold path)."""
     if right is None:
         right = left
     s = F.col(start_col).cast("long") - left
     e = F.col(end_col).cast("long") + right
     s = F.greatest(s, F.lit(0))
+    src, sz = _with_size(df, on, sizes)
     if sizes is not None:
-        sz = F.coalesce(
-            *[F.when(F.col(on) == k, F.lit(v)) for k, v in sizes.items()],
-            F.lit(1 << 62))
         e = F.least(e, sz)
     cols = [F.col(c) for c in df.columns if c not in (start_col, end_col)]
-    return df.select(*cols, s.alias(start_col),
-                     F.greatest(e, s).alias(end_col))
+    return src.select(*cols, s.alias(start_col),
+                      F.greatest(e, s).alias(end_col))
 
 
 def shift_intervals(
@@ -540,16 +568,14 @@ def shift_intervals(
     left). bedtools clamps coordinates at the chromosome bounds —
     intervals SHRINK at an edge rather than backing off (start pinned to
     [0, size-1], end to [start+1, size], so at least 1 bp survives).
-    Pure Project."""
+    Pure Project (+ a broadcast sizes join on the scaffold path)."""
     s = F.col(start_col).cast("long") + amount
     e = F.col(end_col).cast("long") + amount
-    sz = (F.coalesce(
-        *[F.when(F.col(on) == k, F.lit(v)) for k, v in (sizes or {}).items()],
-        F.lit(1 << 62)) if sizes else F.lit(1 << 62))
+    src, sz = _with_size(df, on, sizes)
     s2 = F.least(F.greatest(s, F.lit(0)), sz - 1)
     e2 = F.least(F.greatest(e, s2 + 1), sz)
     cols = [F.col(c) for c in df.columns if c not in (start_col, end_col)]
-    return df.select(*cols, s2.alias(start_col), e2.alias(end_col))
+    return src.select(*cols, s2.alias(start_col), e2.alias(end_col))
 
 
 def flank_intervals(
@@ -559,8 +585,8 @@ def flank_intervals(
 ) -> DataFrame:
     """bedtools-flank: emit the LEFT and RIGHT flanking intervals of
     each input (side-tagged), clamped to [0, size); zero-width flanks
-    (at a chrom edge) are dropped, like bedtools. Project + one
-    explode."""
+    (at a chrom edge) are dropped, like bedtools. Project + one explode
+    (+ a broadcast sizes join on the scaffold path)."""
     if right is None:
         right = left
     s = F.col(start_col).cast("long")
@@ -568,13 +594,11 @@ def flank_intervals(
     lf = F.struct(F.lit("L").alias("side"),
                   F.greatest(s - left, F.lit(0)).alias("fs"),
                   s.alias("fe"))
-    sz = (F.coalesce(
-        *[F.when(F.col(on) == k, F.lit(v)) for k, v in (sizes or {}).items()],
-        F.lit(1 << 62)) if sizes else F.lit(1 << 62))
+    src, sz = _with_size(df, on, sizes)
     rf = F.struct(F.lit("R").alias("side"), e.alias("fs"),
                   F.least(e + right, sz).alias("fe"))
     cols = [F.col(c) for c in df.columns if c not in (start_col, end_col)]
-    x = df.select(*cols, F.explode(F.array(lf, rf)).alias("_f"))
+    x = src.select(*cols, F.explode(F.array(lf, rf)).alias("_f"))
     return (x.where(F.col("_f.fe") > F.col("_f.fs"))
             .select(*[F.col(c) for c in df.columns
                       if c not in (start_col, end_col)],

@@ -678,3 +678,49 @@ def test_window_intervals_random_vs_python(spark):
         for bid, bc, bs, be in b_rows:
             if (aid, bid) in got:
                 assert coords[(aid, bid)] == (as_, ae, bs, be)
+
+
+def test_sizes_clamp_literal_vs_broadcast_equality(spark):
+    """Above `_SIZES_LITERAL_MAX` contigs the clamp family switches from
+    a literal WHEN-chain to a broadcast sizes join — value-identical on
+    the exact same input (scaffold-assembly path), and the join really
+    broadcasts (no 10^5-branch CASE in the plan)."""
+    import random
+
+    from oxbow_spark.operators import interval_ops as iv
+
+    rng = random.Random(71)
+    n_contigs = iv._SIZES_LITERAL_MAX + 36
+    sizes = {f"scaf{i}": rng.randrange(50, 400) for i in range(n_contigs)}
+    rows = []
+    for i in range(400):
+        ch = f"scaf{rng.randrange(n_contigs + 5)}"   # some not in sizes
+        s = rng.randrange(0, 300)
+        rows.append((i, ch, s, s + rng.randrange(1, 80)))
+    df = spark.createDataFrame(
+        rows, "aid long, chrom string, start long, end long")
+
+    def snap(out, cols=("start", "end")):
+        return sorted(tuple(r[c] for c in ("aid", "chrom", *cols))
+                      for r in out.collect())
+
+    # force the literal path on the same sizes table for the twin
+    orig = iv._SIZES_LITERAL_MAX
+    try:
+        iv._SIZES_LITERAL_MAX = 10 ** 6
+        slop_lit = snap(iv.slop_intervals(df, 25, 60, sizes=sizes))
+        shift_lit = snap(iv.shift_intervals(df, 70, sizes=sizes))
+        flank_lit = snap(iv.flank_intervals(df, 30, sizes=sizes),
+                         ("side", "start", "end"))
+    finally:
+        iv._SIZES_LITERAL_MAX = orig
+
+    slop_b = iv.slop_intervals(df, 25, 60, sizes=sizes)
+    assert snap(slop_b) == slop_lit
+    assert snap(iv.shift_intervals(df, 70, sizes=sizes)) == shift_lit
+    assert snap(iv.flank_intervals(df, 30, sizes=sizes),
+                ("side", "start", "end")) == flank_lit
+
+    plan = slop_b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CASE WHEN" not in plan, plan
