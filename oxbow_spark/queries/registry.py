@@ -884,6 +884,108 @@ FROM v
 """
 
 
+def sn_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """samtools-stats SN panel (operators/flagstat.py:sn_stats) over
+    synthetic flag/seq/qual/cigar/NM/mapq/tlen columns derived from
+    event ids — the cigar and per-base quality paths are exercised
+    through REAL strings (repeat/char built JVM-side), parsed back by
+    the operator's regexp/char-array expressions."""
+    from oxbow_spark.operators.flagstat import sn_stats
+
+    eid = F.col("event_id")
+    ev = _events(spark, sf_dir).select(
+        (eid % 4096).cast("int").alias("flag"),
+        (eid % 61).cast("long").alias("mapq"),
+        (eid % 1200 - 100).cast("long").alias("tlen"),
+        (eid % 5).cast("long").alias("nm"),
+        F.expr("repeat('A', CAST(30 + event_id % 70 AS INT))").alias("seq"),
+        F.concat(
+            F.expr("repeat(char(33 + event_id % 40), "
+                   "CAST(20 + event_id % 70 AS INT))"),
+            F.expr("repeat(char(40 + event_id % 30), 10)")).alias("qual"),
+        F.expr(
+            "CASE WHEN (CAST(event_id % 4096 AS INT) & 4) <> 0 THEN '*' "
+            "ELSE concat(CAST(10 + event_id % 50 AS STRING), 'M', "
+            "CAST(1 + event_id % 4 AS STRING), 'I', "
+            "CAST(1 + event_id % 6 AS STRING), 'S', "
+            "CAST(1 + event_id % 3 AS STRING), 'X') END").alias("cigar"),
+    )
+    return sn_stats(ev)
+
+
+SN_STATS_SQL = """
+WITH ev AS (
+  SELECT CAST(event_id % 4096 AS INT) AS flag,
+         CAST(event_id % 61 AS BIGINT) AS mapq,
+         CAST(event_id % 1200 - 100 AS BIGINT) AS tlen,
+         CAST(event_id % 5 AS BIGINT) AS nm,
+         repeat('A', CAST(30 + event_id % 70 AS INT)) AS seq,
+         repeat(chr(CAST(33 + event_id % 40 AS INT)),
+                CAST(20 + event_id % 70 AS INT))
+           || repeat(chr(CAST(40 + event_id % 30 AS INT)), 10) AS qual,
+         CASE WHEN (CAST(event_id % 4096 AS INT) & 4) <> 0 THEN '*'
+              ELSE CAST(10 + event_id % 50 AS VARCHAR) || 'M' ||
+                   CAST(1 + event_id % 4 AS VARCHAR) || 'I' ||
+                   CAST(1 + event_id % 6 AS VARCHAR) || 'S' ||
+                   CAST(1 + event_id % 3 AS VARCHAR) || 'X' END AS cigar
+  FROM events
+),
+st AS (
+  SELECT flag, mapq, tlen, nm,
+         CAST(length(seq) AS BIGINT) AS len,
+         CAST(list_sum(list_transform(regexp_extract_all(qual, '.'),
+                                      x -> ord(x) - 33)) AS BIGINT) AS qsum,
+         CAST(COALESCE(list_sum(list_transform(
+              regexp_extract_all(cigar, '(\\d+)[MI=X]', 1),
+              x -> CAST(x AS BIGINT))), 0) AS BIGINT) AS cig,
+         (flag & 256) = 0 AND (flag & 2048) = 0 AS raw,
+         (flag & 256) = 0 AND (flag & 2048) = 0 AND (flag & 4) = 0 AS mapped,
+         (flag & 1) <> 0 AND (flag & 2) <> 0 AND (flag & 4) = 0
+           AND (flag & 256) = 0 AND (flag & 2048) = 0
+           AND tlen > 0 AND tlen <= 10000 AS tpl
+  FROM ev
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN raw THEN 1 ELSE 0 END) AS BIGINT)
+      AS raw_total_sequences,
+    CAST(SUM(CASE WHEN mapped THEN 1 ELSE 0 END) AS BIGINT) AS reads_mapped,
+    CAST(SUM(CASE WHEN mapped AND mapq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS reads_mq0,
+    CAST(SUM(CASE WHEN raw THEN len END) AS BIGINT) AS total_length,
+    CAST(MAX(CASE WHEN raw THEN len END) AS BIGINT) AS maximum_length,
+    CAST(SUM(CASE WHEN mapped THEN len END) AS BIGINT) AS bases_mapped,
+    CAST(SUM(CASE WHEN mapped THEN cig END) AS BIGINT)
+      AS bases_mapped_cigar,
+    CAST(SUM(CASE WHEN mapped THEN nm END) AS BIGINT) AS mismatches,
+    CAST(SUM(CASE WHEN raw THEN qsum END) AS BIGINT) AS q,
+    CAST(COUNT(CASE WHEN tpl THEN tlen END) AS BIGINT) AS tn,
+    CAST(SUM(CASE WHEN tpl THEN tlen END) AS BIGINT) AS t1,
+    CAST(SUM(CASE WHEN tpl THEN tlen * tlen END) AS BIGINT) AS t2
+  FROM st
+)
+SELECT raw_total_sequences, reads_mapped, reads_mq0, total_length,
+  CASE WHEN raw_total_sequences > 0 THEN
+    CAST(total_length AS DOUBLE) / CAST(raw_total_sequences AS DOUBLE)
+  END AS average_length,
+  maximum_length, bases_mapped, bases_mapped_cigar, mismatches,
+  CASE WHEN bases_mapped_cigar > 0 THEN
+    CAST(mismatches AS DOUBLE) / CAST(bases_mapped_cigar AS DOUBLE)
+  END AS error_rate,
+  CASE WHEN total_length > 0 THEN
+    CAST(q AS DOUBLE) / CAST(total_length AS DOUBLE)
+  END AS average_quality,
+  CASE WHEN tn > 0 THEN CAST(t1 AS DOUBLE) / CAST(tn AS DOUBLE)
+  END AS insert_size_average,
+  CASE WHEN tn > 1 THEN
+    SQRT((CAST(t2 AS DOUBLE)
+          - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(tn AS DOUBLE))
+         / (CAST(tn AS DOUBLE) - 1.0))
+  END AS insert_size_sd
+FROM agg
+"""
+
+
 _NUC_HEX = "0123456789abcdef"
 _NUC_MAP = "ACGTACGTACGTACGT"
 
@@ -2887,16 +2989,19 @@ SELECT 'q19', 'revenue', CAST(revenue AS DOUBLE) FROM ({Q19_SQL}) _q19
 
 
 def align_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """flagstat counter panel ⨯ template/insert-size summary (both
-    single-row frames over the synthetic flag/tlen columns) — a 1×1
-    cross join keeps both operators inside one verified row."""
+    """flagstat counter panel ⨯ template/insert-size summary ⨯
+    samtools-stats SN panel (all single-row frames over the synthetic
+    alignment columns) — 1×1 cross joins keep the three operators
+    inside one verified row."""
     return flagstat_events(spark, sf_dir).crossJoin(
-        template_stats_events(spark, sf_dir))
+        template_stats_events(spark, sf_dir)).crossJoin(
+        sn_stats_events(spark, sf_dir))
 
 
 def _align_stats_sql() -> str:
     return (f"SELECT * FROM ({_flagstat_sql()}) _f "
-            f"CROSS JOIN ({TEMPLATE_SQL}) _t")
+            f"CROSS JOIN ({TEMPLATE_SQL}) _t "
+            f"CROSS JOIN ({SN_STATS_SQL}) _s")
 
 
 _LM_ALPHA = 0.5

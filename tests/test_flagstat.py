@@ -5,6 +5,7 @@ fixture's flags."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from oxbow_spark.operators.flagstat import flagstat
 
@@ -104,3 +105,80 @@ def test_template_stats_on_fixture(spark):
     assert r.n_templates == len(vals)
     if vals:
         assert r.mean_insert == pytest.approx(sum(vals) / len(vals))
+
+
+def test_sn_stats_random_vs_python(spark):
+    """samtools-stats SN panel vs a brute-force python twin over
+    random synthetic records (flags walk all bits; cigars mix M/I/S/=/X
+    ops; per-base qualities vary within a read)."""
+    import math
+    import random
+
+    from oxbow_spark.operators.flagstat import sn_stats
+
+    rng = random.Random(83)
+    rows = []
+    for i in range(500):
+        flag = rng.randrange(4096)
+        ln = rng.randrange(20, 80)
+        seq = "".join(rng.choice("ACGT") for _ in range(ln))
+        qual = "".join(chr(33 + rng.randrange(42)) for _ in range(ln))
+        n_m = rng.randrange(5, ln)
+        cigar = (f"{n_m}M{rng.randrange(1, 9)}I"
+                 f"{rng.randrange(1, 9)}S{rng.randrange(1, 9)}="
+                 f"{rng.randrange(1, 9)}X{rng.randrange(1, 9)}D")
+        if flag & 0x4:
+            cigar = "*"
+        rows.append((flag, seq, qual, cigar, rng.randrange(12),
+                     rng.randrange(61), rng.randrange(-200, 1100)))
+    df = spark.createDataFrame(
+        rows, "flag int, seq string, qual string, cigar string, "
+              "nm long, mapq int, tlen long")
+    r = sn_stats(df).collect()[0]
+
+    def cig_bases(c):
+        import re
+        return sum(int(n) for n, op in re.findall(r"(\d+)([MIDNSHP=X])", c)
+                   if op in "MI=X")
+
+    raw = [x for x in rows if not (x[0] & 0x100) and not (x[0] & 0x800)]
+    mapped = [x for x in raw if not (x[0] & 0x4)]
+    tpl = [x[6] for x in raw
+           if (x[0] & 0x1) and (x[0] & 0x2) and not (x[0] & 0x4)
+           and 0 < x[6] <= 10000]
+    assert r.raw_total_sequences == len(raw)
+    assert r.reads_mapped == len(mapped)
+    assert r.reads_mq0 == sum(1 for x in mapped if x[5] == 0)
+    assert r.total_length == sum(len(x[1]) for x in raw)
+    assert r.maximum_length == max(len(x[1]) for x in raw)
+    assert r.bases_mapped == sum(len(x[1]) for x in mapped)
+    assert r.bases_mapped_cigar == sum(cig_bases(x[3]) for x in mapped)
+    assert r.mismatches == sum(x[4] for x in mapped)
+    assert r.error_rate == r.mismatches / r.bases_mapped_cigar
+    qs = sum(ord(c) - 33 for x in raw for c in x[2])
+    assert r.average_quality == qs / r.total_length
+    s1, s2, n = sum(tpl), sum(t * t for t in tpl), len(tpl)
+    assert r.insert_size_average == s1 / n
+    assert r.insert_size_sd == pytest.approx(
+        math.sqrt((s2 - s1 * s1 / n) / (n - 1)), rel=1e-12)
+
+
+def test_sn_stats_on_fixture(spark):
+    """SN panel over the real BAM fixture: cigar/qual/NM columns from
+    the scanner feed straight in."""
+    from oxbow_spark.operators.flagstat import sn_stats
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    df = spark.read.format("bam").load(f"{FIX}/sample.bam")
+    cols = set(df.columns)
+    nm = "nm" if "nm" in cols else None
+    base = df.select(
+        "flag", "seq", "qual", "cigar", "mapq", "tlen",
+        (F.lit(0).cast("long") if nm is None else F.col(nm)).alias("_nm"))
+    r = sn_stats(base, nm_col="_nm").collect()[0]
+    recs = df.select("flag", "seq").collect()
+    raw = [x for x in recs
+           if not (x.flag & 0x100) and not (x.flag & 0x800)]
+    assert r.raw_total_sequences == len(raw)
+    assert r.total_length == sum(len(x.seq) for x in raw if x.seq)
