@@ -206,6 +206,12 @@ def ivf_fit(
     rows = df.limit(max_points).collect()
     if order_col is not None:
         rows = sorted(rows, key=lambda r: r._k)
+    else:
+        # deterministic default: centroids must be a pure function of
+        # the sample SET, never of partition layout (a Spark collect's
+        # row order is) — sort by the vector values themselves
+        # (collision-free, no hash corner case)
+        rows = sorted(rows, key=lambda r: tuple(r._v))
     X = np.asarray([np.asarray(r._v, dtype=np.float64) for r in rows])
     return ivf_fit_core(X, nlist, seed=seed, max_iter=max_iter)
 

@@ -238,3 +238,20 @@ def test_semdedup_plan_no_cartesian(spark, corpus):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_fit_default_order_partition_independent(spark):
+    """Without order_col the fit must still be a pure function of the
+    sample SET: identical centroids across different partition layouts
+    (the default sorts the collected sample by vector values)."""
+    import numpy as np
+
+    from oxbow_spark.operators.similarity import ivf_fit
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = ivf_fit(df.repartition(3), nlist=6, sample_fraction=1.0)
+    c2 = ivf_fit(df.repartition(17, "vec_id"), nlist=6, sample_fraction=1.0)
+    c3 = ivf_fit(df.coalesce(1), nlist=6, sample_fraction=1.0)
+    assert c1 == c2 == c3
