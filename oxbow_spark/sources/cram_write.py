@@ -73,13 +73,208 @@ def _arr(vals) -> bytes:
     return itf8(len(vals)) + b"".join(itf8(v) for v in vals)
 
 
-def _block(ctype: int, cid: int, raw: bytes, gz: bool = True) -> bytes:
+# ------------------------------------------------------------- rANS 4x8 write
+
+def _rans_norm_hist(hist) -> list[int]:
+    """Normalize a 256-bin histogram to sum EXACTLY 4096 (the 12-bit
+    rANS scale), every present symbol ≥ 1 (floor + clamp, drift repaid
+    by the largest buckets — the htscodecs normalization strategy)."""
+    import numpy as np
+
+    hist = np.asarray(hist, dtype=np.int64)
+    total = int(hist.sum())
+    f = hist * 4096 // total
+    f[(hist > 0) & (f == 0)] = 1
+    diff = 4096 - int(f.sum())
+    while diff != 0:
+        if diff > 0:
+            j = int(np.argmax(f))
+            f[j] += diff
+            diff = 0
+        else:
+            j = int(np.argmax(np.where(f > 1, f, -1)))
+            take = min(-diff, int(f[j]) - 1)
+            f[j] -= take
+            diff += take
+    return [int(x) for x in f]
+
+
+def _rans_norm_freqs(data: bytes) -> list[int]:
+    import numpy as np
+
+    return _rans_norm_hist(
+        np.bincount(np.frombuffer(data, np.uint8), minlength=256))
+
+
+def _rans_write_freqs0(f: list[int]) -> bytes:
+    """Order-0 frequency table serializer — exact inverse of the
+    reader's `_rans_read_freqs0` (sources/cram.py:264): ascending
+    symbols, a run-length byte after a symbol that directly follows the
+    previous one, 1- or 2-byte frequencies (top bit selects)."""
+    out = bytearray()
+    rle = 0
+    for j in range(256):
+        if not f[j]:
+            continue
+        if rle:
+            rle -= 1
+        else:
+            out.append(j)
+            if j > 0 and f[j - 1] > 0:
+                r = j + 1
+                while r < 256 and f[r]:
+                    r += 1
+                rle = r - (j + 1)
+                out.append(rle)
+        v = f[j]
+        if v < 128:
+            out.append(v)
+        else:
+            out.append(0x80 | (v >> 8))
+            out.append(v & 0xFF)
+    out.append(0)
+    return bytes(out)
+
+
+def rans4x8_encode(data: bytes) -> bytes:
+    """rANS 4x8 order-0 encoder (CRAM 3.0 spec §13, block method 4) —
+    the standard 4-way interleaved byte-wise rANS: symbols consumed in
+    REVERSE, state j = i & 3, renorm emits low bytes which reverse into
+    the decoder's forward stream, final states flushed as 4 LE u32 ahead
+    of it. Inverse of `sources/cram.py:rans4x8_decode`; round-trip
+    property-tested across distributions. Real producers (htslib)
+    default external data series to exactly this codec — gzip-only CRAM
+    is valid but ~1.3–2× larger."""
+    n = len(data)
+    if n == 0:
+        raise ValueError("rans4x8_encode: empty input (write a RAW block)")
+    f = _rans_norm_freqs(data)
+    cum = [0] * 257
+    for s in range(256):
+        cum[s + 1] = cum[s] + f[s]
+    L = 1 << 23
+    R = [L, L, L, L]
+    emitted = bytearray()
+    for i in range(n - 1, -1, -1):
+        s = data[i]
+        j = i & 3
+        x = R[j]
+        fs = f[s]
+        x_max = fs << 19          # ((L >> 12) << 8) * freq
+        while x >= x_max:
+            emitted.append(x & 0xFF)
+            x >>= 8
+        R[j] = ((x // fs) << 12) + (x % fs) + cum[s]
+    body = (_rans_write_freqs0(f)
+            + struct.pack("<4I", R[0], R[1], R[2], R[3])
+            + bytes(reversed(emitted)))
+    return bytes([0]) + struct.pack("<I", len(body)) \
+        + struct.pack("<I", n) + body
+
+
+def rans4x8_encode_o1(data: bytes) -> bytes:
+    """rANS 4x8 ORDER-1 encoder (context = previous byte; CRAM 3.0
+    spec §13) — the codec real producers pick for context-correlated
+    series (qualities, bases). Counting and the encode walk mirror the
+    reader exactly: each quarter's first symbol takes context 0, the
+    4q..n tail rides state 3 with its running context, and the reverse
+    walk emits the tail first, then steps q−1→0 with states 3→0, so the
+    reversed byte stream is the decoder's forward order. Inverse of
+    `sources/cram.py:rans4x8_decode` (order 1)."""
+    import numpy as np
+
+    n = len(data)
+    if n < 4:
+        raise ValueError("order-1 needs ≥4 bytes (use order 0)")
+    q = n >> 2
+    arr = np.frombuffer(data, np.uint8).astype(np.int64)
+    FM = np.zeros((256, 256), dtype=np.int64)
+    np.add.at(FM, (arr[:-1], arr[1:]), 1)
+    FM[0, arr[0]] += 1
+    for st in (q, 2 * q, 3 * q):
+        if st > 0:
+            FM[arr[st - 1], arr[st]] -= 1
+            FM[0, arr[st]] += 1
+    tables: dict[int, tuple[list[int], list[int]]] = {}
+    for c in range(256):
+        if FM[c].sum() > 0:
+            f = _rans_norm_hist(FM[c])
+            cum = [0] * 257
+            for s in range(256):
+                cum[s + 1] = cum[s] + f[s]
+            tables[c] = (f, cum)
+
+    # context-table serialization: same RLE-over-ascending scheme as
+    # the symbol tables, each context followed by its full freq table
+    present = [0] * 256
+    for c in tables:
+        present[c] = 1
+    hdr = bytearray()
+    rle = 0
+    for c in range(256):
+        if not present[c]:
+            continue
+        if rle:
+            rle -= 1
+        else:
+            hdr.append(c)
+            if c > 0 and present[c - 1]:
+                r = c + 1
+                while r < 256 and present[r]:
+                    r += 1
+                rle = r - (c + 1)
+                hdr.append(rle)
+        hdr += _rans_write_freqs0(tables[c][0])
+    hdr.append(0)
+
+    L = 1 << 23
+    R = [L, L, L, L]
+    emitted = bytearray()
+
+    def enc(j: int, i: int, ctx: int) -> None:
+        s = data[i]
+        f, cum = tables[ctx]
+        fs = f[s]
+        x = R[j]
+        x_max = fs << 19
+        while x >= x_max:
+            emitted.append(x & 0xFF)
+            x >>= 8
+        R[j] = ((x // fs) << 12) + (x % fs) + cum[s]
+
+    for i in range(n - 1, 4 * q - 1, -1):        # state-3 tail, reversed
+        enc(3, i, 0 if i == 0 else data[i - 1])
+    for k in range(q - 1, -1, -1):
+        for j in (3, 2, 1, 0):
+            i = j * q + k
+            enc(j, i, 0 if k == 0 else data[i - 1])
+    body = (bytes(hdr)
+            + struct.pack("<4I", R[0], R[1], R[2], R[3])
+            + bytes(reversed(emitted)))
+    return bytes([1]) + struct.pack("<I", len(body)) \
+        + struct.pack("<I", n) + body
+
+
+def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
+           codec: str = "gzip") -> bytes:
     method, payload = 0, raw
     if gz and raw:
-        co = zlib.compressobj(6, zlib.DEFLATED, 31)
-        comp = co.compress(raw) + co.flush()
-        if len(comp) < len(raw):
-            method, payload = 1, comp
+        if codec == "rans":
+            # real-producer method selection (htslib tries candidate
+            # codecs per block and keeps the smallest): raw vs gzip vs
+            # rANS order 0 vs order 1
+            cands = [(0, raw)]
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            cands.append((1, co.compress(raw) + co.flush()))
+            cands.append((4, rans4x8_encode(raw)))
+            if len(raw) >= 4:
+                cands.append((4, rans4x8_encode_o1(raw)))
+            method, payload = min(cands, key=lambda mp: len(mp[1]))
+        else:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            comp = co.compress(raw) + co.flush()
+            if len(comp) < len(raw):
+                method, payload = 1, comp
     out = bytearray()
     out.append(method)
     out.append(ctype)
@@ -157,6 +352,10 @@ class CramWriter(_AlignmentWriter):
         self.ref_ids = {nm: i for i, nm in enumerate(self.ref_names)}
         self.records_per_container = int(
             options.get("records_per_container", 10000))
+        self.codec = (options.get("codec") or "gzip").lower()
+        if self.codec not in ("gzip", "rans"):
+            raise ValueError(
+                f"cram codec must be 'gzip' or 'rans', got {self.codec!r}")
 
     # -- compression header -------------------------------------------------
 
@@ -277,7 +476,8 @@ class CramWriter(_AlignmentWriter):
         data_blocks = []
         used = [(k, self.cids[k]) for k in self.cids if bufs.bufs[k]]
         for k, cid in used:
-            data_blocks.append(_block(4, cid, bytes(bufs.bufs[k])))
+            data_blocks.append(
+                _block(4, cid, bytes(bufs.bufs[k]), codec=self.codec))
         sl = bytearray()
         sl += itf8(-2)          # multiref slice (RI per record)
         sl += itf8(0) + itf8(0)  # start, span
