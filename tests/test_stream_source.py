@@ -221,3 +221,91 @@ def test_stream_sink_bam_with_index_sidecars(gspark, tmp_path):
     want = (gspark.read.format("bam").load(FX + "sample.bam")
             .where("rname is not null and flag % 8 < 4").count())
     assert total_mapped == want
+
+
+def test_stream_sink_vcf_with_index_sidecars(gspark, tmp_path):
+    """Streaming bgzf VCF sink with index='tbi' (and a csi twin):
+    every micro-batch part gets its tabix/CSI sidecar during the
+    write, and each just-written part resolves region queries through
+    that sidecar immediately — the VCF mirror of the BAM .bai
+    sidecar path."""
+    import glob as _glob
+
+    d = tmp_path / "in"
+    d.mkdir()
+    shutil.copy(FX + "sample.vcf", d / "run001.vcf")
+    with open(FX + "sample.vcf") as f:
+        hdr = "".join(ln for ln in f if ln.startswith("#"))
+    want = gspark.read.format("vcf").load(FX + "sample.vcf").collect()
+
+    for kind, suffix in (("tbi", ".tbi"), ("csi", ".csi")):
+        out = str(tmp_path / f"out_{kind}")
+        q = (
+            gspark.readStream.format("vcf").load(str(d / "*.vcf"))
+            .writeStream.format("vcf")
+            .option("path", out).option("header", hdr)
+            .option("compression", "bgzf").option("index", kind)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{kind}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        parts = _glob.glob(out + "/*.vcf.gz")
+        assert parts, out
+        for p in parts:
+            assert os.path.exists(p + suffix), p
+        # the union of the parts is the input...
+        back = gspark.read.format("vcf").load(out + "/*.vcf.gz")
+        assert back.count() == len(want)
+        # ...and each part answers region queries through its sidecar
+        total = 0
+        for p in parts:
+            got = (gspark.read.format("vcf")
+                   .option("regions", "1:1-800000").load(p))
+            total += got.count()
+        assert total == sum(1 for r in want
+                            if r.chrom == "1" and r.pos <= 800000)
+        assert total > 0
+
+
+def test_stream_sink_bcf_with_csi_sidecars(gspark, tmp_path):
+    """Streaming BCF sink with index='csi': per-micro-batch .csi
+    sidecars, each part region-queryable straight away."""
+    import glob as _glob
+
+    from tests.bcf_synth import write_bcf
+
+    d = tmp_path / "in"
+    d.mkdir()
+    src = str(d / "run001.bcf")
+    write_bcf(src, 120)
+    import struct
+
+    from oxbow_spark.sources.bcf import open_bcf
+
+    with open_bcf(src) as r:
+        r.read(5)
+        (ln,) = struct.unpack("<I", r.read(4))
+        hdr = r.read(ln).split(b"\x00", 1)[0].decode()
+    want = gspark.read.format("bcf").load(src).collect()
+    out = str(tmp_path / "out_bcf")
+    q = (
+        gspark.readStream.format("bcf").load(str(d / "*.bcf"))
+        .writeStream.format("bcf")
+        .option("path", out).option("header", hdr)
+        .option("index", "csi")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bcf"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    parts = _glob.glob(out + "/*.bcf")
+    assert parts
+    for p in parts:
+        assert os.path.exists(p + ".csi"), p
+    chrom = want[0].chrom
+    hi = max(r.pos for r in want if r.chrom == chrom) // 2
+    total = sum(
+        gspark.read.format("bcf")
+        .option("regions", f"{chrom}:1-{hi}").load(p).count()
+        for p in parts)
+    assert total == sum(1 for r in want if r.chrom == chrom and r.pos <= hi)
+    assert total > 0
