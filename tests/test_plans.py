@@ -273,3 +273,27 @@ def test_coverage_map_plans_no_cartesian(spark, sf):
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "HashAggregate" in plan, plan
+
+
+def test_jaccard_multiinter_window_plan_shapes(spark, sf):
+    """The three round-8 bedtools verbs keep the binned-equi-join
+    discipline: no cartesian / nested-loop anywhere except jaccard's
+    1x1 single-row combiners (which must be broadcasts)."""
+    p = _plan(R.jaccard_intervals_events(spark, sf))
+    assert "CartesianProduct" not in p, p
+    # merged-block overlap join is a real equi-join; single-row agg
+    # frames combine via broadcast nested loop (1x1 rows, by design)
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p), p
+
+    p = _plan(R.multiinter_intervals_events(spark, sf))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p), p
+
+    p = _plan(R.window_intervals_events(spark, sf))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p), p
