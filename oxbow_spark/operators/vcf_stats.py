@@ -1,0 +1,103 @@
+"""bcftools-stats SN panel: site/allele classification counters.
+
+The third most-run variant triage tool (after flagstat/idxstats on the
+alignment side): `bcftools stats` opens with the SN block — record,
+SNP/MNP/indel/other site counts, multiallelic site counts — and the
+ts/tv line. The reference scans VCF/BCF columns
+(`oxbow/src/variant/…`) and leaves counting to downstream engines;
+this is that downstream counting as ONE conditional aggregation.
+
+Counting conventions (bcftools semantics, documented not guessed):
+- site-level classes count a site once per class it contains ≥1 allele
+  of (a site can be both SNP and indel); `others` = symbolic alleles
+  (`<…>`, `*`);
+- `no_alts` = sites whose ALT set is empty (`.`);
+- multiallelic = >1 ALT allele; multiallelic SNP sites = >1 ALT and
+  every ALT a SNP;
+- transitions/transversions count per ALT ALLELE (A↔G / C↔T are ts);
+  `ts_tv` divides the exact long counters, so any engine reproduces
+  the double bit-identically.
+
+Plan: pure Project over the row's own (ref, alt-array) via array
+higher-order functions — no explode, no shuffle — then a single-row
+conditional agg (map-side combined). Scan speed at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def variant_stats(df: DataFrame, ref_col: str = "ref",
+                  alt_col: str = "alt") -> DataFrame:
+    """Single-row SN panel over a variants frame. ``alt_col`` may be
+    ``array<string>`` (the VCF/BCF scanners' shape) or a comma-joined
+    string; empty / ``.`` entries mean no-ALT."""
+    alt_t = dict(df.dtypes)[alt_col]
+    alts0 = (F.col(alt_col) if alt_t.startswith("array")
+             else F.split(F.col(alt_col), ","))
+    staged = df.select(
+        F.upper(F.col(ref_col)).alias("_r"),
+        F.filter(
+            F.coalesce(alts0, F.array().cast("array<string>")),
+            lambda a: (a != "") & (a != ".")).alias("_a"),
+    )
+    r = F.col("_r")
+
+    def sym(a):
+        return a.contains("<") | a.contains("*")
+
+    def is_snp(a):
+        return (F.length(r) == 1) & (F.length(a) == 1) & ~sym(a) & (a != r)
+
+    def is_mnp(a):
+        return ~sym(a) & (F.length(a) == F.length(r)) & (F.length(r) > 1)
+
+    def is_ins(a):
+        return ~sym(a) & (F.length(a) > F.length(r))
+
+    def is_del(a):
+        return ~sym(a) & (F.length(a) < F.length(r))
+
+    def is_ts(a):
+        return is_snp(a) & (
+            ((r == "A") & (a == "G")) | ((r == "G") & (a == "A"))
+            | ((r == "C") & (a == "T")) | ((r == "T") & (a == "C")))
+
+    def cnt(pred):
+        return F.size(F.filter(F.col("_a"), pred))
+
+    per = staged.select(
+        (F.size("_a") == 0).cast("long").alias("_noalt"),
+        (F.size("_a") > 1).cast("long").alias("_multi"),
+        ((F.size("_a") > 1) & (cnt(is_snp) == F.size("_a")))
+        .cast("long").alias("_multisnp"),
+        (cnt(is_snp) > 0).cast("long").alias("_snp"),
+        (cnt(is_mnp) > 0).cast("long").alias("_mnp"),
+        ((cnt(is_ins) + cnt(is_del)) > 0).cast("long").alias("_indel"),
+        (cnt(sym) > 0).cast("long").alias("_other"),
+        cnt(is_ts).cast("long").alias("_ts"),
+        (cnt(is_snp) - cnt(is_ts)).cast("long").alias("_tv"),
+        cnt(is_ins).cast("long").alias("_ins"),
+        cnt(is_del).cast("long").alias("_del"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("_noalt").cast("long").alias("n_no_alts"),
+        F.sum("_snp").cast("long").alias("n_snp_sites"),
+        F.sum("_mnp").cast("long").alias("n_mnp_sites"),
+        F.sum("_indel").cast("long").alias("n_indel_sites"),
+        F.sum("_other").cast("long").alias("n_other_sites"),
+        F.sum("_multi").cast("long").alias("n_multiallelic_sites"),
+        F.sum("_multisnp").cast("long").alias("n_multiallelic_snp_sites"),
+        F.sum("_ts").cast("long").alias("n_transitions"),
+        F.sum("_tv").cast("long").alias("n_transversions"),
+        F.sum("_ins").cast("long").alias("n_ins_alleles"),
+        F.sum("_del").cast("long").alias("n_del_alleles"),
+    )
+    return agg.withColumn(
+        "ts_tv",
+        F.when(F.col("n_transversions") > 0,
+               F.col("n_transitions").cast("double")
+               / F.col("n_transversions").cast("double")))

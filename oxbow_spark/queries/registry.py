@@ -2988,20 +2988,126 @@ SELECT 'q19', 'revenue', CAST(revenue AS DOUBLE) FROM ({Q19_SQL}) _q19
 """
 
 
+def variant_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bcftools-stats SN panel (operators/vcf_stats.py) over synthetic
+    (ref, alt) columns derived from event ids — every class exercised:
+    ts/tv SNPs, ins/del, MNP, pure-SNP and mixed multiallelic sites,
+    symbolic alleles and no-ALT sites."""
+    from oxbow_spark.operators.vcf_stats import variant_stats
+
+    ev = _events(spark, sf_dir).selectExpr(
+        "substring('ACGT', CAST(1 + event_id % 4 AS INT), 1) AS _b",
+        "event_id AS _id",
+    ).selectExpr(
+        "CASE WHEN _id % 6 = 3 THEN _b || 'AC' "
+        "     WHEN _id % 6 = 4 THEN 'AT' ELSE _b END AS ref",
+        "CASE WHEN _id % 17 = 0 THEN array() "
+        "     WHEN _id % 13 = 0 THEN array('<DEL>') "
+        "     WHEN _id % 6 = 0 THEN array(translate(_b, 'ACGT', 'GTAC')) "
+        "     WHEN _id % 6 = 1 THEN array(translate(_b, 'ACGT', 'CATG')) "
+        "     WHEN _id % 6 = 2 THEN array(_b || 'TT') "
+        "     WHEN _id % 6 = 3 THEN array(_b) "
+        "     WHEN _id % 6 = 4 THEN array('GC') "
+        "     WHEN _id % 2 = 0 THEN array('G', 'T') "
+        "     ELSE array('A', _b || 'GG') END AS alt",
+    )
+    return variant_stats(ev)
+
+
+VARIANT_STATS_SQL = """
+WITH ev AS (
+  SELECT substr('ACGT', CAST(1 + event_id % 4 AS INT), 1) AS b,
+         event_id AS id
+  FROM events
+),
+v AS (
+  SELECT CASE WHEN id % 6 = 3 THEN b || 'AC'
+              WHEN id % 6 = 4 THEN 'AT' ELSE b END AS ref,
+         CASE WHEN id % 17 = 0 THEN CAST([] AS VARCHAR[])
+              WHEN id % 13 = 0 THEN ['<DEL>']
+              WHEN id % 6 = 0 THEN [translate(b, 'ACGT', 'GTAC')]
+              WHEN id % 6 = 1 THEN [translate(b, 'ACGT', 'CATG')]
+              WHEN id % 6 = 2 THEN [b || 'TT']
+              WHEN id % 6 = 3 THEN [b]
+              WHEN id % 6 = 4 THEN ['GC']
+              WHEN id % 2 = 0 THEN ['G', 'T']
+              ELSE ['A', b || 'GG'] END AS alt
+  FROM ev
+),
+st AS (
+  SELECT ref AS r,
+         list_filter(alt, x -> x <> '' AND x <> '.') AS a
+  FROM v
+),
+cl AS (
+  SELECT
+    len(a) = 0 AS noalt,
+    len(a) > 1 AS multi,
+    len(list_filter(a, x -> len(r) = 1 AND len(x) = 1
+        AND NOT contains(x, '<') AND NOT contains(x, '*')
+        AND x <> r)) AS n_snp,
+    len(list_filter(a, x -> NOT contains(x, '<') AND NOT contains(x, '*')
+        AND len(x) = len(r) AND len(r) > 1)) AS n_mnp,
+    len(list_filter(a, x -> NOT contains(x, '<') AND NOT contains(x, '*')
+        AND len(x) > len(r))) AS n_ins,
+    len(list_filter(a, x -> NOT contains(x, '<') AND NOT contains(x, '*')
+        AND len(x) < len(r))) AS n_del,
+    len(list_filter(a, x -> contains(x, '<') OR contains(x, '*')))
+      AS n_sym,
+    len(list_filter(a, x -> len(r) = 1 AND len(x) = 1
+        AND NOT contains(x, '<') AND NOT contains(x, '*') AND x <> r
+        AND ((r = 'A' AND x = 'G') OR (r = 'G' AND x = 'A')
+             OR (r = 'C' AND x = 'T') OR (r = 'T' AND x = 'C'))))
+      AS n_ts,
+    len(a) AS n_a
+  FROM st
+),
+agg AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_records,
+    CAST(SUM(CASE WHEN noalt THEN 1 ELSE 0 END) AS BIGINT) AS n_no_alts,
+    CAST(SUM(CASE WHEN n_snp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_snp_sites,
+    CAST(SUM(CASE WHEN n_mnp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_mnp_sites,
+    CAST(SUM(CASE WHEN n_ins + n_del > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_indel_sites,
+    CAST(SUM(CASE WHEN n_sym > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_other_sites,
+    CAST(SUM(CASE WHEN multi THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_multiallelic_sites,
+    CAST(SUM(CASE WHEN multi AND n_snp = n_a THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_multiallelic_snp_sites,
+    CAST(SUM(n_ts) AS BIGINT) AS n_transitions,
+    CAST(SUM(n_snp - n_ts) AS BIGINT) AS n_transversions,
+    CAST(SUM(n_ins) AS BIGINT) AS n_ins_alleles,
+    CAST(SUM(n_del) AS BIGINT) AS n_del_alleles
+  FROM cl
+)
+SELECT *,
+  CASE WHEN n_transversions > 0 THEN
+    CAST(n_transitions AS DOUBLE) / CAST(n_transversions AS DOUBLE)
+  END AS ts_tv
+FROM agg
+"""
+
+
 def align_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """flagstat counter panel ⨯ template/insert-size summary ⨯
-    samtools-stats SN panel (all single-row frames over the synthetic
-    alignment columns) — 1×1 cross joins keep the three operators
-    inside one verified row."""
+    samtools-stats SN panel ⨯ bcftools-stats variant SN panel (all
+    single-row frames over synthetic alignment/variant columns) — 1×1
+    cross joins keep the four operators inside one verified row."""
     return flagstat_events(spark, sf_dir).crossJoin(
         template_stats_events(spark, sf_dir)).crossJoin(
-        sn_stats_events(spark, sf_dir))
+        sn_stats_events(spark, sf_dir)).crossJoin(
+        variant_stats_events(spark, sf_dir))
 
 
 def _align_stats_sql() -> str:
     return (f"SELECT * FROM ({_flagstat_sql()}) _f "
             f"CROSS JOIN ({TEMPLATE_SQL}) _t "
-            f"CROSS JOIN ({SN_STATS_SQL}) _s")
+            f"CROSS JOIN ({SN_STATS_SQL}) _s "
+            f"CROSS JOIN ({VARIANT_STATS_SQL}) _v")
 
 
 _LM_ALPHA = 0.5
