@@ -18,7 +18,7 @@ from oxbow_spark.operators.pileup import (
     pileup,
     ref_bases_frame,
 )
-from oxbow_spark.operators.coverage import depth_profile
+from oxbow_spark.operators.coverage import depth_profile, genomecov_hist
 from oxbow_spark.operators.decontam import ngram_decontaminate
 from oxbow_spark.operators.flagstat import flagstat
 from oxbow_spark.operators.interval_join import overlap_join
@@ -57,6 +57,7 @@ __all__ = [
     "slop_intervals",
     "shift_intervals",
     "flank_intervals",
+    "genomecov_hist",
     "semantic_dedup",
     "semantic_dup_drops",
     "remove_dup_spans",

@@ -56,3 +56,80 @@ def depth_profile(
             "mean_depth", F.col("covered_bp") / F.lit(float(bin_size))
         )
     )
+
+
+def genomecov_hist(
+    df: DataFrame, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+    sizes: dict[str, int] | None = None,
+    include_genome: bool = True,
+) -> DataFrame:
+    """bedtools-genomecov (default histogram mode): per key, how many
+    bases sit at each coverage depth — ``(chrom, depth, n_bases,
+    chrom_len, frac)``. With ``sizes`` the depth-0 rows cover the
+    uncovered remainder of each chromosome (bedtools' -g semantics,
+    fully-uncovered chroms included) and a ``genome``-keyed rollup sums
+    every chrom (``include_genome=False`` drops it); without ``sizes``
+    only depth ≥ 1 rows appear (data-bounded universe, no 0 rows,
+    no rollup). ``frac`` divides exact longs — engine-reproducible.
+
+    Plan: a BOUNDARY SWEEP, never a per-position explode (a 3 Gbp
+    genome at 30× is 10^11 position rows; its interval boundaries are
+    ~2×n): ±1 events at interval start/end → per-(key, pos) net delta
+    (one partial-agg groupBy) → per-key running sum window (the
+    `merge_intervals` scale profile) gives each elementary segment's
+    depth → (key, depth) histogram via a second partial agg. Shuffle
+    volume is O(distinct boundaries), not O(genome length)."""
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    ev = df.where(e > s).select(
+        F.col(on), F.explode(F.array(
+            F.struct(s.alias("_p"), F.lit(1).alias("_d")),
+            F.struct(e.alias("_p"), F.lit(-1).alias("_d")))).alias("_x"),
+    ).select(F.col(on), F.col("_x._p").alias("_p"),
+             F.col("_x._d").alias("_d"))
+    net = ev.groupBy(on, "_p").agg(F.sum("_d").alias("_nd"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(on).orderBy("_p")
+    seg = net.select(
+        F.col(on),
+        F.col("_p").alias("_ss"),
+        F.lead("_p").over(w).alias("_se"),
+        F.sum("_nd").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("depth"),
+    ).where(F.col("_se").isNotNull() & (F.col("_se") > F.col("_ss")))
+    hist = (seg.where(F.col("depth") > 0)
+            .groupBy(on, "depth")
+            .agg(F.sum(F.col("_se") - F.col("_ss")).alias("n_bases")))
+    if sizes is None:
+        return hist.select(F.col(on), F.col("depth").cast("long"),
+                           F.col("n_bases").cast("long"))
+    spark = df.sparkSession
+    sz = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(sizes.items())],
+        f"`{on}` string, `_len` long")
+    covered = hist.groupBy(on).agg(F.sum("n_bases").alias("_cov"))
+    zero = (sz.join(covered, on, "left")
+            .select(F.col(on), F.lit(0).cast("long").alias("depth"),
+                    (F.col("_len") - F.coalesce("_cov", F.lit(0)))
+                    .cast("long").alias("n_bases"))
+            .where(F.col("n_bases") > 0))
+    per = (hist.select(F.col(on), F.col("depth").cast("long"),
+                       F.col("n_bases").cast("long"))
+           .unionByName(zero)
+           .join(F.broadcast(sz), on)
+           .select(F.col(on), "depth", "n_bases",
+                   F.col("_len").alias("chrom_len"),
+                   (F.col("n_bases").cast("double")
+                    / F.col("_len").cast("double")).alias("frac")))
+    if not include_genome:
+        return per
+    glen = sum(int(v) for v in sizes.values())
+    gen = (per.groupBy("depth")
+           .agg(F.sum("n_bases").cast("long").alias("n_bases"))
+           .select(F.lit("genome").alias(on), "depth", "n_bases",
+                   F.lit(glen).cast("long").alias("chrom_len"),
+                   (F.col("n_bases").cast("double")
+                    / F.lit(float(glen))).alias("frac")))
+    return per.unionByName(gen)

@@ -62,3 +62,69 @@ def test_plan_single_agg_no_join(iv):
     assert "Join" not in plan and "Window" not in plan and "Sort" not in plan, plan
     assert plan.count("Exchange") == 1, plan  # one shuffle: the (chrom,bin) agg
     assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_genomecov_hist_random_vs_python(spark):
+    """Boundary-sweep depth histogram vs brute-force per-position
+    counting: depth>=1 rows without sizes; with sizes, depth-0
+    remainders, fully-uncovered chroms, fracs and the genome rollup."""
+    import random
+
+    from oxbow_spark.operators.coverage import genomecov_hist
+
+    rng = random.Random(37)
+    sizes = {"c0": 3000, "c1": 2500, "c2": 800}   # c2 stays uncovered
+    rows = []
+    for _ in range(180):
+        ch = f"c{rng.randrange(2)}"
+        st = rng.randrange(0, sizes[ch] - 200)
+        rows.append((ch, st, st + rng.randrange(1, 200)))
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+
+    cov = {ch: [0] * ln for ch, ln in sizes.items()}
+    for ch, st, en in rows:
+        for p in range(st, en):
+            cov[ch][p] += 1
+    exp = {}
+    for ch, arr in cov.items():
+        for d in set(arr):
+            exp[(ch, d)] = sum(1 for x in arr if x == d)
+    exp = {k: v for k, v in exp.items() if v > 0}
+
+    got_nosz = {(r.chrom, r.depth): r.n_bases
+                for r in genomecov_hist(df).collect()}
+    assert got_nosz == {k: v for k, v in exp.items() if k[1] > 0}
+
+    out = genomecov_hist(df, sizes=sizes).collect()
+    got = {(r.chrom, r.depth): (r.n_bases, r.chrom_len, r.frac)
+           for r in out}
+    for (ch, d), n in exp.items():
+        nb, ln, fr = got[(ch, d)]
+        assert nb == n and ln == sizes[ch]
+        assert fr == n / sizes[ch]
+    assert got[("c2", 0)] == (800, 800, 1.0)
+    genome = {d: n for (ch, d), (n, _l, _f) in got.items()
+              if ch == "genome"}
+    glen = sum(sizes.values())
+    for d in genome:
+        assert genome[d] == sum(n for (ch, dd), n in exp.items()
+                                if dd == d)
+        assert got[("genome", d)][1] == glen
+    assert sum(genome.values()) == glen
+    # histogram keys are exactly the per-chrom expectations + rollup
+    assert {k for k in got if k[0] != "genome"} == set(exp)
+
+
+def test_genomecov_hist_bookended_and_nested(spark):
+    from oxbow_spark.operators.coverage import genomecov_hist
+
+    df = spark.createDataFrame(
+        [("c", 0, 10), ("c", 10, 20),      # bookended: depth 1 across
+         ("c", 5, 15),                     # overlap bump
+         ("d", 2, 4), ("d", 2, 4)],        # exact duplicate: depth 2
+        "chrom string, start long, end long")
+    got = {(r.chrom, r.depth): r.n_bases
+           for r in genomecov_hist(df, sizes={"c": 25, "d": 6}).collect()
+           if r.chrom != "genome"}
+    assert got == {("c", 1): 10, ("c", 2): 10, ("c", 0): 5,
+                   ("d", 2): 2, ("d", 0): 4}
