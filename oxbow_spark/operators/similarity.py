@@ -282,6 +282,45 @@ def ivf_list_order(vec_col, centroids: list[list[float]]):
     ]))
 
 
+def _assign_udf(centroids: list[list[float]]):
+    """Arrow-batched twin of ``element_at(ivf_list_order(v, C), 1)``:
+    (argmax-dot cluster, its dot) per vector, BIT-IDENTICAL to the
+    expression path — the accumulation loops over dimensions so every
+    (vector, centroid) dot is the same left-to-right double chain-sum
+    the HOF expression computes (numpy's pairwise-summing `dot` would
+    round differently and flip near-ties), and `np.argmax` returns the
+    first maximum, matching the (−dot, j) sort's tie-break. Cost per
+    row drops from nlist interpreted HOF chains to vectorized numpy —
+    the fix for assignment dominating once nlist scales with the
+    corpus (measured 13.1× on 10× data before, see SCALE.md)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("struct<j: int, d: double>")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"j": pd.Series([], dtype="int32"),
+                                 "d": pd.Series([], dtype="float64")})
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+        for t in range(C.shape[1]):
+            acc += X[:, t:t + 1] * C[None, :, t]
+        j = np.argmax(acc, axis=1)
+        return pd.DataFrame({"j": j.astype("int32"),
+                             "d": acc[np.arange(X.shape[0]), j]})
+
+    return assign
+
+
+# above this many centroids the expression-level argmax (nlist HOF
+# chain-sums per row) loses to one Arrow batch + numpy; the paths are
+# bit-identical (equality-tested), so this is purely a cost knob
+_ASSIGN_EXPR_MAX = 16
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -528,6 +567,7 @@ def semantic_dup_drops(
     threshold: float = 0.6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) drop set:
     semantic-duplicate detection in embedding space. Each vector is
@@ -550,16 +590,30 @@ def semantic_dup_drops(
     Σ|cluster|² — SemDeDup's own design point; nlist grows with the
     corpus (the paper uses 11k clusters for LAION) keeping clusters
     bounded. The centroid frame is literals (KBs); the only shuffles are
-    the cluster equi-join and the per-dropped-id window."""
-    order = ivf_list_order(F.col(vec_col), centroids)
-    darr = F.array(*_plane_dots(vec_col, centroids))
-    cluster = F.element_at(order, 1)["j"]
+    the cluster equi-join and the per-dropped-id window. ``assign``:
+    'expr' = per-centroid HOF chain-sums (zero UDF), 'pandas' = one
+    Arrow batch + numpy (`_assign_udf`, bit-identical by construction),
+    'auto' = pandas above `_ASSIGN_EXPR_MAX` centroids — without the
+    switch, assignment work is rows × nlist interpreted chains and
+    measurably turns super-linear once nlist scales with the corpus."""
+    if assign not in ("auto", "expr", "pandas"):
+        raise ValueError(f"assign must be auto/expr/pandas, got {assign!r}")
+    use_pandas = assign == "pandas" or (
+        assign == "auto" and len(centroids) > _ASSIGN_EXPR_MAX)
+    if use_pandas:
+        asg = _assign_udf(centroids)(F.col(vec_col))
+        cluster, cd = asg["j"].cast("int"), asg["d"]
+    else:
+        order = ivf_list_order(F.col(vec_col), centroids)
+        darr = F.array(*_plane_dots(vec_col, centroids))
+        cluster = F.element_at(order, 1)["j"]
+        cd = F.element_at(darr, F.element_at(order, 1)["j"] + 1)
     n = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         _exact_norm2(F.col(vec_col)).alias("_nrm"),
         cluster.alias("cluster"),
-        F.element_at(darr, F.element_at(order, 1)["j"] + 1).alias("_cd"),
+        cd.alias("_cd"),
     ).select(
         "_id", "_v", "_nrm", "cluster",
         (F.col("_cd") / F.sqrt(F.col("_nrm"))).alias("_csim"),

@@ -255,3 +255,34 @@ def test_ivf_fit_default_order_partition_independent(spark):
     c2 = ivf_fit(df.repartition(17, "vec_id"), nlist=6, sample_fraction=1.0)
     c3 = ivf_fit(df.coalesce(1), nlist=6, sample_fraction=1.0)
     assert c1 == c2 == c3
+
+
+def test_semdedup_assign_paths_bit_identical(spark):
+    """The Arrow-batched assignment fast path must reproduce the HOF
+    expression path EXACTLY — same clusters, same witness, same csim
+    doubles — on random vectors and with enough centroids that 'auto'
+    engages it."""
+    import numpy as np
+
+    from oxbow_spark.operators.similarity import (_ASSIGN_EXPR_MAX,
+                                                  ivf_fit,
+                                                  semantic_dup_drops)
+
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(x) for x in rng.normal(size=12)])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nlist = _ASSIGN_EXPR_MAX + 8
+    cents = ivf_fit(df, nlist=nlist, sample_fraction=1.0,
+                    order_col="vec_id")
+
+    def snap(assign):
+        out = semantic_dup_drops(df, cents, threshold=0.2, assign=assign)
+        return sorted((r.vec_id, r.cluster, r.kept_id, r.cos)
+                      for r in out.collect())
+
+    expr = snap("expr")
+    pand = snap("pandas")
+    auto = snap("auto")
+    assert expr == pand == auto
+    assert len(expr) > 0
