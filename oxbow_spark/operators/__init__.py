@@ -18,7 +18,9 @@ from oxbow_spark.operators.pileup import (
     pileup,
     ref_bases_frame,
 )
-from oxbow_spark.operators.coverage import depth_profile, genomecov_hist
+from oxbow_spark.operators.coverage import (depth_profile,
+                                             genomecov_hist,
+                                             genomecov_segments)
 from oxbow_spark.operators.decontam import ngram_decontaminate
 from oxbow_spark.operators.flagstat import flagstat
 from oxbow_spark.operators.interval_join import overlap_join
@@ -58,6 +60,7 @@ __all__ = [
     "shift_intervals",
     "flank_intervals",
     "genomecov_hist",
+    "genomecov_segments",
     "semantic_dedup",
     "semantic_dup_drops",
     "remove_dup_spans",

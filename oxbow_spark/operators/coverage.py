@@ -58,6 +58,73 @@ def depth_profile(
     )
 
 
+def _depth_segments(df: DataFrame, on: str, start_col: str,
+                    end_col: str) -> DataFrame:
+    """Boundary-sweep core shared by the genomecov modes: ±1 events at
+    interval edges → per-(key, pos) net delta (one partial-agg
+    groupBy) → per-key running-sum window over DISTINCT boundaries →
+    one row per elementary segment ``(on, _ss, _se, depth)``. Depth-0
+    interior gaps appear as rows; the open tail past the last boundary
+    does not (its depth is 0 by construction)."""
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    ev = df.where(e > s).select(
+        F.col(on), F.explode(F.array(
+            F.struct(s.alias("_p"), F.lit(1).alias("_d")),
+            F.struct(e.alias("_p"), F.lit(-1).alias("_d")))).alias("_x"),
+    ).select(F.col(on), F.col("_x._p").alias("_p"),
+             F.col("_x._d").alias("_d"))
+    net = ev.groupBy(on, "_p").agg(F.sum("_d").alias("_nd"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(on).orderBy("_p")
+    return net.select(
+        F.col(on),
+        F.col("_p").alias("_ss"),
+        F.lead("_p").over(w).alias("_se"),
+        F.sum("_nd").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("depth"),
+    ).where(F.col("_se").isNotNull() & (F.col("_se") > F.col("_ss")))
+
+
+def genomecov_segments(
+    df: DataFrame, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+    sizes: dict[str, int] | None = None,
+) -> DataFrame:
+    """bedtools-genomecov ``-bga`` (bedgraph) mode: one row per
+    constant-depth segment — ``(chrom, start, end, depth)``, adjacent
+    segments differing in depth, depth-0 runs INCLUDED. Without
+    ``sizes`` the universe is data-bounded (interior zero gaps only);
+    with ``sizes`` leading/trailing zero runs and fully-uncovered
+    chromosomes are emitted too, exactly like ``-bga`` with ``-g``.
+    Same boundary-sweep plan as `genomecov_hist` — O(boundaries)
+    shuffle, never per-position."""
+    seg = _depth_segments(df, on, start_col, end_col).select(
+        F.col(on), F.col("_ss").alias(start_col),
+        F.col("_se").alias(end_col), F.col("depth").cast("long"))
+    if sizes is None:
+        return seg
+    spark = df.sparkSession
+    sz = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(sizes.items())],
+        f"`{on}` string, `_len` long")
+    bounds = seg.groupBy(on).agg(
+        F.min(start_col).alias("_lo"), F.max(end_col).alias("_hi"))
+    edged = sz.join(bounds, on, "left")
+    lead0 = edged.where(F.col("_lo") > 0).select(
+        F.col(on), F.lit(0).cast("long").alias(start_col),
+        F.col("_lo").alias(end_col), F.lit(0).cast("long").alias("depth"))
+    trail0 = edged.where(
+        F.col("_hi").isNotNull() & (F.col("_len") > F.col("_hi"))).select(
+        F.col(on), F.col("_hi").alias(start_col),
+        F.col("_len").alias(end_col), F.lit(0).cast("long").alias("depth"))
+    empty0 = edged.where(F.col("_lo").isNull() & (F.col("_len") > 0)).select(
+        F.col(on), F.lit(0).cast("long").alias(start_col),
+        F.col("_len").alias(end_col), F.lit(0).cast("long").alias("depth"))
+    return seg.unionByName(lead0).unionByName(trail0).unionByName(empty0)
+
+
 def genomecov_hist(
     df: DataFrame, on: str = "chrom",
     start_col: str = "start", end_col: str = "end",
@@ -80,25 +147,7 @@ def genomecov_hist(
     `merge_intervals` scale profile) gives each elementary segment's
     depth → (key, depth) histogram via a second partial agg. Shuffle
     volume is O(distinct boundaries), not O(genome length)."""
-    s = F.col(start_col).cast("long")
-    e = F.col(end_col).cast("long")
-    ev = df.where(e > s).select(
-        F.col(on), F.explode(F.array(
-            F.struct(s.alias("_p"), F.lit(1).alias("_d")),
-            F.struct(e.alias("_p"), F.lit(-1).alias("_d")))).alias("_x"),
-    ).select(F.col(on), F.col("_x._p").alias("_p"),
-             F.col("_x._d").alias("_d"))
-    net = ev.groupBy(on, "_p").agg(F.sum("_d").alias("_nd"))
-    from pyspark.sql import Window
-    w = Window.partitionBy(on).orderBy("_p")
-    seg = net.select(
-        F.col(on),
-        F.col("_p").alias("_ss"),
-        F.lead("_p").over(w).alias("_se"),
-        F.sum("_nd").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("depth"),
-    ).where(F.col("_se").isNotNull() & (F.col("_se") > F.col("_ss")))
+    seg = _depth_segments(df, on, start_col, end_col)
     hist = (seg.where(F.col("depth") > 0)
             .groupBy(on, "depth")
             .agg(F.sum(F.col("_se") - F.col("_ss")).alias("n_bases")))

@@ -128,3 +128,58 @@ def test_genomecov_hist_bookended_and_nested(spark):
            if r.chrom != "genome"}
     assert got == {("c", 1): 10, ("c", 2): 10, ("c", 0): 5,
                    ("d", 2): 2, ("d", 0): 4}
+
+
+def test_genomecov_segments_bga_vs_python(spark):
+    """-bga segments: constant-depth runs with zero gaps; with sizes,
+    leading/trailing zero runs and uncovered chroms appear."""
+    import random
+
+    from oxbow_spark.operators.coverage import genomecov_segments
+
+    rng = random.Random(41)
+    sizes = {"c0": 2000, "c1": 1200, "c2": 300}
+    rows = []
+    for _ in range(80):
+        ch = f"c{rng.randrange(2)}"
+        st = rng.randrange(10, sizes[ch] - 150)
+        rows.append((ch, st, st + rng.randrange(1, 140)))
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+
+    cov = {ch: [0] * ln for ch, ln in sizes.items()}
+    for ch, st, en in rows:
+        for p in range(st, en):
+            cov[ch][p] += 1
+
+    def runs(arr, lo, hi):
+        out = []
+        p = lo
+        while p < hi:
+            q = p
+            while q < hi and arr[q] == arr[p]:
+                q += 1
+            out.append((p, q, arr[p]))
+            p = q
+        return out
+
+    got = sorted((r.chrom, r.start, r.end, r.depth)
+                 for r in genomecov_segments(df, sizes=sizes).collect())
+    exp = []
+    for ch, arr in cov.items():
+        exp.extend((ch, s, e, d) for s, e, d in runs(arr, 0, sizes[ch]))
+    # the sweep splits at every boundary, so adjacent same-depth
+    # segments may stay split — merge got's runs before comparing
+    merged = []
+    for ch, s, e, d in got:
+        if merged and merged[-1][0] == ch and merged[-1][2] == s \
+                and merged[-1][3] == d:
+            merged[-1] = [ch, merged[-1][1], e, d]
+        else:
+            merged.append([ch, s, e, d])
+    assert [tuple(m) for m in merged] == sorted(exp)
+    assert ("c2", 0, 300, 0) in {tuple(m) for m in merged}
+
+    # base conservation without sizes: depth-weighted bases == interval bp
+    nosz = genomecov_segments(df).collect()
+    assert sum((r.end - r.start) * r.depth for r in nosz) \
+        == sum(e - s for _c, s, e in rows)
