@@ -503,3 +503,15 @@ def idxstats(src, index=None):
     from oxbow_spark.sources.bam import idxstats as _ix
 
     return _ix(src, index_path=index)
+
+
+def cat_bam(parts, out, index=None):
+    """`samtools cat`-class consolidation: merge BAM part files into
+    ONE file by raw BGZF block copy (no re-compression, no record
+    decode), optionally merging their `.bai` sidecars arithmetically
+    (`index='bai'`) so the result is immediately region-queryable —
+    the delivery step after a distributed `df.write.format('bam')`
+    (`sources/cat.py:cat_bam`)."""
+    from oxbow_spark.sources.cat import cat_bam as _cat
+
+    return _cat(list(parts), out, index=index)

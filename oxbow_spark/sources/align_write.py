@@ -332,6 +332,9 @@ class BamWriter(_AlignmentWriter):
         with open(out, "wb") as f:
             w = _BgzfStreamWriter(f)
             w.write(self._header_block())
+            # header gets its own block(s): parts become raw-copy
+            # concatenable (samtools-cat class merge, sources/cat.py)
+            w.flush()
             bai = None
             if kind == "bai":
                 bai = _BaiBuilder(len(self.ref_names))
@@ -406,6 +409,14 @@ class _BgzfStreamWriter:
         self.uoff += len(chunk)
         if self.blocks is not None:
             self.blocks.append((self.coff, self.uoff))
+
+    def flush(self) -> None:
+        """Force the pending bytes into their own block (header/record
+        boundary alignment — what makes written parts raw-copy
+        concatenable by `sources/cat.py:cat_bam`)."""
+        if self.pend:
+            self._flush_block(self.pend)
+            self.pend.clear()
 
     def close(self) -> None:
         if self.pend:

@@ -1,0 +1,150 @@
+"""BAM part consolidation (`oxbow_spark/sources/cat.py`)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+FX = "/root/reference/fixtures/"
+
+
+@pytest.fixture(scope="module")
+def gspark(spark):
+    from oxbow_spark.sources import register_all
+
+    register_all(spark)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def bam_header() -> str:
+    from oxbow_spark.sources.bam import BamDataSource
+
+    return "\n".join(
+        BamDataSource({"path": FX + "sample.bam"}).header().lines)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _write_parts(gspark, tmp_path, bam_header, n_parts=3, with_bai=True):
+    """Three coordinate-disjoint parts from a 900-record synthetic."""
+    rows = []
+    for i in range(900):
+        pos = 100 + i * 37
+        rows.append((f"r{i}", 0 if i % 5 else 4, None if i % 5 == 0 else
+                     ("chr1" if i % 2 else "chr2"),
+                     None if i % 5 == 0 else pos, 30, "42M", None, 0, 0,
+                     "A" * 42, "I" * 42))
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos long, mapq int, "
+              "cigar string, rnext string, pnext long, tlen long, "
+              "seq string, qual string")
+    parts = []
+    for j in range(n_parts):
+        sub = df.where(f"CAST(substring(qname, 2, 10) AS INT) % {n_parts}"
+                       f" = {j}").orderBy("rname", "pos")
+        out = str(tmp_path / f"part{j}")
+        wr = (sub.coalesce(1).write.format("bam")
+              .option("header", bam_header).mode("overwrite"))
+        if with_bai:
+            wr = wr.option("index", "bai")
+        wr.save(out)
+        parts.append(glob.glob(out + "/*.bam")[0])
+    return df, parts
+
+
+def test_cat_bam_raw_copy_and_bai_merge(gspark, tmp_path, bam_header):
+    """Raw-copy concatenation: merged file reads back as the union;
+    the merged .bai answers region queries and idxstats without any
+    pass over record data."""
+    from oxbow_spark.sources.bam import idxstats
+    from oxbow_spark.sources.cat import cat_bam
+
+    df, parts = _write_parts(gspark, tmp_path, bam_header)
+    out = str(tmp_path / "merged.bam")
+    info = cat_bam(parts, out, index="bai")
+    assert info["parts"] == 3 and info["clean"]
+    assert os.path.exists(out + ".bai")
+
+    back = gspark.read.format("bam").load(out)
+    want_cols = ["qname", "flag", "rname", "pos", "cigar", "seq", "qual"]
+    union = gspark.read.format("bam").load(parts[0]).select(*want_cols)
+    for p in parts[1:]:
+        union = union.unionByName(
+            gspark.read.format("bam").load(p).select(*want_cols))
+    assert _rows(back.select(*want_cols)) == _rows(union)
+
+    # merged-index region query == brute filter on the union
+    got = gspark.read.format("bam").option(
+        "regions", "chr1:5000-12000").load(out)
+    brute = back.where("rname = 'chr1' AND pos <= 12000 "
+                       "AND pos + 42 - 1 >= 5000")
+    assert got.count() == brute.count() > 0
+
+    # idxstats straight off the merged sidecar: exact totals
+    st = {r[0]: (r[2], r[3]) for r in idxstats(out)}
+    mapped = back.where("rname IS NOT NULL").count()
+    no_coor = back.where("rname IS NULL").count()
+    assert st["chr1"][0] + st["chr2"][0] == mapped
+    assert st["*"][1] == no_coor
+
+
+def test_cat_bam_header_mismatch_rejected(gspark, tmp_path, bam_header):
+    from oxbow_spark.sources.cat import cat_bam
+
+    df, parts = _write_parts(gspark, tmp_path, bam_header, n_parts=2,
+                             with_bai=False)
+    other_hdr = bam_header + "\n@SQ\tSN:extra\tLN:999"
+    sub = gspark.read.format("bam").load(parts[0]).limit(3)
+    out3 = str(tmp_path / "other")
+    (sub.coalesce(1).write.format("bam")
+        .option("header", other_hdr).mode("overwrite").save(out3))
+    p3 = glob.glob(out3 + "/*.bam")[0]
+    with pytest.raises(ValueError, match="header differs"):
+        cat_bam([parts[0], p3], str(tmp_path / "x.bam"))
+
+
+def test_cat_bam_foreign_unaligned_header_fallback(gspark, tmp_path,
+                                                   bam_header):
+    """A producer whose header shares a BGZF block with records: the
+    boundary block's record tail is re-compressed, the rest raw-copies;
+    read-back equals the union. Index merge is refused for such parts."""
+    import zlib
+
+    from oxbow_spark.sources.align_write import BGZF_EOF, bgzf_compress
+    from oxbow_spark.sources.cat import cat_bam
+
+    df, parts = _write_parts(gspark, tmp_path, bam_header, n_parts=2,
+                             with_bai=False)
+
+    def unaligned_copy(src, dst):
+        with open(src, "rb") as f:
+            data = f.read()
+        # decompress the whole stream, re-chunk WITHOUT header alignment
+        raw = bytearray()
+        off = 0
+        while off < len(data) - 28:
+            obj = zlib.decompressobj(31)
+            raw += obj.decompress(data[off:])
+            off = len(data) - len(obj.unused_data)
+        with open(dst, "wb") as f:
+            f.write(bgzf_compress(bytes(raw)) + BGZF_EOF)
+
+    p0u = str(tmp_path / "u0.bam")
+    p1u = str(tmp_path / "u1.bam")
+    unaligned_copy(parts[0], p0u)
+    unaligned_copy(parts[1], p1u)
+    out = str(tmp_path / "merged_u.bam")
+    info = cat_bam([p0u, p1u], out)
+    assert not info["clean"]
+    back = gspark.read.format("bam").load(out)
+    a = gspark.read.format("bam").load(parts[0]).select("qname")
+    b = gspark.read.format("bam").load(parts[1]).select("qname")
+    assert sorted(r.qname for r in back.collect()) \
+        == sorted(r.qname for r in a.unionByName(b).collect())
+    with pytest.raises(ValueError, match="header-block-aligned"):
+        cat_bam([p0u, p1u], str(tmp_path / "y.bam"), index="bai")
