@@ -515,3 +515,14 @@ def cat_bam(parts, out, index=None):
     from oxbow_spark.sources.cat import cat_bam as _cat
 
     return _cat(list(parts), out, index=index)
+
+
+def cat_bgzf(parts, out, index=None, meta_prefix="#"):
+    """Raw-copy consolidation for BGZF TEXT parts (bgzf VCF/GTF/GFF/
+    BED): part 0 keeps its '#' header lines, later parts contribute
+    record blocks only; `index='tbi'` merges the tabix sidecars so the
+    merged file answers region queries immediately
+    (`sources/cat.py:cat_bgzf_text`)."""
+    from oxbow_spark.sources.cat import cat_bgzf_text as _cat
+
+    return _cat(list(parts), out, index=index, meta_prefix=meta_prefix)

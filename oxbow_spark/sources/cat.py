@@ -98,7 +98,47 @@ def _bam_header_len(path: str) -> tuple[int, bytes]:
     raise ValueError(f"{path}: truncated BAM header")
 
 
-def _split_part(path: str) -> tuple[bytes, int, int, bool, bytes]:
+def _text_header_len(path: str, meta_prefix: str = "#") -> tuple[int, bytes]:
+    """(uncompressed byte length, bytes) of a bgzf TEXT file's header —
+    the leading lines starting with ``meta_prefix`` (VCF '#' lines,
+    GTF comments); 0 for headerless formats (BED)."""
+    import zlib
+
+    pref = meta_prefix.encode()
+    buf = bytearray()
+    with open(path, "rb") as f:
+        while True:
+            hdr = f.read(18)
+            if len(hdr) < 18:
+                break
+            size = _block_size(hdr)
+            buf += zlib.decompress(hdr + f.read(size - 18), 31)
+            # the header ends at the first complete line NOT starting
+            # with the prefix; keep reading while the boundary is unclear
+            h = 0
+            complete = True
+            while h < len(buf):
+                nl = buf.find(b"\n", h)
+                if nl < 0:
+                    complete = False
+                    break
+                if not buf[h:h + len(pref)] == pref:
+                    return h, bytes(buf[:h])
+                h = nl + 1
+            if complete and h == len(buf):
+                continue  # every full line so far is header; read on
+    # whole file is header (or empty)
+    h = 0
+    while h < len(buf):
+        nl = buf.find(b"\n", h)
+        if nl < 0 or buf[h:h + len(pref)] != pref:
+            break
+        h = nl + 1
+    return h, bytes(buf[:h])
+
+
+def _split_part(path: str, h_len: int,
+                h_bytes: bytes) -> tuple[bytes, int, int, bool, bytes]:
     """(header_bytes, record_start, record_end, clean, boundary_tail):
     byte offsets of the record-block region in the part file (EOF
     marker excluded). ``clean`` means the header ended exactly on a
@@ -109,7 +149,6 @@ def _split_part(path: str) -> tuple[bytes, int, int, bool, bytes]:
 
     with open(path, "rb") as f:
         data = f.read()
-    h_len, h_bytes = _bam_header_len(path)
     end = len(data)
     while end >= 28 and data[end - 28:end] == BGZF_EOF:
         end -= 28
@@ -137,9 +176,33 @@ def cat_bam(parts: list[str], out: str,
     '.bai'`` — requires every part to be clean (header block-aligned,
     true for this repo's writer) with a sidecar present. Returns
     {'parts': n, 'bytes': total, 'clean': all_clean}."""
+    if index not in (None, "bai"):
+        raise ValueError("cat_bam index must be 'bai' (or None)")
+    return _cat(parts, out, _bam_header_len, index)
+
+
+def cat_bgzf_text(parts: list[str], out: str, index: str | None = None,
+                  meta_prefix: str = "#") -> dict:
+    """Concatenate BGZF TEXT parts (bgzf VCF/GTF/GFF/BED from this
+    repo's writers) into one file by raw block copy: part 0 keeps its
+    header lines, later parts (identical headers required) contribute
+    record blocks only. ``index='tbi'`` merges the parts' tabix
+    sidecars (same voffset arithmetic as the BAI merge; refs keyed by
+    NAME, so parts may cover different chromosome subsets)."""
+    if index not in (None, "tbi"):
+        raise ValueError("cat_bgzf_text index must be 'tbi' (or None)")
+    return _cat(parts, out,
+                lambda p: _text_header_len(p, meta_prefix), index)
+
+
+def _cat(parts: list[str], out: str, header_len_fn,
+         index: str | None) -> dict:
     if not parts:
-        raise ValueError("cat_bam: no parts")
-    infos = [_split_part(p) for p in parts]
+        raise ValueError("cat: no parts")
+    infos = []
+    for p in parts:
+        h_len, h_bytes = header_len_fn(p)
+        infos.append(_split_part(p, h_len, h_bytes))
     h0 = infos[0][0]
     for p, (h, *_rest) in zip(parts[1:], infos[1:]):
         if h != h0:
@@ -148,15 +211,13 @@ def cat_bam(parts: list[str], out: str,
                 "identical headers (same @SQ dictionary and text)")
     all_clean = all(i[3] for i in infos)
     if index is not None:
-        if index != "bai":
-            raise ValueError("cat_bam index must be 'bai' (or None)")
         if not all_clean:
             raise ValueError(
                 "index merge needs header-block-aligned parts (this "
                 "repo's writer); re-index the merged file instead")
-        missing = [p for p in parts if not _exists(p + ".bai")]
+        missing = [p for p in parts if not _exists(p + "." + index)]
         if missing:
-            raise ValueError(f"missing .bai sidecars: {missing}")
+            raise ValueError(f"missing .{index} sidecars: {missing}")
 
     deltas: list[int] = []
     total = 0
@@ -184,6 +245,8 @@ def cat_bam(parts: list[str], out: str,
         total += len(BGZF_EOF)
     if index == "bai":
         _merge_bai([p + ".bai" for p in parts], deltas, out + ".bai")
+    elif index == "tbi":
+        _merge_tbi([p + ".tbi" for p in parts], deltas, out + ".tbi")
     return {"parts": len(parts), "bytes": total, "clean": all_clean}
 
 
@@ -254,3 +317,118 @@ def _merge_bai(bai_paths: list[str], deltas: list[int],
         "<Q", sum(i.n_no_coor or 0 for i in idxs)))
     with open(out_path, "wb") as f:
         f.write(b"".join(out))
+
+
+def _tbi_raw(path: str):
+    """Raw tabix parse preserving all 8 header ints (TabixIndex.read
+    folds the base-format value away): (hdr8, names, refs, n_no_coor)
+    with refs = [(bins{id: [(beg, end)]}, linear[int])]."""
+    import gzip
+
+    with gzip.open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"TBI\x01":
+        raise ValueError(f"{path} is not a tabix index")
+    hdr8 = list(struct.unpack_from("<8i", data, 4))
+    off = 36
+    l_nm = hdr8[7]
+    names = [s.decode() for s in data[off:off + l_nm].split(b"\x00") if s]
+    off += l_nm
+    refs = []
+    for _ in range(hdr8[0]):
+        (n_bin,) = struct.unpack_from("<i", data, off)
+        off += 4
+        bins: dict[int, list[tuple[int, int]]] = {}
+        for _ in range(n_bin):
+            bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+            off += 8
+            chunks = []
+            for _ in range(n_chunk):
+                beg, end = struct.unpack_from("<QQ", data, off)
+                off += 16
+                chunks.append((beg, end))
+            bins[bin_id] = chunks
+        (n_intv,) = struct.unpack_from("<i", data, off)
+        off += 4
+        lin = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+        off += 8 * n_intv
+        refs.append((bins, lin))
+    n_no_coor = None
+    if off + 8 <= len(data):
+        (n_no_coor,) = struct.unpack_from("<Q", data, off)
+    return hdr8, names, refs, n_no_coor
+
+
+def _merge_tbi(tbi_paths: list[str], deltas: list[int],
+               out_path: str) -> None:
+    """Merge tabix sidecars: refs keyed by NAME (parts may cover
+    different chrom subsets), chunks voffset-shifted, metadata
+    pseudo-bins (37450 for the default 5-level scheme) envelope/sum
+    merged, linear windows elementwise-min."""
+    import gzip
+
+    parsed = [_tbi_raw(p) for p in tbi_paths]
+    fmt = parsed[0][0][1:7]
+    for p, (h8, *_r) in zip(tbi_paths[1:], parsed[1:]):
+        if h8[1:7] != fmt:
+            raise ValueError(f"{p}: tabix format header differs")
+
+    names: list[str] = []
+    by_name: dict[str, tuple[dict, list, list | None]] = {}
+    for (h8, nms, refs, _nc), d in zip(parsed, deltas):
+        for nm, (bins, lin) in zip(nms, refs):
+            if nm not in by_name:
+                names.append(nm)
+                by_name[nm] = ({}, [], None)
+            dst_bins, dst_lin, _m = by_name[nm]
+            meta = by_name[nm][2]
+            for b, chunks in bins.items():
+                if b == 37450:
+                    (vlo, vhi), (mp, un) = chunks
+                    vlo, vhi = _shift(vlo, d), _shift(vhi, d)
+                    if meta is None:
+                        meta = [vlo, vhi, mp, un]
+                    else:
+                        meta[0] = min(meta[0], vlo) if vlo else meta[0]
+                        meta[1] = max(meta[1], vhi)
+                        meta[2] += mp
+                        meta[3] += un
+                    by_name[nm] = (dst_bins, dst_lin, meta)
+                    continue
+                dst_bins.setdefault(b, []).extend(
+                    (_shift(s, d), _shift(e, d)) for s, e in chunks)
+            if len(lin) > len(dst_lin):
+                dst_lin.extend([0] * (len(lin) - len(dst_lin)))
+            for w, v in enumerate(lin):
+                sv = _shift(v, d)
+                if sv and (dst_lin[w] == 0 or sv < dst_lin[w]):
+                    dst_lin[w] = sv
+            by_name[nm] = (dst_bins, dst_lin, by_name[nm][2])
+
+    nm_blob = b"".join(nm.encode() + b"\x00" for nm in names)
+    out = [b"TBI\x01",
+           struct.pack("<8i", len(names), *parsed[0][0][1:7], len(nm_blob)),
+           nm_blob]
+    for nm in names:
+        bins, lin, meta = by_name[nm]
+        out.append(struct.pack(
+            "<i", len(bins) + (1 if meta is not None else 0)))
+        for b in sorted(bins):
+            chunks = bins[b]
+            out.append(struct.pack("<iI", b, len(chunks)))
+            for s, e in chunks:
+                out.append(struct.pack("<QQ", s, e))
+        if meta is not None:
+            out.append(struct.pack("<iI", 37450, 2))
+            out.append(struct.pack("<QQ", meta[0], meta[1]))
+            out.append(struct.pack("<QQ", meta[2], meta[3]))
+        out.append(struct.pack("<i", len(lin)))
+        for v in lin:
+            out.append(struct.pack("<Q", v))
+    ncs = [p[3] for p in parsed if p[3] is not None]
+    if ncs:
+        out.append(struct.pack("<Q", sum(ncs)))
+    from oxbow_spark.sources.align_write import bgzf_compress as _bc
+
+    with open(out_path, "wb") as f:
+        f.write(_bc(b"".join(out)) + BGZF_EOF)

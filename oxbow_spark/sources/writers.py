@@ -119,6 +119,9 @@ class _TextPartWriter(DataSourceWriter):
         with open(out, "wb") as f:
             w = _BgzfStreamWriter(f)
             w.write(self._head().encode("utf-8"))
+            # header block-aligned: parts raw-copy concatenable
+            # (sources/cat.py:cat_bgzf_text)
+            w.flush()
             for row in iterator:
                 d = row.asDict()
                 vstart = w.vtell()

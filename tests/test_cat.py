@@ -148,3 +148,47 @@ def test_cat_bam_foreign_unaligned_header_fallback(gspark, tmp_path,
         == sorted(r.qname for r in a.unionByName(b).collect())
     with pytest.raises(ValueError, match="header-block-aligned"):
         cat_bam([p0u, p1u], str(tmp_path / "y.bam"), index="bai")
+
+
+def test_cat_bgzf_vcf_with_tbi_merge(gspark, tmp_path):
+    """bgzf VCF parts concatenate by raw copy; the merged .tbi answers
+    region queries on the single merged file."""
+    from oxbow_spark.sources.cat import cat_bgzf_text
+
+    with open(FX + "sample.vcf") as f:
+        hdr = "".join(ln for ln in f if ln.startswith("#"))
+    df = (gspark.read.format("vcf").load(FX + "sample.vcf")
+          .orderBy("chrom", "pos"))
+    chroms = sorted({r.chrom for r in df.select("chrom").collect()})
+    parts = []
+    for j, ch in enumerate(chroms):
+        out = str(tmp_path / f"v{j}")
+        (df.where(f"chrom = '{ch}'").coalesce(1).write.format("vcf")
+           .option("header", hdr).option("compression", "bgzf")
+           .option("index", "tbi").mode("overwrite").save(out))
+        parts.append(glob.glob(out + "/*.vcf.gz")[0])
+    assert len(parts) >= 2
+
+    out = str(tmp_path / "merged.vcf.gz")
+    info = cat_bgzf_text(parts, out, index="tbi")
+    assert info["clean"] and os.path.exists(out + ".tbi")
+
+    back = gspark.read.format("vcf").load(out)
+    assert back.count() == df.count()
+    assert sorted((r.chrom, r.pos) for r in back.collect()) \
+        == sorted((r.chrom, r.pos) for r in df.collect())
+
+    # per-chrom region queries through the MERGED index
+    rows = df.collect()
+    for ch in chroms:
+        want = [r for r in rows if r.chrom == ch and r.pos <= 2_000_000_000]
+        got = (gspark.read.format("vcf")
+               .option("regions", f"{ch}:1-2000000000").load(out))
+        assert got.count() == len(want), ch
+    # and a bounded window on the first chrom
+    ch = chroms[0]
+    hi = max(r.pos for r in rows if r.chrom == ch) // 2
+    got = (gspark.read.format("vcf")
+           .option("regions", f"{ch}:1-{hi}").load(out))
+    assert got.count() == sum(1 for r in rows
+                              if r.chrom == ch and r.pos <= hi)
