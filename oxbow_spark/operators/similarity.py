@@ -59,6 +59,15 @@ def _exact_dot(a, b):
     ).cast("double")
 
 
+def _fast_dot(a, b):
+    """Left-to-right double chain-sum dot — deterministic for a fixed
+    element order (the arrays' own) but NOT decimal-quantized: ~3-5x
+    cheaper per pair than `_exact_dot`, the production knob where an
+    external engine never needs to reproduce the value bit-for-bit."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
 def _exact_norm2(a):
     return _exact_dot(a, a)
 
@@ -568,6 +577,7 @@ def semantic_dup_drops(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign: str = "auto",
+    exact: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) drop set:
     semantic-duplicate detection in embedding space. Each vector is
@@ -596,6 +606,7 @@ def semantic_dup_drops(
     'auto' = pandas above `_ASSIGN_EXPR_MAX` centroids — without the
     switch, assignment work is rows × nlist interpreted chains and
     measurably turns super-linear once nlist scales with the corpus."""
+    dot = _exact_dot if exact else _fast_dot
     if assign not in ("auto", "expr", "pandas"):
         raise ValueError(f"assign must be auto/expr/pandas, got {assign!r}")
     use_pandas = assign == "pandas" or (
@@ -611,7 +622,7 @@ def semantic_dup_drops(
     n = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        _exact_norm2(F.col(vec_col)).alias("_nrm"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_nrm"),
         cluster.alias("cluster"),
         cd.alias("_cd"),
     ).select(
@@ -627,7 +638,7 @@ def semantic_dup_drops(
     prio = (F.col("_csim_a") < F.col("_csim_b")) | (
         (F.col("_csim_a") == F.col("_csim_b"))
         & (F.col("_id_a") < F.col("_id_b")))
-    cos = _exact_dot(F.col("_av"), F.col("_bv")) \
+    cos = dot(F.col("_av"), F.col("_bv")) \
         / F.sqrt(F.col("_an") * F.col("_bn"))
     cand = (a.join(b, "cluster")
             .where(prio)

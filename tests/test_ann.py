@@ -286,3 +286,32 @@ def test_semdedup_assign_paths_bit_identical(spark):
     auto = snap("auto")
     assert expr == pand == auto
     assert len(expr) > 0
+
+
+def test_semdedup_exact_false_same_drop_set(spark):
+    """The production `exact=False` knob (plain double chain-sum pair
+    dots) yields the same DROP SET as the decimal path away from
+    threshold boundaries — cosines may differ at the ulp, decisions
+    don't on well-separated data."""
+    import numpy as np
+
+    from oxbow_spark.operators.similarity import (ivf_fit,
+                                                  semantic_dup_drops)
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 10))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a strong near-dup for every 4th vector
+        if i % 4 == 0:
+            rows.append((1000 + i,
+                         [float(x) for x in v + rng.normal(scale=1e-3,
+                                                           size=10)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_fit(df, nlist=5, sample_fraction=1.0, order_col="vec_id")
+    a = {r.vec_id for r in semantic_dup_drops(
+        df, cents, threshold=0.9).collect()}
+    b = {r.vec_id for r in semantic_dup_drops(
+        df, cents, threshold=0.9, exact=False).collect()}
+    assert a == b and len(a) > 0
