@@ -570,6 +570,81 @@ def cosine_topk_lsh(
     )
 
 
+def _cluster_sim_frame(corpus: DataFrame, centroids: list[list[float]],
+                       vec_col: str, id_col: str,
+                       assign: str = "auto",
+                       exact: bool = True) -> DataFrame:
+    """Shared cluster-geometry frame for the embedding-pruning family:
+    (_id, _v, _nrm, cluster, _csim) — spherical-k-means assignment via
+    the expression argmax or the bit-identical Arrow fast path
+    (`_assign_udf`, auto above `_ASSIGN_EXPR_MAX` centroids), plus the
+    cosine to the assigned centroid."""
+    dot = _exact_dot if exact else _fast_dot
+    if assign not in ("auto", "expr", "pandas"):
+        raise ValueError(f"assign must be auto/expr/pandas, got {assign!r}")
+    use_pandas = assign == "pandas" or (
+        assign == "auto" and len(centroids) > _ASSIGN_EXPR_MAX)
+    if use_pandas:
+        asg = _assign_udf(centroids)(F.col(vec_col))
+        cluster, cd = asg["j"].cast("int"), asg["d"]
+    else:
+        order = ivf_list_order(F.col(vec_col), centroids)
+        darr = F.array(*_plane_dots(vec_col, centroids))
+        cluster = F.element_at(order, 1)["j"]
+        cd = F.element_at(darr, F.element_at(order, 1)["j"] + 1)
+    return corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_nrm"),
+        cluster.alias("cluster"),
+        cd.alias("_cd"),
+    ).select(
+        "_id", "_v", "_nrm", "cluster",
+        (F.col("_cd") / F.sqrt(F.col("_nrm"))).alias("_csim"),
+    )
+
+
+def prototype_prune_drops(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    drop_frac: float = 0.2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign: str = "auto",
+    exact: bool = True,
+) -> DataFrame:
+    """Density / prototypicality pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486 — the SSL-prototypes metric
+    the D4 pipeline (Tirumala et al. 2023, arXiv:2308.12284) runs after
+    SemDeDup): per k-means cluster, DROP the ``ceil(drop_frac·|c|)``
+    most PROTOTYPICAL examples — highest cosine to the centroid, the
+    easy/redundant core of the cluster — keeping the informative tail
+    (the right regime for large corpora per the paper; invert the frac
+    for small-data keep-easy pruning by passing 1−f and anti-joining).
+
+    Returns one row per dropped item: (id_col, cluster, csim,
+    rank_in_cluster); deterministic via the (csim desc, id) order.
+    Plan: the shared assignment Project + ONE per-cluster window —
+    no pairs at all, so this stage is corpus-linear (cheaper than
+    SemDeDup's Σ|cluster|²)."""
+    n = _cluster_sim_frame(corpus, centroids, vec_col, id_col,
+                           assign, exact)
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("_csim"), F.asc("_id"))
+    csz = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    ranked = n.select(
+        "_id", "cluster", "_csim",
+        F.row_number().over(w).alias("_rn"),
+        csz.alias("_csz"),
+    )
+    lim = F.ceil(F.lit(float(drop_frac)) * F.col("_csz").cast("double"))
+    return (ranked.where(F.col("_rn") <= lim)
+            .select(F.col("_id").alias(id_col),
+                    F.col("cluster").cast("long").alias("cluster"),
+                    F.round("_csim", 6).alias("csim"),
+                    F.col("_rn").cast("long").alias("rank_in_cluster")))
+
+
 def semantic_dup_drops(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -606,29 +681,9 @@ def semantic_dup_drops(
     'auto' = pandas above `_ASSIGN_EXPR_MAX` centroids — without the
     switch, assignment work is rows × nlist interpreted chains and
     measurably turns super-linear once nlist scales with the corpus."""
+    n = _cluster_sim_frame(corpus, centroids, vec_col, id_col,
+                           assign, exact)
     dot = _exact_dot if exact else _fast_dot
-    if assign not in ("auto", "expr", "pandas"):
-        raise ValueError(f"assign must be auto/expr/pandas, got {assign!r}")
-    use_pandas = assign == "pandas" or (
-        assign == "auto" and len(centroids) > _ASSIGN_EXPR_MAX)
-    if use_pandas:
-        asg = _assign_udf(centroids)(F.col(vec_col))
-        cluster, cd = asg["j"].cast("int"), asg["d"]
-    else:
-        order = ivf_list_order(F.col(vec_col), centroids)
-        darr = F.array(*_plane_dots(vec_col, centroids))
-        cluster = F.element_at(order, 1)["j"]
-        cd = F.element_at(darr, F.element_at(order, 1)["j"] + 1)
-    n = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        dot(F.col(vec_col), F.col(vec_col)).alias("_nrm"),
-        cluster.alias("cluster"),
-        cd.alias("_cd"),
-    ).select(
-        "_id", "_v", "_nrm", "cluster",
-        (F.col("_cd") / F.sqrt(F.col("_nrm"))).alias("_csim"),
-    )
     a = n.select(F.col("_id").alias("_id_a"), F.col("_v").alias("_av"),
                  F.col("_nrm").alias("_an"), "cluster",
                  F.col("_csim").alias("_csim_a"))

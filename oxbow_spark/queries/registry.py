@@ -1917,12 +1917,17 @@ FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
+_PROTO_DROP = 0.25
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup family, union-tagged: 'pairs' = hyperplane-
+    """Embedding pruning family, union-tagged: 'pairs' = hyperplane-
     bucketed cosine candidate pairs (the round-3 leg), 'semdedup' =
     SemDeDup drop set (round 6: spherical-k-means clusters, in-cluster
     cosine, keep-farthest-from-centroid policy) with id_a = the kept
-    witness and id_b = the dropped item."""
+    witness and id_b = the dropped item, 'proto' = D4/SSL-prototypes
+    density pruning (round 8: per-cluster ceil(0.25·|c|) highest
+    centroid-cosine members dropped; id_b = dropped, cos = csim)."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_neardup_pairs(
         emb, _PLANES, threshold=_EMB_NEARDUP_T)
@@ -1930,6 +1935,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, nlist=_IVF_NLIST, max_iter=_IVF_MAXITER, order_col="vec_id")
     drops = similarity.semantic_dup_drops(
         emb, cents, threshold=_EMB_NEARDUP_T)
+    proto = similarity.prototype_prune_drops(
+        emb, cents, drop_frac=_PROTO_DROP)
     return (
         pairs.select(F.lit("pairs").alias("method"), "id_a", "id_b",
                      F.lit(-1).cast("long").alias("cluster"), "cos")
@@ -1938,6 +1945,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kept_id").alias("id_a"),
             F.col("vec_id").alias("id_b"),
             F.col("cluster").cast("long").alias("cluster"), "cos"))
+        .unionByName(proto.select(
+            F.lit("proto").alias("method"),
+            F.lit(-1).cast("long").alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            F.col("cluster"),
+            F.col("csim").alias("cos")))
     )
 
 
@@ -2018,6 +2031,16 @@ FROM escored WHERE cos >= {_EMB_NEARDUP_T}
 UNION ALL
 SELECT 'semdedup', id_a, id_b, CAST(cluster AS BIGINT), ROUND(cos, 6)
 FROM sdrops WHERE rn = 1
+UNION ALL
+SELECT 'proto', CAST(-1 AS BIGINT), vec_id, CAST(cluster AS BIGINT),
+       ROUND(csim, 6)
+FROM (
+  SELECT vec_id, cluster, csim,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY csim DESC, vec_id) AS prn,
+         COUNT(*) OVER (PARTITION BY cluster) AS csz
+  FROM cn
+) WHERE prn <= CEIL({_PROTO_DROP} * CAST(csz AS DOUBLE))
 """
 
 

@@ -315,3 +315,44 @@ def test_semdedup_exact_false_same_drop_set(spark):
     b = {r.vec_id for r in semantic_dup_drops(
         df, cents, threshold=0.9, exact=False).collect()}
     assert a == b and len(a) > 0
+
+
+def test_prototype_prune_drops_vs_numpy(spark):
+    """Density pruning vs a brute-force numpy twin: same clusters, the
+    ceil(frac*|c|) highest-centroid-cosine members dropped per cluster,
+    deterministic (csim desc, id) ranking."""
+    import math
+
+    import numpy as np
+
+    from oxbow_spark.operators.similarity import (ivf_fit,
+                                                  ivf_fit_core,
+                                                  prototype_prune_drops)
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(250, 12))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_fit(df, nlist=6, sample_fraction=1.0, order_col="vec_id")
+    got = {(r.vec_id, r.cluster, r.rank_in_cluster)
+           for r in prototype_prune_drops(df, cents, 0.25).collect()}
+
+    C = np.asarray(cents)
+    dots = X @ C.T
+    assign = np.argmax(dots, axis=1)
+    csim = dots[np.arange(len(X)), assign] / np.linalg.norm(X, axis=1)
+    exp = set()
+    for c in range(len(cents)):
+        members = [i for i in range(len(X)) if assign[i] == c]
+        members.sort(key=lambda i: (-csim[i], i))
+        k = math.ceil(0.25 * len(members))
+        for rk, i in enumerate(members[:k], start=1):
+            exp.add((i, c, rk))
+    assert got == exp and len(got) > 0
+    # drop count per cluster == ceil(frac * size)
+    from collections import Counter
+
+    per = Counter(c for _i, c, _r in got)
+    sizes = Counter(assign.tolist())
+    for c, n_drop in per.items():
+        assert n_drop == math.ceil(0.25 * sizes[c])
