@@ -40,7 +40,9 @@ from oxbow_spark.operators.interval_ops import (
     window_intervals,
 )
 from oxbow_spark.operators.pipeline import dsir_log_weights, dsir_resample
-from oxbow_spark.operators.similarity import semantic_dedup, semantic_dup_drops
+from oxbow_spark.operators.similarity import (prototype_prune_drops,
+                                              semantic_dedup,
+                                              semantic_dup_drops)
 from oxbow_spark.operators.text import remove_dup_spans
 from oxbow_spark.operators.liftover import (
     chain_frame,
@@ -61,6 +63,7 @@ __all__ = [
     "flank_intervals",
     "genomecov_hist",
     "genomecov_segments",
+    "prototype_prune_drops",
     "semantic_dedup",
     "semantic_dup_drops",
     "remove_dup_spans",

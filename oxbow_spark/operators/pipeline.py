@@ -360,6 +360,7 @@ def curate_corpus(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.6,
     semantic_nlist: int = 64,
+    proto_drop_frac: float | None = None,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     dedup_spans_k: int | None = None,
@@ -385,7 +386,11 @@ def curate_corpus(
     7. semantic dedup — SemDeDup over an (id, embedding) frame
        (optional, round 6): k-means clusters fit on the surviving set,
        in-cluster cosine ≥ ``semantic_threshold`` drops all but the
-       farthest-from-centroid example
+       farthest-from-centroid example; ``proto_drop_frac`` (round 8)
+       then applies the D4 pipeline's second stage — prototypicality
+       pruning (drop the most centroid-similar fraction per cluster,
+       Sorscher et al. / Tirumala et al.) on the SemDeDup survivors,
+       reusing the same fitted centroids
     8. decontamination — drop docs overlapping ``benchmarks`` (optional)
     9. DSIR selection — keep the ``dsir_keep`` Gumbel-top docs by
        hashed-n-gram importance toward ``dsir_target`` (optional,
@@ -444,8 +449,8 @@ def curate_corpus(
             .select(F.col(id_col), F.col("clean_text").alias(text_col))
 
     if embeddings is not None:
-        from oxbow_spark.operators.similarity import (ivf_fit,
-                                                      semantic_dup_drops)
+        from oxbow_spark.operators.similarity import (
+            ivf_fit, prototype_prune_drops, semantic_dup_drops)
 
         emb = embeddings.join(keep.select(id_col), id_col, "left_semi")
         cents = ivf_fit(emb, nlist=semantic_nlist, vec_col="embedding",
@@ -454,6 +459,16 @@ def curate_corpus(
             emb, cents, threshold=semantic_threshold,
             vec_col="embedding", id_col=id_col).select(id_col)
         keep = keep.join(sem_drop, id_col, "left_anti")
+        if proto_drop_frac is not None:
+            # D4 stage 2: density pruning over the SemDeDup SURVIVORS
+            # (the paper's ordering), same centroids
+            emb2 = emb.join(keep.select(id_col), id_col, "left_semi")
+            pr = prototype_prune_drops(
+                emb2, cents, drop_frac=proto_drop_frac,
+                vec_col="embedding", id_col=id_col).select(id_col)
+            keep = keep.join(pr, id_col, "left_anti")
+    elif proto_drop_frac is not None:
+        raise ValueError("proto_drop_frac requires an embeddings frame")
 
     if benchmarks is not None:
         hits = ngram_decontaminate(keep, benchmarks, text_col=text_col,

@@ -523,3 +523,41 @@ def test_curate_corpus_span_removal_gate(spark):
     no_clean = {r.doc_id for r in curate_corpus(
         docs, benchmarks=bench).collect()}
     assert 1 not in no_clean and 2 in no_clean
+
+
+def test_curate_corpus_proto_prune_gate(spark):
+    """The optional D4 density-pruning stage: with proto_drop_frac the
+    most-prototypical fraction of each embedding cluster is dropped ON
+    TOP of the SemDeDup gate; without embeddings the option errors."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from oxbow_spark.operators.pipeline import curate_corpus
+
+    rng = np.random.default_rng(19)
+    docs_rows, emb_rows = [], []
+    for i in range(24):
+        words = " ".join(f"tok{i}w{j}" for j in range(30))
+        docs_rows.append((i, words + " the a of and it"))
+        # two tight clusters of embeddings (no exact semantic dups —
+        # keep cosines under the dedup threshold but clustered)
+        base = np.zeros(6)
+        base[i % 2] = 1.0
+        v = base + rng.normal(scale=0.25, size=6)
+        emb_rows.append((i, [float(x) for x in v]))
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    emb = spark.createDataFrame(emb_rows,
+                                "doc_id long, embedding array<double>")
+
+    no_pr = {r.doc_id for r in curate_corpus(
+        docs, embeddings=emb, semantic_threshold=0.999,
+        semantic_nlist=2).collect()}
+    pr = {r.doc_id for r in curate_corpus(
+        docs, embeddings=emb, semantic_threshold=0.999,
+        semantic_nlist=2, proto_drop_frac=0.25).collect()}
+    assert pr < no_pr                      # strictly prunes further
+    # ceil(0.25 * |cluster|) per cluster over the semdedup survivors
+    assert len(no_pr) - len(pr) >= 2
+    with _pytest.raises(ValueError, match="embeddings"):
+        curate_corpus(docs, proto_drop_frac=0.25)
