@@ -192,3 +192,26 @@ def test_cat_bgzf_vcf_with_tbi_merge(gspark, tmp_path):
            .option("regions", f"{ch}:1-{hi}").load(out))
     assert got.count() == sum(1 for r in rows
                               if r.chrom == ch and r.pos <= hi)
+
+
+def test_cat_bgzf_headerless_fastq(gspark, tmp_path):
+    """Headerless bgzf text (FASTQ: records start '@', which must NOT
+    be mistaken for a header): cat keeps every record of every part."""
+    from oxbow_spark.sources.cat import cat_bgzf_text
+
+    rows = [(f"read{i}", "ACGT" * 10, "I" * 40) for i in range(300)]
+    df = gspark.createDataFrame(rows, "name string, seq string, qual string")
+    parts = []
+    for j in range(2):
+        out = str(tmp_path / f"fq{j}")
+        (df.where(f"CAST(substring(name, 5, 10) AS INT) % 2 = {j}")
+           .coalesce(1).write.format("fastq")
+           .option("compression", "bgzf").mode("overwrite").save(out))
+        parts.append(glob.glob(out + "/*.fastq.gz")[0])
+    out = str(tmp_path / "merged.fastq.gz")
+    info = cat_bgzf_text(parts, out)
+    assert info["clean"]
+    back = gspark.read.format("fastq").load(out)
+    assert back.count() == 300
+    assert sorted(r.name for r in back.collect()) \
+        == sorted(r[0] for r in rows)
