@@ -526,3 +526,11 @@ def cat_bgzf(parts, out, index=None, meta_prefix="#"):
     from oxbow_spark.sources.cat import cat_bgzf_text as _cat
 
     return _cat(list(parts), out, index=index, meta_prefix=meta_prefix)
+
+
+def cat_bcf(parts, out, index=None):
+    """Raw-copy consolidation for BCF parts with optional `.csi`
+    sidecar merge (`sources/cat.py:cat_bcf`)."""
+    from oxbow_spark.sources.cat import cat_bcf as _cat
+
+    return _cat(list(parts), out, index=index)

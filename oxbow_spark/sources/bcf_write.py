@@ -291,6 +291,9 @@ class BcfWriter(_AlignmentWriter):
         with open(out, "wb") as f:
             w = _BgzfStreamWriter(f)
             w.write(b"BCF\x02\x02" + struct.pack("<I", len(tb)) + tb)
+            # header block-aligned: parts raw-copy concatenable
+            # (sources/cat.py:cat_bcf)
+            w.flush()
             for row in iterator:
                 d = row.asDict()
                 vstart = w.vtell()

@@ -181,6 +181,39 @@ def cat_bam(parts: list[str], out: str,
     return _cat(parts, out, _bam_header_len, index)
 
 
+def _bcf_header_len(path: str) -> tuple[int, bytes]:
+    """(uncompressed byte length, bytes) of the BCF header section:
+    magic BCF\\x02\\x02 + l_text + the NUL-terminated header text."""
+    import zlib
+
+    buf = bytearray()
+    need = 9
+    with open(path, "rb") as f:
+        while len(buf) < need:
+            hdr = f.read(18)
+            if len(hdr) < 18:
+                raise ValueError(f"{path}: truncated BCF")
+            size = _block_size(hdr)
+            buf += zlib.decompress(hdr + f.read(size - 18), 31)
+            if len(buf) >= 9:
+                if buf[:3] != b"BCF":
+                    raise ValueError(f"{path} is not BCF")
+                (l_text,) = struct.unpack_from("<I", buf, 5)
+                need = 9 + l_text
+    return need, bytes(buf[:need])
+
+
+def cat_bcf(parts: list[str], out: str,
+            index: str | None = None) -> dict:
+    """Concatenate BCF ``parts`` (identical headers required) by raw
+    block copy; ``index='csi'`` merges the parts' ``.csi`` sidecars
+    (same voffset arithmetic — CSI's per-bin loffsets take the min of
+    the shifted values, metadata pseudo-bins envelope/sum)."""
+    if index not in (None, "csi"):
+        raise ValueError("cat_bcf index must be 'csi' (or None)")
+    return _cat(parts, out, _bcf_header_len, index)
+
+
 def cat_bgzf_text(parts: list[str], out: str, index: str | None = None,
                   meta_prefix: str = "#") -> dict:
     """Concatenate BGZF TEXT parts (bgzf VCF/GTF/GFF/BED from this
@@ -247,6 +280,8 @@ def _cat(parts: list[str], out: str, header_len_fn,
         _merge_bai([p + ".bai" for p in parts], deltas, out + ".bai")
     elif index == "tbi":
         _merge_tbi([p + ".tbi" for p in parts], deltas, out + ".tbi")
+    elif index == "csi":
+        _merge_csi([p + ".csi" for p in parts], deltas, out + ".csi")
     return {"parts": len(parts), "bytes": total, "clean": all_clean}
 
 
@@ -428,6 +463,105 @@ def _merge_tbi(tbi_paths: list[str], deltas: list[int],
     ncs = [p[3] for p in parsed if p[3] is not None]
     if ncs:
         out.append(struct.pack("<Q", sum(ncs)))
+    from oxbow_spark.sources.align_write import bgzf_compress as _bc
+
+    with open(out_path, "wb") as f:
+        f.write(_bc(b"".join(out)) + BGZF_EOF)
+
+
+def _csi_raw(path: str):
+    """Raw CSI parse preserving every field: (min_shift, depth, aux,
+    refs, n_no_coor) with refs = [[(bin, loffset, [(beg, end)])]]."""
+    import gzip
+
+    with gzip.open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"CSI\x01":
+        raise ValueError(f"{path} is not a CSI index")
+    min_shift, depth, l_aux = struct.unpack_from("<3i", data, 4)
+    off = 16
+    aux = data[off:off + l_aux]
+    off += l_aux
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, off)
+        off += 4
+        bins = []
+        for _ in range(n_bin):
+            bin_id, loff, n_chunk = struct.unpack_from("<IQi", data, off)
+            off += 16
+            chunks = []
+            for _ in range(n_chunk):
+                beg, end = struct.unpack_from("<QQ", data, off)
+                off += 16
+                chunks.append((beg, end))
+            bins.append((bin_id, loff, chunks))
+        refs.append(bins)
+    n_no_coor = None
+    if off + 8 <= len(data):
+        (n_no_coor,) = struct.unpack_from("<Q", data, off)
+    return min_shift, depth, aux, refs, n_no_coor
+
+
+def _merge_csi(csi_paths: list[str], deltas: list[int],
+               out_path: str) -> None:
+    """Merge CSI sidecars (identical min_shift/depth/aux and ref count
+    required — guaranteed by identical headers): per (ref, bin) the
+    shifted chunk lists concatenate and loffset takes the min of the
+    shifted non-zero values; metadata pseudo-bins (id ≥ bin_limit)
+    merge their voffset envelope and sum their counts."""
+    parsed = [_csi_raw(p) for p in csi_paths]
+    min_shift, depth, aux = parsed[0][0], parsed[0][1], parsed[0][2]
+    n_ref = len(parsed[0][3])
+    for p, pr in zip(csi_paths[1:], parsed[1:]):
+        if (pr[0], pr[1], pr[2]) != (min_shift, depth, aux) \
+                or len(pr[3]) != n_ref:
+            raise ValueError(f"{p}: CSI parameters differ")
+    bin_limit = ((1 << (3 * (depth + 1))) - 1) // 7
+
+    out = [b"CSI\x01",
+           struct.pack("<3i", min_shift, depth, len(aux)), aux,
+           struct.pack("<i", n_ref)]
+    for r in range(n_ref):
+        bins: dict[int, list[tuple[int, int]]] = {}
+        loffs: dict[int, int] = {}
+        meta = None  # [vlo, vhi, mapped, unmapped]
+        for (_ms, _d, _a, refs, _nc), dlt in zip(parsed, deltas):
+            for bin_id, loff, chunks in refs[r]:
+                if bin_id >= bin_limit and len(chunks) == 2:
+                    (vlo, vhi), (mp, un) = chunks
+                    vlo, vhi = _shift(vlo, dlt), _shift(vhi, dlt)
+                    if meta is None:
+                        meta = [vlo, vhi, mp, un]
+                    else:
+                        meta[0] = min(meta[0], vlo) if vlo else meta[0]
+                        meta[1] = max(meta[1], vhi)
+                        meta[2] += mp
+                        meta[3] += un
+                    continue
+                dst = bins.setdefault(bin_id, [])
+                dst.extend((_shift(b, dlt), _shift(e, dlt))
+                           for b, e in chunks)
+                sl = _shift(loff, dlt)
+                if sl and (bin_id not in loffs or sl < loffs[bin_id]):
+                    loffs[bin_id] = sl
+        out.append(struct.pack(
+            "<i", len(bins) + (1 if meta is not None else 0)))
+        for b in sorted(bins):
+            chunks = bins[b]
+            out.append(struct.pack("<IQi", b, loffs.get(b, 0),
+                                   len(chunks)))
+            for cs, ce in chunks:
+                out.append(struct.pack("<QQ", cs, ce))
+        if meta is not None:
+            meta_bin = bin_limit  # the writer's pseudo-bin id
+            out.append(struct.pack("<IQi", meta_bin, 0, 2))
+            out.append(struct.pack("<QQ", meta[0], meta[1]))
+            out.append(struct.pack("<QQ", meta[2], meta[3]))
+    ncs = [p[4] for p in parsed if p[4] is not None]
+    out.append(struct.pack("<Q", sum(ncs) if ncs else 0))
     from oxbow_spark.sources.align_write import bgzf_compress as _bc
 
     with open(out_path, "wb") as f:

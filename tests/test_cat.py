@@ -215,3 +215,52 @@ def test_cat_bgzf_headerless_fastq(gspark, tmp_path):
     assert back.count() == 300
     assert sorted(r.name for r in back.collect()) \
         == sorted(r[0] for r in rows)
+
+
+def test_cat_bcf_with_csi_merge(gspark, tmp_path):
+    """BCF parts concatenate by raw copy; the merged .csi answers
+    region queries on the single merged file."""
+    import struct as _struct
+
+    from oxbow_spark.sources.bcf import open_bcf
+    from oxbow_spark.sources.cat import cat_bcf
+
+    from tests.bcf_synth import write_bcf
+
+    src = str(tmp_path / "synth.bcf")
+    write_bcf(src, 200)
+    with open_bcf(src) as r:
+        r.read(5)
+        (ln,) = _struct.unpack("<I", r.read(4))
+        hdr = r.read(ln).split(b"\x00", 1)[0].decode()
+    df = gspark.read.format("bcf").load(src).orderBy("chrom", "pos")
+    rows = df.collect()
+    chroms = sorted({r.chrom for r in rows})
+    parts = []
+    for j, ch in enumerate(chroms):
+        out = str(tmp_path / f"b{j}")
+        (df.where(f"chrom = '{ch}'").coalesce(1).write.format("bcf")
+           .option("header", hdr).option("index", "csi")
+           .mode("overwrite").save(out))
+        parts.append(glob.glob(out + "/*.bcf")[0])
+    assert len(parts) >= 2
+
+    out = str(tmp_path / "merged.bcf")
+    info = cat_bcf(parts, out, index="csi")
+    assert info["clean"] and os.path.exists(out + ".csi")
+
+    back = gspark.read.format("bcf").load(out)
+    assert back.count() == len(rows)
+    assert sorted((r.chrom, r.pos) for r in back.collect()) \
+        == sorted((r.chrom, r.pos) for r in rows)
+    for ch in chroms:
+        hi = max(r.pos for r in rows if r.chrom == ch)
+        got = (gspark.read.format("bcf")
+               .option("regions", f"{ch}:1-{hi}").load(out))
+        want = sum(1 for r in rows if r.chrom == ch and r.pos <= hi)
+        assert got.count() == want > 0, ch
+        mid = hi // 2
+        got2 = (gspark.read.format("bcf")
+                .option("regions", f"{ch}:1-{mid}").load(out))
+        assert got2.count() == sum(1 for r in rows
+                                   if r.chrom == ch and r.pos <= mid), ch
