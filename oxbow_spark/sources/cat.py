@@ -171,13 +171,14 @@ def _split_part(path: str, h_len: int,
 def cat_bam(parts: list[str], out: str,
             index: str | None = None) -> dict:
     """Concatenate BAM ``parts`` (identical headers required, like
-    `samtools cat`) into ``out`` by raw block copy. ``index='bai'``
-    additionally merges the parts' ``.bai`` sidecars into ``out +
-    '.bai'`` — requires every part to be clean (header block-aligned,
-    true for this repo's writer) with a sidecar present. Returns
-    {'parts': n, 'bytes': total, 'clean': all_clean}."""
-    if index not in (None, "bai"):
-        raise ValueError("cat_bam index must be 'bai' (or None)")
+    `samtools cat`) into ``out`` by raw block copy. ``index='bai'`` (or
+    ``'csi'`` for long-contig parts) additionally merges the parts'
+    sidecars into ``out + '.bai'/'.csi'`` — requires every part to be
+    clean (header block-aligned, true for this repo's writer) with a
+    sidecar present. Returns {'parts': n, 'bytes': total,
+    'clean': all_clean}."""
+    if index not in (None, "bai", "csi"):
+        raise ValueError("cat_bam index must be 'bai'/'csi' (or None)")
     return _cat(parts, out, _bam_header_len, index)
 
 

@@ -264,3 +264,37 @@ def test_cat_bcf_with_csi_merge(gspark, tmp_path):
                 .option("regions", f"{ch}:1-{mid}").load(out))
         assert got2.count() == sum(1 for r in rows
                                    if r.chrom == ch and r.pos <= mid), ch
+
+
+def test_cat_bam_csi_merge(gspark, tmp_path):
+    """cat_bam with CSI sidecars (long-contig path): merged .csi
+    resolves region queries."""
+    from oxbow_spark.sources.cat import cat_bam
+
+    rows = []
+    for i in range(600):
+        pos = 1000 + i * 911
+        rows.append((f"c{i}", 0, "chrB", pos, 30, "80M", None, 0, 0,
+                     "A" * 80, "I" * 80))
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos long, mapq int, "
+              "cigar string, rnext string, pnext long, tlen long, "
+              "seq string, qual string")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chrB\tLN:800000000"
+    parts = []
+    for j in range(2):
+        out = str(tmp_path / f"cs{j}")
+        (df.where(f"CAST(substring(qname, 2, 10) AS INT) % 2 = {j}")
+           .orderBy("pos").coalesce(1).write.format("bam")
+           .option("header", hdr).option("index", "csi")
+           .mode("overwrite").save(out))
+        parts.append(glob.glob(out + "/*.bam")[0])
+    out = str(tmp_path / "merged_csi.bam")
+    info = cat_bam(parts, out, index="csi")
+    assert info["clean"] and os.path.exists(out + ".csi")
+    back = gspark.read.format("bam").load(out)
+    assert back.count() == 600
+    got = (gspark.read.format("bam")
+           .option("regions", "chrB:100000-300000").load(out))
+    want = sum(1 for r in rows if r[3] <= 300000 and r[3] + 79 >= 100000)
+    assert got.count() == want > 0
