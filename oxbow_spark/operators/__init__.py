@@ -22,7 +22,8 @@ from oxbow_spark.operators.coverage import (depth_profile,
                                              genomecov_hist,
                                              genomecov_segments)
 from oxbow_spark.operators.decontam import ngram_decontaminate
-from oxbow_spark.operators.flagstat import flagstat
+from oxbow_spark.operators.flagstat import flagstat, sn_stats, template_stats
+from oxbow_spark.operators.vcf_stats import variant_stats
 from oxbow_spark.operators.interval_join import overlap_join
 from oxbow_spark.operators.interval_ops import (
     closest_intervals,
@@ -78,6 +79,9 @@ __all__ = [
     "complement_intervals",
     "depth_profile",
     "flagstat",
+    "sn_stats",
+    "template_stats",
+    "variant_stats",
     "gc_windows",
     "intersect_intervals",
     "liftover_intervals",
