@@ -758,3 +758,47 @@ def test_fqz_q4_qmap_profile():
         recs, [dict(qbits=2, qshift=2, qmap=vals, fixed_len=True)])
     want = b"".join(recs)
     assert fqz_decode(blob, len(want)) == want
+
+
+# ------------------------------------------------- round-8 write codecs
+
+@given(st.binary(min_size=1, max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_rans4x8_o0_encode_fuzz(data):
+    from oxbow_spark.sources.cram import rans4x8_decode
+    from oxbow_spark.sources.cram_write import rans4x8_encode
+
+    assert rans4x8_decode(rans4x8_encode(data)) == data
+
+
+@given(st.binary(min_size=4, max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_rans4x8_o1_encode_fuzz(data):
+    from oxbow_spark.sources.cram import rans4x8_decode
+    from oxbow_spark.sources.cram_write import rans4x8_encode_o1
+
+    assert rans4x8_decode(rans4x8_encode_o1(data)) == data
+
+
+@given(st.binary(min_size=1, max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_rans_nx16_o0_encode_fuzz(data):
+    from oxbow_spark.sources.cram import rans_nx16_decode
+    from oxbow_spark.sources.cram_write import rans_nx16_encode
+
+    assert rans_nx16_decode(rans_nx16_encode(data)) == data
+
+
+@given(st.lists(st.sampled_from([0, 1, 2, 3, 40, 200]),
+                min_size=1, max_size=2000))
+@settings(max_examples=40, deadline=None)
+def test_rans_encoders_skewed_fuzz(vals):
+    """Highly-skewed small alphabets (the frequency-normalization
+    clamp's hard corner: many present symbols floored to 1)."""
+    from oxbow_spark.sources.cram import rans4x8_decode, rans_nx16_decode
+    from oxbow_spark.sources.cram_write import (rans4x8_encode,
+                                                rans_nx16_encode)
+
+    data = bytes(vals)
+    assert rans4x8_decode(rans4x8_encode(data)) == data
+    assert rans_nx16_decode(rans_nx16_encode(data)) == data
