@@ -244,132 +244,10 @@ def test_tok3_rejects_bad_length():
 # --------------------------------------------------------------- fqzcomp
 
 
-def fqz_write_rl_array(arr: list[int]) -> bytes:
-    """Mirror of `_fqz_read_rl_array`: per-value run lengths (255
-    saturates the value; a run of exactly 255 is written 255,0), then a
-    replication escape over the run-length bytes (a byte equal to the
-    previous literal is followed by a count of additional copies — the
-    writer always emits count 0, which round-trips)."""
-    runs: list[int] = []
-    v = 0
-    i = 0
-    n = len(arr)
-    while i < n:
-        if arr[i] != v:
-            assert arr[i] > v, "table must be non-decreasing"
-            runs.append(0)  # zero run skips a value
-            v += 1
-            continue
-        run = 0
-        while i < n and arr[i] == v:
-            run += 1
-            i += 1
-        while run >= 255:
-            runs.append(255)
-            run -= 255
-        # the reader stops once `size` entries are emitted, so a trailing
-        # zero remainder (exact-255 chain at end of table) is dropped
-        if run > 0 or i < n:
-            runs.append(run)
-        v += 1
-        if i >= n:
-            break
-    # replication escape over the run bytes: k>=2 consecutive equal bytes
-    # b become "b, b, k-1" (the reader adds 1 literal + (k-1) escaped)
-    out = bytearray()
-    i = 0
-    while i < len(runs):
-        b = runs[i]
-        j = i
-        while j < len(runs) and runs[j] == b:
-            j += 1
-        k = j - i
-        out.append(b)
-        if k > 1:
-            assert k - 1 <= 255, "run-byte repeat overflows escape count"
-            out.append(b)
-            out.append(k - 1)
-        i = j
-    return bytes(out)
-
-
-def fqz_encode(quals: list[bytes], qbits: int = 6, qshift: int = 3,
-               do_dedup: bool = False, qtab: list[int] | None = None,
-               ptab: list[int] | None = None, dtab: list[int] | None = None,
-               qloc: int = 0, ploc: int = 7, dloc: int = 11) -> bytes:
-    """Spec-mirroring single-parameter fqzcomp encoder (lengths
-    in-stream; optional explicit run-length packed context tables)."""
-    from oxbow_spark.sources.cram_codecs import (
-        _FQZ_PFLAG_DO_DEDUP,
-        _FQZ_PFLAG_HAVE_DTAB,
-        _FQZ_PFLAG_HAVE_PTAB,
-        _FQZ_PFLAG_HAVE_QTAB,
-    )
-
-    pflags = _FQZ_PFLAG_DO_DEDUP if do_dedup else 0
-    if qtab is not None:
-        pflags |= _FQZ_PFLAG_HAVE_QTAB
-    if ptab is not None:
-        pflags |= _FQZ_PFLAG_HAVE_PTAB
-    if dtab is not None:
-        pflags |= _FQZ_PFLAG_HAVE_DTAB
-    max_sym = max((max(q) for q in quals if q), default=0) + 1
-    sloc = 15
-    if qtab is None and ptab is None and dtab is None:
-        qloc, ploc, dloc = 0, 15, 15  # quals only in the context
-    head = bytearray([5, 0])  # vers, gflags
-    head += struct.pack("<H", 0)  # base context
-    head += bytes([pflags, max_sym, (qbits << 4) | qshift,
-                   (qloc << 4) | sloc, (ploc << 4) | dloc])
-    if qtab is not None:
-        head += fqz_write_rl_array(qtab)
-    if ptab is not None:
-        head += fqz_write_rl_array(ptab)
-    if dtab is not None:
-        head += fqz_write_rl_array(dtab)
-    eq_qtab = qtab if qtab is not None else list(range(256))
-    eq_ptab = ptab if ptab is not None else [0] * 1024
-    eq_dtab = dtab if dtab is not None else [0] * 256
-
-    enc = RangeEncoder()
-    qmodels: dict[int, AdaptiveModel] = {}
-
-    def qmodel(ctx):
-        m = qmodels.get(ctx)
-        if m is None:
-            m = qmodels[ctx] = AdaptiveModel(max_sym)
-        return m
-
-    len_models = [AdaptiveModel(256) for _ in range(4)]
-    dup_model = AdaptiveModel(2)
-    qmask = (1 << qbits) - 1
-    prev = None
-    for q in quals:
-        for i in range(4):
-            len_models[i].encode(enc, (len(q) >> (8 * i)) & 0xFF)
-        if do_dedup and prev is not None and len(prev) == len(q):
-            dup_model.encode(enc, 1 if q == prev else 0)
-            if q == prev:
-                continue
-        # mirror of fqz_decode's htscodecs-order context updates
-        qctx = 0
-        prevq = 0
-        delta = 0
-        pos = len(q)
-        ctx = 0  # base context (0) for the first symbol
-        for v in q:
-            qmodel(ctx).encode(enc, v)
-            qctx = ((qctx << qshift) + eq_qtab[v]) & 0xFFFFFFFF
-            ctx = (qctx & qmask) << qloc
-            ctx += eq_ptab[min(pos, 1023)] << ploc
-            pos -= 1
-            ctx += eq_dtab[min(delta, 255)] << dloc
-            if prevq != v:
-                delta += 1
-            prevq = v
-            ctx &= 0xFFFF
-        prev = q
-    return bytes(head) + enc.finish()
+from oxbow_spark.sources.cram_codecs import (  # noqa: E402
+    fqz_encode,
+    fqz_write_rl_array,
+)
 
 
 @given(st.lists(st.binary(min_size=0, max_size=80).map(
