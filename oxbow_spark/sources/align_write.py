@@ -583,7 +583,9 @@ class _CsiBuilder:
                struct.pack("<3i", self.min_shift, self.depth,
                            len(self.aux)),
                self.aux, struct.pack("<i", self.n_ref)]
-        meta_bin = ((1 << (3 * (self.depth + 1))) - 1) // 7
+        # htslib META_BIN(idx) = n_bins + 1 (37450 at depth 5) — one past
+        # the interval-bin limit, so samtools idxstats reads the counts
+        meta_bin = ((1 << (3 * (self.depth + 1))) - 1) // 7 + 1
         for r in range(self.n_ref):
             bins = self.bins[r]
             lin = self.linear[r]

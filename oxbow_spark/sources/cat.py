@@ -92,7 +92,11 @@ def _bam_header_len(path: str) -> tuple[int, bytes]:
                         off += 4 + l_name + 4
                     if ok and len(buf) >= off:
                         return off, bytes(buf[:off])
-                    need = off
+                    # ok=False means the ref scan stopped mid-entry with
+                    # off possibly <= len(buf) (the l_name int itself is
+                    # split across blocks); demand at least 4 more bytes
+                    # so the loop reads the next block and re-parses
+                    need = off if ok else max(off + 4, len(buf) + 1)
                 else:
                     need = 8 + l_text + 4
     raise ValueError(f"{path}: truncated BAM header")
@@ -321,7 +325,12 @@ def _merge_bai(bai_paths: list[str], deltas: list[int],
                     if meta is None:
                         meta = [vlo, vhi, mp, un]
                     else:
-                        meta[0] = min(meta[0], vlo) if vlo else meta[0]
+                        # 0 means "unset" on BOTH sides: never pin the
+                        # merged envelope begin at 0 just because an
+                        # earlier part had an empty ref
+                        if vlo:
+                            meta[0] = (min(meta[0], vlo)
+                                       if meta[0] else vlo)
                         meta[1] = max(meta[1], vhi)
                         meta[2] += mp
                         meta[3] += un
@@ -425,7 +434,12 @@ def _merge_tbi(tbi_paths: list[str], deltas: list[int],
                     if meta is None:
                         meta = [vlo, vhi, mp, un]
                     else:
-                        meta[0] = min(meta[0], vlo) if vlo else meta[0]
+                        # 0 means "unset" on BOTH sides: never pin the
+                        # merged envelope begin at 0 just because an
+                        # earlier part had an empty ref
+                        if vlo:
+                            meta[0] = (min(meta[0], vlo)
+                                       if meta[0] else vlo)
                         meta[1] = max(meta[1], vhi)
                         meta[2] += mp
                         meta[3] += un
@@ -537,7 +551,12 @@ def _merge_csi(csi_paths: list[str], deltas: list[int],
                     if meta is None:
                         meta = [vlo, vhi, mp, un]
                     else:
-                        meta[0] = min(meta[0], vlo) if vlo else meta[0]
+                        # 0 means "unset" on BOTH sides: never pin the
+                        # merged envelope begin at 0 just because an
+                        # earlier part had an empty ref
+                        if vlo:
+                            meta[0] = (min(meta[0], vlo)
+                                       if meta[0] else vlo)
                         meta[1] = max(meta[1], vhi)
                         meta[2] += mp
                         meta[3] += un
@@ -557,7 +576,9 @@ def _merge_csi(csi_paths: list[str], deltas: list[int],
             for cs, ce in chunks:
                 out.append(struct.pack("<QQ", cs, ce))
         if meta is not None:
-            meta_bin = bin_limit  # the writer's pseudo-bin id
+            # htslib META_BIN = n_bins + 1 (37450 at depth 5); foreign
+            # pseudo-bins at bin_limit are renumbered up, never down
+            meta_bin = bin_limit + 1
             out.append(struct.pack("<IQi", meta_bin, 0, 2))
             out.append(struct.pack("<QQ", meta[0], meta[1]))
             out.append(struct.pack("<QQ", meta[2], meta[3]))

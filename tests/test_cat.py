@@ -298,3 +298,118 @@ def test_cat_bam_csi_merge(gspark, tmp_path):
            .option("regions", "chrB:100000-300000").load(out))
     want = sum(1 for r in rows if r[3] <= 300000 and r[3] + 79 >= 100000)
     assert got.count() == want > 0
+
+
+def test_bam_header_len_block_split_ref_entry(tmp_path):
+    """A valid multi-block BAM header whose block boundary lands 0-3
+    bytes before a ref entry's l_name must still parse (large @SQ
+    dictionaries / foreign block layouts)."""
+    import struct
+
+    from oxbow_spark.sources.align_write import BGZF_EOF, bgzf_block
+    from oxbow_spark.sources.cat import _bam_header_len
+
+    text = b"@HD\tVN:1.6\n" + b"".join(
+        b"@SQ\tSN:c%d\tLN:1000\n" % i for i in range(40))
+    refs = b"".join(
+        struct.pack("<i", len(b"c%d" % i) + 1) + b"c%d\x00" % i
+        + struct.pack("<i", 1000) for i in range(40))
+    hdr = (b"BAM\x01" + struct.pack("<i", len(text)) + text
+           + struct.pack("<i", 40) + refs)
+    pre = len(hdr) - len(refs)  # start of the ref table
+    # boundaries: exactly at the ref table, and 0-3 bytes into an
+    # entry's l_name int (the ADVICE repro: split mid-int)
+    for cut in (pre, pre + 1, pre + 2, pre + 3, pre + 9, pre + 10):
+        p = str(tmp_path / f"split{cut}.bam")
+        with open(p, "wb") as f:
+            f.write(bgzf_block(hdr[:cut]) + bgzf_block(hdr[cut:])
+                    + BGZF_EOF)
+        n, got = _bam_header_len(p)
+        assert n == len(hdr) and got == hdr
+
+
+def _mini_bai(envelope, counts, chunk):
+    """One-ref BAI bytes: a single bin-0 chunk + a metadata pseudo-bin
+    with the given voffset envelope and (mapped, unmapped) counts."""
+    import struct
+
+    out = [b"BAI\x01", struct.pack("<i", 1), struct.pack("<i", 2),
+           struct.pack("<iI", 0, 1), struct.pack("<QQ", *chunk),
+           struct.pack("<iI", 37450, 2), struct.pack("<QQ", *envelope),
+           struct.pack("<QQ", *counts), struct.pack("<i", 1),
+           struct.pack("<Q", chunk[0]), struct.pack("<Q", 0)]
+    return b"".join(out)
+
+
+def test_merge_bai_zero_envelope_not_pinned(tmp_path):
+    """A first part whose metadata envelope is unset (0) must not pin
+    the merged envelope begin at 0 — the first REAL voffset wins."""
+    from oxbow_spark.sources.bgzf import BaiIndex
+    from oxbow_spark.sources.cat import _merge_bai
+
+    p0 = str(tmp_path / "a.bai")
+    p1 = str(tmp_path / "b.bai")
+    with open(p0, "wb") as f:  # unset envelope (empty-ref style part)
+        f.write(_mini_bai((0, 0), (0, 0), (0, 0)))
+    real = (123 << 16) | 7
+    with open(p1, "wb") as f:
+        f.write(_mini_bai((real, real + 100), (5, 1), (real, real + 100)))
+    out = str(tmp_path / "m.bai")
+    delta = 2048
+    _merge_bai([p0, p1], [0, delta], out)
+    idx = BaiIndex.read(out)
+    (vlo, vhi), (mp, un) = idx.refs[0].bins[37450]
+    shifted = ((123 + delta) << 16) | 7
+    assert vlo == shifted  # not 0
+    assert vhi == shifted + 100 and (mp, un) == (5, 1)
+
+
+def test_csi_pseudo_bin_uses_htslib_meta_bin(gspark, tmp_path):
+    """Both the CSI writer and the CSI merger emit the metadata
+    pseudo-bin as htslib's META_BIN = n_bins + 1 (37450 at depth 5),
+    so samtools idxstats sees the counts in merged files."""
+    import gzip
+    import struct
+
+    from oxbow_spark.sources.cat import cat_bam
+
+    rows = [(f"m{i}", 0, "chrB", 1000 + i * 500, 30, "50M", None, 0, 0,
+             "A" * 50, "I" * 50) for i in range(200)]
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos long, mapq int, "
+              "cigar string, rnext string, pnext long, tlen long, "
+              "seq string, qual string")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chrB\tLN:800000000"
+    parts = []
+    for j in range(2):
+        out = str(tmp_path / f"mb{j}")
+        (df.where(f"CAST(substring(qname, 2, 10) AS INT) % 2 = {j}")
+           .orderBy("pos").coalesce(1).write.format("bam")
+           .option("header", hdr).option("index", "csi")
+           .mode("overwrite").save(out))
+        parts.append(glob.glob(out + "/*.bam")[0])
+    merged = str(tmp_path / "meta.bam")
+    cat_bam(parts, merged, index="csi")
+
+    def bin_ids(path):
+        with gzip.open(path, "rb") as f:
+            data = f.read()
+        min_shift, depth, l_aux = struct.unpack_from("<3i", data, 4)
+        off = 16 + l_aux
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        ids = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            for _ in range(n_bin):
+                bid, _lo, n_chunk = struct.unpack_from("<IQi", data, off)
+                off += 16 + 16 * n_chunk
+                ids.append(bid)
+        return depth, ids
+
+    for path in parts + [merged + ""]:
+        depth, ids = bin_ids(path + ".csi")
+        limit = ((1 << (3 * (depth + 1))) - 1) // 7
+        pseudo = [b for b in ids if b >= limit]
+        assert pseudo == [limit + 1], path
