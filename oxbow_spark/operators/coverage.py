@@ -59,13 +59,31 @@ def depth_profile(
 
 
 def _depth_segments(df: DataFrame, on: str, start_col: str,
-                    end_col: str) -> DataFrame:
+                    end_col: str,
+                    split_bp: int | None = None) -> DataFrame:
     """Boundary-sweep core shared by the genomecov modes: ±1 events at
     interval edges → per-(key, pos) net delta (one partial-agg
     groupBy) → per-key running-sum window over DISTINCT boundaries →
-    one row per elementary segment ``(on, _ss, _se, depth)``. Depth-0
-    interior gaps appear as rows; the open tail past the last boundary
-    does not (its depth is 0 by construction)."""
+    one row per MAXIMAL constant-depth segment ``(on, _ss, _se,
+    depth)``. Net-zero boundaries (bookended intervals) are dropped
+    before the window — they cannot change the running sum, so the
+    output is maximal runs, exactly bedtools' transition points.
+    Depth-0 interior gaps appear as rows; the open tail past the last
+    boundary does not (its depth is 0 by construction).
+
+    ``split_bp`` (the 100× scale path — `merge_intervals`' chunked
+    discipline applied to the sweep): boundaries hash into
+    ``floor(pos / split_bp)`` chunks, the running-sum window keys on
+    (key, chunk) so no task holds more than one chunk's boundaries,
+    and a TINY per-chunk summary frame (one row per non-empty chunk:
+    its net-delta total and first boundary) supplies each chunk's
+    cumulative depth offset — via a per-key window over
+    O(contig/split_bp) rows — plus the next chunk's first boundary to
+    close each chunk's last segment. One co-partitioned (key, chunk)
+    join stitches them; the result is bit-identical to the plain path
+    (property-tested in tests/test_coverage.py)."""
+    from pyspark.sql import Window
+
     s = F.col(start_col).cast("long")
     e = F.col(end_col).cast("long")
     ev = df.where(e > s).select(
@@ -74,33 +92,73 @@ def _depth_segments(df: DataFrame, on: str, start_col: str,
             F.struct(e.alias("_p"), F.lit(-1).alias("_d")))).alias("_x"),
     ).select(F.col(on), F.col("_x._p").alias("_p"),
              F.col("_x._d").alias("_d"))
-    net = ev.groupBy(on, "_p").agg(F.sum("_d").alias("_nd"))
-    from pyspark.sql import Window
-    w = Window.partitionBy(on).orderBy("_p")
-    return net.select(
-        F.col(on),
-        F.col("_p").alias("_ss"),
-        F.lead("_p").over(w).alias("_se"),
+    net = (ev.groupBy(on, "_p").agg(F.sum("_d").alias("_nd"))
+           .where(F.col("_nd") != 0))
+    if split_bp is None:
+        w = Window.partitionBy(on).orderBy("_p")
+        return net.select(
+            F.col(on),
+            F.col("_p").alias("_ss"),
+            F.lead("_p").over(w).alias("_se"),
+            F.sum("_nd").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+            .alias("depth"),
+        ).where(F.col("_se").isNotNull() & (F.col("_se") > F.col("_ss")))
+
+    bp = int(split_bp)
+    if bp <= 0:
+        raise ValueError("split_bp must be positive")
+    chunked = net.withColumn("_k", F.floor(F.col("_p") / bp))
+    wk = Window.partitionBy(on, "_k").orderBy("_p")
+    per = chunked.select(
+        F.col(on), "_k", "_p",
+        F.lead("_p").over(wk).alias("_np"),
         F.sum("_nd").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("depth"),
-    ).where(F.col("_se").isNotNull() & (F.col("_se") > F.col("_ss")))
+            wk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_cum"),
+    )
+    summ = chunked.groupBy(on, "_k").agg(
+        F.sum("_nd").alias("_tot"), F.min("_p").alias("_first"))
+    ws = Window.partitionBy(on).orderBy("_k")
+    offs = summ.select(
+        F.col(on), "_k",
+        F.coalesce(
+            F.sum("_tot").over(ws.rowsBetween(Window.unboundedPreceding,
+                                              -1)),
+            F.lit(0)).alias("_off"),
+        F.lead("_first").over(ws).alias("_nf"),
+    )
+    return (
+        per.join(offs, [on, "_k"])
+        .select(
+            F.col(on),
+            F.col("_p").alias("_ss"),
+            F.coalesce("_np", "_nf").alias("_se"),
+            (F.col("_cum") + F.col("_off")).alias("depth"),
+        )
+        .where(F.col("_se").isNotNull() & (F.col("_se") > F.col("_ss")))
+    )
 
 
 def genomecov_segments(
     df: DataFrame, on: str = "chrom",
     start_col: str = "start", end_col: str = "end",
     sizes: dict[str, int] | None = None,
+    split_bp: int | None = None,
 ) -> DataFrame:
-    """bedtools-genomecov ``-bga`` (bedgraph) mode: one row per
+    """bedtools-genomecov ``-bga`` (bedgraph) mode: one row per MAXIMAL
     constant-depth segment — ``(chrom, start, end, depth)``, adjacent
-    segments differing in depth, depth-0 runs INCLUDED. Without
-    ``sizes`` the universe is data-bounded (interior zero gaps only);
-    with ``sizes`` leading/trailing zero runs and fully-uncovered
+    segments always differing in depth (net-zero bookend boundaries
+    are dropped pre-window), depth-0 runs INCLUDED. Without ``sizes``
+    the universe is data-bounded (interior zero gaps only); with
+    ``sizes`` leading/trailing zero runs and fully-uncovered
     chromosomes are emitted too, exactly like ``-bga`` with ``-g``.
     Same boundary-sweep plan as `genomecov_hist` — O(boundaries)
-    shuffle, never per-position."""
-    seg = _depth_segments(df, on, start_col, end_col).select(
+    shuffle, never per-position; ``split_bp`` enables the chunked
+    (key, chunk) window for single-contig skew (see
+    `_depth_segments`)."""
+    seg = _depth_segments(df, on, start_col, end_col, split_bp).select(
         F.col(on), F.col("_ss").alias(start_col),
         F.col("_se").alias(end_col), F.col("depth").cast("long"))
     if sizes is None:
@@ -130,6 +188,7 @@ def genomecov_hist(
     start_col: str = "start", end_col: str = "end",
     sizes: dict[str, int] | None = None,
     include_genome: bool = True,
+    split_bp: int | None = None,
 ) -> DataFrame:
     """bedtools-genomecov (default histogram mode): per key, how many
     bases sit at each coverage depth — ``(chrom, depth, n_bases,
@@ -146,8 +205,10 @@ def genomecov_hist(
     (one partial-agg groupBy) → per-key running sum window (the
     `merge_intervals` scale profile) gives each elementary segment's
     depth → (key, depth) histogram via a second partial agg. Shuffle
-    volume is O(distinct boundaries), not O(genome length)."""
-    seg = _depth_segments(df, on, start_col, end_col)
+    volume is O(distinct boundaries), not O(genome length).
+    ``split_bp`` chunks the running-sum window on (key, chunk) for
+    single-contig skew (see `_depth_segments`)."""
+    seg = _depth_segments(df, on, start_col, end_col, split_bp)
     hist = (seg.where(F.col("depth") > 0)
             .groupBy(on, "depth")
             .agg(F.sum(F.col("_se") - F.col("_ss")).alias("n_bases")))

@@ -658,9 +658,43 @@ def jaccard_intervals(
         ))
 
 
+def _lead_segments(pts: DataFrame, on: str,
+                   split_bp: int | None) -> DataFrame:
+    """Boundary points ``(on, _p)`` → elementary segments ``(on, _ss,
+    _se)`` via a lead window. Plain path: one per-key window.
+    ``split_bp`` (the `merge_intervals` chunked discipline): the lead
+    window keys on (key, floor(_p/split_bp)) so no task holds more
+    than one chunk's boundaries; each chunk's last segment closes at
+    the NEXT chunk's first boundary, supplied by a tiny per-chunk
+    summary frame (one row per non-empty chunk) joined back
+    co-partitioned on (key, chunk). Bit-identical to the plain path
+    (property-tested)."""
+    if split_bp is None:
+        w = Window.partitionBy(on).orderBy("_p")
+        return pts.select(F.col(on), F.col("_p").alias("_ss"),
+                          F.lead("_p").over(w).alias("_se")) \
+            .where(F.col("_se").isNotNull())
+    bp = int(split_bp)
+    if bp <= 0:
+        raise ValueError("split_bp must be positive")
+    chunked = pts.withColumn("_k", F.floor(F.col("_p") / bp))
+    wk = Window.partitionBy(on, "_k").orderBy("_p")
+    per = chunked.select(F.col(on), "_k", "_p",
+                         F.lead("_p").over(wk).alias("_np"))
+    summ = chunked.groupBy(on, "_k").agg(F.min("_p").alias("_first"))
+    ws = Window.partitionBy(on).orderBy("_k")
+    offs = summ.select(F.col(on), "_k",
+                       F.lead("_first").over(ws).alias("_nf"))
+    return (per.join(offs, [on, "_k"])
+            .select(F.col(on), F.col("_p").alias("_ss"),
+                    F.coalesce("_np", "_nf").alias("_se"))
+            .where(F.col("_se").isNotNull()))
+
+
 def multiinter_intervals(
     sets: dict[str, DataFrame], bin_size: int, on: str = "chrom",
     start_col: str = "start", end_col: str = "end",
+    split_bp: int | None = None,
 ) -> DataFrame:
     """bedtools-multiinter: partition each key's axis into the
     elementary segments induced by EVERY boundary of every input set,
@@ -675,7 +709,10 @@ def multiinter_intervals(
     join of segments vs merged blocks. Merged blocks are disjoint per
     label and segments are elementary (no block boundary strictly
     inside one), so each (segment, label) pair appears at most once —
-    the final groupBy is a pure partial-agg count/collect."""
+    the final groupBy is a pure partial-agg count/collect.
+    ``split_bp`` chunks the boundary lead window on (key, chunk) for
+    single-contig skew (see `_lead_segments`); it does not change the
+    result."""
     if not sets:
         raise ValueError("multiinter needs at least one labelled set")
     lab = None
@@ -690,10 +727,7 @@ def multiinter_intervals(
         .select("_lab", F.col(on), "_ms", "_me")
     pts = merged.select(
         F.col(on), F.explode(F.array("_ms", "_me")).alias("_p")).distinct()
-    w = Window.partitionBy(on).orderBy("_p")
-    seg = pts.select(F.col(on), F.col("_p").alias("_ss"),
-                     F.lead("_p").over(w).alias("_se")) \
-        .where(F.col("_se").isNotNull())
+    seg = _lead_segments(pts, on, split_bp)
     cov = overlap_join(
         seg.withColumnRenamed(on, "_on"),
         merged.withColumnRenamed(on, "_on"),

@@ -2882,13 +2882,84 @@ WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
 """
 
 
-_IV_ALGEBRA_COLS = {  # superset schema of the nine interval-algebra ops
+# the genomecov legs run the CHUNKED (split_bp) boundary sweep on the
+# Spark side — this hashes the (chrom, chunk) scale path against the
+# oracle's plain per-chrom sweep, not just the easy path
+_GENOMECOV_SPLIT_BP = 1 << 16
+
+
+def genomecov_hist_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-genomecov histogram mode (operators/coverage.py) over
+    the event intervals, data-bounded universe (no sizes): per chrom,
+    bases at each coverage depth — via the chunked boundary sweep."""
+    from oxbow_spark.operators.coverage import genomecov_hist
+
+    iv = _events(spark, sf_dir).select(
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    return genomecov_hist(iv, split_bp=_GENOMECOV_SPLIT_BP)
+
+
+def genomecov_segments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-genomecov -bga mode: maximal constant-depth segments
+    incl. interior depth-0 gaps — via the chunked boundary sweep."""
+    from oxbow_spark.operators.coverage import genomecov_segments
+
+    iv = _events(spark, sf_dir).select(
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    return genomecov_segments(iv, split_bp=_GENOMECOV_SPLIT_BP)
+
+
+# plain per-chrom boundary sweep (the chunked Spark path must match it
+# exactly): ±1 deltas at interval edges, net-zero boundaries dropped
+# (maximal runs), running-sum window = per-segment depth
+_GENOMECOV_SEG_SQL = f"""
+WITH iv AS (
+  SELECT event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),
+d AS (
+  SELECT chrom, p, SUM(dd) AS nd FROM (
+    SELECT chrom, s AS p, 1 AS dd FROM iv WHERE e > s
+    UNION ALL
+    SELECT chrom, e AS p, -1 AS dd FROM iv WHERE e > s) u
+  GROUP BY chrom, p HAVING SUM(dd) <> 0
+),
+seg AS (
+  SELECT chrom, p AS ss,
+         LEAD(p) OVER (PARTITION BY chrom ORDER BY p) AS se,
+         SUM(nd) OVER (PARTITION BY chrom ORDER BY p) AS depth
+  FROM d
+)
+"""
+
+GENOMECOV_HIST_SQL = _GENOMECOV_SEG_SQL + """
+SELECT chrom, CAST(depth AS BIGINT) AS depth,
+       CAST(SUM(se - ss) AS BIGINT) AS n_bases
+FROM seg WHERE se IS NOT NULL AND depth > 0
+GROUP BY chrom, depth
+"""
+
+GENOMECOV_BGA_SQL = _GENOMECOV_SEG_SQL + """
+SELECT chrom, CAST(ss AS BIGINT) AS start, CAST(se AS BIGINT) AS "end",
+       CAST(depth AS BIGINT) AS depth
+FROM seg WHERE se IS NOT NULL AND se > ss
+"""
+
+
+_IV_ALGEBRA_COLS = {  # superset schema of the eleven interval-algebra ops
     "chrom": "string", "start": "long", "end": "long",
     "a_id": "long", "b_id": "long", "n_merged": "long", "distance": "long",
     "n_overlaps": "long", "covered_bp": "long",
     "n_sets": "long", "set_list": "string",
     "intersection_bp": "long", "union_bp": "long", "jaccard": "double",
     "n_intersections": "long",
+    "depth": "long", "n_bases": "long",
 }
 
 
@@ -2910,11 +2981,12 @@ def _iv_tag(df: DataFrame, op: str, renames: dict[str, str]) -> DataFrame:
 
 
 def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All nine bedtools-style interval-algebra operators (merge /
+    """All eleven bedtools-style interval-algebra operators (merge /
     intersect / subtract / complement / closest / coverage / jaccard /
-    multiinter / window — operators/interval_ops.py) union-tagged into
-    one superset-schema frame so each stays externally hash-checked
-    within the driver's 50-row window."""
+    multiinter / window — operators/interval_ops.py — plus genomecov
+    hist + bga, operators/coverage.py, both via the CHUNKED split_bp
+    sweep) union-tagged into one superset-schema frame so each stays
+    externally hash-checked within the driver's 50-row window."""
     return (
         _iv_tag(merge_intervals_events(spark, sf_dir), "merge", {})
         .unionByName(_iv_tag(intersect_intervals_events(spark, sf_dir),
@@ -2934,6 +3006,10 @@ def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "multiinter", {}))
         .unionByName(_iv_tag(window_intervals_events(spark, sf_dir),
                              "window", {}))
+        .unionByName(_iv_tag(genomecov_hist_events(spark, sf_dir),
+                             "genomecov_hist", {}))
+        .unionByName(_iv_tag(genomecov_segments_events(spark, sf_dir),
+                             "genomecov_bga", {}))
     )
 
 
@@ -2974,6 +3050,10 @@ def _iv_algebra_sql() -> str:
                     {"chrom", "start", "end", "n_sets", "set_list"}),
         _iv_tag_sql(WINDOW_IV_SQL, "window", {},
                     {"chrom", "start", "end", "a_id", "b_id"}),
+        _iv_tag_sql(GENOMECOV_HIST_SQL, "genomecov_hist", {},
+                    {"chrom", "depth", "n_bases"}),
+        _iv_tag_sql(GENOMECOV_BGA_SQL, "genomecov_bga", {},
+                    {"chrom", "start", "end", "depth"}),
     ]
     return "\nUNION ALL\n".join(parts)
 

@@ -167,19 +167,63 @@ def test_genomecov_segments_bga_vs_python(spark):
     exp = []
     for ch, arr in cov.items():
         exp.extend((ch, s, e, d) for s, e, d in runs(arr, 0, sizes[ch]))
-    # the sweep splits at every boundary, so adjacent same-depth
-    # segments may stay split — merge got's runs before comparing
-    merged = []
-    for ch, s, e, d in got:
-        if merged and merged[-1][0] == ch and merged[-1][2] == s \
-                and merged[-1][3] == d:
-            merged[-1] = [ch, merged[-1][1], e, d]
-        else:
-            merged.append([ch, s, e, d])
-    assert [tuple(m) for m in merged] == sorted(exp)
-    assert ("c2", 0, 300, 0) in {tuple(m) for m in merged}
+    # maximal constant-depth runs, exactly like bedtools -bga: net-zero
+    # (bookended) boundaries are dropped, so no same-depth splits
+    assert got == sorted(exp)
+    assert ("c2", 0, 300, 0) in set(got)
 
     # base conservation without sizes: depth-weighted bases == interval bp
     nosz = genomecov_segments(df).collect()
     assert sum((r.end - r.start) * r.depth for r in nosz) \
         == sum(e - s for _c, s, e in rows)
+
+
+def test_genomecov_split_bp_equals_plain(spark):
+    """Chunked (split_bp) boundary sweep ≡ plain, adversarial shapes:
+    chunk-spanning giants, boundaries exactly on chunk edges, bookended
+    runs, depth-0 interior gaps straddling chunk edges."""
+    import random
+
+    from oxbow_spark.operators.coverage import (genomecov_hist,
+                                                genomecov_segments)
+
+    rng = random.Random(53)
+    rows = []
+    for _ in range(300):
+        ch = f"c{rng.randrange(3)}"
+        st = rng.randrange(0, 2000)
+        ln = rng.choice([1, 2, 9, 64, 100, 101, 333, 1500])
+        rows.append((ch, st, st + ln))
+    # exact chunk-edge boundaries, bookends, an isolated far interval
+    # (empty chunks between it and the rest), and a duplicate pile
+    rows += [("c0", 100, 200), ("c0", 200, 300), ("c1", 0, 2000),
+             ("c2", 9000, 9010)] + [("c1", 500, 600)] * 4
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+    sizes = {"c0": 12000, "c1": 12000, "c2": 12000, "c3": 40}
+
+    for fn, kw in ((genomecov_segments, {}),
+                   (genomecov_segments, {"sizes": sizes}),
+                   (genomecov_hist, {}),
+                   (genomecov_hist, {"sizes": sizes})):
+        plain = sorted(tuple(r) for r in fn(df, **kw).collect())
+        for bp in (100, 128, 333, 1 << 20):
+            got = sorted(tuple(r)
+                         for r in fn(df, split_bp=bp, **kw).collect())
+            assert got == plain, (fn.__name__, kw.keys(), bp)
+
+
+def test_genomecov_split_bp_plan_windows_on_chunk(spark):
+    """The chunked sweep's heavy running-sum window must key on
+    (chrom, chunk) — per-chrom boundary streams must never land in one
+    window task."""
+    from oxbow_spark.operators.coverage import _depth_segments
+
+    df = spark.createDataFrame(
+        [("c", 0, 10)], "chrom string, start long, end long")
+    plan = _depth_segments(df, "chrom", "start", "end", split_bp=100) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    # the boundary-stream window spec must include the chunk key
+    assert "windowspecdefinition(chrom#" in plan and "_k#" in plan, plan
+    w_specs = [ln for ln in plan.splitlines()
+               if "windowspecdefinition" in ln and "_p#" in ln]
+    assert w_specs and all("_k#" in ln for ln in w_specs), plan

@@ -648,6 +648,37 @@ def test_multiinter_intervals_random_vs_python(spark):
     assert got == expect
 
 
+def test_multiinter_split_bp_equals_plain(spark):
+    """Chunked (split_bp) boundary lead-window ≡ plain for multiinter,
+    incl. boundaries exactly on chunk edges and chunk-spanning blocks;
+    plan guard: the boundary window keys on (chrom, chunk)."""
+    import random
+
+    from oxbow_spark.operators.interval_ops import multiinter_intervals
+
+    rng = random.Random(59)
+    sets = {}
+    for li in range(3):
+        rows = [(f"c{rng.randrange(2)}", s := rng.randrange(0, 1500),
+                 s + rng.choice([1, 7, 100, 128, 333, 900]))
+                for _ in range(35)]
+        rows += [("c0", 0, 1280), ("c1", 128, 256)]
+        sets[f"s{li}"] = spark.createDataFrame(
+            rows, "chrom string, start long, end long")
+    plain = sorted(tuple(r) for r in multiinter_intervals(
+        sets, bin_size=128).collect())
+    for bp in (100, 128, 1 << 20):
+        got = sorted(tuple(r) for r in multiinter_intervals(
+            sets, bin_size=128, split_bp=bp).collect())
+        assert got == plain, bp
+
+    plan = multiinter_intervals(sets, bin_size=128, split_bp=128) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    w_specs = [ln for ln in plan.splitlines()
+               if "windowspecdefinition" in ln and "_p#" in ln]
+    assert w_specs and all("_k#" in ln for ln in w_specs), plan
+
+
 def test_window_intervals_random_vs_python(spark):
     import random
 
