@@ -534,3 +534,13 @@ def cat_bcf(parts, out, index=None):
     from oxbow_spark.sources.cat import cat_bcf as _cat
 
     return _cat(list(parts), out, index=index)
+
+
+def cat_cram(parts, out, index=None):
+    """Container-stream splice consolidation for CRAM parts (identical
+    SAM headers): data containers copy verbatim, one EOF container
+    closes the file; `index='crai'` merges the `.crai` sidecars with
+    absolute-offset shifts (`sources/cat.py:cat_cram`)."""
+    from oxbow_spark.sources.cat import cat_cram as _cat
+
+    return _cat(list(parts), out, index=index)

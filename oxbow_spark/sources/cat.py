@@ -233,6 +233,128 @@ def cat_bgzf_text(parts: list[str], out: str, index: str | None = None,
                 lambda p: _text_header_len(p, meta_prefix), index)
 
 
+def _cram_bounds(path: str) -> tuple[int, int, int, str]:
+    """(data_start, data_end, file_size, header_text) for a CRAM file:
+    data containers live in [data_start, data_end); the EOF container
+    (+ anything after it) starts at data_end. CRAM containers are
+    self-contained (no inter-container state in the no-ref profile this
+    repo writes and htslib's default), so concatenation is a container-
+    stream splice — the walk reads only container HEADERS, O(#containers)
+    seeks, zero record decode."""
+    import os
+
+    from oxbow_spark.sources.cram import (ContainerHeader, Cursor,
+                                          _HDR_BUF, read_block)
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(26)
+        if head[:4] != b"CRAM":
+            raise ValueError(f"{path} is not CRAM (bad magic)")
+        c = Cursor(f.read(_HDR_BUF))
+        h = ContainerHeader(c)
+        f.seek(26 + h.body_offset)
+        body = Cursor(f.read(h.length))
+        _t, _cid, raw = read_block(body)
+        (l_text,) = struct.unpack("<i", raw[:4])
+        text = raw[4:4 + l_text].rstrip(b"\x00").decode("utf-8", "replace")
+        data_start = 26 + h.body_offset + h.length
+        off = data_start
+        while off < size:
+            f.seek(off)
+            hb = f.read(_HDR_BUF)
+            if len(hb) < 8:
+                break
+            ch = ContainerHeader(Cursor(hb))
+            if ch.is_eof:
+                return data_start, off, size, text
+            off += ch.body_offset + ch.length
+    # no EOF container (tolerated on read like htslib's warning path):
+    # data runs to the end of the file
+    return data_start, size, size, text
+
+
+def cat_cram(parts: list[str], out: str, index: str | None = None) -> dict:
+    """Concatenate CRAM ``parts`` (identical SAM header text required,
+    like `samtools cat`) into ``out`` by container-stream splice: part
+    0 is kept through its last data container, later parts contribute
+    their data containers verbatim (file definition + header container
+    skipped), then part 0's EOF container closes the file. Containers
+    are self-contained, so this is a raw byte copy — no record decode,
+    no re-compression; container-header (ref, start, span) metadata
+    rides along, so the merged file still region-prunes without an
+    index. ``index='crai'`` additionally merges the parts' ``.crai``
+    sidecars: every line's absolute container offset shifts by that
+    part's byte delta, slice-internal fields are untouched. Returns
+    {'parts': n, 'bytes': total, 'clean': True}."""
+    if index not in (None, "crai"):
+        raise ValueError("cat_cram index must be 'crai' (or None)")
+    if not parts:
+        raise ValueError("cat: no parts")
+    bounds = [_cram_bounds(p) for p in parts]
+    text0 = bounds[0][3]
+    for p, (_ds, _de, _sz, text) in zip(parts[1:], bounds[1:]):
+        if text != text0:
+            raise ValueError(
+                f"{p}: SAM header differs from {parts[0]} — cat requires "
+                "identical headers (same @SQ dictionary and text)")
+    if index is not None:
+        missing = [p for p in parts if not _exists(p + ".crai")]
+        if missing:
+            raise ValueError(f"missing .crai sidecars: {missing}")
+
+    deltas: list[int] = []
+    total = 0
+    with open(out, "wb") as fo:
+        for i, (p, (ds, de, _sz, _t)) in enumerate(zip(parts, bounds)):
+            with open(p, "rb") as fi:
+                if i == 0:
+                    deltas.append(0)
+                    fo.write(fi.read(de))  # filedef + header + data
+                    total += de
+                else:
+                    deltas.append(total - ds)
+                    fi.seek(ds)
+                    fo.write(fi.read(de - ds))
+                    total += de - ds
+        # close with part 0's own EOF container (version-matched bytes)
+        ds0, de0, sz0, _t0 = bounds[0]
+        if sz0 > de0:
+            with open(parts[0], "rb") as fi:
+                fi.seek(de0)
+                eof = fi.read(sz0 - de0)
+            fo.write(eof)
+            total += len(eof)
+    if index == "crai":
+        _merge_crai([p + ".crai" for p in parts], deltas, out + ".crai")
+    return {"parts": len(parts), "bytes": total, "clean": True}
+
+
+def _merge_crai(crai_paths: list[str], deltas: list[int],
+                out_path: str) -> None:
+    """Merge .crai sidecars for a container-spliced CRAM: each line's
+    container offset (field 4) shifts by its part's constant byte
+    delta; slice offset/size (fields 5-6) are container-internal and
+    copy through. Lines keep part order — offsets are monotone because
+    parts are spliced in order."""
+    import gzip
+
+    lines: list[str] = []
+    for path, delta in zip(crai_paths, deltas):
+        with gzip.open(path, "rt") as f:
+            for ln in f.read().splitlines():
+                ln = ln.strip()
+                if not ln:
+                    continue
+                fields = ln.split("\t")
+                if len(fields) < 6:
+                    raise ValueError(f"malformed .crai line: {ln!r}")
+                fields[3] = str(int(fields[3]) + delta)
+                lines.append("\t".join(fields))
+    with gzip.open(out_path, "wt") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+
+
 def _cat(parts: list[str], out: str, header_len_fn,
          index: str | None) -> dict:
     if not parts:

@@ -413,3 +413,159 @@ def test_csi_pseudo_bin_uses_htslib_meta_bin(gspark, tmp_path):
         limit = ((1 << (3 * (depth + 1))) - 1) // 7
         pseudo = [b for b in ids if b >= limit]
         assert pseudo == [limit + 1], path
+
+
+def _write_cram_parts(gspark, tmp_path, n_parts=3, per=200):
+    """Coordinate-striped multi-container CRAM parts with .crai
+    sidecars; both refs appear in every part."""
+    rows = []
+    for i in range(900):
+        rows.append((f"q{i}", 0, "chr1" if i % 2 else "chr2",
+                     100 + i * 31, 60, "36M", None, 0, 0,
+                     "ACGT" * 9, "I" * 36))
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos long, mapq int, "
+              "cigar string, rnext string, pnext long, tlen long, "
+              "seq string, qual string")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:9000000\n@SQ\tSN:chr2\tLN:9000000"
+    parts = []
+    for j in range(n_parts):
+        out = str(tmp_path / f"cpart{j}")
+        (df.where(f"CAST(substring(qname, 2, 10) AS INT) % {n_parts} = {j}")
+           .orderBy("rname", "pos").coalesce(1).write.format("cram")
+           .option("header", hdr).option("index", "crai")
+           .option("records_per_container", str(per))
+           .mode("overwrite").save(out))
+        parts.append(glob.glob(out + "/*.cram")[0])
+    return df, hdr, parts
+
+
+def test_cat_cram_splice_and_crai_merge(gspark, tmp_path):
+    """Container-stream splice: merged CRAM reads back as the union of
+    the parts; merged .crai answers region queries; container count is
+    conserved (no re-containerization, raw copy)."""
+    from oxbow_spark.sources.cat import cat_cram
+    from oxbow_spark.sources.cram import (read_crai, read_file_header,
+                                          scan_containers)
+
+    df, hdr, parts = _write_cram_parts(gspark, tmp_path)
+    out = str(tmp_path / "merged.cram")
+    info = cat_cram(parts, out, index="crai")
+    assert info["parts"] == 3 and info["clean"]
+    assert os.path.exists(out + ".crai")
+
+    back = gspark.read.format("cram").load(out)
+    assert _rows(back.select("qname", "flag", "rname", "pos", "cigar",
+                             "seq", "qual")) == \
+        _rows(df.select("qname", "flag", "rname", "pos", "cigar",
+                        "seq", "qual"))
+
+    # container conservation: merged data containers == sum over parts
+    def n_containers(path):
+        _h, _n, first = read_file_header(path)
+        return len(list(scan_containers(path, first)))
+    assert n_containers(out) == sum(n_containers(p) for p in parts)
+
+    # merged .crai: every line's container offset points at a real
+    # container header (the offsets shifted consistently)
+    _h, _n, first = read_file_header(out)
+    offs = {o for o, *_r in scan_containers(out, first)}
+    assert {e[3] for e in read_crai(out + ".crai")} <= offs
+
+    # region query through the merged .crai == brute filter
+    got = (gspark.read.format("cram")
+           .option("regions", "chr1:5000-12000").load(out))
+    brute = back.where("rname = 'chr1' AND pos <= 12000 "
+                       "AND pos + 36 - 1 >= 5000")
+    assert got.count() == brute.count() > 0
+
+
+def test_cat_cram_header_mismatch_rejected(gspark, tmp_path):
+    from oxbow_spark.sources.cat import cat_cram
+
+    _df, hdr, parts = _write_cram_parts(gspark, tmp_path, n_parts=2)
+    sub = gspark.read.format("cram").load(parts[0]).limit(3) \
+        .drop("end", "rlen")
+    out3 = str(tmp_path / "other")
+    (sub.coalesce(1).write.format("cram")
+        .option("header", hdr + "\n@SQ\tSN:extra\tLN:999")
+        .mode("overwrite").save(out3))
+    p3 = glob.glob(out3 + "/*.cram")[0]
+    with pytest.raises(ValueError, match="header differs"):
+        cat_cram([parts[0], p3], str(tmp_path / "x.cram"))
+
+
+def test_cat_cram_3_1_and_api_facade(gspark, tmp_path):
+    """cat_cram handles 3.1/rANS-coded parts identically (containers
+    are opaque bytes to the splice) via the oxbow_spark.api facade."""
+    import oxbow_spark.api as ox
+
+    rows = [(f"v{i}", 0, "chrZ", 50 + i * 13, 30, "20M", None, 0, 0,
+             "ACGTACGTACGTACGTACGT", "F" * 20) for i in range(300)]
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos long, mapq int, "
+              "cigar string, rnext string, pnext long, tlen long, "
+              "seq string, qual string")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chrZ\tLN:8000000"
+    parts = []
+    for j in range(2):
+        out = str(tmp_path / f"v{j}")
+        (df.where(f"CAST(substring(qname, 2, 10) AS INT) % 2 = {j}")
+           .orderBy("pos").coalesce(1).write.format("cram")
+           .option("header", hdr).option("version", "3.1")
+           .option("codec", "rans").mode("overwrite").save(out))
+        parts.append(glob.glob(out + "/*.cram")[0])
+    merged = str(tmp_path / "m31.cram")
+    info = ox.cat_cram(parts, merged)
+    assert info["parts"] == 2
+    back = gspark.read.format("cram").load(merged)
+    assert back.count() == 300
+    assert _rows(back.select("qname", "pos", "seq", "qual")) == \
+        _rows(df.select("qname", "pos", "seq", "qual"))
+
+
+def test_cat_bam_larger_scale_roundtrip(gspark, tmp_path, bam_header):
+    """Written-parts → consolidated → re-scan equality at a larger
+    synthetic scale (30k records, 6 parts, multi-block bodies): exact
+    record-set equality, exact idxstats totals off the merged .bai,
+    region-query parity — the full delivery path, not a toy."""
+    from oxbow_spark.sources.bam import idxstats
+    from oxbow_spark.sources.cat import cat_bam
+
+    n = 30000
+    per = n // 6
+    rows = []
+    for i in range(n):
+        pos = 100 + (i % per) * 11
+        rows.append((f"s{i}", 0, "chr1" if i % 3 else "chr2", pos, 30,
+                     "60M", None, 0, 0, "ACGTAC" * 10, "I" * 60))
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos long, mapq int, "
+              "cigar string, rnext string, pnext long, tlen long, "
+              "seq string, qual string")
+    parts = []
+    for j in range(6):
+        out = str(tmp_path / f"big{j}")
+        (df.where(f"CAST(substring(qname, 2, 10) AS INT) % 6 = {j}")
+           .orderBy("rname", "pos").coalesce(1).write.format("bam")
+           .option("header", bam_header).option("index", "bai")
+           .mode("overwrite").save(out))
+        parts.append(glob.glob(out + "/*.bam")[0])
+
+    out = str(tmp_path / "big_merged.bam")
+    info = cat_bam(parts, out, index="bai")
+    assert info["parts"] == 6 and info["clean"]
+
+    back = gspark.read.format("bam").load(out)
+    cols = ["qname", "flag", "rname", "pos", "cigar", "seq"]
+    assert _rows(back.select(*cols)) == _rows(df.select(*cols))
+
+    st = {r[0]: (r[2], r[3]) for r in idxstats(out)}
+    assert st["chr1"][0] == df.where("rname = 'chr1'").count()
+    assert st["chr2"][0] == df.where("rname = 'chr2'").count()
+
+    got = (gspark.read.format("bam")
+           .option("regions", "chr1:20000-30000").load(out))
+    brute = back.where("rname = 'chr1' AND pos <= 30000 "
+                       "AND pos + 60 - 1 >= 20000")
+    assert got.count() == brute.count() > 0
