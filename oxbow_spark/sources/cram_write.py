@@ -331,6 +331,144 @@ def rans_nx16_encode(data: bytes) -> bytes:
     return bytes([0]) + _uint7_enc(n) + body
 
 
+def rans_nx16_encode_o1(data: bytes) -> bytes:
+    """rANS Nx16 ORDER-1 encoder (CRAM 3.1 spec §3, flags 0x01): the
+    codec real 3.1 producers pick for context-correlated quality
+    series. Per-context 12-bit frequency rows over one shared alphabet
+    (each nonzero row normalized to exactly 4096 so the decoder uses
+    the stored values verbatim), tables stored UNCOMPRESSED (comp low
+    bit 0, shift 12 in the high nibble), 4 states with 16-bit
+    single-shot renormalization. The output splits into 4 consecutive
+    fragments (position j*q starts fragment j with context 0, matching
+    the decoder's fragment walk); the reverse encode walk emits the
+    state-3 remainder first, then steps k=q−1→0 with states 3→0, so
+    the reversed word stream is the decoder's forward order. Exact
+    inverse of `sources/cram.py:_nx16_entropy1` (4-state leg)."""
+    import numpy as np
+
+    n = len(data)
+    if n < 4:
+        raise ValueError("Nx16 order-1 needs >= 4 bytes (use order 0)")
+    q = n >> 2
+    arr = np.frombuffer(data, np.uint8).astype(np.int64)
+    FM = np.zeros((256, 256), dtype=np.int64)
+    np.add.at(FM, (arr[:-1], arr[1:]), 1)
+    FM[0, arr[0]] += 1
+    for st in (q, 2 * q, 3 * q):
+        FM[arr[st - 1], arr[st]] -= 1
+        FM[0, arr[st]] += 1
+    # shared row/column alphabet: every data symbol, plus 0 (the
+    # fragment-start context row lives at 0 even when 0 never occurs
+    # as a data byte)
+    syms = sorted(set(np.unique(arr).tolist()) | {0})
+    tables: dict[int, tuple[list[int], list[int]]] = {}
+    freq_bytes = bytearray()
+    for i in syms:
+        if FM[i].sum() > 0:
+            f = _rans_norm_hist(FM[i])
+            cum = [0] * 257
+            for s in range(256):
+                cum[s + 1] = cum[s] + f[s]
+            tables[i] = (f, cum)
+            for j in syms:
+                freq_bytes += _uint7_enc(f[j])
+        else:
+            freq_bytes += b"\x00" * len(syms)  # unobserved context row
+
+    L = 1 << 15
+    R = [L, L, L, L]
+    words: list[int] = []
+
+    def enc(j: int, i: int, ctx: int) -> None:
+        s = data[i]
+        f, cum = tables[ctx]
+        fs = f[s]
+        x = R[j]
+        if x >= (fs << 19):  # single-shot: 12-bit freqs, 16-bit renorm
+            words.append(x & 0xFFFF)
+            x >>= 16
+        R[j] = ((x // fs) << 12) + (x % fs) + cum[s]
+
+    for i in range(n - 1, 4 * q - 1, -1):     # state-3 remainder, reversed
+        enc(3, i, data[i - 1])
+    for k in range(q - 1, -1, -1):
+        for j in (3, 2, 1, 0):
+            i = j * q + k
+            enc(j, i, 0 if k == 0 else data[i - 1])
+    # table serialization: raw, or order-0-rANS compressed (comp low
+    # bit set; the decoder feeds the bytes straight to its entropy0
+    # stage) — whichever is smaller. A wide alphabet's table is
+    # |syms|^2 uint7s (65 KB at 256 symbols); compression collapses
+    # its zero runs, which is what real producers ship
+    tbl = _nx16_write_alphabet(syms) + bytes(freq_bytes)
+    ctbl = _nx16_strip_head(rans_nx16_encode(tbl))
+    comp_hdr = (bytes([(12 << 4) | 1]) + _uint7_enc(len(tbl))
+                + _uint7_enc(len(ctbl)) + ctbl)
+    raw_hdr = bytes([12 << 4]) + tbl
+    body = (min(comp_hdr, raw_hdr, key=len)
+            + struct.pack("<4I", R[0], R[1], R[2], R[3])
+            + b"".join(struct.pack("<H", w) for w in reversed(words)))
+    return bytes([1]) + _uint7_enc(n) + body
+
+
+def rans_nx16_encode_pack(data: bytes, order: int = 0) -> bytes:
+    """rANS Nx16 with the PACK pre-transform (flags 0x80 | order): map
+    ≤16 distinct symbols to 1/2/4-bit codes packed LSB-first, then
+    entropy-code the packed bytes with the order-0 or order-1 stage —
+    the shape htscodecs picks for quality strings drawn from a small
+    alphabet. Exact inverse of the decoder's PACK path
+    (`sources/cram.py:rans_nx16_decode` flags 0x80 →
+    `_nx16_unpack`)."""
+    import numpy as np
+
+    n = len(data)
+    if n == 0:
+        raise ValueError("rans_nx16_encode_pack: empty input (write RAW)")
+    arr = np.frombuffer(data, np.uint8)
+    syms = np.unique(arr).tolist()
+    nsym = len(syms)
+    if not 2 <= nsym <= 16:
+        raise ValueError("PACK needs 2-16 distinct symbols")
+    if nsym <= 2:
+        bits = 1
+    elif nsym <= 4:
+        bits = 2
+    else:
+        bits = 4
+    per = 8 // bits
+    code = np.zeros(256, dtype=np.uint8)
+    for k, s in enumerate(syms):
+        code[s] = k
+    codes = code[arr]
+    pad = (-n) % per
+    if pad:
+        codes = np.concatenate([codes, np.zeros(pad, dtype=np.uint8)])
+    packed = np.zeros(len(codes) // per, dtype=np.uint8)
+    for t in range(per):  # LSB-first within each packed byte
+        packed |= codes[t::per] << (bits * t)
+    pk = packed.tobytes()
+    if order and len(pk) >= 4:
+        ent = rans_nx16_encode_o1(pk)
+    else:
+        ent = rans_nx16_encode(pk)
+        order = 0
+    # inner stream sans its own flags+size: reuse its body directly
+    inner = _nx16_strip_head(ent)
+    return (bytes([0x80 | order]) + _uint7_enc(n)
+            + bytes([nsym]) + bytes(syms) + _uint7_enc(len(pk)) + inner)
+
+
+def _nx16_strip_head(stream: bytes) -> bytes:
+    """Strip the (flags, uint7 size) head off a just-encoded Nx16
+    stream, leaving the entropy body — the PACK wrapper re-emits its
+    own flags/size and splices the body in (the decoder reads the
+    entropy stage inline, not as a nested stream)."""
+    p = 1
+    while stream[p] & 0x80:
+        p += 1
+    return stream[p + 1:]
+
+
 def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
            codec: str = "gzip") -> bytes:
     method, payload = 0, raw
@@ -338,7 +476,7 @@ def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
         if codec in ("rans", "rans31"):
             # real-producer method selection (htslib tries candidate
             # codecs per block and keeps the smallest): raw vs gzip vs
-            # rANS 4x8 order 0/1 (+ Nx16 under CRAM 3.1)
+            # rANS 4x8 order 0/1 (+ Nx16 o0/o1/PACK under CRAM 3.1)
             cands = [(0, raw)]
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
             cands.append((1, co.compress(raw) + co.flush()))
@@ -347,6 +485,12 @@ def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
                 cands.append((4, rans4x8_encode_o1(raw)))
             if codec == "rans31":
                 cands.append((5, rans_nx16_encode(raw)))
+                if len(raw) >= 4:
+                    cands.append((5, rans_nx16_encode_o1(raw)))
+                nsym = len(set(raw))
+                if 2 <= nsym <= 16:
+                    cands.append((5, rans_nx16_encode_pack(raw, order=0)))
+                    cands.append((5, rans_nx16_encode_pack(raw, order=1)))
             method, payload = min(cands, key=lambda mp: len(mp[1]))
         else:
             co = zlib.compressobj(6, zlib.DEFLATED, 31)

@@ -727,3 +727,65 @@ def test_cram_31_write_roundtrip(gspark, tmp_path, bam_header):
     # 3.0 wire: parse every block header, no method-5 anywhere
     from oxbow_spark.sources.cram import Cursor, read_block  # noqa: F401
     assert gspark.read.format("cram").load(p30).count() == 2000
+
+
+def test_cram_31_nx16_o1_pack_on_the_wire():
+    """Realistic quality series: the 3.1 candidate set now includes
+    Nx16 order-1 and PACK; the winner lands on the wire as method 5
+    with the matching flag bits and decodes back exactly."""
+    import random
+    import struct as _struct
+
+    from oxbow_spark.sources.cram import Cursor, read_block
+    from oxbow_spark.sources.cram_write import (_block, rans4x8_encode_o1,
+                                                rans_nx16_encode,
+                                                rans_nx16_encode_o1,
+                                                rans_nx16_encode_pack)
+
+    rng = random.Random(11)
+    # random-walk qualities over a 40-symbol range: context-correlated,
+    # too many symbols for PACK — order-1 should beat order-0
+    qv = 60
+    walk = bytearray()
+    for _ in range(20000):
+        qv = min(93, max(0, qv + rng.choice((-2, -1, 0, 0, 1, 2))))
+        walk.append(33 + qv)
+    walk = bytes(walk)
+    assert len(rans_nx16_encode_o1(walk)) < len(rans_nx16_encode(walk))
+
+    # run-structured binned qualities (4 distinct values, P(repeat)=.9 —
+    # the RTA3 shape): the best transformed candidate (PACK and/or
+    # order-1) must beat plain order-0, and PACK must beat it too
+    # (2-bit codes fold 4 correlated symbols per context byte)
+    binned = bytearray([ord("F")])
+    for _ in range(19999):
+        binned.append(binned[-1] if rng.random() < 0.9
+                      else ord(rng.choice("#,:F")))
+    binned = bytes(binned)
+    o0 = len(rans_nx16_encode(binned))
+    assert len(rans_nx16_encode_o1(binned)) < o0
+    assert len(rans_nx16_encode_pack(binned, order=1)) < o0
+
+    # on the wire: an order-1 rANS family wins both series (4x8 o1 and
+    # Nx16 o1 trade the lead by ~1% — both are valid winners), and the
+    # binned series specifically selects Nx16 (method 5)
+    for data, methods in ((walk, (4, 5)), (binned, (5,))):
+        blk = _block(4, 12, data, codec="rans31")
+        assert blk[0] in methods, blk[0]
+        c = Cursor(blk)
+        t, cid, raw = read_block(c)
+        assert (t, cid, raw) == (4, 12, data)
+
+    # flag bits on the winners: both series are context-correlated, so
+    # the best Nx16 stream must carry the order-1 and/or PACK bits
+    for series in (walk, binned):
+        cands = [rans_nx16_encode(series), rans_nx16_encode_o1(series)]
+        if 2 <= len(set(series)) <= 16:
+            cands += [rans_nx16_encode_pack(series, 0),
+                      rans_nx16_encode_pack(series, 1)]
+        best = min(cands, key=len)
+        assert best[0] & 0x81, "winner should be order-1 and/or PACKed"
+
+    # 4x8 o1 remains the 3.0 fallback and still round-trips this data
+    assert _struct.unpack_from("<I", rans4x8_encode_o1(walk), 5)[0] \
+        == len(walk)

@@ -680,3 +680,65 @@ def test_rans_encoders_skewed_fuzz(vals):
     data = bytes(vals)
     assert rans4x8_decode(rans4x8_encode(data)) == data
     assert rans_nx16_decode(rans_nx16_encode(data)) == data
+
+
+# ------------------------------------------------- round-9 write codecs
+
+@given(st.binary(min_size=4, max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_rans_nx16_o1_encode_fuzz(data):
+    from oxbow_spark.sources.cram import rans_nx16_decode
+    from oxbow_spark.sources.cram_write import rans_nx16_encode_o1
+
+    assert rans_nx16_decode(rans_nx16_encode_o1(data)) == data
+
+
+@given(st.lists(st.sampled_from([0, 1, 2, 3, 40, 200]),
+                min_size=4, max_size=2000))
+@settings(max_examples=40, deadline=None)
+def test_rans_nx16_o1_skewed_fuzz(vals):
+    """Skewed small alphabets incl. symbol 0 (which doubles as the
+    fragment-start context row)."""
+    from oxbow_spark.sources.cram import rans_nx16_decode
+    from oxbow_spark.sources.cram_write import rans_nx16_encode_o1
+
+    data = bytes(vals)
+    assert rans_nx16_decode(rans_nx16_encode_o1(data)) == data
+
+
+@given(st.lists(st.sampled_from(list(b"!#05AFIacgtn~")),
+                min_size=1, max_size=2000),
+       st.sampled_from([0, 1]))
+@settings(max_examples=40, deadline=None)
+def test_rans_nx16_pack_encode_fuzz(vals, order):
+    """PACK transform (2-16 distinct symbols, 1/2/4-bit codes) with
+    either entropy order; hypothesis may shrink to 1 distinct symbol,
+    which PACK rejects by contract."""
+    import pytest as _pytest
+
+    from oxbow_spark.sources.cram import rans_nx16_decode
+    from oxbow_spark.sources.cram_write import rans_nx16_encode_pack
+
+    data = bytes(vals)
+    if len(set(data)) < 2:
+        with _pytest.raises(ValueError):
+            rans_nx16_encode_pack(data, order=order)
+        return
+    assert rans_nx16_decode(rans_nx16_encode_pack(data, order=order)) == data
+
+
+def test_rans_nx16_o1_edges():
+    from oxbow_spark.sources.cram import rans_nx16_decode
+    from oxbow_spark.sources.cram_write import (rans_nx16_encode_o1,
+                                                rans_nx16_encode_pack)
+    import pytest as _pytest
+
+    for d in (b"ABCD", b"\x00\x00\x00\x00", bytes(range(256)) * 2,
+              b"Q" * 4096, b"AB" * 3):
+        assert rans_nx16_decode(rans_nx16_encode_o1(d)) == d
+    with _pytest.raises(ValueError):
+        rans_nx16_encode_o1(b"abc")
+    with _pytest.raises(ValueError):
+        rans_nx16_encode_pack(b"", order=0)
+    with _pytest.raises(ValueError):
+        rans_nx16_encode_pack(bytes(range(20)) * 2, order=0)  # >16 syms
