@@ -29,6 +29,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from oxbow_spark import config
+
 TOKEN_SPLIT = r"\s+"
 
 
@@ -78,14 +80,22 @@ def shingle_stage(
     return out
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                hash_fn: str | None = None) -> DataFrame:
     """Keep one representative (min id) per exact text digest.
 
     Returns (digest, keep_id, n_copies). ``dropDuplicates`` semantics but
-    with a deterministic representative and a copy count.
-    """
+    with a deterministic representative and a copy count. ``hash_fn``
+    defaults to md5 (cross-engine oracle parity) or xxhash64 under
+    `config.set_production(True)` — grouping semantics are identical,
+    only the digest rendering differs."""
+    if hash_fn is None:
+        hash_fn = config.default_hash_fn()
+    dig = (F.xxhash64(F.col(text_col)).cast("string")
+           if hash_fn == "xxhash64" else F.md5(F.col(text_col)))
     return (
-        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        df.select(dig.alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -110,7 +120,7 @@ def minhash_hash_exprs(s, num_hashes: int = 8) -> list:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, shingle_k: int = 3, _sh: DataFrame | None = None,
-    hash_fn: str = "md5",
+    hash_fn: str | None = None,
 ) -> DataFrame:
     """(id, sig_0..sig_{H-1}): per-doc MinHash signature.
 
@@ -127,6 +137,8 @@ def minhash_signatures(
     faster than either a fold-with-running-min or a persisted shingle
     stage with one md5 per hash function.
     """
+    if hash_fn is None:
+        hash_fn = config.default_hash_fn()
     if _sh is not None:
         staged = _sh.withColumnRenamed("sh", "_shg")
     else:
@@ -137,9 +149,12 @@ def minhash_signatures(
     if hash_fn == "xxhash64":
         # the documented production swap: one JVM xxhash64 per hash
         # function (seeded by the function index literal), numeric min
-        # over longs — same plan shape (Project + array_min), ~an order
-        # cheaper per shingle than md5; loses only the cross-engine
-        # oracle mirror, which is why md5 stays the default
+        # over longs — same plan shape (Project + array_min). Measured
+        # at sf0.1/H=8 it is roughly break-even (0.9-1.1x) with the md5
+        # path, because md5 already amortizes 4 hash functions per
+        # digest; the swap's value is per-hash cost at larger H and
+        # dropping the hex-string materialization, not a headline win
+        # (SCALE.md, round-9 production-knob table)
         def _xx(j: int):
             return lambda sh: F.xxhash64(F.lit(j), sh)
 
@@ -181,7 +196,7 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id",
-    num_hashes: int = 8, band_rows: int = 2, hash_fn: str = "md5",
+    num_hashes: int = 8, band_rows: int = 2, hash_fn: str | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band.
 
@@ -189,6 +204,8 @@ def lsh_candidate_pairs(
     band-key equi-join is the only shuffle; its skew is bounded because a
     band key collision requires all rows in the band to agree.
     """
+    if hash_fn is None:
+        hash_fn = config.default_hash_fn()
     bands = []
     for b in range(num_hashes // band_rows):
         parts = [F.col(f"sig_{b * band_rows + r}") for r in range(band_rows)]
@@ -232,7 +249,7 @@ def minhash_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, band_rows: int = 2, shingle_k: int = 3,
     threshold: float = 0.5, storage_level: StorageLevel | None = None,
-    eager_barriers: bool = True, hash_fn: str = "md5",
+    eager_barriers: bool = True, hash_fn: str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidate pairs verified >= threshold.
 

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from oxbow_spark import config
+
 ACC = "decimal(38,12)"
 
 
@@ -573,12 +575,14 @@ def cosine_topk_lsh(
 def _cluster_sim_frame(corpus: DataFrame, centroids: list[list[float]],
                        vec_col: str, id_col: str,
                        assign: str = "auto",
-                       exact: bool = True) -> DataFrame:
+                       exact: bool | None = None) -> DataFrame:
     """Shared cluster-geometry frame for the embedding-pruning family:
     (_id, _v, _nrm, cluster, _csim) — spherical-k-means assignment via
     the expression argmax or the bit-identical Arrow fast path
     (`_assign_udf`, auto above `_ASSIGN_EXPR_MAX` centroids), plus the
     cosine to the assigned centroid."""
+    if exact is None:
+        exact = config.default_exact()
     dot = _exact_dot if exact else _fast_dot
     if assign not in ("auto", "expr", "pandas"):
         raise ValueError(f"assign must be auto/expr/pandas, got {assign!r}")
@@ -611,7 +615,7 @@ def prototype_prune_drops(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign: str = "auto",
-    exact: bool = True,
+    exact: bool | None = None,
 ) -> DataFrame:
     """Density / prototypicality pruning (Sorscher et al. 2022, "Beyond
     neural scaling laws", arXiv:2206.14486 — the SSL-prototypes metric
@@ -652,7 +656,7 @@ def semantic_dup_drops(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign: str = "auto",
-    exact: bool = True,
+    exact: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) drop set:
     semantic-duplicate detection in embedding space. Each vector is
@@ -681,6 +685,8 @@ def semantic_dup_drops(
     'auto' = pandas above `_ASSIGN_EXPR_MAX` centroids — without the
     switch, assignment work is rows × nlist interpreted chains and
     measurably turns super-linear once nlist scales with the corpus."""
+    if exact is None:
+        exact = config.default_exact()
     n = _cluster_sim_frame(corpus, centroids, vec_col, id_col,
                            assign, exact)
     dot = _exact_dot if exact else _fast_dot

