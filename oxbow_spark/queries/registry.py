@@ -1954,6 +1954,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_proto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-only row (the oracle path is `dedup_embedding_cosine`):
+    the embedding-curation heavy path in isolation — ivf_fit +
+    SemDeDup drop set + prototypicality pruning — so round-over-round
+    regressions in `_cluster_sim_frame`/assignment are visible in
+    BENCH_r{N}.json (SCALE.md's heaviest real workload)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_fit(
+        emb, nlist=_IVF_NLIST, max_iter=_IVF_MAXITER, order_col="vec_id")
+    drops = similarity.semantic_dup_drops(
+        emb, cents, threshold=_EMB_NEARDUP_T)
+    proto = similarity.prototype_prune_drops(
+        emb, cents, drop_frac=_PROTO_DROP)
+    return (
+        drops.select(F.lit("semdedup").alias("method"),
+                     F.col("vec_id"), F.col("cluster").cast("long"),
+                     F.col("cos"))
+        .unionByName(proto.select(
+            F.lit("proto").alias("method"), F.col("vec_id"),
+            F.col("cluster").cast("long"), F.col("csim").alias("cos")))
+    )
+
+
 def _embcos_ctes() -> str:
     """Shared CTE block producing bucketed embedding near-dup candidate
     scores (used by `dedup_embedding_cosine` and the clustering oracle)."""
@@ -3801,6 +3824,10 @@ BENCH_QUERIES: list[Query] = [
     Query("sim_topk_lsh", sim_topk_lsh, None, bench=True),
     Query("sessionize_events", sessionize_events, None, bench=True),
     Query("mm_decode_image_docs", mm_decode_image_docs, None, bench=True),
+    # round 9: the embedding-curation heavy path (SCALE.md's largest
+    # real workload) — bench-only, hash-verified via
+    # dedup_embedding_cosine's semdedup/proto legs
+    Query("semdedup_proto_docs", semdedup_proto_docs, None, bench=True),
 ]
 
 
