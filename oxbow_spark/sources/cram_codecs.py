@@ -186,6 +186,135 @@ def tok3_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _uint7_w(v: int) -> bytes:
+    out = [v & 0x7F]
+    v >>= 7
+    while v:
+        out.append(v & 0x7F)
+        v >>= 7
+    out.reverse()
+    return bytes([b | 0x80 for b in out[:-1]] + [out[-1]])
+
+
+def _tok3_tokenize(name: str) -> list[tuple[str, str]]:
+    """(kind, text) runs — digit runs vs non-digit runs."""
+    runs = []
+    i = 0
+    n = len(name)
+    while i < n:
+        j = i
+        if name[i].isdigit():
+            while j < n and name[j].isdigit():
+                j += 1
+            runs.append(("d", name[i:j]))
+        else:
+            while j < n and not name[j].isdigit():
+                j += 1
+            runs.append(("s", name[i:j]))
+        i = j
+    return runs
+
+
+def _tok3_compress_stream(raw: bytes) -> bytes:
+    """Best valid Nx16 stream for a tok3 token stream: CAT (stored)
+    vs order-0 rANS, smallest wins — every stream must decode through
+    `_tok3_uncompress` → `rans_nx16_decode`."""
+    cat = bytes([0x20]) + _uint7_w(len(raw)) + raw
+    if len(raw) < 16:
+        return cat
+    from oxbow_spark.sources.cram_write import rans_nx16_encode
+
+    return min(cat, rans_nx16_encode(raw), key=len)
+
+
+def tok3_encode(names_blob: bytes | list[str]) -> bytes:
+    """Name tokenizer ENCODER (CRAM 3.1 spec §5, block method 8) — the
+    codec real 3.1 producers use for the RN series. Accepts the RN
+    series blob (nul-separated names, the BYTE_ARRAY_STOP layout) or a
+    name list. Token selection: DUP for exact repeats of the previous
+    name, else DIFF(1) per-position tokens with MATCH / DELTA (u8
+    forward delta on unpadded digit runs) / DIGITS / DIGITS0+DZLEN
+    (zero-padded, width <= 255) / CHAR / STRING; digit runs that
+    overflow u32 fall back to STRING. Token streams are CAT-stored or
+    order-0-rANS compressed, whichever is smaller. Exact inverse of
+    `tok3_decode`; names must be ASCII (CRAM read names are by spec).
+    """
+    if isinstance(names_blob, (bytes, bytearray)):
+        blob = bytes(names_blob)
+        if not blob.endswith(b"\x00"):
+            raise ValueError("tok3: RN blob must be nul-terminated")
+        names = [s.decode("ascii") for s in blob.split(b"\x00")[:-1]]
+    else:
+        names = list(names_blob)
+        blob = b"".join(n.encode("ascii") + b"\x00" for n in names)
+    if not names:
+        raise ValueError("tok3: no names")
+
+    streams: dict[tuple[int, int], bytearray] = {}
+
+    def put(pos: int, typ: int, b: bytes) -> None:
+        streams.setdefault((pos, typ), bytearray()).extend(b)
+
+    prev_runs: list[tuple[str, str]] | None = None
+    prev_name: str | None = None
+    for name in names:
+        if name == prev_name:
+            put(0, T_TYPE, bytes([T_DUP]))
+            put(0, T_DUP, struct.pack("<I", 1))
+            continue
+        runs = _tok3_tokenize(name)
+        put(0, T_TYPE, bytes([T_DIFF]))
+        dist = 1 if prev_runs is not None else 0
+        put(0, T_DIFF, struct.pack("<I", dist))
+        ref = prev_runs if dist else None
+        for p, (kind, text) in enumerate(runs, start=1):
+            rtok = ref[p - 1] if ref and p - 1 < len(ref) else None
+            if rtok == (kind, text):
+                put(p, T_TYPE, bytes([T_MATCH]))
+            elif kind == "d":
+                v = int(text)
+                zero_padded = text[0] == "0" and len(text) > 1
+                if v >= 1 << 32 or (zero_padded and len(text) > 255):
+                    put(p, T_TYPE, bytes([T_STRING]))
+                    put(p, T_STRING, text.encode("ascii") + b"\x00")
+                    continue
+                rv = (int(rtok[1])
+                      if rtok and rtok[0] == "d" and int(rtok[1]) < 1 << 32
+                      else None)
+                if (rv is not None and 0 <= v - rv <= 255
+                        and not zero_padded and rtok[1][0] != "0"):
+                    put(p, T_TYPE, bytes([T_DELTA]))
+                    put(p, T_DELTA, bytes([v - rv]))
+                elif zero_padded:
+                    put(p, T_TYPE, bytes([T_DIGITS0]))
+                    put(p, T_DIGITS0, struct.pack("<I", v))
+                    put(p, T_DZLEN, bytes([len(text)]))
+                else:
+                    put(p, T_TYPE, bytes([T_DIGITS]))
+                    put(p, T_DIGITS, struct.pack("<I", v))
+            elif len(text) == 1:
+                put(p, T_TYPE, bytes([T_CHAR]))
+                put(p, T_CHAR, text.encode("ascii"))
+            else:
+                put(p, T_TYPE, bytes([T_STRING]))
+                put(p, T_STRING, text.encode("ascii") + b"\x00")
+        put(len(runs) + 1, T_TYPE, bytes([T_END]))
+        prev_runs = runs
+        prev_name = name
+
+    out = bytearray(struct.pack("<II", len(blob), len(names)))
+    out.append(0)  # rANS-compressed streams (not arith)
+    max_pos = max(p for p, _ in streams)
+    for pos in range(max_pos + 1):
+        first = True
+        for typ in sorted(t for (p, t) in streams if p == pos):
+            comp = _tok3_compress_stream(bytes(streams[(pos, typ)]))
+            out.append(typ | (0x40 if first else 0))
+            first = False
+            out += _uint7_w(len(comp)) + comp
+    return bytes(out)
+
+
 # ------------------------------------------------- adaptive range coder
 
 class RangeDecoder:

@@ -458,6 +458,66 @@ def rans_nx16_encode_pack(data: bytes, order: int = 0) -> bytes:
             + bytes([nsym]) + bytes(syms) + _uint7_enc(len(pk)) + inner)
 
 
+def rans_nx16_encode_rle(data: bytes, order: int = 0) -> bytes:
+    """rANS Nx16 with the RLE pre-transform (flags 0x40 | order): runs
+    of qualifying symbols collapse to one occurrence in the data stream
+    plus an extra-repeat uint7 in the metadata stream — the htscodecs
+    shape for run-heavy (binned/RTA3) quality series. A symbol
+    qualifies when collapsing saves more than its per-run varint costs
+    (avg run length > 2). The metadata blob (count byte + symbol list +
+    run-length varints) is stored raw or order-0-rANS compressed,
+    whichever is smaller; the run-removed stream is entropy-coded with
+    order 0 or 1. Exact inverse of the decoder's RLE path
+    (`sources/cram.py:_nx16_read_rle_meta` / `_nx16_rle_expand`)."""
+    n = len(data)
+    if n == 0:
+        raise ValueError("rans_nx16_encode_rle: empty input (write RAW)")
+    # run-length scan: per symbol, total occurrences and run count
+    runs: list[tuple[int, int]] = []  # (symbol, run_length)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and data[j] == data[i]:
+            j += 1
+        runs.append((data[i], j - i))
+        i = j
+    total = [0] * 256
+    n_runs = [0] * 256
+    for s, ln in runs:
+        total[s] += ln
+        n_runs[s] += 1
+    rle_syms = [s for s in range(256)
+                if n_runs[s] and total[s] > 2 * n_runs[s]]
+    if not rle_syms:
+        raise ValueError("rans_nx16_encode_rle: no symbol qualifies "
+                         "(use order 0/1 without RLE)")
+    in_rle = bytearray(256)
+    for s in rle_syms:
+        in_rle[s] = 1
+    stream = bytearray()
+    lens = bytearray()
+    for s, ln in runs:
+        if in_rle[s]:
+            stream.append(s)
+            lens += _uint7_enc(ln - 1)
+        else:
+            stream += bytes([s]) * ln
+    meta = bytes([len(rle_syms) & 0xFF]) + bytes(rle_syms) + bytes(lens)
+    rle_len = _uint7_enc(len(stream))  # entropy-stage output length
+    raw_meta = _uint7_enc((len(meta) << 1) | 1) + rle_len + meta
+    cmeta = _nx16_strip_head(rans_nx16_encode(meta))
+    comp_meta = (_uint7_enc(len(meta) << 1) + rle_len
+                 + _uint7_enc(len(cmeta)) + cmeta)
+    meta_out = min(raw_meta, comp_meta, key=len)
+    if order and len(stream) >= 4:
+        ent = rans_nx16_encode_o1(bytes(stream))
+    else:
+        ent = rans_nx16_encode(bytes(stream))
+        order = 0
+    return (bytes([0x40 | order]) + _uint7_enc(n) + meta_out
+            + _nx16_strip_head(ent))
+
+
 def _nx16_strip_head(stream: bytes) -> bytes:
     """Strip the (flags, uint7 size) head off a just-encoded Nx16
     stream, leaving the entropy body — the PACK wrapper re-emits its
@@ -470,7 +530,7 @@ def _nx16_strip_head(stream: bytes) -> bytes:
 
 
 def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
-           codec: str = "gzip") -> bytes:
+           codec: str = "gzip", names: bool = False) -> bytes:
     method, payload = 0, raw
     if gz and raw:
         if codec in ("rans", "rans31"):
@@ -491,6 +551,28 @@ def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
                 if 2 <= nsym <= 16:
                     cands.append((5, rans_nx16_encode_pack(raw, order=0)))
                     cands.append((5, rans_nx16_encode_pack(raw, order=1)))
+                # RLE only when runs collapse the stream >= 2x (cheap
+                # numpy transition count) — otherwise it cannot win
+                # and the extra encodes are wasted CPU per block
+                import numpy as _np
+
+                _a = _np.frombuffer(raw, _np.uint8)
+                if len(raw) >= 4 and 1 + int(
+                        _np.count_nonzero(_a[1:] != _a[:-1])) * 2 < len(raw):
+                    try:
+                        cands.append((5, rans_nx16_encode_rle(raw, order=0)))
+                        cands.append((5, rans_nx16_encode_rle(raw, order=1)))
+                    except ValueError:
+                        pass  # no qualifying run symbol
+                if names and raw.endswith(b"\x00"):
+                    # RN series: the 3.1 name tokenizer (method 8) —
+                    # the codec real producers use for read names
+                    from oxbow_spark.sources.cram_codecs import tok3_encode
+
+                    try:
+                        cands.append((8, tok3_encode(raw)))
+                    except (ValueError, UnicodeDecodeError):
+                        pass  # non-ASCII names: entropy codecs only
             method, payload = min(cands, key=lambda mp: len(mp[1]))
         else:
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
@@ -706,7 +788,8 @@ class CramWriter(_AlignmentWriter):
         used = [(k, self.cids[k]) for k in self.cids if bufs.bufs[k]]
         for k, cid in used:
             data_blocks.append(
-                _block(4, cid, bytes(bufs.bufs[k]), codec=self.codec))
+                _block(4, cid, bytes(bufs.bufs[k]), codec=self.codec,
+                       names=(k == "RN")))
         sl = bytearray()
         sl += itf8(-2)          # multiref slice (RI per record)
         sl += itf8(0) + itf8(0)  # start, span

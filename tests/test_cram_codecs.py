@@ -742,3 +742,114 @@ def test_rans_nx16_o1_edges():
         rans_nx16_encode_pack(b"", order=0)
     with _pytest.raises(ValueError):
         rans_nx16_encode_pack(bytes(range(20)) * 2, order=0)  # >16 syms
+
+
+@given(st.lists(st.tuples(st.sampled_from(list(b"#,:F~")),
+                          st.integers(min_value=1, max_value=40)),
+                min_size=1, max_size=200),
+       st.sampled_from([0, 1]))
+@settings(max_examples=40, deadline=None)
+def test_rans_nx16_rle_encode_fuzz(run_spec, order):
+    """RLE transform (flags 0x40) over run-structured data, both
+    entropy orders; degenerate inputs with no qualifying run symbol
+    raise by contract."""
+    import pytest as _pytest
+
+    from oxbow_spark.sources.cram import rans_nx16_decode
+    from oxbow_spark.sources.cram_write import rans_nx16_encode_rle
+
+    data = b"".join(bytes([s]) * ln for s, ln in run_spec)
+    try:
+        enc = rans_nx16_encode_rle(data, order=order)
+    except ValueError:
+        # legal only when no symbol has avg run length > 2
+        total = {}
+        nrun = {}
+        prev = None
+        for b in data:
+            total[b] = total.get(b, 0) + 1
+            if b != prev:
+                nrun[b] = nrun.get(b, 0) + 1
+            prev = b
+        assert not any(total[s] > 2 * nrun[s] for s in total)
+        return
+    assert rans_nx16_decode(enc) == data
+
+
+def test_rans_nx16_rle_edges():
+    from oxbow_spark.sources.cram import rans_nx16_decode
+    from oxbow_spark.sources.cram_write import rans_nx16_encode_rle
+    import pytest as _pytest
+
+    for d in (b"AAAA", b"A" * 5000, b"ABAB" * 10 + b"C" * 1000,
+              bytes([0]) * 300 + b"xy", b"Q" * 127, b"Q" * 128, b"Q" * 129):
+        for order in (0, 1):
+            assert rans_nx16_decode(rans_nx16_encode_rle(d, order)) == d
+    with _pytest.raises(ValueError):
+        rans_nx16_encode_rle(b"")
+    with _pytest.raises(ValueError):
+        rans_nx16_encode_rle(bytes(range(256)))  # nothing qualifies
+
+
+# ----------------------------------------------- round-9 tok3 encoder
+
+def test_tok3_production_encoder_roundtrip():
+    """The production tok3 encoder (`cram_codecs.tok3_encode`) —
+    rANS-compressed token streams, u32/width overflow fallbacks —
+    round-trips realistic and adversarial name sets and beats gzip on
+    Illumina-style names."""
+    import random
+    import zlib
+
+    from oxbow_spark.sources.cram_codecs import tok3_decode, tok3_encode
+
+    rng = random.Random(3)
+    cases = [
+        NAMES,
+        ["a"],
+        ["x" * 300, "x" * 300, "y"],
+        [f"SRR123.{i}" for i in range(5000)],
+        [f"m5439{i:09d}/ccs" for i in range(200)],
+        ["q18446744073709551616", "q99999999999999999999"],  # > u32
+        ["0" * 300 + "1", "0" * 300 + "2"],  # DIGITS0 width > 255
+        ["r07", "r08", "r100", "r007"],      # padded/unpadded mix
+    ]
+    illumina = [
+        f"A00228:279:HFFGLDSXY:{rng.randrange(1, 5)}:"
+        f"{rng.randrange(1000, 3000)}:{rng.randrange(1000, 30000)}:"
+        f"{rng.randrange(1000, 40000)}" for _ in range(3000)]
+    cases.append(illumina)
+    for names in cases:
+        blob = b"".join(n.encode() + b"\x00" for n in names)
+        assert tok3_decode(tok3_encode(blob)) == blob
+        assert tok3_decode(tok3_encode(names)) == blob
+    blob = b"".join(n.encode() + b"\x00" for n in illumina)
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    assert len(tok3_encode(blob)) < len(co.compress(blob) + co.flush())
+
+
+@given(st.lists(st.from_regex(r"[A-Za-z][A-Za-z0-9:._/-]{0,30}",
+                              fullmatch=True), min_size=1, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_tok3_production_encoder_fuzz(names):
+    from oxbow_spark.sources.cram_codecs import tok3_decode, tok3_encode
+
+    blob = b"".join(n.encode() + b"\x00" for n in names)
+    assert tok3_decode(tok3_encode(blob)) == blob
+
+
+def test_cram_31_rn_series_uses_tok3():
+    """Under codec=rans31 the RN series block carries method 8 when
+    tok3 wins, and read_block round-trips it."""
+    from oxbow_spark.sources.cram import Cursor, read_block
+    from oxbow_spark.sources.cram_write import _block
+
+    names = [f"A1:2:FC:3:{i}:{i*7%9999}:{i*13%9999}" for i in range(2000)]
+    blob = b"".join(n.encode() + b"\x00" for n in names)
+    blk = _block(4, 9, blob, codec="rans31", names=True)
+    assert blk[0] == 8, f"expected tok3 (method 8), got {blk[0]}"
+    t, cid, raw = read_block(Cursor(blk))
+    assert (t, cid, raw) == (4, 9, blob)
+    # 3.0 path never emits method 8
+    blk30 = _block(4, 9, blob, codec="rans", names=True)
+    assert blk30[0] != 8
