@@ -41,7 +41,9 @@ from oxbow_spark.operators.interval_ops import (
     window_intervals,
 )
 from oxbow_spark.operators.pipeline import dsir_log_weights, dsir_resample
-from oxbow_spark.operators.similarity import (prototype_prune_drops,
+from oxbow_spark.operators.similarity import (pq_encode, pq_fit,
+                                              pq_topk,
+                                              prototype_prune_drops,
                                               semantic_dedup,
                                               semantic_dup_drops)
 from oxbow_spark.operators.text import remove_dup_spans
@@ -64,6 +66,9 @@ __all__ = [
     "flank_intervals",
     "genomecov_hist",
     "genomecov_segments",
+    "pq_encode",
+    "pq_fit",
+    "pq_topk",
     "prototype_prune_drops",
     "semantic_dedup",
     "semantic_dup_drops",

@@ -1954,6 +1954,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-only row: IVF-PQ ANN top-k with exact re-rank — the
+    memory-bounded 100 TB similarity path (m-byte codes, pure-JVM ADC
+    scan, bounded raw-vector re-rank). Recall/exactness gates live in
+    tests/test_ann.py; this row keeps its runtime visible round over
+    round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    cb = similarity.pq_fit(emb, m=8, ksub=16, order_col="vec_id")
+    cents = similarity.ivf_fit(
+        emb, nlist=_IVF_NLIST, max_iter=_IVF_MAXITER, order_col="vec_id"
+    )
+    return similarity.pq_topk(
+        emb, q, cb, k=_TOPK_K, refine=8,
+        centroids=cents, nprobe=_IVF_NPROBE,
+    )
+
+
 def semdedup_proto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH-only row (the oracle path is `dedup_embedding_cosine`):
     the embedding-curation heavy path in isolation — ivf_fit +
@@ -3828,6 +3848,8 @@ BENCH_QUERIES: list[Query] = [
     # real workload) — bench-only, hash-verified via
     # dedup_embedding_cosine's semdedup/proto legs
     Query("semdedup_proto_docs", semdedup_proto_docs, None, bench=True),
+    # round 9: IVF-PQ ANN (recall/exactness gated in tests/test_ann.py)
+    Query("sim_topk_pq", sim_topk_pq, None, bench=True),
 ]
 
 
