@@ -2,12 +2,20 @@
 matrix for every readable format.
 
 Beyond the reference (no writers). Emits CRAM 3.0 (default) or 3.1
-(``version='3.1'``) in the **reference-less profile** (preservation map
-``RR=0``, absolute positions ``AP=0``): sequences are stored verbatim —
-match stretches as ``b`` features, insertions/soft-clips/deletions/
-skips/hard-clips/pads as their native feature codes — so no FASTA is
-needed to write OR to read the output (the same no-ref mode htslib's
-``no_ref`` option uses). Data series are EXTERNAL-coded per series —
+(``version='3.1'``). Default profile is **reference-less** (preservation
+map ``RR=0``, absolute positions ``AP=0``): sequences are stored
+verbatim — match stretches as ``b`` features, insertions/soft-clips/
+deletions/skips/hard-clips/pads as their native feature codes — so no
+FASTA is needed to write OR to read the output (the same no-ref mode
+htslib's ``no_ref`` option uses). With ``reference=<fasta path>`` (.fai
+required) the writer switches to the **reference-based profile**
+(``RR=1`` + canonical substitution matrix — the real-producer default):
+matching stretches emit NO bases at all (the decoder fills them from
+the same FASTA), point mismatches code as 2-bit ``X`` substitutions,
+and anything uncodable (non-ACGTN, soft-masked-lowercase reference
+windows — comparison is byte-exact) falls back to verbatim ``b`` runs,
+so round-trips are exact byte-for-byte. Reading such files requires
+``.option('reference', ...)``, the standard CRAM contract. Data series are EXTERNAL-coded per series —
 gzip by default; ``codec='rans'`` switches to real-producer per-block
 method selection over raw/gzip/rANS-4x8 order 0/order 1 (+ rANS Nx16
 under 3.1), every encoder the exact inverse of this repo's spec
@@ -592,7 +600,7 @@ def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
 
 # data series → (stream kind, content id); ids are arbitrary but unique
 _INT_SERIES = ["BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS",
-               "TL", "FN", "FP", "MQ", "DL", "RS", "HC", "PD"]
+               "TL", "FN", "FP", "MQ", "BS", "DL", "RS", "HC", "PD"]
 _BYTE_SERIES = ["FC", "QS", "BA"]
 _STOP_SERIES = ["RN", "IN", "SC", "BB"]  # BYTE_ARRAY_STOP, stop = 0x00
 
@@ -610,6 +618,75 @@ class _SeriesBufs:
 
     def put_s(self, k: str, s: bytes) -> None:
         self.bufs[k] += s + b"\x00"
+
+
+# canonical substitution matrix: for each reference base (BASES order
+# "ACGTN"), its alternates in BASES order take 2-bit codes 0..3 —
+# byte 0b00011011 per row; `sources/cram.py:sub_matrix` inverts this
+_SM_CANONICAL = bytes([0x1B] * 5)
+_BASES = "ACGTN"
+_ALTS = {r: [b for b in _BASES if b != r] for r in _BASES}
+
+
+def _features_ref(cigar: str, seq: str, rl: int, refwin: str) -> list:
+    """CIGAR + seq + reference window → feature list for the
+    REFERENCE-BASED profile (RR=1): matching stretches emit NOTHING
+    (the decoder fills them from the reference), single mismatches emit
+    'X' substitution codes against `_SM_CANONICAL`, and stretches that
+    cannot be coded (read or ref base outside ACGTN, case differences
+    — the reference window is compared byte-exact so soft-masked
+    lowercase never round-trips wrong) fall back to verbatim 'b' runs.
+    ``refwin`` must cover the record's full reference span."""
+    ops = _CIGAR_RE.findall(cigar)
+    feats = []
+    rpos = 0   # 0-based read cursor
+    roff = 0   # 0-based cursor into refwin
+    for n_s, op in ops:
+        n = int(n_s)
+        if op in "M=X":
+            i = 0
+            while i < n:
+                if rpos + i < len(seq) and roff + i < len(refwin) \
+                        and seq[rpos + i] == refwin[roff + i]:
+                    i += 1  # match: no feature
+                    continue
+                rb = refwin[roff + i] if roff + i < len(refwin) else "N"
+                qb = seq[rpos + i] if rpos + i < len(seq) else "N"
+                if rb in _ALTS and qb in _ALTS[rb]:
+                    feats.append(("X", rpos + i + 1,
+                                  _ALTS[rb].index(qb)))
+                    i += 1
+                else:
+                    # group consecutive uncodable bases into one 'b'
+                    j = i
+                    while j < n:
+                        rj = refwin[roff + j] if roff + j < len(refwin) \
+                            else "N"
+                        qj = seq[rpos + j] if rpos + j < len(seq) else "N"
+                        if qj == rj or (rj in _ALTS and qj in _ALTS[rj]):
+                            break
+                        j += 1
+                    feats.append(("b", rpos + i + 1, seq[rpos + i:rpos + j]))
+                    i = j
+            rpos += n
+            roff += n
+        elif op == "I":
+            feats.append(("I", rpos + 1, seq[rpos:rpos + n]))
+            rpos += n
+        elif op == "S":
+            feats.append(("S", rpos + 1, seq[rpos:rpos + n]))
+            rpos += n
+        elif op == "D":
+            feats.append(("D", rpos + 1, n))
+            roff += n
+        elif op == "N":
+            feats.append(("N", rpos + 1, n))
+            roff += n
+        elif op == "H":
+            feats.append(("H", rpos + 1, n))
+        elif op == "P":
+            feats.append(("P", rpos + 1, n))
+    return feats
 
 
 def _features(cigar: str | None, seq: str | None, rl: int) -> list:
@@ -660,6 +737,9 @@ class CramWriter(_AlignmentWriter):
         if self.codec not in ("gzip", "rans"):
             raise ValueError(
                 f"cram codec must be 'gzip' or 'rans', got {self.codec!r}")
+        self.reference_path = options.get("reference")
+        self._ext_ref = None
+        self._ref_cache: dict[str, str] = {}
         self.version = str(options.get("version") or "3.0")
         if self.version not in ("3.0", "3.1"):
             raise ValueError(
@@ -672,8 +752,16 @@ class CramWriter(_AlignmentWriter):
 
     def _comp_header(self) -> bytes:
         pres = bytearray()
-        entries = [(b"RR", bytes([0])), (b"AP", bytes([0])),
-                   (b"RN", bytes([1])), (b"TD", itf8(1) + b"\x00")]
+        if self.reference_path:
+            # reference-based profile: matches come from the FASTA at
+            # decode time (the real-producer default; ~3-5x smaller
+            # base streams), substitutions code via the canonical SM
+            entries = [(b"RR", bytes([1])), (b"SM", _SM_CANONICAL),
+                       (b"AP", bytes([0])),
+                       (b"RN", bytes([1])), (b"TD", itf8(1) + b"\x00")]
+        else:
+            entries = [(b"RR", bytes([0])), (b"AP", bytes([0])),
+                       (b"RN", bytes([1])), (b"TD", itf8(1) + b"\x00")]
         body = b"".join(k + v for k, v in entries)
         pres += itf8(len(body) + len(itf8(len(entries))))
         pres += itf8(len(entries)) + body
@@ -735,7 +823,15 @@ class CramWriter(_AlignmentWriter):
         bufs.put_i("TS", int(d.get("tlen") or 0))
         bufs.put_i("TL", 0)
         if mapped:
-            feats = _features(cigar, seq, rl)
+            refwin = None
+            pos1 = int(d.get("pos") or 0)
+            if (self.reference_path and cigar and seq is not None
+                    and pos1 > 0 and rname):
+                reflen = sum(int(n) for n, op in _CIGAR_RE.findall(cigar)
+                             if op in "MDN=X")
+                refwin = self._ref_window(rname, pos1 - 1, reflen)
+            feats = (_features_ref(cigar, seq, rl, refwin)
+                     if refwin is not None else _features(cigar, seq, rl))
             bufs.put_i("FN", len(feats))
             prev = 0
             for code, fp, payload in feats:
@@ -744,6 +840,8 @@ class CramWriter(_AlignmentWriter):
                 prev = fp
                 if code == "b":
                     bufs.put_s("BB", payload.encode("ascii"))
+                elif code == "X":
+                    bufs.put_i("BS", payload)
                 elif code == "I":
                     bufs.put_s("IN", payload.encode("ascii"))
                 elif code == "S":
@@ -764,10 +862,37 @@ class CramWriter(_AlignmentWriter):
         if qual is not None:
             bufs.bufs["QS"] += bytes(min(ord(c) - 33, 93) for c in qual)
         rid = self.ref_ids.get(rname, -1) if (rname and mapped) else -1
-        pos1 = int(d.get("pos") or 0)
+        pos1 = int(d.get("pos") or 0)  # noqa: F841 (recomputed for clarity)
         reflen = (sum(int(n) for n, op in _CIGAR_RE.findall(cigar)
                       if op in "MDN=X") if cigar else max(rl, 1))
         return rl, rid, pos1, pos1 + max(reflen, 1) - 1
+
+    def _ref_window(self, name: str, start0: int, ln: int) -> str | None:
+        """Reference bases [start0, start0+ln) for feature coding, or
+        None when the contig is absent from the FASTA (the record then
+        falls back to verbatim 'b' coding). Contigs <= 64 MiB cache
+        whole per task (the htslib REF_CACHE discipline); larger ones
+        fetch the window each time through faidx's bounded reads."""
+        if self._ext_ref is None:
+            from oxbow_spark.sources.cram import ExternalRef
+
+            self._ext_ref = ExternalRef(self.reference_path)
+        fai = self._ext_ref.fai
+        if name not in fai:
+            return None
+        clen = fai[name][0]
+        if clen <= 64 << 20:
+            win = self._ref_cache.get(name)
+            if win is None:
+                win = self._ext_ref.fetch(name, 0, clen)
+                self._ref_cache[name] = win
+            out = win[start0:start0 + ln]
+        else:
+            out = self._ext_ref.fetch(
+                name, start0, min(start0 + ln, clen))
+        if len(out) < ln:
+            out = out + "N" * (ln - len(out))  # span past contig end
+        return out
 
     # -- container assembly -------------------------------------------------
 

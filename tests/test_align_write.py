@@ -789,3 +789,126 @@ def test_cram_31_nx16_o1_pack_on_the_wire():
     # 4x8 o1 remains the 3.0 fallback and still round-trips this data
     assert _struct.unpack_from("<I", rans4x8_encode_o1(walk), 5)[0] \
         == len(walk)
+
+
+def _mini_fasta(tmp_path, contigs):
+    """Write a FASTA + .fai (60-col lines) and return its path."""
+    fa = str(tmp_path / "ref.fa")
+    fai_lines = []
+    off = 0
+    with open(fa, "wb") as f:
+        for name, seq in contigs:
+            hdr = f">{name}\n".encode()
+            f.write(hdr)
+            off += len(hdr)
+            fai_lines.append(f"{name}\t{len(seq)}\t{off}\t60\t61")
+            for i in range(0, len(seq), 60):
+                line = seq[i:i + 60].encode() + b"\n"
+                f.write(line)
+                off += len(line)
+    with open(fa + ".fai", "w") as f:
+        f.write("\n".join(fai_lines) + "\n")
+    return fa
+
+
+def test_cram_reference_based_write_roundtrip(gspark, tmp_path):
+    """reference= write (RR=1 + canonical SM): matches emit no bases,
+    SNPs code as X substitutions, uncodable stretches (lowercase
+    soft-masked reference) fall back to 'b' — read-back WITH the same
+    FASTA is exact; reading WITHOUT a reference fails (the CRAM
+    contract); the base stream shrinks vs the no-ref profile."""
+    import glob as _glob
+    import random
+
+    rng = random.Random(23)
+    ref1 = "".join(rng.choice("ACGT") for _ in range(1200))
+    # soft-masked window 400-440 (lowercase)
+    ref1 = ref1[:400] + ref1[400:440].lower() + ref1[440:]
+    ref2 = "".join(rng.choice("ACGT") for _ in range(500))
+    fa = _mini_fasta(tmp_path, [("c1", ref1), ("c2", ref2)])
+
+    rows = []
+    for i in range(300):
+        pos = 1 + (i * 7) % 1100
+        seg = list(ref1[pos - 1:pos - 1 + 50].upper())
+        cig = "50M"
+        if i % 3 == 0 and len(seg) == 50:      # two SNPs
+            seg[10] = {"A": "C", "C": "G", "G": "T", "T": "A"}[seg[10]]
+            seg[33] = {"A": "G", "C": "T", "G": "A", "T": "C"}[seg[33]]
+        if i % 11 == 0:                         # insertion
+            seg = seg[:20] + ["A", "C"] + seg[20:48]
+            cig = "20M2I28M"
+        rows.append((f"r{i}", 0, "c1", pos, 40, cig, None, 0, 0,
+                     "".join(seg), "I" * len(seg)))
+    # deletion + N-skip + soft clip + other contig + unmapped
+    rows += [
+        ("d1", 0, "c1", 101, 40, "20M5D20M",
+         ref1[100:120].upper() + ref1[125:145].upper(), "F" * 40),
+        ("n1", 0, "c1", 201, 40, "15M100N15M",
+         ref1[200:215].upper() + ref1[315:330].upper(), "F" * 30),
+        ("s1", 0, "c2", 51, 40, "5S30M5S",
+         "TTTTT" + ref2[50:80].upper() + "GGGGG", "F" * 40),
+        ("u1", 4, None, None, None, None, "ACGTACGT", "B" * 8),
+    ]
+    rows = [r if len(r) == 11 else
+            (r[0], r[1], r[2], r[3], r[4], r[5], None, 0, 0, r[6], r[7])
+            for r in rows]
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos long, mapq int, "
+              "cigar string, rnext string, pnext long, tlen long, "
+              "seq string, qual string")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:c1\tLN:1200\n@SQ\tSN:c2\tLN:500"
+
+    out_ref = str(tmp_path / "wref")
+    (df.coalesce(1).write.format("cram").option("header", hdr)
+       .option("reference", fa).option("codec", "rans")
+       .mode("overwrite").save(out_ref))
+    p_ref = _glob.glob(out_ref + "/*.cram")[0]
+    out_noref = str(tmp_path / "wnoref")
+    (df.coalesce(1).write.format("cram").option("header", hdr)
+       .option("codec", "rans").mode("overwrite").save(out_noref))
+    p_noref = _glob.glob(out_noref + "/*.cram")[0]
+
+    cols = ["qname", "flag", "rname", "pos", "cigar", "seq", "qual"]
+    back = (gspark.read.format("cram").option("reference", fa)
+            .load(p_ref).select(*cols))
+    assert _rows(back) == _rows(df.select(*cols))
+
+    # the no-ref twin reads without a FASTA and matches too
+    back2 = gspark.read.format("cram").load(p_noref).select(*cols)
+    assert _rows(back2) == _rows(df.select(*cols))
+
+    # reference-based parts are materially smaller (matching bases gone)
+    assert os.path.getsize(p_ref) < 0.8 * os.path.getsize(p_noref), (
+        os.path.getsize(p_ref), os.path.getsize(p_noref))
+
+    # RR=1 without a reference must fail, not fabricate bases
+    with pytest.raises(Exception, match="reference"):
+        gspark.read.format("cram").load(p_ref).collect()
+
+
+def test_cram_reference_write_features_exact(gspark, tmp_path):
+    """Unit-level: _features_ref emits no features for perfect matches,
+    X codes for codable SNPs (canonical SM), 'b' runs for uncodable
+    stretches, and the standard codes for indels/clips."""
+    from oxbow_spark.sources.cram_write import _ALTS, _features_ref
+
+    ref = "ACGTACGTACGTACGTACGT"
+    assert _features_ref("20M", ref, 20, ref) == []
+    # SNP at read pos 3 (0-based 2): ref G -> read T
+    seq = ref[:2] + "T" + ref[3:]
+    feats = _features_ref("20M", seq, 20, ref)
+    assert feats == [("X", 3, _ALTS["G"].index("T"))]
+    # uncodable: read 'N'? N IS in BASES so codable vs ref A
+    seq2 = "N" + ref[1:]
+    assert _features_ref("20M", seq2, 20, ref) == [
+        ("X", 1, _ALTS["A"].index("N"))]
+    # lowercase ref window -> byte mismatch, ref base not in BASES -> b
+    low = ref[:5] + ref[5:10].lower() + ref[10:]
+    feats3 = _features_ref("20M", ref, 20, low)
+    assert feats3 == [("b", 6, ref[5:10])]
+    # indels keep their codes; M segments around them still ref-match
+    feats4 = _features_ref("5M2I5M3D8M", ref, 20,
+                           ref[:5] + ref[7:12] + "GGG" + ref[12:])
+    kinds = [f[0] for f in feats4]
+    assert "I" in kinds and "D" in kinds
