@@ -41,7 +41,8 @@ from oxbow_spark.operators.interval_ops import (
     window_intervals,
 )
 from oxbow_spark.operators.pipeline import dsir_log_weights, dsir_resample
-from oxbow_spark.operators.similarity import (pq_encode, pq_fit,
+from oxbow_spark.operators.similarity import (ivf_fit, ivf_topk,
+                                              pq_encode, pq_fit,
                                               pq_topk,
                                               prototype_prune_drops,
                                               semantic_dedup,
@@ -66,6 +67,8 @@ __all__ = [
     "flank_intervals",
     "genomecov_hist",
     "genomecov_segments",
+    "ivf_fit",
+    "ivf_topk",
     "pq_encode",
     "pq_fit",
     "pq_topk",

@@ -114,4 +114,7 @@ def test_bench_names_stable():
         "dedup_simhash_docs", "text_stats_docs", "repetition_docs",
         "bm25_topk_docs", "sim_topk_cosine", "sim_topk_lsh",
         "sessionize_events", "mm_decode_image_docs",
+        # round-9 additions (new rows only — the r1-r4 names above keep
+        # their positions so BENCH_r{N}.json stays comparable)
+        "semdedup_proto_docs", "sim_topk_pq",
     ]
