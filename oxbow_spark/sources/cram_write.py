@@ -538,7 +538,8 @@ def _nx16_strip_head(stream: bytes) -> bytes:
 
 
 def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
-           codec: str = "gzip", names: bool = False) -> bytes:
+           codec: str = "gzip", names: bool = False,
+           fqz_recs: list[bytes] | None = None) -> bytes:
     method, payload = 0, raw
     if gz and raw:
         if codec in ("rans", "rans31"):
@@ -572,6 +573,17 @@ def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
                         cands.append((5, rans_nx16_encode_rle(raw, order=1)))
                     except ValueError:
                         pass  # no qualifying run symbol
+                if fqz_recs:
+                    # QS series: fqzcomp (method 7), the 3.1 archive
+                    # profile's quality codec — per-record segments,
+                    # lengths in-stream; qbits=12/qshift=6 keys the
+                    # adaptive models on the two previous quals, the
+                    # shape that beats order-1 rANS on real quality
+                    # series (measured in tests/test_align_write.py)
+                    from oxbow_spark.sources.cram_codecs import fqz_encode
+
+                    cands.append((7, fqz_encode(fqz_recs,
+                                                qbits=12, qshift=6)))
                 if names and raw.endswith(b"\x00"):
                     # RN series: the 3.1 name tokenizer (method 8) —
                     # the codec real producers use for read names
@@ -609,6 +621,9 @@ class _SeriesBufs:
     def __init__(self):
         self.bufs: dict[str, bytearray] = {
             k: bytearray() for k in _INT_SERIES + _BYTE_SERIES + _STOP_SERIES}
+        # per-record QS segment lengths — the fqzcomp candidate encodes
+        # the quality series record-by-record (lengths in-stream)
+        self.qs_lens: list[int] = []
 
     def put_i(self, k: str, v: int) -> None:
         self.bufs[k] += itf8(v)
@@ -861,6 +876,7 @@ class CramWriter(_AlignmentWriter):
                 bufs.bufs["BA"] += seq.encode("ascii")
         if qual is not None:
             bufs.bufs["QS"] += bytes(min(ord(c) - 33, 93) for c in qual)
+            bufs.qs_lens.append(len(qual))
         rid = self.ref_ids.get(rname, -1) if (rname and mapped) else -1
         pos1 = int(d.get("pos") or 0)  # noqa: F841 (recomputed for clarity)
         reflen = (sum(int(n) for n, op in _CIGAR_RE.findall(cigar)
@@ -912,9 +928,17 @@ class CramWriter(_AlignmentWriter):
         data_blocks = []
         used = [(k, self.cids[k]) for k in self.cids if bufs.bufs[k]]
         for k, cid in used:
+            fqz_recs = None
+            if k == "QS" and self.codec == "rans31" and bufs.qs_lens:
+                qs = bytes(bufs.bufs["QS"])
+                off = 0
+                fqz_recs = []
+                for ln in bufs.qs_lens:
+                    fqz_recs.append(qs[off:off + ln])
+                    off += ln
             data_blocks.append(
                 _block(4, cid, bytes(bufs.bufs[k]), codec=self.codec,
-                       names=(k == "RN")))
+                       names=(k == "RN"), fqz_recs=fqz_recs))
         sl = bytearray()
         sl += itf8(-2)          # multiref slice (RI per record)
         sl += itf8(0) + itf8(0)  # start, span

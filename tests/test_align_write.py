@@ -912,3 +912,88 @@ def test_cram_reference_write_features_exact(gspark, tmp_path):
                            ref[:5] + ref[7:12] + "GGG" + ref[12:])
     kinds = [f[0] for f in feats4]
     assert "I" in kinds and "D" in kinds
+
+
+def test_cram_31_qs_series_fqz_candidate():
+    """Under codec=rans31 the QS series competes an fqzcomp (method 7)
+    candidate keyed on the two previous quals; on position-structured
+    Illumina-like qualities it wins and round-trips via read_block."""
+    import random
+
+    from oxbow_spark.sources.cram import Cursor, read_block
+    from oxbow_spark.sources.cram_write import _block, rans4x8_encode_o1
+    from oxbow_spark.sources.cram_codecs import fqz_encode
+
+    rng = random.Random(5)
+    recs = []
+    for _ in range(500):
+        base = rng.choice((36, 38, 40))
+        q = bytearray()
+        for p in range(100):
+            mu = base - (p // 25) * 2 - (3 if p > 85 else 0)
+            q.append(max(2, min(41, mu + rng.choice((-2, -1, 0, 0, 0, 1)))))
+        recs.append(bytes(q))
+    qs = b"".join(recs)
+    assert len(fqz_encode(recs, qbits=12, qshift=6)) \
+        < len(rans4x8_encode_o1(qs))
+    blk = _block(4, 7, qs, codec="rans31", fqz_recs=recs)
+    assert blk[0] == 7, f"expected fqz (method 7), got {blk[0]}"
+    t, cid, raw = read_block(Cursor(blk))
+    assert (t, cid, raw) == (4, 7, qs)
+
+
+def test_cram_31_full_write_with_fqz_and_tok3_roundtrip(gspark, tmp_path):
+    """End-to-end 3.1 write with realistic names + qualities: the file
+    carries method-7 (fqz) and method-8 (tok3) blocks on the wire and
+    records round-trip exactly."""
+    import glob as _glob
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(1500):
+        q = bytearray()
+        for p in range(80):
+            mu = 38 - (p // 20)
+            q.append(max(2, min(40, mu + rng.choice((-2, -1, 0, 0, 1)))))
+        rows.append((f"A7:11:FC:2:{i}:{(i * 7) % 9999}:{(i * 13) % 9999}",
+                     0, "chr1", 100 + i * 9, 60, "80M", None, 0, 0,
+                     "".join(rng.choice("ACGT") for _ in range(80)),
+                     "".join(chr(33 + v) for v in q)))
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos long, mapq int, "
+              "cigar string, rnext string, pnext long, tlen long, "
+              "seq string, qual string")
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100000000"
+    out = str(tmp_path / "full31")
+    (df.coalesce(1).write.format("cram").option("header", hdr)
+       .option("codec", "rans").option("version", "3.1")
+       .mode("overwrite").save(out))
+    part = _glob.glob(out + "/*.cram")[0]
+
+    # wire: walk the container's blocks, collect methods
+    from oxbow_spark.sources.cram import (ContainerHeader, Cursor,
+                                          read_file_header)
+    _h, _n, first = read_file_header(part)
+    with open(part, "rb") as f:
+        data = f.read()
+    c = Cursor(data, first)
+    ch = ContainerHeader(c)
+    methods = set()
+    # body_offset is the absolute cursor position past the header
+    body = Cursor(data[ch.body_offset:ch.body_offset + ch.length])
+    while body.p < len(body.b):
+        m = body.b[body.p]
+        methods.add(m)
+        # skip block: method, ctype, cid, csize, rsize, payload, crc
+        bc = Cursor(body.b, body.p)
+        bc.u8(); bc.u8(); bc.itf8()
+        csize = bc.itf8(); bc.itf8()
+        bc.read(csize + 4)
+        body.p = bc.p
+    assert 7 in methods, methods   # fqz QS block
+    assert 8 in methods, methods   # tok3 RN block
+
+    back = gspark.read.format("cram").load(part)
+    cols = ["qname", "pos", "seq", "qual"]
+    assert _rows(back.select(*cols)) == _rows(df.select(*cols))
