@@ -537,6 +537,66 @@ def _nx16_strip_head(stream: bytes) -> bytes:
     return stream[p + 1:]
 
 
+# blocks above this size pick their python-side entropy method on a
+# prefix SAMPLE first (one cheap pass per candidate), then full-encode
+# only the winner — ~3x the write throughput of exhaustive trials at
+# <1% size give-up (measured in tests/test_align_write.py); raw/gzip
+# always full-encode (gzip is C-side and the safety floor)
+_SELECT_SAMPLE_AT = 192 << 10
+_SELECT_SAMPLE_BYTES = 64 << 10
+
+
+def _rans_thunks(raw: bytes, codec: str, names: bool,
+                 fqz_recs: list[bytes] | None):
+    """(method, encode_over_bytes, encode_over_recs) python-side
+    candidate encoders valid for ``raw`` — the htslib candidate set:
+    rANS 4x8 o0/o1 (+ Nx16 o0/o1/PACK/RLE, fqzcomp for the QS series,
+    tok3 for the RN series under CRAM 3.1)."""
+    thunks = [(4, rans4x8_encode, None)]
+    if len(raw) >= 4:
+        thunks.append((4, rans4x8_encode_o1, None))
+    if codec == "rans31":
+        thunks.append((5, rans_nx16_encode, None))
+        if len(raw) >= 4:
+            thunks.append((5, rans_nx16_encode_o1, None))
+        nsym = len(set(raw))
+        if 2 <= nsym <= 16:
+            thunks.append((5, lambda b: rans_nx16_encode_pack(b, 0), None))
+            thunks.append((5, lambda b: rans_nx16_encode_pack(b, 1), None))
+        # RLE only when runs collapse the stream >= 2x (cheap numpy
+        # transition count) — otherwise it cannot win and the extra
+        # encodes are wasted CPU per block
+        import numpy as _np
+
+        _a = _np.frombuffer(raw, _np.uint8)
+        if len(raw) >= 4 and 1 + int(
+                _np.count_nonzero(_a[1:] != _a[:-1])) * 2 < len(raw):
+            thunks.append((5, lambda b: rans_nx16_encode_rle(b, 0), None))
+            thunks.append((5, lambda b: rans_nx16_encode_rle(b, 1), None))
+        if fqz_recs:
+            # QS series: fqzcomp (method 7), the 3.1 archive profile's
+            # quality codec — per-record segments, lengths in-stream;
+            # qbits=12/qshift=6 keys the adaptive models on the two
+            # previous quals, the shape that beats order-1 rANS on
+            # real quality series
+            from oxbow_spark.sources.cram_codecs import fqz_encode
+
+            thunks.append((7, None,
+                           lambda rs: fqz_encode(rs, qbits=12, qshift=6)))
+        if names and raw.endswith(b"\x00"):
+            # RN series: the 3.1 name tokenizer (method 8)
+            from oxbow_spark.sources.cram_codecs import tok3_encode
+
+            thunks.append((8, None, None))  # resolved below
+
+            def _tok3(b: bytes) -> bytes:
+                z = b.rindex(b"\x00")
+                return tok3_encode(b[:z + 1])
+
+            thunks[-1] = (8, _tok3, None)
+    return thunks
+
+
 def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
            codec: str = "gzip", names: bool = False,
            fqz_recs: list[bytes] | None = None) -> bytes:
@@ -545,54 +605,57 @@ def _block(ctype: int, cid: int, raw: bytes, gz: bool = True,
         if codec in ("rans", "rans31"):
             # real-producer method selection (htslib tries candidate
             # codecs per block and keeps the smallest): raw vs gzip vs
-            # rANS 4x8 order 0/1 (+ Nx16 o0/o1/PACK under CRAM 3.1)
+            # the python entropy family (sample-selected on big blocks)
             cands = [(0, raw)]
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
             cands.append((1, co.compress(raw) + co.flush()))
-            cands.append((4, rans4x8_encode(raw)))
-            if len(raw) >= 4:
-                cands.append((4, rans4x8_encode_o1(raw)))
-            if codec == "rans31":
-                cands.append((5, rans_nx16_encode(raw)))
-                if len(raw) >= 4:
-                    cands.append((5, rans_nx16_encode_o1(raw)))
-                nsym = len(set(raw))
-                if 2 <= nsym <= 16:
-                    cands.append((5, rans_nx16_encode_pack(raw, order=0)))
-                    cands.append((5, rans_nx16_encode_pack(raw, order=1)))
-                # RLE only when runs collapse the stream >= 2x (cheap
-                # numpy transition count) — otherwise it cannot win
-                # and the extra encodes are wasted CPU per block
-                import numpy as _np
+            thunks = _rans_thunks(raw, codec, names, fqz_recs)
 
-                _a = _np.frombuffer(raw, _np.uint8)
-                if len(raw) >= 4 and 1 + int(
-                        _np.count_nonzero(_a[1:] != _a[:-1])) * 2 < len(raw):
-                    try:
-                        cands.append((5, rans_nx16_encode_rle(raw, order=0)))
-                        cands.append((5, rans_nx16_encode_rle(raw, order=1)))
-                    except ValueError:
-                        pass  # no qualifying run symbol
-                if fqz_recs:
-                    # QS series: fqzcomp (method 7), the 3.1 archive
-                    # profile's quality codec — per-record segments,
-                    # lengths in-stream; qbits=12/qshift=6 keys the
-                    # adaptive models on the two previous quals, the
-                    # shape that beats order-1 rANS on real quality
-                    # series (measured in tests/test_align_write.py)
-                    from oxbow_spark.sources.cram_codecs import fqz_encode
+            def run(t, data, recs):
+                m, fb, fr = t
+                try:
+                    return m, (fr(recs) if fr is not None else fb(data))
+                except (ValueError, UnicodeDecodeError):
+                    return None  # candidate not applicable to this data
 
-                    cands.append((7, fqz_encode(fqz_recs,
-                                                qbits=12, qshift=6)))
-                if names and raw.endswith(b"\x00"):
-                    # RN series: the 3.1 name tokenizer (method 8) —
-                    # the codec real producers use for read names
-                    from oxbow_spark.sources.cram_codecs import tok3_encode
+            if len(raw) > _SELECT_SAMPLE_AT and len(thunks) > 1:
+                # MARGINAL-rate scoring: encode two prefix samples and
+                # rank by the byte delta — fixed per-stream costs
+                # (order-1 tables, tok3 stream headers) cancel out, so
+                # the ranking reflects the amortized rate the full
+                # block will pay, not the sample's table overhead
+                small = raw[:_SELECT_SAMPLE_BYTES >> 2]
+                sample = raw[:_SELECT_SAMPLE_BYTES]
 
-                    try:
-                        cands.append((8, tok3_encode(raw)))
-                    except (ValueError, UnicodeDecodeError):
-                        pass  # non-ASCII names: entropy codecs only
+                def rec_prefix(limit):
+                    out, tot = [], 0
+                    for r in fqz_recs:
+                        out.append(r)
+                        tot += len(r)
+                        if tot >= limit:
+                            break
+                    return out
+
+                srecs_s = rec_prefix(_SELECT_SAMPLE_BYTES >> 2) \
+                    if fqz_recs else None
+                srecs_b = rec_prefix(_SELECT_SAMPLE_BYTES) \
+                    if fqz_recs else None
+                scored = []
+                for t in thunks:
+                    lo = run(t, small, srecs_s)
+                    hi = run(t, sample, srecs_b)
+                    if lo is not None and hi is not None:
+                        scored.append((len(hi[1]) - len(lo[1]), t))
+                if scored:
+                    scored.sort(key=lambda st: st[0])
+                    best = run(scored[0][1], raw, fqz_recs)
+                    if best is not None:
+                        cands.append(best)
+            else:
+                for t in thunks:
+                    out = run(t, raw, fqz_recs)
+                    if out is not None:
+                        cands.append(out)
             method, payload = min(cands, key=lambda mp: len(mp[1]))
         else:
             co = zlib.compressobj(6, zlib.DEFLATED, 31)

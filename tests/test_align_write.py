@@ -997,3 +997,41 @@ def test_cram_31_full_write_with_fqz_and_tok3_roundtrip(gspark, tmp_path):
     back = gspark.read.format("cram").load(part)
     cols = ["qname", "pos", "seq", "qual"]
     assert _rows(back.select(*cols)) == _rows(df.select(*cols))
+
+
+def test_cram_block_sampled_selection_matches_exhaustive():
+    """Blocks above _SELECT_SAMPLE_AT pick their entropy method on
+    prefix samples with MARGINAL-rate scoring; the chosen method and
+    output match the exhaustive search on representative shapes."""
+    import random
+
+    import oxbow_spark.sources.cram_write as cw
+
+    rng = random.Random(5)
+    recs = []
+    for _ in range(5000):
+        base = rng.choice((36, 38, 40))
+        q = bytearray()
+        for p in range(100):
+            mu = base - (p // 25) * 2
+            q.append(max(2, min(41, mu + rng.choice((-2, -1, 0, 0, 0, 1)))))
+        recs.append(bytes(q))
+    qs = b"".join(recs)  # 500 KB, 14-symbol walk: PACK+o1 territory
+    names = b"".join(f"A7:1:FC:2:{i}:{(i*7) % 9999}:{(i*13) % 9999}\x00"
+                     .encode() for i in range(12000))
+    rnd = bytes(rng.randrange(256) for _ in range(300_000))
+
+    orig = cw._SELECT_SAMPLE_AT
+    try:
+        for raw, kw in ((qs, {}), (qs, {"fqz_recs": recs}),
+                        (names, {"names": True}), (rnd, {})):
+            cw._SELECT_SAMPLE_AT = 192 << 10
+            fast = cw._block(4, 1, raw, codec="rans31", **kw)
+            cw._SELECT_SAMPLE_AT = 1 << 30
+            full = cw._block(4, 1, raw, codec="rans31", **kw)
+            assert fast[0] == full[0], (fast[0], full[0], len(raw))
+            # size within 2% of the exhaustive winner (same method,
+            # identical payload in practice)
+            assert len(fast) <= int(len(full) * 1.02)
+    finally:
+        cw._SELECT_SAMPLE_AT = orig
