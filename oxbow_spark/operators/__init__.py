@@ -27,16 +27,20 @@ from oxbow_spark.operators.vcf_stats import variant_stats
 from oxbow_spark.operators.interval_join import overlap_join
 from oxbow_spark.operators.interval_ops import (
     closest_intervals,
+    cluster_intervals,
     complement_intervals,
     coverage_intervals,
     flank_intervals,
     intersect_intervals,
     jaccard_intervals,
+    make_windows,
     map_intervals,
     merge_intervals,
     multiinter_intervals,
+    reldist_intervals,
     shift_intervals,
     slop_intervals,
+    spacing_intervals,
     subtract_intervals,
     window_intervals,
 )
@@ -91,13 +95,17 @@ __all__ = [
     "template_stats",
     "variant_stats",
     "gc_windows",
+    "cluster_intervals",
     "intersect_intervals",
     "liftover_intervals",
     "liftover_positions",
     "jaccard_intervals",
+    "make_windows",
     "merge_intervals",
     "multiinter_intervals",
     "ngram_decontaminate",
+    "reldist_intervals",
+    "spacing_intervals",
     "normalize_variants",
     "nuc_stats",
     "overlap_join",

@@ -767,3 +767,167 @@ def window_intervals(
         right_start=b_start, right_end=b_end,
     )
     return j.drop("_ws", "_we")
+
+
+def cluster_intervals(
+    df: DataFrame, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+    distance: int = 0, split_bp: int | None = None,
+) -> DataFrame:
+    """bedtools-cluster: every input row plus a ``cluster_id`` (1-based,
+    increasing in (key asc, start asc) order — what bedtools assigns
+    over sorted input). Intervals overlapping or within ``distance`` bp
+    (bookends included, like `merge_intervals`) share an id.
+
+    Plan shape (never a global sort of the corpus): the cluster SPANS
+    are `merge_intervals`' disjoint runs (``split_bp`` engages its
+    chunked window for single-contig skew); numbering is a per-key
+    window over RUNS (≤ input rows, usually ≪) plus a TINY per-key
+    offset frame (one row per key: cumulative run counts in key order,
+    broadcast); inputs map to their containing run with one backward
+    as-of join on start — valid because runs are disjoint and every
+    input lies wholly inside one run. Reference capability:
+    post-scan interval clustering the reference's users run via
+    bedtools; its own engine has no interval ops
+    (py-oxbow/oxbow/_pyarrow.py:738-774)."""
+    runs = merge_intervals(df, on=on, start_col=start_col,
+                           end_col=end_col, split_bp=split_bp,
+                           distance=distance)
+    wk = Window.partitionBy(on).orderBy(start_col)
+    idx = runs.select(F.col(on), F.col(start_col).alias("_rs"),
+                      F.row_number().over(wk).alias("_i"))
+    counts = runs.groupBy(on).agg(F.count(F.lit(1)).alias("_n"))
+    wo = Window.orderBy(on).rowsBetween(Window.unboundedPreceding, -1)
+    # one row per key — driver-size; the window over it is trivial
+    offs = counts.select(
+        F.col(on), F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"))
+    numbered = idx.join(F.broadcast(offs), on).select(
+        F.col(on), F.col("_rs").alias("_v"),
+        (F.col("_i") + F.col("_off")).cast("long").alias("cluster_id"))
+    return asof_join(
+        df.withColumn("_v", F.col(start_col).cast("long")),
+        numbered, on="_v", by=on, right_cols=["cluster_id"],
+        direction="backward",
+    ).drop("_v")
+
+
+def make_windows(
+    spark, sizes: dict[str, int], window: int, step: int | None = None,
+    on: str = "chrom", start_col: str = "start", end_col: str = "end",
+    fanout_bp: int = 1 << 22,
+) -> DataFrame:
+    """bedtools-makewindows: tile each key's [0, size) with
+    ``window``-bp windows every ``step`` bp (default: non-overlapping),
+    the last window truncated at the key length; ``win_id`` is the
+    1-based window ordinal per key (bedtools ``-i winnum``).
+
+    Plan shape: the sizes dict is a driver-size dim. A single-row
+    explode of a 3 Gbp chromosome into 3M windows would pin one task,
+    so generation is TWO-LEVEL: explode keys into ``fanout_bp`` blocks
+    (tiny frame, one row per block), repartition on (key, block) to
+    spread them, then explode windows within each block — parallelism
+    scales with genome size, no shuffle beyond the block-frame one."""
+    st = int(window if step is None else step)
+    if st <= 0 or window <= 0:
+        raise ValueError("window and step must be positive")
+    fb = max(int(fanout_bp) // st * st, st)  # block edge on a step grid
+    sz = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(sizes.items())],
+        f"`{on}` string, `_len` long").where(F.col("_len") > 0)
+    blocks = sz.select(
+        F.col(on), "_len",
+        F.explode(F.sequence(
+            F.lit(0).cast("long"),
+            F.floor((F.col("_len") - 1) / fb).cast("long"))).alias("_blk"),
+    ).repartition(F.col(on), F.col("_blk"))
+    first = F.col("_blk") * (fb // st)
+    last = F.least(
+        F.floor((F.col("_len") - 1) / st),
+        (F.col("_blk") + 1) * (fb // st) - 1,
+    ).cast("long")
+    wins = blocks.select(
+        F.col(on), "_len",
+        F.explode(F.sequence(first, last)).alias("_w"))
+    return wins.select(
+        F.col(on),
+        (F.col("_w") * st).cast("long").alias(start_col),
+        F.least(F.col("_w") * st + window, F.col("_len"))
+        .cast("long").alias(end_col),
+        (F.col("_w") + 1).cast("long").alias("win_id"),
+    )
+
+
+def spacing_intervals(
+    df: DataFrame, on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+) -> DataFrame:
+    """bedtools-spacing: each interval plus the gap to the PREVIOUS
+    interval in (key, start, end) sort order — null for the first
+    interval of a key, 0 for bookended or overlapping neighbours
+    (bedtools prints "." and 0 there). One per-key lag window, nothing
+    else; callers with single-contig skew should sessionize through
+    `cluster_intervals`/`merge_intervals` instead — spacing is by
+    definition an ordered-neighbour statistic."""
+    w = Window.partitionBy(on).orderBy(start_col, end_col)
+    prev_end = F.lag(F.col(end_col).cast("long")).over(w)
+    return df.withColumn(
+        "spacing",
+        F.when(prev_end.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.greatest(F.col(start_col).cast("long") - prev_end,
+                              F.lit(0).cast("long"))))
+
+
+def reldist_intervals(
+    a: DataFrame, b: DataFrame, on: str = "chrom",
+    a_start: str = "start", a_end: str = "end",
+    b_start: str = "start", b_end: str = "end",
+    raw: bool = False,
+) -> DataFrame:
+    """bedtools-reldist (Favorov et al. 2012): how the ``a`` intervals
+    distribute relative to the ``b`` landmarks — for each ``a``
+    midpoint strictly between two consecutive ``b`` midpoints, the
+    relative distance ``min(d_prev, d_next) / gap`` (∈ [0, 0.5];
+    uniform placement ⇒ flat histogram). Output: per 0.01-wide bin
+    ``(reldist, count, total, frac)``; ``raw=True`` returns the per-a
+    row frame instead. ``a`` midpoints outside the ``b`` envelope are
+    skipped (both flanks required, bedtools' convention); a midpoint
+    EQUAL to a ``b`` midpoint scores 0.0.
+
+    Plan shape: distinct ``b`` midpoints (duplicates cannot change
+    nearest distances), one backward + one forward as-of join (each a
+    single keyed merge-sort shuffle, `operators/asof.py`), then a
+    30-ish-row histogram agg with map-side partials and a broadcast
+    1×1 total. No all-pairs, no per-key full sort beyond the as-of
+    windows."""
+    amid = a.select(
+        F.col(on),
+        F.floor((F.col(a_start).cast("long") + F.col(a_end).cast("long"))
+                / 2).cast("long").alias("_v"))
+    bmid = b.select(
+        F.col(on),
+        F.floor((F.col(b_start).cast("long") + F.col(b_end).cast("long"))
+                / 2).cast("long").alias("_v")).distinct()
+    prev = asof_join(
+        amid, bmid.withColumn("_pm", F.col("_v")), on="_v", by=on,
+        right_cols=["_pm"], direction="backward")
+    both = asof_join(
+        prev, bmid.withColumn("_nm", F.col("_v")), on="_v", by=on,
+        right_cols=["_nm"], direction="forward")
+    scored = both.where(
+        F.col("_pm").isNotNull() & F.col("_nm").isNotNull()).select(
+        F.col(on),
+        F.when(F.col("_nm") == F.col("_pm"), F.lit(0.0)).otherwise(
+            F.least(F.col("_v") - F.col("_pm"), F.col("_nm") - F.col("_v"))
+            .cast("double") / (F.col("_nm") - F.col("_pm")).cast("double")
+        ).alias("reldist"))
+    if raw:
+        return scored
+    binned = scored.select(
+        (F.floor(F.col("reldist") * 100) / F.lit(100.0)).alias("reldist"))
+    hist = binned.groupBy("reldist").agg(
+        F.count(F.lit(1)).cast("long").alias("count"))
+    tot = hist.agg(F.sum("count").cast("long").alias("total"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "reldist", "count", "total",
+        (F.col("count").cast("double") / F.col("total").cast("double"))
+        .alias("frac"))

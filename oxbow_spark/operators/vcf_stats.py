@@ -101,3 +101,55 @@ def variant_stats(df: DataFrame, ref_col: str = "ref",
         F.when(F.col("n_transversions") > 0,
                F.col("n_transitions").cast("double")
                / F.col("n_transversions").cast("double")))
+
+
+def variant_isec(a: DataFrame, b: DataFrame,
+                 key_cols: tuple[str, ...] = ("chrom", "pos", "ref", "alt"),
+                 ) -> DataFrame:
+    """bcftools-isec site membership (``bcftools isec -c none``: exact
+    key match): per DISTINCT site key, which callsets contain it —
+    ``(*key_cols, in_a, in_b, category)`` with category
+    'a_only' / 'b_only' / 'both'. Callers with array ALTs explode
+    first (bcftools compares the record's allele set; per-allele isec
+    is the exploded form of the same join).
+
+    Plan: distinct per side (map-side partial agg), then ONE full-outer
+    sort-merge join on the key — both sides shuffle once on the same
+    key, no broadcast assumption (callsets are usually the same
+    magnitude). Reference capability: set operations its users run via
+    `bcftools isec` downstream of the VCF/BCF scans
+    (/root/reference/oxbow/src/variant/); the reference engine itself
+    has no join operators (py-oxbow/oxbow/_pyarrow.py:738-774)."""
+    keys = list(key_cols)
+    da = a.select(*keys).distinct().withColumn("_ia", F.lit(1))
+    db = b.select(*keys).distinct().withColumn("_ib", F.lit(1))
+    j = da.join(db, keys, "full_outer")
+    in_a = F.col("_ia").isNotNull()
+    in_b = F.col("_ib").isNotNull()
+    return j.select(
+        *keys,
+        in_a.alias("in_a"), in_b.alias("in_b"),
+        F.when(in_a & in_b, F.lit("both"))
+        .when(in_a, F.lit("a_only"))
+        .otherwise(F.lit("b_only")).alias("category"),
+    )
+
+
+def variant_isec_summary(
+    a: DataFrame, b: DataFrame,
+    key_cols: tuple[str, ...] = ("chrom", "pos", "ref", "alt"),
+) -> DataFrame:
+    """One-row bcftools-isec panel over distinct site keys: ``n_a`` /
+    ``n_b`` (distinct sites per callset), ``n_both`` (shared),
+    ``n_a_only`` / ``n_b_only`` (private). Same single full-outer
+    join as `variant_isec` + one map-side-combined agg."""
+    return variant_isec(a, b, key_cols).agg(
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("n_a"),
+        F.sum(F.col("in_b").cast("long")).cast("long").alias("n_b"),
+        F.sum((F.col("category") == "both").cast("long"))
+        .cast("long").alias("n_both"),
+        F.sum((F.col("category") == "a_only").cast("long"))
+        .cast("long").alias("n_a_only"),
+        F.sum((F.col("category") == "b_only").cast("long"))
+        .cast("long").alias("n_b_only"),
+    )

@@ -2995,7 +2995,149 @@ FROM seg WHERE se IS NOT NULL AND se > ss
 """
 
 
-_IV_ALGEBRA_COLS = {  # superset schema of the eleven interval-algebra ops
+def cluster_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-cluster over a sparse event subset (every 3rd id, 60-s
+    spans): each interval + its global 1-based cluster id, runs built
+    through the CHUNKED (split_bp) merge path."""
+    from oxbow_spark.operators.interval_ops import cluster_intervals
+
+    iv = _events(spark, sf_dir).where(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 60).alias("end"),
+    )
+    return cluster_intervals(iv, split_bp=_GENOMECOV_SPLIT_BP).select(
+        "a_id", "chrom", "start", "end", "cluster_id")
+
+
+CLUSTER_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_id AS aid, event_type AS chrom,
+         {EPOCH_SQL} AS s, {EPOCH_SQL} + 60 AS e
+  FROM events WHERE event_id % 3 = 0
+),
+iv0 AS (SELECT chrom, s, e FROM iv),{_merge_sql_ctes("iv0", "m")},
+num AS (
+  SELECT chrom, ms, me,
+         ROW_NUMBER() OVER (ORDER BY chrom, ms) AS cid
+  FROM m
+)
+SELECT iv.aid AS a_id, iv.chrom, iv.s AS start, iv.e AS "end",
+       CAST(num.cid AS BIGINT) AS cluster_id
+FROM iv JOIN num ON iv.chrom = num.chrom
+  AND iv.s >= num.ms AND iv.e <= num.me
+"""
+
+
+_MAKEWIN_SIZES = {"w1": 100000, "w2": 34567}
+_MAKEWIN_W, _MAKEWIN_STEP = 1000, 700
+
+
+def make_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-makewindows: 1000-bp windows every 700 bp over two
+    literal chrom lengths — the two-level block explode exercised with
+    a small fanout_bp so the hashed row covers the multi-block path."""
+    from oxbow_spark.operators.interval_ops import make_windows
+
+    return make_windows(spark, _MAKEWIN_SIZES, _MAKEWIN_W, _MAKEWIN_STEP,
+                        fanout_bp=1 << 14)
+
+
+MAKEWIN_IV_SQL = f"""
+SELECT t.chrom, CAST(u.s AS BIGINT) AS start,
+       CAST(LEAST(u.s + {_MAKEWIN_W}, t.len) AS BIGINT) AS "end",
+       CAST(u.s // {_MAKEWIN_STEP} + 1 AS BIGINT) AS win_id
+FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in
+                        sorted(_MAKEWIN_SIZES.items()))}) t(chrom, len),
+     LATERAL (SELECT unnest(range(0, t.len, {_MAKEWIN_STEP})) AS s) u
+"""
+
+
+def spacing_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-spacing over the event intervals: gap to the previous
+    interval in (chrom, start, end) order, first-of-chrom -1. The leg
+    carries no row id — full-tie rows swap spacing values freely but
+    the output MULTISET is order-invariant, which is what the hash
+    checks."""
+    from oxbow_spark.operators.interval_ops import spacing_intervals
+
+    iv = _events(spark, sf_dir).select(
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    return spacing_intervals(iv).select(
+        "chrom", "start", "end",
+        F.coalesce("spacing", F.lit(-1)).cast("long").alias("spacing"))
+
+
+SPACING_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+)
+SELECT chrom, start, "end",
+       CAST(CASE WHEN pe IS NULL THEN -1
+                 ELSE GREATEST(start - pe, 0) END AS BIGINT) AS spacing
+FROM (
+  SELECT chrom, s AS start, e AS "end",
+         LAG(e) OVER (PARTITION BY chrom ORDER BY s, e) AS pe
+  FROM iv
+) _l
+"""
+
+
+def reldist_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-reldist: even-id interval midpoints relative to odd-id
+    landmark midpoints, 0.01-binned histogram (count + fraction)."""
+    from oxbow_spark.operators.interval_ops import reldist_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).select("chrom", "start", "end")
+    b = ev.where(F.col("event_id") % 2 == 1).select("chrom", "start", "end")
+    return reldist_intervals(a, b).select(
+        "reldist", F.col("count").alias("n_a_mids"), "frac")
+
+
+RELDIST_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_id, event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),
+am AS (SELECT chrom, (s + e) // 2 AS m FROM iv WHERE event_id % 2 = 0),
+bm AS (SELECT DISTINCT chrom, (s + e) // 2 AS m FROM iv
+       WHERE event_id % 2 = 1),
+pr AS (
+  SELECT am.chrom, am.m, bm.m AS pm
+  FROM am ASOF JOIN bm ON am.chrom = bm.chrom AND bm.m <= am.m
+),
+bo AS (
+  SELECT pr.chrom, pr.m, pr.pm, bm.m AS nm
+  FROM pr ASOF JOIN bm ON pr.chrom = bm.chrom AND bm.m >= pr.m
+),
+sc AS (
+  SELECT CASE WHEN nm = pm THEN 0.0
+              ELSE CAST(LEAST(m - pm, nm - m) AS DOUBLE)
+                   / CAST(nm - pm AS DOUBLE) END AS rd
+  FROM bo
+),
+h AS (
+  SELECT FLOOR(rd * 100) / 100.0 AS reldist, COUNT(*) AS n
+  FROM sc GROUP BY 1
+)
+SELECT reldist, CAST(n AS BIGINT) AS n_a_mids,
+       CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM h) AS DOUBLE) AS frac
+FROM h
+"""
+
+
+_IV_ALGEBRA_COLS = {  # superset schema of the fifteen interval-algebra ops
     "chrom": "string", "start": "long", "end": "long",
     "a_id": "long", "b_id": "long", "n_merged": "long", "distance": "long",
     "n_overlaps": "long", "covered_bp": "long",
@@ -3003,6 +3145,8 @@ _IV_ALGEBRA_COLS = {  # superset schema of the eleven interval-algebra ops
     "intersection_bp": "long", "union_bp": "long", "jaccard": "double",
     "n_intersections": "long",
     "depth": "long", "n_bases": "long",
+    "cluster_id": "long", "win_id": "long", "spacing": "long",
+    "reldist": "double", "n_a_mids": "long", "frac": "double",
 }
 
 
@@ -3024,11 +3168,12 @@ def _iv_tag(df: DataFrame, op: str, renames: dict[str, str]) -> DataFrame:
 
 
 def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All eleven bedtools-style interval-algebra operators (merge /
+    """All fifteen bedtools-style interval-algebra operators (merge /
     intersect / subtract / complement / closest / coverage / jaccard /
-    multiinter / window — operators/interval_ops.py — plus genomecov
-    hist + bga, operators/coverage.py, both via the CHUNKED split_bp
-    sweep) union-tagged into one superset-schema frame so each stays
+    multiinter / window / cluster / makewindows / spacing / reldist —
+    operators/interval_ops.py — plus genomecov hist + bga,
+    operators/coverage.py, both via the CHUNKED split_bp sweep)
+    union-tagged into one superset-schema frame so each stays
     externally hash-checked within the driver's 50-row window."""
     return (
         _iv_tag(merge_intervals_events(spark, sf_dir), "merge", {})
@@ -3053,6 +3198,14 @@ def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "genomecov_hist", {}))
         .unionByName(_iv_tag(genomecov_segments_events(spark, sf_dir),
                              "genomecov_bga", {}))
+        .unionByName(_iv_tag(cluster_intervals_events(spark, sf_dir),
+                             "cluster", {}))
+        .unionByName(_iv_tag(make_windows_events(spark, sf_dir),
+                             "makewindows", {}))
+        .unionByName(_iv_tag(spacing_intervals_events(spark, sf_dir),
+                             "spacing", {}))
+        .unionByName(_iv_tag(reldist_intervals_events(spark, sf_dir),
+                             "reldist", {}))
     )
 
 
@@ -3097,6 +3250,14 @@ def _iv_algebra_sql() -> str:
                     {"chrom", "depth", "n_bases"}),
         _iv_tag_sql(GENOMECOV_BGA_SQL, "genomecov_bga", {},
                     {"chrom", "start", "end", "depth"}),
+        _iv_tag_sql(CLUSTER_IV_SQL, "cluster", {},
+                    {"chrom", "start", "end", "a_id", "cluster_id"}),
+        _iv_tag_sql(MAKEWIN_IV_SQL, "makewindows", {},
+                    {"chrom", "start", "end", "win_id"}),
+        _iv_tag_sql(SPACING_IV_SQL, "spacing", {},
+                    {"chrom", "start", "end", "spacing"}),
+        _iv_tag_sql(RELDIST_IV_SQL, "reldist", {},
+                    {"reldist", "n_a_mids", "frac"}),
     ]
     return "\nUNION ALL\n".join(parts)
 
@@ -3238,22 +3399,74 @@ FROM agg
 """
 
 
+def variant_isec_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bcftools-isec summary panel (operators/vcf_stats.variant_isec_summary)
+    over two overlapping synthetic callsets keyed on (chrom, pos, ref,
+    alt) derived from event ids — the residue split (%5<3 vs %5>1)
+    shares the %5==2 sites, and the pos modulus forces cross-event key
+    collisions so the per-side DISTINCT is exercised."""
+    from oxbow_spark.operators.vcf_stats import variant_isec_summary
+
+    ev = _events(spark, sf_dir).selectExpr(
+        "event_type AS chrom",
+        "event_id % 9973 AS pos",
+        "substring('ACGT', CAST(1 + event_id % 4 AS INT), 1) AS ref",
+        "CASE WHEN event_id % 7 = 0 THEN 'GG' "
+        "ELSE substring('TGCA', CAST(1 + event_id % 4 AS INT), 1) END AS alt",
+        "event_id AS _id",
+    )
+    a = ev.where(F.col("_id") % 5 < 3)
+    b = ev.where(F.col("_id") % 5 > 1)
+    s = variant_isec_summary(a, b)
+    return s.select(*[F.col(c).alias(f"isec_{c}") for c in s.columns])
+
+
+VARIANT_ISEC_SQL = """
+WITH ev AS (
+  SELECT event_type AS chrom, event_id % 9973 AS pos,
+         substr('ACGT', CAST(1 + event_id % 4 AS INT), 1) AS ref,
+         CASE WHEN event_id % 7 = 0 THEN 'GG'
+              ELSE substr('TGCA', CAST(1 + event_id % 4 AS INT), 1)
+         END AS alt,
+         event_id AS id
+  FROM events
+),
+da AS (SELECT DISTINCT chrom, pos, ref, alt, 1 AS ia FROM ev
+       WHERE id % 5 < 3),
+db AS (SELECT DISTINCT chrom, pos, ref, alt, 1 AS ib FROM ev
+       WHERE id % 5 > 1),
+j AS (SELECT ia, ib FROM da FULL JOIN db USING (chrom, pos, ref, alt))
+SELECT CAST(COUNT(ia) AS BIGINT) AS isec_n_a,
+       CAST(COUNT(ib) AS BIGINT) AS isec_n_b,
+       CAST(SUM(CASE WHEN ia IS NOT NULL AND ib IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS isec_n_both,
+       CAST(SUM(CASE WHEN ib IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS isec_n_a_only,
+       CAST(SUM(CASE WHEN ia IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS isec_n_b_only
+FROM j
+"""
+
+
 def align_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """flagstat counter panel ⨯ template/insert-size summary ⨯
-    samtools-stats SN panel ⨯ bcftools-stats variant SN panel (all
-    single-row frames over synthetic alignment/variant columns) — 1×1
-    cross joins keep the four operators inside one verified row."""
+    samtools-stats SN panel ⨯ bcftools-stats variant SN panel ⨯
+    bcftools-isec callset-intersection panel (all single-row frames
+    over synthetic alignment/variant columns) — 1×1 cross joins keep
+    the five operators inside one verified row."""
     return flagstat_events(spark, sf_dir).crossJoin(
         template_stats_events(spark, sf_dir)).crossJoin(
         sn_stats_events(spark, sf_dir)).crossJoin(
-        variant_stats_events(spark, sf_dir))
+        variant_stats_events(spark, sf_dir)).crossJoin(
+        variant_isec_events(spark, sf_dir))
 
 
 def _align_stats_sql() -> str:
     return (f"SELECT * FROM ({_flagstat_sql()}) _f "
             f"CROSS JOIN ({TEMPLATE_SQL}) _t "
             f"CROSS JOIN ({SN_STATS_SQL}) _s "
-            f"CROSS JOIN ({VARIANT_STATS_SQL}) _v")
+            f"CROSS JOIN ({VARIANT_STATS_SQL}) _v "
+            f"CROSS JOIN ({VARIANT_ISEC_SQL}) _i")
 
 
 _LM_ALPHA = 0.5

@@ -755,3 +755,132 @@ def test_sizes_clamp_literal_vs_broadcast_equality(spark):
     plan = slop_b._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "CASE WHEN" not in plan, plan
+
+
+def test_cluster_intervals_hand_case(spark):
+    from oxbow_spark.operators.interval_ops import cluster_intervals
+
+    df = spark.createDataFrame(
+        [(1, "chr1", 1, 5), (2, "chr1", 5, 9), (3, "chr1", 3, 6),
+         (4, "chr1", 20, 25), (5, "chr2", 1, 4), (6, "chr2", 30, 40)],
+        "aid long, chrom string, start long, end long")
+    got = {r.aid: r.cluster_id
+           for r in cluster_intervals(df).collect()}
+    # chrom asc, start asc run order: chr1 [1,9)=1, chr1 [20,25)=2,
+    # chr2 [1,4)=3, chr2 [30,40)=4
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 3, 6: 4}
+    # distance merges the chr1 gap (9 -> 20 is 11 bp)
+    got_d = {r.aid: r.cluster_id
+             for r in cluster_intervals(df, distance=11).collect()}
+    assert got_d == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 3}
+
+
+def _py_cluster(rows):
+    """Brute-force global cluster ids in (chrom, start) order:
+    rows = [(id, chrom, s, e)] -> {id: cluster_id}."""
+    merged = _py_merge([(c, s, e) for _, c, s, e in rows])
+    runs = []
+    for ch in sorted(merged):
+        for s, e in merged[ch]:
+            runs.append((ch, s, e))
+    out = {}
+    for rid, c, s, e in rows:
+        for i, (ch, rs, re_) in enumerate(runs):
+            if ch == c and rs <= s and e <= re_:
+                out[rid] = i + 1
+                break
+    return out
+
+
+def test_cluster_intervals_random_vs_python(spark):
+    import random
+
+    from oxbow_spark.operators.interval_ops import cluster_intervals
+
+    rng = random.Random(61)
+    rows = [(i, f"c{rng.randrange(3)}", s := rng.randrange(0, 1500),
+             s + rng.randrange(1, 200)) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "aid long, chrom string, start long, end long")
+    expect = _py_cluster(rows)
+    got = {r.aid: r.cluster_id for r in cluster_intervals(df).collect()}
+    assert got == expect
+    # chunked run construction is invisible in the ids
+    for bp in (128, 500, 1 << 20):
+        chunked = {r.aid: r.cluster_id
+                   for r in cluster_intervals(df, split_bp=bp).collect()}
+        assert chunked == expect, bp
+
+
+def test_make_windows_hand_and_property(spark):
+    from oxbow_spark.operators.interval_ops import make_windows
+
+    sizes = {"chr1": 2500, "chr2": 999, "chrM": 0}
+    for window, step, fanout in ((1000, None, 1 << 22), (1000, 700, 1024),
+                                 (250, 250, 512), (300, 100, 700)):
+        st = step or window
+        got = sorted(
+            (r.chrom, r.start, r.end, r.win_id)
+            for r in make_windows(spark, sizes, window, step,
+                                  fanout_bp=fanout).collect())
+        expect = sorted(
+            (ch, s, min(s + window, ln), s // st + 1)
+            for ch, ln in sizes.items()
+            for s in range(0, ln, st))
+        assert got == expect, (window, step, fanout)
+
+
+def test_spacing_intervals_hand_case(spark):
+    from oxbow_spark.operators.interval_ops import spacing_intervals
+
+    df = spark.createDataFrame(
+        [("chr1", 0, 10), ("chr1", 10, 20), ("chr1", 15, 30),
+         ("chr1", 50, 60), ("chr2", 5, 8)],
+        "chrom string, start long, end long")
+    got = {(r.chrom, r.start): r.spacing
+           for r in spacing_intervals(df).collect()}
+    # first per chrom: null; bookend: 0; overlap clamps to 0; gap: 20
+    assert got == {("chr1", 0): None, ("chr1", 10): 0, ("chr1", 15): 0,
+                   ("chr1", 50): 20, ("chr2", 5): None}
+
+
+def test_reldist_intervals_random_vs_python(spark):
+    import math
+    import random
+
+    from oxbow_spark.operators.interval_ops import reldist_intervals
+
+    rng = random.Random(71)
+    a_rows = [(f"c{rng.randrange(2)}", s := rng.randrange(0, 2000),
+               s + rng.randrange(1, 120)) for _ in range(150)]
+    b_rows = [(f"c{rng.randrange(2)}", s := rng.randrange(0, 2000),
+               s + rng.randrange(1, 120)) for _ in range(40)]
+    a = spark.createDataFrame(a_rows, "chrom string, start long, end long")
+    b = spark.createDataFrame(b_rows, "chrom string, start long, end long")
+
+    bmids = {}
+    for ch, s, e in b_rows:
+        bmids.setdefault(ch, set()).add((s + e) // 2)
+    scores = []
+    for ch, s, e in a_rows:
+        mids = sorted(bmids.get(ch, ()))
+        m = (s + e) // 2
+        prev = max((x for x in mids if x <= m), default=None)
+        nxt = min((x for x in mids if x >= m), default=None)
+        if prev is None or nxt is None:
+            continue
+        scores.append(0.0 if nxt == prev
+                      else min(m - prev, nxt - m) / (nxt - prev))
+    expect_hist = {}
+    for sc in scores:
+        b_ = math.floor(sc * 100) / 100.0
+        expect_hist[b_] = expect_hist.get(b_, 0) + 1
+    total = sum(expect_hist.values())
+
+    raw = sorted(r.reldist for r in
+                 reldist_intervals(a, b, raw=True).collect())
+    assert raw == pytest.approx(sorted(scores))
+    got = {r.reldist: (r["count"], r.total, r.frac)
+           for r in reldist_intervals(a, b).collect()}
+    assert got == {k: (v, total, pytest.approx(v / total))
+                   for k, v in expect_hist.items()}

@@ -116,3 +116,54 @@ def test_variant_stats_comma_string_alt(spark):
     assert (r.n_records, r.n_multiallelic_sites, r.n_no_alts) == (3, 1, 1)
     assert r.n_transitions == 2 and r.n_transversions == 1
     assert r.ts_tv == pytest.approx(2.0)
+
+
+def test_variant_isec_hand_case(spark):
+    from oxbow_spark.operators.vcf_stats import (variant_isec,
+                                                 variant_isec_summary)
+
+    a = spark.createDataFrame(
+        [("chr1", 100, "A", "G"), ("chr1", 100, "A", "G"),  # dup collapses
+         ("chr1", 200, "C", "T"), ("chr2", 50, "G", "GA")],
+        "chrom string, pos long, ref string, alt string")
+    b = spark.createDataFrame(
+        [("chr1", 100, "A", "G"),            # shared
+         ("chr1", 200, "C", "A"),            # same pos, different alt
+         ("chr3", 10, "T", "C")],
+        "chrom string, pos long, ref string, alt string")
+    got = {(r.chrom, r.pos, r.ref, r.alt): r.category
+           for r in variant_isec(a, b).collect()}
+    assert got == {
+        ("chr1", 100, "A", "G"): "both",
+        ("chr1", 200, "C", "T"): "a_only",
+        ("chr2", 50, "G", "GA"): "a_only",
+        ("chr1", 200, "C", "A"): "b_only",
+        ("chr3", 10, "T", "C"): "b_only",
+    }
+    s = variant_isec_summary(a, b).collect()[0]
+    assert (s.n_a, s.n_b, s.n_both, s.n_a_only, s.n_b_only) == (3, 3, 1, 2, 2)
+
+
+def test_variant_isec_random_vs_python(spark):
+    import random
+
+    from oxbow_spark.operators.vcf_stats import variant_isec
+
+    rng = random.Random(83)
+
+    def mk(n):
+        return [(f"chr{rng.randrange(3)}", rng.randrange(40),
+                 rng.choice("ACGT"), rng.choice(["A", "T", "GG"]))
+                for _ in range(n)]
+
+    ra, rb = mk(120), mk(90)
+    a = spark.createDataFrame(
+        ra, "chrom string, pos long, ref string, alt string")
+    b = spark.createDataFrame(
+        rb, "chrom string, pos long, ref string, alt string")
+    sa, sb = set(ra), set(rb)
+    expect = {k: ("both" if k in sb else "a_only") for k in sa}
+    expect.update({k: "b_only" for k in sb - sa})
+    got = {(r.chrom, r.pos, r.ref, r.alt): r.category
+           for r in variant_isec(a, b).collect()}
+    assert got == expect
