@@ -931,3 +931,41 @@ def reldist_intervals(
         "reldist", "count", "total",
         (F.col("count").cast("double") / F.col("total").cast("double"))
         .alias("frac"))
+
+
+def shuffle_intervals(
+    df: DataFrame, sizes: dict[str, int], on: str = "chrom",
+    start_col: str = "start", end_col: str = "end",
+    seed: str = "", id_col: str | None = None,
+) -> DataFrame:
+    """bedtools-shuffle ``-chrom`` mode: every interval keeps its key
+    and LENGTH but moves to a deterministic pseudo-random start,
+    uniform over [0, size − len] — the permutation-test null model fed
+    to `jaccard_intervals` / `reldist_intervals`. The "RNG" is the
+    first 15 md5 hex digits of (seed ‖ key ‖ start ‖ end ‖ id) modulo
+    the placement range: a pure per-row expression — no shuffle, no
+    UDF, engine-portable, stable under repartitioning and reruns
+    (pass ``id_col`` to decorrelate identical rows). Intervals longer
+    than their key's size pin to start 0 (bedtools errors there;
+    pinning keeps the operator total); keys absent from ``sizes``
+    are dropped, like bedtools with a genome file."""
+    spark = df.sparkSession
+    sz = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(sizes.items())],
+        f"`{on}` string, `_size` long")
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    ln = (e - s).alias("_len")
+    parts = [F.lit(seed), F.col(on), F.lit(":"), s.cast("string"),
+             F.lit("-"), e.cast("string")]
+    if id_col is not None:
+        parts += [F.lit("#"), F.col(id_col).cast("string")]
+    h = F.conv(F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10) \
+        .cast("long")
+    base = df.join(F.broadcast(sz), on).withColumn("_len", e - s)
+    room = F.col("_size") - F.col("_len")
+    ns = F.when(room > 0, h % (room + 1)) \
+        .otherwise(F.lit(0)).cast("long")
+    keep = [c for c in df.columns if c not in (start_col, end_col)]
+    return base.select(
+        *keep, ns.alias(start_col), (ns + F.col("_len")).alias(end_col))

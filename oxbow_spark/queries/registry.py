@@ -3137,7 +3137,52 @@ FROM h
 """
 
 
-_IV_ALGEBRA_COLS = {  # superset schema of the fifteen interval-algebra ops
+_SHUFFLE_SIZES = {"click": 100000, "error": 5000, "purchase": 250,
+                  "signup": 70000, "view": 12345}
+
+
+def shuffle_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-shuffle (-chrom) over the even-id event intervals: each
+    keeps chrom + length, md5-deterministic uniform restart within the
+    literal chrom sizes — 'purchase' (250 < the 300-s span) exercises
+    the pin-to-0 branch."""
+    from oxbow_spark.operators.interval_ops import shuffle_intervals
+
+    iv = _events(spark, sf_dir).where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    return shuffle_intervals(iv, _SHUFFLE_SIZES, id_col="a_id")
+
+
+SHUFFLE_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_id AS aid, event_type AS chrom,
+         {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events WHERE event_id % 2 = 0
+),
+sz AS (SELECT * FROM (VALUES {", ".join(
+    f"('{k}', {v})" for k, v in sorted(_SHUFFLE_SIZES.items()))})
+       t(chrom, size)),
+pl AS (
+  SELECT aid, iv.chrom, e - s AS len,
+         CASE WHEN size - (e - s) > 0 THEN
+           CAST(('0x' || substr(md5(iv.chrom || ':'
+                 || CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR)
+                 || '#' || CAST(aid AS VARCHAR)), 1, 15)) AS BIGINT)
+           % (size - (e - s) + 1)
+         ELSE 0 END AS ns
+  FROM iv JOIN sz ON iv.chrom = sz.chrom
+)
+SELECT aid AS a_id, chrom, CAST(ns AS BIGINT) AS start,
+       CAST(ns + len AS BIGINT) AS "end"
+FROM pl
+"""
+
+
+_IV_ALGEBRA_COLS = {  # superset schema of the sixteen interval-algebra ops
     "chrom": "string", "start": "long", "end": "long",
     "a_id": "long", "b_id": "long", "n_merged": "long", "distance": "long",
     "n_overlaps": "long", "covered_bp": "long",
@@ -3168,9 +3213,10 @@ def _iv_tag(df: DataFrame, op: str, renames: dict[str, str]) -> DataFrame:
 
 
 def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All fifteen bedtools-style interval-algebra operators (merge /
+    """All sixteen bedtools-style interval-algebra operators (merge /
     intersect / subtract / complement / closest / coverage / jaccard /
-    multiinter / window / cluster / makewindows / spacing / reldist —
+    multiinter / window / cluster / makewindows / spacing / reldist /
+    shuffle —
     operators/interval_ops.py — plus genomecov hist + bga,
     operators/coverage.py, both via the CHUNKED split_bp sweep)
     union-tagged into one superset-schema frame so each stays
@@ -3206,6 +3252,8 @@ def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "spacing", {}))
         .unionByName(_iv_tag(reldist_intervals_events(spark, sf_dir),
                              "reldist", {}))
+        .unionByName(_iv_tag(shuffle_intervals_events(spark, sf_dir),
+                             "shuffle", {}))
     )
 
 
@@ -3258,6 +3306,8 @@ def _iv_algebra_sql() -> str:
                     {"chrom", "start", "end", "spacing"}),
         _iv_tag_sql(RELDIST_IV_SQL, "reldist", {},
                     {"reldist", "n_a_mids", "frac"}),
+        _iv_tag_sql(SHUFFLE_IV_SQL, "shuffle", {},
+                    {"chrom", "start", "end", "a_id"}),
     ]
     return "\nUNION ALL\n".join(parts)
 

@@ -884,3 +884,46 @@ def test_reldist_intervals_random_vs_python(spark):
            for r in reldist_intervals(a, b).collect()}
     assert got == {k: (v, total, pytest.approx(v / total))
                    for k, v in expect_hist.items()}
+
+
+def test_shuffle_intervals_properties(spark):
+    import hashlib
+
+    from oxbow_spark.operators.interval_ops import shuffle_intervals
+
+    sizes = {"chr1": 1000, "chr2": 50}
+    rows = [(1, "chr1", 100, 200), (2, "chr1", 100, 200),
+            (3, "chr1", 0, 37), (4, "chr2", 10, 20),
+            (5, "chr2", 0, 80),      # longer than chr2: pins to 0
+            (6, "chrX", 5, 9)]       # not in sizes: dropped
+    df = spark.createDataFrame(
+        rows, "aid long, chrom string, start long, end long")
+
+    def expect_start(ch, s, e, seed="", rid=None):
+        ln, size = e - s, sizes[ch]
+        if ln >= size:
+            return 0
+        key = f"{seed}{ch}:{s}-{e}" + (f"#{rid}" if rid is not None else "")
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        return h % (size - ln + 1)
+
+    got = {r.aid: (r.chrom, r.start, r.end)
+           for r in shuffle_intervals(df, sizes).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for rid, ch, s, e in rows[:5]:
+        ns = expect_start(ch, s, e)
+        assert got[rid] == (ch, ns, ns + (e - s)), rid
+    # identical rows co-place without id_col, decorrelate with it
+    assert got[1] == got[2]
+    with_id = {r.aid: r.start
+               for r in shuffle_intervals(df, sizes,
+                                          id_col="aid").collect()}
+    assert with_id[1] == expect_start("chr1", 100, 200, rid=1)
+    assert with_id[2] == expect_start("chr1", 100, 200, rid=2)
+    # placement always fits; length preserved
+    for rid, (ch, ns, ne) in got.items():
+        assert 0 <= ns and ne <= max(sizes[ch], ne - ns)
+    # seeded draws differ
+    seeded = {r.aid: r.start
+              for r in shuffle_intervals(df, sizes, seed="s1").collect()}
+    assert seeded[1] == expect_start("chr1", 100, 200, seed="s1")
