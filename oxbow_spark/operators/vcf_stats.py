@@ -153,3 +153,46 @@ def variant_isec_summary(
         F.sum((F.col("category") == "b_only").cast("long"))
         .cast("long").alias("n_b_only"),
     )
+
+
+def merge_callsets(
+    sets: dict[str, DataFrame],
+    key_cols: tuple[str, ...] = ("chrom", "pos", "ref", "alt"),
+    gt_col: str = "gt",
+) -> DataFrame:
+    """bcftools-merge (``-m none`` exact-key flavor) over N labelled
+    single-sample callsets: one row per DISTINCT site key with
+    ``gts`` — a map from callset label to its genotype (absent
+    callsets simply missing, bcftools' ``./.``), ``n_called`` (how
+    many callsets carry the site) and ``samples`` (comma-joined sorted
+    labels). Duplicate keys within one callset keep the minimum
+    genotype string (deterministic; bcftools errors on those —
+    normalize first for full parity).
+
+    Plan: tagged union of the N inputs (no join tree — N-way merges
+    are ONE shuffle on the site key, not N−1 full-outer joins), then a
+    single groupBy with map-side partial aggs; the per-site map builds
+    from a sorted struct array, so output is engine-deterministic.
+    Reference capability: cohort merging its users run via `bcftools
+    merge` downstream of VCF/BCF scans; the reference engine has no
+    joins (py-oxbow/oxbow/_pyarrow.py:738-774)."""
+    if not sets:
+        raise ValueError("merge_callsets needs at least one callset")
+    keys = list(key_cols)
+    tagged = None
+    for label, df in sets.items():
+        part = df.select(
+            *keys, F.lit(str(label)).alias("_lab"),
+            F.col(gt_col).cast("string").alias("_gt"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    per = tagged.groupBy(*keys, "_lab").agg(F.min("_gt").alias("_gt"))
+    merged = per.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("_lab").alias("label"), F.col("_gt").alias("gt")))))
+        .alias("gts"),
+        F.count(F.lit(1)).cast("long").alias("n_called"),
+        F.array_join(F.array_sort(F.collect_list("_lab")), ",")
+        .alias("samples"),
+    )
+    return merged

@@ -3498,17 +3498,106 @@ FROM j
 """
 
 
+def variant_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bcftools-merge panel (operators/vcf_stats.merge_callsets) over
+    THREE overlapping synthetic callsets: site counts by sharing degree
+    plus an ORDER-INDEPENDENT content checksum — per merged site, the
+    first 8 md5 hex digits of its canonical 'key|samples|label=gt,…'
+    string summed as longs (a distributable digest of the full gts
+    maps: no collect, no global sort, map-side combinable)."""
+    from oxbow_spark.operators.vcf_stats import merge_callsets
+
+    ev = _events(spark, sf_dir).selectExpr(
+        "event_type AS chrom",
+        "event_id % 9973 AS pos",
+        "substring('ACGT', CAST(1 + event_id % 4 AS INT), 1) AS ref",
+        "CASE WHEN event_id % 7 = 0 THEN 'GG' "
+        "ELSE substring('TGCA', CAST(1 + event_id % 4 AS INT), 1) END AS alt",
+        "element_at(array('0/0', '0/1', '1/1'), "
+        "CAST(1 + event_id % 3 AS INT)) AS gt",
+        "event_id AS _id",
+    )
+    sets = {
+        "s0": ev.where(F.col("_id") % 4 < 2),
+        "s1": ev.where(F.col("_id") % 3 < 2),
+        "s2": ev.where(F.col("_id") % 5 < 2),
+    }
+    m = merge_callsets(sets)
+    gl = F.array_join(
+        F.transform(F.map_entries("gts"),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"])),
+        ",")
+    digest = F.concat(
+        F.col("chrom"), F.lit(":"), F.col("pos").cast("string"),
+        F.lit(":"), F.col("ref"), F.lit(":"), F.col("alt"),
+        F.lit("|"), F.col("samples"), F.lit("|"), gl)
+    h = F.conv(F.substring(F.md5(digest), 1, 8), 16, 10).cast("long")
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("merge_n_sites"),
+        F.sum((F.col("n_called") == 3).cast("long"))
+        .cast("long").alias("merge_n_all"),
+        F.sum((F.col("n_called") == 1).cast("long"))
+        .cast("long").alias("merge_n_singleton"),
+        F.sum("n_called").cast("long").alias("merge_n_calls"),
+        F.sum(h).cast("long").alias("merge_gt_checksum"),
+    )
+
+
+VARIANT_MERGE_SQL = """
+WITH ev AS (
+  SELECT event_type AS chrom, event_id % 9973 AS pos,
+         substr('ACGT', CAST(1 + event_id % 4 AS INT), 1) AS ref,
+         CASE WHEN event_id % 7 = 0 THEN 'GG'
+              ELSE substr('TGCA', CAST(1 + event_id % 4 AS INT), 1)
+         END AS alt,
+         (['0/0', '0/1', '1/1'])[CAST(1 + event_id % 3 AS INT)] AS gt,
+         event_id AS id
+  FROM events
+),
+tagged AS (
+  SELECT chrom, pos, ref, alt, 's0' AS lab, gt FROM ev WHERE id % 4 < 2
+  UNION ALL
+  SELECT chrom, pos, ref, alt, 's1', gt FROM ev WHERE id % 3 < 2
+  UNION ALL
+  SELECT chrom, pos, ref, alt, 's2', gt FROM ev WHERE id % 5 < 2
+),
+per AS (
+  SELECT chrom, pos, ref, alt, lab, MIN(gt) AS gt
+  FROM tagged GROUP BY chrom, pos, ref, alt, lab
+),
+m AS (
+  SELECT chrom, pos, ref, alt, COUNT(*) AS n_called,
+         STRING_AGG(lab, ',' ORDER BY lab) AS samples,
+         STRING_AGG(lab || '=' || gt, ',' ORDER BY lab) AS gl
+  FROM per GROUP BY chrom, pos, ref, alt
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS merge_n_sites,
+       CAST(SUM(CASE WHEN n_called = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS merge_n_all,
+       CAST(SUM(CASE WHEN n_called = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS merge_n_singleton,
+       CAST(SUM(n_called) AS BIGINT) AS merge_n_calls,
+       CAST(SUM(CAST(('0x' || substr(md5(
+         chrom || ':' || CAST(pos AS VARCHAR) || ':' || ref || ':' || alt
+         || '|' || samples || '|' || gl), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS merge_gt_checksum
+FROM m
+"""
+
+
 def align_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """flagstat counter panel ⨯ template/insert-size summary ⨯
     samtools-stats SN panel ⨯ bcftools-stats variant SN panel ⨯
-    bcftools-isec callset-intersection panel (all single-row frames
-    over synthetic alignment/variant columns) — 1×1 cross joins keep
-    the five operators inside one verified row."""
+    bcftools-isec callset-intersection panel ⨯ bcftools-merge cohort
+    panel (all single-row frames over synthetic alignment/variant
+    columns) — 1×1 cross joins keep the six operators inside one
+    verified row."""
     return flagstat_events(spark, sf_dir).crossJoin(
         template_stats_events(spark, sf_dir)).crossJoin(
         sn_stats_events(spark, sf_dir)).crossJoin(
         variant_stats_events(spark, sf_dir)).crossJoin(
-        variant_isec_events(spark, sf_dir))
+        variant_isec_events(spark, sf_dir)).crossJoin(
+        variant_merge_events(spark, sf_dir))
 
 
 def _align_stats_sql() -> str:
@@ -3516,7 +3605,8 @@ def _align_stats_sql() -> str:
             f"CROSS JOIN ({TEMPLATE_SQL}) _t "
             f"CROSS JOIN ({SN_STATS_SQL}) _s "
             f"CROSS JOIN ({VARIANT_STATS_SQL}) _v "
-            f"CROSS JOIN ({VARIANT_ISEC_SQL}) _i")
+            f"CROSS JOIN ({VARIANT_ISEC_SQL}) _i "
+            f"CROSS JOIN ({VARIANT_MERGE_SQL}) _m")
 
 
 _LM_ALPHA = 0.5

@@ -167,3 +167,54 @@ def test_variant_isec_random_vs_python(spark):
     got = {(r.chrom, r.pos, r.ref, r.alt): r.category
            for r in variant_isec(a, b).collect()}
     assert got == expect
+
+
+def test_merge_callsets_hand_case(spark):
+    from oxbow_spark.operators.vcf_stats import merge_callsets
+
+    s1 = spark.createDataFrame(
+        [("chr1", 100, "A", "G", "0/1"),
+         ("chr1", 100, "A", "G", "0/0"),   # dup key: min gt wins
+         ("chr1", 200, "C", "T", "1/1")],
+        "chrom string, pos long, ref string, alt string, gt string")
+    s2 = spark.createDataFrame(
+        [("chr1", 100, "A", "G", "1/1"),
+         ("chr2", 5, "G", "GA", "0/1")],
+        "chrom string, pos long, ref string, alt string, gt string")
+    s3 = spark.createDataFrame(
+        [("chr1", 200, "C", "T", "0/1")],
+        "chrom string, pos long, ref string, alt string, gt string")
+    out = {(r.chrom, r.pos, r.ref, r.alt):
+           (dict(r.gts), r.n_called, r.samples)
+           for r in merge_callsets({"a": s1, "b": s2, "c": s3}).collect()}
+    assert out == {
+        ("chr1", 100, "A", "G"): ({"a": "0/0", "b": "1/1"}, 2, "a,b"),
+        ("chr1", 200, "C", "T"): ({"a": "1/1", "c": "0/1"}, 2, "a,c"),
+        ("chr2", 5, "G", "GA"): ({"b": "0/1"}, 1, "b"),
+    }
+
+
+def test_merge_callsets_random_vs_python(spark):
+    import random
+
+    from oxbow_spark.operators.vcf_stats import merge_callsets
+
+    rng = random.Random(91)
+    sets, py = {}, {}
+    for lab in ("s0", "s1", "s2", "s3"):
+        rows = [(f"chr{rng.randrange(2)}", rng.randrange(25),
+                 "A", "G", rng.choice(["0/0", "0/1", "1/1"]))
+                for _ in range(60)]
+        sets[lab] = spark.createDataFrame(
+            rows,
+            "chrom string, pos long, ref string, alt string, gt string")
+        for ch, pos, ref, alt, gt in rows:
+            k = (ch, pos, ref, alt)
+            cur = py.setdefault(k, {})
+            cur[lab] = min(cur.get(lab, gt), gt)
+    got = {(r.chrom, r.pos, r.ref, r.alt):
+           (dict(r.gts), r.n_called, r.samples)
+           for r in merge_callsets(sets).collect()}
+    expect = {k: (v, len(v), ",".join(sorted(v)))
+              for k, v in py.items()}
+    assert got == expect
