@@ -297,3 +297,53 @@ def test_jaccard_multiinter_window_plan_shapes(spark, sf):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p), p
+
+
+def test_round9_interval_verbs_plan_shapes(spark, sf):
+    """cluster / makewindows / spacing / reldist / shuffle keep the
+    discipline: no cartesian or nested-loop joins anywhere; shuffle is
+    a pure Project over one broadcast sizes join (zero Exchange beyond
+    the broadcast); cluster's chunked merge windows key on (chrom,
+    chunk) and its chrom-offset join is a broadcast."""
+    for fn in (R.cluster_intervals_events, R.spacing_intervals_events):
+        p = _plan(fn(spark, sf))
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+
+    # reldist's one BroadcastNestedLoopJoin is the 1-row histogram
+    # total rider (jaccard's single-row-combiner pattern, by design)
+    p = _plan(R.reldist_intervals_events(spark, sf))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+
+    p = _plan(R.shuffle_intervals_events(spark, sf))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "Exchange hashpartitioning" not in p, p   # no real shuffle
+
+    p = _plan(R.make_windows_events(spark, sf))
+    assert "Join" not in p, p                        # generator only
+    assert p.count("Generate explode") >= 2, p       # two-level fan-out
+
+    # the main merge pass must window on (chrom, chunk); the tiny
+    # stitch re-merge and the per-chrom run numbering legitimately
+    # window on chrom alone (both are O(runs), not corpus-sized)
+    o = _opt(R.cluster_intervals_events(spark, sf))
+    w_specs = [ln for ln in o.splitlines()
+               if "windowspecdefinition" in ln and "_s#" in ln]
+    assert any("_k#" in ln for ln in w_specs), o
+
+
+def test_variant_isec_merge_plan_shapes(spark, sf):
+    """isec's full-outer join and merge's single groupBy tree: no
+    cartesian, no nested loop, and merge never builds a join at all
+    (tagged union + aggregate only)."""
+    p = _plan(R.variant_isec_events(spark, sf))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "FullOuter" in p, p
+
+    p = _plan(R.variant_merge_events(spark, sf))
+    assert "Join" not in p, p
+    assert "Union" in p, p
