@@ -482,3 +482,86 @@ def test_pq_topk_plan_no_cartesian_broadcast_queries(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan2 and "NestedLoop" not in plan2, plan2
     assert "BroadcastHashJoin" in plan2, plan2
+
+
+def test_exact_prefilter_bit_identical_near_threshold(spark):
+    """The fast-prefilter + exact-rescore path must equal brute exact
+    scoring EXACTLY, including pairs engineered to sit within 1e-9 of
+    the threshold (where a sloppy prefilter margin would flip the drop
+    set). Built by placing vectors at controlled angles around
+    cos = t."""
+    import math
+    import random
+
+    t = 0.35
+    rng = random.Random(7)
+    rows = []
+    # pairs at cos = t ± {0, 1e-12, 1e-9, 1e-6, 1e-3}: v1 on axis 0,
+    # v2 rotated by exactly the target angle in the (0, j) plane
+    vid = 0
+    for j, delta in enumerate([0.0, 1e-12, -1e-12, 1e-9, -1e-9,
+                               1e-6, -1e-6, 1e-3, -1e-3]):
+        c = min(1.0, max(-1.0, t + delta))
+        s = math.sqrt(1 - c * c)
+        d = 8
+        v1 = [0.0] * d; v1[0] = 1.0
+        v2 = [0.0] * d; v2[0] = c; v2[1 + (j % (d - 1))] = s
+        # scale breaks unit-norm assumptions in the margin
+        sc1, sc2 = rng.choice([0.5, 1.0, 3.0]), rng.choice([0.5, 1.0, 2.0])
+        rows.append((vid, [x * sc1 for x in v1])); vid += 1
+        rows.append((vid, [x * sc2 for x in v2])); vid += 1
+    for _ in range(40):  # background noise vectors
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(8)])); vid += 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    cents = [[1.0] + [0.0] * 7]          # ONE cluster: every pair forms
+
+    got = sorted(tuple(r) for r in S.semantic_dup_drops(
+        df, cents, threshold=t).collect())
+    # brute exact: bypass the prefilter by rebuilding the pair stage
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    n = S._cluster_sim_frame(df, cents, "embedding", "vec_id",
+                             "auto", True)
+    a = n.select(F.col("_id").alias("_id_a"), F.col("_v").alias("_av"),
+                 F.col("_nrm").alias("_an"), "cluster",
+                 F.col("_csim").alias("_csim_a"))
+    b = n.select(F.col("_id").alias("_id_b"), F.col("_v").alias("_bv"),
+                 F.col("_nrm").alias("_bn"), "cluster",
+                 F.col("_csim").alias("_csim_b"))
+    prio = (F.col("_csim_a") < F.col("_csim_b")) | (
+        (F.col("_csim_a") == F.col("_csim_b"))
+        & (F.col("_id_a") < F.col("_id_b")))
+    cos = S._exact_dot(F.col("_av"), F.col("_bv")) \
+        / F.sqrt(F.col("_an") * F.col("_bn"))
+    cand = (a.join(b, "cluster").where(prio)
+            .withColumn("_cos", cos).where(F.col("_cos") >= t))
+    w = Window.partitionBy("_id_b").orderBy("_csim_a", "_id_a")
+    brute = (cand.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1)
+             .select(F.col("_id_b").alias("vec_id"), "cluster",
+                     F.col("_id_a").alias("kept_id"),
+                     F.round("_cos", 6).alias("cos")))
+    want = sorted(tuple(r) for r in brute.collect())
+    assert got == want and got
+
+    # same law for the bucketed pair generator
+    planes = [[1.0] + [0.0] * 7]
+    got_p = sorted(tuple(r) for r in S.embedding_neardup_pairs(
+        df, planes, threshold=t).collect())
+    c = S.hyperplane_bucket(df, planes, "embedding")
+    aa = c.select("bucket", F.col("vec_id").alias("id_a"),
+                  F.col("embedding").alias("_av"),
+                  S._exact_norm2(F.col("embedding")).alias("_an"))
+    bb = c.select("bucket", F.col("vec_id").alias("id_b"),
+                  F.col("embedding").alias("_bv"),
+                  S._exact_norm2(F.col("embedding")).alias("_bn"))
+    cos2 = S._exact_dot(F.col("_av"), F.col("_bv")) \
+        / F.sqrt(F.col("_an") * F.col("_bn"))
+    brute_p = (aa.join(bb, "bucket").where(F.col("id_a") < F.col("id_b"))
+               .select("id_a", "id_b", cos2.alias("_cos"))
+               .where(F.col("_cos") >= t)
+               .select("id_a", "id_b", F.round("_cos", 6).alias("cos")))
+    want_p = sorted(tuple(r) for r in brute_p.collect())
+    assert got_p == want_p and got_p
