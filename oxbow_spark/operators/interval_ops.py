@@ -261,7 +261,7 @@ def closest_intervals(
     a: DataFrame, b: DataFrame, bin_size: int, on: str = "chrom",
     a_start: str = "start", a_end: str = "end", a_id: str = "a_id",
     b_start: str = "start", b_end: str = "end", b_id: str = "b_id",
-    k: int = 1,
+    k: int = 1, split_bp: int | None = None,
 ) -> DataFrame:
     """bedtools-closest: for each ``a`` interval, the nearest ``b``
     interval on the same key and the distance to it — 0 when they
@@ -276,6 +276,9 @@ def closest_intervals(
     preceding via a backward as-of on (a.start vs b.end), nearest
     following via a forward as-of on (a.end vs b.start) — each ONE
     keyed shuffle; a final per-a-row window picks min (distance, b_id).
+    ``split_bp`` chunks both as-of windows on (chrom, floor(pos/split))
+    so a single hot contig never pins one window task
+    (`operators/asof.py` split_on — bit-identical, property-tested).
     """
     aa = a.select(
         F.col(a_id).alias("_aid"), F.col(on).alias("_on"),
@@ -303,7 +306,7 @@ def closest_intervals(
     prev = asof_join(
         aa.withColumnRenamed("_as", "_bv"),
         prev_b, on="_bv", by="_on", direction="backward",
-        right_cols=["_bid", "_bend"],
+        right_cols=["_bid", "_bend"], split_on=split_bp,
     ).where(F.col("_bid").isNotNull()).select(
         "_aid", "_on", F.col("_bv").alias("_as"), "_ae", "_bid",
         (F.col("_bv") - F.col("_bend")).cast("long").alias("_dist"),
@@ -317,7 +320,7 @@ def closest_intervals(
     nxt = asof_join(
         aa.withColumnRenamed("_ae", "_bv"),
         next_b, on="_bv", by="_on", direction="forward",
-        right_cols=["_bid", "_bstart"],
+        right_cols=["_bid", "_bstart"], split_on=split_bp,
     ).where(F.col("_bid").isNotNull()).select(
         "_aid", "_on", "_as", F.col("_bv").alias("_ae"), "_bid",
         (F.col("_bstart") - F.col("_bv")).cast("long").alias("_dist"),
@@ -881,7 +884,7 @@ def reldist_intervals(
     a: DataFrame, b: DataFrame, on: str = "chrom",
     a_start: str = "start", a_end: str = "end",
     b_start: str = "start", b_end: str = "end",
-    raw: bool = False,
+    raw: bool = False, split_bp: int | None = None,
 ) -> DataFrame:
     """bedtools-reldist (Favorov et al. 2012): how the ``a`` intervals
     distribute relative to the ``b`` landmarks — for each ``a``
@@ -898,7 +901,8 @@ def reldist_intervals(
     single keyed merge-sort shuffle, `operators/asof.py`), then a
     30-ish-row histogram agg with map-side partials and a broadcast
     1×1 total. No all-pairs, no per-key full sort beyond the as-of
-    windows."""
+    windows; ``split_bp`` chunks those windows on (chrom, chunk) for
+    single-contig skew (asof_join's split_on, bit-identical)."""
     amid = a.select(
         F.col(on),
         F.floor((F.col(a_start).cast("long") + F.col(a_end).cast("long"))
@@ -909,10 +913,10 @@ def reldist_intervals(
                 / 2).cast("long").alias("_v")).distinct()
     prev = asof_join(
         amid, bmid.withColumn("_pm", F.col("_v")), on="_v", by=on,
-        right_cols=["_pm"], direction="backward")
+        right_cols=["_pm"], direction="backward", split_on=split_bp)
     both = asof_join(
         prev, bmid.withColumn("_nm", F.col("_v")), on="_v", by=on,
-        right_cols=["_nm"], direction="forward")
+        right_cols=["_nm"], direction="forward", split_on=split_bp)
     scored = both.where(
         F.col("_pm").isNotNull() & F.col("_nm").isNotNull()).select(
         F.col(on),

@@ -760,7 +760,9 @@ FROM g WHERE gs IS NOT NULL AND ge > gs
 
 def closest_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bedtools-closest: nearest odd-id interval for each even-id one
-    (overlap + two as-of candidate passes, min (distance, b_id))."""
+    (overlap + two as-of candidate passes, min (distance, b_id)) — the
+    as-of passes run CHUNKED (split_bp) against the oracle's plain
+    per-chrom formulation, hashing the (chrom, chunk) scale path."""
     from oxbow_spark.operators.interval_ops import closest_intervals
 
     ev = _events(spark, sf_dir).select(
@@ -773,7 +775,7 @@ def closest_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("a_id"), "chrom", "start", "end")
     b = ev.where(F.col("event_id") % 2 == 1).select(
         F.col("event_id").alias("b_id"), "chrom", "start", "end")
-    return closest_intervals(a, b, bin_size=512)
+    return closest_intervals(a, b, bin_size=512, split_bp=1 << 16)
 
 
 CLOSEST_IV_SQL = f"""
@@ -3090,7 +3092,9 @@ FROM (
 
 def reldist_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bedtools-reldist: even-id interval midpoints relative to odd-id
-    landmark midpoints, 0.01-binned histogram (count + fraction)."""
+    landmark midpoints, 0.01-binned histogram (count + fraction) — the
+    two as-of passes run CHUNKED (split_bp) against the oracle's plain
+    ASOF JOIN, hashing the (chrom, chunk) scale path."""
     from oxbow_spark.operators.interval_ops import reldist_intervals
 
     ev = _events(spark, sf_dir).select(
@@ -3101,7 +3105,7 @@ def reldist_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ev.where(F.col("event_id") % 2 == 0).select("chrom", "start", "end")
     b = ev.where(F.col("event_id") % 2 == 1).select("chrom", "start", "end")
-    return reldist_intervals(a, b).select(
+    return reldist_intervals(a, b, split_bp=_GENOMECOV_SPLIT_BP).select(
         "reldist", F.col("count").alias("n_a_mids"), "frac")
 
 

@@ -4,6 +4,8 @@ JOIN at scale; these are the small hand-checked cases."""
 
 from __future__ import annotations
 
+import pytest
+
 from oxbow_spark.operators.asof import asof_join
 
 
@@ -55,3 +57,74 @@ def test_no_by_group(spark):
     right = spark.createDataFrame([(3, 1.0), (9, 2.0)], "t long, v double")
     out = asof_join(left, right, on="t", right_cols=["v"])
     assert _rows(out) == [(10, "L", 2.0)]
+
+
+def _py_asof(lefts, rights, backward=True):
+    """Brute reference: lefts/rights = [(by, on, payload)] ->
+    {(by, on, lpay): rpay or None} computed per left ROW (inputs have
+    unique (by, on) per side in these tests)."""
+    out = {}
+    for b, o, lp in lefts:
+        cands = [(ro, rp) for rb, ro, rp in rights
+                 if rb == b and (ro <= o if backward else ro >= o)]
+        if not cands:
+            out[(b, o, lp)] = None
+        else:
+            key = max(cands) if backward else min(cands)
+            out[(b, o, lp)] = key[1]
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_split_on_equals_plain_random(spark, direction):
+    """Chunked (split_on) as-of ≡ plain for both directions across
+    chunk widths — incl. values exactly on chunk edges, left-only and
+    right-only chunks, empty-carry heads, and exact left/right ties."""
+    import random
+
+    rng = random.Random(101)
+    backward = direction == "backward"
+    lefts, rights = [], []
+    for b in ("u1", "u2", "u3"):
+        lefts += [(b, rng.randrange(0, 2000), f"L{b}{i}")
+                  for i in range(rng.randrange(30, 60))]
+        rights += [(b, v, f"R{b}{v}") for v in
+                   rng.sample(range(0, 2000), rng.randrange(5, 25))]
+    # force exact ties and chunk-edge values
+    lefts += [("u1", 512, "Ledge"), ("u1", 1024, "Ltie")]
+    rights += [("u1", 1024, "Rtie")]
+    # de-dup left (by, on) so rows are identifiable
+    seen = set(); uniq = []
+    for b, o, p in lefts:
+        if (b, o) not in seen:
+            seen.add((b, o)); uniq.append((b, o, p))
+    lefts = uniq
+    l = spark.createDataFrame(lefts, "u string, v long, lpay string")
+    r = spark.createDataFrame(rights, "u string, v long, rpay string")
+
+    expect = _py_asof(lefts, rights, backward)
+    plain = {(x.u, x.v, x.lpay): x.rpay
+             for x in asof_join(l, r, on="v", by="u",
+                                direction=direction).collect()}
+    assert plain == expect
+    for bp in (1, 7, 512, 1 << 20):
+        got = {(x.u, x.v, x.lpay): x.rpay
+               for x in asof_join(l, r, on="v", by="u",
+                                  direction=direction,
+                                  split_on=bp).collect()}
+        assert got == expect, bp
+
+
+def test_split_on_window_keys_on_chunk(spark):
+    """Plan guard: the chunked path's carry window must key on
+    (by, chunk) — only the tiny summary window keys on `by` alone."""
+    l = spark.createDataFrame([("a", 10, "x")], "u string, v long, p string")
+    r = spark.createDataFrame([("a", 5, "y")], "u string, v long, q string")
+    o = asof_join(l, r, on="v", by="u", split_on=16)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    specs = [ln for ln in o.splitlines() if "windowspecdefinition" in ln]
+    assert any("_k#" in ln and "_side#" in ln for ln in specs), o
+    # the big union window (ordered by v + _side) must carry the chunk key
+    for ln in specs:
+        if "_side#" in ln:
+            assert "_k#" in ln, ln

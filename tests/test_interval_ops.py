@@ -927,3 +927,33 @@ def test_shuffle_intervals_properties(spark):
     seeded = {r.aid: r.start
               for r in shuffle_intervals(df, sizes, seed="s1").collect()}
     assert seeded[1] == expect_start("chr1", 100, 200, seed="s1")
+
+
+def test_closest_reldist_split_bp_equals_plain(spark):
+    """Chunked (split_bp) as-of passes inside closest/reldist are
+    bit-identical to the plain windows across chunk widths (incl.
+    width 1: every boundary its own chunk)."""
+    import random
+
+    from oxbow_spark.operators.interval_ops import (closest_intervals,
+                                                    reldist_intervals)
+
+    rng = random.Random(113)
+    a = spark.createDataFrame(
+        [(i, f"c{rng.randrange(2)}", s := rng.randrange(0, 3000),
+          s + rng.randrange(1, 150)) for i in range(80)],
+        "a_id long, chrom string, start long, end long")
+    b = spark.createDataFrame(
+        [(1000 + i, f"c{rng.randrange(2)}", s := rng.randrange(0, 3000),
+          s + rng.randrange(1, 150)) for i in range(50)],
+        "b_id long, chrom string, start long, end long")
+    plain_c = sorted(tuple(r) for r in
+                     closest_intervals(a, b, bin_size=256).collect())
+    plain_r = sorted(tuple(r) for r in reldist_intervals(a, b).collect())
+    for bp in (1, 97, 256, 1 << 20):
+        got_c = sorted(tuple(r) for r in closest_intervals(
+            a, b, bin_size=256, split_bp=bp).collect())
+        assert got_c == plain_c, bp
+        got_r = sorted(tuple(r) for r in reldist_intervals(
+            a, b, split_bp=bp).collect())
+        assert got_r == plain_r, bp
