@@ -863,21 +863,49 @@ def make_windows(
 def spacing_intervals(
     df: DataFrame, on: str = "chrom",
     start_col: str = "start", end_col: str = "end",
+    split_bp: int | None = None,
 ) -> DataFrame:
     """bedtools-spacing: each interval plus the gap to the PREVIOUS
     interval in (key, start, end) sort order — null for the first
     interval of a key, 0 for bookended or overlapping neighbours
-    (bedtools prints "." and 0 there). One per-key lag window, nothing
-    else; callers with single-contig skew should sessionize through
-    `cluster_intervals`/`merge_intervals` instead — spacing is by
-    definition an ordered-neighbour statistic."""
-    w = Window.partitionBy(on).orderBy(start_col, end_col)
-    prev_end = F.lag(F.col(end_col).cast("long")).over(w)
-    return df.withColumn(
-        "spacing",
-        F.when(prev_end.isNull(), F.lit(None).cast("long"))
-        .otherwise(F.greatest(F.col(start_col).cast("long") - prev_end,
-                              F.lit(0).cast("long"))))
+    (bedtools prints "." and 0 there). One per-key lag window;
+    ``split_bp`` chunks it on (key, floor(start/split_bp)) with a tiny
+    per-chunk last-(start, end) summary supplying each chunk's
+    carry-in through ONE broadcast stitch join — the `merge_intervals`
+    discipline, so a single hot contig never pins one window task.
+    Bit-identical to the plain path (property-tested)."""
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    if split_bp is None:
+        w = Window.partitionBy(on).orderBy(start_col, end_col)
+        prev_end = F.lag(e).over(w)
+        return df.withColumn(
+            "spacing",
+            F.when(prev_end.isNull(), F.lit(None).cast("long"))
+            .otherwise(F.greatest(s - prev_end, F.lit(0).cast("long"))))
+    bp = int(split_bp)
+    if bp <= 0:
+        raise ValueError("split_bp must be positive")
+    ch = df.withColumn("_k", F.floor(s / bp))
+    wk = Window.partitionBy(on, "_k").orderBy(start_col, end_col)
+    local = ch.withColumn("_pe", F.lag(e).over(wk))
+    # one row per non-empty (key, chunk): its LAST interval's end in
+    # (start, end) order — struct max keyed on (start, end)
+    summ = ch.groupBy(on, "_k").agg(
+        F.max(F.struct(s.alias("_s"), e.alias("_e"))).alias("_last"))
+    ws = Window.partitionBy(on).orderBy("_k") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    carry = summ.select(
+        F.col(on), "_k",
+        F.last("_last", ignorenulls=True).over(ws)["_e"].alias("_ce"))
+    prev_end = F.coalesce(F.col("_pe"), F.col("_ce"))
+    return (local.join(F.broadcast(carry), [on, "_k"])
+            .withColumn(
+                "spacing",
+                F.when(prev_end.isNull(), F.lit(None).cast("long"))
+                .otherwise(F.greatest(s - prev_end,
+                                      F.lit(0).cast("long"))))
+            .drop("_k", "_pe", "_ce"))
 
 
 def reldist_intervals(

@@ -3058,10 +3058,11 @@ FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in
 
 def spacing_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bedtools-spacing over the event intervals: gap to the previous
-    interval in (chrom, start, end) order, first-of-chrom -1. The leg
-    carries no row id — full-tie rows swap spacing values freely but
-    the output MULTISET is order-invariant, which is what the hash
-    checks."""
+    interval in (chrom, start, end) order, first-of-chrom -1, run
+    through the CHUNKED (split_bp) lag window against the oracle's
+    plain LAG. The leg carries no row id — full-tie rows swap spacing
+    values freely but the output MULTISET is order-invariant, which is
+    what the hash checks."""
     from oxbow_spark.operators.interval_ops import spacing_intervals
 
     iv = _events(spark, sf_dir).select(
@@ -3069,7 +3070,7 @@ def spacing_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS_SEC().alias("start"),
         (TS_SEC() + 300).alias("end"),
     )
-    return spacing_intervals(iv).select(
+    return spacing_intervals(iv, split_bp=_GENOMECOV_SPLIT_BP).select(
         "chrom", "start", "end",
         F.coalesce("spacing", F.lit(-1)).cast("long").alias("spacing"))
 

@@ -957,3 +957,23 @@ def test_closest_reldist_split_bp_equals_plain(spark):
         got_r = sorted(tuple(r) for r in reldist_intervals(
             a, b, split_bp=bp).collect())
         assert got_r == plain_r, bp
+
+
+def test_spacing_split_bp_equals_plain(spark):
+    import random
+
+    from oxbow_spark.operators.interval_ops import spacing_intervals
+
+    rng = random.Random(127)
+    rows = [(f"c{rng.randrange(3)}", s := rng.randrange(0, 2000),
+             s + rng.randrange(1, 150)) for _ in range(150)]
+    rows += [("c0", 0, 5), ("c0", 512, 600), ("c0", 1024, 1024 + 7)]
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+    plain = sorted((r.chrom, r.start, r.end,
+                    -1 if r.spacing is None else r.spacing)
+                   for r in spacing_intervals(df).collect())
+    for bp in (1, 97, 512, 1 << 20):
+        got = sorted((r.chrom, r.start, r.end,
+                      -1 if r.spacing is None else r.spacing)
+                     for r in spacing_intervals(df, split_bp=bp).collect())
+        assert got == plain, bp
