@@ -784,33 +784,57 @@ def cluster_intervals(
 
     Plan shape (never a global sort of the corpus): the cluster SPANS
     are `merge_intervals`' disjoint runs (``split_bp`` engages its
-    chunked window for single-contig skew); numbering is a per-key
-    window over RUNS (≤ input rows, usually ≪) plus a TINY per-key
-    offset frame (one row per key: cumulative run counts in key order,
-    broadcast); inputs map to their containing run with one backward
-    as-of join on start — valid because runs are disjoint and every
-    input lies wholly inside one run. Reference capability:
-    post-scan interval clustering the reference's users run via
-    bedtools; its own engine has no interval ops
+    chunked window for single-contig skew). Numbering is a prefix-sum:
+    plain path = one per-key window over RUNS + a TINY per-key offset
+    frame; under ``split_bp`` the row_number itself keys on (key,
+    chunk) — runs are ≤ inputs but NOT ≪ when nothing merges (sparse
+    corpora), so the numbering window would otherwise be the next
+    single-reducer — with per-(key, chunk) count offsets accumulated
+    by a small window over O(range/split_bp) rows. Inputs map to
+    their containing run with one backward as-of join on start
+    (chunked too) — valid because runs are disjoint and every input
+    lies wholly inside one run. Reference capability: post-scan
+    interval clustering the reference's users run via bedtools; its
+    own engine has no interval ops
     (py-oxbow/oxbow/_pyarrow.py:738-774)."""
     runs = merge_intervals(df, on=on, start_col=start_col,
                            end_col=end_col, split_bp=split_bp,
                            distance=distance)
-    wk = Window.partitionBy(on).orderBy(start_col)
-    idx = runs.select(F.col(on), F.col(start_col).alias("_rs"),
-                      F.row_number().over(wk).alias("_i"))
-    counts = runs.groupBy(on).agg(F.count(F.lit(1)).alias("_n"))
-    wo = Window.orderBy(on).rowsBetween(Window.unboundedPreceding, -1)
-    # one row per key — driver-size; the window over it is trivial
-    offs = counts.select(
-        F.col(on), F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"))
-    numbered = idx.join(F.broadcast(offs), on).select(
-        F.col(on), F.col("_rs").alias("_v"),
-        (F.col("_i") + F.col("_off")).cast("long").alias("cluster_id"))
+    if split_bp is None:
+        wk = Window.partitionBy(on).orderBy(start_col)
+        idx = runs.select(F.col(on), F.col(start_col).alias("_rs"),
+                          F.row_number().over(wk).alias("_i"))
+        counts = runs.groupBy(on).agg(F.count(F.lit(1)).alias("_n"))
+        wo = Window.orderBy(on).rowsBetween(Window.unboundedPreceding, -1)
+        # one row per key — driver-size; the window over it is trivial
+        offs = counts.select(
+            F.col(on),
+            F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"))
+        numbered = idx.join(F.broadcast(offs), on).select(
+            F.col(on), F.col("_rs").alias("_v"),
+            (F.col("_i") + F.col("_off")).cast("long").alias("cluster_id"))
+    else:
+        bp = int(split_bp)
+        ch = runs.withColumn("_k", F.floor(F.col(start_col) / bp))
+        wk = Window.partitionBy(on, "_k").orderBy(start_col)
+        idx = ch.select(F.col(on), "_k", F.col(start_col).alias("_rs"),
+                        F.row_number().over(wk).alias("_i"))
+        # per-(key, chunk) run counts -> cumulative offsets in global
+        # (key, chunk) order; one small window over O(range/split_bp)
+        # rows per key ordered across keys, never corpus-sized
+        counts = ch.groupBy(on, "_k").agg(F.count(F.lit(1)).alias("_n"))
+        wo = Window.orderBy(on, "_k") \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        offs = counts.select(
+            F.col(on), "_k",
+            F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"))
+        numbered = idx.join(F.broadcast(offs), [on, "_k"]).select(
+            F.col(on), F.col("_rs").alias("_v"),
+            (F.col("_i") + F.col("_off")).cast("long").alias("cluster_id"))
     return asof_join(
         df.withColumn("_v", F.col(start_col).cast("long")),
         numbered, on="_v", by=on, right_cols=["cluster_id"],
-        direction="backward",
+        direction="backward", split_on=split_bp,
     ).drop("_v")
 
 
