@@ -544,3 +544,29 @@ def cat_cram(parts, out, index=None):
     from oxbow_spark.sources.cat import cat_cram as _cat
 
     return _cat(list(parts), out, index=index)
+
+
+def sort_bam(df, path, header, index="bai", partitions=None,
+             single_file=None, **options):
+    """`samtools sort` (+index +cat) at cluster scale: range-partition
+    on the header's @SQ order, per-task indexed part writes, optional
+    raw-copy splice into ONE sorted indexed BAM
+    (`sinks.sort_write_alignments`)."""
+    from oxbow_spark.sinks import sort_write_alignments
+
+    return sort_write_alignments(
+        df, path, header, fmt="bam", index=index, partitions=partitions,
+        single_file=single_file, **options)
+
+
+def sort_vcf(df, path, header, index="tbi", partitions=None,
+             single_file=None, **options):
+    """`bcftools sort` (+index +concat) at cluster scale: contig order
+    from the header's ##contig lines, bgzf parts with sidecars, raw-
+    copy splice into ONE sorted indexed .vcf.gz
+    (`sinks.sort_write_variants`)."""
+    from oxbow_spark.sinks import sort_write_variants
+
+    return sort_write_variants(
+        df, path, header, fmt="vcf", index=index, partitions=partitions,
+        single_file=single_file, **options)

@@ -82,3 +82,144 @@ def read_region(
     if r.end is not None:
         pred = pred & (F.col(start_col) < F.lit(r.end))
     return df.where(pred).drop(BIN_COL)
+
+
+def sort_write_alignments(
+    df: DataFrame,
+    path: str,
+    header: str,
+    fmt: str = "bam",
+    index: str | None = "bai",
+    partitions: int | None = None,
+    single_file: str | None = None,
+    rname_col: str = "rname",
+    pos_col: str = "pos",
+    **write_options,
+) -> str:
+    """``samtools sort`` (+ ``index`` + ``cat``) at cluster scale:
+    coordinate-sort an alignment frame and deliver either a directory
+    of globally-ordered indexed parts or — ``single_file=`` — ONE
+    spec-conformant sorted, indexed file.
+
+    Plan: (1) rname → tid from the header's @SQ order (a broadcast
+    literal map; ``*``/unknown contigs and null positions sort LAST —
+    samtools' unmapped-at-end rule); (2) ``repartitionByRange`` on
+    (tid, pos) — Spark SAMPLES the key distribution, so partitions
+    stay balanced even when one contig holds most reads (the classic
+    sort-skew case); (3) ``sortWithinPartitions`` — no global
+    single-node sort ever materializes; (4) every task writes one
+    self-contained part named ``part-<partitionId>-…`` with its
+    index built inline, so the sorted directory is range-queryable
+    as-is; (5) ``single_file`` splices the ordered parts with the
+    ``cat_*`` family — O(bytes) raw block copy + arithmetic index
+    merge, the samtools-cat contract, producing a coordinate-sorted
+    whole with a merged sidecar. Cost: ONE range shuffle of the
+    records; everything else is per-task streaming.
+
+    Returns the part directory (or ``single_file`` when given)."""
+    import glob as _glob
+    import os as _os
+
+    from oxbow_spark.models.sam_header import SamHeader
+
+    if fmt not in ("bam", "sam", "cram"):
+        raise ValueError(f"sort_write_alignments: unsupported fmt {fmt!r}")
+    names = SamHeader.parse(header.splitlines()).chrom_names
+    if not names:
+        raise ValueError("header has no @SQ lines to order contigs by")
+    out = _range_sort_by_contig(df, names, rname_col, pos_col, partitions)
+    w = out.write.format(fmt).option("header", header).mode("overwrite")
+    if index:
+        w = w.option("index", index)
+    for k, v in write_options.items():
+        w = w.option(k, v)
+    w.save(path)
+    if single_file is None:
+        return path
+    suffix = {"bam": ".bam", "sam": ".sam", "cram": ".cram"}[fmt]
+    parts = sorted(_glob.glob(_os.path.join(path, f"part-*{suffix}")))
+    if fmt == "bam":
+        from oxbow_spark.sources.cat import cat_bam
+        cat_bam(parts, single_file, index=index)
+    elif fmt == "cram":
+        from oxbow_spark.sources.cat import cat_cram
+        cat_cram(parts, single_file, index=index)
+    else:  # sam: plain text splice, headers dropped after part 0
+        with open(single_file, "w", encoding="ascii") as f:
+            for pi, p in enumerate(parts):
+                with open(p, "r", encoding="ascii") as g:
+                    for line in g:
+                        if line.startswith("@") and pi > 0:
+                            continue
+                        f.write(line)
+    return single_file
+
+
+def _range_sort_by_contig(df: DataFrame, names: list[str],
+                          key_col: str, pos_col: str,
+                          partitions: int | None) -> DataFrame:
+    """Shared sort core: key → ordinal from the header's contig order
+    (broadcast literal map; unknown keys and null positions LAST),
+    ONE sampled range shuffle, per-partition sort, helper cols dropped."""
+    mapping = []
+    for i, n in enumerate(names):
+        mapping += [F.lit(n), F.lit(i)]
+    tid = F.coalesce(
+        F.element_at(F.create_map(*mapping), F.col(key_col)),
+        F.lit(len(names)))
+    spos = F.coalesce(F.col(pos_col).cast("long"), F.lit(1 << 62))
+    staged = df.withColumn("_tid", tid).withColumn("_spos", spos)
+    rp = (staged.repartitionByRange(partitions, "_tid", "_spos")
+          if partitions else staged.repartitionByRange("_tid", "_spos"))
+    return rp.sortWithinPartitions("_tid", "_spos").drop("_tid", "_spos")
+
+
+def sort_write_variants(
+    df: DataFrame,
+    path: str,
+    header: str,
+    fmt: str = "vcf",
+    index: str | None = "tbi",
+    partitions: int | None = None,
+    single_file: str | None = None,
+    chrom_col: str = "chrom",
+    pos_col: str = "pos",
+    **write_options,
+) -> str:
+    """``bcftools sort`` (+ index + concat) at cluster scale — the
+    variant twin of `sort_write_alignments`: contig order comes from
+    the header's ``##contig=<ID=…>`` lines, the sort is ONE sampled
+    range shuffle + per-task writes of self-contained indexed parts
+    (VCF parts are BGZF so their `.tbi`/`.csi` sidecars work
+    standalone), and ``single_file`` splices parts by raw BGZF block
+    copy with an arithmetic sidecar merge (`cat_bgzf_text` /
+    `cat_bcf`). Returns the part directory or ``single_file``."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    if fmt not in ("vcf", "bcf"):
+        raise ValueError(f"sort_write_variants: unsupported fmt {fmt!r}")
+    names = _re.findall(r"##contig=<ID=([^,>]+)", header)
+    if not names:
+        raise ValueError("header has no ##contig lines to order by")
+    out = _range_sort_by_contig(df, names, chrom_col, pos_col, partitions)
+    w = out.write.format(fmt).option("header", header).mode("overwrite")
+    if fmt == "vcf":
+        w = w.option("compression", "bgzf")
+    if index:
+        w = w.option("index", index)
+    for k, v in write_options.items():
+        w = w.option(k, v)
+    w.save(path)
+    if single_file is None:
+        return path
+    if fmt == "bcf":
+        from oxbow_spark.sources.cat import cat_bcf
+        parts = sorted(_glob.glob(_os.path.join(path, "part-*.bcf")))
+        cat_bcf(parts, single_file, index=index)
+    else:
+        from oxbow_spark.sources.cat import cat_bgzf_text
+        parts = sorted(_glob.glob(_os.path.join(path, "part-*.vcf.gz")))
+        cat_bgzf_text(parts, single_file, index=index)
+    return single_file

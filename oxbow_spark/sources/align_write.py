@@ -267,8 +267,17 @@ class _AlignmentWriter(DataSourceWriter):
         _prepare_dir(self.path, overwrite, self.SUFFIX)
 
     def _part_path(self) -> str:
+        # partition id first (Spark's own part-file convention) so
+        # sorted(glob) == partition order — with range-partitioned
+        # input that makes cat_* concatenation globally sorted; the
+        # uuid tail keeps speculative/retried tasks collision-free
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
         return os.path.join(
-            self.path, f"part-{uuid.uuid4().hex[:12]}{self.SUFFIX}")
+            self.path,
+            f"part-{pid:05d}-{uuid.uuid4().hex[:12]}{self.SUFFIX}")
 
     def commit(self, messages) -> None:
         pass

@@ -62,9 +62,15 @@ class _TextPartWriter(DataSourceWriter):
         import os
         import uuid
 
+        # partition id first (Spark's part-file convention): with
+        # range-partitioned input, sorted(glob) is global order
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
         suffix = getattr(self, "suffix", self.SUFFIX)
         return os.path.join(
-            self.path, f"part-{uuid.uuid4().hex[:12]}{suffix}")
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:12]}{suffix}")
 
     def commit(self, messages) -> None:
         pass

@@ -569,3 +569,119 @@ def test_cat_bam_larger_scale_roundtrip(gspark, tmp_path, bam_header):
     brute = back.where("rname = 'chr1' AND pos <= 30000 "
                        "AND pos + 60 - 1 >= 20000")
     assert got.count() == brute.count() > 0
+
+
+def test_sort_write_alignments_end_to_end(gspark, tmp_path, bam_header):
+    """samtools-sort at cluster scale (sinks.sort_write_alignments):
+    scrambled input → range-partitioned sorted parts → cat splice →
+    ONE coordinate-sorted indexed BAM. Checks record-set equality,
+    GLOBAL (tid, pos) order in file order, unmapped/foreign-contig
+    records at the end, idxstats off the merged .bai, and region-query
+    parity."""
+    import random
+
+    from oxbow_spark.sinks import sort_write_alignments
+    from oxbow_spark.sources.bam import idxstats
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(12000):
+        ch = ("chr1", "chr2")[i % 3 == 0]
+        rows.append((f"s{i}", 0, ch, rng.randrange(100, 200000), 30,
+                     "60M", None, 0, 0, "ACGTAC" * 10, "I" * 60))
+    for i in range(50):   # unmapped tail: flag 4, rname '*', pos null
+        rows.append((f"u{i}", 4, None, None, 0,
+                     None, None, 0, 0, "ACGTAC" * 10, "I" * 60))
+    rng.shuffle(rows)
+    df = gspark.createDataFrame(
+        rows, "qname string, flag int, rname string, pos long, mapq int, "
+              "cigar string, rnext string, pnext long, tlen long, "
+              "seq string, qual string").repartition(7)
+
+    out_dir = str(tmp_path / "sorted_parts")
+    merged = str(tmp_path / "sorted.bam")
+    got_path = sort_write_alignments(
+        df, out_dir, bam_header, fmt="bam", index="bai",
+        partitions=5, single_file=merged)
+    assert got_path == merged and os.path.exists(merged + ".bai")
+
+    back = gspark.read.format("bam").load(merged)
+    cols = ["qname", "flag", "rname", "pos"]
+    assert _rows(back.select(*cols)) == _rows(df.select(*cols))
+
+    # global order: collect in FILE order from the single part; tid
+    # order comes from the header's @SQ sequence (chr2 precedes chr1
+    # in the fixture header)
+    from oxbow_spark.models.sam_header import SamHeader
+
+    names = SamHeader.parse(bam_header.splitlines()).chrom_names
+    order = {n: i for i, n in enumerate(names)}
+    seq = [(r.rname, r.pos) for r in
+           gspark.read.format("bam").load(merged).coalesce(1).collect()]
+    keyed = [(order.get(c, len(names)), p if p is not None else 1 << 62)
+             for c, p in seq]
+    assert keyed == sorted(keyed)
+    assert seq[-1][0] is None            # unmapped at the very end
+
+    st = {r[0]: (r[2], r[3]) for r in idxstats(merged)}
+    assert st["chr1"][0] == sum(1 for r in rows if r[2] == "chr1")
+    assert st["*"] == (0, 50) or st["*"][1] == 50
+
+    got = (gspark.read.format("bam")
+           .option("regions", "chr1:50000-60000").load(merged))
+    brute = back.where("rname = 'chr1' AND pos <= 60000 "
+                       "AND pos + 60 - 1 >= 50000")
+    assert got.count() == brute.count() > 0
+
+
+def test_sort_write_variants_end_to_end(gspark, tmp_path):
+    """bcftools-sort at cluster scale (sinks.sort_write_variants):
+    scrambled VCF rows → range-sorted bgzf parts with .tbi sidecars →
+    cat splice → ONE sorted indexed .vcf.gz; header ##contig order
+    drives the sort, record set round-trips, file order is global."""
+    import gzip as _gzip
+    import random
+
+    from oxbow_spark.sinks import sort_write_variants
+
+    with open(FX + "sample.vcf") as f:
+        hdr = "".join(ln for ln in f if ln.startswith("#"))
+    base = gspark.read.format("vcf").load(FX + "sample.vcf")
+    rng = random.Random(23)
+    rows = base.collect()
+    big = []
+    for i in range(12):        # scale up + scramble positions
+        for r in rows:
+            d = r.asDict()
+            d["pos"] = rng.randrange(1, 10_000_000)
+            big.append(d)
+    df = gspark.createDataFrame(big, base.schema).repartition(6)
+
+    out_dir = str(tmp_path / "vparts")
+    merged = str(tmp_path / "sorted.vcf.gz")
+    got = sort_write_variants(df, out_dir, hdr, fmt="vcf", index="tbi",
+                              partitions=4, single_file=merged)
+    assert got == merged and os.path.exists(merged + ".tbi")
+
+    back = gspark.read.format("vcf").load(merged)
+    assert _rows(back.select("chrom", "pos", "ref")) == \
+        _rows(df.select("chrom", "pos", "ref"))
+
+    import re
+    names = re.findall(r"##contig=<ID=([^,>]+)", hdr)
+    order = {n: i for i, n in enumerate(names)}
+    seq = []
+    with _gzip.open(merged, "rt") as f:
+        for ln in f:
+            if ln.startswith("#"):
+                continue
+            c, p = ln.split("\t")[:2]
+            seq.append((order.get(c, len(names)), int(p)))
+    assert seq and seq == sorted(seq)
+
+    # region query through the merged sidecar
+    ch = names[0]
+    got_n = (gspark.read.format("vcf")
+             .option("regions", f"{ch}:1-5000000").load(merged).count())
+    brute = back.where(f"chrom = '{ch}' AND pos <= 5000000").count()
+    assert got_n == brute
