@@ -44,7 +44,9 @@ from oxbow_spark.operators.interval_ops import (
     subtract_intervals,
     window_intervals,
 )
-from oxbow_spark.operators.pipeline import dsir_log_weights, dsir_resample
+from oxbow_spark.operators.pipeline import (dsir_log_weights,
+                                            dsir_resample,
+                                            epoch_shuffle)
 from oxbow_spark.operators.similarity import (ivf_fit, ivf_topk,
                                               pq_encode, pq_fit,
                                               pq_topk,
@@ -100,6 +102,7 @@ __all__ = [
     "liftover_intervals",
     "liftover_positions",
     "jaccard_intervals",
+    "epoch_shuffle",
     "make_windows",
     "merge_intervals",
     "multiinter_intervals",

@@ -594,3 +594,46 @@ def dsir_resample(raw: DataFrame, target: DataFrame, n_keep: int,
            .orderBy(F.desc("_score"), F.asc(id_col))
            .limit(int(n_keep)).select(id_col))
     return raw.join(ids, id_col, "left_semi")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    1-based ``shuffle_rank`` — its position in the epoch's random
+    permutation — from sorting on the first 15 md5 hex digits of
+    (salt ‖ epoch ‖ id). Reproducible across runs/engines/partition
+    layouts (a pure function of the id), a different permutation each
+    ``epoch``, and append-stable in the sense that adding documents
+    permutes ranks but never reorders two surviving ids relative to
+    each other within an epoch.
+
+    Plan: the md5 key's TOP 16 BITS bucket the rows (md5 is uniform, so
+    ~n/65536 rows per bucket regardless of corpus shape — no sampled
+    range exchange needed, and ranks are a pure function of the data,
+    never of partition layout), row_number runs per (bucket) window,
+    and a TINY per-bucket count frame (≤65536 rows) supplies global
+    offsets through one broadcast join — the `cluster_intervals`
+    prefix-sum discipline. ONE shuffle total; no single-reducer global
+    window. Writers downstream keep the order because part files are
+    named part-<partitionId> (sorted(glob) = rank order after a
+    repartitionByRange on the rank)."""
+    key = F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt), F.lit(str(int(epoch))), F.lit(":"),
+        F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("long")
+    staged = df.withColumn("_sk", key) \
+        .withColumn("_bk", F.shiftright(F.col("_sk"), 44))
+    local = staged.withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy("_bk").orderBy("_sk", id_col)))
+    counts = staged.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n"))
+    wo = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_bk", F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"))
+    return (local.join(F.broadcast(offs), "_bk")
+            .withColumn(out_col, (F.col("_rn") + F.col("_off")).cast("long"))
+            .drop("_sk", "_bk", "_rn"))

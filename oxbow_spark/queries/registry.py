@@ -4085,11 +4085,14 @@ _DSIR_BUCKETS = 512
 
 def split_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible split assignment + mixture resampling + DSIR
-    importance selection union-tagged as (op, doc_id, label). Split and
-    resample are pure per-row md5 maps; the dsir leg (round 6) selects
-    the Gumbel-top-150 docs by hashed-bigram importance toward the
-    doc_id%5==0 sub-corpus (`pipeline.dsir_resample`), labeling every
-    doc keep/drop."""
+    importance selection + epoch shuffle union-tagged as (op, doc_id,
+    label). Split and resample are pure per-row md5 maps; the dsir leg
+    (round 6) selects the Gumbel-top-150 docs by hashed-bigram
+    importance toward the doc_id%5==0 sub-corpus
+    (`pipeline.dsir_resample`), labeling every doc keep/drop; the
+    shuffle leg (round 9) is `pipeline.epoch_shuffle`'s deterministic
+    epoch-2 permutation rank — the bucketed prefix-sum path against the
+    oracle's global ROW_NUMBER."""
     sp = hash_split_docs(spark, sf_dir).select(
         F.lit("split").alias("op"), "doc_id",
         F.col("split").alias("label"))
@@ -4107,7 +4110,12 @@ def split_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.lit("dsir").alias("op"), "doc_id",
                   F.when(F.col("_k").isNotNull(), F.lit("keep"))
                   .otherwise(F.lit("drop")).alias("label")))
-    return sp.unionByName(rs).unionByName(ds)
+    from oxbow_spark.operators.pipeline import epoch_shuffle
+
+    sh = epoch_shuffle(docs.select("doc_id"), epoch=2).select(
+        F.lit("shuffle").alias("op"), "doc_id",
+        F.col("shuffle_rank").cast("string").alias("label"))
+    return sp.unionByName(rs).unionByName(ds).unionByName(sh)
 
 
 def _dsir_sql() -> str:
@@ -4171,6 +4179,17 @@ FROM ranked
 """
 
 
+_EPOCH_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS VARCHAR) AS label
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('2:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS k
+  FROM documents)
+"""
+
+
 def _split_resample_sql() -> str:
     return f"""
 SELECT 'split' AS op, doc_id, split AS label FROM ({_hash_split_sql()}) _s
@@ -4178,6 +4197,8 @@ UNION ALL
 SELECT 'resample', doc_id, source FROM ({_resample_sql()}) _r
 UNION ALL
 SELECT 'dsir', doc_id, label FROM ({_dsir_sql()}) _d
+UNION ALL
+SELECT 'shuffle', doc_id, label FROM ({_EPOCH_SHUFFLE_SQL}) _h
 """
 
 

@@ -561,3 +561,32 @@ def test_curate_corpus_proto_prune_gate(spark):
     assert len(no_pr) - len(pr) >= 2
     with _pytest.raises(ValueError, match="embeddings"):
         curate_corpus(docs, proto_drop_frac=0.25)
+
+
+def test_epoch_shuffle_matches_python_and_epochs_differ(spark):
+    import hashlib
+
+    from oxbow_spark.operators.pipeline import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(500)], "doc_id long, text string")
+
+    def py_rank(epoch, salt=""):
+        keyed = sorted(
+            (int(hashlib.md5(
+                f"{salt}{epoch}:{i}".encode()).hexdigest()[:15], 16), i)
+            for i in range(500))
+        return {i: r + 1 for r, (_, i) in enumerate(keyed)}
+
+    got0 = {r.doc_id: r.shuffle_rank
+            for r in epoch_shuffle(docs, epoch=0).collect()}
+    assert got0 == py_rank(0)
+    got1 = {r.doc_id: r.shuffle_rank
+            for r in epoch_shuffle(docs, epoch=1).collect()}
+    assert got1 == py_rank(1)
+    assert got0 != got1                       # epochs permute differently
+    assert sorted(got0.values()) == list(range(1, 501))
+    # layout-independent: same ranks from a different partitioning
+    re = {r.doc_id: r.shuffle_rank
+          for r in epoch_shuffle(docs.repartition(13), epoch=0).collect()}
+    assert re == got0
