@@ -46,7 +46,9 @@ from oxbow_spark.operators.interval_ops import (
 )
 from oxbow_spark.operators.pipeline import (dsir_log_weights,
                                             dsir_resample,
-                                            epoch_shuffle)
+                                            epoch_shuffle,
+                                            temperature_mixture,
+                                            temperature_rates)
 from oxbow_spark.operators.similarity import (ivf_fit, ivf_topk,
                                               pq_encode, pq_fit,
                                               pq_topk,
@@ -104,6 +106,8 @@ __all__ = [
     "jaccard_intervals",
     "epoch_shuffle",
     "make_windows",
+    "temperature_mixture",
+    "temperature_rates",
     "merge_intervals",
     "multiinter_intervals",
     "ngram_decontaminate",

@@ -637,3 +637,50 @@ def epoch_shuffle(
     return (local.join(F.broadcast(offs), "_bk")
             .withColumn(out_col, (F.col("_rn") + F.col("_off")).cast("long"))
             .drop("_sk", "_bk", "_rn"))
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float,
+    budget: int | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixture rates (the multilingual/multi-domain
+    sampling rule of mT5/XLM-R: p_d ∝ n_d^alpha): given per-domain row
+    counts, return per-domain KEEP probabilities that realize the
+    alpha-tempered distribution within ``budget`` total rows (default:
+    the largest budget reachable without up-sampling any domain —
+    rates are capped at 1.0 because `resample_mixture` only thins).
+
+    alpha=1 keeps natural proportions, alpha=0 equalizes domains,
+    in-between damps head domains and boosts the tail — the standard
+    knob against crawl dominating curated sources. Driver-side
+    arithmetic over the TINY counts dict (one groupBy to produce it);
+    apply with `resample_mixture(df, rates)` for a pure scan-speed
+    filter."""
+    if not counts:
+        raise ValueError("temperature_rates needs at least one domain")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    n = {d: int(c) for d, c in counts.items() if c > 0}
+    w = {d: c ** alpha for d, c in n.items()}
+    tot_w = sum(w.values())
+    probs = {d: wv / tot_w for d, wv in w.items()}
+    # budget cap: the largest N with N * p_d <= n_d for all d
+    n_max = min(n[d] / p for d, p in probs.items() if p > 0)
+    N = n_max if budget is None else min(float(budget), n_max)
+    return {d: min(1.0, (N * probs[d]) / n[d]) for d in n}
+
+
+def temperature_mixture(
+    df: DataFrame, alpha: float,
+    key_col: str = "source", id_col: str = "doc_id",
+    budget: int | None = None, salt: str = "mix",
+) -> DataFrame:
+    """`resample_mixture` with rates derived from the corpus itself via
+    `temperature_rates`: ONE tiny groupBy for the per-domain counts
+    (map-side combined, collected — a #domains-row frame), then the
+    pure per-row md5 filter. Deterministic end to end."""
+    counts = {r[0]: r[1] for r in
+              df.groupBy(key_col).count().collect()}
+    rates = temperature_rates(counts, alpha, budget)
+    return resample_mixture(df, rates, key_col=key_col, id_col=id_col,
+                            salt=salt)

@@ -590,3 +590,49 @@ def test_epoch_shuffle_matches_python_and_epochs_differ(spark):
     re = {r.doc_id: r.shuffle_rank
           for r in epoch_shuffle(docs.repartition(13), epoch=0).collect()}
     assert re == got0
+
+
+def test_temperature_rates_math():
+    from oxbow_spark.operators.pipeline import temperature_rates
+
+    counts = {"web": 9000, "wiki": 900, "code": 100}
+    # alpha=1: natural -> every rate 1.0 (no thinning needed)
+    assert temperature_rates(counts, 1.0) == {
+        "web": 1.0, "wiki": 1.0, "code": 1.0}
+    # alpha=0: equal thirds; the smallest domain caps the budget at 300
+    r0 = temperature_rates(counts, 0.0)
+    assert r0["code"] == 1.0
+    assert abs(r0["web"] - 100 / 9000) < 1e-12
+    assert abs(r0["wiki"] - 100 / 900) < 1e-12
+    # expected kept sizes realize the tempered distribution
+    kept = {d: counts[d] * r for d, r in r0.items()}
+    assert abs(kept["web"] - kept["wiki"]) < 1e-6
+    # explicit budget scales everything down proportionally
+    rb = temperature_rates(counts, 0.0, budget=150)
+    assert abs(counts["web"] * rb["web"] - 50) < 1e-6
+    assert abs(counts["code"] * rb["code"] - 50) < 1e-6
+
+
+def test_temperature_mixture_realizes_distribution(spark):
+    from oxbow_spark.operators.pipeline import temperature_mixture
+
+    rows = ([(i, "web") for i in range(8000)]
+            + [(8000 + i, "wiki") for i in range(1500)]
+            + [(9500 + i, "code") for i in range(500)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, alpha=0.5)
+    got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    # code (smallest) is never thinned; head domains are
+    assert got["code"] == 500
+    assert got["web"] < 8000
+    # realized proportions approximate n^0.5 weights (md5 noise ~ +-5%)
+    import math
+    w = {d: math.sqrt(n) for d, n in
+         (("web", 8000), ("wiki", 1500), ("code", 500))}
+    want_ratio = w["web"] / w["wiki"]
+    got_ratio = got["web"] / got["wiki"]
+    assert abs(got_ratio - want_ratio) / want_ratio < 0.1
+    # deterministic
+    again = {r[0]: r[1] for r in temperature_mixture(df, alpha=0.5)
+             .groupBy("source").count().collect()}
+    assert again == got
