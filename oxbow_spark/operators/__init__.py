@@ -62,7 +62,7 @@ from oxbow_spark.operators.liftover import (
     liftover_positions,
     parse_chain,
 )
-from oxbow_spark.operators.nuc import gc_windows, nuc_stats
+from oxbow_spark.operators.nuc import getfasta_intervals, gc_windows, nuc_stats
 from oxbow_spark.operators.variant_norm import normalize_variants
 from oxbow_spark.operators.zoom import zoom_aggregate
 
@@ -99,6 +99,7 @@ __all__ = [
     "template_stats",
     "variant_stats",
     "gc_windows",
+    "getfasta_intervals",
     "cluster_intervals",
     "intersect_intervals",
     "liftover_intervals",

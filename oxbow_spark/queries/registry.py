@@ -3187,7 +3187,74 @@ FROM pl
 """
 
 
-_IV_ALGEBRA_COLS = {  # superset schema of the sixteen interval-algebra ops
+_GETFASTA_CHUNKS = 63           # 63 × 32 md5 hex chars → 2016-bp contigs
+_GETFASTA_TILE = 256            # small tile: the hashed row exercises tiling
+
+
+def _getfasta_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic per-event-type contigs both engines can rebuild
+    bit-identically: 63 concatenated md5 blocks hex-translated to
+    ACGT."""
+    return (_events(spark, sf_dir).select(
+        F.col("event_type").alias("name")).distinct()
+        .withColumn("seq", F.expr(
+            f"array_join(transform(sequence(0, {_GETFASTA_CHUNKS - 1}), "
+            "i -> translate(upper(md5(name || ':' || CAST(i AS STRING))), "
+            "'0123456789ABCDEF', 'ACGTACGTACGTACGT')), '')")))
+
+
+def getfasta_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-getfasta (operators/nuc.getfasta_intervals) over
+    md5-derived synthetic contigs — run with a 256-bp tile so the
+    hashed row covers multi-tile reassembly and the strand-aware
+    reverse complement, against the oracle's plain substring."""
+    from oxbow_spark.operators.nuc import getfasta_intervals
+
+    iv = _events(spark, sf_dir).select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("chrom"),
+        (TS_SEC() % 1900).alias("start"),
+    ).selectExpr(
+        "a_id", "chrom", "start",
+        "start + 1 + a_id % 90 AS end",
+        "CASE WHEN a_id % 2 = 1 THEN '-' ELSE '+' END AS strand",
+    )
+    out = getfasta_intervals(iv, _getfasta_seqs(spark, sf_dir),
+                             strand_col="strand",
+                             tile_bp=_GETFASTA_TILE)
+    return out.select("a_id", "chrom", "start", "end", "iv_seq")
+
+
+GETFASTA_IV_SQL = f"""
+WITH sq AS (
+  SELECT event_type AS name,
+         (SELECT string_agg(translate(upper(md5(event_type || ':'
+                  || CAST(i AS VARCHAR))),
+                '0123456789ABCDEF', 'ACGTACGTACGTACGT'), '' ORDER BY i)
+          FROM range({_GETFASTA_CHUNKS}) t(i)) AS seq
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+iv AS (
+  SELECT event_id AS a_id, event_type AS chrom,
+         {EPOCH_SQL} % 1900 AS s,
+         {EPOCH_SQL} % 1900 + 1 + event_id % 90 AS e,
+         CASE WHEN event_id % 2 = 1 THEN '-' ELSE '+' END AS strand
+  FROM events
+)
+SELECT a_id, chrom, CAST(s AS BIGINT) AS start, CAST(e AS BIGINT) AS "end",
+       CASE WHEN strand = '-' THEN
+         reverse(translate(substr(seq, CAST(s + 1 AS INT),
+                                  CAST(LEAST(e, len(seq)) - s AS INT)),
+                           'ACGT', 'TGCA'))
+       ELSE substr(seq, CAST(s + 1 AS INT),
+                   CAST(LEAST(e, len(seq)) - s AS INT))
+       END AS iv_seq
+FROM iv JOIN sq ON iv.chrom = sq.name
+WHERE s < len(seq)
+"""
+
+
+_IV_ALGEBRA_COLS = {  # superset schema of the seventeen interval-algebra ops
     "chrom": "string", "start": "long", "end": "long",
     "a_id": "long", "b_id": "long", "n_merged": "long", "distance": "long",
     "n_overlaps": "long", "covered_bp": "long",
@@ -3197,6 +3264,7 @@ _IV_ALGEBRA_COLS = {  # superset schema of the sixteen interval-algebra ops
     "depth": "long", "n_bases": "long",
     "cluster_id": "long", "win_id": "long", "spacing": "long",
     "reldist": "double", "n_a_mids": "long", "frac": "double",
+    "iv_seq": "string",
 }
 
 
@@ -3218,10 +3286,10 @@ def _iv_tag(df: DataFrame, op: str, renames: dict[str, str]) -> DataFrame:
 
 
 def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All sixteen bedtools-style interval-algebra operators (merge /
+    """All seventeen bedtools-style interval-algebra operators (merge /
     intersect / subtract / complement / closest / coverage / jaccard /
     multiinter / window / cluster / makewindows / spacing / reldist /
-    shuffle —
+    shuffle / getfasta —
     operators/interval_ops.py — plus genomecov hist + bga,
     operators/coverage.py, both via the CHUNKED split_bp sweep)
     union-tagged into one superset-schema frame so each stays
@@ -3259,6 +3327,8 @@ def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "reldist", {}))
         .unionByName(_iv_tag(shuffle_intervals_events(spark, sf_dir),
                              "shuffle", {}))
+        .unionByName(_iv_tag(getfasta_intervals_events(spark, sf_dir),
+                             "getfasta", {}))
     )
 
 
@@ -3313,6 +3383,8 @@ def _iv_algebra_sql() -> str:
                     {"reldist", "n_a_mids", "frac"}),
         _iv_tag_sql(SHUFFLE_IV_SQL, "shuffle", {},
                     {"chrom", "start", "end", "a_id"}),
+        _iv_tag_sql(GETFASTA_IV_SQL, "getfasta", {},
+                    {"chrom", "start", "end", "a_id", "iv_seq"}),
     ]
     return "\nUNION ALL\n".join(parts)
 

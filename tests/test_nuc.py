@@ -83,3 +83,48 @@ def test_gc_windows_empty_sequence_yields_no_rows(spark):
     rows = gc_windows(df, window=4).collect()
     # the zero-length sequence must not emit a bogus (0, 0, 0.0) window
     assert [r.name for r in rows] == ["x"]
+
+
+def test_getfasta_intervals_vs_python(spark):
+    """Tiled getfasta ≡ python slicing across tile widths (incl. tiles
+    smaller than intervals and tile-edge-aligned bounds), with
+    clipping, unknown-contig drops, duplicate rows preserved, and
+    strand-aware reverse complement."""
+    import random
+
+    from oxbow_spark.operators.nuc import getfasta_intervals
+
+    rng = random.Random(31)
+    contigs = {"c1": "".join(rng.choice("ACGTN") for _ in range(997)),
+               "c2": "".join(rng.choice("acgt") for _ in range(240))}
+    seqs = spark.createDataFrame(list(contigs.items()),
+                                 "name string, seq string")
+    ivs = []
+    for _ in range(60):
+        c = rng.choice(["c1", "c2"])
+        st = rng.randrange(0, len(contigs[c]))
+        en = min(st + rng.randrange(1, 400), len(contigs[c]) + 50)
+        ivs.append((c, st, en, rng.choice(["+", "-"])))
+    ivs.append(("c1", 990, 1200, "+"))   # clips to contig end
+    ivs.append(("c1", 10, 20, "-"))
+    ivs.append(("c1", 10, 20, "-"))      # duplicate row preserved
+    ivs.append(("cX", 0, 5, "+"))        # unknown contig: dropped
+    ivs.append(("c2", 300, 310, "+"))    # fully past the end: dropped
+    df = spark.createDataFrame(
+        ivs, "chrom string, start long, end long, strand string")
+
+    def rc(x):
+        t = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
+        return x.translate(t)[::-1]
+
+    expect = sorted(
+        (c, s, e, st, rc(contigs[c][s:e]) if st == "-"
+         else contigs[c][s:e])
+        for c, s, e, st in ivs
+        if c in contigs and s < len(contigs[c]))
+    for tile in (16, 250, 1 << 20):
+        got = sorted(
+            (r.chrom, r.start, r.end, r.strand, r.iv_seq)
+            for r in getfasta_intervals(
+                df, seqs, strand_col="strand", tile_bp=tile).collect())
+        assert got == expect, tile
