@@ -62,7 +62,8 @@ from oxbow_spark.operators.liftover import (
     liftover_positions,
     parse_chain,
 )
-from oxbow_spark.operators.nuc import getfasta_intervals, gc_windows, nuc_stats
+from oxbow_spark.operators.nuc import (gc_windows, getfasta_intervals,
+                                       maskfasta_intervals, nuc_stats)
 from oxbow_spark.operators.variant_norm import normalize_variants
 from oxbow_spark.operators.zoom import zoom_aggregate
 
@@ -100,6 +101,7 @@ __all__ = [
     "variant_stats",
     "gc_windows",
     "getfasta_intervals",
+    "maskfasta_intervals",
     "cluster_intervals",
     "intersect_intervals",
     "liftover_intervals",

@@ -159,3 +159,90 @@ def getfasta_intervals(
             out_col,
             F.when(F.col(strand_col) == "-", rc).otherwise(F.col(out_col)))
     return out
+
+
+def maskfasta_intervals(
+    seqs: DataFrame, intervals: DataFrame,
+    on: str = "chrom", start_col: str = "start", end_col: str = "end",
+    name_col: str = "name", seq_col: str = "seq",
+    soft: bool = False, mask_char: str = "N",
+    tile_bp: int = 1 << 20, split_bp: int | None = None,
+) -> DataFrame:
+    """bedtools-maskfasta: return the contig frame with every base
+    covered by ``intervals`` replaced by ``mask_char`` (or lowercased
+    with ``soft=True``, bedtools ``-soft``). Intervals clip to the
+    contig; duplicates/overlaps are harmless (they merge first).
+
+    Plan shape (the `getfasta_intervals` tiling, inverted): contigs
+    explode once into ``tile_bp`` tiles; the MERGED (disjoint)
+    intervals explode into the tiles they touch; per (contig, tile)
+    the clipped spans collect into a sorted array and ONE
+    `aggregate`+`overlay` expression fold applies them to the tile
+    string (no UDF); untouched tiles pass through a left join, and
+    contigs reassemble with a sorted-array concat. Shuffle volume is
+    O(tiles + interval rows), never O(genome × intervals); no task
+    ever holds more than a tile plus its spans. ``split_bp`` chunks
+    the interval-merge window for single-contig interval skew."""
+    from oxbow_spark.operators.interval_ops import merge_intervals
+
+    tb = int(tile_bp)
+    if tb <= 0:
+        raise ValueError("tile_bp must be positive")
+    if len(mask_char) != 1:
+        raise ValueError("mask_char must be a single character")
+
+    tiles = seqs.select(
+        F.col(name_col).alias("_c"),
+        F.explode(F.sequence(
+            F.lit(0).cast("long"),
+            F.greatest(F.ceil(F.length(seq_col) / tb).cast("long") - 1,
+                       F.lit(0).cast("long")))).alias("_t"),
+        F.col(seq_col).alias("_s"),
+    ).select(
+        "_c", "_t",
+        F.col("_s").substr((F.col("_t") * tb + 1).cast("int"),
+                           F.lit(tb)).alias("_tile"))
+
+    m = merge_intervals(
+        intervals.select(F.col(on).alias("_c"),
+                         F.col(start_col).cast("long").alias("start"),
+                         F.col(end_col).cast("long").alias("end")),
+        on="_c", split_bp=split_bp).where(F.col("end") > 0).withColumn(
+        "_ms", F.greatest(F.col("start"), F.lit(0).cast("long")))
+    spans = m.withColumn("_t", F.explode(F.sequence(
+        F.floor(F.col("_ms") / tb), F.floor((F.col("end") - 1) / tb)))) \
+        .select(
+            "_c", "_t",
+            F.greatest(F.col("_ms") - F.col("_t") * tb,
+                       F.lit(0).cast("long")).alias("_lo"),   # 0-based in tile
+            F.least(F.col("end") - F.col("_t") * tb,
+                    F.lit(tb).cast("long")).alias("_hi"))
+    per_tile = spans.groupBy("_c", "_t").agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("_lo"), F.col("_hi")))).alias("_spans"))
+
+    def apply_span(acc, sp):
+        # clip to the actual tile length (the last tile is short); the
+        # soft replacement is computed FROM acc, so it lowercases the
+        # current bases in place
+        lo = sp["_lo"]
+        ln = F.least(sp["_hi"], F.length(acc).cast("long")) - lo
+        repl = (F.lower(acc.substr((lo + 1).cast("int"), ln.cast("int")))
+                if soft else F.repeat(F.lit(mask_char), ln.cast("int")))
+        return F.when(ln > 0, F.overlay(acc, repl, (lo + 1).cast("int"))) \
+            .otherwise(acc)
+
+    masked = (tiles.join(per_tile, ["_c", "_t"], "left")
+              .select(
+                  "_c", "_t",
+                  F.when(F.col("_spans").isNotNull(),
+                         F.aggregate("_spans", F.col("_tile"), apply_span))
+                  .otherwise(F.col("_tile")).alias("_tile")))
+    return (masked.groupBy("_c")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("_t").alias("t"),
+                                 F.col("_tile").alias("p")))),
+                    lambda x: x["p"]), "").alias(seq_col))
+            .select(F.col("_c").alias(name_col), seq_col))

@@ -128,3 +128,49 @@ def test_getfasta_intervals_vs_python(spark):
             for r in getfasta_intervals(
                 df, seqs, strand_col="strand", tile_bp=tile).collect())
         assert got == expect, tile
+
+
+def test_maskfasta_intervals_vs_python(spark):
+    """Tiled maskfasta ≡ python masking across tile widths: hard N
+    masking and -soft lowercasing, overlapping/duplicate intervals,
+    tile-spanning spans, clipping past the contig end, untouched
+    contigs passing through byte-identical."""
+    import random
+
+    from oxbow_spark.operators.nuc import maskfasta_intervals
+
+    rng = random.Random(37)
+    contigs = {"c1": "".join(rng.choice("ACGT") for _ in range(700)),
+               "c2": "".join(rng.choice("ACGT") for _ in range(130)),
+               "c3": "".join(rng.choice("ACGT") for _ in range(90))}
+    seqs = spark.createDataFrame(list(contigs.items()),
+                                 "name string, seq string")
+    ivs = [("c1", 10, 40), ("c1", 30, 120), ("c1", 119, 120),
+           ("c1", 650, 800),                 # clips past the end
+           ("c2", 0, 5), ("c2", 0, 5),       # duplicate
+           ("cX", 0, 10)]                    # unknown contig: ignored
+    for _ in range(25):
+        c = rng.choice(["c1", "c2"])
+        st = rng.randrange(0, len(contigs[c]))
+        ivs.append((c, st, st + rng.randrange(1, 250)))
+    df = spark.createDataFrame(ivs, "chrom string, start long, end long")
+
+    def py_mask(soft):
+        out = {}
+        for name, s in contigs.items():
+            arr = list(s)
+            for c, st, en in ivs:
+                if c != name:
+                    continue
+                for i in range(max(st, 0), min(en, len(arr))):
+                    arr[i] = arr[i].lower() if soft else "N"
+            out[name] = "".join(arr)
+        return out
+
+    for tile in (16, 128, 1 << 20):
+        got = {r.name: r.seq for r in maskfasta_intervals(
+            seqs, df, tile_bp=tile).collect()}
+        assert got == py_mask(False), ("hard", tile)
+        got_s = {r.name: r.seq for r in maskfasta_intervals(
+            seqs, df, soft=True, tile_bp=tile).collect()}
+        assert got_s == py_mask(True), ("soft", tile)
