@@ -76,6 +76,39 @@ def gc_windows(df: DataFrame, window: int, step: int | None = None,
     )
 
 
+def _contig_tiles(seqs: DataFrame, name_col: str, seq_col: str,
+                  tb: int) -> DataFrame:
+    """(_c, _t, _tile): contigs cut into ``tb``-byte BINARY tiles
+    (callers slice tiles byte-addressed and cast only the final small
+    pieces to string — a string tile would reintroduce the O(position)
+    trap below at the piece level), then an
+    exchange. Three traps this formulation avoids (all measured on a
+    100 Mbp contig): exploding tile INDICES while carrying the contig
+    column copies the full string into every tile row (9.6 GB for 96
+    tiles); per-slice `substr` on a STRING is O(position) — Spark's
+    UTF8String has no random access, so K tiles cost O(len·K), 26 s —
+    hence the slices cut a BINARY cast (byte-addressed, O(slice);
+    sequences are ASCII so bytes == chars) built as one array and
+    posexploded without the parent string; and the repartition barrier
+    stops Catalyst collapsing the tile projection into downstream
+    joins (re-slicing the full contig per matched row, 540 s for 200k
+    intervals). The shuffle moves O(genome) bytes once and spreads
+    tiles across tasks."""
+    binf = seqs.select(F.col(name_col).alias("_c"),
+                       F.col(seq_col).cast("binary").alias("_b"))
+    arr = F.transform(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.greatest(F.ceil(F.length("_b") / tb).cast("long") - 1,
+                       F.lit(0).cast("long"))),
+        lambda i: F.col("_b").substr((i * tb + 1).cast("int"),
+                                     F.lit(tb)))
+    return (binf.select("_c", F.posexplode(arr).alias("_t", "_tile"))
+            .select("_c", F.col("_t").cast("long").alias("_t"), "_tile")
+            .repartition(F.col("_c"), F.col("_t")))
+
+
+
 def getfasta_intervals(
     intervals: DataFrame, seqs: DataFrame,
     on: str = "chrom", start_col: str = "start", end_col: str = "end",
@@ -105,17 +138,8 @@ def getfasta_intervals(
     if tb <= 0:
         raise ValueError("tile_bp must be positive")
 
-    tiles = seqs.select(
-        F.col(name_col).alias("_c"),
-        F.explode(F.sequence(
-            F.lit(0).cast("long"),
-            F.greatest(F.ceil(F.length(seq_col) / tb).cast("long") - 1,
-                       F.lit(0).cast("long")))).alias("_t2"),
-        F.col(seq_col).alias("_s"),
-    ).select(
-        "_c", "_t2",
-        F.col("_s").substr((F.col("_t2") * tb + 1).cast("int"),
-                           F.lit(tb)).alias("_tile"))
+    tiles = _contig_tiles(seqs, name_col, seq_col, tb).select(
+        F.col("_c"), F.col("_t").alias("_t2"), F.col("_tile"))
 
     s = F.col(start_col).cast("long")
     e = F.col(end_col).cast("long")
@@ -135,7 +159,8 @@ def getfasta_intervals(
                   F.struct(*[iv[c].alias(c) for c in cols]).alias("_row"),
                   F.col("_tile").substr(
                       (lo - F.col("_t") * tb + 1).cast("int"),
-                      (hi - lo).cast("int")).alias("_piece"))
+                      (hi - lo).cast("int")).cast("string")
+                  .alias("_piece"))
               # an in-contig interval always yields non-empty pieces;
               # empty ones mean the span lies past the contig end —
               # drop them so fully-out-of-range intervals vanish
@@ -173,17 +198,20 @@ def maskfasta_intervals(
     with ``soft=True``, bedtools ``-soft``). Intervals clip to the
     contig; duplicates/overlaps are harmless (they merge first).
 
-    Plan shape (the `getfasta_intervals` tiling, inverted): contigs
-    explode once into ``tile_bp`` tiles; the MERGED (disjoint)
-    intervals explode into the tiles they touch; per (contig, tile)
-    the clipped spans collect into a sorted array and ONE
-    `aggregate`+`overlay` expression fold applies them to the tile
-    string (no UDF); untouched tiles pass through a left join, and
-    contigs reassemble with a sorted-array concat. Shuffle volume is
-    O(tiles + interval rows), never O(genome × intervals); no task
-    ever holds more than a tile plus its spans. ``split_bp`` chunks
-    the interval-merge window for single-contig interval skew."""
-    from oxbow_spark.operators.interval_ops import merge_intervals
+    Plan shape — a COMPOSITION of already-scale-proven operators, no
+    per-span expression work at all (an aggregate/overlay or
+    transform+zip_with fold over a per-tile span array costs ~0.3 ms
+    per span in interpreted HOF evaluation — minutes at 200k spans;
+    this path is seconds): the KEEP segments are
+    `subtract_intervals(full_contig, merged)` run through
+    `getfasta_intervals`' tiled slicer; the MASK segments are either
+    `repeat(mask_char, len)` projections (hard — no sequence access)
+    or a second getfasta pass lowercased (soft); both unions reassemble
+    per contig with one sorted-array concat. ``split_bp`` chunks the
+    interval merge; everything else is binned equi-joins + partial
+    aggs."""
+    from oxbow_spark.operators.interval_ops import (merge_intervals,
+                                                    subtract_intervals)
 
     tb = int(tile_bp)
     if tb <= 0:
@@ -191,58 +219,56 @@ def maskfasta_intervals(
     if len(mask_char) != 1:
         raise ValueError("mask_char must be a single character")
 
-    tiles = seqs.select(
+    # contig lengths: length on BINARY is O(1) (string length would
+    # scan the UTF8 bytes per call)
+    lens = seqs.select(
         F.col(name_col).alias("_c"),
-        F.explode(F.sequence(
-            F.lit(0).cast("long"),
-            F.greatest(F.ceil(F.length(seq_col) / tb).cast("long") - 1,
-                       F.lit(0).cast("long")))).alias("_t"),
-        F.col(seq_col).alias("_s"),
-    ).select(
-        "_c", "_t",
-        F.col("_s").substr((F.col("_t") * tb + 1).cast("int"),
-                           F.lit(tb)).alias("_tile"))
-
-    m = merge_intervals(
+        F.length(F.col(seq_col).cast("binary")).cast("long").alias("_len"))
+    merged = merge_intervals(
         intervals.select(F.col(on).alias("_c"),
                          F.col(start_col).cast("long").alias("start"),
                          F.col(end_col).cast("long").alias("end")),
-        on="_c", split_bp=split_bp).where(F.col("end") > 0).withColumn(
-        "_ms", F.greatest(F.col("start"), F.lit(0).cast("long")))
-    spans = m.withColumn("_t", F.explode(F.sequence(
-        F.floor(F.col("_ms") / tb), F.floor((F.col("end") - 1) / tb)))) \
-        .select(
-            "_c", "_t",
-            F.greatest(F.col("_ms") - F.col("_t") * tb,
-                       F.lit(0).cast("long")).alias("_lo"),   # 0-based in tile
-            F.least(F.col("end") - F.col("_t") * tb,
-                    F.lit(tb).cast("long")).alias("_hi"))
-    per_tile = spans.groupBy("_c", "_t").agg(
-        F.array_sort(F.collect_list(
-            F.struct(F.col("_lo"), F.col("_hi")))).alias("_spans"))
+        on="_c", split_bp=split_bp)
+    clipped = (merged.join(F.broadcast(lens), "_c")
+               .select("_c",
+                       F.greatest("start", F.lit(0).cast("long"))
+                       .alias("start"),
+                       F.least("end", F.col("_len")).alias("end"))
+               .where(F.col("end") > F.col("start")))
+    full = lens.where(F.col("_len") > 0).select(
+        "_c", F.lit(0).cast("long").alias("start"),
+        F.col("_len").alias("end"))
+    comp = subtract_intervals(full, clipped, bin_size=tb, on="_c")
 
-    def apply_span(acc, sp):
-        # clip to the actual tile length (the last tile is short); the
-        # soft replacement is computed FROM acc, so it lowercases the
-        # current bases in place
-        lo = sp["_lo"]
-        ln = F.least(sp["_hi"], F.length(acc).cast("long")) - lo
-        repl = (F.lower(acc.substr((lo + 1).cast("int"), ln.cast("int")))
-                if soft else F.repeat(F.lit(mask_char), ln.cast("int")))
-        return F.when(ln > 0, F.overlay(acc, repl, (lo + 1).cast("int"))) \
-            .otherwise(acc)
-
-    masked = (tiles.join(per_tile, ["_c", "_t"], "left")
-              .select(
-                  "_c", "_t",
-                  F.when(F.col("_spans").isNotNull(),
-                         F.aggregate("_spans", F.col("_tile"), apply_span))
-                  .otherwise(F.col("_tile")).alias("_tile")))
-    return (masked.groupBy("_c")
-            .agg(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct(F.col("_t").alias("t"),
-                                 F.col("_tile").alias("p")))),
-                    lambda x: x["p"]), "").alias(seq_col))
-            .select(F.col("_c").alias(name_col), seq_col))
+    seqs_r = seqs.select(F.col(name_col).alias("_c"),
+                         F.col(seq_col).alias("_seq"))
+    keep = getfasta_intervals(
+        comp.select("_c", "start", "end"), seqs_r, on="_c",
+        name_col="_c", seq_col="_seq", tile_bp=tb, out_col="_piece")
+    if soft:
+        mask = getfasta_intervals(
+            clipped, seqs_r, on="_c", name_col="_c", seq_col="_seq",
+            tile_bp=tb, out_col="_piece").withColumn(
+            "_piece", F.lower(F.col("_piece")))
+    else:
+        mask = clipped.withColumn(
+            "_piece",
+            F.repeat(F.lit(mask_char),
+                     (F.col("end") - F.col("start")).cast("int")))
+    parts = keep.select("_c", "start", "_piece").unionByName(
+        mask.select("_c", "start", "_piece"))
+    out = (parts.groupBy("_c")
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("start").alias("s"),
+                                F.col("_piece").alias("p")))),
+                   lambda x: x["p"]), "").alias(seq_col))
+           .select(F.col("_c").alias(name_col), seq_col))
+    # fully-masked or fully-kept contigs are covered by the unions;
+    # EMPTY contigs (length 0) have no parts — reattach them verbatim
+    empty = (lens.where(F.col("_len") == 0)
+             .join(seqs_r, "_c")
+             .select(F.col("_c").alias(name_col),
+                     F.col("_seq").alias(seq_col)))
+    return out.unionByName(empty)
