@@ -282,7 +282,7 @@ def stream_asof(
     # their carry-in (a left row there matches an earlier right row)
     dense = rng.select(
         *by, F.explode(F.sequence("_kmin", "_kmax")).alias("_k")) \
-        .join(summ, [*by, "_k"], "left")
+        .join(F.broadcast(summ), [*by, "_k"], "left")
     ws = Window.partitionBy(*by).orderBy("_k") \
         .rowsBetween(Window.unboundedPreceding, -1)
     empty = F.array().cast(summ.schema["_rows"].dataType)

@@ -347,3 +347,35 @@ def test_variant_isec_merge_plan_shapes(spark, sf):
     p = _plan(R.variant_merge_events(spark, sf))
     assert "Join" not in p, p
     assert "Union" in p, p
+
+
+def test_fasta_ops_and_stream_asof_plan_shapes(spark, sf):
+    """getfasta's tile join stays an equi-join (no cartesian / nested
+    loop); maskfasta composes the same machinery; stream_asof's stream
+    side sees only BROADCAST joins — the static side may shuffle, the
+    stream side must not."""
+    p = _plan(R.getfasta_intervals_events(spark, sf))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+    from pyspark.sql import functions as F
+
+    from oxbow_spark.operators.nuc import maskfasta_intervals
+    from oxbow_spark.streaming.ops import stream_asof
+
+    seqs = spark.createDataFrame([("c1", "ACGT" * 50)],
+                                 "name string, seq string")
+    iv = spark.createDataFrame([("c1", 3, 9)],
+                               "chrom string, start long, end long")
+    p = _plan(maskfasta_intervals(seqs, iv, tile_bp=64))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+    l = spark.createDataFrame([("a", 10, "x")],
+                              "u string, v long, lp string")
+    r = spark.createDataFrame([("a", 5, "y")],
+                              "u string, v long, rp string")
+    p = _plan(stream_asof(l, r, on="v", by="u", bucket=16))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
