@@ -39,6 +39,7 @@ from oxbow_spark.operators.interval_ops import (
     multiinter_intervals,
     reldist_intervals,
     shift_intervals,
+    shuffle_intervals,
     slop_intervals,
     spacing_intervals,
     subtract_intervals,
@@ -73,6 +74,7 @@ __all__ = [
     "map_intervals",
     "slop_intervals",
     "shift_intervals",
+    "shuffle_intervals",
     "flank_intervals",
     "genomecov_hist",
     "genomecov_segments",
