@@ -26,6 +26,7 @@ from oxbow_spark.operators.flagstat import flagstat, sn_stats, template_stats
 from oxbow_spark.operators.vcf_stats import variant_stats
 from oxbow_spark.operators.interval_join import overlap_join
 from oxbow_spark.operators.interval_ops import (
+    annotate_intervals,
     closest_intervals,
     cluster_intervals,
     complement_intervals,
@@ -64,7 +65,8 @@ from oxbow_spark.operators.liftover import (
     parse_chain,
 )
 from oxbow_spark.operators.nuc import (gc_windows, getfasta_intervals,
-                                       maskfasta_intervals, nuc_stats)
+                                       maskfasta_intervals, nuc_stats,
+                                       translate_dna)
 from oxbow_spark.operators.variant_norm import normalize_variants
 from oxbow_spark.operators.zoom import zoom_aggregate
 
@@ -104,6 +106,7 @@ __all__ = [
     "gc_windows",
     "getfasta_intervals",
     "maskfasta_intervals",
+    "annotate_intervals",
     "cluster_intervals",
     "intersect_intervals",
     "liftover_intervals",
@@ -112,6 +115,7 @@ __all__ = [
     "epoch_shuffle",
     "make_windows",
     "temperature_mixture",
+    "translate_dna",
     "temperature_rates",
     "merge_intervals",
     "multiinter_intervals",

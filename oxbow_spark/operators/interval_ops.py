@@ -1025,3 +1025,37 @@ def shuffle_intervals(
     keep = [c for c in df.columns if c not in (start_col, end_col)]
     return base.select(
         *keep, ns.alias(start_col), (ns + F.col("_len")).alias(end_col))
+
+
+def annotate_intervals(
+    a: DataFrame, sets: dict[str, DataFrame], bin_size: int,
+    on: str = "chrom", start_col: str = "start", end_col: str = "end",
+    counts: bool = False,
+) -> DataFrame:
+    """bedtools-annotate: every ``a`` row plus, per labelled feature
+    set, the FRACTION of the interval covered by that set's merged
+    union (``<label>_frac``; ``counts=True`` adds bedtools ``-counts``
+    ``<label>_n`` overlap counts). Intervals touching nothing in a set
+    report 0.0 / 0.
+
+    Plan: one `coverage_intervals` pass per set — each is two binned
+    equi-joins + partial aggs over the DISTINCT interval key — joined
+    back on (key, start, end); cost is Σ per-set coverage passes,
+    never a cartesian, and the a-frame's own columns ride through
+    untouched."""
+    out = a
+    keys = [on, start_col, end_col]
+    for label, b in sets.items():
+        cov = coverage_intervals(
+            a.select(*keys).distinct(), b, bin_size=bin_size, on=on,
+            a_start=start_col, a_end=end_col)
+        cols = [F.col(on), F.col(start_col), F.col(end_col),
+                F.col("frac").alias(f"{label}_frac")]
+        if counts:
+            cols.append(F.col("n_overlaps").alias(f"{label}_n"))
+        out = out.join(cov.select(*cols), keys, "left")
+        fills = {f"{label}_frac": 0.0}
+        if counts:
+            fills[f"{label}_n"] = 0
+        out = out.fillna(fills)
+    return out

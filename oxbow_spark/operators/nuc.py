@@ -272,3 +272,49 @@ def maskfasta_intervals(
              .select(F.col("_c").alias(name_col),
                      F.col("_seq").alias(seq_col)))
     return out.unionByName(empty)
+
+
+# standard genetic code, TTT-first codon order; '*' = stop, 'X' = any
+# codon containing a non-ACGT symbol
+_CODON = {}
+for _i, _a in enumerate(
+        "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"):
+    _b = "TCAG"
+    _CODON[_b[_i >> 4] + _b[(_i >> 2) & 3] + _b[_i & 3]] = _a
+
+
+def translate_dna(
+    col: Column, frame: int = 0, to_stop: bool = False,
+) -> Column:
+    """Protein translation of a DNA string column (seqkit-translate /
+    Biopython semantics, standard code): codons read from ``frame``
+    (0/1/2), trailing partial codon dropped, stops rendered ``*`` —
+    or truncate at the first stop with ``to_stop=True``. Codons with
+    any non-ACGT symbol (N, IUPAC ambiguity, gaps) yield ``X``.
+    Case-insensitive.
+
+    Pure Catalyst expression: one `transform` over codon start
+    offsets + a 64-entry literal map lookup per codon — no UDF, no
+    shuffle; cost O(len) per row inside the scan stage."""
+    seq = F.upper(col)
+    if frame not in (0, 1, 2):
+        raise ValueError("frame must be 0, 1 or 2")
+    usable = F.greatest(
+        (F.length(seq) - frame) - (F.length(seq) - frame) % 3, F.lit(0))
+    items = []
+    for c, aa in sorted(_CODON.items()):
+        items += [F.lit(c), F.lit(aa)]
+    table = F.create_map(*items)
+    starts = F.sequence(F.lit(1 + frame),
+                        F.greatest(usable + frame - 2, F.lit(frame)),
+                        F.lit(3))
+    aas = F.when(usable >= 3, F.transform(
+        starts, lambda i: F.coalesce(
+            F.element_at(table, seq.substr(i, F.lit(3))), F.lit("X")))
+    ).otherwise(F.array().cast("array<string>"))
+    prot = F.array_join(aas, "")
+    if to_stop:
+        stop = F.instr(prot, "*")
+        prot = F.when(stop > 0, prot.substr(F.lit(1), stop - 1)) \
+            .otherwise(prot)
+    return prot

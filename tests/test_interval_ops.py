@@ -977,3 +977,34 @@ def test_spacing_split_bp_equals_plain(spark):
                       -1 if r.spacing is None else r.spacing)
                      for r in spacing_intervals(df, split_bp=bp).collect())
         assert got == plain, bp
+
+
+def test_annotate_intervals_vs_coverage(spark):
+    from oxbow_spark.operators.interval_ops import (annotate_intervals,
+                                                    coverage_intervals)
+
+    a = spark.createDataFrame(
+        [(1, "c1", 0, 100), (2, "c1", 200, 300), (3, "c2", 0, 50)],
+        "aid long, chrom string, start long, end long")
+    sets = {
+        "genes": spark.createDataFrame(
+            [("c1", 10, 60), ("c1", 40, 80), ("c2", 0, 50)],
+            "chrom string, start long, end long"),
+        "repeats": spark.createDataFrame(
+            [("c1", 250, 260), ("c1", 255, 290)],
+            "chrom string, start long, end long"),
+    }
+    got = {r.aid: (r.genes_frac, r.genes_n, r.repeats_frac, r.repeats_n)
+           for r in annotate_intervals(a, sets, bin_size=64,
+                                       counts=True).collect()}
+    # hand math: a1 covered by genes union [10,80) = 70/100; 2 overlaps
+    assert got[1] == (0.70, 2, 0.0, 0)
+    # a2 repeats union [250,290) = 40/100
+    assert got[2] == (0.0, 0, 0.40, 2)
+    assert got[3] == (1.0, 1, 0.0, 0)
+    # agreement with coverage_intervals per set
+    cov = {(r.chrom, r.start): r.frac for r in coverage_intervals(
+        a.select("chrom", "start", "end"), sets["genes"],
+        bin_size=64).collect()}
+    for r in annotate_intervals(a, sets, bin_size=64).collect():
+        assert r.genes_frac == cov[(r.chrom, r.start)]

@@ -174,3 +174,35 @@ def test_maskfasta_intervals_vs_python(spark):
         got_s = {r.name: r.seq for r in maskfasta_intervals(
             seqs, df, soft=True, tile_bp=tile).collect()}
         assert got_s == py_mask(True), ("soft", tile)
+
+
+def test_translate_dna_vs_python(spark):
+    import random
+
+    from oxbow_spark.operators.nuc import _CODON, translate_dna
+
+    rng = random.Random(41)
+    rows = [("".join(rng.choice("ACGTN") for _ in range(rng.randrange(0, 40))),)
+            for _ in range(200)]
+    rows += [("ATGGCC TAA".replace(" ", ""),), ("atgtag",), ("AT",), ("",)]
+    df = spark.createDataFrame(rows, "dna string")
+
+    def py_tr(s, frame=0, to_stop=False):
+        s = s.upper()
+        out = []
+        for i in range(frame, len(s) - 2, 3):
+            c = s[i:i + 3]
+            out.append(_CODON.get(c, "X") if set(c) <= set("ACGT")
+                       else "X")
+        p = "".join(out)
+        if to_stop and "*" in p:
+            p = p[:p.index("*")]
+        return p
+
+    for frame in (0, 1, 2):
+        for to_stop in (False, True):
+            got = [r[0] for r in df.select(
+                translate_dna(F.col("dna"), frame=frame,
+                              to_stop=to_stop)).collect()]
+            want = [py_tr(s, frame, to_stop) for (s,) in rows]
+            assert got == want, (frame, to_stop)
