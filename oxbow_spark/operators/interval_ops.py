@@ -343,6 +343,38 @@ def closest_intervals(
     return out.drop("rank") if k == 1 else out
 
 
+def _prev_end_frame(m: DataFrame, on: str, start_col: str, end_col: str,
+                    split_bp: int | None) -> DataFrame:
+    """Each MERGED (disjoint) interval + its predecessor's end
+    (``_pe``, null for the key's first interval). Plain: one per-key
+    lag window. ``split_bp`` (the `_lead_segments` chunked
+    discipline): the lag keys on (key, floor(start/split_bp)) so one
+    hot contig never lands in a single window task; merged intervals
+    are disjoint, so ends increase with starts and each chunk's
+    carry-in is the running max end over the strictly-preceding
+    chunks' TINY summary frame (one row per non-empty chunk),
+    broadcast back co-keyed on (key, chunk). Bit-identical to the
+    plain path (property-tested)."""
+    if split_bp is None:
+        w = Window.partitionBy(on).orderBy(start_col)
+        return m.select(F.col(on), F.col(start_col), F.col(end_col),
+                        F.lag(end_col).over(w).alias("_pe"))
+    bp = int(split_bp)
+    if bp <= 0:
+        raise ValueError("split_bp must be positive")
+    ch = m.withColumn("_k", F.floor(F.col(start_col) / bp))
+    wk = Window.partitionBy(on, "_k").orderBy(start_col)
+    local = ch.withColumn("_lpe", F.lag(end_col).over(wk))
+    summ = ch.groupBy(on, "_k").agg(F.max(end_col).alias("_le"))
+    ws = Window.partitionBy(on).orderBy("_k") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    carry = summ.select(F.col(on), "_k",
+                        F.max("_le").over(ws).alias("_ce"))
+    return (local.join(F.broadcast(carry), [on, "_k"])
+            .select(F.col(on), F.col(start_col), F.col(end_col),
+                    F.coalesce("_lpe", "_ce").alias("_pe")))
+
+
 def complement_intervals(
     df: DataFrame, on: str = "chrom",
     start_col: str = "start", end_col: str = "end",
@@ -354,41 +386,37 @@ def complement_intervals(
     per key); pass ``sizes`` ({chrom: length}) for the true bedtools
     semantics over [0, size) — leading and trailing gaps included, and
     fully-uncovered chroms in ``sizes`` emit their whole span. One
-    merge pass + one lag window (+ a broadcast of the tiny sizes table
-    when given)."""
+    merge pass + one predecessor-end pass (+ a broadcast of the tiny
+    sizes table when given). ``split_bp`` chunks BOTH per-key windows
+    (the merge and the predecessor-end lag — see `_prev_end_frame`);
+    the trailing-gap probe is a per-key max-end groupBy, never a
+    window."""
     m = merge_intervals(df, on=on, start_col=start_col, end_col=end_col,
                         split_bp=split_bp)
+    prev = _prev_end_frame(m, on, start_col, end_col, split_bp)
     if sizes is None:
-        w = Window.partitionBy(on).orderBy(start_col)
-        prev_end = F.lag(end_col).over(w)
         return (
-            m.select(F.col(on), prev_end.alias("_gs"),
-                     F.col(start_col).alias("_ge"))
-            .where(F.col("_gs").isNotNull() & (F.col("_ge") > F.col("_gs")))
-            .select(F.col(on), F.col("_gs").alias(start_col),
-                    F.col("_ge").alias(end_col))
+            prev.where(F.col("_pe").isNotNull()
+                       & (F.col(start_col) > F.col("_pe")))
+            .select(F.col(on), F.col("_pe").alias(start_col),
+                    F.col(start_col).alias(end_col))
         )
     spark = df.sparkSession
     sz = spark.createDataFrame(
         [(k, int(v)) for k, v in sorted(sizes.items())],
         f"{on} string, _size long")
-    w = Window.partitionBy(on).orderBy(start_col)
-    prev_end = F.coalesce(F.lag(end_col).over(w), F.lit(0))
-    gaps = (
-        m.join(F.broadcast(sz), on)
-        .select(F.col(on), "_size", prev_end.alias("_gs"),
-                F.col(start_col).alias("_ge"),
-                F.row_number().over(
-                    Window.partitionBy(on).orderBy(F.desc(start_col))
-                ).alias("_rn"), F.col(end_col).alias("_me"))
-    )
-    mids = gaps.where(F.col("_ge") > F.col("_gs")).select(
+    g = prev.join(F.broadcast(sz), on).select(
+        F.col(on),
+        F.coalesce("_pe", F.lit(0).cast("long")).alias("_gs"),
+        F.col(start_col).alias("_ge"))
+    mids = g.where(F.col("_ge") > F.col("_gs")).select(
         F.col(on), F.col("_gs").alias(start_col),
         F.col("_ge").alias(end_col))
-    tails = gaps.where((F.col("_rn") == 1)
-                       & (F.col("_size") > F.col("_me"))).select(
-        F.col(on), F.col("_me").alias(start_col),
-        F.col("_size").alias(end_col))
+    last = m.groupBy(on).agg(F.max(end_col).alias("_me"))
+    tails = last.join(F.broadcast(sz), on) \
+        .where(F.col("_size") > F.col("_me")).select(
+            F.col(on), F.col("_me").alias(start_col),
+            F.col("_size").alias(end_col))
     uncovered = sz.join(m.select(on).distinct(), on, "left_anti").select(
         F.col(on), F.lit(0).cast("long").alias(start_col),
         F.col("_size").alias(end_col)).where(F.col(end_col) > 0)

@@ -3,8 +3,9 @@ sequence frames from the FASTA/FASTQ scans.
 
 All per-row math is JVM-side Catalyst expressions — base counts via
 `translate` length deltas (one pass per symbol class, whole-stage
-codegen, no UDF); windowed GC tracks via a bounded `sequence` explode of
-window starts + substring slices (narrow, fan-out = ceil(len/step)).
+codegen, no UDF); windowed GC tracks via per-window count structs built
+over byte-addressed BINARY slices (narrow, fan-out = ceil(len/step)),
+with a `tile_bp=` tiled path that distributes whole-chromosome rows.
 The reference scans sequences (`oxbow/src/fasta.rs`) and leaves
 composition analytics downstream; this is that downstream, Spark-first.
 """
@@ -46,34 +47,110 @@ def nuc_stats(df: DataFrame, seq_col: str = "sequence",
 
 
 def gc_windows(df: DataFrame, window: int, step: int | None = None,
-               seq_col: str = "sequence", id_col: str = "name") -> DataFrame:
+               seq_col: str = "sequence", id_col: str = "name",
+               tile_bp: int | None = None) -> DataFrame:
     """(id, win_start, win_len, gc_frac): sliding/tumbling GC% track per
     sequence — the UCSC gc5Base-style signal. ``step`` defaults to
     ``window`` (tumbling). The final partial window is emitted with its
-    true length. Plan: one `sequence` explode of window starts (narrow)
-    + per-slice translate counts; no shuffle at all."""
+    true length.
+
+    Plan (default, read/doc-length rows): counts are computed INSIDE
+    one array `transform` over window indices and only the tiny
+    (start, len, gc, called) structs explode — the parent sequence is
+    never copied into window rows (the carried-string trap: 9.6 GB
+    materialized for 96 windows of a 100 Mbp contig), and every slice
+    is byte-addressed off a BINARY cast (STRING substr is O(position)
+    on Spark's UTF8String ⇒ O(len²/step) per row — both traps measured
+    in `_contig_tiles`'s docstring). No shuffle at all; cost
+    O(len · window/step) bytes scanned per row.
+
+    ``tile_bp`` (the contig-scale path): a whole chromosome is ONE row,
+    so the narrow plan puts a 100 Mbp track in a single task. With
+    ``tile_bp`` set, contigs cut once into binary tiles
+    (`_contig_tiles`, spread across tasks by the tile exchange),
+    windows explode off a tiny per-contig LENGTH frame, each window
+    joins only the tiles it touches, and per-tile partial counts sum
+    in one groupBy — GC counts are additive across a window's tile
+    slices, so the stitch is an agg, not a string concat. Shuffle
+    volume is O(genome bytes + windows). Bit-identical to the narrow
+    path (property-tested)."""
     step = step or window
-    up = F.upper(F.col(seq_col))
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.length(up) - 1, F.lit(0)),
-        F.lit(step),
-    )
-    # empty sequences must yield zero windows — without the filter the
-    # clamped bound greatest(len-1, 0) emits one bogus (0, 0, 0.0) row
-    ex = df.where(F.length(F.col(seq_col)) > 0).select(
-        F.col(id_col), up.alias("_seq"),
-        F.explode(starts).alias("win_start"),
-    )
-    sl = F.col("_seq").substr(F.col("win_start") + 1, F.lit(window))
-    g_c = _count_chars(sl, "GC")
-    called = _count_chars(sl, "ACGT")
+    if tile_bp is not None:
+        return _gc_windows_tiled(df, window, step, seq_col, id_col,
+                                 int(tile_bp))
+    # the binary cast MUST be a materialized column, not an expression
+    # captured inside the lambda: interpreted HOF evaluation re-runs
+    # every outer subtree per element, so an inline upper(col) would
+    # re-uppercase the whole sequence for each window — O(len²/step),
+    # measured as a >500 s hang on one 100 Mbp contig vs seconds here
+    binf = df.where(F.length(F.col(seq_col)) > 0).select(
+        F.col(id_col),
+        F.upper(F.col(seq_col)).cast("binary").alias("_b"))
+    n_win = (F.floor((F.length("_b") - 1) / step) + 1).cast("long")
+
+    def _win(i):
+        piece = F.col("_b").substr((i * step + 1).cast("int"),
+                                   F.lit(window))
+        ps = piece.cast("string")
+        return F.struct(
+            (i * step).cast("long").alias("ws"),
+            F.length(piece).cast("long").alias("wl"),
+            _count_chars(ps, "GC").alias("gc"),
+            _count_chars(ps, "ACGT").alias("called"))
+
+    arr = F.transform(F.sequence(F.lit(0).cast("long"), n_win - 1), _win)
+    # empty sequences yield zero windows (filtered above)
+    ex = binf.select(F.col(id_col), F.explode(arr).alias("_w"))
     return ex.select(
         F.col(id_col),
-        F.col("win_start").cast("long").alias("win_start"),
-        F.length(sl).cast("long").alias("win_len"),
-        (g_c / F.greatest(called, F.lit(1)).cast("double")).alias("gc_frac"),
+        F.col("_w.ws").alias("win_start"),
+        F.col("_w.wl").alias("win_len"),
+        (F.col("_w.gc") /
+         F.greatest(F.col("_w.called"), F.lit(1)).cast("double"))
+        .alias("gc_frac"),
     )
+
+
+def _gc_windows_tiled(df: DataFrame, window: int, step: int,
+                      seq_col: str, id_col: str, tb: int) -> DataFrame:
+    """Distributed gc_windows: binary tiles × touched-tile window
+    explode × one count-sum groupBy. See `gc_windows(tile_bp=)`."""
+    if tb <= 0:
+        raise ValueError("tile_bp must be positive")
+    seqs = df.where(F.length(F.col(seq_col)) > 0)
+    lens = seqs.select(
+        F.col(id_col).alias("_c"),
+        F.length(F.col(seq_col).cast("binary")).cast("long").alias("_len"))
+    tiles = _contig_tiles(seqs, id_col, seq_col, tb)
+    wins = (lens.select(
+        "_c", "_len",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_len") - 1,
+                             F.lit(step).cast("long"))).alias("ws"))
+        .withColumn("wl", F.least(F.lit(window).cast("long"),
+                                  F.col("_len") - F.col("ws")))
+        .withColumn("_t", F.explode(F.sequence(
+            F.floor(F.col("ws") / tb),
+            F.floor((F.col("ws") + F.col("wl") - 1) / tb)))))
+    lo = F.greatest(F.col("ws"), F.col("_t") * tb)
+    hi = F.least(F.col("ws") + F.col("wl"), (F.col("_t") + 1) * tb)
+    ps = F.upper(F.col("_tile").substr(
+        (lo - F.col("_t") * tb + 1).cast("int"),
+        (hi - lo).cast("int")).cast("string"))
+    pieces = wins.join(tiles, ["_c", "_t"]).select(
+        "_c", "ws",
+        (hi - lo).alias("_pl"),
+        _count_chars(ps, "GC").alias("_gc"),
+        _count_chars(ps, "ACGT").alias("_called"))
+    agg = pieces.groupBy("_c", "ws").agg(
+        F.sum("_pl").alias("win_len"),
+        F.sum("_gc").alias("_gc"),
+        F.sum("_called").alias("_called"))
+    return agg.select(
+        F.col("_c").alias(id_col),
+        F.col("ws").alias("win_start"),
+        F.col("win_len"),
+        (F.col("_gc") / F.greatest(F.col("_called"), F.lit(1))
+         .cast("double")).alias("gc_frac"))
 
 
 def _contig_tiles(seqs: DataFrame, name_col: str, seq_col: str,
@@ -140,18 +217,31 @@ def getfasta_intervals(
 
     tiles = _contig_tiles(seqs, name_col, seq_col, tb).select(
         F.col("_c"), F.col("_t").alias("_t2"), F.col("_tile"))
+    # broadcast contig lengths and clamp `end` BEFORE the tile explode:
+    # a corrupt/sentinel end (2^62) would otherwise fan a single row
+    # out into billions of tile indices (Spark's sequence-length limit
+    # / OOM) even though every one would drop in the join. The inner
+    # join also drops unknown-contig intervals up front (bedtools
+    # skips those). Length on BINARY is O(1).
+    lens = seqs.select(
+        F.col(name_col).alias("_lc"),
+        F.length(F.col(seq_col).cast("binary")).cast("long").alias("_ll"))
 
     s = F.col(start_col).cast("long")
     e = F.col(end_col).cast("long")
     cols = list(intervals.columns)
     iv = (intervals.where(e > s)
+          .join(F.broadcast(lens),
+                intervals[on] == F.col("_lc"), "inner")
           .withColumn("_rid", F.monotonically_increasing_id())
           .withColumn("_cs", F.greatest(s, F.lit(0).cast("long")))
-          .where(F.col("_cs") < e)
+          .withColumn("_ce", F.least(e, F.col("_ll")))
+          .where(F.col("_cs") < F.col("_ce"))
           .withColumn("_t", F.explode(F.sequence(
-              F.floor(F.col("_cs") / tb), F.floor((e - 1) / tb)))))
+              F.floor(F.col("_cs") / tb),
+              F.floor((F.col("_ce") - 1) / tb)))))
     lo = F.greatest(F.col("_cs"), F.col("_t") * tb)
-    hi = F.least(F.col(end_col).cast("long"), (F.col("_t") + 1) * tb)
+    hi = F.least(F.col("_ce"), (F.col("_t") + 1) * tb)
     pieces = (iv.join(tiles, (iv[on] == tiles["_c"])
                       & (iv["_t"] == tiles["_t2"]))
               .select(
@@ -295,10 +385,16 @@ def translate_dna(
 
     Pure Catalyst expression: one `transform` over codon start
     offsets + a 64-entry literal map lookup per codon — no UDF, no
-    shuffle; cost O(len) per row inside the scan stage."""
-    seq = F.upper(col)
+    shuffle; cost O(len) per row inside the scan stage. Codons are
+    sliced off a BINARY cast: Spark's STRING substr walks the
+    UTF8String from the front (O(position) per slice ⇒ O(len²) on a
+    megabase contig — the `_contig_tiles` trap, measured there), while
+    BINARY substr is byte-addressed O(1); DNA is ASCII so bytes ==
+    chars, and only the 3-byte codon casts back to string for the map
+    lookup."""
     if frame not in (0, 1, 2):
         raise ValueError("frame must be 0, 1 or 2")
+    seq = F.upper(col).cast("binary")
     usable = F.greatest(
         (F.length(seq) - frame) - (F.length(seq) - frame) % 3, F.lit(0))
     items = []
@@ -310,7 +406,10 @@ def translate_dna(
                         F.lit(3))
     aas = F.when(usable >= 3, F.transform(
         starts, lambda i: F.coalesce(
-            F.element_at(table, seq.substr(i, F.lit(3))), F.lit("X")))
+            F.element_at(table,
+                         seq.substr(i.cast("int"), F.lit(3))
+                         .cast("string")),
+            F.lit("X")))
     ).otherwise(F.array().cast("array<string>"))
     prot = F.array_join(aas, "")
     if to_stop:

@@ -622,8 +622,11 @@ def epoch_shuffle(
     window. Writers downstream keep the order because part files are
     named part-<partitionId> (sorted(glob) = rank order after a
     repartitionByRange on the rank)."""
+    # ':' separators on BOTH sides of epoch: without the first one,
+    # (salt='a1', epoch=2) and (salt='a', epoch=12) would collide on
+    # 'a12:' and produce identical permutations
     key = F.conv(F.substring(F.md5(F.concat(
-        F.lit(salt), F.lit(str(int(epoch))), F.lit(":"),
+        F.lit(salt), F.lit(":"), F.lit(str(int(epoch))), F.lit(":"),
         F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("long")
     staged = df.withColumn("_sk", key) \
         .withColumn("_bk", F.shiftright(F.col("_sk"), 44))

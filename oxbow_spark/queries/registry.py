@@ -4256,7 +4256,7 @@ SELECT doc_id,
        CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS VARCHAR) AS label
 FROM (
   SELECT doc_id,
-         CAST(('0x' || substr(md5('2:' || CAST(doc_id AS VARCHAR)),
+         CAST(('0x' || substr(md5(':2:' || CAST(doc_id AS VARCHAR)),
                               1, 15)) AS BIGINT) AS k
   FROM documents)
 """

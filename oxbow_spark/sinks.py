@@ -117,10 +117,8 @@ def sort_write_alignments(
     records; everything else is per-task streaming.
 
     Returns the part directory (or ``single_file`` when given)."""
-    import glob as _glob
-    import os as _os
-
     from oxbow_spark.models.sam_header import SamHeader
+    from oxbow_spark.sources.align_write import committed_parts
 
     if fmt not in ("bam", "sam", "cram"):
         raise ValueError(f"sort_write_alignments: unsupported fmt {fmt!r}")
@@ -136,8 +134,11 @@ def sort_write_alignments(
     w.save(path)
     if single_file is None:
         return path
+    # exactly the parts the writer COMMITTED, in numeric partition
+    # order — never a lexicographic glob (orphan attempts, >99999
+    # partitions; see align_write._reconcile_parts)
     suffix = {"bam": ".bam", "sam": ".sam", "cram": ".cram"}[fmt]
-    parts = sorted(_glob.glob(_os.path.join(path, f"part-*{suffix}")))
+    parts = committed_parts(path, suffix)
     if fmt == "bam":
         from oxbow_spark.sources.cat import cat_bam
         cat_bam(parts, single_file, index=index)
@@ -194,9 +195,9 @@ def sort_write_variants(
     standalone), and ``single_file`` splices parts by raw BGZF block
     copy with an arithmetic sidecar merge (`cat_bgzf_text` /
     `cat_bcf`). Returns the part directory or ``single_file``."""
-    import glob as _glob
-    import os as _os
     import re as _re
+
+    from oxbow_spark.sources.align_write import committed_parts
 
     if fmt not in ("vcf", "bcf"):
         raise ValueError(f"sort_write_variants: unsupported fmt {fmt!r}")
@@ -216,10 +217,9 @@ def sort_write_variants(
         return path
     if fmt == "bcf":
         from oxbow_spark.sources.cat import cat_bcf
-        parts = sorted(_glob.glob(_os.path.join(path, "part-*.bcf")))
-        cat_bcf(parts, single_file, index=index)
+        cat_bcf(committed_parts(path, ".bcf"), single_file, index=index)
     else:
         from oxbow_spark.sources.cat import cat_bgzf_text
-        parts = sorted(_glob.glob(_os.path.join(path, "part-*.vcf.gz")))
-        cat_bgzf_text(parts, single_file, index=index)
+        cat_bgzf_text(committed_parts(path, ".vcf.gz"), single_file,
+                      index=index)
     return single_file

@@ -247,12 +247,87 @@ class _PartFile(WriterCommitMessage):
     rows: int
 
 
+MANIFEST = "_parts.manifest"
+
+
 def _prepare_dir(path: str, overwrite: bool, suffix: str) -> None:
     os.makedirs(path, exist_ok=True)
     if overwrite:
         for f in os.listdir(path):
-            if f.endswith(suffix):
+            if f.endswith(suffix) or f == MANIFEST:
                 os.remove(os.path.join(path, f))
+
+
+def _reconcile_parts(path: str, messages, fresh: bool = True) -> list[str]:
+    """Commit-time reconciliation shared by every part-file writer.
+
+    A retried or speculative task attempt may have fully written its
+    part file (uuid suffix keeps attempts collision-free) and then
+    lost the commit race — `abort()` only runs on JOB failure, so the
+    orphan survives next to the winning attempt's file and a naive
+    ``sorted(glob('part-*'))`` splice would silently duplicate
+    records. Keep exactly the parts named by the task commit messages
+    (plus their ``<part>.<ext>`` sidecar indexes), delete every other
+    ``part-*`` entry, and record the committed parts in NUMERIC
+    partition order in ``_parts.manifest`` so downstream splicing
+    never trusts a lexicographic directory listing (``part-100000``
+    sorts between ``part-09999`` and ``part-10000`` lexically).
+
+    ``fresh=False`` (append mode: the dir may hold parts from earlier
+    writes this run cannot tell from orphans) skips deletion and
+    merges the new names onto the existing manifest instead.
+
+    Returns the committed part paths in partition order."""
+    import re
+
+    committed = [m.path for m in messages if m is not None]
+    keep = {os.path.basename(p) for p in committed}
+    if fresh:
+        for f in os.listdir(path):
+            if not f.startswith("part-") or f in keep:
+                continue
+            if any(f.startswith(k + ".") for k in keep):
+                continue  # sidecar index of a committed part
+            try:
+                os.remove(os.path.join(path, f))
+            except FileNotFoundError:
+                pass
+
+    def _pid(p: str):
+        m = re.match(r"part-(\d+)-", os.path.basename(p))
+        return (int(m.group(1)) if m else 1 << 30, os.path.basename(p))
+
+    names = [os.path.basename(p) for p in sorted(committed, key=_pid)]
+    man = os.path.join(path, MANIFEST)
+    if not fresh and os.path.exists(man):
+        with open(man, "r", encoding="ascii") as f:
+            prior = [ln.strip() for ln in f if ln.strip()]
+        names = prior + [n for n in names if n not in set(prior)]
+    with open(man, "w", encoding="ascii") as f:
+        for n in names:
+            f.write(n + "\n")
+    return [os.path.join(path, n) for n in names]
+
+
+def committed_parts(path: str, suffix: str) -> list[str]:
+    """Part files of one write, in partition order: the commit-time
+    manifest when present (exactly the committed attempts), else a
+    numeric-partition-id sort of the directory glob."""
+    import glob as _glob
+    import re
+
+    man = os.path.join(path, MANIFEST)
+    if os.path.exists(man):
+        with open(man, "r", encoding="ascii") as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        return [os.path.join(path, n) for n in names if n.endswith(suffix)]
+
+    def _pid(p: str):
+        m = re.match(r"part-(\d+)-", os.path.basename(p))
+        return (int(m.group(1)) if m else 1 << 30, os.path.basename(p))
+
+    return sorted(_glob.glob(os.path.join(path, f"part-*{suffix}")),
+                  key=_pid)
 
 
 class _AlignmentWriter(DataSourceWriter):
@@ -264,13 +339,14 @@ class _AlignmentWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("writer needs a target path")
         self.header_text = options.get("header") or "@HD\tVN:1.6"
+        self._overwrite = bool(overwrite)
         _prepare_dir(self.path, overwrite, self.SUFFIX)
 
     def _part_path(self) -> str:
-        # partition id first (Spark's own part-file convention) so
-        # sorted(glob) == partition order — with range-partitioned
-        # input that makes cat_* concatenation globally sorted; the
-        # uuid tail keeps speculative/retried tasks collision-free
+        # partition id first (Spark's own part-file convention);
+        # committed_parts() orders NUMERICALLY on it, so with
+        # range-partitioned input the cat_* splice is globally
+        # sorted; the uuid tail keeps retried tasks collision-free
         from pyspark import TaskContext
 
         tc = TaskContext.get()
@@ -280,7 +356,7 @@ class _AlignmentWriter(DataSourceWriter):
             f"part-{pid:05d}-{uuid.uuid4().hex[:12]}{self.SUFFIX}")
 
     def commit(self, messages) -> None:
-        pass
+        _reconcile_parts(self.path, messages, fresh=self._overwrite)
 
     def abort(self, messages) -> None:
         for m in messages:

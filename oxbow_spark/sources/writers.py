@@ -23,7 +23,11 @@ from typing import Iterator
 from pyspark.sql.datasource import DataSourceWriter
 
 from oxbow_spark.models.vcf_header import VcfHeader
-from oxbow_spark.sources.align_write import _PartFile, _prepare_dir
+from oxbow_spark.sources.align_write import (
+    _PartFile,
+    _prepare_dir,
+    _reconcile_parts,
+)
 
 
 class _TextPartWriter(DataSourceWriter):
@@ -39,6 +43,7 @@ class _TextPartWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("writer needs a target path")
         self.options = dict(options)
+        self._overwrite = bool(overwrite)
         _prepare_dir(self.path, overwrite, self.SUFFIX)
         self.bgzf = (options.get("compression") or "").lower() == "bgzf"
         self.index_kind = (options.get("index") or "").lower()
@@ -63,7 +68,8 @@ class _TextPartWriter(DataSourceWriter):
         import uuid
 
         # partition id first (Spark's part-file convention): with
-        # range-partitioned input, sorted(glob) is global order
+        # range-partitioned input, committed_parts()'s numeric
+        # partition-id order is global order
         from pyspark import TaskContext
 
         tc = TaskContext.get()
@@ -73,7 +79,7 @@ class _TextPartWriter(DataSourceWriter):
             self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:12]}{suffix}")
 
     def commit(self, messages) -> None:
-        pass
+        _reconcile_parts(self.path, messages, fresh=self._overwrite)
 
     def abort(self, messages) -> None:
         import os

@@ -1035,3 +1035,67 @@ def test_cram_block_sampled_selection_matches_exhaustive():
             assert len(fast) <= int(len(full) * 1.02)
     finally:
         cw._SELECT_SAMPLE_AT = orig
+
+
+class _Msg:
+    def __init__(self, path):
+        self.path = path
+
+
+def test_reconcile_parts_drops_orphans_and_orders_numerically(tmp_path):
+    """Commit reconciliation: an orphan part file from a losing task
+    attempt is deleted; committed parts (and their sidecar indexes)
+    survive; the manifest — and committed_parts() — order numerically
+    by partition id, where a lexicographic sort would interleave
+    part-100000 between part-09999 and part-10000."""
+    from oxbow_spark.sources.align_write import (
+        _reconcile_parts, committed_parts)
+
+    d = str(tmp_path)
+    names = ["part-09999-aaaaaaaaaaaa.bam",
+             "part-10000-bbbbbbbbbbbb.bam",
+             "part-100000-cccccccccccc.bam"]
+    orphan = "part-10000-deadbeefdead.bam"  # losing attempt, same pid
+    for n in names + [orphan, names[0] + ".bai", orphan + ".bai"]:
+        (tmp_path / n).write_bytes(b"x")
+
+    got = _reconcile_parts(d, [_Msg(os.path.join(d, n)) for n in names])
+    assert [os.path.basename(p) for p in got] == names  # numeric order
+    left = sorted(os.listdir(d))
+    assert orphan not in left and orphan + ".bai" not in left
+    assert names[0] + ".bai" in left  # committed sidecar kept
+    assert committed_parts(d, ".bam") == [
+        os.path.join(d, n) for n in names]
+
+
+def test_reconcile_parts_append_mode_keeps_prior_writes(tmp_path):
+    """fresh=False (append): parts from an earlier write are neither
+    deleted nor dropped from the manifest."""
+    from oxbow_spark.sources.align_write import (
+        _reconcile_parts, committed_parts)
+
+    d = str(tmp_path)
+    old = "part-00000-111111111111.bam"
+    new = "part-00000-222222222222.bam"
+    (tmp_path / old).write_bytes(b"x")
+    _reconcile_parts(d, [_Msg(os.path.join(d, old))])
+    (tmp_path / new).write_bytes(b"y")
+    _reconcile_parts(d, [_Msg(os.path.join(d, new))], fresh=False)
+    assert committed_parts(d, ".bam") == [
+        os.path.join(d, old), os.path.join(d, new)]
+    assert sorted(os.listdir(tmp_path))  # nothing deleted
+    assert (tmp_path / old).exists() and (tmp_path / new).exists()
+
+
+def test_committed_parts_glob_fallback_numeric(tmp_path):
+    """Without a manifest (pre-reconcile dirs), committed_parts falls
+    back to a NUMERIC partition-id sort of the glob."""
+    from oxbow_spark.sources.align_write import committed_parts
+
+    for n in ("part-100000-cc.bam", "part-09999-aa.bam",
+              "part-10000-bb.bam"):
+        (tmp_path / n).write_bytes(b"x")
+    got = [os.path.basename(p)
+           for p in committed_parts(str(tmp_path), ".bam")]
+    assert got == ["part-09999-aa.bam", "part-10000-bb.bam",
+                   "part-100000-cc.bam"]

@@ -115,6 +115,54 @@ def test_split_on_equals_plain_random(spark, direction):
         assert got == expect, bp
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_split_on_equals_plain_null_payloads(spark, direction):
+    """Chunked ≡ plain when right payload columns contain NULLs.
+
+    The plain path carries each column independently
+    (last(ignorenulls) falls back past a null-valued later right row
+    to an earlier row's non-null value); the chunked path must match
+    via per-column carries, not one best-row struct."""
+    import random
+
+    rng = random.Random(202)
+    lefts = [("g", t, f"L{t}") for t in sorted(rng.sample(range(0, 3000), 80))]
+    rights = []
+    for t in sorted(rng.sample(range(0, 3000), 40)):
+        a = f"A{t}" if rng.random() < 0.5 else None
+        b = float(t) if rng.random() < 0.5 else None
+        rights.append(("g", t, a, b))
+    l = spark.createDataFrame(lefts, "u string, v long, lpay string")
+    r = spark.createDataFrame(rights, "u string, v long, a string, b double")
+
+    backward = direction == "backward"
+
+    def brute(o):
+        # per-COLUMN latest non-null at or before/after o
+        outa = outb = None
+        cands = [x for x in rights if (x[1] <= o if backward else x[1] >= o)]
+        # walk away-from-o → toward-o so the nearest non-null wins
+        cands.sort(key=lambda x: x[1], reverse=not backward)
+        for _, _, a, b in cands:
+            if a is not None:
+                outa = a
+            if b is not None:
+                outb = b
+        return outa, outb
+
+    expect = {(u, v, p): brute(v) for u, v, p in lefts}
+    plain = {(x.u, x.v, x.lpay): (x.a, x.b)
+             for x in asof_join(l, r, on="v", by="u",
+                                direction=direction).collect()}
+    assert plain == expect
+    for bp in (1, 64, 700, 1 << 20):
+        got = {(x.u, x.v, x.lpay): (x.a, x.b)
+               for x in asof_join(l, r, on="v", by="u",
+                                  direction=direction,
+                                  split_on=bp).collect()}
+        assert got == expect, bp
+
+
 def test_split_on_window_keys_on_chunk(spark):
     """Plan guard: the chunked path's carry window must key on
     (by, chunk) — only the tiny summary window keys on `by` alone."""

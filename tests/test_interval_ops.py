@@ -1008,3 +1008,48 @@ def test_annotate_intervals_vs_coverage(spark):
         bin_size=64).collect()}
     for r in annotate_intervals(a, sets, bin_size=64).collect():
         assert r.genes_frac == cov[(r.chrom, r.start)]
+
+
+def test_complement_split_bp_equals_plain_random(spark):
+    """Chunked complement ≡ plain across chunk widths — random dense
+    layouts on one hot key (adjacent, spanning, chunk-edge-aligned
+    intervals), with and without `sizes` (leading/trailing gaps and
+    fully-uncovered chroms)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for chrom in ("hot", "cold"):
+        n = 120 if chrom == "hot" else 6
+        for _ in range(n):
+            s = rng.randrange(0, 3000)
+            rows.append((chrom, s, s + rng.randrange(1, 200)))
+    rows += [("hot", 512, 1024), ("hot", 1024, 1030)]  # chunk-edge abut
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+    sizes = {"hot": 5000, "cold": 4000, "untouched": 77}
+
+    plain = sorted(tuple(r) for r in complement_intervals(df).collect())
+    plain_sz = sorted(tuple(r) for r in
+                      complement_intervals(df, sizes=sizes).collect())
+    assert ("untouched", 0, 77) in plain_sz
+    for bp in (1, 64, 512, 1 << 20):
+        got = sorted(tuple(r) for r in
+                     complement_intervals(df, split_bp=bp).collect())
+        assert got == plain, bp
+        got_sz = sorted(tuple(r) for r in complement_intervals(
+            df, split_bp=bp, sizes=sizes).collect())
+        assert got_sz == plain_sz, bp
+
+
+def test_complement_split_bp_plan_windows_on_chunk(spark):
+    """Plan guard: with split_bp, no window over corpus-scale rows may
+    key on the bare contig — the lag keys on (chrom, chunk); only the
+    tiny per-chunk summary window keys on chrom alone."""
+    df = spark.createDataFrame([("c", 0, 10), ("c", 20, 30)],
+                               "chrom string, start long, end long")
+    plan = complement_intervals(df, split_bp=64)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    specs = [ln for ln in plan.splitlines()
+             if "windowspecdefinition" in ln]
+    lag_lines = [ln for ln in specs if "lag(" in ln]
+    assert lag_lines and all("_k#" in ln for ln in lag_lines), plan

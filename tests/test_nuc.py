@@ -206,3 +206,75 @@ def test_translate_dna_vs_python(spark):
                               to_stop=to_stop)).collect()]
             want = [py_tr(s, frame, to_stop) for (s,) in rows]
             assert got == want, (frame, to_stop)
+
+
+def test_gc_windows_tiled_equals_plain(spark):
+    """`tile_bp=` (distributed contig path) ≡ plain narrow path ≡
+    Python brute, across tile widths — including tiles SMALLER than
+    the window (boundary-straddling windows whose counts must stitch
+    across tiles) and sliding steps."""
+    import random
+
+    rng = random.Random(77)
+    rows = []
+    for i, ln in enumerate((1, 2, 37, 256, 1000)):
+        seq = "".join(rng.choice("ACGTNacgtn") for _ in range(ln))
+        rows.append((f"s{i}", seq))
+    rows.append(("empty", ""))
+    df = spark.createDataFrame(rows, "name string, sequence string")
+
+    def brute(window, step):
+        out = {}
+        for name, seq in rows:
+            u = seq.upper()
+            for s in range(0, len(u), step):
+                w = u[s:s + window]
+                called = sum(w.count(b) for b in "ACGT")
+                gc = (w.count("G") + w.count("C")) / max(called, 1)
+                out[(name, s)] = (len(w), pytest.approx(gc))
+        return out
+
+    for window, step in ((10, 10), (10, 3), (64, 64), (7, 7)):
+        expect = brute(window, step)
+        plain = {(r.name, r.win_start): (r.win_len, r.gc_frac)
+                 for r in gc_windows(df, window=window, step=step).collect()}
+        assert plain == expect, (window, step)
+        for tb in (4, 16, 1 << 20):  # tb < window forces stitching
+            got = {(r.name, r.win_start): (r.win_len, r.gc_frac)
+                   for r in gc_windows(df, window=window, step=step,
+                                       tile_bp=tb).collect()}
+            assert got == expect, (window, step, tb)
+
+
+def test_gc_windows_plain_path_no_carried_string(spark):
+    """Plan guard for the narrow path: the explode emits count structs
+    only — no string/binary sequence column may survive into the
+    exploded projection (the carried-string trap: the full contig
+    copied into every window row)."""
+    df = spark.createDataFrame([("x", "ACGT" * 64)],
+                               "name string, sequence string")
+    plan = gc_windows(df, window=8)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the Generate (explode) output must be the struct of counts
+    gen = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen and all("_w" in ln for ln in gen), plan
+    # post-explode projections must not reference the sequence column
+    after = plan.split("Generate", 1)[0]
+    assert "sequence#" not in after, plan
+
+
+def test_getfasta_sentinel_end_is_clamped(spark):
+    """A corrupt/sentinel `end` (2^62) must clamp to the contig length
+    BEFORE the tile explode — the row yields the clipped sequence
+    instead of a billion-element tile fan-out."""
+    from oxbow_spark.operators.nuc import getfasta_intervals
+
+    seqs = spark.createDataFrame([("c1", "ACGTACGTGG")],
+                                 "name string, seq string")
+    iv = spark.createDataFrame(
+        [("c1", 4, 1 << 62, "huge"), ("c1", 2, 6, "ok"),
+         ("c1", 12, 1 << 62, "past_end"), ("nope", 0, 1 << 62, "unknown")],
+        "chrom string, start long, end long, name string")
+    got = {r.name: r.iv_seq
+           for r in getfasta_intervals(iv, seqs, tile_bp=4).collect()}
+    assert got == {"huge": "ACGTGG", "ok": "GTAC"}

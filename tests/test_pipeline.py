@@ -574,7 +574,7 @@ def test_epoch_shuffle_matches_python_and_epochs_differ(spark):
     def py_rank(epoch, salt=""):
         keyed = sorted(
             (int(hashlib.md5(
-                f"{salt}{epoch}:{i}".encode()).hexdigest()[:15], 16), i)
+                f"{salt}:{epoch}:{i}".encode()).hexdigest()[:15], 16), i)
             for i in range(500))
         return {i: r + 1 for r, (_, i) in enumerate(keyed)}
 
