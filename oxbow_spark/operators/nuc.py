@@ -3,9 +3,12 @@ sequence frames from the FASTA/FASTQ scans.
 
 All per-row math is JVM-side Catalyst expressions — base counts via
 `translate` length deltas (one pass per symbol class, whole-stage
-codegen, no UDF); windowed GC tracks via per-window count structs built
-over byte-addressed BINARY slices (narrow, fan-out = ceil(len/step)),
-with a `tile_bp=` tiled path that distributes whole-chromosome rows.
+codegen, no UDF); windowed GC tracks via explode-then-slice over
+byte-addressed BINARY casts (slices cut inside the codegen stage where
+the parent binary is a JVM local — never inside a higher-order
+function, whose interpreted lambda re-copies an outer binary column
+per element), auto-routed per row between a narrow plan and a
+`tile_bp=` tiled plan that distributes whole-chromosome rows.
 The reference scans sequences (`oxbow/src/fasta.rs`) and leaves
 composition analytics downstream; this is that downstream, Spark-first.
 """
@@ -46,75 +49,126 @@ def nuc_stats(df: DataFrame, seq_col: str = "sequence",
     )
 
 
+#: contigs longer than this auto-route to the tiled path (one task per
+#: tile instead of one task per contig). 1 MiB keeps the plain leg's
+#: per-task byte budget small while reads/docs (the common short-row
+#: case) never pay the tile exchange.
+PLAIN_MAX_BP = 1 << 20
+
+
 def gc_windows(df: DataFrame, window: int, step: int | None = None,
                seq_col: str = "sequence", id_col: str = "name",
-               tile_bp: int | None = None) -> DataFrame:
+               tile_bp: int | None = None,
+               plain_max_bp: int | None = PLAIN_MAX_BP) -> DataFrame:
     """(id, win_start, win_len, gc_frac): sliding/tumbling GC% track per
     sequence — the UCSC gc5Base-style signal. ``step`` defaults to
     ``window`` (tumbling). The final partial window is emitted with its
     true length.
 
-    Plan (default, read/doc-length rows): counts are computed INSIDE
-    one array `transform` over window indices and only the tiny
-    (start, len, gc, called) structs explode — the parent sequence is
-    never copied into window rows (the carried-string trap: 9.6 GB
-    materialized for 96 windows of a 100 Mbp contig), and every slice
-    is byte-addressed off a BINARY cast (STRING substr is O(position)
-    on Spark's UTF8String ⇒ O(len²/step) per row — both traps measured
-    in `_contig_tiles`'s docstring). No shuffle at all; cost
-    O(len · window/step) bytes scanned per row.
+    Routing (the default is safe at any contig length): rows with
+    ``length(seq) <= plain_max_bp`` take the narrow plan — window
+    starts explode off the row and slices are cut INSIDE one
+    whole-stage-codegen stage, where the parent binary is a JVM local
+    (zero copies; the generated rows leaving the stage carry only the
+    four small output columns). Rows longer than ``plain_max_bp``
+    take the tiled plan, which spreads one chromosome across many
+    tasks. ``tile_bp=<int>`` forces the tiled plan for every row;
+    ``plain_max_bp=None`` forces the narrow plan (single task per
+    contig — linear, but no intra-contig parallelism).
 
-    ``tile_bp`` (the contig-scale path): a whole chromosome is ONE row,
-    so the narrow plan puts a 100 Mbp track in a single task. With
-    ``tile_bp`` set, contigs cut once into binary tiles
-    (`_contig_tiles`, spread across tasks by the tile exchange),
-    windows explode off a tiny per-contig LENGTH frame, each window
-    joins only the tiles it touches, and per-tile partial counts sum
-    in one groupBy — GC counts are additive across a window's tile
-    slices, so the stitch is an agg, not a string concat. Shuffle
-    volume is O(genome bytes + windows). Bit-identical to the narrow
-    path (property-tested)."""
+    Why explode-then-slice and NOT per-window structs built inside an
+    array `transform` (the round-10 formulation): higher-order
+    functions are interpreted (no codegen), and inside an interpreted
+    lambda every reference to an outer BINARY *column* pays a full
+    `UnsafeRow.getBinary` copy per element — O(n_windows × len) bytes,
+    measured 41 s on one 3 Mbp contig vs 1.2 s for this plan. Both
+    legs cost O(len · window/step) bytes scanned per row and are
+    bit-identical (property-tested).
+
+    Tiled plan shape: contigs cut once into ``tile_bp`` binary tiles
+    (`_contig_tiles` — one exchange moves O(genome) bytes and spreads
+    tiles across tasks), each TILE explodes the window starts that
+    overlap it and counts its slice of each window locally (codegen,
+    tile binary stays a local — no tiles×windows join, which would
+    re-copy the tile per matched window row from the join buffer),
+    and per-tile partial counts sum in one (id, win_start) groupBy —
+    GC counts are additive across a window's tile slices, so the
+    stitch is a map-side-combined agg, not a string concat. Shuffle
+    volume is O(genome bytes + windows), independent of window/step."""
     step = step or window
     if tile_bp is not None:
         return _gc_windows_tiled(df, window, step, seq_col, id_col,
                                  int(tile_bp))
-    # the binary cast MUST be a materialized column, not an expression
-    # captured inside the lambda: interpreted HOF evaluation re-runs
-    # every outer subtree per element, so an inline upper(col) would
-    # re-uppercase the whole sequence for each window — O(len²/step),
-    # measured as a >500 s hang on one 100 Mbp contig vs seconds here
+    if plain_max_bp is None:
+        return _gc_windows_plain(df, window, step, seq_col, id_col)
+    # auto route: per-row length decides the leg; the union is two
+    # disjoint filters over the same scan, so each row is read once
+    # per leg and processed by exactly one
+    ln = F.length(F.col(seq_col))
+    short = df.where(ln <= int(plain_max_bp))
+    long = df.where(ln > int(plain_max_bp))
+    # tile at the plain cutoff (>= window so a window spans <= 2 tiles
+    # unless window itself is huge)
+    tb = max(int(plain_max_bp), int(window))
+    return _gc_windows_plain(short, window, step, seq_col, id_col) \
+        .unionByName(_gc_windows_tiled(long, window, step, seq_col,
+                                       id_col, tb))
+
+
+def _gc_windows_plain(df: DataFrame, window: int, step: int,
+                      seq_col: str, id_col: str) -> DataFrame:
+    """Narrow gc_windows: explode window starts, slice in the same
+    codegen stage. One task per input row; no shuffle. See
+    `gc_windows` for why this beats the transform-of-structs shape."""
     binf = df.where(F.length(F.col(seq_col)) > 0).select(
         F.col(id_col),
         F.upper(F.col(seq_col)).cast("binary").alias("_b"))
-    n_win = (F.floor((F.length("_b") - 1) / step) + 1).cast("long")
-
-    def _win(i):
-        piece = F.col("_b").substr((i * step + 1).cast("int"),
-                                   F.lit(window))
-        ps = piece.cast("string")
-        return F.struct(
-            (i * step).cast("long").alias("ws"),
-            F.length(piece).cast("long").alias("wl"),
-            _count_chars(ps, "GC").alias("gc"),
-            _count_chars(ps, "ACGT").alias("called"))
-
-    arr = F.transform(F.sequence(F.lit(0).cast("long"), n_win - 1), _win)
-    # empty sequences yield zero windows (filtered above)
-    ex = binf.select(F.col(id_col), F.explode(arr).alias("_w"))
-    return ex.select(
+    last_ws = (F.floor((F.length("_b") - 1) / step) * step).cast("long")
+    ex = binf.select(
+        F.col(id_col), F.col("_b"),
+        F.explode(F.sequence(F.lit(0).cast("long"), last_ws,
+                             F.lit(step).cast("long"))).alias("win_start"))
+    # the window slice is materialized as ITS OWN projection column:
+    # the count expressions then reference a cheap attribute instead
+    # of four copies of the substr tree (CollapseProject keeps the
+    # stage split — the alias is non-cheap and multiply referenced —
+    # and compact per-operator expressions keep the stage inside the
+    # whole-stage-codegen method-size limit; blowing it silently drops
+    # the whole stage to interpreted eval, measured 10× slower)
+    piece = F.col("_b").substr((F.col("win_start") + 1).cast("int"),
+                               F.lit(window))
+    st = ex.select(F.col(id_col), F.col("win_start"),
+                   piece.cast("string").alias("_p"))
+    return st.select(
         F.col(id_col),
-        F.col("_w.ws").alias("win_start"),
-        F.col("_w.wl").alias("win_len"),
-        (F.col("_w.gc") /
-         F.greatest(F.col("_w.called"), F.lit(1)).cast("double"))
+        F.col("win_start"),
+        F.length("_p").cast("long").alias("win_len"),
+        (_count_chars(F.col("_p"), "GC") /
+         F.greatest(_count_chars(F.col("_p"), "ACGT"), F.lit(1))
+         .cast("double"))
         .alias("gc_frac"),
     )
 
 
 def _gc_windows_tiled(df: DataFrame, window: int, step: int,
                       seq_col: str, id_col: str, tb: int) -> DataFrame:
-    """Distributed gc_windows: binary tiles × touched-tile window
-    explode × one count-sum groupBy. See `gc_windows(tile_bp=)`."""
+    """Distributed gc_windows over binary tiles, in two disjoint legs:
+
+    - INTERIOR windows (entirely inside one tile — the overwhelming
+      majority whenever ``window <= tile_bp``) finish inside the tile
+      task: explode, slice, count, emit — NO post-tile shuffle at all.
+    - STRADDLERS (windows crossing a tile boundary, O(window/step) per
+      boundary) emit per-tile partial counts and sum in one
+      (id, win_start) groupBy — GC counts are additive across a
+      window's tile slices.
+
+    The straddler agg therefore shuffles O(#tiles × window/step) tiny
+    rows, not O(#windows): at gc5Base scale (step=5, 1 MiB tiles) that
+    is a 200 000× shuffle reduction vs aggregating every window, and
+    was measured 2× faster end-to-end on a 100 Mbp contig. Both legs
+    share the one tile exchange (ReusedExchange). Every slice is a
+    plain `substr` fused into the tile stage's codegen — the tile
+    binary stays a JVM local (see `_contig_tiles` for the traps)."""
     if tb <= 0:
         raise ValueError("tile_bp must be positive")
     seqs = df.where(F.length(F.col(seq_col)) > 0)
@@ -122,35 +176,105 @@ def _gc_windows_tiled(df: DataFrame, window: int, step: int,
         F.col(id_col).alias("_c"),
         F.length(F.col(seq_col).cast("binary")).cast("long").alias("_len"))
     tiles = _contig_tiles(seqs, id_col, seq_col, tb)
-    wins = (lens.select(
-        "_c", "_len",
-        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_len") - 1,
-                             F.lit(step).cast("long"))).alias("ws"))
-        .withColumn("wl", F.least(F.lit(window).cast("long"),
-                                  F.col("_len") - F.col("ws")))
-        .withColumn("_t", F.explode(F.sequence(
-            F.floor(F.col("ws") / tb),
-            F.floor((F.col("ws") + F.col("wl") - 1) / tb)))))
-    lo = F.greatest(F.col("ws"), F.col("_t") * tb)
-    hi = F.least(F.col("ws") + F.col("wl"), (F.col("_t") + 1) * tb)
-    ps = F.upper(F.col("_tile").substr(
-        (lo - F.col("_t") * tb + 1).cast("int"),
-        (hi - lo).cast("int")).cast("string"))
-    pieces = wins.join(tiles, ["_c", "_t"]).select(
-        "_c", "ws",
-        (hi - lo).alias("_pl"),
-        _count_chars(ps, "GC").alias("_gc"),
-        _count_chars(ps, "ACGT").alias("_called"))
-    agg = pieces.groupBy("_c", "ws").agg(
-        F.sum("_pl").alias("win_len"),
-        F.sum("_gc").alias("_gc"),
-        F.sum("_called").alias("_called"))
-    return agg.select(
+    t = tiles.join(F.broadcast(lens), "_c")
+    S = F.lit(step).cast("long")
+    W = F.lit(window).cast("long")
+    t0 = F.col("_t") * tb
+    tend = t0 + tb
+    ln = F.col("_len")
+
+    def _ceil(x):
+        return (F.ceil(x / step) * step).cast("long")
+
+    def _floor(x):
+        return (F.floor(x / step) * step).cast("long")
+
+    def _rng(lo, hi):
+        return F.when(lo <= hi, F.sequence(lo, hi, S)) \
+            .otherwise(F.array().cast("array<long>"))
+
+    # window starts overlapping this tile: multiples of step in
+    # [max(0, ceil((t0-window+1)/step)*step), min(last_ws, tend-1)]
+    last_ws = _floor(ln - 1)
+    ws_lo = F.greatest(F.lit(0).cast("long"), _ceil(t0 - window + 1))
+    ws_hi = F.least(last_ws, _floor(tend - 1))
+
+    # Each stage below materializes its intermediates (window bounds,
+    # then the piece slice) as their own projection columns: downstream
+    # expressions reference cheap attributes instead of N copies of the
+    # bound/substr trees (CollapseProject keeps the split — the aliases
+    # are non-cheap and multiply referenced), and compact per-operator
+    # expressions keep every stage inside the whole-stage-codegen
+    # method-size limit; blowing it silently drops the stage to
+    # interpreted eval (measured 10× slower on the window fan-out).
+
+    # leg A — interior: ws >= t0 and the (possibly contig-end-clipped)
+    # window ends at or before tend
+    ta = t.select(
+        "_c", "_tile", "_len", "_t",
+        F.greatest(ws_lo, _ceil(t0)).alias("_alo"),
+        F.when(ln <= tend, ws_hi)
+        .otherwise(F.least(ws_hi, _floor(tend - window))).alias("_ahi"))
+    exa = ta.select(
+        "_c", "_tile", "_len", F.col("_t"),
+        F.explode(_rng(F.col("_alo"), F.col("_ahi"))).alias("ws"))
+    t0a = F.col("_t") * tb
+    wla = F.least(W, F.col("_len") - F.col("ws"))
+    sta = exa.select(
+        "_c", "ws", wla.alias("_wl"),
+        F.upper(F.col("_tile").substr(
+            (F.col("ws") - t0a + 1).cast("int"), wla.cast("int"))
+            .cast("string")).alias("_p"))
+    lega = sta.select(
         F.col("_c").alias(id_col),
         F.col("ws").alias("win_start"),
-        F.col("win_len"),
-        (F.col("_gc") / F.greatest(F.col("_called"), F.lit(1))
-         .cast("double")).alias("gc_frac"))
+        F.col("_wl").alias("win_len"),
+        (_count_chars(F.col("_p"), "GC") /
+         F.greatest(_count_chars(F.col("_p"), "ACGT"), F.lit(1))
+         .cast("double"))
+        .alias("gc_frac"))
+
+    # leg B — straddlers: left-crossers (ws < t0) plus right-crossers
+    # that START in this tile (ws >= t0, window extends past tend —
+    # only possible when the contig itself extends past tend)
+    b2_lo = F.greatest(_ceil(t0), _ceil(tend - window + 1))
+    tbf = t.select(
+        "_c", "_tile", "_len", "_t",
+        ws_lo.alias("_b1lo"),
+        F.least(ws_hi, _floor(t0 - 1)).alias("_b1hi"),
+        F.when(ln > tend, b2_lo).otherwise(F.lit(None)).alias("_b2lo"),
+        ws_hi.alias("_b2hi"))
+    b2 = F.when(F.col("_b2lo").isNotNull(),
+                _rng(F.col("_b2lo"), F.col("_b2hi"))) \
+        .otherwise(F.array().cast("array<long>"))
+    exb = tbf.select(
+        "_c", "_tile", "_len", F.col("_t"),
+        F.explode(F.concat(_rng(F.col("_b1lo"), F.col("_b1hi")), b2))
+        .alias("ws"))
+    t0b = F.col("_t") * tb
+    wlb = F.least(W, F.col("_len") - F.col("ws"))
+    lo = F.greatest(F.col("ws"), t0b)
+    hi = F.least(F.col("ws") + wlb, t0b + tb)
+    stb = exb.select(
+        "_c", "ws", (hi - lo).alias("_pl"),
+        F.upper(F.col("_tile").substr(
+            (lo - t0b + 1).cast("int"), (hi - lo).cast("int"))
+            .cast("string")).alias("_p"))
+    pieces = stb.select(
+        "_c", "ws", "_pl",
+        _count_chars(F.col("_p"), "GC").alias("_gc"),
+        _count_chars(F.col("_p"), "ACGT").alias("_called"))
+    legb = (pieces.groupBy("_c", "ws")
+            .agg(F.sum("_pl").alias("win_len"),
+                 F.sum("_gc").alias("_gc"),
+                 F.sum("_called").alias("_called"))
+            .select(
+                F.col("_c").alias(id_col),
+                F.col("ws").alias("win_start"),
+                F.col("win_len"),
+                (F.col("_gc") / F.greatest(F.col("_called"), F.lit(1))
+                 .cast("double")).alias("gc_frac")))
+    return lega.unionByName(legb)
 
 
 def _contig_tiles(seqs: DataFrame, name_col: str, seq_col: str,
@@ -160,29 +284,33 @@ def _contig_tiles(seqs: DataFrame, name_col: str, seq_col: str,
     pieces to string — a string tile would reintroduce the O(position)
     trap below at the piece level), then an
     exchange. Three traps this formulation avoids (all measured on a
-    100 Mbp contig): exploding tile INDICES while carrying the contig
-    column copies the full string into every tile row (9.6 GB for 96
-    tiles); per-slice `substr` on a STRING is O(position) — Spark's
-    UTF8String has no random access, so K tiles cost O(len·K), 26 s —
-    hence the slices cut a BINARY cast (byte-addressed, O(slice);
-    sequences are ASCII so bytes == chars) built as one array and
-    posexploded without the parent string; and the repartition barrier
-    stops Catalyst collapsing the tile projection into downstream
-    joins (re-slicing the full contig per matched row, 540 s for 200k
-    intervals). The shuffle moves O(genome) bytes once and spreads
-    tiles across tasks."""
+    100 Mbp contig): slicing inside an array `transform` — HOFs are
+    interpreted, and each lambda reference to the parent BINARY column
+    pays a full `UnsafeRow.getBinary` copy per element, O(len²/tb)
+    bytes (the round-10 shape; 10 GB of copies for 100 × 1 MiB tiles)
+    — hence tile indices explode and the slice is a plain `substr`
+    projection FUSED into the same whole-stage-codegen stage, where
+    the parent binary is a JVM local read once per contig and only
+    tile-sized rows leave the stage; per-slice `substr` on a STRING is
+    O(position) — Spark's UTF8String has no random access, so K tiles
+    cost O(len·K), 26 s — hence slices cut a BINARY cast
+    (byte-addressed, O(slice); sequences are ASCII so bytes == chars);
+    and the repartition barrier stops Catalyst collapsing the tile
+    projection into downstream joins (re-slicing the full contig per
+    matched row, 540 s for 200k intervals). The shuffle moves
+    O(genome) bytes once and spreads tiles across tasks."""
     binf = seqs.select(F.col(name_col).alias("_c"),
                        F.col(seq_col).cast("binary").alias("_b"))
-    arr = F.transform(
-        F.sequence(
-            F.lit(0).cast("long"),
-            F.greatest(F.ceil(F.length("_b") / tb).cast("long") - 1,
-                       F.lit(0).cast("long"))),
-        lambda i: F.col("_b").substr((i * tb + 1).cast("int"),
-                                     F.lit(tb)))
-    return (binf.select("_c", F.posexplode(arr).alias("_t", "_tile"))
-            .select("_c", F.col("_t").cast("long").alias("_t"), "_tile")
-            .repartition(F.col("_c"), F.col("_t")))
+    n_last = F.greatest(F.ceil(F.length("_b") / tb).cast("long") - 1,
+                        F.lit(0).cast("long"))
+    ex = binf.select(
+        "_c", "_b",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_last)).alias("_t"))
+    return (ex.select(
+        "_c", "_t",
+        F.col("_b").substr((F.col("_t") * tb + 1).cast("int"),
+                           F.lit(tb)).alias("_tile"))
+        .repartition(F.col("_c"), F.col("_t")))
 
 
 

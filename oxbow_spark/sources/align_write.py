@@ -258,7 +258,8 @@ def _prepare_dir(path: str, overwrite: bool, suffix: str) -> None:
                 os.remove(os.path.join(path, f))
 
 
-def _reconcile_parts(path: str, messages, fresh: bool = True) -> list[str]:
+def _reconcile_parts(path: str, messages, fresh: bool = True,
+                     suffix: str | None = None) -> list[str]:
     """Commit-time reconciliation shared by every part-file writer.
 
     A retried or speculative task attempt may have fully written its
@@ -268,23 +269,43 @@ def _reconcile_parts(path: str, messages, fresh: bool = True) -> list[str]:
     ``sorted(glob('part-*'))`` splice would silently duplicate
     records. Keep exactly the parts named by the task commit messages
     (plus their ``<part>.<ext>`` sidecar indexes), delete every other
-    ``part-*`` entry, and record the committed parts in NUMERIC
-    partition order in ``_parts.manifest`` so downstream splicing
-    never trusts a lexicographic directory listing (``part-100000``
-    sorts between ``part-09999`` and ``part-10000`` lexically).
+    ``part-*`` entry OF THIS WRITER'S ``suffix`` (mirroring
+    `_prepare_dir`'s suffix scope — part files of a different format
+    cohabiting the directory are never touched), and record the
+    committed parts in NUMERIC partition order in ``_parts.manifest``
+    so downstream splicing never trusts a lexicographic directory
+    listing (``part-100000`` sorts between ``part-09999`` and
+    ``part-10000`` lexically).
 
     ``fresh=False`` (append mode: the dir may hold parts from earlier
     writes this run cannot tell from orphans) skips deletion and
-    merges the new names onto the existing manifest instead.
+    merges the new names onto the existing manifest; when no manifest
+    exists yet (parts written before the manifest feature, or by a
+    writer that never committed one), the manifest is seeded from the
+    numeric-sorted suffix glob of pre-existing part files first, so
+    the manifest taking precedence over the glob fallback in
+    `committed_parts` cannot silently drop that earlier data.
 
     Returns the committed part paths in partition order."""
     import re
 
     committed = [m.path for m in messages if m is not None]
     keep = {os.path.basename(p) for p in committed}
+
+    def _mine(f: str) -> bool:
+        # this writer's part files (and their sidecar indexes) only
+        if not f.startswith("part-"):
+            return False
+        if suffix is None:
+            return True
+        if f.endswith(suffix):
+            return True
+        stem, _, ext = f.rpartition(".")
+        return bool(ext) and stem.endswith(suffix)  # e.g. .bam.bai
+
     if fresh:
         for f in os.listdir(path):
-            if not f.startswith("part-") or f in keep:
+            if not _mine(f) or f in keep:
                 continue
             if any(f.startswith(k + ".") for k in keep):
                 continue  # sidecar index of a committed part
@@ -299,9 +320,21 @@ def _reconcile_parts(path: str, messages, fresh: bool = True) -> list[str]:
 
     names = [os.path.basename(p) for p in sorted(committed, key=_pid)]
     man = os.path.join(path, MANIFEST)
-    if not fresh and os.path.exists(man):
-        with open(man, "r", encoding="ascii") as f:
-            prior = [ln.strip() for ln in f if ln.strip()]
+    if not fresh:
+        if os.path.exists(man):
+            with open(man, "r", encoding="ascii") as f:
+                prior = [ln.strip() for ln in f if ln.strip()]
+        else:
+            # pre-manifest parts: seed from the suffix-scoped glob so
+            # append keeps data an older write left uncommitted-to-
+            # manifest (sidecar indexes are excluded — they are found
+            # through their parent part, never spliced directly)
+            new = set(keep)
+            prior = sorted(
+                (f for f in os.listdir(path)
+                 if f.startswith("part-") and f not in new
+                 and (suffix is None or f.endswith(suffix))),
+                key=_pid)
         names = prior + [n for n in names if n not in set(prior)]
     with open(man, "w", encoding="ascii") as f:
         for n in names:
@@ -356,7 +389,8 @@ class _AlignmentWriter(DataSourceWriter):
             f"part-{pid:05d}-{uuid.uuid4().hex[:12]}{self.SUFFIX}")
 
     def commit(self, messages) -> None:
-        _reconcile_parts(self.path, messages, fresh=self._overwrite)
+        _reconcile_parts(self.path, messages, fresh=self._overwrite,
+                         suffix=self.SUFFIX)
 
     def abort(self, messages) -> None:
         for m in messages:

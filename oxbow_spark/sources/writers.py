@@ -79,7 +79,8 @@ class _TextPartWriter(DataSourceWriter):
             self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:12]}{suffix}")
 
     def commit(self, messages) -> None:
-        _reconcile_parts(self.path, messages, fresh=self._overwrite)
+        _reconcile_parts(self.path, messages, fresh=self._overwrite,
+                         suffix=getattr(self, "suffix", self.SUFFIX))
 
     def abort(self, messages) -> None:
         import os

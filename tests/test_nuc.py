@@ -71,8 +71,11 @@ def test_gc_windows_matches_python_on_fixture(fasta):
 
 
 def test_plan_no_shuffle(spark):
+    # the narrow gc_windows leg and nuc_stats are shuffle-free; the
+    # default (auto) plan adds a tiled leg for >plain_max_bp rows,
+    # whose exchange is exercised only by long rows
     df = spark.createDataFrame([("x", "ACGT" * 10)], "name string, sequence string")
-    for out in (nuc_stats(df), gc_windows(df, window=8)):
+    for out in (nuc_stats(df), gc_windows(df, window=8, plain_max_bp=None)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
 
@@ -246,21 +249,56 @@ def test_gc_windows_tiled_equals_plain(spark):
             assert got == expect, (window, step, tb)
 
 
-def test_gc_windows_plain_path_no_carried_string(spark):
-    """Plan guard for the narrow path: the explode emits count structs
-    only — no string/binary sequence column may survive into the
-    exploded projection (the carried-string trap: the full contig
-    copied into every window row)."""
+def test_gc_windows_plain_path_fully_codegen(spark):
+    """Plan guard for the narrow path: scan→filter→project→Generate→
+    count-project must fuse into ONE WholeStageCodegen stage, so the
+    parent binary stays a JVM local and only the four small output
+    columns ever materialize as row data. Any operator falling out of
+    codegen (e.g. a higher-order function — HOFs are interpreted, and
+    each lambda reference to an outer BINARY column pays a full
+    UnsafeRow.getBinary copy per element) re-opens the O(n_win × len)
+    copy bug measured at 41 s on a 3 Mbp contig in round 10."""
     df = spark.createDataFrame([("x", "ACGT" * 64)],
                                "name string, sequence string")
-    plan = gc_windows(df, window=8)._jdf.queryExecution() \
-        .optimizedPlan().toString()
-    # the Generate (explode) output must be the struct of counts
-    gen = [ln for ln in plan.splitlines() if "Generate" in ln]
-    assert gen and all("_w" in ln for ln in gen), plan
-    # post-explode projections must not reference the sequence column
-    after = plan.split("Generate", 1)[0]
-    assert "sequence#" not in after, plan
+    plan = gc_windows(df, window=8, plain_max_bp=None)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # Generate and the downstream count Project carry the same
+    # codegen-star marker and no non-codegen operator sits between
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    gen = [i for i, ln in enumerate(lines) if "Generate" in ln]
+    assert gen and all(lines[i].lstrip("+- ").startswith("*")
+                       for i in gen), plan
+    # the final projection (counts) is codegen'd too
+    assert lines[0].lstrip().startswith("*"), plan
+    # no interpreted HOF over the sequence anywhere in the plan
+    assert "transform(" not in plan, plan
+
+
+def test_gc_windows_auto_routes_by_length(spark):
+    """Default (auto) routing: rows at or under plain_max_bp take the
+    narrow leg, longer rows the tiled leg, and the union is exactly
+    the brute-force answer on a mix of both."""
+    long_seq = "ACGTN" * 300  # 1500 bp
+    rows = [("short", "GGCCAATT"), ("long", long_seq)]
+    df = spark.createDataFrame(rows, "name string, sequence string")
+    out = {(r.name, r.win_start): (r.win_len, r.gc_frac)
+           for r in gc_windows(df, window=7, step=4,
+                               plain_max_bp=100).collect()}
+    expect = {}
+    for name, seq in rows:
+        u = seq.upper()
+        for s in range(0, len(u), 4):
+            w = u[s:s + 7]
+            called = sum(w.count(b) for b in "ACGT")
+            expect[(name, s)] = (len(w), pytest.approx(
+                (w.count("G") + w.count("C")) / max(called, 1)))
+    assert out == expect
+    # plan: the plain leg filters length <= threshold, tiled leg > —
+    # both legs present exactly once
+    plan = gc_windows(df, window=7, step=4, plain_max_bp=100)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "Union" in plan, plan
 
 
 def test_getfasta_sentinel_end_is_clamped(spark):
