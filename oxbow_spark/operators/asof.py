@@ -33,6 +33,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     direction: str = "backward",
     split_on: int | None = None,
+    broadcast_carry: bool = True,
 ) -> DataFrame:
     """Left rows + the as-of matching right row's ``right_cols``.
 
@@ -52,6 +53,21 @@ def asof_join(
     O(range/split_on) rows; one co-partitioned (by, chunk) join
     stitches. Bit-identical to the plain path (property-tested).
     Requires a numeric ``on``.
+
+    ``broadcast_carry`` (default True): the carry frame is
+    O(#distinct ``by`` keys × on-range/split_on) rows × the right
+    payload width, and broadcasting it keeps the big side on its
+    window partitioning instead of re-sorting for a merge join
+    (measured 2× on a 20M-row single-key stress). Sizing rule: it
+    must fit the driver + every executor —
+    ``keys × range/split_on ≲ 10M rows`` (at ~100 B/row that is
+    Spark's 1 GB broadcast-relation comfort zone; the 8 GB hard cap
+    is ~80M). A caller with 10⁶ keys and fine chunks breaches it:
+    either coarsen ``split_on`` (fewer chunks per key — any value
+    that still yields ≥ ~10× #cores chunks per hot key keeps the
+    skew win) or pass ``broadcast_carry=False`` to stitch with a
+    co-partitioned (by, chunk) shuffle join instead — same result,
+    one extra sort of the big side, no memory cliff.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
@@ -132,11 +148,14 @@ def asof_join(
         *by, "_k",
         *[F.last(f"_b_{c}", ignorenulls=True).over(ws).alias(f"_c_{c}")
           for c in right_cols])
-    # carry is O(keys × range/split_on) rows — broadcast it so the big
-    # side keeps its window partitioning instead of re-sorting for a
-    # merge join (measured 2x on a 20M-row single-key stress)
+    # carry is O(keys × range/split_on) rows — broadcast (default) so
+    # the big side keeps its window partitioning instead of re-sorting
+    # for a merge join (measured 2x on a 20M-row single-key stress);
+    # callers above the ~10M-row carry bound pass broadcast_carry=False
+    # for a co-partitioned shuffle join (see docstring sizing rule)
+    stitch = F.broadcast(carry) if broadcast_carry else carry
     out = (
-        local.join(F.broadcast(carry), [*by, "_k"])
+        local.join(stitch, [*by, "_k"])
         .where(F.col("_side") == 1)
         .select(
             *by, on, *l_payload,

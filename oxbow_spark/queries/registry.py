@@ -3254,7 +3254,147 @@ WHERE s < len(seq)
 """
 
 
-_IV_ALGEBRA_COLS = {  # superset schema of the seventeen interval-algebra ops
+def maskfasta_tiles_events(spark: SparkSession, sf_dir: str,
+                           soft: bool) -> DataFrame:
+    """bedtools-maskfasta (operators/nuc.maskfasta_intervals, hard and
+    -soft) over the md5-derived synthetic contigs, masked by the
+    ODD-id event intervals and verified as tile-level md5 hashes of
+    the masked contigs (one row per 256-bp tile) — the whole masked
+    sequence is covered without contig-sized oracle rows."""
+    from oxbow_spark.operators.nuc import maskfasta_intervals
+
+    iv = _events(spark, sf_dir).where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("chrom"),
+        (TS_SEC() % 1900).alias("start"),
+    ).selectExpr("chrom", "start", "start + 1 + a_id % 90 AS end")
+    masked = maskfasta_intervals(
+        _getfasta_seqs(spark, sf_dir), iv, soft=soft,
+        tile_bp=_GETFASTA_TILE)
+    return (masked
+            .select("name", "seq", F.explode(F.sequence(
+                F.lit(0),
+                (F.ceil(F.length("seq") / _GETFASTA_TILE) - 1).cast("int")
+            )).alias("t"))
+            .selectExpr(
+                "name AS chrom",
+                f"CAST(t * {_GETFASTA_TILE} AS BIGINT) AS start",
+                f"md5(CAST(substr(seq, t * {_GETFASTA_TILE} + 1, "
+                f"{_GETFASTA_TILE}) AS BINARY)) AS iv_seq"))
+
+
+def _maskfasta_tiles_sql(soft: bool) -> str:
+    mask_ch = "lower(ch)" if soft else "'N'"
+    return f"""
+WITH sq AS (
+  SELECT event_type AS name,
+         (SELECT string_agg(translate(upper(md5(event_type || ':'
+                  || CAST(i AS VARCHAR))),
+                '0123456789ABCDEF', 'ACGTACGTACGTACGT'), '' ORDER BY i)
+          FROM range({_GETFASTA_CHUNKS}) t(i)) AS seq
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+pos AS (
+  SELECT name, CAST(i AS BIGINT) AS p,
+         substr(seq, CAST(i + 1 AS INT), 1) AS ch
+  FROM sq, range({_GETFASTA_CHUNKS * 32}) t(i)
+  WHERE i < len(seq)
+),
+miv AS (
+  SELECT event_type AS chrom, {EPOCH_SQL} % 1900 AS s,
+         {EPOCH_SQL} % 1900 + 1 + event_id % 90 AS e
+  FROM events WHERE event_id % 2 = 1
+),
+cov AS (
+  SELECT DISTINCT pos.name, pos.p
+  FROM pos JOIN miv ON pos.name = miv.chrom
+       AND pos.p >= miv.s AND pos.p < miv.e
+),
+masked AS (
+  SELECT pos.name,
+         string_agg(CASE WHEN cov.p IS NOT NULL THEN {mask_ch}
+                         ELSE ch END, '' ORDER BY pos.p) AS mseq
+  FROM pos LEFT JOIN cov ON pos.name = cov.name AND pos.p = cov.p
+  GROUP BY pos.name
+)
+SELECT name AS chrom, CAST(i * {_GETFASTA_TILE} AS BIGINT) AS start,
+       md5(substr(mseq, CAST(i * {_GETFASTA_TILE} + 1 AS INT),
+                  {_GETFASTA_TILE})) AS iv_seq
+FROM masked, range({(_GETFASTA_CHUNKS * 32 + _GETFASTA_TILE - 1)
+                    // _GETFASTA_TILE}) r(i)
+WHERE i * {_GETFASTA_TILE} < len(mseq)
+"""
+
+
+def annotate_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools-annotate (operators/interval_ops.annotate_intervals,
+    counts=True): even-id base intervals annotated with per-set
+    coverage fraction + overlap count for TWO labelled feature sets
+    (ids ≡ 1 and ≡ 3 mod 4)."""
+    from oxbow_spark.operators.interval_ops import annotate_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("chrom"),
+        TS_SEC().alias("start"),
+        (TS_SEC() + 300).alias("end"),
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"), "chrom", "start", "end")
+    sets = {
+        "s1": ev.where(F.col("event_id") % 4 == 1)
+                .select("chrom", "start", "end"),
+        "s3": ev.where(F.col("event_id") % 4 == 3)
+                .select("chrom", "start", "end"),
+    }
+    return annotate_intervals(a, sets, bin_size=512, counts=True)
+
+
+ANNOTATE_IV_SQL = f"""
+WITH iv AS (
+  SELECT event_id, event_type AS chrom, {EPOCH_SQL} AS s, {EPOCH_SQL} + 300 AS e
+  FROM events
+),
+a AS (SELECT event_id AS aid, chrom, s, e FROM iv WHERE event_id % 2 = 0),
+b1 AS (SELECT chrom, s, e FROM iv WHERE event_id % 4 = 1),
+b3 AS (SELECT chrom, s, e FROM iv WHERE event_id % 4 = 3),{{MERGE_B1}},{{MERGE_B3}},
+cnt1 AS (
+  SELECT a.aid, COUNT(*) AS n FROM a
+  JOIN b1 ON a.chrom = b1.chrom AND a.s < b1.e AND b1.s < a.e
+  GROUP BY a.aid
+),
+cov1 AS (
+  SELECT a.aid, SUM(LEAST(m1.me, a.e) - GREATEST(m1.ms, a.s)) AS bp
+  FROM a JOIN m1 ON a.chrom = m1.chrom AND a.s < m1.me AND m1.ms < a.e
+  GROUP BY a.aid
+),
+cnt3 AS (
+  SELECT a.aid, COUNT(*) AS n FROM a
+  JOIN b3 ON a.chrom = b3.chrom AND a.s < b3.e AND b3.s < a.e
+  GROUP BY a.aid
+),
+cov3 AS (
+  SELECT a.aid, SUM(LEAST(m3.me, a.e) - GREATEST(m3.ms, a.s)) AS bp
+  FROM a JOIN m3 ON a.chrom = m3.chrom AND a.s < m3.me AND m3.ms < a.e
+  GROUP BY a.aid
+)
+SELECT a.aid AS a_id, a.chrom, a.s AS start, a.e AS "end",
+       ROUND(CAST(COALESCE(cov1.bp, 0) AS DOUBLE) / (a.e - a.s), 6)
+         AS s1_frac,
+       COALESCE(cnt1.n, 0) AS s1_n,
+       ROUND(CAST(COALESCE(cov3.bp, 0) AS DOUBLE) / (a.e - a.s), 6)
+         AS s3_frac,
+       COALESCE(cnt3.n, 0) AS s3_n
+FROM a
+LEFT JOIN cnt1 ON a.aid = cnt1.aid LEFT JOIN cov1 ON a.aid = cov1.aid
+LEFT JOIN cnt3 ON a.aid = cnt3.aid LEFT JOIN cov3 ON a.aid = cov3.aid
+"""
+ANNOTATE_IV_SQL = ANNOTATE_IV_SQL.replace(
+    "{MERGE_B1}", _merge_sql_ctes("b1", "m1")).replace(
+    "{MERGE_B3}", _merge_sql_ctes("b3", "m3"))
+
+
+_IV_ALGEBRA_COLS = {  # superset schema of the twenty interval-algebra legs
     "chrom": "string", "start": "long", "end": "long",
     "a_id": "long", "b_id": "long", "n_merged": "long", "distance": "long",
     "n_overlaps": "long", "covered_bp": "long",
@@ -3286,13 +3426,13 @@ def _iv_tag(df: DataFrame, op: str, renames: dict[str, str]) -> DataFrame:
 
 
 def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All seventeen bedtools-style interval-algebra operators (merge /
+    """All twenty bedtools-style interval-algebra legs (merge /
     intersect / subtract / complement / closest / coverage / jaccard /
     multiinter / window / cluster / makewindows / spacing / reldist /
-    shuffle / getfasta —
-    operators/interval_ops.py — plus genomecov hist + bga,
-    operators/coverage.py, both via the CHUNKED split_bp sweep)
-    union-tagged into one superset-schema frame so each stays
+    shuffle / getfasta / annotate / maskfasta hard + soft —
+    operators/interval_ops.py + operators/nuc.py — plus genomecov
+    hist + bga, operators/coverage.py, both via the CHUNKED split_bp
+    sweep) union-tagged into one superset-schema frame so each stays
     externally hash-checked within the driver's 50-row window."""
     return (
         _iv_tag(merge_intervals_events(spark, sf_dir), "merge", {})
@@ -3329,6 +3469,16 @@ def interval_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "shuffle", {}))
         .unionByName(_iv_tag(getfasta_intervals_events(spark, sf_dir),
                              "getfasta", {}))
+        .unionByName(_iv_tag(
+            maskfasta_tiles_events(spark, sf_dir, soft=False),
+            "maskfasta_hard", {}))
+        .unionByName(_iv_tag(
+            maskfasta_tiles_events(spark, sf_dir, soft=True),
+            "maskfasta_soft", {}))
+        .unionByName(_iv_tag(
+            annotate_intervals_events(spark, sf_dir), "annotate",
+            {"frac": "s1_frac", "n_overlaps": "s1_n",
+             "jaccard": "s3_frac", "n_sets": "s3_n"}))
     )
 
 
@@ -3385,6 +3535,15 @@ def _iv_algebra_sql() -> str:
                     {"chrom", "start", "end", "a_id"}),
         _iv_tag_sql(GETFASTA_IV_SQL, "getfasta", {},
                     {"chrom", "start", "end", "a_id", "iv_seq"}),
+        _iv_tag_sql(_maskfasta_tiles_sql(soft=False), "maskfasta_hard",
+                    {}, {"chrom", "start", "iv_seq"}),
+        _iv_tag_sql(_maskfasta_tiles_sql(soft=True), "maskfasta_soft",
+                    {}, {"chrom", "start", "iv_seq"}),
+        _iv_tag_sql(ANNOTATE_IV_SQL, "annotate",
+                    {"frac": "s1_frac", "n_overlaps": "s1_n",
+                     "jaccard": "s3_frac", "n_sets": "s3_n"},
+                    {"chrom", "start", "end", "a_id", "frac",
+                     "n_overlaps", "jaccard", "n_sets"}),
     ]
     return "\nUNION ALL\n".join(parts)
 

@@ -1087,6 +1087,49 @@ def test_reconcile_parts_append_mode_keeps_prior_writes(tmp_path):
     assert (tmp_path / old).exists() and (tmp_path / new).exists()
 
 
+def test_reconcile_parts_scoped_to_writer_suffix(tmp_path):
+    """fresh=True reconciliation must only delete uncommitted parts of
+    THIS writer's suffix (plus their sidecars) — part files of a
+    different format cohabiting the directory survive, mirroring
+    _prepare_dir's suffix scope."""
+    from oxbow_spark.sources.align_write import _reconcile_parts
+
+    d = str(tmp_path)
+    mine = "part-00000-aaaaaaaaaaaa.bam"
+    orphan = "part-00000-bbbbbbbbbbbb.bam"
+    orphan_side = orphan + ".bai"
+    foreign = "part-00000-cccccccccccc.vcf.gz"
+    foreign_side = foreign + ".tbi"
+    for n in (mine, orphan, orphan_side, foreign, foreign_side):
+        (tmp_path / n).write_bytes(b"x")
+    _reconcile_parts(d, [_Msg(os.path.join(d, mine))], suffix=".bam")
+    left = set(os.listdir(d))
+    assert orphan not in left and orphan_side not in left
+    assert foreign in left and foreign_side in left
+    assert mine in left
+
+
+def test_reconcile_parts_append_seeds_manifest_from_glob(tmp_path):
+    """fresh=False with NO existing manifest (parts written before the
+    manifest feature): the manifest seeds from the numeric-sorted
+    suffix glob of pre-existing parts, so committed_parts() keeps the
+    old data the glob fallback used to find. Sidecars and foreign
+    suffixes stay out of the manifest."""
+    from oxbow_spark.sources.align_write import (
+        _reconcile_parts, committed_parts)
+
+    d = str(tmp_path)
+    old = ["part-09999-aaaaaaaaaaaa.bam", "part-100000-bbbbbbbbbbbb.bam"]
+    new = "part-00001-cccccccccccc.bam"
+    for n in old + [old[0] + ".bai", "part-00000-dddddddddddd.vcf"]:
+        (tmp_path / n).write_bytes(b"x")
+    (tmp_path / new).write_bytes(b"y")
+    _reconcile_parts(d, [_Msg(os.path.join(d, new))], fresh=False,
+                     suffix=".bam")
+    assert committed_parts(d, ".bam") == [
+        os.path.join(d, n) for n in old + [new]]
+
+
 def test_committed_parts_glob_fallback_numeric(tmp_path):
     """Without a manifest (pre-reconcile dirs), committed_parts falls
     back to a NUMERIC partition-id sort of the glob."""

@@ -176,3 +176,33 @@ def test_split_on_window_keys_on_chunk(spark):
     for ln in specs:
         if "_side#" in ln:
             assert "_k#" in ln, ln
+
+
+def test_broadcast_carry_knob(spark):
+    """broadcast_carry=True (default) stitches with a broadcast join;
+    False degrades to a co-partitioned shuffle join (for callers whose
+    carry frame — keys × range/split_on rows — breaches the broadcast
+    bound). Results identical either way."""
+    rows_l = [("u%d" % (i % 3), i, "p%d" % i) for i in range(60)]
+    rows_r = [("u%d" % (i % 3), i * 2, "q%d" % i) for i in range(20)]
+    l = spark.createDataFrame(rows_l, "u string, v long, p string")
+    r = spark.createDataFrame(rows_r, "u string, v long, q string")
+
+    def run(bc):
+        df = asof_join(l, r, on="v", by="u", split_on=8,
+                       broadcast_carry=bc)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        got = {(x.u, x.v): (x.p, x.q) for x in df.collect()}
+        return plan, got
+
+    plan_bc, got_bc = run(True)
+    plan_sj, got_sj = run(False)
+    assert got_bc == got_sj and len(got_bc) == 60
+    assert "ResolvedHint" not in plan_sj.split("Join", 1)[0]
+    ex_bc = asof_join(l, r, on="v", by="u", split_on=8)._jdf \
+        .queryExecution().executedPlan().toString()
+    ex_sj = asof_join(l, r, on="v", by="u", split_on=8,
+                      broadcast_carry=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ex_bc, ex_bc
+    assert "BroadcastHashJoin" not in ex_sj, ex_sj
