@@ -524,33 +524,47 @@ def translate_dna(
 
     Pure Catalyst expression: one `transform` over codon start
     offsets + a 64-entry literal map lookup per codon — no UDF, no
-    shuffle; cost O(len) per row inside the scan stage. Codons are
-    sliced off a BINARY cast: Spark's STRING substr walks the
-    UTF8String from the front (O(position) per slice ⇒ O(len²) on a
-    megabase contig — the `_contig_tiles` trap, measured there), while
-    BINARY substr is byte-addressed O(1); DNA is ASCII so bytes ==
-    chars, and only the 3-byte codon casts back to string for the map
+    shuffle; cost O(len) per row inside the scan stage. Two traps make
+    that linearity non-obvious (both measured): codons slice off a
+    BINARY cast because Spark's STRING substr walks the UTF8String
+    from the front (O(position) per slice ⇒ O(len²) on a megabase
+    contig — the `_contig_tiles` trap); and the binary is LET-BOUND —
+    wrapped in a one-element array whose outer `transform` binds it to
+    a lambda VARIABLE — because higher-order functions are interpreted
+    and re-evaluate (an expression operand) or re-copy via
+    `UnsafeRow.getBinary` (a column operand) the sequence per element,
+    O(len²/3) either way: the shipped round-10 shape measured 101 s on
+    ONE 0.3 Mbp contig; the let-bound form is 1.0 s at 1 Mbp and
+    linear through 100 Mbp (27 s, single task — SCALE.md). A lambda
+    variable holds the evaluated byte[] once per row and every
+    reference is an O(1) slot read; DNA is ASCII so bytes == chars,
+    and only the 3-byte codon casts back to string for the map
     lookup."""
     if frame not in (0, 1, 2):
         raise ValueError("frame must be 0, 1 or 2")
-    seq = F.upper(col).cast("binary")
-    usable = F.greatest(
-        (F.length(seq) - frame) - (F.length(seq) - frame) % 3, F.lit(0))
     items = []
     for c, aa in sorted(_CODON.items()):
         items += [F.lit(c), F.lit(aa)]
     table = F.create_map(*items)
-    starts = F.sequence(F.lit(1 + frame),
-                        F.greatest(usable + frame - 2, F.lit(frame)),
-                        F.lit(3))
-    aas = F.when(usable >= 3, F.transform(
-        starts, lambda i: F.coalesce(
-            F.element_at(table,
-                         seq.substr(i.cast("int"), F.lit(3))
-                         .cast("string")),
-            F.lit("X")))
-    ).otherwise(F.array().cast("array<string>"))
-    prot = F.array_join(aas, "")
+
+    def _body(seq):
+        usable = F.greatest(
+            (F.length(seq) - frame) - (F.length(seq) - frame) % 3,
+            F.lit(0))
+        starts = F.sequence(F.lit(1 + frame),
+                            F.greatest(usable + frame - 2, F.lit(frame)),
+                            F.lit(3))
+        aas = F.when(usable >= 3, F.transform(
+            starts, lambda i: F.coalesce(
+                F.element_at(table,
+                             seq.substr(i.cast("int"), F.lit(3))
+                             .cast("string")),
+                F.lit("X")))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_join(aas, "")
+
+    prot = F.element_at(
+        F.transform(F.array(F.upper(col).cast("binary")), _body), 1)
     if to_stop:
         stop = F.instr(prot, "*")
         prot = F.when(stop > 0, prot.substr(F.lit(1), stop - 1)) \
