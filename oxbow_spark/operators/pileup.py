@@ -98,10 +98,23 @@ def pileup(df: DataFrame, on: str = "rname", pos_col: str = "pos",
         F.col(cigar_col).isNotNull() & F.col(seq_col).isNotNull()
     ).select(*cols)
     seg = base.withColumn("_segs", _cigar_segments())
-    q_expr = ("CASE WHEN _qual IS NOT NULL "
-              "THEN ascii(substr(_qual, s.q + i, 1)) - 33 "
+    # read/qual slicing discipline (round 11, the translate_dna /
+    # gc_windows lesson): per-base substr on a STRING column is
+    # O(position) — Spark's UTF8String has no random access — so a
+    # length-L read pays O(L²) char steps (ruinous for long reads);
+    # and a BINARY *column* referenced inside an interpreted lambda
+    # pays a full UnsafeRow.getBinary copy per element. Hence the
+    # LET-BINDING: both binaries are evaluated once per record into a
+    # one-element-array struct bound to lambda variable `w`
+    # (GenericInternalRow — field reads return the stored byte[]
+    # reference, no copy), and every per-base slice is byte-addressed
+    # O(1). SAM seq/qual are ASCII, so bytes == chars.
+    q_expr = ("CASE WHEN w.qb IS NOT NULL "
+              "THEN ascii(CAST(substr(w.qb, s.q + i, 1) AS STRING)) - 33 "
               "ELSE CAST(NULL AS INT) END" if with_q
               else "CAST(NULL AS INT)")
+    qb_field = ("CAST(_qual AS BINARY)" if with_q
+                else "CAST(NULL AS BINARY)")
     ins_branch = ("""
   WHEN s.op = 'I' AND s.r > 0 THEN
     array(struct(pos + s.r - 1 AS refpos, '+' AS base,
@@ -109,18 +122,20 @@ def pileup(df: DataFrame, on: str = "rname", pos_col: str = "pos",
     events = seg.select(
         "rname", "_rev",
         F.explode(F.expr(
-            f"""flatten(transform(_segs, s ->
+            f"""element_at(transform(
+  array(struct(CAST(seq AS BINARY) AS sb, {qb_field} AS qb)), w ->
+  flatten(transform(_segs, s ->
   CASE WHEN s.op IN ('M','=','X') THEN
     transform(sequence(1, s.len),
               i -> struct(pos + s.r + i - 1 AS refpos,
-                          substr(seq, s.q + i, 1) AS base,
+                          CAST(substr(w.sb, s.q + i, 1) AS STRING) AS base,
                           {q_expr} AS bq)){ins_branch}
   WHEN s.op = 'D' THEN
     transform(sequence(1, s.len),
               i -> struct(pos + s.r + i - 1 AS refpos,
                           '*' AS base, CAST(NULL AS INT) AS bq))
   ELSE CAST(array() AS ARRAY<STRUCT<refpos: BIGINT, base: STRING, bq: INT>>)
-  END))""")).alias("e"),
+  END))), 1)""")).alias("e"),
     ).select("rname", F.col("e.refpos").alias("refpos"),
              F.col("e.base").alias("base"), F.col("e.bq").alias("bq"),
              "_rev")
@@ -208,11 +223,22 @@ def naive_snv(pile: DataFrame, ref: DataFrame, min_depth: int = 4,
 def ref_bases_frame(fasta: DataFrame, name_col: str = "name",
                     seq_col: str = "sequence") -> DataFrame:
     """FASTA scan frame → (rname, refpos, ref_base) with 1-based
-    positions — the reference side of `naive_snv`. posexplode of the
-    character-split sequence; narrow, no shuffle."""
-    return fasta.select(
+    positions — the reference side of `naive_snv`. Explode-then-slice
+    (the gc_windows plain shape): positions explode via `sequence` and
+    each base is a byte-addressed BINARY substr cut in the SAME
+    whole-stage-codegen stage, where the contig binary is a JVM local
+    — unlike `posexplode(split(seq, ''))`, which materializes a
+    contig-length array of one-char strings (gigabytes for a
+    chromosome row) before exploding. Narrow, no shuffle."""
+    binf = fasta.select(
         F.col(name_col).alias("rname"),
-        F.posexplode(F.split(F.upper(F.col(seq_col)), "")).alias(
-            "_i", "ref_base"),
-    ).where(F.col("ref_base") != "").select(
-        "rname", (F.col("_i") + 1).cast("long").alias("refpos"), "ref_base")
+        F.upper(F.col(seq_col)).cast("binary").alias("_b"))
+    ex = binf.where(F.length("_b") > 0).select(
+        "rname", "_b",
+        F.explode(F.sequence(
+            F.lit(1).cast("long"),
+            F.length("_b").cast("long"))).alias("refpos"))
+    return ex.select(
+        "rname", "refpos",
+        F.col("_b").substr(F.col("refpos").cast("int"), F.lit(1))
+        .cast("string").alias("ref_base"))
