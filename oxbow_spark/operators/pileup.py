@@ -36,22 +36,43 @@ _READ_OPS = "'M','I','S','=','X'"
 _REF_OPS = "'M','D','N','=','X'"
 
 
+_SEG_CHUNK = 64
+
+
 def _cigar_segments() -> Column:
     """cigar → array<struct<op, len, q, r>> with per-op running read (q)
-    and ref (r) offsets, via one aggregate fold."""
+    and ref (r) offsets, via a TWO-LEVEL aggregate fold.
+
+    A single fold that concats one seg per step re-copies the
+    accumulated array every op — O(ops²) element copies per record,
+    which is invisible at short-read op counts but measured 5× slower
+    end-to-end on 5 000-op long-read CIGARs (round 11). Folding over
+    ``_SEG_CHUNK``-op slices instead bounds the inner fold at O(C²)
+    per chunk and the outer concat at O((ops/C)²) chunk pointers —
+    O(ops·C) total, still one expression, zero shuffle, and the chunk
+    slices are cut from an array VIEW (array columns, unlike binary,
+    are zero-copy to reference)."""
+    C = _SEG_CHUNK
+    seg_t = "ARRAY<STRUCT<op: STRING, len: INT, q: INT, r: INT>>"
     return F.expr(
-        r"""aggregate(
-  arrays_zip(transform(regexp_extract_all(cigar, '(\\d+)[MIDNSHP=X]', 1),
-                       x -> CAST(x AS INT)),
-             regexp_extract_all(cigar, '\\d+([MIDNSHP=X])', 1)),
-  struct(CAST(array() AS ARRAY<STRUCT<op: STRING, len: INT, q: INT, r: INT>>) AS segs,
-         0 AS q, 0 AS r),
-  (acc, x) -> struct(
-     concat(acc.segs, array(struct(x.`1` AS op, x.`0` AS len,
-                                   acc.q AS q, acc.r AS r))),
-     acc.q + CASE WHEN x.`1` IN (""" + _READ_OPS + r""") THEN x.`0` ELSE 0 END,
-     acc.r + CASE WHEN x.`1` IN (""" + _REF_OPS + r""") THEN x.`0` ELSE 0 END),
-  acc -> acc.segs)"""
+        f"""flatten(aggregate(
+  transform(sequence(0, CAST(ceil(size(_oz) / {C}) AS INT) - 1),
+            k -> slice(_oz, k * {C} + 1, {C})),
+  struct(CAST(array() AS ARRAY<{seg_t}>) AS segs, 0 AS q, 0 AS r),
+  (acc, ch) -> struct(
+     concat(acc.segs, array(aggregate(ch,
+        struct(CAST(array() AS {seg_t}) AS s, acc.q AS q, acc.r AS r),
+        (a, x) -> struct(
+           concat(a.s, array(struct(x.`1` AS op, x.`0` AS len,
+                                    a.q AS q, a.r AS r))),
+           a.q + CASE WHEN x.`1` IN ({_READ_OPS}) THEN x.`0` ELSE 0 END,
+           a.r + CASE WHEN x.`1` IN ({_REF_OPS}) THEN x.`0` ELSE 0 END),
+        a -> a.s))),
+     acc.q + aggregate(ch, 0, (a, x) ->
+        a + CASE WHEN x.`1` IN ({_READ_OPS}) THEN x.`0` ELSE 0 END),
+     acc.r + aggregate(ch, 0, (a, x) ->
+        a + CASE WHEN x.`1` IN ({_REF_OPS}) THEN x.`0` ELSE 0 END)),
+  acc -> acc.segs))"""
     )
 
 
@@ -97,7 +118,16 @@ def pileup(df: DataFrame, on: str = "rname", pos_col: str = "pos",
     base = df.where(
         F.col(cigar_col).isNotNull() & F.col(seq_col).isNotNull()
     ).select(*cols)
-    seg = base.withColumn("_segs", _cigar_segments())
+    # the parsed (len, op) zip is staged as its own column: the chunked
+    # fold slices it per chunk (array columns are zero-copy views), and
+    # a real column stops CollapseProject re-inlining the regex parse
+    # into every chunk slice
+    seg = base.withColumn("_oz", F.expr(
+        r"""arrays_zip(
+  transform(regexp_extract_all(cigar, '(\\d+)[MIDNSHP=X]', 1),
+            x -> CAST(x AS INT)),
+  regexp_extract_all(cigar, '\\d+([MIDNSHP=X])', 1))"""
+    )).withColumn("_segs", _cigar_segments())
     # read/qual slicing discipline (round 11, the translate_dna /
     # gc_windows lesson): per-base substr on a STRING column is
     # O(position) — Spark's UTF8String has no random access — so a

@@ -109,6 +109,29 @@ def test_pileup_random(spark):
     assert _spark_pileup(spark, rows) == _py_pileup(rows)
 
 
+def test_pileup_op_dense_cigar_crosses_chunks(spark):
+    """Op counts straddling the chunked segs fold's boundary
+    (_SEG_CHUNK=64): running q/r offsets must carry exactly across
+    chunks — exercised at 1, 63, 64, 65, 130 and 200 ops, mixed
+    consuming/non-consuming ops, vs the python walk."""
+    import random
+
+    rng = random.Random(41)
+    rows = []
+    for n_ops in (1, 63, 64, 65, 130, 200):
+        pos = rng.randrange(1, 100)
+        cig, q_len = [], 0
+        for _ in range(n_ops):
+            ln = rng.randrange(1, 4)
+            op = rng.choice("MIDNSM=X")  # M-weighted
+            cig.append(f"{ln}{op}")
+            if op in "MIS=X":
+                q_len += ln
+        seq = "".join(rng.choice("ACGTN") for _ in range(q_len))
+        rows.append((f"n{n_ops}", pos, "".join(cig), seq))
+    assert _spark_pileup(spark, rows) == _py_pileup(rows)
+
+
 def test_pileup_on_bam_fixture(spark):
     from oxbow_spark.sources import register_all
 
