@@ -69,17 +69,15 @@ def main() -> None:
         row = {}
         if "plain" in paths:
             row["plain"] = timed(
-                nuc.gc_windows(df, args.window, step, plain_max_bp=None)
-                if "plain_max_bp" in nuc.gc_windows.__code__.co_varnames
-                else nuc.gc_windows(df, args.window, step),
-                args.trials,
-            )
+                nuc.gc_windows(df, args.window, step, plain_max_bp=None),
+                args.trials)
         if "tiled" in paths:
             row["tiled"] = timed(
-                nuc.gc_windows(df, args.window, step, tile_bp=1 << 20), args.trials
-            )
-        if "auto" in paths and "plain_max_bp" in nuc.gc_windows.__code__.co_varnames:
-            row["auto"] = timed(nuc.gc_windows(df, args.window, step), args.trials)
+                nuc.gc_windows(df, args.window, step, tile_bp=1 << 20),
+                args.trials)
+        if "auto" in paths:
+            row["auto"] = timed(nuc.gc_windows(df, args.window, step),
+                                args.trials)
         df.unpersist()
         out[f"{mbp}Mbp"] = row
         print(json.dumps({f"{mbp}Mbp": row}), flush=True)
