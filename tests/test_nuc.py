@@ -125,12 +125,33 @@ def test_getfasta_intervals_vs_python(spark):
          else contigs[c][s:e])
         for c, s, e, st in ivs
         if c in contigs and s < len(contigs[c]))
-    for tile in (16, 250, 1 << 20):
+    for tile in (16, 250, 1 << 20, None):  # None = auto-sized
         got = sorted(
             (r.chrom, r.start, r.end, r.strand, r.iv_seq)
             for r in getfasta_intervals(
                 df, seqs, strand_col="strand", tile_bp=tile).collect())
         assert got == expect, tile
+
+
+def test_auto_tile_bp_follows_interval_length(spark):
+    """Default tile_bp derives from the p90 interval length, clamped
+    to [64 KiB, 4 MiB]: short intervals keep the measured 64 KiB
+    optimum, Mb-scale intervals get ~interval-sized tiles without the
+    caller hand-tuning, degenerate/empty inputs fall to the floor."""
+    from oxbow_spark.operators.nuc import _auto_tile_bp
+
+    def iv(lengths):
+        return spark.createDataFrame(
+            [(0, n) for n in lengths], "start long, end long")
+
+    assert _auto_tile_bp(iv([100] * 50), "start", "end") == 1 << 16
+    got = _auto_tile_bp(iv([1_000_000] * 50), "start", "end")
+    assert got == 1_000_000
+    assert _auto_tile_bp(iv([50_000_000] * 5), "start", "end") == 1 << 22
+    assert _auto_tile_bp(iv([]), "start", "end") == 1 << 16
+    # mixed: p90 tracks the bulk, one outlier doesn't blow the tile
+    mixed = [1000] * 95 + [30_000_000] * 3
+    assert _auto_tile_bp(iv(mixed), "start", "end") == 1 << 16
 
 
 def test_maskfasta_intervals_vs_python(spark):
@@ -303,12 +324,18 @@ def test_gc_windows_sliding_equals_plain(spark):
                     (w.count("G") + w.count("C")) / max(called, 1)))
         return out
 
-    for window, step in ((10, 5), (20, 4), (6, 3), (64, 16)):
+    # amplification (window/step) spans both sides of SLIDING_MIN_AMP
+    # so the default kwargs exercise BOTH short-leg routes: plain
+    # (amp 2-5) and sliding (amp 8-16)
+    for window, step in ((10, 5), (20, 4), (6, 3), (64, 16),
+                         (40, 5), (64, 4)):
         expect = brute(window, step)
         for kw in (dict(sliding=True),
                    dict(sliding=True, plain_max_bp=None),
                    dict(sliding=True, tile_bp=8),
-                   dict(sliding=True, plain_max_bp=100)):
+                   dict(sliding=True, plain_max_bp=100),
+                   dict(),
+                   dict(plain_max_bp=100)):
             got = {(r.name, r.win_start): (r.win_len, r.gc_frac)
                    for r in gc_windows(df, window=window, step=step,
                                        **kw).collect()}
@@ -335,6 +362,17 @@ def test_gc_windows_sliding_plan_never_slices_window_width(spark):
     assert ", 5)" in plan.replace("substring", "substr"), plan
     assert "substr" in plan
     assert ", 40)" not in plan, plan
+    # the DEFAULT router sends the SHORT leg through the same bucket
+    # path once window/step >= SLIDING_MIN_AMP (amplification routing,
+    # not length routing) — no window-width slice anywhere
+    plan_auto = gc_windows(df, window=40, step=5)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert ", 40)" not in plan_auto, plan_auto
+    # below the threshold the short leg keeps the shuffle-free narrow
+    # plan (window-width slices are the cheap option at amp <= 4)
+    plan_low = gc_windows(df, window=20, step=5)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert ", 20)" in plan_low.replace("substring", "substr"), plan_low
     # invalid combos refuse loudly
     with pytest.raises(ValueError):
         gc_windows(df, window=40, step=7, sliding=True)

@@ -23,9 +23,12 @@ from pyspark.sql import functions as F
 
 def make_contig(n_bp: int, seed: int = 7) -> str:
     rng = random.Random(seed)
-    return "".join(rng.choice("ACGTN") for _ in range(min(n_bp, 1 << 16))) * max(
-        1, n_bp // (1 << 16)
-    )
+    block = "".join(rng.choice("ACGTN") for _ in range(min(n_bp, 1 << 16)))
+    b = len(block)
+    # exact length: block repeats plus the remainder slice (the old
+    # floor-division form left a 1 Mbp request 1.7% short, skewing
+    # the per-Mbp rows recorded into SCALE.md)
+    return block * (n_bp // b) + block[: n_bp % b]
 
 
 def timed(df, trials: int) -> float:
