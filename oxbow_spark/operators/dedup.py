@@ -39,19 +39,33 @@ def tokens(col):
 
 
 def shingles_of(t, k: int = 3):
-    """Array of k-word shingles from a *token array column*.
+    """Array of k-word shingles from a token array column/expression.
 
-    IMPORTANT: pass a materialized column reference, not the `tokens(...)`
-    expression itself — Catalyst's CollapseProject re-inlines a split()
-    expression into the transform lambda, making this O(tokens × shingles)
-    per row. See `shingle_stage` for the staged form.
-    """
-    idx = F.sequence(F.lit(0), F.size(t) - k)
-    return F.when(
-        F.size(t) >= k,
-        F.transform(idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)])),
-    ).otherwise(F.array(F.concat_ws(" ", t)))
+    LET-BOUND (round 12): the input binds to a lambda variable via
+    `transform(array(t), body)[1]` so every per-element `element_at`
+    reads an O(1) slot, NO MATTER WHAT `t` becomes after optimization.
+    Staging `t` as its own Project column (the round-9 discipline —
+    CollapseProject declines to inline a non-cheap multiply-referenced
+    alias) is NOT enough: when the shingle column is exploded
+    downstream, `InferFiltersFromGenerate` adds a
+    `size(sh) > 0 AND isnotnull(sh)` filter under the Generate and
+    `PushDownPredicates` SUBSTITUTES the alias chain straight through
+    the staged Projects — the filter's copy of this expression gets
+    `split(trim(text))` as the `element_at` operand, which interpreted
+    HOF eval recomputes PER ELEMENT: O(tokens²) per doc, measured
+    37.7 s for ONE 10k-token doc (0.26 s let-bound; SCALE.md
+    "filter-pushdown re-inlining"). The let-bound form caps the
+    substituted filter at ~2 extra O(tokens) evaluations per row."""
+    def _body(tt):
+        idx = F.sequence(F.lit(0), F.size(tt) - k)
+        return F.when(
+            F.size(tt) >= k,
+            F.transform(idx, lambda i: F.concat_ws(
+                " ", *[F.element_at(tt, (i + j + 1).cast("int"))
+                       for j in range(k)])),
+        ).otherwise(F.array(F.concat_ws(" ", tt)))
+
+    return F.element_at(F.transform(F.array(t), _body), 1)
 
 
 def word_shingles(col, k: int = 3):
