@@ -249,13 +249,33 @@ class _PartFile(WriterCommitMessage):
 
 MANIFEST = "_parts.manifest"
 
+#: sidecar index extensions the writers emit next to part files
+#: (part-X.bam.bai and friends) — used to recognise a DANGLING sidecar
+#: whose parent part is already gone; live sidecars are recognised by
+#: their parent being present in the directory
+_INDEX_EXTS = frozenset({"bai", "csi", "tbi", "crai", "gzi", "fai"})
+
 
 def _prepare_dir(path: str, overwrite: bool, suffix: str) -> None:
     os.makedirs(path, exist_ok=True)
-    if overwrite:
-        for f in os.listdir(path):
-            if f.endswith(suffix) or f == MANIFEST:
-                os.remove(os.path.join(path, f))
+    if not overwrite:
+        return
+    for f in os.listdir(path):
+        if f.endswith(suffix):
+            os.remove(os.path.join(path, f))
+    # strip only THIS suffix's lines from a shared manifest — deleting
+    # the whole file would make cohabiting formats' parts invisible to
+    # committed_parts(), which prefers the manifest whenever present
+    man = os.path.join(path, MANIFEST)
+    if os.path.exists(man):
+        with open(man, "r", encoding="ascii") as fh:
+            keep = [ln.strip() for ln in fh
+                    if ln.strip() and not ln.strip().endswith(suffix)]
+        if keep:
+            with open(man, "w", encoding="ascii") as fh:
+                fh.writelines(n + "\n" for n in keep)
+        else:
+            os.remove(man)
 
 
 def _reconcile_parts(path: str, messages, fresh: bool = True,
@@ -282,15 +302,33 @@ def _reconcile_parts(path: str, messages, fresh: bool = True,
     merges the new names onto the existing manifest; when no manifest
     exists yet (parts written before the manifest feature, or by a
     writer that never committed one), the manifest is seeded from the
-    numeric-sorted suffix glob of pre-existing part files first, so
-    the manifest taking precedence over the glob fallback in
-    `committed_parts` cannot silently drop that earlier data.
+    numeric-sorted glob of pre-existing part DATA files of every
+    suffix first, so the manifest taking precedence over the glob
+    fallback in `committed_parts` cannot silently drop earlier data —
+    neither this writer's nor a cohabiting format's.
 
-    Returns the committed part paths in partition order."""
+    The manifest is SHARED across formats cohabiting one directory:
+    both modes carry prior manifest lines (or the glob seed) that do
+    not match this writer's suffix through to the rewritten manifest,
+    so a fresh commit of one format never makes another format's
+    parts invisible to the manifest-preferring `committed_parts`.
+
+    Returns this writer's committed part paths in partition order."""
     import re
 
     committed = [m.path for m in messages if m is not None]
     keep = {os.path.basename(p) for p in committed}
+    listing = os.listdir(path)
+    present = set(listing)
+
+    def _is_sidecar(f: str) -> bool:
+        # part-X.<fmt>.<idx>: a LIVE sidecar's stem names its parent
+        # part file in this directory; a dangling one (parent already
+        # reaped) is recognised by a known index extension
+        stem, _, ext = f.rpartition(".")
+        if not ext or not stem.startswith("part-"):
+            return False
+        return stem in present or ext in _INDEX_EXTS
 
     def _mine(f: str) -> bool:
         # this writer's part files (and their sidecar indexes) only
@@ -300,11 +338,14 @@ def _reconcile_parts(path: str, messages, fresh: bool = True,
             return True
         if f.endswith(suffix):
             return True
-        stem, _, ext = f.rpartition(".")
-        return bool(ext) and stem.endswith(suffix)  # e.g. .bam.bai
+        # sidecar of this suffix only — a bare stem.endswith(suffix)
+        # would also claim DATA files of a writer whose suffix extends
+        # this one (.vcf vs .vcf.gz) as deletable orphans
+        stem, _, _ext = f.rpartition(".")
+        return stem.endswith(suffix) and _is_sidecar(f)
 
     if fresh:
-        for f in os.listdir(path):
+        for f in listing:
             if not _mine(f) or f in keep:
                 continue
             if any(f.startswith(k + ".") for k in keep):
@@ -320,22 +361,34 @@ def _reconcile_parts(path: str, messages, fresh: bool = True,
 
     names = [os.path.basename(p) for p in sorted(committed, key=_pid)]
     man = os.path.join(path, MANIFEST)
-    if not fresh:
-        if os.path.exists(man):
-            with open(man, "r", encoding="ascii") as f:
-                prior = [ln.strip() for ln in f if ln.strip()]
-        else:
-            # pre-manifest parts: seed from the suffix-scoped glob so
-            # append keeps data an older write left uncommitted-to-
-            # manifest (sidecar indexes are excluded — they are found
-            # through their parent part, never spliced directly)
-            new = set(keep)
-            prior = sorted(
-                (f for f in os.listdir(path)
-                 if f.startswith("part-") and f not in new
-                 and (suffix is None or f.endswith(suffix))),
-                key=_pid)
-        names = prior + [n for n in names if n not in set(prior)]
+    if os.path.exists(man):
+        prior_all = True  # manifest lines are authoritative
+        with open(man, "r", encoding="ascii") as f:
+            prior = [ln.strip() for ln in f if ln.strip()]
+    else:
+        # pre-manifest parts: seed from the glob of part DATA files of
+        # EVERY suffix (sidecar indexes are excluded — they are found
+        # through their parent part, never spliced directly), so the
+        # manifest this commit creates cannot hide earlier data —
+        # neither this writer's appends nor a cohabiting format's
+        prior_all = False
+        prior = sorted(
+            (f for f in listing
+             if f.startswith("part-") and f not in keep
+             and not _is_sidecar(f)),
+            key=_pid)
+    if fresh:
+        # carry only OTHER formats' lines through a fresh commit (this
+        # writer's old lines are replaced wholesale; their files were
+        # reaped by _prepare_dir / the orphan pass above) — and only
+        # lines whose file still exists
+        prior = [n for n in prior
+                 if suffix is not None and not n.endswith(suffix)
+                 and os.path.exists(os.path.join(path, n))]
+    elif not prior_all:
+        prior = [n for n in prior
+                 if os.path.exists(os.path.join(path, n))]
+    names = prior + [n for n in names if n not in set(prior)]
     with open(man, "w", encoding="ascii") as f:
         for n in names:
             f.write(n + "\n")

@@ -1112,22 +1112,86 @@ def test_reconcile_parts_scoped_to_writer_suffix(tmp_path):
 def test_reconcile_parts_append_seeds_manifest_from_glob(tmp_path):
     """fresh=False with NO existing manifest (parts written before the
     manifest feature): the manifest seeds from the numeric-sorted
-    suffix glob of pre-existing parts, so committed_parts() keeps the
-    old data the glob fallback used to find. Sidecars and foreign
-    suffixes stay out of the manifest."""
+    glob of pre-existing part DATA files — this suffix's AND foreign
+    suffixes', since the manifest this commit creates takes precedence
+    over the glob fallback for every format sharing the directory.
+    Sidecars stay out of the manifest."""
     from oxbow_spark.sources.align_write import (
         _reconcile_parts, committed_parts)
 
     d = str(tmp_path)
     old = ["part-09999-aaaaaaaaaaaa.bam", "part-100000-bbbbbbbbbbbb.bam"]
+    foreign = "part-00000-dddddddddddd.vcf"
     new = "part-00001-cccccccccccc.bam"
-    for n in old + [old[0] + ".bai", "part-00000-dddddddddddd.vcf"]:
+    for n in old + [old[0] + ".bai", foreign]:
         (tmp_path / n).write_bytes(b"x")
     (tmp_path / new).write_bytes(b"y")
     _reconcile_parts(d, [_Msg(os.path.join(d, new))], fresh=False,
                      suffix=".bam")
     assert committed_parts(d, ".bam") == [
         os.path.join(d, n) for n in old + [new]]
+    # the foreign format stays visible through the new manifest
+    assert committed_parts(d, ".vcf") == [os.path.join(d, foreign)]
+    # sidecars never enter the manifest
+    assert ".bai" not in (tmp_path / "_parts.manifest").read_text()
+
+
+def test_reconcile_parts_fresh_keeps_foreign_manifest_lines(tmp_path):
+    """A fresh commit of one format must not make a cohabiting
+    format's parts invisible: committed_parts() prefers the manifest
+    when present and suffix-filters it, so the rewrite has to carry
+    the other suffix's lines through (and _prepare_dir strips only
+    matching-suffix lines instead of deleting the manifest file)."""
+    from oxbow_spark.sources.align_write import (
+        _prepare_dir, _reconcile_parts, committed_parts)
+
+    d = str(tmp_path)
+    vcf = "part-00000-aaaaaaaaaaaa.vcf"
+    (tmp_path / vcf).write_bytes(b"v")
+    _reconcile_parts(d, [_Msg(os.path.join(d, vcf))], suffix=".vcf")
+    assert committed_parts(d, ".vcf") == [os.path.join(d, vcf)]
+
+    # second format, overwrite mode: prepare + write + fresh reconcile
+    bam1 = "part-00000-bbbbbbbbbbbb.bam"
+    _prepare_dir(d, True, ".bam")
+    (tmp_path / bam1).write_bytes(b"b")
+    _reconcile_parts(d, [_Msg(os.path.join(d, bam1))], suffix=".bam")
+    assert committed_parts(d, ".bam") == [os.path.join(d, bam1)]
+    assert committed_parts(d, ".vcf") == [os.path.join(d, vcf)]
+
+    # overwrite the bam write again — vcf still visible, old bam line
+    # replaced (its file was reaped by _prepare_dir)
+    bam2 = "part-00000-cccccccccccc.bam"
+    _prepare_dir(d, True, ".bam")
+    (tmp_path / bam2).write_bytes(b"b2")
+    _reconcile_parts(d, [_Msg(os.path.join(d, bam2))], suffix=".bam")
+    assert committed_parts(d, ".bam") == [os.path.join(d, bam2)]
+    assert committed_parts(d, ".vcf") == [os.path.join(d, vcf)]
+    assert not (tmp_path / bam1).exists()
+
+
+def test_reconcile_parts_suffix_prefix_data_files_not_sidecars(tmp_path):
+    """A writer whose suffix PREFIXES another's (.vcf vs .vcf.gz) must
+    not claim the longer format's DATA files as its sidecars and reap
+    them as orphans — a sidecar is recognised by its stem naming a
+    present part file (or a known index extension), never by a bare
+    stem.endswith(suffix)."""
+    from oxbow_spark.sources.align_write import _reconcile_parts
+
+    d = str(tmp_path)
+    mine = "part-00000-aaaaaaaaaaaa.vcf"
+    gz = "part-00000-bbbbbbbbbbbb.vcf.gz"
+    gz_side = gz + ".tbi"
+    # dangling sidecar of THIS suffix (parent part already gone):
+    # recognised by the known index extension and reaped
+    dangling = "part-00001-cccccccccccc.vcf.tbi"
+    for n in (mine, gz, gz_side, dangling):
+        (tmp_path / n).write_bytes(b"x")
+    _reconcile_parts(d, [_Msg(os.path.join(d, mine))], suffix=".vcf")
+    left = set(os.listdir(d))
+    assert gz in left and gz_side in left  # longer-suffix data survives
+    assert mine in left
+    assert dangling not in left
 
 
 def test_committed_parts_glob_fallback_numeric(tmp_path):
