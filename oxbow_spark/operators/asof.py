@@ -24,6 +24,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: auto broadcast bound for the chunked path's carry frame: at ~100 B
+#: per row, 10M rows is Spark's 1 GB broadcast-relation comfort zone
+#: (the 8 GB hard cap is ~80M) and it must fit the driver AND every
+#: executor — above this the stitch falls back to a co-partitioned
+#: shuffle join (same result, one extra sort of the big side)
+BROADCAST_CARRY_MAX_ROWS = 10_000_000
+
+
+def _carry_fits_broadcast(u: DataFrame, by: list[str], on: str,
+                          bp: int) -> bool:
+    """Estimate the chunked path's carry row count —
+    #distinct ``by`` keys × #chunks spanned by the ``on`` range — and
+    decide whether it fits `BROADCAST_CARRY_MAX_ROWS`. One agg job at
+    plan time: approx_count_distinct + min/max are map-side partial
+    aggregates over a scan Catalyst prunes to the by/on columns, so
+    the cost is one narrow pass over the key columns, not the join."""
+    aggs = [F.min(on).alias("_lo"), F.max(on).alias("_hi")]
+    if by:
+        aggs.append(F.approx_count_distinct(F.struct(*by)).alias("_nk"))
+    row = u.groupBy().agg(*aggs).first()
+    if row["_lo"] is None:
+        return True  # empty inputs — the carry is empty too
+    chunks = int(row["_hi"] // bp) - int(row["_lo"] // bp) + 1
+    keys = int(row["_nk"]) if by else 1
+    return keys * chunks <= BROADCAST_CARRY_MAX_ROWS
+
 
 def asof_join(
     left: DataFrame,
@@ -33,7 +59,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     direction: str = "backward",
     split_on: int | None = None,
-    broadcast_carry: bool = True,
+    broadcast_carry: bool | None = None,
 ) -> DataFrame:
     """Left rows + the as-of matching right row's ``right_cols``.
 
@@ -54,20 +80,23 @@ def asof_join(
     stitches. Bit-identical to the plain path (property-tested).
     Requires a numeric ``on``.
 
-    ``broadcast_carry`` (default True): the carry frame is
-    O(#distinct ``by`` keys × on-range/split_on) rows × the right
-    payload width, and broadcasting it keeps the big side on its
-    window partitioning instead of re-sorting for a merge join
-    (measured 2× on a 20M-row single-key stress). Sizing rule: it
-    must fit the driver + every executor —
-    ``keys × range/split_on ≲ 10M rows`` (at ~100 B/row that is
-    Spark's 1 GB broadcast-relation comfort zone; the 8 GB hard cap
-    is ~80M). A caller with 10⁶ keys and fine chunks breaches it:
-    either coarsen ``split_on`` (fewer chunks per key — any value
-    that still yields ≥ ~10× #cores chunks per hot key keeps the
-    skew win) or pass ``broadcast_carry=False`` to stitch with a
-    co-partitioned (by, chunk) shuffle join instead — same result,
-    one extra sort of the big side, no memory cliff.
+    ``broadcast_carry``: the carry frame is O(#distinct ``by`` keys ×
+    on-range/split_on) rows × the right payload width, and
+    broadcasting it keeps the big side on its window partitioning
+    instead of re-sorting for a merge join (measured 2× on a 20M-row
+    single-key stress). Sizing rule: it must fit the driver + every
+    executor — ``keys × range/split_on ≲ 10M rows``
+    (`BROADCAST_CARRY_MAX_ROWS`; at ~100 B/row that is Spark's 1 GB
+    broadcast-relation comfort zone, the 8 GB hard cap is ~80M).
+    Default ``None`` AUTO-SELECTS: one map-side-combined agg job at
+    plan time (column-pruned to the ``by``/``on`` columns —
+    approx_count_distinct(keys), min/max(on)) estimates the carry row
+    count and picks broadcast iff it is under the bound, so a caller
+    with 10⁶ keys and fine chunks never hits the memory cliff by
+    default. ``True``/``False`` skip the estimate job and force the
+    strategy; with ``False`` consider coarsening ``split_on`` too
+    (fewer chunks per key — any value that still yields ≥ ~10× #cores
+    chunks per hot key keeps the skew win).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
@@ -148,11 +177,14 @@ def asof_join(
         *by, "_k",
         *[F.last(f"_b_{c}", ignorenulls=True).over(ws).alias(f"_c_{c}")
           for c in right_cols])
-    # carry is O(keys × range/split_on) rows — broadcast (default) so
-    # the big side keeps its window partitioning instead of re-sorting
-    # for a merge join (measured 2x on a 20M-row single-key stress);
-    # callers above the ~10M-row carry bound pass broadcast_carry=False
-    # for a co-partitioned shuffle join (see docstring sizing rule)
+    # carry is O(keys × range/split_on) rows — broadcast so the big
+    # side keeps its window partitioning instead of re-sorting for a
+    # merge join (measured 2x on a 20M-row single-key stress); above
+    # the ~10M-row carry bound a co-partitioned shuffle join avoids
+    # the memory cliff. Default None estimates which side of the
+    # bound this call is on (see docstring sizing rule)
+    if broadcast_carry is None:
+        broadcast_carry = _carry_fits_broadcast(u, by, on, bp)
     stitch = F.broadcast(carry) if broadcast_carry else carry
     out = (
         local.join(stitch, [*by, "_k"])

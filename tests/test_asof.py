@@ -5,6 +5,7 @@ JOIN at scale; these are the small hand-checked cases."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from oxbow_spark.operators.asof import asof_join
 
@@ -179,10 +180,11 @@ def test_split_on_window_keys_on_chunk(spark):
 
 
 def test_broadcast_carry_knob(spark):
-    """broadcast_carry=True (default) stitches with a broadcast join;
-    False degrades to a co-partitioned shuffle join (for callers whose
+    """broadcast_carry=True stitches with a broadcast join; False
+    degrades to a co-partitioned shuffle join (for callers whose
     carry frame — keys × range/split_on rows — breaches the broadcast
-    bound). Results identical either way."""
+    bound); default None auto-selects from a plan-time estimate (here
+    a tiny carry → broadcast). Results identical either way."""
     rows_l = [("u%d" % (i % 3), i, "p%d" % i) for i in range(60)]
     rows_r = [("u%d" % (i % 3), i * 2, "q%d" % i) for i in range(20)]
     l = spark.createDataFrame(rows_l, "u string, v long, p string")
@@ -206,3 +208,25 @@ def test_broadcast_carry_knob(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in ex_bc, ex_bc
     assert "BroadcastHashJoin" not in ex_sj, ex_sj
+
+
+def test_broadcast_carry_auto_switches_on_oversized_carry(spark):
+    """Default (auto) broadcast_carry: when the plan-time estimate —
+    distinct keys × on-range/split_on — breaches the ~10M-row bound,
+    the stitch switches to the shuffle join WITHOUT the caller
+    reading any docstring; a small carry keeps the broadcast hint.
+    Here two rows 10^13 apart at split_on=1 estimate 10^13 chunks."""
+    from oxbow_spark.operators.asof import _carry_fits_broadcast
+
+    l = spark.createDataFrame([("a", 0, "p")], "u string, v long, p string")
+    r = spark.createDataFrame([("a", 10**13, "q")],
+                              "u string, v long, q string")
+    ex_big = asof_join(l, r, on="v", by="u", split_on=1)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in ex_big, ex_big
+    ex_small = asof_join(l, r, on="v", by="u", split_on=10**12)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ex_small, ex_small
+    # the estimator itself: empty input broadcasts trivially
+    u = l.select("u", "v").where(F.lit(False))
+    assert _carry_fits_broadcast(u, ["u"], "v", 1) is True
