@@ -131,39 +131,58 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 def _run_starts(srt: Column) -> Column:
     """1-based positions that open a run in a SORTED array (always includes
-    1). Empty array → empty. The lambda only touches the bound column
-    ``srt`` (O(1) per element); keep it that way — referencing a derived
-    subtree inside a HOF lambda re-evaluates that subtree per element."""
-    n = F.size(srt)
-    return F.when(
-        n >= 1,
-        F.filter(
-            F.sequence(F.lit(1), n),
-            lambda i: (i == 1) | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+    1). Empty array → empty. LET-BOUND (round 12): the input binds to a
+    lambda variable so the per-element comparisons stay O(1) even after
+    the optimizer substitutes a derived tree for ``srt`` — a downstream
+    `.where` on any column computed from this one pushes below the
+    staged Projects and re-inlines `array_sort(split(...))` into the
+    filter's copy; with an attribute operand in the lambda that was
+    fine, with the substituted tree it re-evaluated O(n log n) PER
+    ELEMENT (SCALE.md fact #5; measured: one 10k-distinct-token doc
+    filtered on repetition_ok did not finish in 540 s, 0.17 s
+    unfiltered)."""
+    def _body(s):
+        n = F.size(s)
+        return F.when(
+            n >= 1,
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (i == 1)
+                | (F.element_at(s, i) != F.element_at(s, i - 1)),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    return F.element_at(F.transform(F.array(srt), _body), 1)
 
 
 def _top_run_chars(srt: Column, starts: Column, discount: int) -> Column:
     """Max over distinct elements of a SORTED array of
     ``occurrences × (len(element) − discount)`` — the character mass of the
     most-repeated element, from the array and its staged run-start
-    positions (`_run_starts`). ``starts`` MUST be a materialized column,
-    not the `_run_starts` expression inline: run counts come from slicing
-    the starts column (evaluated once per row), so the whole computation is
-    O(n log n) per row — no shuffle, no UDF, no O(n²) lambda rescans.
-    ``discount`` subtracts separator chars (1 for "w1 w2" bigrams).
-    Empty array → 0."""
-    m = F.size(starts)
-    ext = F.concat(starts, F.array((F.size(srt) + 1).cast("int")))
-    counts = F.zip_with(
-        F.slice(ext, 2, m), F.slice(ext, 1, m), lambda nxt, cur: nxt - cur)
-    lens = F.transform(
-        starts, lambda s: F.length(F.element_at(srt, s)) - F.lit(discount))
-    return F.when(
-        m >= 1,
-        F.array_max(F.zip_with(counts, lens, lambda c, l: c * l)),
-    ).otherwise(F.lit(0))
+    positions (`_run_starts`). ``discount`` subtracts separator chars
+    (1 for "w1 w2" bigrams). Empty array → 0. LET-BOUND (round 12):
+    both inputs bind to lambda variables through one struct slot so
+    every per-element element_at stays O(1) under ANY optimizer
+    rewrite — staging the inputs as materialized columns (the round-9
+    discipline) does not survive filter-pushdown alias substitution
+    (SCALE.md fact #5)."""
+    def _body(t):
+        s, st = t["s"], t["st"]
+        m = F.size(st)
+        ext = F.concat(st, F.array((F.size(s) + 1).cast("int")))
+        counts = F.zip_with(
+            F.slice(ext, 2, m), F.slice(ext, 1, m),
+            lambda nxt, cur: nxt - cur)
+        lens = F.transform(
+            st, lambda p: F.length(F.element_at(s, p)) - F.lit(discount))
+        return F.when(
+            m >= 1,
+            F.array_max(F.zip_with(counts, lens, lambda c, l: c * l)),
+        ).otherwise(F.lit(0))
+
+    return F.element_at(
+        F.transform(F.array(F.struct(srt.alias("s"),
+                                     starts.alias("st"))), _body), 1)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
@@ -191,19 +210,29 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     re-inline the split into downstream lambdas (the `shingles_of` trap).
     """
     tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    n1 = F.size(F.col("_t")) - 1
+
+    # let-bound bigram build (SCALE.md fact #5): with F.col("_t") in the
+    # lambda body, a downstream filter on repetition_ok substitutes
+    # split(trim(text)) for it and re-evaluates the split PER BIGRAM
+    def _bigrams(t):
+        def _body(tt):
+            n1 = F.size(tt) - 1
+            return F.when(
+                n1 >= 1,
+                F.array_sort(F.transform(
+                    F.sequence(F.lit(1), n1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(tt, i),
+                        F.element_at(tt, i + 1)),
+                )),
+            ).otherwise(F.array().cast("array<string>"))
+
+        return F.element_at(F.transform(F.array(t), _body), 1)
+
     staged = tok.select(
         id_col, "_t",
         F.array_sort("_t").alias("_ts"),
-        F.when(
-            n1 >= 1,
-            F.array_sort(F.transform(
-                F.sequence(F.lit(1), n1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(F.col("_t"), i),
-                    F.element_at(F.col("_t"), i + 1)),
-            )),
-        ).otherwise(F.array().cast("array<string>")).alias("_bs"),
+        _bigrams(F.col("_t")).alias("_bs"),
     )
     # run starts staged as real columns: `_top_run_chars` slices them per
     # row; inlining them into its lambdas would re-run the O(n) filter per

@@ -411,3 +411,56 @@ def test_shingle_explode_survives_filter_pushdown_inlining(spark):
     rows = df.select(shingles_of(F.split("text", " ")).alias("sh")) \
         .collect()
     assert rows[0].sh == ["a b c", "b c d", "c d e", "d e f", "e f g"]
+
+
+def _lambda_bodies(plan: str) -> list[str]:
+    """Every lambdafunction's BODY (first top-level argument) from an
+    optimized-plan string, by paren matching — nested lambdas included.
+    Any derived big-value call (split/array_sort of a non-variable)
+    inside a body is re-evaluated PER ELEMENT by interpreted HOF eval,
+    so guards assert bodies reference only lambda variables."""
+    out = []
+    i = 0
+    while True:
+        j = plan.find("lambdafunction(", i)
+        if j < 0:
+            return out
+        k = j + len("lambdafunction(")
+        depth, m = 1, k
+        while m < len(plan) and depth > 0:
+            depth += {"(": 1, ")": -1}.get(plan[m], 0)
+            # the body ends at the first top-level comma
+            if depth == 1 and plan[m] == ",":
+                break
+            m += 1
+        out.append(plan[k:m])
+        i = k
+
+
+def test_repetition_filter_pushdown_keeps_lambdas_let_bound(spark):
+    """Filtering on repetition_ok (what curate_corpus does) pushes the
+    whole metric tree into a Filter below the staged Projects,
+    substituting `split(trim(text))` for the token-array aliases. With
+    attribute operands inside the run/bigram lambdas that substitution
+    re-evaluated the split PER ELEMENT — one 10k-distinct-token doc did
+    not finish in 540 s (0.17 s unfiltered); let-bound, 160k tokens
+    filter in 0.31 s. Guard: no lambda BODY in the optimized filtered
+    plan may call split() — derived trees may appear only as HOF
+    arguments, which evaluate once per row."""
+    from pyspark.sql import functions as F
+
+    from oxbow_spark.operators.text import repetition_stats
+
+    ok = " ".join(f"word{i}" for i in range(40))  # passes every gate
+    bad = "spam spam spam spam spam"              # top_token_frac = 1
+    df = spark.createDataFrame(
+        [(1, ok), (2, bad)], "doc_id long, text string")
+    filtered = repetition_stats(df).where(
+        F.col("repetition_ok")).select("doc_id")
+    plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+    assert "split(" in plan  # the substitution did happen...
+    for body in _lambda_bodies(plan):
+        assert "split(" not in body, body  # ...but never inside a lambda
+    # values unchanged by the let-binding
+    got = {r.doc_id for r in filtered.collect()}
+    assert got == {1}
