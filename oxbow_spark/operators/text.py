@@ -129,6 +129,18 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(*out)
 
 
+def _let_bound_grams_sql(body_sql: str) -> str:
+    """SQL shape for token n-gram builders: the `_t` token array is
+    let-bound to the lambda variable `tt` (``body_sql`` must reference
+    it as `tt`), so per-element element_at/slice operands stay lambda
+    variables under ANY optimizer substitution. These expressions are
+    exploded directly (non-attribute generators skip
+    InferFiltersFromGenerate), so no current plan re-inlines them —
+    this is the audit-rule hardening from SCALE.md fact #5: a lambda
+    body must never reference a Project alias like `_t`."""
+    return f"element_at(transform(array(_t), tt -> {body_sql}), 1)"
+
+
 def _run_starts(srt: Column) -> Column:
     """1-based positions that open a run in a SORTED array (always includes
     1). Empty array → empty. LET-BOUND (round 12): the input binds to a
@@ -389,10 +401,10 @@ def ngram_lm_score(df: DataFrame, text_col: str = "text",
         F.sum("cw").alias("N"), F.count(F.lit(1)).alias("V"))
 
     # sequence(1, 0) DESCENDS in Spark — gate short arrays explicitly
-    pair_expr = F.expr(
-        "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1), "
-        "i -> struct(element_at(_t, i) AS prev, element_at(_t, i+1) AS cur)) "
-        "ELSE array() END")
+    pair_expr = F.expr(_let_bound_grams_sql(
+        "CASE WHEN size(tt) >= 2 THEN transform(sequence(1, size(tt) - 1), "
+        "i -> struct(element_at(tt, i) AS prev, element_at(tt, i+1) AS cur)) "
+        "ELSE array() END"))
     pairs = base.select(F.col(id_col), F.explode(pair_expr).alias("p")) \
         .select(id_col, F.col("p.prev").alias("prev"),
                 F.col("p.cur").alias("cur"))
@@ -448,19 +460,19 @@ def _trigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     consts = uni.agg(F.sum("cw").alias("N"), F.count(F.lit(1)).alias("V"))
     av = a * F.col("V")
 
-    pair_expr = F.expr(
-        "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1), "
-        "i -> struct(element_at(_t, i) AS prev, element_at(_t, i+1) AS cur)) "
-        "ELSE array() END")
+    pair_expr = F.expr(_let_bound_grams_sql(
+        "CASE WHEN size(tt) >= 2 THEN transform(sequence(1, size(tt) - 1), "
+        "i -> struct(element_at(tt, i) AS prev, element_at(tt, i+1) AS cur)) "
+        "ELSE array() END"))
     pairs = base.select(F.col(id_col), F.explode(pair_expr).alias("p")) \
         .select(id_col, F.col("p.prev").alias("prev"),
                 F.col("p.cur").alias("cur"))
     big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
 
-    tri_expr = F.expr(
-        "CASE WHEN size(_t) >= 3 THEN transform(sequence(1, size(_t) - 2), "
-        "i -> struct(element_at(_t, i) AS p2, element_at(_t, i+1) AS p1, "
-        "element_at(_t, i+2) AS cur)) ELSE array() END")
+    tri_expr = F.expr(_let_bound_grams_sql(
+        "CASE WHEN size(tt) >= 3 THEN transform(sequence(1, size(tt) - 2), "
+        "i -> struct(element_at(tt, i) AS p2, element_at(tt, i+1) AS p1, "
+        "element_at(tt, i+2) AS cur)) ELSE array() END"))
     triples = base.select(F.col(id_col), F.explode(tri_expr).alias("g")) \
         .select(id_col, F.col("g.p2").alias("p2"),
                 F.col("g.p1").alias("p1"), F.col("g.cur").alias("cur"))
@@ -549,11 +561,11 @@ def dup_span_stats(df: DataFrame, k: int = 3, text_col: str = "text",
         F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>"))
         .otherwise(tokens(c)).alias("_t"),
     )
-    gram_expr = F.expr(
-        f"CASE WHEN size(_t) >= {k} THEN "
-        f"transform(sequence(1, size(_t) - {k} + 1), "
-        f"i -> struct(i AS pos, array_join(slice(_t, i, {k}), ' ') AS gram)) "
-        f"ELSE array() END")
+    gram_expr = F.expr(_let_bound_grams_sql(
+        f"CASE WHEN size(tt) >= {k} THEN "
+        f"transform(sequence(1, size(tt) - {k} + 1), "
+        f"i -> struct(i AS pos, array_join(slice(tt, i, {k}), ' ') AS gram)) "
+        f"ELSE array() END"))
     g = base.select(F.col(id_col), F.size("_t").alias("_n"),
                     F.explode(gram_expr).alias("g")) \
         .select(id_col, "_n", F.col("g.pos").alias("pos"),
@@ -609,11 +621,11 @@ def remove_dup_spans(df: DataFrame, k: int = 3, text_col: str = "text",
         F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>"))
         .otherwise(tokens(c)).alias("_t"),
     )
-    gram_expr = F.expr(
-        f"CASE WHEN size(_t) >= {k} THEN "
-        f"transform(sequence(1, size(_t) - {k} + 1), "
-        f"i -> struct(i AS pos, array_join(slice(_t, i, {k}), ' ') AS gram)) "
-        f"ELSE array() END")
+    gram_expr = F.expr(_let_bound_grams_sql(
+        f"CASE WHEN size(tt) >= {k} THEN "
+        f"transform(sequence(1, size(tt) - {k} + 1), "
+        f"i -> struct(i AS pos, array_join(slice(tt, i, {k}), ' ') AS gram)) "
+        f"ELSE array() END"))
     g = base.select(F.col(id_col), F.explode(gram_expr).alias("g")) \
         .select(id_col, F.col("g.pos").alias("pos"),
                 F.col("g.gram").alias("gram"))
