@@ -464,3 +464,47 @@ def test_repetition_filter_pushdown_keeps_lambdas_let_bound(spark):
     # values unchanged by the let-binding
     got = {r.doc_id for r in filtered.collect()}
     assert got == {1}
+
+
+def test_curation_consumer_plans_keep_lambdas_let_bound(spark):
+    """Repo-wide lint for SCALE.md fact #5 across the curation-pipeline
+    consumer shapes that filter or explode staged token-array columns:
+    every lambdafunction body in each optimized plan must be free of
+    split() calls — the raw tokenizer appearing inside a body means
+    the optimizer substituted a staged alias into a per-element
+    position, the O(n_tokens x tree) shape that cost 37.7-540+ s per
+    large document before the round-12 let-bindings. (array_sort &
+    co. over a LET-BOUND lambda variable are fine: they evaluate once
+    per binding, i.e. once per row.)"""
+    from pyspark.sql import functions as F
+
+    from oxbow_spark.operators import text as text_ops
+    from oxbow_spark.operators.decontam import ngram_decontaminate
+    from oxbow_spark.operators.dedup import minhash_signatures
+    from oxbow_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c d e")],
+                                  "doc_id long, text string")
+    shapes = {
+        "quality_passes": text_ops.quality_score(df)
+        .where(F.col("passes")).select("doc_id"),
+        "repetition_ok": text_ops.repetition_stats(df)
+        .where(F.col("repetition_ok")).select("doc_id"),
+        "ppl_gate": text_ops.ngram_lm_score(df)
+        .where(F.col("ppl").isNotNull() & (F.col("ppl") <= 1e6))
+        .select("doc_id"),
+        "span_removed_regate": text_ops.remove_dup_spans(df)
+        .where(F.size(F.split(F.trim(F.col("clean_text")), r"\s+")) >= 1)
+        .select("doc_id"),
+        "minhash_sigs": minhash_signatures(df),
+        "decontaminate": ngram_decontaminate(df, bench),
+        "chunks_filtered": chunk_documents(df)
+        .where(F.length("chunk_text") > 0),
+    }
+    for name, frame in shapes.items():
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        for body in _lambda_bodies(plan):
+            assert "split(" not in body, (name, body)
