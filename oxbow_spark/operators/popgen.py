@@ -32,33 +32,66 @@ def allele_stats(df: DataFrame, alleles_col: str = "alleles",
     genotype counts (called / het / hom-ref / hom-alt), MAF, and the
     1-df Hardy-Weinberg chi-square for biallelic diploid sites (null
     elsewhere; bcftools convention). Missing genotypes (null allele
-    arrays or any null allele index) are excluded from every count."""
+    arrays or any null allele index) are excluded from every count.
+
+    LET-BOUND + staged (round 12): the called-genotype filter and its
+    flatten bind to lambda variables once per row, and the whole panel
+    is ONE staged struct column — HOF-bearing expressions are
+    CodegenFallback (no whole-stage codegen, so no subexpression
+    elimination), and the previous shape re-ran the O(samples) called
+    filter once per metric (~6× per row); it also complies with the
+    SCALE.md fact #5 audit rule (lambda bodies reference only lambda
+    variables and scan-leaf attributes), so a downstream `.where` on
+    any output column costs one extra panel evaluation, never a
+    per-element re-scan."""
     al = F.col(alleles_col)
+    n_alt = F.size(F.col("alt"))
     called = F.filter(
         al, lambda g: g.isNotNull() & ~F.exists(g, lambda a: a.isNull()))
-    flat = F.flatten(called)
-    an = F.size(flat)
-    n_alt = F.size(F.col("alt"))
-    ac = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_alt, F.lit(1))),
-        lambda i: F.size(F.filter(flat, lambda a: a == i)))
-    ac = F.when(n_alt >= 1, ac).otherwise(F.array().cast("array<int>"))
-    af = F.transform(
-        ac, lambda c: F.when(an > 0, c.cast("double") / an))
 
-    n_called = F.size(called)
-    n_het = F.size(F.filter(
-        called, lambda g: F.size(F.array_distinct(g)) > 1))
-    n_hom_ref = F.size(F.filter(
-        called,
-        lambda g: (F.size(F.array_distinct(g)) == 1) & (g[0] == 0)))
-    n_hom_alt = F.size(F.filter(
-        called,
-        lambda g: (F.size(F.array_distinct(g)) == 1) & (g[0] > 0)))
+    def _panel(cal, fl):
+        an_b = F.size(fl)
+        ac_b = F.when(n_alt >= 1, F.transform(
+            F.sequence(F.lit(1), F.greatest(n_alt, F.lit(1))),
+            lambda i: F.size(F.filter(fl, lambda a: a == i)))
+        ).otherwise(F.array().cast("array<int>"))
+        af_b = F.transform(
+            ac_b, lambda c: F.when(F.size(fl) > 0,
+                                   c.cast("double") / F.size(fl)))
+        return F.struct(
+            an_b.alias("an"),
+            ac_b.alias("ac"),
+            af_b.alias("af"),
+            F.size(cal).alias("n_called"),
+            F.size(F.filter(
+                cal, lambda g: F.size(F.array_distinct(g)) > 1))
+            .alias("n_het"),
+            F.size(F.filter(
+                cal,
+                lambda g: (F.size(F.array_distinct(g)) == 1)
+                & (g[0] == 0))).alias("n_hom_ref"),
+            F.size(F.filter(
+                cal,
+                lambda g: (F.size(F.array_distinct(g)) == 1)
+                & (g[0] > 0))).alias("n_hom_alt"),
+            F.forall(cal, lambda g: F.size(g) == 2).alias("diploid"),
+        )
+
+    panel = F.element_at(F.transform(F.array(called), lambda cal:
+        F.element_at(F.transform(F.array(F.flatten(cal)), lambda fl:
+            _panel(cal, fl)), 1)), 1)
+
+    df = df.withColumn("_pg", panel)
+    pg = F.col("_pg")
+    an, ac, af = pg["an"], pg["ac"], pg["af"]
+    n_called = pg["n_called"]
+    n_het = pg["n_het"]
+    n_hom_ref = pg["n_hom_ref"]
+    n_hom_alt = pg["n_hom_alt"]
 
     # biallelic diploid HWE: p = ref freq, q = alt freq over 2N alleles;
     # expected (p², 2pq, q²)·N vs observed (hom_ref, het, hom_alt)
-    diploid = F.forall(called, lambda g: F.size(g) == 2)
+    diploid = pg["diploid"]
     nn = n_called.cast("double")
     q = F.when(an > 0, F.element_at(ac, 1).cast("double") / an)
     p = F.lit(1.0) - q
