@@ -84,9 +84,13 @@ def gc_windows(df: DataFrame, window: int, step: int | None = None,
     (zero copies; the generated rows leaving the stage carry only the
     four small output columns). Rows longer than ``plain_max_bp``
     take the tiled plan, which spreads one chromosome across many
-    tasks. ``tile_bp=<int>`` forces the tiled plan for every row;
-    ``plain_max_bp=None`` forces the narrow plan (single task per
-    contig — linear, but no intra-contig parallelism).
+    tasks. ``tile_bp=<int>`` forces the tiled layout for every row;
+    ``plain_max_bp=None`` forces the narrow layout (single task per
+    contig — linear, but no intra-contig parallelism). Both forced
+    layouts still take the sliding bucket path under the same rules
+    as the default (tiled: whenever applicable; narrow: above the
+    amplification threshold) — ``sliding=False`` restores the raw
+    recompute plan.
 
     Why explode-then-slice and NOT per-window structs built inside an
     array `transform` (the round-10 formulation): higher-order
@@ -132,15 +136,24 @@ def gc_windows(df: DataFrame, window: int, step: int | None = None,
     def _sliding_from(bucket_fn):
         return _gc_windows_sliding(bucket_fn(), window, step, id_col)
 
+    amp = window // step if sliding_ok else 1
     if tile_bp is not None:
-        if sliding is True:
+        # mirror the auto route's LONG leg: a forced tile width must
+        # not reopen the recompute pathology the default avoids —
+        # tiled rows take the bucket path whenever it applies
+        if sliding_ok and sliding is not False:
             return _sliding_from(lambda: _gc_windows_tiled(
                 df, step, step, seq_col, id_col, int(tile_bp),
                 counts=True))
         return _gc_windows_tiled(df, window, step, seq_col, id_col,
                                  int(tile_bp))
     if plain_max_bp is None:
-        if sliding is True:
+        # forced-narrow keeps its shuffle-free plan at modest overlap,
+        # but above SLIDING_MIN_AMP the recompute amplification
+        # (unbounded in window/step) outweighs the sliding path's two
+        # window ops + one join; sliding=False restores pure-narrow
+        if sliding_ok and sliding is not False and (
+                sliding is True or amp >= SLIDING_MIN_AMP):
             return _sliding_from(lambda: _gc_windows_plain(
                 df, step, step, seq_col, id_col, counts=True))
         return _gc_windows_plain(df, window, step, seq_col, id_col)
@@ -158,7 +171,6 @@ def gc_windows(df: DataFrame, window: int, step: int | None = None,
     # length but unbounded in the parameters — so once window/step
     # clears SLIDING_MIN_AMP the bucket path wins even on a 1 Mbp row
     # (judge-measured 14.0 s plain vs 2.4 s sliding at w=1000/s=5)
-    amp = window // step if sliding_ok else 1
     if sliding_ok and sliding is not False and (
             sliding is True or amp >= SLIDING_MIN_AMP):
         short_out = _sliding_from(lambda: _gc_windows_plain(

@@ -335,7 +335,9 @@ def test_gc_windows_sliding_equals_plain(spark):
                    dict(sliding=True, tile_bp=8),
                    dict(sliding=True, plain_max_bp=100),
                    dict(),
-                   dict(plain_max_bp=100)):
+                   dict(plain_max_bp=100),
+                   dict(tile_bp=8),
+                   dict(plain_max_bp=None)):
             got = {(r.name, r.win_start): (r.win_len, r.gc_frac)
                    for r in gc_windows(df, window=window, step=step,
                                        **kw).collect()}
