@@ -702,3 +702,42 @@ def test_fasta_bgzf_fai_gzi_write_and_region_slice(gspark, tmp_path):
         s[i:i + 60] for i in range(0, max(len(s), 1), 60)) + "\n"
         for n, _d, s in rows).encode()
     assert bgzf_fetch_uncompressed(part, gzi, 100, 300) == full[100:300]
+
+
+def test_cohabiting_formats_survive_overwrite_commits(gspark, tmp_path):
+    """Two formats sharing one directory through the PUBLIC writer API:
+    an overwrite commit of the second format must neither delete the
+    first format's part files nor evict them from the shared manifest
+    (committed_parts prefers the manifest when present, so a dropped
+    line silently orphans readable data). Re-overwriting one format
+    reaps only its own prior parts."""
+    from oxbow_spark.sources.align_write import committed_parts
+
+    with open(FX + "sample.vcf") as f:
+        hdr = "".join(ln for ln in f if ln.startswith("#"))
+    vdf = gspark.read.format("vcf").load(FX + "sample.vcf")
+    bdf = gspark.read.format("bed").option("bed_schema", "bed6").load(
+        FX + "sample.bed")
+    out = str(tmp_path / "shared")
+    (vdf.coalesce(1).write.format("vcf")
+        .option("header", hdr).mode("overwrite").save(out))
+    bdf.coalesce(1).write.format("bed").mode("overwrite").save(out)
+
+    vparts = committed_parts(out, ".vcf")
+    bparts = committed_parts(out, ".bed")
+    assert len(vparts) == 1 and len(bparts) == 1
+    assert all(glob.glob(p) for p in vparts + bparts)
+    back = gspark.read.format("vcf").load(out + "/*.vcf")
+    assert _rows(back) == _rows(vdf)
+
+    # overwrite the bed write: vcf stays visible AND readable, the old
+    # bed part is reaped, the new one replaces it in the manifest
+    old_bed = bparts[0]
+    bdf.coalesce(1).write.format("bed").mode("overwrite").save(out)
+    assert committed_parts(out, ".vcf") == vparts
+    bparts2 = committed_parts(out, ".bed")
+    assert len(bparts2) == 1 and bparts2 != [old_bed]
+    assert not glob.glob(old_bed)
+    back = gspark.read.format("bed").option("bed_schema", "bed6").load(
+        out + "/*.bed")
+    assert _rows(back) == _rows(bdf)
