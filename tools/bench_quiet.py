@@ -1,0 +1,86 @@
+"""Round-over-round quiet-bench envelope (VERDICT r11 item 6, pinned).
+
+Runs bench.py twice (min-of-5 trials at cpus=32 and cpus=8, sf0.1),
+loads the most recent BENCH_QUIET_r*.json as the reference envelope,
+prints per-query ratios against it, and writes the new envelope to
+BENCH_QUIET_r{N}.json. Run on an IDLE host (check `uptime` first —
+the r11 finding was that host load masquerades as regression; judge
+deltas against the cpus=8 column, which is far less scheduling-noisy
+than local[32] on sf0.1's tiny tasks).
+
+Usage: python tools/bench_quiet.py --round 13 [--trials 5]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, trials: int, sf_dir: str) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_TRIALS=str(trials))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def latest_envelope(before_round: int):
+    best = None
+    for p in glob.glob(os.path.join(REPO, "BENCH_QUIET_r*.json")):
+        m = re.search(r"r(\d+)\.json$", p)
+        if m and int(m.group(1)) < before_round:
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), p)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    load1 = os.getloadavg()[0]
+    q32 = run_bench(32, args.trials, args.sf_dir)
+    q8 = run_bench(8, args.trials, args.sf_dir)
+
+    ref = latest_envelope(args.round)
+    ratios = {}
+    if ref:
+        prev = json.load(open(ref[1]))
+        prev32 = prev["runs"]["cpus32_trials5"]["queries"]
+        prev8 = prev["runs"]["cpus8_trials5"]["queries"]
+        for k, v in q32["queries"].items():
+            r32 = round(v / prev32[k], 2) if prev32.get(k) else None
+            v8 = q8["queries"].get(k)
+            r8 = round(v8 / prev8[k], 2) if v8 and prev8.get(k) else None
+            ratios[k] = {"cpus32": r32, "cpus8": r8}
+            print(f"{k:28s} r32={r32} r8={r8}", flush=True)
+
+    out = {
+        "purpose": (f"Round {args.round} quiet-window envelope: min-of-"
+                    f"{args.trials} idle-host runs at cpus=32 and cpus=8, "
+                    f"sf0.1 (1-min load {load1:.2f} before start), ratios "
+                    f"vs {os.path.basename(ref[1]) if ref else 'none'}. "
+                    "Judge deltas against the cpus=8 column."),
+        "runs": {"cpus32_trials5": q32, "cpus8_trials5": q8},
+        "ratios_vs_prev": ratios,
+    }
+    dest = os.path.join(REPO, f"BENCH_QUIET_r{args.round}.json")
+    json.dump(out, open(dest, "w"), indent=1)
+    print("wrote", dest)
+
+
+if __name__ == "__main__":
+    main()
