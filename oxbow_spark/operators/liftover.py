@@ -155,7 +155,16 @@ def liftover_positions(
     )
     cand = F.filter(
         "_blocks", lambda b: (pos >= b["t_start"]) & (pos < b["t_end"]))
-    best = _best_block(cand)
+    # the best-block struct is STAGED as its own column. Measured
+    # NEUTRAL (4.3 s either way at 400 chains/bin x 200k positions):
+    # the five output references are the IDENTICAL subtree, which
+    # codegen subexpression elimination already evaluates once even
+    # for CodegenFallback HOFs — unlike popgen's distinct metric
+    # trees (SCALE.md fact #5 addendum). Kept staged anyway: the
+    # audit-rule shape is robust to a downstream filter substituting
+    # the alias (one extra evaluation, never per-reference).
+    j = j.withColumn("_best", _best_block(cand))
+    best = F.col("_best")
     fwd = best["q_start"] + (pos - best["t_start"])
     new_pos = F.when(best["q_strand"] == "+", fwd) \
         .otherwise(best["q_size"] - fwd - 1)
@@ -205,7 +214,10 @@ def liftover_intervals(
     cand = F.filter(
         "_blocks",
         lambda b: (s >= b["t_start"]) & (e <= b["t_end"]) & (e > s))
-    best = _best_block(cand)
+    # staged for the same reason (and with the same measured-neutral
+    # caveat) as liftover_positions
+    j = j.withColumn("_best", _best_block(cand))
+    best = F.col("_best")
     fwd_s = best["q_start"] + (s - best["t_start"])
     fwd_e = best["q_start"] + (e - best["t_start"])
     plus = best["q_strand"] == "+"
