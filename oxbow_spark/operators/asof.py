@@ -51,6 +51,44 @@ def _carry_fits_broadcast(u: DataFrame, by: list[str], on: str,
     return keys * chunks <= BROADCAST_CARRY_MAX_ROWS
 
 
+def estimate_broadcast_carry(frames: list[tuple[DataFrame, list[str],
+                                                list[str]]],
+                             bp: int) -> bool:
+    """Decide the carry stitch ONCE from the cheapest frames that bound
+    the key/range shape, for callers issuing several `asof_join`
+    (``split_on=bp``) calls whose inputs are DERIVED (join/agg/window
+    outputs): the per-call default estimator would re-execute each
+    derived upstream at plan time, while a scan-side projection gives
+    the same (conservative) bound for one column-pruned pass per base
+    frame.
+
+    ``frames``: (df, by_cols, on_cols) triples — each df contributes
+    its distinct-key count and the min/max envelope over every listed
+    ``on_cols`` candidate. Keys sum across frames (an upper bound on
+    the distinct keys of any union the caller builds); the range is
+    the global envelope. Returns the ``broadcast_carry`` flag to pass
+    explicitly to each `asof_join` call."""
+    keys, lo, hi = 0, None, None
+    for df, by, ons in frames:
+        aggs = [a for c in ons
+                for a in (F.min(c).alias(f"_lo_{c}"),
+                          F.max(c).alias(f"_hi_{c}"))]
+        if by:
+            aggs.append(
+                F.approx_count_distinct(F.struct(*by)).alias("_nk"))
+        row = df.groupBy().agg(*aggs).first()
+        keys += int(row["_nk"]) if by else 1
+        for c in ons:
+            if row[f"_lo_{c}"] is not None:
+                v_lo, v_hi = int(row[f"_lo_{c}"]), int(row[f"_hi_{c}"])
+                lo = v_lo if lo is None else min(lo, v_lo)
+                hi = v_hi if hi is None else max(hi, v_hi)
+    if lo is None:
+        return True  # all inputs empty — the carry is empty too
+    chunks = hi // int(bp) - lo // int(bp) + 1
+    return max(keys, 1) * chunks <= BROADCAST_CARRY_MAX_ROWS
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -97,6 +135,16 @@ def asof_join(
     strategy; with ``False`` consider coarsening ``split_on`` too
     (fewer chunks per key — any value that still yields ≥ ~10× #cores
     chunks per hot key keeps the skew win).
+
+    .. warning:: the default estimate is an EAGER Spark job at
+       ``asof_join()`` call time (exactly one job, over the
+       left∪right lineage). When either input is a DERIVED frame (a
+       join/agg/window output, not a scan) and is not cached, that
+       upstream plan executes once extra at construction — even if
+       the returned frame is never collected. Cache the derived
+       input, pass an explicit ``True``/``False``, or bound the shape
+       once with `estimate_broadcast_carry` over the cheap base
+       projections (what `interval_ops`' internal call sites do).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from oxbow_spark.operators.asof import asof_join
+from oxbow_spark.operators.asof import asof_join, estimate_broadcast_carry
 from oxbow_spark.operators.interval_join import overlap_join
 
 _NEG_INF = -(1 << 62)
@@ -296,6 +296,15 @@ def closest_intervals(
         left_start="_as", left_end="_ae",
         right_start="_bs", right_end="_be",
     ).select("_aid", "_on", "_as", "_ae", "_bid", F.lit(0).cast("long").alias("_dist"))
+    # decide the as-of carry stitch ONCE from the cheap scan-side
+    # projections — the per-call default would re-execute the derived
+    # prev_b/next_b groupBys at plan time (asof_join's eager-estimate
+    # warning); aa∪bb bounds both calls' key/range shape
+    bcarry = None
+    if split_bp is not None:
+        bcarry = estimate_broadcast_carry(
+            [(aa, ["_on"], ["_as", "_ae"]),
+             (bb, ["_on"], ["_bs", "_be"])], split_bp)
     # nearest preceding: greatest b.end <= a.start; ties on end keep min
     # id; the matched end rides along to compute the gap
     prev_b = (
@@ -307,6 +316,7 @@ def closest_intervals(
         aa.withColumnRenamed("_as", "_bv"),
         prev_b, on="_bv", by="_on", direction="backward",
         right_cols=["_bid", "_bend"], split_on=split_bp,
+        broadcast_carry=bcarry,
     ).where(F.col("_bid").isNotNull()).select(
         "_aid", "_on", F.col("_bv").alias("_as"), "_ae", "_bid",
         (F.col("_bv") - F.col("_bend")).cast("long").alias("_dist"),
@@ -321,6 +331,7 @@ def closest_intervals(
         aa.withColumnRenamed("_ae", "_bv"),
         next_b, on="_bv", by="_on", direction="forward",
         right_cols=["_bid", "_bstart"], split_on=split_bp,
+        broadcast_carry=bcarry,
     ).where(F.col("_bid").isNotNull()).select(
         "_aid", "_on", "_as", F.col("_bv").alias("_ae"), "_bid",
         (F.col("_bstart") - F.col("_bv")).cast("long").alias("_dist"),
@@ -859,10 +870,18 @@ def cluster_intervals(
         numbered = idx.join(F.broadcast(offs), [on, "_k"]).select(
             F.col(on), F.col("_rs").alias("_v"),
             (F.col("_i") + F.col("_off")).cast("long").alias("cluster_id"))
+    # explicit stitch choice: `numbered` is a window+join derivative —
+    # the default estimator would re-run it at plan time; the input
+    # frame's (key, start-range) shape bounds the same carry count in
+    # one column-pruned pass
+    bcarry = (estimate_broadcast_carry([(df, [on], [start_col])],
+                                       split_bp)
+              if split_bp is not None else None)
     return asof_join(
         df.withColumn("_v", F.col(start_col).cast("long")),
         numbered, on="_v", by=on, right_cols=["cluster_id"],
         direction="backward", split_on=split_bp,
+        broadcast_carry=bcarry,
     ).drop("_v")
 
 
@@ -987,16 +1006,25 @@ def reldist_intervals(
         F.col(on),
         F.floor((F.col(a_start).cast("long") + F.col(a_end).cast("long"))
                 / 2).cast("long").alias("_v"))
-    bmid = b.select(
+    bmid_raw = b.select(
         F.col(on),
         F.floor((F.col(b_start).cast("long") + F.col(b_end).cast("long"))
-                / 2).cast("long").alias("_v")).distinct()
+                / 2).cast("long").alias("_v"))
+    bmid = bmid_raw.distinct()
+    # one cheap-projection estimate shared by both as-of calls — the
+    # second call's left (`prev`) is itself an as-of output, which the
+    # default estimator would re-execute wholesale at plan time
+    bcarry = (estimate_broadcast_carry(
+        [(amid, [on], ["_v"]), (bmid_raw, [on], ["_v"])], split_bp)
+        if split_bp is not None else None)
     prev = asof_join(
         amid, bmid.withColumn("_pm", F.col("_v")), on="_v", by=on,
-        right_cols=["_pm"], direction="backward", split_on=split_bp)
+        right_cols=["_pm"], direction="backward", split_on=split_bp,
+        broadcast_carry=bcarry)
     both = asof_join(
         prev, bmid.withColumn("_nm", F.col("_v")), on="_v", by=on,
-        right_cols=["_nm"], direction="forward", split_on=split_bp)
+        right_cols=["_nm"], direction="forward", split_on=split_bp,
+        broadcast_carry=bcarry)
     scored = both.where(
         F.col("_pm").isNotNull() & F.col("_nm").isNotNull()).select(
         F.col(on),

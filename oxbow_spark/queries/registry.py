@@ -1978,6 +1978,13 @@ def _pq_models(spark: SparkSession, sf_dir: str):
         cents = similarity.ivf_fit(
             emb, nlist=_IVF_NLIST, max_iter=_IVF_MAXITER,
             order_col="vec_id")
+        # evict entries keyed to OTHER applicationIds on insert: their
+        # plan tuples are dead once that session stops, and a
+        # long-lived process creating many sessions must not
+        # accumulate them (nor pin the stopped sessions they
+        # transitively reference)
+        for stale in [k for k in _PQ_FIT_CACHE if k[0] != key[0]]:
+            del _PQ_FIT_CACHE[stale]
         got = _PQ_FIT_CACHE[key] = (cb, cents)
     return got
 

@@ -22,6 +22,7 @@ the header's @SQ lines — required when any record is mapped.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import struct
@@ -249,6 +250,32 @@ class _PartFile(WriterCommitMessage):
 
 MANIFEST = "_parts.manifest"
 
+
+@contextlib.contextmanager
+def _manifest_lock(path: str):
+    """Serialize shared-manifest read-modify-write: the manifest is
+    format-SHARED across writers cohabiting one directory, and two
+    concurrent commits' unlocked RMW could interleave and silently
+    drop the other format's lines (making its parts invisible to the
+    manifest-preferring `committed_parts`). Advisory `flock` on a
+    sidecar lockfile — commit runs on the driver, and the manifest
+    protocol already assumes a driver-visible local/posix filesystem;
+    degrades to a no-op where fcntl is unavailable."""
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: preserve prior (unlocked) behavior
+        yield
+        return
+    os.makedirs(path, exist_ok=True)
+    fd = os.open(os.path.join(path, MANIFEST + ".lock"),
+                 os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
 #: sidecar index extensions the writers emit next to part files
 #: (part-X.bam.bai and friends) — used to recognise a DANGLING sidecar
 #: whose parent part is already gone; live sidecars are recognised by
@@ -267,15 +294,16 @@ def _prepare_dir(path: str, overwrite: bool, suffix: str) -> None:
     # the whole file would make cohabiting formats' parts invisible to
     # committed_parts(), which prefers the manifest whenever present
     man = os.path.join(path, MANIFEST)
-    if os.path.exists(man):
-        with open(man, "r", encoding="ascii") as fh:
-            keep = [ln.strip() for ln in fh
-                    if ln.strip() and not ln.strip().endswith(suffix)]
-        if keep:
-            with open(man, "w", encoding="ascii") as fh:
-                fh.writelines(n + "\n" for n in keep)
-        else:
-            os.remove(man)
+    with _manifest_lock(path):
+        if os.path.exists(man):
+            with open(man, "r", encoding="ascii") as fh:
+                keep = [ln.strip() for ln in fh
+                        if ln.strip() and not ln.strip().endswith(suffix)]
+            if keep:
+                with open(man, "w", encoding="ascii") as fh:
+                    fh.writelines(n + "\n" for n in keep)
+            else:
+                os.remove(man)
 
 
 def _reconcile_parts(path: str, messages, fresh: bool = True,
@@ -361,37 +389,42 @@ def _reconcile_parts(path: str, messages, fresh: bool = True,
 
     names = [os.path.basename(p) for p in sorted(committed, key=_pid)]
     man = os.path.join(path, MANIFEST)
-    if os.path.exists(man):
-        prior_all = True  # manifest lines are authoritative
-        with open(man, "r", encoding="ascii") as f:
-            prior = [ln.strip() for ln in f if ln.strip()]
-    else:
-        # pre-manifest parts: seed from the glob of part DATA files of
-        # EVERY suffix (sidecar indexes are excluded — they are found
-        # through their parent part, never spliced directly), so the
-        # manifest this commit creates cannot hide earlier data —
-        # neither this writer's appends nor a cohabiting format's
-        prior_all = False
-        prior = sorted(
-            (f for f in listing
-             if f.startswith("part-") and f not in keep
-             and not _is_sidecar(f)),
-            key=_pid)
-    if fresh:
-        # carry only OTHER formats' lines through a fresh commit (this
-        # writer's old lines are replaced wholesale; their files were
-        # reaped by _prepare_dir / the orphan pass above) — and only
-        # lines whose file still exists
-        prior = [n for n in prior
-                 if suffix is not None and not n.endswith(suffix)
-                 and os.path.exists(os.path.join(path, n))]
-    elif not prior_all:
-        prior = [n for n in prior
-                 if os.path.exists(os.path.join(path, n))]
-    names = prior + [n for n in names if n not in set(prior)]
-    with open(man, "w", encoding="ascii") as f:
-        for n in names:
-            f.write(n + "\n")
+    # the read-carry-write below is a shared-manifest RMW — hold the
+    # lock across it so a cohabiting format's concurrent commit cannot
+    # interleave and lose lines (`_manifest_lock`)
+    with _manifest_lock(path):
+        if os.path.exists(man):
+            prior_all = True  # manifest lines are authoritative
+            with open(man, "r", encoding="ascii") as f:
+                prior = [ln.strip() for ln in f if ln.strip()]
+        else:
+            # pre-manifest parts: seed from the glob of part DATA
+            # files of EVERY suffix (sidecar indexes are excluded —
+            # they are found through their parent part, never spliced
+            # directly), so the manifest this commit creates cannot
+            # hide earlier data — neither this writer's appends nor a
+            # cohabiting format's
+            prior_all = False
+            prior = sorted(
+                (f for f in os.listdir(path)
+                 if f.startswith("part-") and f not in keep
+                 and not _is_sidecar(f)),
+                key=_pid)
+        if fresh:
+            # carry only OTHER formats' lines through a fresh commit
+            # (this writer's old lines are replaced wholesale; their
+            # files were reaped by _prepare_dir / the orphan pass
+            # above) — and only lines whose file still exists
+            prior = [n for n in prior
+                     if suffix is not None and not n.endswith(suffix)
+                     and os.path.exists(os.path.join(path, n))]
+        elif not prior_all:
+            prior = [n for n in prior
+                     if os.path.exists(os.path.join(path, n))]
+        names = prior + [n for n in names if n not in set(prior)]
+        with open(man, "w", encoding="ascii") as f:
+            for n in names:
+                f.write(n + "\n")
     return [os.path.join(path, n) for n in names]
 
 

@@ -1206,3 +1206,43 @@ def test_committed_parts_glob_fallback_numeric(tmp_path):
            for p in committed_parts(str(tmp_path), ".bam")]
     assert got == ["part-09999-aa.bam", "part-10000-bb.bam",
                    "part-100000-cc.bam"]
+
+
+def test_manifest_concurrent_cohabiting_commits(tmp_path):
+    """Two formats committing concurrently to one directory must not
+    lose each other's manifest lines: the shared `_parts.manifest` is
+    read-modify-write at commit, serialized by `_manifest_lock`
+    (ADVICE r12 — unlocked RMW could interleave and make the other
+    format's parts invisible to the manifest-preferring
+    `committed_parts`)."""
+    import threading
+
+    from oxbow_spark.sources.align_write import (
+        MANIFEST, _PartFile, _reconcile_parts)
+
+    d = str(tmp_path)
+    n_each, errs = 40, []
+
+    def commit_loop(sfx: str) -> None:
+        try:
+            for i in range(n_each):
+                nm = f"part-{i:05d}-{sfx}.{sfx}"
+                open(os.path.join(d, nm), "w").close()
+                _reconcile_parts(
+                    d, [_PartFile(os.path.join(d, nm), 1)],
+                    fresh=False, suffix="." + sfx)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=commit_loop, args=(s,))
+          for s in ("sam", "bed")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    with open(os.path.join(d, MANIFEST), encoding="ascii") as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    assert len(lines) == 2 * n_each, sorted(lines)
+    assert sum(ln.endswith(".sam") for ln in lines) == n_each
+    assert sum(ln.endswith(".bed") for ln in lines) == n_each

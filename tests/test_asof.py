@@ -230,3 +230,54 @@ def test_broadcast_carry_auto_switches_on_oversized_carry(spark):
     # the estimator itself: empty input broadcasts trivially
     u = l.select("u", "v").where(F.lit(False))
     assert _carry_fits_broadcast(u, ["u"], "v", 1) is True
+
+
+def test_default_estimator_is_one_eager_job(spark):
+    """The broadcast_carry=None estimate is exactly ONE Spark job at
+    asof_join() CALL time (the docstring's eager-job warning — a
+    derived, uncached input pays one extra upstream execution);
+    passing an explicit flag runs zero jobs at construction."""
+    sc = spark.sparkContext
+    l = spark.createDataFrame([("a", 1, "p")], "u string, v long, p string")
+    r = spark.createDataFrame([("a", 0, "q")], "u string, v long, q string")
+
+    def jobs_during(**kw) -> int:
+        tag = f"asof-est-{len(kw)}-{kw.get('broadcast_carry')}"
+        sc.setJobGroup(tag, "estimator job count")
+        try:
+            asof_join(l, r, on="v", by="u", split_on=10, **kw)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    # AQE materializes each query stage as its own job — pin it off so
+    # "one estimator query" counts as exactly one job
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert jobs_during() == 1
+        assert jobs_during(broadcast_carry=True) == 0
+        assert jobs_during(broadcast_carry=False) == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_estimate_broadcast_carry_shared_bound(spark):
+    """`estimate_broadcast_carry` over cheap base projections agrees
+    with the per-call estimator's decision on both sides of the bound
+    (keys sum across frames; range is the global envelope; empty
+    inputs broadcast trivially)."""
+    from oxbow_spark.operators.asof import estimate_broadcast_carry
+
+    a = spark.createDataFrame(
+        [("k1", 0, 5), ("k2", 10, 20)], "on string, s long, e long")
+    b = spark.createDataFrame(
+        [("k1", 100, 200)], "on string, s long, e long")
+    # 3 keys x range [0, 200]/bp=1 -> 603 rows: fits
+    assert estimate_broadcast_carry(
+        [(a, ["on"], ["s", "e"]), (b, ["on"], ["s", "e"])], 1) is True
+    big = spark.createDataFrame(
+        [("k", 0, 10**13)], "on string, s long, e long")
+    assert estimate_broadcast_carry([(big, ["on"], ["s", "e"])], 1) is False
+    empty = a.where(F.lit(False))
+    assert estimate_broadcast_carry([(empty, ["on"], ["s", "e"])], 1) is True

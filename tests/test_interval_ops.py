@@ -1053,3 +1053,48 @@ def test_complement_split_bp_plan_windows_on_chunk(spark):
              if "windowspecdefinition" in ln]
     lag_lines = [ln for ln in specs if "lag(" in ln]
     assert lag_lines and all("_k#" in ln for ln in lag_lines), plan
+
+
+def test_split_bp_call_sites_skip_default_estimator(spark, monkeypatch):
+    """The internal asof_join(split_on=...) call sites (closest /
+    cluster / reldist) must decide the carry stitch from the CHEAP
+    scan-side projections (`estimate_broadcast_carry`), never via the
+    per-call default — that default is an eager job over the derived
+    prev_b/next_b/numbered/prev lineages and would re-execute them at
+    plan time (ADVICE r12). Guard: the default estimator is poisoned;
+    every split_bp path must still construct AND return split-equals-
+    plain results."""
+    import oxbow_spark.operators.asof as asof_mod
+    from oxbow_spark.operators.interval_ops import (
+        closest_intervals, cluster_intervals, reldist_intervals)
+
+    def boom(*a, **k):  # pragma: no cover - the guard itself
+        raise AssertionError(
+            "asof_join default broadcast_carry estimator reached from "
+            "an interval_ops internal call site")
+
+    monkeypatch.setattr(asof_mod, "_carry_fits_broadcast", boom)
+
+    a = spark.createDataFrame(
+        [("c1", 10, 20, "a1"), ("c1", 100, 140, "a2"),
+         ("c2", 5, 9, "a3")],
+        "chrom string, start long, end long, name string")
+    b = spark.createDataFrame(
+        [("c1", 0, 4, "b1"), ("c1", 30, 35, "b2"), ("c1", 220, 230, "b3"),
+         ("c2", 50, 60, "b4")],
+        "chrom string, start long, end long, name string")
+
+    c_plain = sorted(map(tuple, closest_intervals(
+        a, b, bin_size=64, a_id="name", b_id="name").collect()))
+    c_split = sorted(map(tuple, closest_intervals(
+        a, b, bin_size=64, a_id="name", b_id="name", split_bp=16)
+        .collect()))
+    assert c_plain == c_split and c_plain
+    k_plain = sorted(map(tuple, cluster_intervals(a).collect()))
+    k_split = sorted(map(tuple, cluster_intervals(a, split_bp=16)
+                         .collect()))
+    assert k_plain == k_split and k_plain
+    r_plain = sorted(map(tuple, reldist_intervals(a, b).collect()))
+    r_split = sorted(map(tuple, reldist_intervals(a, b, split_bp=16)
+                         .collect()))
+    assert r_plain == r_split and r_plain

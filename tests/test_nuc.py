@@ -364,12 +364,20 @@ def test_gc_windows_sliding_plan_never_slices_window_width(spark):
     assert ", 5)" in plan.replace("substring", "substr"), plan
     assert "substr" in plan
     assert ", 40)" not in plan, plan
-    # the DEFAULT router sends the SHORT leg through the same bucket
-    # path once window/step >= SLIDING_MIN_AMP (amplification routing,
-    # not length routing) — no window-width slice anywhere
+    # the DEFAULT router splits the SHORT leg PER ROW at
+    # window/step >= SLIDING_MIN_AMP: rows whose len × amp recompute
+    # clears SLIDING_MIN_ROW_RECOMPUTE_BP take the bucket path, tiny
+    # rows (reads) keep the shuffle-free narrow plan. Both legs are in
+    # the data-independent plan — the bucket leg's step-width slices,
+    # the narrow leg's window-width slices gated by the recompute
+    # cutoff literal
+    from oxbow_spark.operators.nuc import SLIDING_MIN_ROW_RECOMPUTE_BP
     plan_auto = gc_windows(df, window=40, step=5)._jdf \
         .queryExecution().optimizedPlan().toString()
-    assert ", 40)" not in plan_auto, plan_auto
+    cut = -(-SLIDING_MIN_ROW_RECOMPUTE_BP // 8)  # amp = 40/5
+    assert str(cut) in plan_auto, plan_auto
+    assert ", 5)" in plan_auto.replace("substring", "substr"), plan_auto
+    assert ", 40)" in plan_auto.replace("substring", "substr"), plan_auto
     # below the threshold the short leg keeps the shuffle-free narrow
     # plan (window-width slices are the cheap option at amp <= 4)
     plan_low = gc_windows(df, window=20, step=5)._jdf \
@@ -436,3 +444,28 @@ def test_getfasta_sentinel_end_is_clamped(spark):
     got = {r.name: r.iv_seq
            for r in getfasta_intervals(iv, seqs, tile_bp=4).collect()}
     assert got == {"huge": "ACGTGG", "ok": "GTAC"}
+
+
+def test_gc_windows_short_leg_per_row_recompute_split(spark, monkeypatch):
+    """The short/forced-narrow leg splits PER ROW at high amplification:
+    rows under the recompute cutoff keep the narrow plan, rows over it
+    take the bucket path — values identical on both sides of the
+    boundary (cutoff patched small so tiny fixtures exercise both
+    sub-legs), and `sliding=False` still matches."""
+    import oxbow_spark.operators.nuc as nuc_mod
+
+    monkeypatch.setattr(nuc_mod, "SLIDING_MIN_ROW_RECOMPUTE_BP", 256)
+    df = spark.createDataFrame(
+        [("tiny", "ACGTGC"), ("mid", "ACGT" * 16), ("big", "GATTACA" * 40)],
+        "name string, sequence string")
+    for kw in (dict(), dict(plain_max_bp=None)):
+        got = sorted(map(tuple, nuc_mod.gc_windows(
+            df, window=40, step=5, **kw).collect()))
+        ref = sorted(map(tuple, nuc_mod.gc_windows(
+            df, window=40, step=5, sliding=False, **kw).collect()))
+        assert got == ref and got, kw
+    # cutoff = ceil(256/8) = 32: 'tiny'/'mid' shapes under/over it —
+    # both sub-legs carried rows (sanity on the split itself)
+    plan = nuc_mod.gc_windows(df, window=40, step=5)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "32" in plan

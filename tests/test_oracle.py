@@ -118,3 +118,31 @@ def test_bench_names_stable():
         # their positions so BENCH_r{N}.json stays comparable)
         "semdedup_proto_docs", "sim_topk_pq",
     ]
+
+
+def test_pq_fit_cache_evicts_other_sessions(spark, sf_dir, monkeypatch):
+    """_PQ_FIT_CACHE keeps only the CURRENT applicationId's entries on
+    insert (ADVICE r12): a long-lived process creating many sessions
+    must not accumulate dead plan tuples (which transitively pin their
+    stopped sessions)."""
+    from oxbow_spark.queries import registry
+
+    monkeypatch.setattr(registry.similarity, "pq_fit",
+                        lambda *a, **k: "cb")
+    monkeypatch.setattr(registry.similarity, "ivf_fit",
+                        lambda *a, **k: "cents")
+    saved = dict(registry._PQ_FIT_CACHE)
+    try:
+        registry._PQ_FIT_CACHE.clear()
+        registry._PQ_FIT_CACHE[("dead-app-1", "sfX")] = ("x", "y")
+        registry._PQ_FIT_CACHE[("dead-app-2", "sfY")] = ("x", "y")
+        assert registry._pq_models(spark, sf_dir) == ("cb", "cents")
+        appid = spark.sparkContext.applicationId
+        assert set(k[0] for k in registry._PQ_FIT_CACHE) == {appid}
+        # second lookup: memo hit, no refit
+        monkeypatch.setattr(registry.similarity, "pq_fit",
+                            lambda *a, **k: 1 / 0)
+        assert registry._pq_models(spark, sf_dir) == ("cb", "cents")
+    finally:
+        registry._PQ_FIT_CACHE.clear()
+        registry._PQ_FIT_CACHE.update(saved)
