@@ -508,3 +508,99 @@ def test_curation_consumer_plans_keep_lambdas_let_bound(spark):
         plan = frame._jdf.queryExecution().optimizedPlan().toString()
         for body in _lambda_bodies(plan):
             assert "split(" not in body, (name, body)
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide SCALE.md fact-#5 sweep (round 13): every registered operator's
+# canonical invocation, driven through the substitution-triggering consumer
+# shapes, must keep its lambda bodies free of big-value builders.
+# ---------------------------------------------------------------------------
+
+#: row-sized big-value BUILDERS: a call to any of these inside a
+#: lambdafunction BODY means the optimizer substituted a staged alias
+#: (or the author referenced the raw tree) into a per-element position —
+#: interpreted HOF eval re-runs it per element, O(elements × row-value)
+#: (SCALE.md fact #5; measured 37.7-540+ s per large doc in r11/r12).
+#: As HOF *arguments* (outside bodies) they are fine: one eval per row.
+#: array_sort/sequence/slice over LAMBDA VARIABLES are element-bounded
+#: and legitimate — the ban is on the string→big-value tokenizers that
+#: every measured pathology traced to.
+_BIG_VALUE_BUILDERS = (
+    "split(", "sentences(", "regexp_extract_all(", "str_to_map(",
+    "from_json(", "json_tuple(", "get_json_object(", "from_csv(",
+)
+
+
+def _lambda_violations(frame) -> list[tuple[str, str]]:
+    """(builder, body-prefix) pairs for every banned builder call inside
+    any lambdafunction body of the frame's OPTIMIZED plan."""
+    plan = _opt(frame)
+    return [(tok, body[:160])
+            for body in _lambda_bodies(plan)
+            for tok in _BIG_VALUE_BUILDERS if tok in body]
+
+
+def _consumer_shapes(df):
+    """The substitution-triggering consumer shapes, per output column:
+    a user filter + prune (PushDownPredicates substitutes alias chains
+    through staged Projects) and, for array columns, an explode
+    (InferFiltersFromGenerate adds the size/isnotnull filter that
+    round 12's headline pathology rode in on)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType
+
+    first = df.columns[0]
+    shapes = [("plain", df)]
+    for f in df.schema.fields:
+        shapes.append((f"filter+prune:{f.name}",
+                       df.where(F.col(f.name).isNotNull()).select(first)))
+        if isinstance(f.dataType, ArrayType):
+            shapes.append((f"explode:{f.name}",
+                           df.select(F.explode(F.col(f.name)))))
+    return shapes
+
+
+def _registry_names():
+    import __spark_entry__ as entry
+
+    return sorted(entry.queries())
+
+
+@pytest.mark.parametrize("qname", _registry_names())
+def test_registry_lambda_bodies_survive_consumer_shapes(spark, sf, qname):
+    """Fact-#5 regression net over the WHOLE registry (VERDICT r12 top
+    item — this class of bug was found by hand two rounds running):
+    for every registered query, every lambdafunction body in the
+    optimized plan must stay free of big-value builders under every
+    filter/prune/explode consumer shape. A violation means a new or
+    rewritten operator referenced a row-sized tree inside a lambda
+    instead of let-binding it (`text._let_bound_grams_sql`,
+    `dedup.shingles_of` are the model fixes)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()[qname](spark, sf)
+    for shape, frame in _consumer_shapes(df):
+        bad = _lambda_violations(frame)
+        assert not bad, (qname, shape, bad)
+
+
+def test_lambda_sweep_catches_de_let_bound_mutant(spark):
+    """The sweep itself must trip on the shape it guards against: a
+    deliberately de-let-bound shingle builder (the raw token tree as a
+    lambda operand — the pre-r12 formulation) under the explode
+    consumer puts split() inside a lambda body, and
+    `_lambda_violations` must flag it."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b c d e f")],
+                               "doc_id long, text string")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bad = df.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(2),
+                                            F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ).alias("sh"))
+    exploded = bad.select("doc_id", F.explode("sh").alias("g"))
+    assert _lambda_violations(exploded), _opt(exploded)
