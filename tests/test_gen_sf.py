@@ -1,0 +1,67 @@
+"""tools/gen_sf.py — the scale-decade generator must reproduce the
+driver tables' exact schemas and row counts at the driver's own SFs,
+deterministically, so decade ratios measured on its output transfer to
+the driver's data model."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def gen(spark, tmp_path_factory):
+    import gen_sf
+
+    out = str(tmp_path_factory.mktemp("gen_sf") / "sf0.001")
+    gen_sf.generate(spark, 0.001, out)
+    return out
+
+
+def test_schemas_and_counts_match_driver(spark, gen):
+    ref = "/root/testdata/sf0.001"
+    for t in TABLES:
+        a = spark.read.parquet(f"{ref}/{t}.parquet")
+        b = spark.read.parquet(f"{gen}/{t}.parquet")
+        sa = [(f.name, f.dataType.simpleString()) for f in a.schema.fields]
+        sb = [(f.name, f.dataType.simpleString()) for f in b.schema.fields]
+        assert sa == sb, t
+        assert a.count() == b.count(), t
+
+
+def test_deterministic_and_self_consistent(spark, gen):
+    """Same seed → same bytes-level content (row multiset); FK ranges
+    self-consistent (lineitem→orders→customer joins land); the planted
+    near-dup fraction exists for the dedup verify stages."""
+    import gen_sf
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{gen}/lineitem.parquet")
+    od = spark.read.parquet(f"{gen}/orders.parquet")
+    cu = spark.read.parquet(f"{gen}/customer.parquet")
+    # regenerate one table: identical multiset
+    li2 = gen_sf.gen_lineitem(spark, 0.001)
+    assert li.exceptAll(li2).count() == 0 and li2.exceptAll(li).count() == 0
+    # FKs resolve completely
+    assert li.join(od, li.l_orderkey == od.o_orderkey, "left_anti") \
+        .count() == 0
+    assert od.join(cu, od.o_custkey == cu.c_custkey, "left_anti") \
+        .count() == 0
+    # near-dup plant: >=1% of docs share a 2nd-token-onward suffix
+    docs = spark.read.parquet(f"{gen}/documents.parquet")
+    tail = docs.select(F.substring_index("text", " ", -5).alias("t"))
+    n = docs.count()
+    n_dup = tail.groupBy("t").count().where(F.col("count") > 1) \
+        .agg(F.sum("count")).first()[0] or 0
+    assert n_dup >= 0.01 * n, (n_dup, n)
+    # q5 prerequisites: ASIA exists and joins through nation
+    reg = spark.read.parquet(f"{gen}/region.parquet")
+    assert reg.where(F.col("r_name") == "ASIA").count() == 1
