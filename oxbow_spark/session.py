@@ -34,6 +34,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # a 48g heap full-GCs so rarely that the reference-queue-driven
+        # ContextCleaner starves: AQE's per-query-stage shuffle/broadcast
+        # state accumulates across queries and an in-process bench run
+        # degrades run-over-run (measured on the cached-input gc_windows
+        # fan-out: 45 stage-jobs, trials 42→72→93 s at the default
+        # 30-min interval vs a stable ~15-20 s with periodic GC — see
+        # SCALE.md "AQE + cached input"). One driver System.gc() per
+        # minute is noise next to any real query.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")

@@ -34,6 +34,18 @@ def run_bench(cpus: int, trials: int, sf_dir: str) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def run_op_smoke(trials: int) -> dict:
+    """Fixed-size operator probes (gc_windows sliding / getfasta auto /
+    repetition+filter) — the SCALE.md regimes the headline bench's tiny
+    rows cannot cover (tools/bench_op_smoke.py)."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_op_smoke.py"),
+         "--trials", str(trials)],
+        env=env, capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def latest_envelope(before_round: int):
     best = None
     for p in glob.glob(os.path.join(REPO, "BENCH_QUIET_r*.json")):
@@ -54,9 +66,11 @@ def main() -> None:
     load1 = os.getloadavg()[0]
     q32 = run_bench(32, args.trials, args.sf_dir)
     q8 = run_bench(8, args.trials, args.sf_dir)
+    smoke = run_op_smoke(min(args.trials, 2))
 
     ref = latest_envelope(args.round)
     ratios = {}
+    smoke_ratios = {}
     if ref:
         prev = json.load(open(ref[1]))
         prev32 = prev["runs"]["cpus32_trials5"]["queries"]
@@ -67,6 +81,11 @@ def main() -> None:
             r8 = round(v8 / prev8[k], 2) if v8 and prev8.get(k) else None
             ratios[k] = {"cpus32": r32, "cpus8": r8}
             print(f"{k:28s} r32={r32} r8={r8}", flush=True)
+        prev_smoke = prev.get("op_smoke", {}).get("queries", {})
+        for k, v in smoke["queries"].items():
+            r = round(v / prev_smoke[k], 2) if prev_smoke.get(k) else None
+            smoke_ratios[k] = r
+            print(f"[op_smoke] {k:28s} {v}s r={r}", flush=True)
 
     out = {
         "purpose": (f"Round {args.round} quiet-window envelope: min-of-"
@@ -76,6 +95,8 @@ def main() -> None:
                     "Judge deltas against the cpus=8 column."),
         "runs": {"cpus32_trials5": q32, "cpus8_trials5": q8},
         "ratios_vs_prev": ratios,
+        "op_smoke": smoke,
+        "op_smoke_ratios_vs_prev": smoke_ratios,
     }
     dest = os.path.join(REPO, f"BENCH_QUIET_r{args.round}.json")
     json.dump(out, open(dest, "w"), indent=1)
