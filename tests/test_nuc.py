@@ -469,3 +469,34 @@ def test_gc_windows_short_leg_per_row_recompute_split(spark, monkeypatch):
     plan = nuc_mod.gc_windows(df, window=40, step=5)._jdf \
         .queryExecution().optimizedPlan().toString()
     assert "32" in plan
+
+
+def test_getfasta_auto_tile_is_one_eager_job(spark):
+    """tile_bp=None auto-sizing is exactly ONE Spark job at call time
+    (the docstring's eager-job warning: a derived, uncached intervals
+    frame pays one extra upstream execution); an explicit tile_bp runs
+    zero jobs at construction."""
+    from oxbow_spark.operators.nuc import getfasta_intervals
+
+    sc = spark.sparkContext
+    seqs = spark.createDataFrame([("c1", "ACGT" * 32)],
+                                 "name string, seq string")
+    ivs = spark.createDataFrame([("c1", 0, 16)],
+                                "chrom string, start long, end long")
+
+    def jobs_during(**kw) -> int:
+        tag = f"getfasta-est-{kw.get('tile_bp')}"
+        sc.setJobGroup(tag, "auto tile job count")
+        try:
+            getfasta_intervals(ivs, seqs, **kw)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag) or [])
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert jobs_during(tile_bp=None) == 1
+        assert jobs_during(tile_bp=1 << 16) == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
