@@ -1964,6 +1964,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pays the fit; the fit cost itself is a SCALE.md line)
 _PQ_FIT_CACHE: dict[tuple[str, str], tuple] = {}
 
+#: target in-cluster population for the semdedup/PQ coarse quantizer.
+#: SemDeDup's pair stage is Σ|cluster|², so nlist MUST grow with the
+#: corpus (the paper's design point: 11k clusters for LAION) — the
+#: round-13 scale decade measured the fixed-nlist wiring at ×98 for
+#: ×10 data (6.7 s → 657 s) before this rule, ×~10 after. 250 keeps
+#: nlist == 8 at every driver sf (≤ 2000 embeddings), so the oracle
+#: gate and round-over-round bench comparability are unchanged.
+_IVF_TARGET_CLUSTER_ROWS = 250
+
+
+def _nlist_for(n_rows: int) -> int:
+    return max(_IVF_NLIST, int(n_rows) // _IVF_TARGET_CLUSTER_ROWS)
+
 
 def _pq_models(spark: SparkSession, sf_dir: str):
     # keyed by (session, sf_dir): the fitted frames are plans bound to
@@ -1974,9 +1987,13 @@ def _pq_models(spark: SparkSession, sf_dir: str):
     got = _PQ_FIT_CACHE.get(key)
     if got is None:
         emb = _t(spark, sf_dir, "embeddings")
+        # one count job, paid once per (session, sf) alongside the fit:
+        # the cluster count scales with the corpus so the semdedup pair
+        # stage stays Σ|cluster|² ≈ linear (see _IVF_TARGET_CLUSTER_ROWS)
+        nlist = _nlist_for(emb.count())
         cb = similarity.pq_fit(emb, m=8, ksub=16, order_col="vec_id")
         cents = similarity.ivf_fit(
-            emb, nlist=_IVF_NLIST, max_iter=_IVF_MAXITER,
+            emb, nlist=nlist, max_iter=_IVF_MAXITER,
             order_col="vec_id")
         # evict entries keyed to OTHER applicationIds on insert: their
         # plan tuples are dead once that session stops, and a
@@ -1985,7 +2002,7 @@ def _pq_models(spark: SparkSession, sf_dir: str):
         # transitively reference)
         for stale in [k for k in _PQ_FIT_CACHE if k[0] != key[0]]:
             del _PQ_FIT_CACHE[stale]
-        got = _PQ_FIT_CACHE[key] = (cb, cents)
+        got = _PQ_FIT_CACHE[key] = (cb, cents, nlist)
     return got
 
 
@@ -1999,10 +2016,14 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    cb, cents = _pq_models(spark, sf_dir)
+    cb, cents, nlist = _pq_models(spark, sf_dir)
+    # nprobe tracks nlist so the scanned fraction (nprobe/nlist) — and
+    # with it recall — stays constant as the corpus-scaled quantizer
+    # grows (at the driver SFs nlist == 8, nprobe == 2, unchanged)
     return similarity.pq_topk(
         emb, q, cb, k=_TOPK_K, refine=8,
-        centroids=cents, nprobe=_IVF_NPROBE,
+        centroids=cents,
+        nprobe=max(_IVF_NPROBE, nlist * _IVF_NPROBE // _IVF_NLIST),
     )
 
 

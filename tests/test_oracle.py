@@ -134,15 +134,16 @@ def test_pq_fit_cache_evicts_other_sessions(spark, sf_dir, monkeypatch):
     saved = dict(registry._PQ_FIT_CACHE)
     try:
         registry._PQ_FIT_CACHE.clear()
-        registry._PQ_FIT_CACHE[("dead-app-1", "sfX")] = ("x", "y")
-        registry._PQ_FIT_CACHE[("dead-app-2", "sfY")] = ("x", "y")
-        assert registry._pq_models(spark, sf_dir) == ("cb", "cents")
+        registry._PQ_FIT_CACHE[("dead-app-1", "sfX")] = ("x", "y", 8)
+        registry._PQ_FIT_CACHE[("dead-app-2", "sfY")] = ("x", "y", 8)
+        got = registry._pq_models(spark, sf_dir)
+        assert got[:2] == ("cb", "cents") and got[2] >= registry._IVF_NLIST
         appid = spark.sparkContext.applicationId
         assert set(k[0] for k in registry._PQ_FIT_CACHE) == {appid}
         # second lookup: memo hit, no refit
         monkeypatch.setattr(registry.similarity, "pq_fit",
                             lambda *a, **k: 1 / 0)
-        assert registry._pq_models(spark, sf_dir) == ("cb", "cents")
+        assert registry._pq_models(spark, sf_dir) == got
     finally:
         registry._PQ_FIT_CACHE.clear()
         registry._PQ_FIT_CACHE.update(saved)
