@@ -147,3 +147,17 @@ def test_pq_fit_cache_evicts_other_sessions(spark, sf_dir, monkeypatch):
     finally:
         registry._PQ_FIT_CACHE.clear()
         registry._PQ_FIT_CACHE.update(saved)
+
+
+def test_nlist_scales_with_corpus():
+    """The semdedup/PQ coarse quantizer targets a bounded in-cluster
+    population (round-13 decade: fixed nlist measured x98 for x10 data
+    on the sum-of-cluster-squares pair stage). Driver SFs stay at the
+    floor so oracle/bench comparability never moves."""
+    from oxbow_spark.queries.registry import (
+        _IVF_NLIST, _IVF_TARGET_CLUSTER_ROWS, _nlist_for)
+
+    assert _nlist_for(500) == _IVF_NLIST      # sf0.001 / sf0.01
+    assert _nlist_for(2000) == _IVF_NLIST     # sf0.1
+    assert _nlist_for(20000) == 20000 // _IVF_TARGET_CLUSTER_ROWS  # sf1
+    assert _nlist_for(0) == _IVF_NLIST
