@@ -47,7 +47,10 @@ DAY_US = 86_400_000_000
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 SEGMENTS = ["MACHINERY", "HOUSEHOLD", "FURNITURE", "AUTOMOBILE", "BUILDING"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-EVENT_TYPES = ["click", "view", "purchase", "scroll", "login"]
+# MUST match the driver's values: the liftover chain net and several
+# oracle twins key on these exact event_type strings (the round-13
+# generated-data sweep caught a mismatched set as 12k "unmapped" rows)
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 LANGS = ["en", "de", "fr", "es", "zh"]
 VOCAB = ("batch part spark line column order small sort fast value scan "
          "a hash slow group agg filter query big key window row table "
@@ -85,7 +88,7 @@ def gen_region(spark, sf):
 
 def gen_nation(spark, sf):
     return spark.createDataFrame(
-        [(i, f"NATION_{i:02d}", i % 5) for i in range(25)],
+        [(i, f"NATION_{i}", i % 5) for i in range(25)],
         "n_nationkey int, n_name string, n_regionkey int")
 
 
@@ -93,7 +96,7 @@ def gen_customer(spark, sf):
     n = int(BASE["customer"] * sf)
     return _ids(spark, n).select(
         (F.col("id") + 1).alias("c_custkey"),
-        F.format_string("Customer#%09d", F.col("id") + 1).alias("c_name"),
+        F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
         F.floor(_u(1, F.col("id")) * 25).cast("int").alias("c_nationkey"),
         F.round(_u(2, F.col("id")) * 10999.99 - 999.99, 2)
         .alias("c_acctbal"),
@@ -104,7 +107,7 @@ def gen_supplier(spark, sf):
     n = int(BASE["supplier"] * sf)
     return _ids(spark, n).select(
         (F.col("id") + 1).alias("s_suppkey"),
-        F.format_string("Supplier#%09d", F.col("id") + 1).alias("s_name"),
+        F.format_string("Supplier#%09d", F.col("id")).alias("s_name"),
         F.floor(_u(4, F.col("id")) * 25).cast("int").alias("s_nationkey"),
         F.round(_u(5, F.col("id")) * 10999.99 - 999.99, 2)
         .alias("s_acctbal"))
@@ -230,7 +233,7 @@ def gen_documents(spark, sf):
         "doc_id",
         text.alias("text"),
         _pick(LANGS, 35, F.col("doc_id")).alias("lang"),
-        F.format_string("src_%02d",
+        F.format_string("src%d",
                         F.floor(_u(36, F.col("doc_id")) * 20).cast("int"))
         .alias("source"),
         F.length(text).cast("long").alias("n_chars"))
@@ -264,10 +267,26 @@ GENERATORS = dict(region=gen_region, nation=gen_nation,
 
 def generate(spark: SparkSession, sf: float, out: str,
              tables: list[str] | None = None) -> None:
+    """Write each table as a SINGLE parquet FILE named <t>.parquet —
+    the driver's exact layout (DuckDB's read_parquet and the streaming
+    file source both expect a file, not a directory). The coalesce(1)
+    is generation-only; benched reads re-split via
+    spark.sql.files.maxPartitionBytes."""
+    import glob
+    import shutil
+    import tempfile
+
     os.makedirs(out, exist_ok=True)
     for name in (tables or GENERATORS):
-        GENERATORS[name](spark, sf).write.mode("overwrite").parquet(
-            os.path.join(out, f"{name}.parquet"))
+        tmp = tempfile.mkdtemp(dir=out, prefix=f"_{name}_")
+        GENERATORS[name](spark, sf).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(out, f"{name}.parquet")
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        os.replace(part, dest)
+        shutil.rmtree(tmp)
         print(f"wrote {name} sf={sf}", flush=True)
 
 
