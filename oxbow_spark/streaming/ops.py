@@ -42,17 +42,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization is a projection, so it composes with streaming)."""
     from oxbow_spark.session import normalize_event_ts
 
+    import hashlib
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # the file stream source requires a directory; stage a symlink dir
-    # (production tables are directories of parquet files already)
-    stage = os.path.join(
-        "/tmp", "oxbow_spark_stream",
-        os.path.basename(os.path.normpath(sf_dir)), "events",
-    )
+    # (production tables are directories of parquet files already).
+    # Keyed by a HASH OF THE FULL PATH, not the basename: two corpora
+    # whose dirs share a basename (e.g. a regenerated "sf0.001" next
+    # to the canonical one) must not share a stage — the round-13
+    # second-corpus sweep caught the basename key silently streaming
+    # the OTHER corpus' events through a stale symlink.
+    key = hashlib.md5(
+        os.path.abspath(os.path.normpath(sf_dir)).encode()).hexdigest()[:16]
+    stage = os.path.join("/tmp", "oxbow_spark_stream", key, "events")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
+    if os.path.islink(link) and os.path.realpath(link) != \
+            os.path.realpath(path):
+        os.remove(link)  # stale/broken link from a prior layout
     if not os.path.exists(link):
         os.symlink(path, link)
     return normalize_event_ts(spark.readStream.schema(schema).parquet(stage))

@@ -65,3 +65,49 @@ def test_deterministic_and_self_consistent(spark, gen):
     # q5 prerequisites: ASIA exists and joins through nation
     reg = spark.read.parquet(f"{gen}/region.parquet")
     assert reg.where(F.col("r_name") == "ASIA").count() == 1
+
+
+def test_distribution_sensitive_queries_match_oracle_on_generated(
+        spark, gen, monkeypatch):
+    """Second-corpus oracle parity (round 13): the queries whose
+    values depend on data DISTRIBUTIONS — not just schemas — must
+    match DuckDB on gen_sf's corpus too. These four are exactly the
+    ones the first generated-data sweep flagged (liftover keys on the
+    event_type strings; dedup_embedding_cosine on near-threshold
+    cosine ties; quality_bins on score tie-handling; stream_zoom on
+    the single-file events layout); 0-mismatch here pins the
+    generator's vocab/layout alignment with the driver."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from oxbow_spark.queries import registry
+
+    monkeypatch.setattr(registry, "_ORACLE_SF_DIR", gen)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{gen}/{t}.parquet')")
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.9g}"
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    qs, osql = e.queries(), e.oracle_sql()
+    for name in ("liftover_all_events", "dedup_embedding_cosine",
+                 "quality_bins_quantile_docs", "stream_zoom_events"):
+        sdf = qs[name](spark, gen)
+        scols = sdf.columns
+        order = sorted(range(len(scols)), key=lambda i: scols[i])
+        a = sorted(tuple(norm(r[i]) for i in order)
+                   for r in (tuple(x) for x in sdf.collect()))
+        res = con.execute(osql[name])
+        dcols = [d[0] for d in res.description]
+        dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        b = sorted(tuple(norm(r[i]) for i in dorder)
+                   for r in res.fetchall())
+        assert sorted(scols) == sorted(dcols), name
+        assert a == b, (name, len(a), len(b))
+        assert a, name  # non-degenerate: the query produced rows
