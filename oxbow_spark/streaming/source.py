@@ -59,10 +59,15 @@ class _StreamPart(InputPartition):
 
 
 def _file_key(path: str, order: str) -> str:
-    name = os.path.basename(path)
+    """Watermark key — the FULL path, not the basename: a glob spanning
+    subdirectories (``runs/*/sample.bam``) yields distinct files with
+    equal basenames, and a basename key would mark the later one as
+    already-seen and silently never stream it (round-13 audit, the
+    same collision class as the events stage dir). For the common
+    single-directory glob the ordering is unchanged."""
     if order == "mtime":
-        return f"{int(fsio.getmtime(path) * 1e6):020d}|{name}"
-    return name
+        return f"{int(fsio.getmtime(path) * 1e6):020d}|{path}"
+    return path
 
 
 class GenomicFileStreamReader(DataSourceStreamReader):

@@ -99,7 +99,9 @@ def test_stream_reader_offsets_and_planning(tmp_path):
     r = GenomicFileStreamReader(BamDataSource, opts, ds.schema())
     assert r.initialOffset() == {"wm": ""}
     o1 = r.latestOffset()
-    assert o1 == {"wm": "run001.bam"}
+    # full-path watermark: same-basename files in sibling dirs must not
+    # collide (a basename key marked the later one already-seen)
+    assert o1 == {"wm": str(d / "run001.bam")}
     parts = r.partitions(r.initialOffset(), o1)
     assert parts and all(p.path.endswith("run001.bam") for p in parts)
     # no new files → empty micro-batch plan
@@ -107,7 +109,7 @@ def test_stream_reader_offsets_and_planning(tmp_path):
     # second file: only the delta is planned
     shutil.copy(FX + "sample.bam", d / "run002.bam")
     o2 = r.latestOffset()
-    assert o2 == {"wm": "run002.bam"}
+    assert o2 == {"wm": str(d / "run002.bam")}
     delta = r.partitions(o1, o2)
     assert delta and all(p.path.endswith("run002.bam") for p in delta)
     # executor-side read of a planned partition yields the file's rows
@@ -115,7 +117,7 @@ def test_stream_reader_offsets_and_planning(tmp_path):
     assert rows > 0
     # watermark never regresses even if files vanish
     (d / "run002.bam").unlink()
-    assert r.latestOffset() == {"wm": "run002.bam"}
+    assert r.latestOffset() == {"wm": str(d / "run002.bam")}
 
 
 def test_stream_order_mtime(tmp_path):
@@ -309,3 +311,26 @@ def test_stream_sink_bcf_with_csi_sidecars(gspark, tmp_path):
         for p in parts)
     assert total == sum(1 for r in want if r.chrom == chrom and r.pos <= hi)
     assert total > 0
+
+
+def test_same_basename_in_sibling_dirs_both_stream(tmp_path):
+    """Regression (round 13): a glob spanning subdirectories yields
+    distinct files with EQUAL basenames; the old basename watermark
+    marked the later one already-seen and silently dropped it."""
+    from oxbow_spark.sources.bam import BamDataSource
+    from oxbow_spark.streaming.source import GenomicFileStreamReader
+
+    for run in ("r1", "r2"):
+        (tmp_path / run).mkdir()
+    shutil.copy(FX + "sample.bam", tmp_path / "r1" / "sample.bam")
+    opts = {"path": str(tmp_path / "*" / "*.bam")}
+    ds = BamDataSource({"path": str(tmp_path / "r1" / "sample.bam")})
+    r = GenomicFileStreamReader(BamDataSource, opts, ds.schema())
+    o1 = r.latestOffset()
+    assert r.partitions(r.initialOffset(), o1)
+    # the same-named file arrives in a SIBLING dir — it must be planned
+    shutil.copy(FX + "sample.bam", tmp_path / "r2" / "sample.bam")
+    o2 = r.latestOffset()
+    assert o2["wm"] > o1["wm"]
+    delta = r.partitions(o1, o2)
+    assert delta and all("/r2/" in p.path for p in delta)
