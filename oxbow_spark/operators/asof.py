@@ -67,26 +67,34 @@ def estimate_broadcast_carry(frames: list[tuple[DataFrame, list[str],
     ``on_cols`` candidate. Keys sum across frames (an upper bound on
     the distinct keys of any union the caller builds); the range is
     the global envelope. Returns the ``broadcast_carry`` flag to pass
-    explicitly to each `asof_join` call."""
-    keys, lo, hi = 0, None, None
+    explicitly to each `asof_join` call.
+
+    Cost: the k per-frame aggregates are UNIONED into one frame and
+    reduced by a single final aggregate, so a caller passing k frames
+    pays ONE driver-blocking job (Spark runs the k narrow scan legs as
+    stages of that job), not k serial ones."""
+    per = []
     for df, by, ons in frames:
-        aggs = [a for c in ons
-                for a in (F.min(c).alias(f"_lo_{c}"),
-                          F.max(c).alias(f"_hi_{c}"))]
-        if by:
-            aggs.append(
-                F.approx_count_distinct(F.struct(*by)).alias("_nk"))
-        row = df.groupBy().agg(*aggs).first()
-        keys += int(row["_nk"]) if by else 1
-        for c in ons:
-            if row[f"_lo_{c}"] is not None:
-                v_lo, v_hi = int(row[f"_lo_{c}"]), int(row[f"_hi_{c}"])
-                lo = v_lo if lo is None else min(lo, v_lo)
-                hi = v_hi if hi is None else max(hi, v_hi)
-    if lo is None:
+        mins = [F.min(c).cast("long") for c in ons]
+        maxs = [F.max(c).cast("long") for c in ons]
+        # least/greatest skip nulls, so a frame empty on one candidate
+        # column still contributes the others' envelope
+        lo = F.least(*mins) if len(mins) > 1 else mins[0]
+        hi = F.greatest(*maxs) if len(maxs) > 1 else maxs[0]
+        nk = (F.approx_count_distinct(F.struct(*by)) if by
+              else F.lit(1)).cast("long")
+        per.append(df.groupBy().agg(lo.alias("_lo"), hi.alias("_hi"),
+                                    nk.alias("_nk")))
+    u = per[0]
+    for p in per[1:]:
+        u = u.unionByName(p)
+    row = u.groupBy().agg(F.sum("_nk").alias("_nk"),
+                          F.min("_lo").alias("_lo"),
+                          F.max("_hi").alias("_hi")).first()
+    if row["_lo"] is None:
         return True  # all inputs empty — the carry is empty too
-    chunks = hi // int(bp) - lo // int(bp) + 1
-    return max(keys, 1) * chunks <= BROADCAST_CARRY_MAX_ROWS
+    chunks = int(row["_hi"]) // int(bp) - int(row["_lo"]) // int(bp) + 1
+    return max(int(row["_nk"]), 1) * chunks <= BROADCAST_CARRY_MAX_ROWS
 
 
 def asof_join(

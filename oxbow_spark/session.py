@@ -41,8 +41,13 @@ def get_spark(
         # fan-out: 45 stage-jobs, trials 42→72→93 s at the default
         # 30-min interval vs a stable ~15-20 s with periodic GC — see
         # SCALE.md "AQE + cached input"). One driver System.gc() per
-        # minute is noise next to any real query.
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # minute is noise next to any real query (A/B'd on the full
+        # headline suite, SCALE.md) — but a long-lived interactive or
+        # production driver that never hits the AQE accumulation
+        # pattern can turn it back down via SPARK_CLEANER_GC
+        # (e.g. "30min", Spark's default).
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_CLEANER_GC", "1min"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")

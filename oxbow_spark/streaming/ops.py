@@ -56,7 +56,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the OTHER corpus' events through a stale symlink.
     key = hashlib.md5(
         os.path.abspath(os.path.normpath(sf_dir)).encode()).hexdigest()[:16]
-    stage = os.path.join("/tmp", "oxbow_spark_stream", key, "events")
+    root = os.path.join("/tmp", "oxbow_spark_stream")
+    _reap_dead_stages(root, keep=key)
+    stage = os.path.join(root, key, "events")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if os.path.islink(link) and os.path.realpath(link) != \
@@ -65,6 +67,39 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(path, link)
     return normalize_event_ts(spark.readStream.schema(schema).parquet(stage))
+
+
+def _reap_dead_stages(root: str, keep: str) -> None:
+    """Remove stage dirs whose symlink targets no longer exist. The
+    per-corpus path-hash key means every distinct corpus ever streamed
+    leaves a stage dir behind for the life of /tmp; a long-lived service
+    would accumulate them without bound. A stage whose links all dangle
+    can never serve a replay (the source files are gone), so it is safe
+    to reap; stages with ANY live target are kept (a checkpointed query
+    may still replay them)."""
+    import shutil
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        if name == keep:
+            continue
+        d = os.path.join(root, name)
+        if not os.path.isdir(d):
+            continue
+        live = False
+        for dirpath, _dirs, files in os.walk(d):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                if os.path.exists(p):  # follows symlinks
+                    live = True
+                    break
+            if live:
+                break
+        if not live:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _event_time(df: DataFrame) -> DataFrame:

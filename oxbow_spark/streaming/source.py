@@ -10,12 +10,21 @@ sequencer-output pattern: a run directory accumulating flow-cell files).
 The design composes the existing batch machinery instead of duplicating
 it:
 
-- **Offsets are a file-key high-watermark** ``{"wm": <key>}``, where the
-  key is the file's basename (default — correct when arrivals are
-  lexicographically increasing, the run-id naming convention) or
-  ``mtime|name`` with ``stream_order=mtime`` (correct for arbitrary
-  names as long as clocks are sane). A micro-batch is the files with
-  ``start < key <= end``.
+- **Offsets are a file-key high-watermark** ``{"wm": <key>, "v": 2}``,
+  where the key is the file's FULL path (default ``stream_order=name``
+  — correct when arrivals are lexicographically increasing, the run-id
+  naming convention) or ``mtime|path`` with ``stream_order=mtime``
+  (correct for arbitrary names as long as clocks are sane). A
+  micro-batch is the files with ``start < key <= end``. Note the
+  name-order monotonic-arrival contract rarely holds for a glob that
+  spans DIRECTORIES (``runs/*/x.bam``): a file landing later in a
+  lexicographically earlier directory sorts below the watermark and is
+  never streamed — the reader warns at construction; use
+  ``stream_order=mtime`` for multi-directory globs. Checkpoints
+  written by the pre-v2 basename-keyed format are detected by the
+  missing ``"v"`` and migrated against the current listing (or the
+  reader fails loudly when the migration would skip a file) instead of
+  silently planning empty batches against incomparable keys.
 - **Planning delegates to the batch reader**: each new file is planned by
   the format's own ``reader().partitions()`` — so a 100 GB BAM landing
   in the directory becomes many BGZF-chunk partitions in ONE micro-batch,
@@ -37,7 +46,9 @@ exactly like the batch path).
 
 from __future__ import annotations
 
+import glob as _glob
 import os
+import warnings
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -79,6 +90,15 @@ class GenomicFileStreamReader(DataSourceStreamReader):
         if self.order not in ("name", "mtime"):
             raise ValueError(
                 f"stream_order must be 'name' or 'mtime', got {self.order!r}")
+        if self.order == "name" and self.glob and _glob.has_magic(
+                os.path.dirname(self.glob)):
+            warnings.warn(
+                "stream_order='name' with a glob that spans directories "
+                f"({self.glob!r}): arrival order across sibling dirs is "
+                "rarely lexicographic, so a file landing later in an "
+                "earlier-sorting directory would never be streamed. Use "
+                "stream_order='mtime' for multi-directory globs.",
+                stacklevel=3)
         self.schema = schema
         self._max_seen = ""
         self._readers: dict[str, object] = {}
@@ -93,17 +113,55 @@ class GenomicFileStreamReader(DataSourceStreamReader):
         return sorted((_file_key(f, self.order), f) for f in files)
 
     def initialOffset(self) -> dict:
-        return {"wm": ""}
+        return {"wm": "", "v": 2}
 
     def latestOffset(self) -> dict:
         ks = self._listing()
         if ks:
             # never regress, even if files vanish between listings
             self._max_seen = max(self._max_seen, ks[-1][0])
-        return {"wm": self._max_seen}
+        return {"wm": self._max_seen, "v": 2}
+
+    def _v1_key(self, path: str) -> str:
+        """The pre-v2 watermark key for a file: its BASENAME (name order)
+        or ``mtime|basename`` (mtime order)."""
+        if self.order == "mtime":
+            return (f"{int(fsio.getmtime(path) * 1e6):020d}|"
+                    f"{os.path.basename(path)}")
+        return os.path.basename(path)
+
+    def _normalize_wm(self, off: dict) -> str:
+        """Return the v2 (full-path-keyed) watermark for an offset dict,
+        migrating a pre-v2 (basename-keyed) checkpoint against the
+        current listing. Without this, resuming an old checkpoint would
+        compare a basename watermark against full-path keys — '/' sorts
+        below most filename characters, so every file since the last
+        processed batch would fail ``lo < key`` and be silently skipped
+        (or, with relative globs, be re-streamed as duplicates). When
+        the seen-set a v1 watermark describes is not expressible as a
+        full-path prefix (a multi-directory glob where an UNSEEN file
+        sorts below a seen one), fail loudly rather than drop data."""
+        wm = off.get("wm", "")
+        if off.get("v", 1) >= 2 or not wm:
+            return wm
+        listing = self._listing()
+        seen = [k2 for k2, f in listing if self._v1_key(f) <= wm]
+        new_wm = max(seen) if seen else ""
+        skipped = [f for k2, f in listing
+                   if self._v1_key(f) > wm and k2 <= new_wm]
+        if skipped:
+            raise ValueError(
+                f"cannot migrate pre-v2 stream watermark {wm!r}: files "
+                f"{skipped} are unprocessed under the old basename key "
+                "but sort below the migrated full-path watermark "
+                f"{new_wm!r}. Restart the query from a fresh checkpoint "
+                "(or with stream_order='mtime').")
+        return new_wm
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = start.get("wm", ""), end.get("wm", "")
+        # Both ends may come from a pre-v2 checkpoint (Spark replays a
+        # pending batch with the checkpointed start AND end).
+        lo, hi = self._normalize_wm(start), self._normalize_wm(end)
         parts: list[_StreamPart] = []
         for key, f in self._listing():
             if not (lo < key <= hi):

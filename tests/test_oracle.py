@@ -121,11 +121,19 @@ def test_bench_names_stable():
 
 
 def test_pq_fit_cache_evicts_other_sessions(spark, sf_dir, monkeypatch):
-    """_PQ_FIT_CACHE keeps only the CURRENT applicationId's entries on
-    insert (ADVICE r12): a long-lived process creating many sessions
-    must not accumulate dead plan tuples (which transitively pin their
-    stopped sessions)."""
+    """_PQ_FIT_CACHE evicts only entries whose owning session's context
+    is STOPPED (ADVICE r13): a long-lived process creating many
+    sessions must not accumulate dead plan tuples (which transitively
+    pin their stopped sessions) — but two concurrently LIVE sessions in
+    one process must not thrash each other's fits."""
     from oxbow_spark.queries import registry
+
+    class _FakeSC:
+        _jsc = object()  # non-None => live
+
+    class _FakeSession:
+        def __init__(self, live):
+            self._sc = _FakeSC() if live else None
 
     monkeypatch.setattr(registry.similarity, "pq_fit",
                         lambda *a, **k: "cb")
@@ -134,12 +142,16 @@ def test_pq_fit_cache_evicts_other_sessions(spark, sf_dir, monkeypatch):
     saved = dict(registry._PQ_FIT_CACHE)
     try:
         registry._PQ_FIT_CACHE.clear()
-        registry._PQ_FIT_CACHE[("dead-app-1", "sfX")] = ("x", "y", 8)
-        registry._PQ_FIT_CACHE[("dead-app-2", "sfY")] = ("x", "y", 8)
+        registry._PQ_FIT_CACHE[("dead-app-1", "sfX")] = (
+            "x", "y", 8, _FakeSession(live=False))
+        registry._PQ_FIT_CACHE[("live-app-2", "sfY")] = (
+            "x", "y", 8, _FakeSession(live=True))
         got = registry._pq_models(spark, sf_dir)
         assert got[:2] == ("cb", "cents") and got[2] >= registry._IVF_NLIST
         appid = spark.sparkContext.applicationId
-        assert set(k[0] for k in registry._PQ_FIT_CACHE) == {appid}
+        # the dead session's entry is gone; the live one survives
+        assert set(k[0] for k in registry._PQ_FIT_CACHE) == {
+            appid, "live-app-2"}
         # second lookup: memo hit, no refit
         monkeypatch.setattr(registry.similarity, "pq_fit",
                             lambda *a, **k: 1 / 0)
@@ -147,6 +159,35 @@ def test_pq_fit_cache_evicts_other_sessions(spark, sf_dir, monkeypatch):
     finally:
         registry._PQ_FIT_CACHE.clear()
         registry._PQ_FIT_CACHE.update(saved)
+
+
+def test_sim_topk_pq_steady_state_is_scan_only(spark, sf_dir, monkeypatch):
+    """Post-warmup sim_topk_pq trials run ZERO fit/count jobs and a
+    constant job count (VERDICT r13 #1: the bench row must time the
+    JVM ADC scan — a refit or count hiding in a timed trial is exactly
+    the delta the r13 driver bench could not adjudicate)."""
+    from oxbow_spark.queries import registry
+
+    sc = spark.sparkContext
+
+    def run(tag: str) -> int:
+        sc.setJobGroup(tag, "pq steady state")
+        try:
+            registry.sim_topk_pq(spark, sf_dir).write.format(
+                "noop").mode("overwrite").save()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    run("pq-warmup")  # populates (or hits) the per-(session, sf) memo
+    # poison fit entry points: a steady-state trial touching them (a
+    # cache miss re-running count+fit) fails loudly, not silently slow
+    monkeypatch.setattr(registry.similarity, "pq_fit",
+                        lambda *a, **k: 1 / 0)
+    monkeypatch.setattr(registry.similarity, "ivf_fit",
+                        lambda *a, **k: 1 / 0)
+    j1, j2 = run("pq-steady-1"), run("pq-steady-2")
+    assert j1 == j2, f"steady-state job counts vary: {j1} != {j2}"
 
 
 def test_nlist_scales_with_corpus():

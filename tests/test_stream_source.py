@@ -97,11 +97,11 @@ def test_stream_reader_offsets_and_planning(tmp_path):
     opts = {"path": str(d / "*.bam")}
     ds = BamDataSource(dict(opts))
     r = GenomicFileStreamReader(BamDataSource, opts, ds.schema())
-    assert r.initialOffset() == {"wm": ""}
+    assert r.initialOffset() == {"wm": "", "v": 2}
     o1 = r.latestOffset()
     # full-path watermark: same-basename files in sibling dirs must not
     # collide (a basename key marked the later one already-seen)
-    assert o1 == {"wm": str(d / "run001.bam")}
+    assert o1 == {"wm": str(d / "run001.bam"), "v": 2}
     parts = r.partitions(r.initialOffset(), o1)
     assert parts and all(p.path.endswith("run001.bam") for p in parts)
     # no new files → empty micro-batch plan
@@ -109,7 +109,7 @@ def test_stream_reader_offsets_and_planning(tmp_path):
     # second file: only the delta is planned
     shutil.copy(FX + "sample.bam", d / "run002.bam")
     o2 = r.latestOffset()
-    assert o2 == {"wm": str(d / "run002.bam")}
+    assert o2 == {"wm": str(d / "run002.bam"), "v": 2}
     delta = r.partitions(o1, o2)
     assert delta and all(p.path.endswith("run002.bam") for p in delta)
     # executor-side read of a planned partition yields the file's rows
@@ -117,7 +117,64 @@ def test_stream_reader_offsets_and_planning(tmp_path):
     assert rows > 0
     # watermark never regresses even if files vanish
     (d / "run002.bam").unlink()
-    assert r.latestOffset() == {"wm": str(d / "run002.bam")}
+    assert r.latestOffset() == {"wm": str(d / "run002.bam"), "v": 2}
+
+
+def test_v1_basename_watermark_migrates(tmp_path):
+    """Resuming from a pre-v2 checkpoint (basename-keyed watermark) must
+    not silently skip files: a v1 offset like {"wm": "run002.bam"}
+    compared against full-path keys would fail lo < key for every path
+    under '/...' (ADVICE r13, medium). partitions() detects the missing
+    "v" and migrates against the current listing."""
+    from oxbow_spark.sources.bam import BamDataSource
+    from oxbow_spark.streaming.source import GenomicFileStreamReader
+
+    d = tmp_path / "runs"
+    d.mkdir()
+    shutil.copy(FX + "sample.bam", d / "run001.bam")
+    shutil.copy(FX + "sample.bam", d / "run002.bam")
+    shutil.copy(FX + "sample.bam", d / "run003.bam")
+    opts = {"path": str(d / "*.bam")}
+    ds = BamDataSource(dict(opts))
+    r = GenomicFileStreamReader(BamDataSource, opts, ds.schema())
+    # v1 checkpoint said run001+run002 were processed
+    v1 = {"wm": "run002.bam"}
+    delta = r.partitions(v1, r.latestOffset())
+    assert delta and all(p.path.endswith("run003.bam") for p in delta)
+    # a v1 watermark naming a since-deleted file: remaining files are
+    # all unseen under v1 order, so everything streams
+    (d / "run001.bam").unlink()
+    (d / "run002.bam").unlink()
+    older = {"wm": "run000.bam"}
+    delta = r.partitions(older, r.latestOffset())
+    assert delta and all(p.path.endswith("run003.bam") for p in delta)
+    # empty v1 watermark == fresh start
+    assert r.partitions({"wm": ""}, {"wm": ""}) == []
+
+
+def test_v1_migration_fails_loudly_when_lossy(tmp_path):
+    """A multi-directory glob where an UNSEEN file sorts (by full path)
+    below a v1-seen one cannot be represented by a single v2 watermark —
+    the reader must raise, not plan a lossy batch."""
+    import pytest
+
+    from oxbow_spark.sources.bam import BamDataSource
+    from oxbow_spark.streaming.source import GenomicFileStreamReader
+
+    d = tmp_path / "runs"
+    (d / "r1").mkdir(parents=True)
+    (d / "r2").mkdir()
+    # v1 saw up to basename "bbb.bam" (in r2); "zzz.bam" in r1 is UNSEEN
+    # (basename sorts after the watermark) but its full path sorts
+    # before r2/bbb.bam — no single v2 watermark keeps it streamable
+    shutil.copy(FX + "sample.bam", d / "r2" / "bbb.bam")
+    shutil.copy(FX + "sample.bam", d / "r1" / "zzz.bam")
+    opts = {"path": str(d / "*" / "*.bam")}
+    ds = BamDataSource(dict(opts))
+    with pytest.warns(UserWarning, match="spans directories"):
+        r = GenomicFileStreamReader(BamDataSource, opts, ds.schema())
+    with pytest.raises(ValueError, match="cannot migrate"):
+        r.partitions({"wm": "bbb.bam"}, r.latestOffset())
 
 
 def test_stream_order_mtime(tmp_path):

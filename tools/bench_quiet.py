@@ -65,7 +65,9 @@ def main() -> None:
 
     load1 = os.getloadavg()[0]
     q32 = run_bench(32, args.trials, args.sf_dir)
+    load_mid = os.getloadavg()[0]
     q8 = run_bench(8, args.trials, args.sf_dir)
+    load_post = os.getloadavg()[0]
     smoke = run_op_smoke(min(args.trials, 2))
 
     ref = latest_envelope(args.round)
@@ -92,7 +94,12 @@ def main() -> None:
                     f"{args.trials} idle-host runs at cpus=32 and cpus=8, "
                     f"sf0.1 (1-min load {load1:.2f} before start), ratios "
                     f"vs {os.path.basename(ref[1]) if ref else 'none'}. "
-                    "Judge deltas against the cpus=8 column."),
+                    "Judge deltas against the cpus=8 column; each run's "
+                    "spread now carries PER-TRIAL loadavg + job counts "
+                    "(VERDICT r13 #2 — a contended window adjudicates "
+                    "itself instead of needing a cross-reference)."),
+        "loadavg": {"start": round(load1, 2), "after_cpus32":
+                    round(load_mid, 2), "after_cpus8": round(load_post, 2)},
         "runs": {"cpus32_trials5": q32, "cpus8_trials5": q8},
         "ratios_vs_prev": ratios,
         "op_smoke": smoke,
