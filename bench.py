@@ -44,13 +44,18 @@ def main() -> None:
     # min-of-3 gives each query a better shot at one clean window and the
     # spread field records what the other trials saw
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    # optional comma-separated subset (scale-decade runs target the few
+    # queries whose growth slope is in question; a full 19-query pass at
+    # sf10 would take most of an hour for no extra signal)
+    only = {s for s in os.environ.get(
+        "SPARK_GRAFT_ONLY", "").split(",") if s}
     sc = spark.sparkContext
     load_start = os.getloadavg()[0]
     times: dict[str, float] = {}
     spreads: dict[str, dict] = {}
     flags: list[str] = []
     for q in QUERIES:
-        if not q.bench:
+        if not q.bench or (only and q.name not in only):
             continue
         samples: list[float] = []
         loads: list[float] = []

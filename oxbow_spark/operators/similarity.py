@@ -331,6 +331,14 @@ def _assign_udf(centroids: list[list[float]]):
 # bit-identical (equality-tested), so this is purely a cost knob
 _ASSIGN_EXPR_MAX = 16
 
+#: rows per tile in the SemDeDup pair stage: any (cluster, tile-pair)
+#: join key carries at most ~(2·tile)² candidate pairs, so one dense
+#: k-means cluster can never concentrate its |c|² grid in one task.
+#: 250 matches the coarse quantizer's target in-cluster population
+#: (registry._IVF_TARGET_CLUSTER_ROWS), so balanced clusters stay
+#: single-tile and pay only the (nlist-row) size-agg broadcast.
+_PAIR_TILE_ROWS = 250
+
 
 def ivf_topk(
     corpus: DataFrame,
@@ -657,6 +665,92 @@ def prototype_prune_drops(
                     F.col("_rn").cast("long").alias("rank_in_cluster")))
 
 
+def _pair_candidates_fn(threshold: float):
+    """applyInPandas kernel for the SemDeDup pair stage: one group is
+    one (cluster, tile_lo, tile_hi) block; score its pair grid with a
+    float64 matmul and emit only pairs whose dot COULD clear the
+    threshold (margin below), oriented by keep-priority (witness a =
+    lower centroid-cosine, tie → lower id — exactly the JVM ``prio``
+    predicate, evaluated on the same float64 values Arrow carried in).
+    The margin makes the emitted set a superset of the qualifying set
+    under ANY summation order (numpy pairwise, BLAS blocked, or the
+    quantized-decimal reference), so the exact rescore downstream sees
+    every qualifying pair and the final frame is bit-identical to
+    scoring all pairs with the reference dot."""
+    def gen(key, pdf):
+        import pandas as pd
+
+        cl, lo, hi = int(key[0]), int(key[1]), int(key[2])
+        empty = pd.DataFrame({
+            "_id_a": pd.Series(dtype="int64"),
+            "_id_b": pd.Series(dtype="int64"),
+            "cluster": pd.Series(dtype="int64"),
+            "_csim_a": pd.Series(dtype="float64"),
+            "_csim_b": pd.Series(dtype="float64"),
+            "_av": pd.Series(dtype="object"),
+            "_bv": pd.Series(dtype="object"),
+            "_an": pd.Series(dtype="float64"),
+            "_bn": pd.Series(dtype="float64"),
+        })
+
+        def block(A, B, symmetric):
+            if len(A) == 0 or len(B) == 0:
+                return None
+            VA = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in A["_v"].to_numpy()])
+            VB = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in B["_v"].to_numpy()])
+            D = VA @ VB.T
+            an = A["_nrm"].to_numpy(dtype=np.float64)
+            bn = B["_nrm"].to_numpy(dtype=np.float64)
+            nn = np.sqrt(np.outer(an, bn))
+            ok = D >= threshold * nn - 1e-6 * (1.0 + nn)
+            ca = A["_csim"].to_numpy(dtype=np.float64)
+            cb = B["_csim"].to_numpy(dtype=np.float64)
+            ia_ = A["_id"].to_numpy(dtype=np.int64)
+            ib_ = B["_id"].to_numpy(dtype=np.int64)
+            prio = (ca[:, None] < cb[None, :]) | (
+                (ca[:, None] == cb[None, :])
+                & (ia_[:, None] < ib_[None, :]))
+            i, j = np.nonzero(ok & prio)
+            out = [(A, B, i, j)]
+            if not symmetric:
+                # the reverse orientation (B-row keeps, A-row drops)
+                prio_r = (cb[:, None] < ca[None, :]) | (
+                    (cb[:, None] == ca[None, :])
+                    & (ib_[:, None] < ia_[None, :]))
+                jr, ir = np.nonzero(ok.T & prio_r)
+                out.append((B, A, jr, ir))
+            return out
+
+        if lo == hi:
+            sub = pdf[pdf["_t"] == lo]
+            blocks = block(sub, sub, symmetric=True)
+        else:
+            blocks = block(pdf[pdf["_t"] == lo], pdf[pdf["_t"] == hi],
+                           symmetric=False)
+        if not blocks:
+            return empty
+        frames = []
+        for A, B, i, j in blocks:
+            if len(i) == 0:
+                continue
+            frames.append(pd.DataFrame({
+                "_id_a": A["_id"].to_numpy(dtype=np.int64)[i],
+                "_id_b": B["_id"].to_numpy(dtype=np.int64)[j],
+                "cluster": np.full(len(i), cl, dtype=np.int64),
+                "_csim_a": A["_csim"].to_numpy(dtype=np.float64)[i],
+                "_csim_b": B["_csim"].to_numpy(dtype=np.float64)[j],
+                "_av": A["_v"].to_numpy()[i],
+                "_bv": B["_v"].to_numpy()[j],
+                "_an": A["_nrm"].to_numpy(dtype=np.float64)[i],
+                "_bn": B["_nrm"].to_numpy(dtype=np.float64)[j],
+            }))
+        return pd.concat(frames) if frames else empty
+
+    return gen
+
+
 def semantic_dup_drops(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -683,46 +777,79 @@ def semantic_dup_drops(
     a (csim, id)-ordered row_number). Anti-join on ``id_col`` to dedup —
     or call `semantic_dedup`.
 
-    Scale: the self-join key is the cluster id, so cost is
-    Σ|cluster|² — SemDeDup's own design point; nlist grows with the
-    corpus (the paper uses 11k clusters for LAION) keeping clusters
-    bounded. The centroid frame is literals (KBs); the only shuffles are
-    the cluster equi-join and the per-dropped-id window. ``assign``:
-    'expr' = per-centroid HOF chain-sums (zero UDF), 'pandas' = one
-    Arrow batch + numpy (`_assign_udf`, bit-identical by construction),
-    'auto' = pandas above `_ASSIGN_EXPR_MAX` centroids — without the
-    switch, assignment work is rows × nlist interpreted chains and
-    measurably turns super-linear once nlist scales with the corpus."""
+    Scale (redesigned after the r14 sf10 decade run caught a 40+ min
+    SINGLE task): total pair work is Σ|cluster|² — SemDeDup's own
+    design point; nlist grows with the corpus (the paper uses 11k
+    clusters for LAION) keeping clusters bounded. The old formulation
+    — a JVM self-join on cluster with HOF dot filters — had two fatal
+    scale properties: the pair stream is compute-dense but byte-SMALL
+    (~300 B/row yet ~300 µs/pair of interpreted zip_with/aggregate),
+    so AQE's byte-based coalescing folded the whole grid into 1-2
+    tasks (per-pair compute is invisible to map-output statistics),
+    and even distributed, the interpreted HOF per pair is ~1000× BLAS.
+    Now rows hash into ⌈|c|/`_PAIR_TILE_ROWS`⌉ tiles, each unordered
+    tile-pair is one `applyInPandas` group, and a numpy matmul scores
+    the whole block — each unordered row pair lands in EXACTLY one
+    group (the emit-both-tiles construction + exact tile-membership
+    split inside the kernel), only margin-qualified candidates leave
+    the worker, and the reference dot rescoring downstream makes the
+    output bit-identical to scoring every pair in the JVM. Tiles also
+    bound any one task's grid at ~(2·tile)² regardless of k-means
+    size skew. Requires an integer ``id_col`` (the kernel compares
+    ids in int64). ``assign``: 'expr' = per-centroid HOF chain-sums
+    (zero UDF), 'pandas' = one Arrow batch + numpy (`_assign_udf`,
+    bit-identical by construction), 'auto' = pandas above
+    `_ASSIGN_EXPR_MAX` centroids — without the switch, assignment work
+    is rows × nlist interpreted chains and measurably turns
+    super-linear once nlist scales with the corpus."""
     if exact is None:
         exact = config.default_exact()
     n = _cluster_sim_frame(corpus, centroids, vec_col, id_col,
                            assign, exact)
     dot = _exact_dot if exact else _fast_dot
-    a = n.select(F.col("_id").alias("_id_a"), F.col("_v").alias("_av"),
-                 F.col("_nrm").alias("_an"), "cluster",
-                 F.col("_csim").alias("_csim_a"))
-    b = n.select(F.col("_id").alias("_id_b"), F.col("_v").alias("_bv"),
-                 F.col("_nrm").alias("_bn"), "cluster",
-                 F.col("_csim").alias("_csim_b"))
-    prio = (F.col("_csim_a") < F.col("_csim_b")) | (
-        (F.col("_csim_a") == F.col("_csim_b"))
-        & (F.col("_id_a") < F.col("_id_b")))
-    cand = a.join(b, "cluster").where(prio)
-    if exact:
-        # fast-prefilter + exact-rescore, BIT-IDENTICAL to scoring every
-        # pair with `_exact_dot` (measured 4-5x on the pair stage, the
-        # Σ|cluster|² hot spot): the cheap double chain-dot decides
-        # which pairs COULD clear the threshold, the decimal dot then
-        # scores only those. Safe because the two dots differ by at
-        # most d·5e-13 (per-product decimal(…,12) quantization) plus
-        # d·eps·Σ|xᵢyᵢ| ≤ d·eps·√(‖a‖²‖b‖²) (float chain-sum error,
-        # Cauchy-Schwarz) — the margin below is ~10⁴× that bound, so no
-        # qualifying pair can be dropped and every surviving pair gets
-        # the exact decimal cosine before the real threshold test.
-        fdot = _fast_dot(F.col("_av"), F.col("_bv"))
-        nn = F.sqrt(F.col("_an") * F.col("_bn"))
-        margin = F.lit(1e-6) * (F.lit(1.0) + nn)
-        cand = cand.where(fdot >= F.lit(float(threshold)) * nn - margin)
+    # tile assignment: deterministic hash of the id into
+    # ⌈|cluster|/tile⌉ buckets (cluster sizes via one broadcast agg —
+    # nlist rows, computed inside the same plan)
+    sizes = n.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
+    nt = (
+        n.join(F.broadcast(sizes), "cluster")
+        .withColumn("_nb", F.greatest(
+            F.lit(1),
+            F.ceil(F.col("_csz") / F.lit(_PAIR_TILE_ROWS))).cast("int"))
+        .withColumn("_t", F.pmod(F.xxhash64(F.col("_id")),
+                                 F.col("_nb")).cast("int"))
+        # each row joins every tile-pair containing its own tile: emit
+        # key sorted(t, u) for u in [0, nb)
+        .withColumn("_u", F.explode(
+            F.sequence(F.lit(0), F.col("_nb") - 1)))
+        .withColumn("_lo", F.least("_t", "_u"))
+        .withColumn("_hi", F.greatest("_t", "_u"))
+    )
+    # Candidate generation is a numpy kernel per (cluster, tile-pair)
+    # group: one BLAS matmul scores the whole tile grid and only pairs
+    # that COULD clear the threshold (conservative margin, see
+    # `_pair_candidates_fn`) leave the worker. The Σ|cluster|² flops —
+    # measured ~300 µs/pair as interpreted zip_with/aggregate in the
+    # JVM join formulation, i.e. ~100% of semdedup's runtime — happen
+    # at numpy speed, the shuffle moves O(n·tiles) rows in and
+    # O(near-dups) rows out, and every SURVIVOR is rescored below by
+    # the same Spark expressions as before, so final values stay
+    # bit-identical to the plain self-join.
+    cand = nt.groupBy("cluster", "_lo", "_hi").applyInPandas(
+        _pair_candidates_fn(float(threshold)),
+        schema=("_id_a long, _id_b long, cluster long, "
+                "_csim_a double, _csim_b double, "
+                "_av array<float>, _bv array<float>, "
+                "_an double, _bn double"),
+    )
+    # exact rescore + REAL threshold test on the few survivors: the
+    # numpy prefilter admits a pair iff float64_dot >= t·nn − margin
+    # with margin = 1e-6·(1+nn), ~10⁴× the worst-case |float64_dot −
+    # exact_decimal_dot| (d·5e-13 per-product decimal(…,12)
+    # quantization + d·eps·√(‖a‖²‖b‖²) summation error, Cauchy-
+    # Schwarz; numpy's pairwise summation error is ≤ the chain-sum
+    # bound), so no qualifying pair can be lost and the decimal cosine
+    # decides membership exactly as when it scored every pair.
     cos = dot(F.col("_av"), F.col("_bv")) \
         / F.sqrt(F.col("_an") * F.col("_bn"))
     cand = (cand.withColumn("_cos", cos)

@@ -67,6 +67,33 @@ def test_deterministic_and_self_consistent(spark, gen):
     assert reg.where(F.col("r_name") == "ASIA").count() == 1
 
 
+def test_embedding_geometry_matches_driver(spark, gen):
+    """The generated embeddings must match the DRIVER's geometry —
+    isotropic unit vectors, no label-cluster structure, (almost) no
+    pairs over the near-dup threshold. The first generator shipped
+    label-centered clusters (within-cluster cos ~0.85): 61% of
+    in-cluster pairs cleared the 0.35 threshold vs the driver's 0.5%,
+    so the r13 semdedup scale decade timed a corpus ~100× denser in
+    qualifying pairs than the data model it extrapolates to."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{gen}/embeddings.parquet") \
+        .select("embedding", "label").collect()
+    X = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    lab = np.asarray([r.label for r in rows])
+    # unit norms, isotropic per-dim spread (driver: std == 1/sqrt(64))
+    assert np.abs(np.linalg.norm(X, axis=1) - 1.0).max() < 1e-3
+    assert abs(X.std() - 0.125) < 0.01
+    D = X @ X.T
+    iu = np.triu_indices(len(X), 1)
+    cos = D[iu]
+    # near-random pairwise geometry: no label signal, thin far tail
+    same = (lab[:, None] == lab[None, :])[iu]
+    assert abs(cos[same].mean() - cos[~same].mean()) < 0.02
+    assert (cos >= 0.35).mean() < 0.02, (cos >= 0.35).mean()
+    assert cos.max() < 0.85, cos.max()
+
+
 def test_distribution_sensitive_queries_match_oracle_on_generated(
         spark, gen, monkeypatch):
     """Second-corpus oracle parity (round 13): the queries whose

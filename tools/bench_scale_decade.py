@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8,
                     help="8 is less scheduling-noisy than 32 on this host")
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--tag", default="", help=(
+        "suffix for the output name, e.g. --tag 2 writes "
+        "SCALE_DECADE2_r{N}.json (the second measured decade)"))
     args = ap.parse_args()
 
     load1 = os.getloadavg()[0]
@@ -75,7 +78,8 @@ def main() -> None:
         "big": big,
         "ratio_big_over_small": ratios,
     }
-    dest = os.path.join(REPO, f"SCALE_DECADE_r{args.round}.json")
+    dest = os.path.join(
+        REPO, f"SCALE_DECADE{args.tag}_r{args.round}.json")
     json.dump(out, open(dest, "w"), indent=1)
     print("wrote", dest)
 

@@ -7,8 +7,9 @@ scale factor so a decade (sf0.1 → sf1) can be measured end-to-end with
 one consistent generator on both sides of the ratio (VERDICT r12 item
 2). Schemas match `/root/testdata` exactly (asserted by
 tests/test_gen_sf.py); distributions mimic the driver's observed ones
-(doc length ~N(60 tokens), 64-dim 10-cluster embeddings, 4 lineitem
-rows per order, 1995-2001 date envelope).
+(doc length ~N(60 tokens), 64-dim isotropic unit embeddings with an
+uncorrelated label, 4 lineitem rows per order, 1995-2001 date
+envelope).
 
 Scale-model choices, made for RATIO fairness at constant per-key
 density (documented because they differ from naive row duplication):
@@ -240,6 +241,17 @@ def gen_documents(spark, sf):
 
 
 def gen_embeddings(spark, sf):
+    """Isotropic UNIT vectors with an uncorrelated label — measured on
+    the driver's own tables (sf0.1, 2000 vecs): norms exactly 1.0,
+    per-dim std 1/√64, within-label vs cross-label mean cosine both
+    ~1e-5 (no label geometry), max pairwise cosine 0.60, zero planted
+    near-dups. The first gen_sf embedding model (label-centered
+    clusters + small noise) had within-CLUSTER cosines ~0.85 — 61% of
+    in-cluster pairs cleared the 0.35 near-dup threshold vs the
+    driver's 0.5%, which made the r13 semdedup scale decade measure a
+    corpus ~100× denser in qualifying pairs than the data model it
+    claimed to extrapolate. Geometry parity is now asserted by
+    tests/test_gen_sf.py."""
     n = max(int(BASE["embeddings"] * sf), 500)  # driver floor
     dim, nlabel = 64, 10
     ids = _ids(spark, n, "vec_id")
@@ -248,13 +260,18 @@ def gen_embeddings(spark, sf):
     staged = ids.select("vec_id", label.alias("label"))
 
     def comp(j):
-        cent = (_u(38, F.col("label"), j) * 4.0 - 2.0)
-        # Irwin-Hall(3) ≈ N(1.5, 0.5) → centered noise
-        noise = (_u(39, F.col("vec_id"), j) + _u(40, F.col("vec_id"), j)
-                 + _u(41, F.col("vec_id"), j) - 1.5)
-        return (cent + noise).cast("float")
+        # Box-Muller: exact N(0,1) from two uniform hash streams
+        u1 = _u(39, F.col("vec_id"), j)
+        u2 = _u(40, F.col("vec_id"), j)
+        return F.sqrt(-2.0 * F.log(F.greatest(u1, F.lit(1e-12)))) \
+            * F.cos(F.lit(6.283185307179586) * u2)
 
-    emb = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+    raw = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                      lambda j: comp(j))
+    staged = staged.select("vec_id", "label", raw.alias("_raw"))
+    nrm = F.sqrt(F.aggregate(
+        F.col("_raw"), F.lit(0.0), lambda a, x: a + x * x))
+    emb = F.transform(F.col("_raw"), lambda x: (x / nrm).cast("float"))
     return staged.select("vec_id", emb.alias("embedding"), "label")
 
 
