@@ -296,32 +296,55 @@ def ivf_list_order(vec_col, centroids: list[list[float]]):
 def _assign_udf(centroids: list[list[float]]):
     """Arrow-batched twin of ``element_at(ivf_list_order(v, C), 1)``:
     (argmax-dot cluster, its dot) per vector, BIT-IDENTICAL to the
-    expression path — the accumulation loops over dimensions so every
-    (vector, centroid) dot is the same left-to-right double chain-sum
-    the HOF expression computes (numpy's pairwise-summing `dot` would
-    round differently and flip near-ties), and `np.argmax` returns the
-    first maximum, matching the (−dot, j) sort's tie-break. Cost per
-    row drops from nlist interpreted HOF chains to vectorized numpy —
-    the fix for assignment dominating once nlist scales with the
-    corpus (measured 13.1× on 10× data before, see SCALE.md)."""
+    expression path. The reference dot is the left-to-right double
+    chain-sum the HOF expression computes (numpy's pairwise/BLAS
+    summation rounds differently and could flip near-ties), but
+    evaluating the chain for ALL (row, centroid) pairs is a 64-step
+    broadcast loop whose temporaries cost ~n·nlist·d·8·3 bytes of
+    memory traffic — measured 45 s for 200k×800×64 at sf10, the whole
+    semdedup budget. Instead: one BLAS matmul scores every pair, an
+    elementwise error bound (|chain − matmul| ≤ 2·d·eps·Σ|xᵢcᵢ|,
+    first-order chain/blocked summation error via the companion
+    |X|@|C|ᵀ matmul) picks the per-row candidate set that could win
+    under the reference rounding, and the exact chain-sum is
+    recomputed ONLY for those (≈1 per row on continuous data). The
+    final (argmax, dot) is therefore exactly the full-chain result —
+    any centroid outside the candidate set is provably strictly below
+    the winner under the reference dot — with `np.argmax`'s
+    first-index tie-break preserved via an explicit (−dot, j) sort."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
+    Cabs = np.abs(C)
+    d = C.shape[1]
+    eps = float(np.finfo(np.float64).eps)
 
     @pandas_udf("struct<j: int, d: double>")
     def assign(v: pd.Series) -> pd.DataFrame:
         if len(v) == 0:
             return pd.DataFrame({"j": pd.Series([], dtype="int32"),
                                  "d": pd.Series([], dtype="float64")})
-        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
-        for t in range(C.shape[1]):
-            acc += X[:, t:t + 1] * C[None, :, t]
-        j = np.argmax(acc, axis=1)
-        return pd.DataFrame({"j": j.astype("int32"),
-                             "d": acc[np.arange(X.shape[0]), j]})
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        D = X @ C.T
+        B = (4.0 * d * eps) * (np.abs(X) @ Cabs.T)  # 2× the first-order
+        # chain+blocked-summation bound — slack is free (set stays ~1)
+        # candidate (row, centroid) pairs: could beat the row's best
+        # under reference rounding ⇔ D + B ≥ max(D − B) for the row
+        thresh = (D - B).max(axis=1, keepdims=True)
+        rows, cols = np.nonzero(D + B >= thresh)
+        # exact left-to-right chain-sum for candidates only
+        Xc, Cc = X[rows], C[cols]
+        acc = np.zeros(len(rows), dtype=np.float64)
+        for t in range(d):
+            acc += Xc[:, t] * Cc[:, t]
+        # per row: max exact dot, ties → lowest centroid index
+        order = np.lexsort((cols, -acc, rows))
+        first = np.unique(rows[order], return_index=True)[1]
+        sel = order[first]
+        return pd.DataFrame({"j": cols[sel].astype("int32"),
+                             "d": acc[sel]})
 
     return assign
 
@@ -632,6 +655,7 @@ def prototype_prune_drops(
     id_col: str = "vec_id",
     assign: str = "auto",
     exact: bool | None = None,
+    sim_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Density / prototypicality pruning (Sorscher et al. 2022, "Beyond
     neural scaling laws", arXiv:2206.14486 — the SSL-prototypes metric
@@ -646,9 +670,15 @@ def prototype_prune_drops(
     rank_in_cluster); deterministic via the (csim desc, id) order.
     Plan: the shared assignment Project + ONE per-cluster window —
     no pairs at all, so this stage is corpus-linear (cheaper than
-    SemDeDup's Σ|cluster|²)."""
-    n = _cluster_sim_frame(corpus, centroids, vec_col, id_col,
-                           assign, exact)
+    SemDeDup's Σ|cluster|²).
+
+    ``sim_frame``: a pre-built `_cluster_sim_frame(corpus, centroids,
+    vec_col, id_col, assign, exact)` output, so a caller running
+    several pruning stages over the same (corpus, centroids) computes
+    — and can `.persist()` — the assignment frame ONCE instead of once
+    per stage (the caller owns flag consistency)."""
+    n = sim_frame if sim_frame is not None else _cluster_sim_frame(
+        corpus, centroids, vec_col, id_col, assign, exact)
     w = Window.partitionBy("cluster").orderBy(
         F.desc("_csim"), F.asc("_id"))
     csz = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
@@ -759,6 +789,7 @@ def semantic_dup_drops(
     id_col: str = "vec_id",
     assign: str = "auto",
     exact: bool | None = None,
+    sim_frame: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) drop set:
     semantic-duplicate detection in embedding space. Each vector is
@@ -801,11 +832,15 @@ def semantic_dup_drops(
     bit-identical by construction), 'auto' = pandas above
     `_ASSIGN_EXPR_MAX` centroids — without the switch, assignment work
     is rows × nlist interpreted chains and measurably turns
-    super-linear once nlist scales with the corpus."""
+    super-linear once nlist scales with the corpus. ``sim_frame``: a
+    pre-built (ideally persisted) `_cluster_sim_frame` output shared
+    with sibling pruning stages — this operator consumes the frame
+    TWICE (cluster sizes + the tiled pair input), so without it the
+    assignment recomputes per consumption."""
     if exact is None:
         exact = config.default_exact()
-    n = _cluster_sim_frame(corpus, centroids, vec_col, id_col,
-                           assign, exact)
+    n = sim_frame if sim_frame is not None else _cluster_sim_frame(
+        corpus, centroids, vec_col, id_col, assign, exact)
     dot = _exact_dot if exact else _fast_dot
     # tile assignment: deterministic hash of the id into
     # ⌈|cluster|/tile⌉ buckets (cluster sizes via one broadcast agg —
