@@ -102,7 +102,10 @@ def main() -> None:
         .select("doc_id").collect(),
         args.trials)
 
+    import os
+
     print(json.dumps({"queries": out, "trials": args.trials,
+                      "loadavg_end": round(os.getloadavg()[0], 2),
                       "cpus": args.cpus}))
     spark.stop()
 
