@@ -81,12 +81,114 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    prefilter: bool = True,
 ) -> DataFrame:
-    """Brute-force cosine top-k: (query_id, neighbor_id, rank, cos).
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos).
 
     ``queries`` must have columns (query_id_col, vec_col). Self-matches
     (same id) are excluded. Ties rank deterministically by neighbor id.
+    Every corpus vector is scored against every query — this is the
+    exact baseline the sub-linear ANN paths (`cosine_topk_lsh`,
+    `ivf_topk`, `pq_topk`) are recall-gated against.
+
+    ``prefilter=True`` (default) scores the grid in a numpy kernel:
+    one `mapInPandas` pass over the corpus matmuls each Arrow batch
+    against the (driver-collected, tiny by contract) query matrix and
+    emits only the per-(batch, query) top-k plus every row within a
+    conservative margin of the batch's k-th score. Any vector in the
+    exact global top-k ranks ≤ k inside its own batch under exact
+    scoring, and the margin (1e-5 absolute on cosine, ~10⁴× the
+    combined float64-vs-decimal(38,12) bound for unit-scale vectors)
+    converts that to a fast-score emit guarantee; survivors — ≈ k per
+    (batch, query) — are then rescored with the reference decimal
+    dot/norms, so the final frame is bit-identical to scoring every
+    pair in the JVM (``prefilter=False``, the original formulation,
+    kept as the reference and for sub-1e-4-norm vectors where the
+    absolute margin would not dominate the relative error). The JVM
+    path pays ~60 µs of interpreted HOF per pair plus a decimal norm
+    per corpus row; the kernel pays one BLAS matmul per batch and
+    decimal math only on survivors. NOTE: building the plan collects
+    ``queries`` (one tiny eager job) — cache it if it is expensive.
     """
+    if not prefilter:
+        return _cosine_topk_jvm(corpus, queries, k, vec_col, id_col,
+                                query_id_col)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return _cosine_topk_jvm(corpus, queries, k, vec_col, id_col,
+                                query_id_col)
+    qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    margin = 1e-5
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col].to_numpy()])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            S = Xn @ Qn.T  # fast cosine, rows x queries
+            notself = ids[:, None] != qids[None, :]
+            S[~notself] = -2.0  # below any cosine
+            kk = min(k, len(ids))
+            kth = np.sort(S, axis=0)[-kk, :]  # per-query batch k-th
+            # a masked self-row can reach the threshold when the batch
+            # has < k eligible rows for a query — exclude explicitly
+            rs, qs = np.nonzero(
+                (S >= kth[None, :] - 2.0 * margin) & notself)
+            yield pd.DataFrame({
+                "query_id": qids[qs],
+                "neighbor_id": ids[rs],
+            })
+
+    cand = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, schema="query_id long, neighbor_id long")
+    if "query_id" != query_id_col:
+        cand = cand.withColumnRenamed("query_id", query_id_col)
+    # exact rescore of the ~k-per-(batch, query) survivors with the
+    # reference decimal dot/norms — identical values to the JVM path.
+    # Norms are projected ABOVE the joins so the O(n·d) decimal HOF
+    # runs per survivor, not per corpus row (the join restricts first;
+    # AQE turns the tiny cand side into a runtime broadcast).
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("_qv"))
+    scored = (
+        cand.join(c, "neighbor_id").join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col, "neighbor_id",
+            (_exact_dot(F.col("_qv"), F.col("_cv"))
+             / F.sqrt(_exact_norm2(F.col("_qv"))
+                      * _exact_norm2(F.col("_cv")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank",
+                F.round("cos", 6).alias("cos"))
+    )
+
+
+def _cosine_topk_jvm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The all-JVM formulation of `cosine_topk` — the reference the
+    prefilter path is equality-tested against."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv"),
         _exact_norm2(F.col(vec_col)).alias("_qn"),

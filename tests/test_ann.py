@@ -93,6 +93,27 @@ def test_unplanted_ivf_beats_scanned_fraction(corpus):
     assert recall >= 0.7, recall
 
 
+def test_cosine_topk_prefilter_is_bit_identical(spark, corpus):
+    """The numpy-prefiltered cosine_topk (batch matmul → margin-banded
+    candidates → exact decimal rescore) must reproduce the all-JVM
+    formulation exactly — values, ranks, tie-breaks — including when
+    k exceeds the corpus and when self-matches share a batch."""
+    q = corpus.where(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = sorted(tuple(r) for r in S.cosine_topk(corpus, q, k=4).collect())
+    b = sorted(tuple(r) for r in
+               S.cosine_topk(corpus, q, k=4, prefilter=False).collect())
+    assert a == b and len(a) == 28
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    tq = tiny.select(F.col("vec_id").alias("query_id"), "embedding")
+    a = sorted(tuple(r) for r in S.cosine_topk(tiny, tq, k=10).collect())
+    b = sorted(tuple(r) for r in
+               S.cosine_topk(tiny, tq, k=10, prefilter=False).collect())
+    assert a == b and len(a) == 6
+
+
 def test_single_table_single_probe_unchanged(corpus):
     """The extended cosine_topk_lsh at default params must reproduce the
     original single-bucket behavior (the oracle query pins it)."""
