@@ -288,7 +288,14 @@ def generate(spark: SparkSession, sf: float, out: str,
     the driver's exact layout (DuckDB's read_parquet and the streaming
     file source both expect a file, not a directory). The coalesce(1)
     is generation-only; benched reads re-split via
-    spark.sql.files.maxPartitionBytes."""
+    spark.sql.files.maxPartitionBytes — which only splits at ROW-GROUP
+    boundaries, so the 128 MB default block size capped sf10's events
+    scan at 2-way and its documents scan at 1-way (measured: the whole
+    zoom/text super-linear cohort in the first full sf1→sf10 sweep was
+    this ceiling, not the plans). 16 MB row groups keep single-file
+    scan parallelism proportional to data, which is the honest model
+    for the 100 TB layout (thousands of independently splittable
+    files)."""
     import glob
     import shutil
     import tempfile
@@ -297,7 +304,9 @@ def generate(spark: SparkSession, sf: float, out: str,
     for name in (tables or GENERATORS):
         tmp = tempfile.mkdtemp(dir=out, prefix=f"_{name}_")
         GENERATORS[name](spark, sf).coalesce(1) \
-            .write.mode("overwrite").parquet(tmp)
+            .write.mode("overwrite") \
+            .option("parquet.block.size", str(16 * 1024 * 1024)) \
+            .parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         dest = os.path.join(out, f"{name}.parquet")
         if os.path.isdir(dest):
