@@ -36,7 +36,15 @@ def main() -> None:
     from oxbow_spark.queries.registry import BENCH_QUERIES as QUERIES
     from oxbow_spark.session import get_spark
 
-    spark = get_spark("oxbow_spark_bench", cpus=cpus, shuffle_partitions=cpus)
+    # retainedJobs applies even with the UI disabled: the per-trial job
+    # counts below come from the status store, whose default retention
+    # (1000) can evict early trials' jobs on job-heavy queries — making
+    # the 'warmup-only work leaked' flag fire (or stay silent)
+    # spuriously (ADVICE r14, low)
+    spark = get_spark(
+        "oxbow_spark_bench", cpus=cpus, shuffle_partitions=cpus,
+        extra_conf={"spark.ui.retainedJobs": "100000",
+                    "spark.ui.retainedStages": "100000"})
     # warm the JVM + parquet footer caches with a trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 

@@ -1938,9 +1938,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one persisted assignment frame feeds all three consumers (drops
     # reads it twice, proto once) — semantics-free sharing, and the
     # n·nlist assignment matmul runs once instead of three times;
-    # bench trials clear the cache between runs so timings stay honest
-    n = similarity._cluster_sim_frame(
-        emb, cents, "embedding", "vec_id", "auto", None).persist()
+    # memoized per (session, sf) so repeat callers do not accumulate
+    # persisted frames (bench trials clear the cache between runs so
+    # timings stay honest — the memo re-persists a cleared hit)
+    n = _shared_sim_frame(spark, sf_dir, "fixed", emb, cents)
     drops = similarity.semantic_dup_drops(
         emb, cents, threshold=_EMB_NEARDUP_T, sim_frame=n)
     proto = similarity.prototype_prune_drops(
@@ -2026,6 +2027,38 @@ def _session_stopped(sess) -> bool:
         return True
 
 
+# keyed like _PQ_FIT_CACHE: the persisted cluster-similarity frame the
+# embedding-curation rows share. ADVICE r14 (low): the rows used to
+# .persist() a FRESH frame every invocation and never unpersist — only
+# the bench harness cleared the cache between trials, so any other
+# repeated caller (tests, notebooks, a long-lived service) accumulated
+# cached plans and storage memory without bound. "variant" separates the
+# fixed-_IVF_NLIST quantizer (oracle row) from the corpus-scaled one
+# (bench row) — their centroid frames differ.
+_SIM_FRAME_CACHE: dict[tuple[str, str, str], tuple] = {}
+
+
+def _shared_sim_frame(spark: SparkSession, sf_dir: str, variant: str,
+                      emb: DataFrame, cents: DataFrame) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
+    got = _SIM_FRAME_CACHE.get(key)
+    if got is None:
+        frame = similarity._cluster_sim_frame(
+            emb, cents, "embedding", "vec_id", "auto", None).persist()
+        for stale in [k for k, v in _SIM_FRAME_CACHE.items()
+                      if k != key and _session_stopped(v[1])]:
+            del _SIM_FRAME_CACHE[stale]
+        got = _SIM_FRAME_CACHE[key] = (frame, spark)
+    frame = got[0]
+    # a clearCache() (bench inter-trial hygiene) drops the registration;
+    # re-persist so this invocation's consumers still share ONE
+    # materialization of the n·nlist assignment matmul
+    sl = frame.storageLevel
+    if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
+        frame.persist()
+    return frame
+
+
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH-only row: IVF-PQ ANN top-k with exact re-rank — the
     memory-bounded 100 TB similarity path (m-byte codes, pure-JVM ADC
@@ -2064,8 +2097,7 @@ def semdedup_proto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cluster and cross-row timings are not apples-to-apples."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = _pq_models(spark, sf_dir)[1]
-    n = similarity._cluster_sim_frame(
-        emb, cents, "embedding", "vec_id", "auto", None).persist()
+    n = _shared_sim_frame(spark, sf_dir, "scaled", emb, cents)
     drops = similarity.semantic_dup_drops(
         emb, cents, threshold=_EMB_NEARDUP_T, sim_frame=n)
     proto = similarity.prototype_prune_drops(

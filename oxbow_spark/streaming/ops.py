@@ -69,20 +69,27 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(spark.readStream.schema(schema).parquet(stage))
 
 
-def _reap_dead_stages(root: str, keep: str) -> None:
+def _reap_dead_stages(root: str, keep: str, grace: float = 300.0) -> None:
     """Remove stage dirs whose symlink targets no longer exist. The
     per-corpus path-hash key means every distinct corpus ever streamed
     leaves a stage dir behind for the life of /tmp; a long-lived service
     would accumulate them without bound. A stage whose links all dangle
     can never serve a replay (the source files are gone), so it is safe
     to reap; stages with ANY live target are kept (a checkpointed query
-    may still replay them)."""
+    may still replay them). Freshly-modified stages (mtime within
+    ``grace`` seconds, including subdirs) are also kept: a concurrent
+    session staging ANOTHER corpus sits momentarily between its
+    makedirs and its symlink creation — a files-empty dir in that
+    window is setup-in-progress, not dead, and rmtree-ing it would
+    fail the other process' symlink (ADVICE r14, low)."""
     import shutil
+    import time
 
     try:
         entries = os.listdir(root)
     except OSError:
         return
+    now = time.time()
     for name in entries:
         if name == keep:
             continue
@@ -91,6 +98,13 @@ def _reap_dead_stages(root: str, keep: str) -> None:
             continue
         live = False
         for dirpath, _dirs, files in os.walk(d):
+            try:
+                if now - os.stat(dirpath).st_mtime < grace:
+                    live = True  # mid-setup by a concurrent session
+                    break
+            except OSError:
+                live = True  # changed under us — same conclusion
+                break
             for f in files:
                 p = os.path.join(dirpath, f)
                 if os.path.exists(p):  # follows symlinks

@@ -144,6 +144,22 @@ class GenomicFileStreamReader(DataSourceStreamReader):
         wm = off.get("wm", "")
         if off.get("v", 1) >= 2 or not wm:
             return wm
+        # TWO unversioned formats exist in checkpoints: the original
+        # basename-keyed v1, and an interim full-path-keyed format that
+        # already wrote v2-style keys but predates the "v" field. A key
+        # whose path component contains a separator cannot be a basename,
+        # so it is already full-path-keyed -- return it unchanged.
+        # Running it through the basename migration instead would compare
+        # basenames against a '/'-prefixed watermark ('/' sorts below
+        # most filename characters), find seen=[], and silently reset the
+        # watermark to "" -- re-streaming the entire directory as
+        # duplicates on exactly the upgrade path this migration serves.
+        # (A separator-free key is safe either way: for a glob whose
+        # expansion has no directory component the full-path key IS the
+        # basename, so the v1 migration below is the identity.)
+        tail = wm.split("|", 1)[-1] if self.order == "mtime" else wm
+        if os.sep in tail:
+            return wm
         listing = self._listing()
         seen = [k2 for k2, f in listing if self._v1_key(f) <= wm]
         new_wm = max(seen) if seen else ""

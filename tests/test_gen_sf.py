@@ -94,6 +94,28 @@ def test_embedding_geometry_matches_driver(spark, gen):
     assert cos.max() < 0.85, cos.max()
 
 
+def test_gen_sf_clump_variant(spark, tmp_path):
+    """--clump f makes f of the embeddings EXACT duplicates of one unit
+    vector (mass-duplicated content — the geometry that defeats the
+    corpus-scaled quantizer and stresses the pair-stage nb cap +
+    witness prune); the rest keep the isotropic default. Default
+    clump=0 is untouched (geometry-parity test above)."""
+    import numpy as np
+
+    import gen_sf
+
+    out = str(tmp_path / "sfclump")
+    gen_sf.generate(spark, 0.001, out, tables=["embeddings"], clump=0.5)
+    rows = spark.read.parquet(f"{out}/embeddings.parquet") \
+        .select("embedding").collect()
+    X = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    vals, counts = np.unique(X, axis=0, return_counts=True)
+    top = counts.max() / len(X)
+    assert 0.4 < top < 0.6, top          # ~half the corpus is ONE vector
+    assert (counts == 1).sum() >= 0.35 * len(X)  # the rest stays diverse
+    assert np.abs(np.linalg.norm(X, axis=1) - 1.0).max() < 1e-3
+
+
 def test_distribution_sensitive_queries_match_oracle_on_generated(
         spark, gen, monkeypatch):
     """Second-corpus oracle parity (round 13): the queries whose

@@ -161,6 +161,38 @@ def test_pq_fit_cache_evicts_other_sessions(spark, sf_dir, monkeypatch):
         registry._PQ_FIT_CACHE.update(saved)
 
 
+def test_shared_sim_frame_memoized_and_repersisted(spark, sf_dir):
+    """ADVICE r14 (low): the embedding-curation rows used to .persist()
+    a fresh _cluster_sim_frame per invocation and never unpersist —
+    repeated callers outside the bench harness accumulated cached plans
+    without bound. The memo must return ONE frame per (session, sf,
+    variant), and re-persist a hit whose cache registration was dropped
+    by clearCache (the bench's inter-trial hygiene)."""
+    from oxbow_spark.operators import similarity
+    from oxbow_spark.queries import registry
+
+    emb = registry._t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_fit(
+        emb, nlist=registry._IVF_NLIST, max_iter=registry._IVF_MAXITER,
+        order_col="vec_id")
+    saved = dict(registry._SIM_FRAME_CACHE)
+    try:
+        registry._SIM_FRAME_CACHE.clear()
+        f1 = registry._shared_sim_frame(spark, sf_dir, "t", emb, cents)
+        f2 = registry._shared_sim_frame(spark, sf_dir, "t", emb, cents)
+        assert f1 is f2  # memo hit — not a new persisted frame per call
+        assert f1.storageLevel.useMemory
+        spark.catalog.clearCache()
+        sl = f1.storageLevel
+        assert not (sl.useMemory or sl.useDisk or sl.useOffHeap)
+        f3 = registry._shared_sim_frame(spark, sf_dir, "t", emb, cents)
+        assert f3 is f1 and f3.storageLevel.useMemory
+    finally:
+        spark.catalog.clearCache()
+        registry._SIM_FRAME_CACHE.clear()
+        registry._SIM_FRAME_CACHE.update(saved)
+
+
 def test_sim_topk_pq_steady_state_is_scan_only(spark, sf_dir, monkeypatch):
     """Post-warmup sim_topk_pq trials run ZERO fit/count jobs and a
     constant job count (VERDICT r13 #1: the bench row must time the

@@ -177,6 +177,42 @@ def test_v1_migration_fails_loudly_when_lossy(tmp_path):
         r.partitions({"wm": "bbb.bam"}, r.latestOffset())
 
 
+def test_unversioned_fullpath_watermark_not_remigrated(tmp_path):
+    """ADVICE r14 (high): the shipped format immediately BEFORE the "v"
+    field wrote FULL-PATH watermarks with no version key. Feeding such
+    an offset through the basename migration would find seen=[] (every
+    basename sorts above a '/...'-prefixed wm), reset the watermark to
+    "", and re-stream the whole directory as duplicates. A separator in
+    the key means it cannot be a basename — it must pass through
+    unchanged."""
+    from oxbow_spark.sources.bam import BamDataSource
+    from oxbow_spark.streaming.source import GenomicFileStreamReader
+
+    d = tmp_path / "runs"
+    d.mkdir()
+    shutil.copy(FX + "sample.bam", d / "run001.bam")
+    shutil.copy(FX + "sample.bam", d / "run002.bam")
+    opts = {"path": str(d / "*.bam")}
+    ds = BamDataSource(dict(opts))
+    r = GenomicFileStreamReader(BamDataSource, opts, ds.schema())
+    # interim checkpoint: full path, no "v" — run001 was processed
+    interim = {"wm": str(d / "run001.bam")}
+    delta = r.partitions(interim, r.latestOffset())
+    assert delta and all(p.path.endswith("run002.bam") for p in delta)
+    # nothing new past run002 — must NOT replan the directory
+    assert r.partitions({"wm": str(d / "run002.bam")}, r.latestOffset()) == []
+
+    # same for mtime order: interim key is "mtime|<abs path>", no "v"
+    opts_mt = {"path": str(d / "*.bam"), "stream_order": "mtime"}
+    rm = GenomicFileStreamReader(BamDataSource, opts_mt, ds.schema())
+    latest = rm.latestOffset()
+    assert latest["wm"].split("|", 1)[1] == max(
+        str(d / "run001.bam"), str(d / "run002.bam"),
+        key=lambda p: (os.path.getmtime(p), p))
+    interim_mt = {"wm": latest["wm"]}
+    assert rm.partitions(interim_mt, rm.latestOffset()) == []
+
+
 def test_stream_order_mtime(tmp_path):
     from oxbow_spark.sources.bam import BamDataSource
     from oxbow_spark.streaming.source import GenomicFileStreamReader, _file_key

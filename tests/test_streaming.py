@@ -154,6 +154,12 @@ def test_reap_dead_stages(tmp_path):
     cur.mkdir(parents=True)
     os.symlink(tmp_path / "also_gone", cur / "events.parquet")
 
+    # age the stages past the concurrent-setup grace window (fresh dirs
+    # are deliberately kept — see test_reap_spares_fresh_empty_stage)
+    old = (1, 1)
+    for d in (root / "aaaa", dead, root / "bbbb", live, root / "cccc", cur):
+        os.utime(d, old)
+
     _reap_dead_stages(str(root), keep="cccc")
     assert not (root / "aaaa").exists()
     assert (root / "bbbb").exists()
@@ -161,3 +167,26 @@ def test_reap_dead_stages(tmp_path):
     # idempotent + missing root is a no-op
     _reap_dead_stages(str(root), keep="cccc")
     _reap_dead_stages(str(tmp_path / "nope"), keep="x")
+
+
+def test_reap_spares_fresh_empty_stage(tmp_path):
+    """ADVICE r14 (low): a concurrently-starting session for another
+    corpus sits between its makedirs and its symlink creation — in that
+    window its stage dir holds no files, which the liveness walk used to
+    classify as dead and rmtree, failing the other process' symlink.
+    A files-empty dir with a recent mtime must survive; the same dir
+    aged past the grace window is reaped."""
+    import os
+
+    from oxbow_spark.streaming.ops import _reap_dead_stages
+
+    root = tmp_path / "stages"
+    fresh = root / "dddd" / "events"
+    fresh.mkdir(parents=True)  # no files yet: mid-setup
+    _reap_dead_stages(str(root), keep="zzzz")
+    assert fresh.exists()
+    # same dir, aged: now it is a leak, not a race
+    os.utime(fresh, (1, 1))
+    os.utime(root / "dddd", (1, 1))
+    _reap_dead_stages(str(root), keep="zzzz")
+    assert not (root / "dddd").exists()

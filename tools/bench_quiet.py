@@ -19,8 +19,28 @@ import os
 import re
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def wait_for_idle(threshold: float, timeout: float) -> dict:
+    """Spin-wait until the 1-min load drops below ``threshold`` (VERDICT
+    r14 'What's wrong' #1: the envelope RECORDED load but did not GATE
+    on it, so an ambient ~2.2 window polluted a whole round's cpus8
+    ratios). Returns a record of what happened; if the host never goes
+    quiet within ``timeout`` seconds the caller proceeds anyway and the
+    JSON carries gate_met=false — a flagged envelope beats no envelope,
+    and the per-trial load samples still adjudicate individual rows."""
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    waited = 0.0
+    while load > threshold and (time.time() - t0) < timeout:
+        time.sleep(15)
+        waited = round(time.time() - t0, 1)
+        load = os.getloadavg()[0]
+    return {"threshold": threshold, "final_load": round(load, 2),
+            "waited_sec": waited, "gate_met": load <= threshold}
 
 
 def run_bench(cpus: int, trials: int, sf_dir: str) -> dict:
@@ -61,13 +81,20 @@ def main() -> None:
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--idle-threshold", type=float, default=0.5,
+                    help="1-min load the host must drop below before "
+                         "each width's trials start")
+    ap.add_argument("--idle-timeout", type=float, default=900.0)
     args = ap.parse_args()
 
+    gates = [wait_for_idle(args.idle_threshold, args.idle_timeout)]
     load1 = os.getloadavg()[0]
     q32 = run_bench(32, args.trials, args.sf_dir)
     load_mid = os.getloadavg()[0]
+    gates.append(wait_for_idle(args.idle_threshold, args.idle_timeout))
     q8 = run_bench(8, args.trials, args.sf_dir)
     load_post = os.getloadavg()[0]
+    gates.append(wait_for_idle(args.idle_threshold, args.idle_timeout))
     smoke = run_op_smoke(min(args.trials, 2))
 
     ref = latest_envelope(args.round)
@@ -100,6 +127,8 @@ def main() -> None:
                     "itself instead of needing a cross-reference)."),
         "loadavg": {"start": round(load1, 2), "after_cpus32":
                     round(load_mid, 2), "after_cpus8": round(load_post, 2)},
+        "idle_gate": {"before_cpus32": gates[0], "before_cpus8": gates[1],
+                      "before_op_smoke": gates[2]},
         "runs": {"cpus32_trials5": q32, "cpus8_trials5": q8},
         "ratios_vs_prev": ratios,
         "op_smoke": smoke,

@@ -45,13 +45,34 @@ def main() -> None:
     emb_path = os.path.join(args.sf_dir, "embeddings.parquet")
     emb = spark.read.parquet(emb_path)
 
-    # planted queries: mixtures of two corpus vectors (parent = dominant)
-    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-    ids = np.array(t.column("vec_id").to_pylist())
+    # planted queries: mixtures of two corpus vectors (parent = dominant).
+    # Sample-bounded (VERDICT r14 "what's wrong" #4): plant from a few
+    # RANDOM ROW GROUPS instead of to_pylist() on the whole table — the
+    # full materialization was ~100 MB of driver lists at sf10 and ~1 GB
+    # at sf100, for 25 queries. Row groups are chosen by a seeded
+    # permutation so parents stay corpus-spread; recall semantics are
+    # unchanged (queries are planted near real corpus vectors and
+    # pq_topk searches the FULL corpus).
+    pf = pq.ParquetFile(emb_path)
+    n_total = pf.metadata.num_rows
+    need = args.n_queries + 102  # parents + the +101 mixture partners
+    rng = np.random.default_rng(42)
+    X_parts, id_parts, got_rows = [], [], 0
+    for rg in rng.permutation(pf.metadata.num_row_groups):
+        t = pf.read_row_group(int(rg), columns=["vec_id", "embedding"])
+        col = t.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        X_parts.append(np.asarray(flat, dtype=np.float64).reshape(
+            len(col), -1))
+        id_parts.append(t.column("vec_id").to_numpy())
+        got_rows += t.num_rows
+        if got_rows >= need:
+            break
+    X = np.concatenate(X_parts)
+    ids = np.concatenate(id_parts)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     rows = []
-    step = max(1, len(ids) // args.n_queries)  # parents spread corpus-wide
+    step = max(1, len(ids) // args.n_queries)  # parents spread sample-wide
     for qi in range(args.n_queries):
         i, j = (qi * step) % len(ids), (qi * step + 101) % len(ids)
         v = 0.97 * Xn[i] + 0.10 * Xn[j]
@@ -78,7 +99,8 @@ def main() -> None:
 
     print(json.dumps({
         "sf_dir": args.sf_dir,
-        "n_embeddings": int(len(ids)),
+        "n_embeddings": int(n_total),
+        "n_sampled_for_planting": int(len(ids)),
         "nlist": int(nlist),
         "nprobe": int(nprobe),
         "scanned_fraction": round(nprobe / nlist, 4),

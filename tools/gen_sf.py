@@ -240,7 +240,7 @@ def gen_documents(spark, sf):
         F.length(text).cast("long").alias("n_chars"))
 
 
-def gen_embeddings(spark, sf):
+def gen_embeddings(spark, sf, clump: float = 0.0):
     """Isotropic UNIT vectors with an uncorrelated label — measured on
     the driver's own tables (sf0.1, 2000 vecs): norms exactly 1.0,
     per-dim std 1/√64, within-label vs cross-label mean cosine both
@@ -272,6 +272,25 @@ def gen_embeddings(spark, sf):
     nrm = F.sqrt(F.aggregate(
         F.col("_raw"), F.lit(0.0), lambda a, x: a + x * x))
     emb = F.transform(F.col("_raw"), lambda x: (x / nrm).cast("float"))
+    if clump > 0.0:
+        # clumped-geometry variant (VERDICT r14 "what's wrong" #2):
+        # ``clump`` fraction of rows share ONE exact embedding —
+        # mass-duplicated content, the geometry that actually defeats
+        # the corpus-scaled quantizer. A broad directional cohort gets
+        # SPLIT by k-means (sampled centroids land in it
+        # proportionally), but exact duplicates collapse their
+        # centroids to one point: duplicates tie-break to the lowest
+        # centroid index, the other in-clump centroids empty out and
+        # reseed elsewhere, and one cluster ends up holding the whole
+        # clump. This is the corpus the pair-stage nb cap + witness
+        # prune are measured on.
+        import numpy as np
+        rng = np.random.default_rng(SEED)
+        c0 = rng.normal(size=dim)
+        c0 /= np.linalg.norm(c0)
+        c0_lit = F.array(*[F.lit(float(np.float32(x))) for x in c0])
+        is_dup = _u(41, F.col("vec_id")) < F.lit(float(clump))
+        emb = F.when(is_dup, c0_lit.cast("array<float>")).otherwise(emb)
     return staged.select("vec_id", emb.alias("embedding"), "label")
 
 
@@ -283,7 +302,8 @@ GENERATORS = dict(region=gen_region, nation=gen_nation,
 
 
 def generate(spark: SparkSession, sf: float, out: str,
-             tables: list[str] | None = None) -> None:
+             tables: list[str] | None = None,
+             clump: float = 0.0) -> None:
     """Write each table as a SINGLE parquet FILE named <t>.parquet —
     the driver's exact layout (DuckDB's read_parquet and the streaming
     file source both expect a file, not a directory). The coalesce(1)
@@ -303,7 +323,10 @@ def generate(spark: SparkSession, sf: float, out: str,
     os.makedirs(out, exist_ok=True)
     for name in (tables or GENERATORS):
         tmp = tempfile.mkdtemp(dir=out, prefix=f"_{name}_")
-        GENERATORS[name](spark, sf).coalesce(1) \
+        df = (gen_embeddings(spark, sf, clump=clump)
+              if name == "embeddings" and clump > 0.0
+              else GENERATORS[name](spark, sf))
+        df.coalesce(1) \
             .write.mode("overwrite") \
             .option("parquet.block.size", str(16 * 1024 * 1024)) \
             .parquet(tmp)
@@ -322,12 +345,16 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--tables", nargs="*", default=None)
     ap.add_argument("--cpus", type=int, default=0)
+    ap.add_argument("--clump", type=float, default=0.0,
+                    help="fraction of embeddings that are EXACT "
+                         "duplicates of one vector (clumped-geometry "
+                         "stress corpus; 0 = isotropic default)")
     args = ap.parse_args()
 
     from oxbow_spark.session import get_spark
     cpus = args.cpus or (os.cpu_count() or 8)
     spark = get_spark("gen_sf", cpus=cpus, shuffle_partitions=cpus)
-    generate(spark, args.sf, args.out, args.tables)
+    generate(spark, args.sf, args.out, args.tables, clump=args.clump)
     spark.stop()
 
 
