@@ -61,6 +61,56 @@ def _integral_col(df: DataFrame, col: str) -> bool:
                       (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
 
 
+def _dlit(x: float) -> str:
+    """SQL double literal for ``x`` with exact bit round-trip. Python's
+    repr emits the shortest decimal that round-trips the IEEE-754 value
+    and Spark's parser reads it back with Double.parseDouble — the same
+    bits. The ``D`` suffix types it DOUBLE at the lexer (no cast node)."""
+    r = repr(float(x))
+    if "inf" in r or "nan" in r:
+        return f"cast('{r}' as double)"
+    return r + "D"
+
+
+def _dot_chain_sql(vec_sql: str, coeffs) -> str:
+    """SQL text of the left-to-right double chain-sum dot of ``vec_sql``
+    against literal ``coeffs`` — the exact expression tree `_plane_dots`
+    builds Column-by-Column, emitted as ONE parseable string. Building
+    literal-heavy trees through the pyspark Column API costs one py4j
+    round trip per node (measured 4.8 s for the PQ LUT tree at m=8,
+    ksub=16); the parser builds the same tree JVM-side in ~20 ms."""
+    arr = "array(" + ",".join(_dlit(c) for c in coeffs) + ")"
+    return (f"aggregate(zip_with({vec_sql}, {arr}, "
+            "(x, y) -> cast(x as double) * y), 0.0D, (acc, v) -> acc + v)")
+
+
+def _bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text of the sign-pattern LSH bucket id (`_bucket_of` over
+    `_plane_dots`): Σ 2^i over planes whose dot is positive, as int."""
+    terms = " + ".join(
+        f"(case when ({_dot_chain_sql(vec_sql, p)}) > 0 "
+        f"then {1 << i} else 0 end)"
+        for i, p in enumerate(planes))
+    return f"cast((0 + {terms}) as int)"
+
+
+def _probe_sql(vec_sql: str, planes: list[list[float]],
+               n_probes: int) -> str:
+    """SQL text of `_probe_array`: the vector's own bucket, then the
+    ``n_probes - 1`` single-bit flips in increasing |margin| order."""
+    n_planes = len(planes)
+    bucket = _bucket_sql(vec_sql, planes)
+    n_flips = max(0, min(n_probes - 1, n_planes))
+    if n_flips == 0:
+        return f"array({bucket})"
+    order = "array_sort(array(" + ",".join(
+        f"named_struct('m', abs({_dot_chain_sql(vec_sql, p)}), 'i', {i})"
+        for i, p in enumerate(planes)) + "))"
+    pows = "array(" + ",".join(str(1 << i) for i in range(n_planes)) + ")"
+    return (f"concat(array({bucket}), transform(slice({order}, 1, "
+            f"{n_flips}), st -> ({bucket} ^ element_at({pows}, st.i + 1))))")
+
+
 def _exact_dot(a, b):
     """Order-independent dot product of two float arrays, as double."""
     prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(ACC))
@@ -250,15 +300,7 @@ def hyperplane_bucket(df: DataFrame, planes: list[list[float]],
     hyperplanes (pass the same ``planes`` for corpus and queries).
     Narrow op — no shuffle; bucket the corpus once, reuse across queries.
     """
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(0)
-    return df.withColumn("bucket", bucket.cast("int"))
+    return df.withColumn("bucket", F.expr(_bucket_sql(vec_col, planes)))
 
 
 def ivf_fit_core(
@@ -418,6 +460,10 @@ def ivf_list_order(vec_col, centroids: list[list[float]]):
     purpose: argmax/argsort of (x/‖x‖)·c equals that of x·c, and
     skipping the division removes a float-precision divergence surface.
     """
+    if isinstance(vec_col, str):
+        return F.expr("array_sort(array(" + ",".join(
+            f"named_struct('nd', -({_dot_chain_sql(vec_col, c)}), 'j', {j})"
+            for j, c in enumerate(centroids)) + "))")
     dots = _plane_dots(vec_col, centroids)
     return F.array_sort(F.array(*[
         F.struct((-d).alias("nd"), F.lit(j).alias("j"))
@@ -624,13 +670,17 @@ def embedding_neardup_pairs(
 
 def _plane_dots(vec_col, planes: list[list[float]]):
     """Signed dot product of ``vec_col`` with each hyperplane (plain
-    left-to-right double chain-sum — matches the oracle's SQL exactly)."""
+    left-to-right double chain-sum — matches the oracle's SQL exactly).
+    String columns go through the SQL parser (one py4j call per plane
+    instead of one per literal — see `_dot_chain_sql`); Column inputs
+    keep the Column-API construction (same tree either way)."""
+    if isinstance(vec_col, str):
+        return [F.expr(_dot_chain_sql(vec_col, p)) for p in planes]
     out = []
     for p in planes:
         arr = F.array(*[F.lit(float(x)) for x in p])
         out.append(F.aggregate(
-            F.zip_with(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-                       arr, lambda x, y: x.cast("double") * y),
+            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
             F.lit(0.0), lambda acc, v: acc + v,
         ))
     return out
@@ -702,15 +752,16 @@ def cosine_topk_lsh(
     if not multi:
         # Straight-line fast path: one table, one probe — no Generate
         # (explode) nodes, a single-int join key, no dedup.
+        bucket = F.expr(_bucket_sql(vec_col, tables[0]))
         cc = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
             _exact_norm2(F.col(vec_col)).alias("_cn"),
-            _bucket_of(_plane_dots(vec_col, tables[0])).alias("bucket"),
+            bucket.alias("bucket"),
         )
         qq = queries.select(
             F.col(query_id_col), F.col(vec_col).alias("_qv"),
             _exact_norm2(F.col(vec_col)).alias("_qn"),
-            _bucket_of(_plane_dots(vec_col, tables[0])).alias("qbucket"),
+            bucket.alias("qbucket"),
         )
         cand = (
             cc.join(F.broadcast(qq), cc["bucket"] == qq["qbucket"])
@@ -718,7 +769,8 @@ def cosine_topk_lsh(
             .select(query_id_col, "neighbor_id", "_qv", "_qn", "_cv", "_cn")
         )
     else:
-        c_buckets = [F.struct(F.lit(t).alias("tbl"), _bucket_of(_plane_dots(vec_col, tp)).alias("bucket"))
+        c_buckets = [F.struct(F.lit(t).alias("tbl"),
+                              F.expr(_bucket_sql(vec_col, tp)).alias("bucket"))
                      for t, tp in enumerate(tables)]
         cc = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
@@ -729,7 +781,7 @@ def cosine_topk_lsh(
 
         q_probes = [
             F.struct(F.lit(t).alias("tbl"),
-                     _probe_array(_plane_dots(vec_col, tp), n_probes).alias("pb"))
+                     F.expr(_probe_sql(vec_col, tp, n_probes)).alias("pb"))
             for t, tp in enumerate(tables)
         ]
         qq = queries.select(
@@ -784,7 +836,7 @@ def _cluster_sim_frame(corpus: DataFrame, centroids: list[list[float]],
         asg = _assign_udf(centroids)(F.col(vec_col))
         cluster, cd = asg["j"].cast("int"), asg["d"]
     else:
-        order = ivf_list_order(F.col(vec_col), centroids)
+        order = ivf_list_order(vec_col, centroids)
         darr = F.array(*_plane_dots(vec_col, centroids))
         cluster = F.element_at(order, 1)["j"]
         cd = F.element_at(darr, F.element_at(order, 1)["j"] + 1)
@@ -1255,13 +1307,22 @@ def _pq_query_luts(vec_col, codebooks: list[list[list[float]]]):
     """Per-query ADC lookup tables as ONE Catalyst expression column:
     ``array<array<double>>`` where lut[i][c] = q_sub_i · codebook[i][c]
     (plain left-to-right chain-sums over the sub-slice — m·ksub short
-    dots, computed once per QUERY row, never per candidate)."""
+    dots, computed once per QUERY row, never per candidate). Emitted as
+    ONE SQL string: the m·ksub aggregate/zip_with sub-trees cost ~4.8 s
+    of py4j round trips through the Column API and ~20 ms through the
+    parser — the tree (and its results) are identical."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = vec_col if isinstance(vec_col, str) else None
+    if v is not None:
+        return F.expr("array(" + ",".join(
+            "array(" + ",".join(
+                _dot_chain_sql(f"slice({v}, {i * dsub + 1}, {dsub})", c)
+                for c in codebooks[i]) + ")"
+            for i in range(m)) + ")")
     luts = []
     for i in range(m):
-        sub = F.slice(v, i * dsub + 1, dsub)
+        sub = F.slice(vec_col, i * dsub + 1, dsub)
         row = []
         for c in codebooks[i]:
             arr = F.array(*[F.lit(float(x)) for x in c])
@@ -1322,12 +1383,12 @@ def pq_topk(
         F.sqrt(_exact_norm2(F.col(vec_col))).alias("_qnorm"),
         *q_extra,
     )
-    # literal per-(subspace, code) reconstruction norm² table
-    n2 = F.array(*[
-        F.array(*[F.lit(float(sum(x * x for x in c))) for c in cb])
-        for cb in codebooks
-    ])
-    idx = F.array(*[F.lit(i) for i in range(m)])
+    # literal per-(subspace, code) reconstruction norm² table (SQL-text
+    # literals: one parser call instead of m·ksub py4j round trips)
+    n2 = F.expr("array(" + ",".join(
+        "array(" + ",".join(_dlit(sum(x * x for x in c)) for c in cb) + ")"
+        for cb in codebooks) + ")")
+    idx = F.expr("array(" + ",".join(str(i) for i in range(m)) + ")")
     approx_dot = F.aggregate(
         F.zip_with(F.col("_code"), F.col("_lut"),
                    lambda c, row: F.element_at(row, c + F.lit(1))),

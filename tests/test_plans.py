@@ -115,9 +115,13 @@ def test_bm25_broadcasts_stats_no_big_shuffle_joins(spark, sf):
 
 def test_repetition_is_pure_project(spark, sf):
     """Repetition metrics must stay shuffle-free end-to-end over the real
-    documents table — one scan, Projects only."""
+    documents table — Projects only. The one allowed exchange is the
+    adaptive small-input round-robin fan-out (`registry._tp`): a
+    sub-split input file scans as a single task, so the reader spreads
+    it; the OPERATOR itself must never hash-shuffle or join."""
     plan = _plan(R.repetition_docs(spark, sf))
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
     assert "Join" not in plan, plan
 
 
@@ -604,3 +608,63 @@ def test_lambda_sweep_catches_de_let_bound_mutant(spark):
         ).alias("sh"))
     exploded = bad.select("doc_id", F.explode("sh").alias("g"))
     assert _lambda_violations(exploded), _opt(exploded)
+
+
+def test_tp_small_input_fans_out_and_preserves_results(spark, sf):
+    """`registry._tp` (r15): a sub-split input file must gain scan
+    parallelism (round-robin, never hash) and change no results —
+    repetition metrics over `_tp` equal those over the plain read."""
+    plain = R._t(spark, sf, "documents")
+    fanned = R._tp(spark, sf, "documents")
+    assert fanned.rdd.getNumPartitions() > plain.rdd.getNumPartitions()
+    from oxbow_spark.operators import text
+
+    a = sorted(map(tuple, text.repetition_stats(plain).collect()))
+    b = sorted(map(tuple, text.repetition_stats(fanned).collect()))
+    assert a == b
+
+
+def test_sql_string_builders_match_column_builders(spark, sf):
+    """r15 py4j reduction: the SQL-text expression builders
+    (`_dot_chain_sql` / `_bucket_sql` / `_probe_sql` / string-input
+    `ivf_list_order`) must evaluate bit-identically to the Column-API
+    trees they replaced (same expression shape, different construction
+    path)."""
+    from pyspark.sql import functions as F
+
+    from oxbow_spark.operators import similarity as S
+
+    emb = R._t(spark, sf, "embeddings").limit(200)
+    planes = S.random_hyperplanes(4, 64)
+
+    # dots + bucket: Column path (via Column input) vs SQL path
+    col_dots = S._plane_dots(F.col("embedding"), planes)
+    sql_dots = S._plane_dots("embedding", planes)
+    col_bucket = S._bucket_of(col_dots)
+    sql_bucket = F.expr(S._bucket_sql("embedding", planes))
+    col_probe = S._probe_array(col_dots, 3)
+    sql_probe = F.expr(S._probe_sql("embedding", planes, 3))
+    col_order = S.ivf_list_order(F.col("embedding"), planes)
+    sql_order = S.ivf_list_order("embedding", planes)
+    df = emb.select(
+        *[d.alias(f"cd{i}") for i, d in enumerate(col_dots)],
+        *[d.alias(f"sd{i}") for i, d in enumerate(sql_dots)],
+        col_bucket.alias("cb"), sql_bucket.alias("sb"),
+        col_probe.alias("cp"), sql_probe.alias("sp"),
+        col_order.alias("co"), sql_order.alias("so"),
+    )
+    for r in df.collect():
+        for i in range(len(planes)):
+            assert r[f"cd{i}"] == r[f"sd{i}"]
+        assert r["cb"] == r["sb"]
+        assert r["cp"] == r["sp"]
+        assert r["co"] == r["so"]
+
+    # PQ LUTs: string path vs Column path over real codebooks
+    cb = S.pq_fit(R._t(spark, sf, "embeddings"), m=8, ksub=16,
+                  order_col="vec_id")
+    lut_sql = S._pq_query_luts("embedding", cb)
+    lut_col = S._pq_query_luts(F.col("embedding"), cb)
+    for r in emb.limit(20).select(lut_sql.alias("a"),
+                                  lut_col.alias("b")).collect():
+        assert r["a"] == r["b"]
