@@ -38,6 +38,26 @@ def tokens(col):
     return F.split(F.trim(col), TOKEN_SPLIT)
 
 
+def _tokens_sql(col_sql: str) -> str:
+    """SQL text of `tokens` (split on whitespace of the trimmed column).
+    The doubled backslash survives the SQL string-literal escape."""
+    return f"split(trim({col_sql}), '\\\\s+')"
+
+
+def _shingles_sql(t_sql: str, k: int) -> str:
+    """SQL text of `shingles_of` — the IDENTICAL let-bound tree
+    (transform(array(t), tt -> ...)[1], see `shingles_of` for why), but
+    parsed JVM-side in one call instead of built Column-by-Column over
+    py4j (the round-15 plan-construction cost finding)."""
+    elems = ", ".join(
+        f"element_at(tt, cast(i + {j + 1} as int))" for j in range(k))
+    body = (f"case when size(tt) >= {k} then "
+            f"transform(sequence(0, size(tt) - {k}), "
+            f"i -> concat_ws(' ', {elems})) "
+            f"else array(concat_ws(' ', tt)) end")
+    return f"element_at(transform(array({t_sql}), tt -> {body}), 1)"
+
+
 def shingles_of(t, k: int = 3):
     """Array of k-word shingles from a token array column/expression.
 
@@ -84,10 +104,12 @@ def shingle_stage(
     persist barrier is needed for single-consumer use). ``persist=True``
     (DISK_ONLY: the frame is ~10x the corpus text) only pays off when the
     result feeds several downstream actions."""
-    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    tok = df.select(
+        F.col(id_col), F.expr(_tokens_sql(f"`{text_col}`")).alias("_t"))
     out = tok.select(
         F.col(id_col),
-        F.array_distinct(shingles_of(F.col("_t"), shingle_k)).alias("sh"),
+        F.array_distinct(
+            F.expr(_shingles_sql("_t", shingle_k))).alias("sh"),
     )
     if persist:
         out = out.persist(StorageLevel.DISK_ONLY)
@@ -156,10 +178,12 @@ def minhash_signatures(
     if _sh is not None:
         staged = _sh.withColumnRenamed("sh", "_shg")
     else:
-        tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        tok = df.select(
+            F.col(id_col),
+            F.expr(_tokens_sql(f"`{text_col}`")).alias("_t"))
         staged = tok.select(
-            F.col(id_col), shingles_of(F.col("_t"), shingle_k).alias("_shg")
-        )
+            F.col(id_col),
+            F.expr(_shingles_sql("_t", shingle_k)).alias("_shg"))
     if hash_fn == "xxhash64":
         # the documented production swap: one JVM xxhash64 per hash
         # function (seeded by the function index literal), numeric min
@@ -169,40 +193,30 @@ def minhash_signatures(
         # digest; the swap's value is per-hash cost at larger H and
         # dropping the hex-string materialization, not a headline win
         # (SCALE.md, round-9 production-knob table)
-        def _xx(j: int):
-            return lambda sh: F.xxhash64(F.lit(j), sh)
-
         return staged.select(
             F.col(id_col),
             *[
-                F.array_min(F.transform("_shg", _xx(j))).alias(f"sig_{j}")
+                F.expr(f"array_min(transform(_shg, s -> xxhash64({j}, s)))")
+                .alias(f"sig_{j}")
                 for j in range(num_hashes)
             ],
         )
     n_dig = (num_hashes + 3) // 4
 
-    # NB: the closures MUST be unary — a `lambda s, g=g:` two-parameter
-    # form makes pyspark treat the HOF lambda as (element, index) and bind
-    # the captured variable to the array-index column.
-    def _digest(g: int):
-        return lambda s: F.md5(F.concat_ws(":", F.lit(str(g)), s))
-
-    def _slice(off: int):
-        return lambda d: F.substring(d, off, 8)
-
     dg = staged.select(
         F.col(id_col),
         *[
-            F.transform("_shg", _digest(g)).alias(f"_d{g}")
+            F.expr(f"transform(_shg, s -> md5(concat_ws(':', '{g}', s)))")
+            .alias(f"_d{g}")
             for g in range(n_dig)
         ],
     )
     return dg.select(
         F.col(id_col),
         *[
-            F.array_min(
-                F.transform(f"_d{j // 4}", _slice((j % 4) * 8 + 1))
-            ).alias(f"sig_{j}")
+            F.expr(f"array_min(transform(_d{j // 4}, "
+                   f"d -> substring(d, {(j % 4) * 8 + 1}, 8)))")
+            .alias(f"sig_{j}")
             for j in range(num_hashes)
         ],
     )
@@ -222,13 +236,16 @@ def lsh_candidate_pairs(
         hash_fn = config.default_hash_fn()
     bands = []
     for b in range(num_hashes // band_rows):
-        parts = [F.col(f"sig_{b * band_rows + r}") for r in range(band_rows)]
+        parts = ", ".join(
+            f"sig_{b * band_rows + r}" for r in range(band_rows))
         if hash_fn == "xxhash64":
-            key = F.xxhash64(F.lit(b), *parts).cast("string")
+            key = f"cast(xxhash64({b}, {parts}) as string)"
         else:
-            key = F.md5(F.concat_ws("|", *parts))
-        bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-    e = sigs.select(F.col(id_col), F.explode(F.array(*bands)).alias("bk"))
+            key = f"md5(concat_ws('|', {parts}))"
+        bands.append(f"named_struct('band', {b}, 'key', {key})")
+    e = sigs.select(
+        F.col(id_col),
+        F.explode(F.expr("array(" + ",".join(bands) + ")")).alias("bk"))
     a = e.select(F.col(id_col).alias("id_a"), F.col("bk").alias("k"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("bk").alias("k"))
     return (
@@ -303,12 +320,14 @@ def minhash_dedup_pairs(
         .distinct()
     )
     cand_docs = df.join(F.broadcast(ids), id_col, "left_semi")
-    tok = cand_docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    tok = cand_docs.select(
+        F.col(id_col), F.expr(_tokens_sql(f"`{text_col}`")).alias("_t"))
     # Persisted so the pair join's two branches share one corpus re-scan
     # and one shingle pass; bounded small (candidate docs only).
     sh_cand = tok.select(
         F.col(id_col),
-        F.array_distinct(shingles_of(F.col("_t"), shingle_k)).alias("sh"),
+        F.array_distinct(
+            F.expr(_shingles_sql("_t", shingle_k))).alias("sh"),
     ).persist(level)
     a = sh_cand.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_cand.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -112,7 +112,16 @@ def _probe_sql(vec_sql: str, planes: list[list[float]],
 
 
 def _exact_dot(a, b):
-    """Order-independent dot product of two float arrays, as double."""
+    """Order-independent dot product of two float arrays, as double.
+    String inputs (column names / SQL fragments) parse JVM-side — each
+    Column-API zip_with/aggregate costs ~25-50 ms of py4j lambda
+    plumbing, and the similarity operators use several per plan."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"cast(aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"cast(cast(x as double) * cast(y as double) as {ACC})), "
+            f"cast(0 as {ACC}), (acc, p) -> cast(acc + p as {ACC})) "
+            "as double)")
     prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(ACC))
     # re-cast inside the fold: decimal addition widens 38,12 → 38,11
     return F.aggregate(
@@ -125,6 +134,11 @@ def _fast_dot(a, b):
     element order (the arrays' own) but NOT decimal-quantized: ~3-5x
     cheaper per pair than `_exact_dot`, the production knob where an
     external engine never needs to reproduce the value bit-for-bit."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "cast(x as double) * cast(y as double)), 0.0D, "
+            "(acc, p) -> acc + p)")
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
@@ -244,9 +258,9 @@ def cosine_topk(
         cand.join(c, "neighbor_id").join(F.broadcast(q), query_id_col)
         .select(
             query_id_col, "neighbor_id",
-            (_exact_dot(F.col("_qv"), F.col("_cv"))
-             / F.sqrt(_exact_norm2(F.col("_qv"))
-                      * _exact_norm2(F.col("_cv")))).alias("cos"),
+            (_exact_dot("_qv", "_cv")
+             / F.sqrt(_exact_norm2("_qv")
+                      * _exact_norm2("_cv"))).alias("cos"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -271,18 +285,18 @@ def _cosine_topk_jvm(
     prefilter path is equality-tested against."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv"),
-        _exact_norm2(F.col(vec_col)).alias("_qn"),
+        _exact_norm2(f"`{vec_col}`").alias("_qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        _exact_norm2(F.col(vec_col)).alias("_cn"),
+        _exact_norm2(f"`{vec_col}`").alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col, "neighbor_id",
-            (_exact_dot(F.col("_qv"), F.col("_cv"))
+            (_exact_dot("_qv", "_cv")
              / F.sqrt(F.col("_qn") * F.col("_cn"))).alias("cos"),
         )
     )
@@ -603,12 +617,12 @@ def ivf_topk(
         q_probes = assign_probes(F.col(vec_col))
     cc = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        _exact_norm2(F.col(vec_col)).alias("_cn"),
+        _exact_norm2(f"`{vec_col}`").alias("_cn"),
         c_assign.alias("list_id"),
     )
     qq = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv"),
-        _exact_norm2(F.col(vec_col)).alias("_qn"),
+        _exact_norm2(f"`{vec_col}`").alias("_qn"),
         F.explode(q_probes).alias("list_id"),
     )
     scored = (
@@ -616,7 +630,7 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col, "neighbor_id",
-            (_exact_dot(F.col("_qv"), F.col("_cv"))
+            (_exact_dot("_qv", "_cv")
              / F.sqrt(F.col("_qn") * F.col("_cn"))).alias("cos"),
         )
     )
@@ -644,20 +658,20 @@ def embedding_neardup_pairs(
     c = hyperplane_bucket(corpus, planes, vec_col)
     a = c.select(
         "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av"),
-        _exact_norm2(F.col(vec_col)).alias("_an"),
+        _exact_norm2(f"`{vec_col}`").alias("_an"),
     )
     b = c.select(
         "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv"),
-        _exact_norm2(F.col(vec_col)).alias("_bn"),
+        _exact_norm2(f"`{vec_col}`").alias("_bn"),
     )
     # fast-prefilter + exact-rescore (the `semantic_dup_drops` trick,
     # bit-identical output): the double chain-dot decides which pairs
     # COULD clear the threshold — margin ≫ the decimal-quantization +
     # float-sum error bound — and only those pay the decimal dot
-    fdot = _fast_dot(F.col("_av"), F.col("_bv"))
+    fdot = _fast_dot("_av", "_bv")
     nn = F.sqrt(F.col("_an") * F.col("_bn"))
     margin = F.lit(1e-6) * (F.lit(1.0) + nn)
-    cos = _exact_dot(F.col("_av"), F.col("_bv")) / F.sqrt(F.col("_an") * F.col("_bn"))
+    cos = _exact_dot("_av", "_bv") / F.sqrt(F.col("_an") * F.col("_bn"))
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
@@ -755,12 +769,12 @@ def cosine_topk_lsh(
         bucket = F.expr(_bucket_sql(vec_col, tables[0]))
         cc = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-            _exact_norm2(F.col(vec_col)).alias("_cn"),
+            _exact_norm2(f"`{vec_col}`").alias("_cn"),
             bucket.alias("bucket"),
         )
         qq = queries.select(
             F.col(query_id_col), F.col(vec_col).alias("_qv"),
-            _exact_norm2(F.col(vec_col)).alias("_qn"),
+            _exact_norm2(f"`{vec_col}`").alias("_qn"),
             bucket.alias("qbucket"),
         )
         cand = (
@@ -774,7 +788,7 @@ def cosine_topk_lsh(
                      for t, tp in enumerate(tables)]
         cc = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-            _exact_norm2(F.col(vec_col)).alias("_cn"),
+            _exact_norm2(f"`{vec_col}`").alias("_cn"),
             F.explode(F.array(*c_buckets)).alias("_cb"),
         ).select("neighbor_id", "_cv", "_cn", F.col("_cb.tbl").alias("tbl"),
                  F.col("_cb.bucket").alias("bucket"))
@@ -786,7 +800,7 @@ def cosine_topk_lsh(
         ]
         qq = queries.select(
             F.col(query_id_col), F.col(vec_col).alias("_qv"),
-            _exact_norm2(F.col(vec_col)).alias("_qn"),
+            _exact_norm2(f"`{vec_col}`").alias("_qn"),
             F.explode(F.array(*q_probes)).alias("_qp"),
         ).select(
             query_id_col, "_qv", "_qn", F.col("_qp.tbl").alias("qtbl"),
@@ -805,7 +819,7 @@ def cosine_topk_lsh(
         cand = cand.dropDuplicates([query_id_col, "neighbor_id"])
     scored = cand.select(
         query_id_col, "neighbor_id",
-        (_exact_dot(F.col("_qv"), F.col("_cv"))
+        (_exact_dot("_qv", "_cv")
          / F.sqrt(F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -843,7 +857,7 @@ def _cluster_sim_frame(corpus: DataFrame, centroids: list[list[float]],
     return corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        dot(F.col(vec_col), F.col(vec_col)).alias("_nrm"),
+        dot(f"`{vec_col}`", f"`{vec_col}`").alias("_nrm"),
         cluster.alias("cluster"),
         cd.alias("_cd"),
     ).select(
@@ -1157,7 +1171,7 @@ def semantic_dup_drops(
     # Schwarz; numpy's pairwise summation error is ≤ the chain-sum
     # bound), so no qualifying pair can be lost and the decimal cosine
     # decides membership exactly as when it scored every pair.
-    cos = dot(F.col("_av"), F.col("_bv")) \
+    cos = dot("_av", "_bv") \
         / F.sqrt(F.col("_an") * F.col("_bn"))
     cand = (cand.withColumn("_cos", cos)
             .where(F.col("_cos") >= threshold))
@@ -1380,7 +1394,7 @@ def pq_topk(
     qq = queries.select(
         F.col(query_id_col),
         _pq_query_luts(vec_col, codebooks).alias("_lut"),
-        F.sqrt(_exact_norm2(F.col(vec_col))).alias("_qnorm"),
+        F.sqrt(_exact_norm2(f"`{vec_col}`")).alias("_qnorm"),
         *q_extra,
     )
     # literal per-(subspace, code) reconstruction norm² table (SQL-text
@@ -1417,14 +1431,14 @@ def pq_topk(
     # exact re-rank: bounded (queries × k·refine) join back to vectors
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        _exact_norm2(F.col(vec_col)).alias("_cn"))
+        _exact_norm2(f"`{vec_col}`").alias("_cn"))
     qv = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv"),
-        _exact_norm2(F.col(vec_col)).alias("_qn"))
+        _exact_norm2(f"`{vec_col}`").alias("_qn"))
     scored = (short.join(cv, "neighbor_id")
               .join(F.broadcast(qv), query_id_col)
               .select(query_id_col, "neighbor_id",
-                      (_exact_dot(F.col("_qv"), F.col("_cv"))
+                      (_exact_dot("_qv", "_cv")
                        / F.sqrt(F.col("_qn") * F.col("_cn"))).alias("cos")))
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
