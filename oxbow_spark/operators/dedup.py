@@ -314,11 +314,15 @@ def minhash_dedup_pairs(
     if eager_barriers:
         sigs.count()
         cand.count()
-    ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
+    # No distinct: the broadcast hash relation dedups keys on build, so
+    # the exchange+aggregate a distinct would add buys nothing — the
+    # collected broadcast side is 2·|pairs| rows of one id column,
+    # the same order as the pair list that must already be broadcast-
+    # small for this plan (see the fallback note above). One explode
+    # pass instead of union-of-two-projections keeps it a single
+    # narrow stage over the persisted pair frame.
+    ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col))
     cand_docs = df.join(F.broadcast(ids), id_col, "left_semi")
     tok = cand_docs.select(
         F.col(id_col), F.expr(_tokens_sql(f"`{text_col}`")).alias("_t"))
