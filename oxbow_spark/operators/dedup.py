@@ -312,8 +312,13 @@ def minhash_dedup_pairs(
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows,
                                hash_fn=hash_fn).persist(level)
     if eager_barriers:
-        sigs.count()
-        cand.count()
+        # noop-sink writes, not count(): a count over the about-to-be-
+        # cached frame pays an extra partial/final agg exchange (2 more
+        # AQE stage jobs per barrier, ~50-80 ms each of pure scheduling
+        # on any driver); the noop write materializes the cache in the
+        # minimum number of stages and moves zero rows to the driver.
+        sigs.write.format("noop").mode("overwrite").save()
+        cand.write.format("noop").mode("overwrite").save()
     # No distinct: the broadcast hash relation dedups keys on build, so
     # the exchange+aggregate a distinct would add buys nothing — the
     # collected broadcast side is 2·|pairs| rows of one id column,
