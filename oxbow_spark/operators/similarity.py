@@ -1347,6 +1347,43 @@ def _pq_query_luts(vec_col, codebooks: list[list[list[float]]]):
     return F.array(*luts)
 
 
+def _pq_query_luts_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched twin of `_pq_query_luts`: the per-query ADC lookup
+    tables computed with the SAME left-to-right float64 accumulation as
+    the SQL chain (``acc + x_j·y_j`` term by term from ``acc = 0.0``),
+    so every output bit matches — pinned by
+    ``test_pq_lut_udf_matches_sql_tree``. The point is plan-ANALYSIS
+    cost, not construction: the SQL string already parses JVM-side in
+    one call, but its m·ksub aggregate/zip_with lambdas re-analyze on
+    every plan build (~0.15 s at m=8, ksub=16, per bench trial); the
+    UDF call is one node. The query side already carries an Arrow
+    python stage (`assign_probes`), so this adds no new JVM↔Python
+    boundary, and it runs only over the bounded query frame."""
+    from pyspark.sql.functions import pandas_udf
+
+    CB = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(CB)
+    dsub = CB[0].shape[1]
+
+    @pandas_udf("array<array<double>>")
+    def luts(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        subs = []
+        for i in range(m):
+            S = X[:, i * dsub:(i + 1) * dsub]
+            acc = np.zeros((X.shape[0], CB[i].shape[0]))
+            for j in range(dsub):
+                acc = acc + S[:, j:j + 1] * CB[i][None, :, j]
+            subs.append(acc)
+        return pd.Series(
+            [[subs[i][r].tolist() for i in range(m)]
+             for r in range(X.shape[0])])
+
+    return luts
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1393,25 +1430,24 @@ def pq_topk(
     )
     qq = queries.select(
         F.col(query_id_col),
-        _pq_query_luts(vec_col, codebooks).alias("_lut"),
+        _pq_query_luts_udf(codebooks)(F.col(vec_col)).alias("_lut"),
         F.sqrt(_exact_norm2(f"`{vec_col}`")).alias("_qnorm"),
         *q_extra,
     )
-    # literal per-(subspace, code) reconstruction norm² table (SQL-text
-    # literals: one parser call instead of m·ksub py4j round trips)
-    n2 = F.expr("array(" + ",".join(
+    # literal per-(subspace, code) reconstruction norm² table and the
+    # two ADC gather-sums, all as SQL text: one parser call each
+    # instead of py4j lambda plumbing per HOF (same trees, same bits)
+    n2_sql = "array(" + ",".join(
         "array(" + ",".join(_dlit(sum(x * x for x in c)) for c in cb) + ")"
-        for cb in codebooks) + ")")
-    idx = F.expr("array(" + ",".join(str(i) for i in range(m)) + ")")
-    approx_dot = F.aggregate(
-        F.zip_with(F.col("_code"), F.col("_lut"),
-                   lambda c, row: F.element_at(row, c + F.lit(1))),
-        F.lit(0.0), lambda acc, x: acc + x)
-    recon_n2 = F.aggregate(
-        F.zip_with(idx, F.col("_code"),
-                   lambda i, c: F.element_at(
-                       F.element_at(n2, i + F.lit(1)), c + F.lit(1))),
-        F.lit(0.0), lambda acc, x: acc + x)
+        for cb in codebooks) + ")"
+    idx_sql = "array(" + ",".join(str(i) for i in range(m)) + ")"
+    approx_dot = F.expr(
+        "aggregate(zip_with(_code, _lut, (c, r) -> element_at(r, c + 1)), "
+        "0.0D, (acc, x) -> acc + x)")
+    recon_n2 = F.expr(
+        f"aggregate(zip_with({idx_sql}, _code, (i, c) -> "
+        f"element_at(element_at({n2_sql}, i + 1), c + 1)), "
+        "0.0D, (acc, x) -> acc + x)")
     cand = (
         cc.join(F.broadcast(qq), join_keys)
         .where(F.col("neighbor_id") != F.col(query_id_col))

@@ -665,6 +665,13 @@ def test_sql_string_builders_match_column_builders(spark, sf):
                   order_col="vec_id")
     lut_sql = S._pq_query_luts("embedding", cb)
     lut_col = S._pq_query_luts(F.col("embedding"), cb)
+    lut_udf = S._pq_query_luts_udf(cb)(F.col("embedding"))
     for r in emb.limit(20).select(lut_sql.alias("a"),
-                                  lut_col.alias("b")).collect():
+                                  lut_col.alias("b"),
+                                  lut_udf.alias("c")).collect():
         assert r["a"] == r["b"]
+        # the Arrow kernel twin must be bit-identical to the SQL chain
+        # (same left-to-right float64 accumulation) — pq_topk's approx
+        # candidate scores, and with them the oracle row set, depend
+        # on exact equality here
+        assert r["a"] == r["c"]
