@@ -25,6 +25,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -32,6 +34,28 @@ from pyspark.sql import functions as F
 from oxbow_spark import config
 
 TOKEN_SPLIT = r"\s+"
+
+# Python mirror of the JVM tokenizer `split(trim(text), '\s+')`, used by
+# the Arrow kernels (simhash here, repetition_stats in text.py):
+# - Spark `trim` strips ASCII space (0x20) ONLY → str.strip(' ')
+# - Java `\s` (no UNICODE_CHARACTER_CLASS) is exactly [ \t\n\x0B\f\r],
+#   so the Python class is written out literally — Python's own r"\s"
+#   would additionally match \x1c-\x1f, \x85, \xa0,   … and break
+#   byte parity on unicode whitespace
+# - Spark splits with limit -1 (leading/trailing empty strings kept),
+#   which is re.split's default behavior
+# The equality battery in tests/test_text_kernels.py pins kernel ≡ JVM
+# on the real corpus plus a unicode/degenerate edge corpus.
+_PY_TOKEN_RE = None
+
+
+def _py_tokens(s: str) -> list[str]:
+    global _PY_TOKEN_RE
+    if _PY_TOKEN_RE is None:
+        import re
+
+        _PY_TOKEN_RE = re.compile("[ \t\n\x0b\x0c\r]+")
+    return _PY_TOKEN_RE.split(s.strip(" "))
 
 
 def tokens(col):
@@ -349,19 +373,64 @@ def minhash_dedup_pairs(
     )
 
 
+def _simhash_udf(bits: int):
+    """Arrow kernel for `simhash`: one pandas_udf computing the whole
+    fingerprint per text. Bit-identical to the expression path by
+    construction — same tokenizer (`_py_tokens` ≡ split(trim, '\\s+')),
+    same md5 (of the token's UTF-8 bytes, as the JVM computes it), same
+    parity rule (ascii of the i-th hexdigest char mod 2), same integer
+    vote arithmetic — pinned by tests/test_text_kernels.py. Per-batch
+    token→±1-vector memo: corpora repeat tokens heavily, so most
+    lookups skip the md5 entirely."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def k(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        memo: dict[str, np.ndarray] = {}
+        out = np.zeros(len(texts), dtype=np.int64)
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+        for r, s in enumerate(texts):
+            counts: dict[str, int] = {}
+            for t in _py_tokens(s):
+                counts[t] = counts.get(t, 0) + 1
+            votes = np.zeros(bits, dtype=np.int64)
+            for t, c in counts.items():
+                v = memo.get(t)
+                if v is None:
+                    h = hashlib.md5(t.encode("utf-8")).hexdigest()[:bits]
+                    v = (np.frombuffer(h.encode("ascii"), dtype=np.uint8)
+                         .astype(np.int64) % 2) * 2 - 1
+                    memo[t] = v
+                votes += c * v
+            out[r] = int(weights[votes > 0].sum())
+        return pd.Series(out)
+
+    return k
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 16) -> DataFrame:
+            bits: int = 16, kernel: bool = False) -> DataFrame:
     """Per-doc SimHash fingerprint over ``bits`` bit positions (<= 32).
 
     Bit source: parity of the i-th hex digit of md5(token) — engine-portable
     and deterministic. Bit voting is PER ROW (r15): the md5 array is
     staged once per doc and each bit folds it with an `aggregate` HOF —
-    no explode, no shuffle at all, where the original formulation
-    shipped one row per token into a groupBy (map-side partial agg made
-    the exchange doc-sized, but zero shuffle plus one fewer stage beats
-    it: measured 0.73 s -> 0.25 s at sf0.1/local[32], identical
-    output). The `.where(_t is not null)` keeps the explode semantics
-    for null text (the doc is absent, as with unnest on the oracle)."""
+    no explode, no shuffle at all. ``kernel=True`` computes the whole
+    fingerprint in one Arrow pandas_udf instead (`_simhash_udf`,
+    bit-identical — pinned by tests/test_text_kernels.py); interleaved
+    sf0.1 A/B: the kernel wins at cpus=8 (0.36 vs 0.44 s — less total
+    CPU) but loses at cpus=32 (0.46 vs 0.30 s — per-task Arrow/UDF
+    overhead dominates the 150-doc batches), so the zero-Python
+    expression path stays the default and the kernel is the measured
+    option for core-starved deployments. The null filter keeps the
+    explode semantics for null text (the doc is absent, as with unnest
+    on the oracle)."""
+    if kernel:
+        fp = _simhash_udf(bits).asNondeterministic()
+        return (df.where(F.col(text_col).isNotNull())
+                .select(F.col(id_col), fp(F.col(text_col)).alias("simhash")))
     tok = df.select(
         F.col(id_col), F.expr(_tokens_sql(f"`{text_col}`")).alias("_t"))
     h = (tok.where(F.col("_t").isNotNull())

@@ -1156,7 +1156,28 @@ def semantic_dup_drops(
     # O(near-dups) rows out, and every SURVIVOR is rescored below by
     # the same Spark expressions as before, so final values stay
     # bit-identical to the plain self-join.
-    cand = nt.groupBy("cluster", "_lo", "_hi").applyInPandas(
+    # The kernel stage's exchange is pinned as an explicit hash
+    # repartition (REPARTITION_BY_NUM — AQE cannot coalesce it) rather
+    # than the implicit ENSURE_REQUIREMENTS exchange the groupBy would
+    # add: the kernel's input is byte-SMALL but its stage is
+    # compute-DENSE (the matmul grid plus, downstream in the SAME
+    # stage, the exact decimal rescore at ~1 ms/pair), so AQE's
+    # byte-based coalescing folds it into 1-2 tasks — the identical
+    # trap the r14 sf10 decade run caught on this very stage's
+    # predecessor, one level further down. Partition count comes from
+    # spark.sql.shuffle.partitions (the deployment's scale knob, cores
+    # locally), never a literal; the groupBy below reuses the
+    # partitioning (same keys), so the plan gains no extra exchange.
+    try:
+        _np = int(n.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        _np = n.sparkSession.sparkContext.defaultParallelism
+    # cap at nlist (a lower bound on the group count — every cluster is
+    # ≥ 1 tile-pair group): partitions beyond the group count are empty
+    # tasks that still pay an Arrow/python-worker round trip each
+    _np = max(1, min(_np, len(centroids)))
+    cand = nt.repartition(_np, "cluster", "_lo", "_hi") \
+        .groupBy("cluster", "_lo", "_hi").applyInPandas(
         _pair_candidates_fn(float(threshold)),
         schema=("_id_a long, _id_b long, cluster long, "
                 "_csim_a double, _csim_b double, "

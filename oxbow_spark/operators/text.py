@@ -8,10 +8,11 @@ semantics are mirror-able in ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from oxbow_spark.operators.dedup import tokens
+from oxbow_spark.operators.dedup import _py_tokens, tokens
 
 # marker stopwords per language for the n-gram/stopword language heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -197,11 +198,69 @@ def _top_run_chars(srt: Column, starts: Column, discount: int) -> Column:
                                      starts.alias("st"))), _body), 1)
 
 
+def _repetition_metrics_udf():
+    """Arrow kernel for `repetition_stats`: all four metrics in one
+    pandas_udf. Bit-identical to the expression path: the tokenizer is
+    `dedup._py_tokens` (≡ split(trim, '\\s+')), every metric is integer
+    arithmetic (counts × code-point lengths — Python len ≡ Spark
+    `length`, both count code points) until one final float64 division
+    of exactly-representable ints, which IEEE defines uniquely — pinned
+    by tests/test_text_kernels.py on the real corpus plus unicode /
+    degenerate edges. Null text reproduces the expression path's
+    outputs exactly: n_tokens/dup null (size(null)/arithmetic-on-null),
+    both top fractions 0.0 (the run-chars trees bottom out at 0 and
+    `greatest`/`least` skip nulls)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_tokens:int, dup_token_frac:double, "
+                "top_token_frac:double, top_2gram_frac:double>")
+    def k(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        n_out, dup_out, t1_out, t2_out = [], [], [], []
+        for s in texts:
+            if s is None:
+                n_out.append(None)
+                dup_out.append(None)
+                t1_out.append(0.0)
+                t2_out.append(0.0)
+                continue
+            toks = _py_tokens(s)
+            n = len(toks)
+            c = Counter(toks)
+            tot = 0
+            top1 = 0
+            for t, cnt in c.items():
+                m = cnt * len(t)
+                tot += m
+                if m > top1:
+                    top1 = m
+            if n >= 2:
+                bg = Counter(zip(toks, toks[1:]))
+                top2 = max(cnt * (len(a) + len(b))
+                           for (a, b), cnt in bg.items())
+            else:
+                top2 = 0
+            n_out.append(n)
+            dup_out.append(float(n - len(c)) / float(max(n, 1)))
+            t1_out.append(min(1.0, float(top1) / float(max(tot, 1))))
+            t2_out.append(min(1.0, float(top2) / float(max(tot, 1))))
+        return pd.DataFrame({
+            "n_tokens": pd.array(n_out, dtype="Int32"),
+            "dup_token_frac": pd.array(dup_out, dtype="Float64"),
+            "top_token_frac": pd.array(t1_out, dtype="Float64"),
+            "top_2gram_frac": pd.array(t2_out, dtype="Float64"),
+        })
+
+    return k
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      max_dup_token_frac: float = 0.6,
                      max_top_token_frac: float = 0.13,
-                     max_top_2gram_frac: float = 0.11) -> DataFrame:
+                     max_top_2gram_frac: float = 0.11,
+                     kernel: bool = True) -> DataFrame:
     """Gopher-style repetition quality metrics, entirely per-row.
 
     The Gopher/RefinedWeb repetition rules (duplicate-line fraction,
@@ -215,12 +274,39 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
       discounted);
     - ``repetition_ok``    — all three under their thresholds.
 
-    Scale: every metric is a codegen'd expression over the row's own token
-    array (sort + run-length, `_top_run_chars`) — the operator is a pure
-    Project, no explode, no groupBy, no shuffle; 100 TB runs at scan speed.
-    Each array stage is a separate Project so CollapseProject cannot
-    re-inline the split into downstream lambdas (the `shingles_of` trap).
+    Scale: per-row either way — no explode, no groupBy, no shuffle; 100 TB
+    runs at scan speed. ``kernel=True`` (default, r15) computes all four
+    metrics in one Arrow pandas_udf (`_repetition_metrics_udf`): the
+    expression formulation's interpreted HOFs (sort + run-length chains,
+    `_top_run_chars`) measured 9.5 s of task CPU at sf0.1 vs ~0.5 s for
+    the kernel, and its Column-API build cost ~0.3 s of py4j per plan
+    (guide §4.2 — batch-native code beats interpreted JVM expression
+    chains; the Arrow boundary moves only the text column the operator
+    already reads). The UDF is marked nondeterministic so a consumer
+    filter on `repetition_ok` cannot duplicate the evaluation (guide
+    §4.4). ``kernel=False`` keeps the expression path — the reference
+    the equality battery pins the kernel against, and the zero-Python
+    fallback. Each expression-path array stage is a separate Project so
+    CollapseProject cannot re-inline the split into downstream lambdas
+    (the `shingles_of` trap).
     """
+    if kernel:
+        m = _repetition_metrics_udf().asNondeterministic()
+        out = df.select(
+            F.col(id_col), m(F.col(text_col)).alias("_m")
+        ).select(
+            id_col,
+            F.col("_m.n_tokens").alias("n_tokens"),
+            F.col("_m.dup_token_frac").alias("dup_token_frac"),
+            F.col("_m.top_token_frac").alias("top_token_frac"),
+            F.col("_m.top_2gram_frac").alias("top_2gram_frac"),
+        )
+        return out.withColumn(
+            "repetition_ok",
+            (F.col("dup_token_frac") <= max_dup_token_frac)
+            & (F.col("top_token_frac") <= max_top_token_frac)
+            & (F.col("top_2gram_frac") <= max_top_2gram_frac),
+        )
     tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
 
     # let-bound bigram build (SCALE.md fact #5): with F.col("_t") in the

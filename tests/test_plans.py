@@ -459,7 +459,10 @@ def test_repetition_filter_pushdown_keeps_lambdas_let_bound(spark):
     bad = "spam spam spam spam spam"              # top_token_frac = 1
     df = spark.createDataFrame(
         [(1, ok), (2, bad)], "doc_id long, text string")
-    filtered = repetition_stats(df).where(
+    # kernel=False: this guard is about the retained EXPRESSION
+    # formulation (the r15 Arrow kernel has no lambdas to de-let-bind;
+    # its own duplication guard lives in test_text_kernels.py)
+    filtered = repetition_stats(df, kernel=False).where(
         F.col("repetition_ok")).select("doc_id")
     plan = filtered._jdf.queryExecution().optimizedPlan().toString()
     assert "split(" in plan  # the substitution did happen...
