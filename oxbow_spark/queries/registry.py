@@ -2093,7 +2093,8 @@ def _shared_sim_frame(spark: SparkSession, sf_dir: str, variant: str,
                       emb: DataFrame, cents: DataFrame) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, variant)
     got = _SIM_FRAME_CACHE.get(key)
-    if got is None:
+    fresh = got is None
+    if fresh:
         frame = similarity._cluster_sim_frame(
             emb, cents, "embedding", "vec_id", "auto", None).persist()
         for stale in [k for k, v in _SIM_FRAME_CACHE.items()
@@ -2105,8 +2106,17 @@ def _shared_sim_frame(spark: SparkSession, sf_dir: str, variant: str,
     # re-persist so this invocation's consumers still share ONE
     # materialization of the n·nlist assignment matmul
     sl = frame.storageLevel
-    if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
-        frame.persist()
+    if fresh or not (sl.useMemory or sl.useDisk or sl.useOffHeap):
+        if not fresh:
+            frame.persist()
+        # eager barrier (same discipline as minhash_dedup_pairs): the
+        # frame's three consumers (cluster sizes, the tiled pair input,
+        # the proto window) otherwise race the cold cache as concurrent
+        # AQE stage jobs and each recomputes the assignment matmul —
+        # observed as three ~0.33 s single-task jobs per trial; one
+        # noop-sink write materializes it once (interleaved sf0.1 A/B:
+        # 1.82 vs 1.98 s for the semdedup row)
+        frame.write.format("noop").mode("overwrite").save()
     return frame
 
 
