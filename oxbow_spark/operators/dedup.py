@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oxbow_spark import config
+from oxbow_spark.operators import _worker_env  # noqa: F401  (worker-side zipimport fix)
 
 TOKEN_SPLIT = r"\s+"
 
@@ -118,23 +119,113 @@ def word_shingles(col, k: int = 3):
     return shingles_of(tokens(col), k)
 
 
+def _py_shingles(s: str | None, k: int) -> list[str]:
+    """Python mirror of tokens→shingles (`_shingles_sql` semantics):
+    k-token windows joined with ' ', or the single joined-token string
+    when the doc has fewer than k tokens. NULL text behaves like '' —
+    verified against the JVM path (trim/split of NULL bottoms out at the
+    else-leg's concat_ws, which yields ''), pinned by the equality
+    battery in tests/test_text_kernels.py."""
+    toks = _py_tokens(s if s is not None else "")
+    n = len(toks)
+    if n >= k:
+        if k == 3:
+            return [toks[i] + " " + toks[i + 1] + " " + toks[i + 2]
+                    for i in range(n - 2)]
+        return [" ".join(toks[i:i + k]) for i in range(n - k + 1)]
+    return [" ".join(toks)]
+
+
+def _minhash_sig_udf(num_hashes: int, shingle_k: int):
+    """Arrow kernel for `minhash_signatures` (md5 path): per doc,
+    tokenize → shingle → ceil(H/4) md5 digests per shingle → per-slice
+    min, all in one pandas_udf. Bit-identical to the expression path:
+    the tokenizer is `_py_tokens` (≡ split(trim, '\\s+')), md5 runs over
+    the same UTF-8 bytes as Spark's md5(cast(string as binary)), and the
+    numeric min over big-endian uint32 views of the raw digests equals
+    the lexicographic min over fixed-width lowercase-hex slices (both
+    compare the same 4 bytes most-significant first). Pinned by
+    tests/test_text_kernels.py on the real corpus + unicode/degenerate
+    edges. Guide §4.2: the expression path's interpreted HOF chains
+    (transform + concat_ws + md5 + 8 array_min/substring folds) measured
+    ~4.5 s of task CPU at sf0.1 vs ~0.65 s of pure-Python compute for
+    the kernel (the ~60 ms/task Arrow boundary overhead narrows that to
+    1.6->0.95 s task CPU at 8 tasks and parity at 32 — the win grows
+    with rows/task, i.e. with scale); the boundary moves only (text) in
+    and H 8-char strings per doc out."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_dig = (num_hashes + 3) // 4
+
+    @pandas_udf("array<string>")
+    def k(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        md5 = hashlib.md5
+        pre = [f"{g}:".encode("ascii") for g in range(n_dig)]
+        out = []
+        for s in texts:
+            sh = [x.encode("utf-8") for x in _py_shingles(s, shingle_k)]
+            if n_dig == 2:
+                p0, p1 = pre
+                buf = b"".join(
+                    md5(p0 + x).digest() + md5(p1 + x).digest() for x in sh)
+            else:
+                buf = b"".join(
+                    b"".join(md5(p + x).digest() for p in pre) for x in sh)
+            mins = np.frombuffer(buf, dtype=">u4").reshape(
+                -1, 4 * n_dig).min(axis=0)
+            out.append(["%08x" % v for v in mins[:num_hashes]])
+        return pd.Series(out)
+
+    return k
+
+
+def _shingle_set_udf(shingle_k: int):
+    """Arrow kernel for the distinct-shingle-set stage (`shingle_stage`
+    and the Jaccard-verify re-shingling in `minhash_dedup_pairs`):
+    tokens → shingles → first-occurrence distinct (dict.fromkeys ≡
+    array_distinct's keep-first semantics). Bit-identical by the same
+    arguments as `_minhash_sig_udf`; measured ~3.5 s of task CPU at
+    sf0.1 for the expression chain vs ~0.2 s for the kernel."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def k(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            list(dict.fromkeys(_py_shingles(s, shingle_k))) for s in texts
+        ])
+
+    return k
+
+
 def shingle_stage(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_k: int = 3, persist: bool = False,
+    shingle_k: int = 3, persist: bool = False, kernel: bool = False,
 ) -> DataFrame:
-    """(id, sh): distinct shingle set per doc, built as chained Projects so
-    the split/shingle expressions evaluate once per row (CollapseProject
-    declines to inline non-cheap aliases referenced more than once — no
-    persist barrier is needed for single-consumer use). ``persist=True``
-    (DISK_ONLY: the frame is ~10x the corpus text) only pays off when the
-    result feeds several downstream actions."""
-    tok = df.select(
-        F.col(id_col), F.expr(_tokens_sql(f"`{text_col}`")).alias("_t"))
-    out = tok.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.expr(_shingles_sql("_t", shingle_k))).alias("sh"),
-    )
+    """(id, sh): distinct shingle set per doc. Default is the JVM
+    expression formulation: chained Projects so the split/shingle
+    expressions evaluate once per row (CollapseProject declines to
+    inline non-cheap aliases referenced more than once). ``kernel=True``
+    computes it in one Arrow pandas_udf (`_shingle_set_udf`),
+    bit-identical (equality battery in tests/test_text_kernels.py) and
+    ~4x less per-row CPU — but at sf0.1's tiny per-task row counts the
+    ~60 ms/task Arrow boundary overhead dominates (measured 2.0 s vs
+    0.7 s task CPU at 32 tasks), so like `simhash(kernel=...)` the
+    kernel is opt-in for deployments with real-sized partitions.
+    ``persist=True`` (DISK_ONLY: the frame is ~10x the corpus text) only
+    pays off when the result feeds several downstream actions."""
+    if kernel:
+        m = _shingle_set_udf(shingle_k).asNondeterministic()
+        out = df.select(F.col(id_col), m(F.col(text_col)).alias("sh"))
+    else:
+        tok = df.select(
+            F.col(id_col), F.expr(_tokens_sql(f"`{text_col}`")).alias("_t"))
+        out = tok.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.expr(_shingles_sql("_t", shingle_k))).alias("sh"),
+        )
     if persist:
         out = out.persist(StorageLevel.DISK_ONLY)
     return out
@@ -180,25 +271,43 @@ def minhash_hash_exprs(s, num_hashes: int = 8) -> list:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, shingle_k: int = 3, _sh: DataFrame | None = None,
-    hash_fn: str | None = None,
+    hash_fn: str | None = None, kernel: bool = True,
 ) -> DataFrame:
     """(id, sig_0..sig_{H-1}): per-doc MinHash signature.
 
     sig_j = lexicographic min of hash_j over the doc's shingles (see
     `minhash_hash_exprs`; min is invariant under duplicate shingles, so no
-    distinct pass is needed). Entirely JVM-side, no shuffle, and NO persist
-    barriers: each stage (tokens -> shingles -> digest arrays -> mins) is
-    its own Project whose aliases are referenced multiple times downstream,
-    and Catalyst's CollapseProject declines to inline a non-cheap alias
-    referenced more than once — so split/shingle/md5 each evaluate exactly
-    once per row. The digest stage materializes ceil(H/4) md5 digests per
-    shingle transiently (per row, never stored), and each sig_j is an
-    array_min over cheap substring slices of those digests. Measured ~3x
-    faster than either a fold-with-running-min or a persisted shingle
-    stage with one md5 per hash function.
+    distinct pass is needed). No shuffle either way.
+
+    ``kernel=True`` (default, r15) computes the whole chain in one Arrow
+    pandas_udf (`_minhash_sig_udf`) when the hash is md5 and the input is
+    raw text — bit-identical and ~7x less task CPU than the interpreted
+    HOF chains (guide §4.2). The xxhash64 production path and explicit
+    ``_sh`` inputs keep the JVM formulation.
+
+    ``kernel=False`` (the JVM reference path): entirely JVM-side, NO
+    persist barriers — each stage (tokens -> shingles -> digest arrays ->
+    mins) is its own Project whose aliases are referenced multiple times
+    downstream, and Catalyst's CollapseProject declines to inline a
+    non-cheap alias referenced more than once, so split/shingle/md5 each
+    evaluate exactly once per row. The digest stage materializes
+    ceil(H/4) md5 digests per shingle transiently (per row, never
+    stored), and each sig_j is an array_min over cheap substring slices
+    of those digests. Measured ~3x faster than either a
+    fold-with-running-min or a persisted shingle stage with one md5 per
+    hash function.
     """
     if hash_fn is None:
         hash_fn = config.default_hash_fn()
+    if kernel and _sh is None and hash_fn == "md5":
+        m = _minhash_sig_udf(num_hashes, shingle_k).asNondeterministic()
+        staged = df.select(
+            F.col(id_col), m(F.col(text_col)).alias("_sig"))
+        return staged.select(
+            F.col(id_col),
+            *[F.col("_sig")[j].alias(f"sig_{j}")
+              for j in range(num_hashes)],
+        )
     if _sh is not None:
         staged = _sh.withColumnRenamed("sh", "_shg")
     else:
@@ -305,6 +414,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 8, band_rows: int = 2, shingle_k: int = 3,
     threshold: float = 0.5, storage_level: StorageLevel | None = None,
     eager_barriers: bool = True, hash_fn: str | None = None,
+    kernel: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidate pairs verified >= threshold.
 
@@ -331,7 +441,8 @@ def minhash_dedup_pairs(
         else StorageLevel.MEMORY_AND_DISK
     )
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, hash_fn=hash_fn
+        df, text_col, id_col, num_hashes, shingle_k, hash_fn=hash_fn,
+        kernel=kernel,
     ).persist(level)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows,
                                hash_fn=hash_fn).persist(level)
@@ -353,10 +464,15 @@ def minhash_dedup_pairs(
     ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col))
     cand_docs = df.join(F.broadcast(ids), id_col, "left_semi")
+    # Persisted so the pair join's two branches share one corpus re-scan
+    # and one shingle pass; bounded small (candidate docs only). The
+    # shingle set stays on the JVM expression path regardless of
+    # ``kernel``: measured at sf0.1 the expression chain is cheap (0.7 s
+    # task CPU at 32 tasks) while an Arrow stage pays ~60 ms/task of
+    # boundary overhead (2.0 s) — `shingle_stage(kernel=True)` remains
+    # available where partitions are real-sized.
     tok = cand_docs.select(
         F.col(id_col), F.expr(_tokens_sql(f"`{text_col}`")).alias("_t"))
-    # Persisted so the pair join's two branches share one corpus re-scan
-    # and one shingle pass; bounded small (candidate docs only).
     sh_cand = tok.select(
         F.col(id_col),
         F.array_distinct(

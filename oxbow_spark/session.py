@@ -14,6 +14,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _worker_pythonpath() -> str:
+    """PYTHONPATH for python workers/daemon: the repo root (so
+    `oxbow_spark` resolves by module reference wherever the driver was
+    launched from) prepended to any inherited PYTHONPATH."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inherited = os.environ.get("PYTHONPATH", "")
+    return os.pathsep.join(p for p in (repo_root, inherited) if p)
+
+
 def get_spark(
     app_name: str = "oxbow_spark",
     cpus: int | None = None,
@@ -51,6 +60,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Worker-boundary cost (guide §4): the custom daemon applies the
+        # Python-3.11 zipimport invalidate_caches fix (otherwise EVERY
+        # Python-stage task re-parses pyspark.zip's central directory in
+        # worker_util.setup_spark_files — measured 140-220 ms/task, i.e.
+        # a trivial 1-row pandas_udf job at 0.21 s vs 0.075 s JVM-only)
+        # and pre-imports numpy/pandas/pyarrow so forked workers inherit
+        # them copy-on-write. See oxbow_spark/worker_daemon.py.
+        .config("spark.python.daemon.module", "oxbow_spark.worker_daemon")
+        # Make the repo importable in daemon/worker processes regardless
+        # of the driver's cwd (kernels are pickled by module reference).
+        .config("spark.executorEnv.PYTHONPATH", _worker_pythonpath())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -93,6 +93,61 @@ def test_simhash_kernel_matches_expression_corpus(spark, sf_dir):
     assert a == b
 
 
+def test_minhash_sig_kernel_matches_expression_edges(edge_df):
+    for H, k in ((8, 3), (6, 3), (8, 2), (4, 4)):
+        a = _rows(D.minhash_signatures(
+            edge_df, num_hashes=H, shingle_k=k, kernel=True))
+        b = _rows(D.minhash_signatures(
+            edge_df, num_hashes=H, shingle_k=k, kernel=False))
+        assert a == b, (H, k)
+
+
+def test_minhash_sig_kernel_matches_expression_corpus(spark, sf_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = _rows(D.minhash_signatures(docs, kernel=True))
+    b = _rows(D.minhash_signatures(docs, kernel=False))
+    assert a == b
+
+
+def test_minhash_sig_kernel_skips_xxhash_path(edge_df):
+    """The production xxhash64 swap keeps the pure-JVM formulation: the
+    kernel only covers the md5/oracle path."""
+    df = D.minhash_signatures(edge_df, hash_fn="xxhash64", kernel=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_shingle_set_kernel_matches_expression_edges(edge_df):
+    for k in (2, 3, 5):
+        a = _rows(D.shingle_stage(edge_df, shingle_k=k, kernel=True))
+        b = _rows(D.shingle_stage(edge_df, shingle_k=k, kernel=False))
+        assert a == b, k
+
+
+def test_shingle_set_kernel_matches_expression_corpus(spark, sf_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = _rows(D.shingle_stage(docs, kernel=True))
+    b = _rows(D.shingle_stage(docs, kernel=False))
+    assert a == b
+
+
+def test_minhash_dedup_pairs_kernel_matches_expression(spark, sf_dir):
+    """Full-pipeline parity: kernel and JVM formulations of the MinHash
+    near-dup pipeline produce the identical verified pair set."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = _rows(D.minhash_dedup_pairs(docs, kernel=True))
+    spark.catalog.clearCache()
+    b = _rows(D.minhash_dedup_pairs(docs, kernel=False))
+    spark.catalog.clearCache()
+    assert a == b and len(a) > 0
+
+
 def test_repetition_kernel_single_python_eval_under_filter(spark, edge_df):
     """Guide §4.4: a consumer filter on repetition_ok must not duplicate
     the kernel — exactly ONE ArrowEvalPython in the filtered plan (the
