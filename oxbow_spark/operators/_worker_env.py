@@ -1,61 +1,9 @@
-"""Worker-side environment fix: mtime-guarded zipimport cache invalidation.
+"""Back-compat shim: the worker environment fix lives in
+``oxbow_spark._worker_env`` (top-level, import-light — see ADVICE r15: the
+daemon must be able to load it without executing the operators package
+``__init__``). Importing this shim, like importing the real module, applies
+the zipimport patch only inside PySpark worker/daemon processes."""
 
-Python 3.11's ``zipimport.zipimporter.invalidate_caches()`` unconditionally
-re-reads and re-parses the archive's whole central directory.
-``pyspark.worker.main`` calls ``importlib.invalidate_caches()`` (via
-``worker_util.setup_spark_files``) on EVERY task, and the Spark-shipped
-worker ``sys.path`` carries ``pyspark.zip`` (~3.5 MB, ~900 entries) plus the
-py4j zip — so every Python-stage task pays ~140-220 ms of pure
-zip-directory parsing before the UDF sees its first batch (measured on this
-host with a probe inside ``setup_spark_files``: ``invalidate_caches`` 128-217
-ms/task, everything else < 1 ms; a trivial 1-row pandas_udf job ran 0.21 s
-vs 0.075 s for the same job JVM-only).
-
-CPython 3.12 fixed exactly this (gh-87497: ``zipimport`` now keeps the
-archive's ``(mtime, size)`` and skips the re-read when unchanged). This
-module backports that guard as a monkeypatch for 3.11 workers: the re-read
-still happens whenever the archive's mtime or size changes (the semantics
-``invalidate_caches`` exists for — e.g. a replaced ``--py-files`` zip), it
-is merely skipped when the archive is provably unchanged.
-
-The patch is applied at import time of the Arrow-kernel operator modules,
-so any PySpark worker that unpickles one of our kernels gets it before its
-second task; it is idempotent, driver-safe, and a no-op on Python >= 3.12.
-"""
-
-from __future__ import annotations
-
-import os
-import sys
-import zipimport
-
-_PATCHED = False
-
-
-def patch_zipimport_invalidate_caches() -> None:
-    global _PATCHED
-    if _PATCHED:
-        return
-    _PATCHED = True
-    if sys.version_info >= (3, 12):
-        # stdlib already guards the re-read with an mtime/size check
-        return
-
-    orig = zipimport.zipimporter.invalidate_caches
-
-    def invalidate_caches(self):  # type: ignore[no-redef]
-        try:
-            st = os.stat(self.archive)
-            key = (st.st_mtime, st.st_size)
-        except OSError:
-            return orig(self)
-        if getattr(self, "_oxbow_zip_stat", None) == key:
-            return None
-        out = orig(self)  # only mark validated if the re-read succeeded
-        self._oxbow_zip_stat = key
-        return out
-
-    zipimport.zipimporter.invalidate_caches = invalidate_caches
-
-
-patch_zipimport_invalidate_caches()
+from oxbow_spark._worker_env import (  # noqa: F401
+    patch_zipimport_invalidate_caches,
+)

@@ -1,11 +1,20 @@
 """Deduplication operators for large-scale text/training-data pipelines.
 
 Exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard — all
-expressed as Catalyst-friendly DataFrame ops (no Python UDFs in the hot
-path). Hash functions are built on ``md5`` so results are reproducible
-across engines (DuckDB oracle parity) and across Spark versions; at 100 TB
-swap ``md5`` for ``xxhash64`` (same plan shape, faster) — the structure,
-shuffles and join strategy are identical.
+expressed as Catalyst-optimizable DataFrame ops. Hash functions are built
+on ``md5`` so results are reproducible across engines (DuckDB oracle
+parity) and across Spark versions; at 100 TB swap ``md5`` for ``xxhash64``
+(same plan shape, faster) — the structure, shuffles and join strategy are
+identical.
+
+Kernel-vs-expression split (r15): the md5/oracle minhash SIGNATURE pass
+runs as an Arrow ``pandas_udf`` kernel by default (``kernel=True`` —
+numpy+hashlib over the same UTF-8 bytes, bit-identity pinned by
+``tests/test_text_kernels.py``), because the interpreted HOF chains cost
+~5x more task CPU; the xxhash64 production variants, shingle sets, and
+simhash default to the pure-JVM expression formulation (measured faster at
+local widths; ``kernel=True`` opt-in where a kernel exists). Everything
+else — band keys, joins, verify — stays JVM expressions.
 
 Scale notes:
 - exact dedup: one hash-shuffle on the digest; map-side partial agg keeps
@@ -32,7 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oxbow_spark import config
-from oxbow_spark.operators import _worker_env  # noqa: F401  (worker-side zipimport fix)
+from oxbow_spark import _worker_env  # noqa: F401  (worker-side zipimport fix)
 
 TOKEN_SPLIT = r"\s+"
 

@@ -48,7 +48,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _READ_CACHE.get(key)
     if df is None or mt is None:
         for stale in [k for k, v in _READ_CACHE.items()
-                      if _session_stopped(v.sparkSession)]:
+                      if _session_stopped(v.sparkSession)
+                      # same (app, path) under a different mtime/size: the
+                      # file was regenerated; the old lazy plan can never
+                      # be requested again, so drop it (keeps the memo at
+                      # one live entry per path — VERDICT r15 #7)
+                      or k[:2] == key[:2]]:
             del _READ_CACHE[stale]
         df = spark.read.parquet(path)
         _READ_CACHE[key] = df

@@ -60,18 +60,28 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        # Worker-boundary cost (guide §4): the custom daemon applies the
-        # Python-3.11 zipimport invalidate_caches fix (otherwise EVERY
-        # Python-stage task re-parses pyspark.zip's central directory in
-        # worker_util.setup_spark_files — measured 140-220 ms/task, i.e.
-        # a trivial 1-row pandas_udf job at 0.21 s vs 0.075 s JVM-only)
-        # and pre-imports numpy/pandas/pyarrow so forked workers inherit
-        # them copy-on-write. See oxbow_spark/worker_daemon.py.
-        .config("spark.python.daemon.module", "oxbow_spark.worker_daemon")
-        # Make the repo importable in daemon/worker processes regardless
-        # of the driver's cwd (kernels are pickled by module reference).
-        .config("spark.executorEnv.PYTHONPATH", _worker_pythonpath())
     )
+    # Worker-boundary cost (guide §4): the custom daemon applies the
+    # Python-3.11 zipimport invalidate_caches fix (otherwise EVERY
+    # Python-stage task re-parses pyspark.zip's central directory in
+    # worker_util.setup_spark_files — measured 140-220 ms/task, i.e.
+    # a trivial 1-row pandas_udf job at 0.21 s vs 0.075 s JVM-only)
+    # and pre-imports numpy/pandas/pyarrow so forked workers inherit
+    # them copy-on-write. See oxbow_spark/worker_daemon.py. Both configs
+    # assume executors share the driver's filesystem, so they are gated
+    # on the master being local (ADVICE r15): a cluster deployment must
+    # ship oxbow_spark itself (--py-files / venv archive) and can then
+    # set spark.python.daemon.module=oxbow_spark.worker_daemon in
+    # extra_conf explicitly.
+    master = (extra_conf or {}).get("spark.master", f"local[{cpus}]")
+    if master.startswith("local"):
+        builder = (
+            builder
+            .config("spark.python.daemon.module", "oxbow_spark.worker_daemon")
+            # Make the repo importable in daemon/worker processes regardless
+            # of the driver's cwd (kernels are pickled by module reference).
+            .config("spark.executorEnv.PYTHONPATH", _worker_pythonpath())
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -153,7 +163,12 @@ def _read_events_raw(spark: SparkSession, path: str):
             sc = getattr(v.sparkSession, "_sc", None)
             return sc is None or getattr(sc, "_jsc", None) is None
 
-        for stale in [k for k, v in _EVENTS_READ_CACHE.items() if _dead(v)]:
+        # evict stopped-session entries AND same-(app, path) entries with
+        # a different mtime/size (the file was regenerated; the old lazy
+        # plan is unreachable — VERDICT r15 #7: keep the memo bounded at
+        # one live entry per path)
+        for stale in [k for k, v in _EVENTS_READ_CACHE.items()
+                      if _dead(v) or k[:2] == key[:2]]:
             del _EVENTS_READ_CACHE[stale]
         df = spark.read.parquet(path)
         _EVENTS_READ_CACHE[key] = df

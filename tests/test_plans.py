@@ -678,3 +678,61 @@ def test_sql_string_builders_match_column_builders(spark, sf):
         # candidate scores, and with them the oracle row set, depend
         # on exact equality here
         assert r["a"] == r["c"]
+
+
+def test_read_memo_bounded_on_regeneration(spark, sf, tmp_path):
+    """VERDICT r15 #7: regenerating a file N times must leave at most ONE
+    live memo entry per path — same-(app, path) keys with a stale
+    mtime/size are evicted on insert in both `registry._t` and
+    `session._read_events_raw` (the memo is a dict of lazy plans; without
+    eviction it grows unboundedly for a long-lived session that rewrites
+    its inputs)."""
+    import os
+    import shutil
+
+    from oxbow_spark import session as sess
+
+    work = str(tmp_path / "memo")
+    os.makedirs(work)
+    dst = os.path.join(work, "region.parquet")
+    for i in range(4):
+        shutil.copy(os.path.join(sf, "region.parquet"), dst)
+        os.utime(dst, ns=(1_000_000_000 * (i + 1),) * 2)
+        R._t(spark, work, "region")
+    assert len([k for k in R._READ_CACHE if k[1] == dst]) == 1
+
+    edst = os.path.join(work, "events.parquet")
+    for i in range(4):
+        shutil.copy(os.path.join(sf, "events.parquet"), edst)
+        os.utime(edst, ns=(1_000_000_000 * (i + 1),) * 2)
+        sess._read_events_raw(spark, edst)
+    assert len([k for k in sess._EVENTS_READ_CACHE if k[1] == edst]) == 1
+
+
+def test_bm25_scale_conditional_persist(spark, sf):
+    """VERDICT r15 #3/#4: bm25's plan scans+tokenizes the corpus three
+    times; above one scan split the narrow base stage must persist (one
+    InMemoryTableScan feeding the three branches), below it the persist
+    must NOT fire (measured more expensive than two re-tokenizes of a
+    sub-split file), and the result set must be identical either way."""
+    from oxbow_spark.operators import text
+
+    docs = R._t(spark, sf, "documents")
+    # sub-split input: auto threshold must stay off
+    assert text._input_exceeds_one_split(docs) is False
+    plain = text.bm25_topk(docs, ["the", "data", "model"], k=10)
+    assert "InMemoryTableScan" not in _plan(plain)
+    a = [tuple(r) for r in plain.collect()]
+    spark.catalog.clearCache()
+    # the auto derivation flips on input size vs maxPartitionBytes
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        assert text._input_exceeds_one_split(docs) is True
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    # forced persist = the above-threshold plan shape, identical rows
+    forced = text.bm25_topk(docs, ["the", "data", "model"], k=10,
+                            persist_base=True)
+    assert "InMemoryTableScan" in _plan(forced)
+    assert [tuple(r) for r in forced.collect()] == a
+    spark.catalog.clearCache()

@@ -45,6 +45,26 @@ def timed(run, trials: int) -> float:
     return round(best, 3)
 
 
+def timed_with_calib(run, calib, trials: int) -> tuple[float, float]:
+    """Interleave each probe trial with a fixed-size pure-JVM calibration
+    job (VERDICT r15 #6: the probes' ABSOLUTE values swung 3-7x on
+    untouched code from host drift the 1-min-load idle gate cannot see —
+    CPU frequency / hypervisor steal. The calibration job's code never
+    changes round-over-round, so probe/calib cancels host speed to first
+    order; judge the probes by `ratio_vs_calib`, not seconds)."""
+    run()
+    calib()  # warm both (JIT + codegen)
+    best_r = best_c = float("inf")
+    for _ in range(trials):
+        t0 = time.monotonic()
+        calib()
+        best_c = min(best_c, time.monotonic() - t0)
+        t0 = time.monotonic()
+        run()
+        best_r = min(best_r, time.monotonic() - t0)
+    return round(best_r, 3), round(best_c, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=2)
@@ -63,15 +83,23 @@ def main() -> None:
                       shuffle_partitions=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, float] = {}
+    calibs: dict[str, float] = {}
+
+    # fixed pure-JVM calibration workload (codegen'd hash+sum over a
+    # range — no I/O, no Python, never changes round-over-round); ~1 s
+    # on an unloaded host at cpus=8
+    def calib():
+        spark.range(0, 64_000_000, 1, args.cpus) \
+            .select(F.sum(F.xxhash64("id"))).collect()
 
     contig10 = make_contig(10_000_000)
     df10 = spark.createDataFrame([("c10", contig10)],
                                  "name string, sequence string").persist()
     df10.count()
-    out["gc10mbp_sliding"] = timed(
+    out["gc10mbp_sliding"], calibs["gc10mbp_sliding"] = timed_with_calib(
         lambda: gc_windows(df10, window=1000, step=5)
         .groupBy().agg(F.count("*"), F.sum("gc_frac")).collect(),
-        args.trials)
+        calib, args.trials)
 
     # getfasta SHORT regime, scaled from tools/bench_getfasta.py:
     # 10 × 3 Mbp contigs, 100k ~100 bp intervals, auto tile (persisted
@@ -90,21 +118,26 @@ def main() -> None:
     iv_df = spark.createDataFrame(
         ivs, "chrom string, start long, end long").persist()
     iv_df.count()
-    out["getfasta_auto"] = timed(
+    out["getfasta_auto"], calibs["getfasta_auto"] = timed_with_calib(
         lambda: getfasta_intervals(iv_df, seqs, name_col="name")
         .groupBy().agg(F.count("*"), F.sum(F.length("iv_seq"))).collect(),
-        args.trials)
+        calib, args.trials)
 
     doc = " ".join(f"tok{i}" for i in range(40_000))
     ddf = spark.createDataFrame([(1, doc)], "doc_id long, text string")
-    out["repetition_40k_filter"] = timed(
-        lambda: repetition_stats(ddf).where(F.col("repetition_ok"))
-        .select("doc_id").collect(),
-        args.trials)
+    out["repetition_40k_filter"], calibs["repetition_40k_filter"] = \
+        timed_with_calib(
+            lambda: repetition_stats(ddf).where(F.col("repetition_ok"))
+            .select("doc_id").collect(),
+            calib, args.trials)
 
     import os
 
+    ratio = {k: (round(v / calibs[k], 3) if calibs.get(k) else None)
+             for k, v in out.items()}
     print(json.dumps({"queries": out, "trials": args.trials,
+                      "calib_sec": calibs,
+                      "ratio_vs_calib": ratio,
                       "loadavg_end": round(os.getloadavg()[0], 2),
                       "cpus": args.cpus}))
     spark.stop()
