@@ -536,7 +536,7 @@ def _simhash_udf(bits: int):
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 16, kernel: bool = False) -> DataFrame:
+            bits: int = 16, kernel: bool | None = None) -> DataFrame:
     """Per-doc SimHash fingerprint over ``bits`` bit positions (<= 32).
 
     Bit source: parity of the i-th hex digit of md5(token) — engine-portable
@@ -544,14 +544,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     staged once per doc and each bit folds it with an `aggregate` HOF —
     no explode, no shuffle at all. ``kernel=True`` computes the whole
     fingerprint in one Arrow pandas_udf instead (`_simhash_udf`,
-    bit-identical — pinned by tests/test_text_kernels.py); interleaved
-    sf0.1 A/B: the kernel wins at cpus=8 (0.36 vs 0.44 s — less total
-    CPU) but loses at cpus=32 (0.46 vs 0.30 s — per-task Arrow/UDF
-    overhead dominates the 150-doc batches), so the zero-Python
-    expression path stays the default and the kernel is the measured
-    option for core-starved deployments. The null filter keeps the
-    explode semantics for null text (the doc is absent, as with unnest
-    on the oracle)."""
+    bit-identical — pinned by tests/test_text_kernels.py).
+
+    ``kernel=None`` (default, r16) derives the route from estimated
+    input bytes PER TASK (`text._arrow_kernel_pays`, the `_tp`
+    discipline): tiny per-task batches (~19 KB/task = ~150 docs at
+    sf0.1/cpus=32) lose the fixed Arrow boundary cost to the saturating
+    HOF fold (interleaved sf0.1 A/B: kernel 0.46 vs JVM 0.30 s), while
+    real-sized tasks amortize it and the kernel's ~3x lower per-row CPU
+    dominates (interleaved sf10 A/B at cpus=32: kernel 2.88 vs JVM
+    8.69 s — tools/bench_kernels_scale.py). Both formulations are
+    bit-identical, so the route never changes results. The null filter
+    keeps the explode semantics for null text (the doc is absent, as
+    with unnest on the oracle)."""
+    if kernel is None:
+        from oxbow_spark.operators.text import _arrow_kernel_pays
+
+        kernel = _arrow_kernel_pays(df)
     if kernel:
         fp = _simhash_udf(bits).asNondeterministic()
         return (df.where(F.col(text_col).isNotNull())

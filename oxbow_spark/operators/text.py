@@ -390,6 +390,36 @@ def _input_exceeds_one_split(df: DataFrame) -> bool:
         return False
 
 
+def _arrow_kernel_pays(df: DataFrame,
+                       per_task_bytes: int = 64 * 1024) -> bool:
+    """True when an Arrow kernel's fixed per-task boundary cost (~60 ms
+    runner/worker handshake + Arrow writer setup, guide §4) amortizes
+    over the rows a task actually holds: Catalyst's input-size estimate
+    divided across ``defaultParallelism`` tasks exceeds
+    ``per_task_bytes``. The floor is the measured break-even for the
+    text kernels (sf0.1 documents at cpus=32 = ~19 KB/task: JVM wins
+    1.5x; at cpus=8 = ~74 KB/task: kernel wins 1.2x; sf10 = ~1.9
+    MB/task: kernel wins 3x — interleaved A/Bs, tools/
+    bench_kernels_scale.py). Past one scan split per task
+    (``spark.sql.files.maxPartitionBytes``) the question is settled
+    regardless of parallelism, hence the ``min``. Derived from input
+    size and cluster parallelism, never pinned to a local core count;
+    returns False (the always-correct JVM route) on streaming frames or
+    any estimation failure."""
+    if df.isStreaming:
+        return False
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes()))
+        sess = df.sparkSession
+        split = int(sess._jsparkSession.sessionState().conf()
+                    .filesMaxPartitionBytes())
+        par = max(int(sess.sparkContext.defaultParallelism), 1)
+        return est > min(split, per_task_bytes * par)
+    except Exception:  # pragma: no cover - estimation is best-effort
+        return False
+
+
 def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
               k1: float = 1.2, b: float = 0.75, text_col: str = "text",
               id_col: str = "doc_id",

@@ -736,3 +736,31 @@ def test_bm25_scale_conditional_persist(spark, sf):
     assert "InMemoryTableScan" in _plan(forced)
     assert [tuple(r) for r in forced.collect()] == a
     spark.catalog.clearCache()
+
+
+def test_simhash_scale_conditional_kernel(spark, sf):
+    """r16: simhash's default route derives from estimated input bytes
+    per task (`text._arrow_kernel_pays`): tiny per-task batches keep the
+    zero-Python HOF fold, real-sized tasks take the 3x-cheaper Arrow
+    kernel (sf10 A/B, tools/bench_kernels_scale.py), and the two
+    formulations are bit-identical so the route never changes rows."""
+    from oxbow_spark.operators import dedup, text
+
+    docs = R._t(spark, sf, "documents")
+    # driver SFs are sub-floor: the auto route must stay on the JVM path
+    assert text._arrow_kernel_pays(docs) is False
+    auto = dedup.simhash(docs)
+    assert "ArrowEvalPython" not in _plan(auto)
+    a = sorted(tuple(r) for r in auto.collect())
+    # the derivation flips once a task holds more than one scan split
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        assert text._arrow_kernel_pays(docs) is True
+        flipped = dedup.simhash(docs)
+        assert "ArrowEvalPython" in _plan(flipped)
+        # identical rows on both routes (the bit-equality battery in
+        # test_text_kernels.py pins the kernel itself; this pins the
+        # auto route end-to-end)
+        assert sorted(tuple(r) for r in flipped.collect()) == a
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
