@@ -27,6 +27,11 @@ import os
 import sys
 import time
 
+# module-level: pandas_udf resolves the (stringified, PEP 563) type
+# hints against the function's __globals__, so `pd` must live here, not
+# inside main()
+import pandas as pd  # noqa: E402
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
@@ -48,7 +53,6 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=6)
     args = ap.parse_args()
 
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf, udf
 
