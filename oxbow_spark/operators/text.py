@@ -371,13 +371,18 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     )
 
 
-def _input_exceeds_one_split(df: DataFrame) -> bool:
+def _input_exceeds_one_split(df: DataFrame,
+                             floor_bytes: int | None = None) -> bool:
     """True when Catalyst's size estimate for ``df`` exceeds one scan
     split (``spark.sql.files.maxPartitionBytes``) — i.e. when re-computing
     the frame means re-reading more than a single task's worth of input.
-    Derived from input size, never from the local core count (the `_tp`
-    discipline, registry.py); returns False on any estimation failure so
-    callers degrade to the recompute-from-scan plan."""
+    ``floor_bytes`` lowers the threshold to ``min(split, floor_bytes)``
+    for callers whose fixed cost amortizes before a full split (bm25's
+    persist: one ~80 ms barrier job + cache write vs two extra tokenize
+    scans — measured winning by 61 MB, a wash around ~5 MB, losing at
+    0.6 MB). Derived from input size, never from the local core count
+    (the `_tp` discipline, registry.py); returns False on any estimation
+    failure so callers degrade to the recompute-from-scan plan."""
     if df.isStreaming:
         return False  # a streaming frame can be neither persisted nor noop-written
     try:
@@ -385,6 +390,8 @@ def _input_exceeds_one_split(df: DataFrame) -> bool:
                       .stats().sizeInBytes()))
         split = int(df.sparkSession._jsparkSession.sessionState().conf()
                     .filesMaxPartitionBytes())
+        if floor_bytes is not None:
+            split = min(split, floor_bytes)
         return est > split
     except Exception:  # pragma: no cover - estimation is best-effort
         return False
@@ -444,17 +451,20 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     ``persist_base``: the physical plan scans + tokenizes the corpus three
     times (corpus stats, tf, df-per-term re-deriving tf) — a real 3x scan
     cost on the widest input at 100 TB (VERDICT r15 #3). When the input
-    exceeds ONE scan split (``persist_base=None`` derives this from
-    Catalyst's size estimate vs ``spark.sql.files.maxPartitionBytes``),
-    the narrow ``(id, dl, filtered-terms)`` stage is persisted
+    exceeds ~8 MB (``persist_base=None`` derives this from Catalyst's
+    size estimate, capped at one ``spark.sql.files.maxPartitionBytes``
+    split), the narrow ``(id, dl, filtered-terms)`` stage is persisted
     MEMORY_AND_DISK and materialized eagerly (noop sink) before its
     consumers race it as concurrent AQE stage jobs — the plan becomes one
     InMemoryTableScan feeding all three branches, one corpus scan total.
-    Below the threshold the persist costs more than two re-tokenizes of a
-    sub-split file (measured r15: 0.85 s → 1.02-1.26 s at sf0.1), so the
-    branch is a no-op and the plan is unchanged. The persist lives in the
-    session cache; callers that loop many bm25 queries should
-    ``spark.catalog.clearCache()`` between them (the bench does).
+    The floor is measured (tools/bench_bm25_persist.py, interleaved
+    min-of-3): the persist wins 0.65-0.73x at 61 MB (sf10, cpus 8/32)
+    but loses on a sub-MB file (r15 quiet: 0.85 → 1.02-1.26 s at
+    sf0.1), where two re-tokenizes are cheaper than the barrier job +
+    cache write — so below the floor the branch is a no-op and the plan
+    is unchanged. The persist lives in the session cache; callers that
+    loop many bm25 queries should ``spark.catalog.clearCache()`` between
+    them (the bench does).
     """
     terms = sorted(set(query_terms))
     tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
@@ -464,7 +474,14 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
         F.filter("_t", lambda t: t.isin(*terms)).alias("_q"),
     )
     if persist_base is None:
-        persist_base = _input_exceeds_one_split(df)
+        # floor measured this round (tools/bench_bm25_persist.py,
+        # interleaved min-of-3): persist 0.65-0.73x at 61 MB (sf10,
+        # cpus 8/32), ~0.95x at 0.6 MB (sf0.1 — and a measured LOSS
+        # there in the quieter r15 window), so the flip sits at ~8 MB:
+        # below it two extra tokenize scans are cheaper than the
+        # barrier job + cache write the persist pays
+        persist_base = _input_exceeds_one_split(
+            df, floor_bytes=8 * 1024 * 1024)
     if persist_base:
         from pyspark import StorageLevel
 

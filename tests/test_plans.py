@@ -718,8 +718,11 @@ def test_bm25_scale_conditional_persist(spark, sf):
     from oxbow_spark.operators import text
 
     docs = R._t(spark, sf, "documents")
-    # sub-split input: auto threshold must stay off
+    # sub-split input: auto threshold must stay off (r16: the bm25 floor
+    # is min(one split, 8 MB) — a driver-SF corpus is under both)
     assert text._input_exceeds_one_split(docs) is False
+    assert text._input_exceeds_one_split(
+        docs, floor_bytes=8 * 1024 * 1024) is False
     plain = text.bm25_topk(docs, ["the", "data", "model"], k=10)
     assert "InMemoryTableScan" not in _plan(plain)
     a = [tuple(r) for r in plain.collect()]

@@ -41,7 +41,8 @@ def main() -> None:
                       shuffle_partitions=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     docs = registry._t(spark, args.sf_dir, "documents")
-    auto = text._input_exceeds_one_split(docs)
+    auto = text._input_exceeds_one_split(docs,
+                                          floor_bytes=8 * 1024 * 1024)
 
     best = {"persist": float("inf"), "no_persist": float("inf")}
     for trial in range(args.trials + 1):
