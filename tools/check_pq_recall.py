@@ -53,13 +53,23 @@ def main() -> None:
     # permutation so parents stay corpus-spread; recall semantics are
     # unchanged (queries are planted near real corpus vectors and
     # pq_topk searches the FULL corpus).
-    pf = pq.ParquetFile(emb_path)
-    n_total = pf.metadata.num_rows
+    # single-file layout (the driver's) or a gen_sf --multifile
+    # directory: either way, sample whole row groups.
+    if os.path.isdir(emb_path):
+        import glob
+        files = sorted(glob.glob(os.path.join(emb_path, "*.parquet")))
+    else:
+        files = [emb_path]
+    pfs = [pq.ParquetFile(p) for p in files]
+    n_total = sum(pf.metadata.num_rows for pf in pfs)
+    rgs = [(fi, g) for fi, pf in enumerate(pfs)
+           for g in range(pf.metadata.num_row_groups)]
     need = args.n_queries + 102  # parents + the +101 mixture partners
     rng = np.random.default_rng(42)
     X_parts, id_parts, got_rows = [], [], 0
-    for rg in rng.permutation(pf.metadata.num_row_groups):
-        t = pf.read_row_group(int(rg), columns=["vec_id", "embedding"])
+    for pick in rng.permutation(len(rgs)):
+        fi, rg = rgs[int(pick)]
+        t = pfs[fi].read_row_group(rg, columns=["vec_id", "embedding"])
         col = t.column("embedding").combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False)
         X_parts.append(np.asarray(flat, dtype=np.float64).reshape(

@@ -303,7 +303,8 @@ GENERATORS = dict(region=gen_region, nation=gen_nation,
 
 def generate(spark: SparkSession, sf: float, out: str,
              tables: list[str] | None = None,
-             clump: float = 0.0) -> None:
+             clump: float = 0.0,
+             multifile: bool = False) -> None:
     """Write each table as a SINGLE parquet FILE named <t>.parquet —
     the driver's exact layout (DuckDB's read_parquet and the streaming
     file source both expect a file, not a directory). The coalesce(1)
@@ -315,23 +316,43 @@ def generate(spark: SparkSession, sf: float, out: str,
     this ceiling, not the plans). 16 MB row groups keep single-file
     scan parallelism proportional to data, which is the honest model
     for the 100 TB layout (thousands of independently splittable
-    files)."""
+    files).
+
+    ``multifile=True`` writes <t>.parquet as a DIRECTORY of part files
+    instead: coalesce(1) collapses the whole generation pipeline into
+    one task (compute + parquet encode single-threaded), which is fine
+    through sf10 but takes hours at sf100. Row values are a pure
+    function of the row id (seeded xxhash64 column math), so the two
+    layouts hold identical rows; only the file arrangement differs.
+    Spark readers (spark.read.parquet) accept both. Use for the big
+    side of scale-decade runs; keep the single-file default anywhere
+    DuckDB/streaming-source file semantics matter."""
     import glob
     import shutil
     import tempfile
 
     os.makedirs(out, exist_ok=True)
     for name in (tables or GENERATORS):
-        tmp = tempfile.mkdtemp(dir=out, prefix=f"_{name}_")
         df = (gen_embeddings(spark, sf, clump=clump)
               if name == "embeddings" and clump > 0.0
               else GENERATORS[name](spark, sf))
+        dest = os.path.join(out, f"{name}.parquet")
+        if multifile:
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            elif os.path.exists(dest):
+                os.remove(dest)
+            df.write.mode("overwrite") \
+                .option("parquet.block.size", str(16 * 1024 * 1024)) \
+                .parquet(dest)
+            print(f"wrote {name} sf={sf} (multifile)", flush=True)
+            continue
+        tmp = tempfile.mkdtemp(dir=out, prefix=f"_{name}_")
         df.coalesce(1) \
             .write.mode("overwrite") \
             .option("parquet.block.size", str(16 * 1024 * 1024)) \
             .parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dest = os.path.join(out, f"{name}.parquet")
         if os.path.isdir(dest):
             shutil.rmtree(dest)
         os.replace(part, dest)
@@ -349,12 +370,18 @@ def main() -> None:
                     help="fraction of embeddings that are EXACT "
                          "duplicates of one vector (clumped-geometry "
                          "stress corpus; 0 = isotropic default)")
+    ap.add_argument("--multifile", action="store_true",
+                    help="write <t>.parquet as a directory of part "
+                         "files (parallel generation — required at "
+                         "sf100 where the single-file coalesce(1) "
+                         "write is hours of single-task work)")
     args = ap.parse_args()
 
     from oxbow_spark.session import get_spark
     cpus = args.cpus or (os.cpu_count() or 8)
     spark = get_spark("gen_sf", cpus=cpus, shuffle_partitions=cpus)
-    generate(spark, args.sf, args.out, args.tables, clump=args.clump)
+    generate(spark, args.sf, args.out, args.tables, clump=args.clump,
+             multifile=args.multifile)
     spark.stop()
 
 
