@@ -82,6 +82,9 @@ def main() -> None:
     for q in QUERIES:
         if not q.bench or (only and q.name not in only):
             continue
+        # progress marker (stderr): when a scale run dies mid-query, the
+        # captured stderr names the query without re-running the sweep
+        print(f"bench: {q.name}", file=sys.stderr, flush=True)
         samples: list[float] = []
         loads: list[float] = []
         jobs: list[int] = []

@@ -418,6 +418,17 @@ def jaccard_pairs(
     )
 
 
+def _exceeds_one_split(df: DataFrame) -> bool:
+    """Catalyst size estimate for ``df`` exceeds one scan split — the
+    shared input-size-derived flip (`text._input_exceeds_one_split`;
+    lazy import: text.py imports this module). False on streaming
+    frames or estimation failure (callers degrade to the small-input
+    plan)."""
+    from oxbow_spark.operators.text import _input_exceeds_one_split
+
+    return _input_exceeds_one_split(df)
+
+
 def minhash_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, band_rows: int = 2, shingle_k: int = 3,
@@ -489,6 +500,20 @@ def minhash_dedup_pairs(
     ).persist(level)
     a = sh_cand.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_cand.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # Above one scan split of corpus, the shingle-set sides must never
+    # be broadcast: Catalyst's estimate for sh_cand (downstream of a
+    # semi-join) is unreliable (guide §3.1), and the r16 sf100 decade
+    # run measured the planner picking BuildRight on the (id_b, sh_b)
+    # side — a 1.3 GiB driver collect that aborts on
+    # spark.driver.maxResultSize (the shingle arrays are ~3x the
+    # candidate docs' text). A merge hint on the shingle sides forces
+    # sort-merge (spills gracefully, shuffles only candidate-scale
+    # bytes); `cand` (two longs per pair, already broadcast for the
+    # semi-join) keeps its broadcast. Below one split the whole corpus
+    # is one task's worth of bytes and the measured-fast broadcast plan
+    # stands (same input-size-derived discipline as `_tp`/bm25).
+    if _exceeds_one_split(df):
+        a, b = a.hint("merge"), b.hint("merge")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (

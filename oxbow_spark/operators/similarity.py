@@ -510,7 +510,7 @@ def _assign_udf(centroids: list[list[float]]):
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
-    Cabs = np.abs(C)
+    Cn = np.linalg.norm(C, axis=1)
     d = C.shape[1]
     eps = float(np.finfo(np.float64).eps)
 
@@ -521,8 +521,16 @@ def _assign_udf(centroids: list[list[float]]):
                                  "d": pd.Series([], dtype="float64")})
         X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
         D = X @ C.T
-        B = (4.0 * d * eps) * (np.abs(X) @ Cabs.T)  # 2× the first-order
-        # chain+blocked-summation bound — slack is free (set stays ~1)
+        # 2× the first-order chain+blocked-summation bound, relaxed by
+        # Cauchy-Schwarz (Σ_t|x_t c_t| ≤ ‖x‖‖c‖): an O(n·nlist) outer
+        # product instead of a SECOND full |X|@|C|ᵀ matmul — at
+        # nlist ∝ corpus the bound matmul was half the assignment
+        # stage's flops (r16 sf100 decade: assignment dominates
+        # semdedup/pq growth). Still a valid upper bound on
+        # |chain − matmul|, so the exact-rechain winner is unchanged;
+        # the set stays ~1 per row on continuous data (the relaxation
+        # widens the bound ~π/2 at 1e-13 relative — still negligible).
+        B = (4.0 * d * eps) * np.outer(np.linalg.norm(X, axis=1), Cn)
         # candidate (row, centroid) pairs: could beat the row's best
         # under reference rounding ⇔ D + B ≥ max(D − B) for the row
         thresh = (D - B).max(axis=1, keepdims=True)

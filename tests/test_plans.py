@@ -741,6 +741,39 @@ def test_bm25_scale_conditional_persist(spark, sf):
     spark.catalog.clearCache()
 
 
+def test_minhash_verify_join_never_broadcasts_shingles_at_scale(spark, sf):
+    """r16 sf100 decade finding: above one scan split the pair-verify
+    joins must not broadcast the shingle-set sides — Catalyst's estimate
+    for the persisted candidate frame (downstream of a semi-join) is
+    unreliable, and the planner's BuildRight on (id_b, sh_b) was a
+    1.3 GiB driver collect that aborted on spark.driver.maxResultSize.
+    The merge hint flips with input size; rows are identical on both
+    routes."""
+    from oxbow_spark.operators import dedup
+
+    docs = R._t(spark, sf, "documents")
+    assert dedup._exceeds_one_split(docs) is False
+    small = dedup.minhash_dedup_pairs(docs, num_hashes=8, band_rows=2,
+                                      shingle_k=3, threshold=0.35)
+    a = sorted(tuple(r) for r in small.collect())
+    # below the split the measured-fast broadcast verify plan stands
+    assert "SortMergeJoin" not in _plan(small)
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        assert dedup._exceeds_one_split(docs) is True
+        big = dedup.minhash_dedup_pairs(docs, num_hashes=8, band_rows=2,
+                                        shingle_k=3, threshold=0.35)
+        plan = _plan(big)
+        # both verify joins take the hinted sort-merge: the shingle
+        # arrays never build a broadcast relation
+        assert plan.count("SortMergeJoin") >= 2
+        assert sorted(tuple(r) for r in big.collect()) == a
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.catalog.clearCache()
+
+
 def test_simhash_scale_conditional_kernel(spark, sf):
     """r16: simhash's default route derives from estimated input bytes
     per task (`text._arrow_kernel_pays`): tiny per-task batches keep the
