@@ -30,10 +30,18 @@ def run_bench(sf_dir: str, cpus: int, trials: int) -> dict:
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_TRIALS=str(trials))
-    out = subprocess.run(
+    res = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, check=True).stdout
-    return json.loads(out.strip().splitlines()[-1])
+        env=env, capture_output=True, text=True)
+    if res.returncode != 0:
+        # keep the evidence: a failed scale side otherwise discards the
+        # subprocess stderr (the r16 sf100 maxResultSize abort cost a
+        # full re-run just to SEE the error)
+        tail = "\n".join(res.stderr.splitlines()[-40:])
+        sys.stderr.write(f"bench.py failed on {sf_dir} (rc={res.returncode}); "
+                         f"stderr tail:\n{tail}\n")
+        res.check_returncode()
+    return json.loads(res.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
